@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kcl_akka_stream_spark.session import get_session
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j_broadcast_star",
+    "j_asof",
+    "agg_group_by_key",
+    "w_topk_per_group",
+    "checkpoint_frontier",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "text_quality",
+    "sim_topk_bruteforce",
+    "stream_tumbling_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    spark = get_session("bench")
+    # Warm the JVM + parquet footers with a trivial action so per-query times
+    # measure the queries, not session startup.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink materializes every output column (count() would let
+        # Catalyst prune the computed projections away).
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {per_query[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(per_query.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

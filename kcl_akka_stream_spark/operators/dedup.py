@@ -1,0 +1,152 @@
+"""Deduplication operators over the ``documents`` table.
+
+Exact + near-dup families for a 100 TB training-data pipeline:
+
+- exact: hash-groupBy on a content digest -- one shuffle on the digest;
+- minhash LSH: shingle -> seeded-md5 minhash signature -> banded buckets ->
+  candidate pairs only within buckets (never the O(n^2) cross join);
+- simhash: 16-bit sign-sum fingerprint, collide on equal fingerprint;
+- n-gram Jaccard: shingle-join candidate generation + exact Jaccard verify;
+- embedding cosine near-dup lives in operators/similarity.py.
+
+All hashing is md5-based (functions/hashing.py) so the DuckDB oracle can
+reproduce every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kcl_akka_stream_spark.functions.hashing import hex_digit_bit, md5_seeded
+from kcl_akka_stream_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: per content digest keep the smallest id (the keeper) and
+    the duplicate count.  Single hash-shuffle on the digest; at 100 TB the
+    digest groupBy is the canonical map-side-combinable pattern."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings (distinct)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= k,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """Per-doc minhash signature: for each seed, min over shingles of the
+    seeded md5 (lexicographic min over hex = uniform min-hash).  Shuffles
+    once on doc id; signature width is a constant-column agg."""
+    ex = _exploded_shingles(df, text_col, id_col, k)
+    mins = [F.min(md5_seeded(F.col("shingle"), s)).alias(f"mh_{s}") for s in range(num_hashes)]
+    return ex.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH banding: signature split into `bands` bands of `num_hashes/bands`
+    rows each; band bucket = md5 of the concatenated band slice.  Docs
+    sharing any band bucket are near-dup candidates.  Output: one row per
+    (doc, band) with its bucket id -- candidate pairs come from a self-join
+    on (band, bucket), which only touches colliding groups."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a<b) from shared LSH buckets.  The join key
+    (band, bucket) hash-partitions; hot buckets are the skew risk at scale ->
+    AQE skew-join splits them."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """16-bit simhash: per token take bits 1..16 from its md5 hex digits,
+    sign-sum over the document, bit set iff the sum is positive.  Equal
+    fingerprints = near-dups under small edits.  Integer-exact, so the
+    oracle reproduces it."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.md5(F.col("tok"))
+    contribs = [
+        F.sum(F.when(hex_digit_bit(h, i + 1) == 1, 1).otherwise(-1)).alias(f"s_{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*contribs)
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(F.col(f"s_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle-join candidate
+    generation: |A ∩ B| from the shingle equi-join (docs sharing no shingle
+    never meet -- no cross product), |A ∪ B| = |A|+|B|-|A∩B|.
+
+    Output: (id_a, id_b, jaccard) for pairs >= threshold, jaccard rounded to
+    6 dp for stable cross-engine hashing."""
+    ex = _exploded_shingles(df, text_col, id_col, k)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

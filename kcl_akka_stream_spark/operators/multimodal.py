@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference treats every payload as opaque bytes (SURVEY §1.3); a training
+-data pipeline extends that to image/audio/video columns: ``binary`` payload
++ a metadata struct, processed by Arrow-batched ``mapInPandas`` operators.
+
+The actual media codecs are NOT in this container, so the decode step is a
+deterministic fake behind ``set_decoder`` (clearly marked); the Spark-side
+plumbing -- schema, batch shape, partition sizing, UDF signatures -- is real
+and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata carried next to the opaque payload.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, digest string, feature array<double>"
+
+
+def _fake_decode(payload: bytes, kind: str) -> list[float]:
+    """STUB decoder: real image/audio libs are not installed here.  Produces
+    a deterministic 8-dim 'feature' from the payload digest so the pipeline
+    shape is testable end-to-end.  Swap via set_decoder() in production."""
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+_DECODER: Callable[[bytes, str], list[float]] = _fake_decode
+
+
+def set_decoder(fn: Callable[[bytes, str], list[float]]) -> None:
+    global _DECODER
+    _DECODER = fn
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Adapt the documents fixture into the media envelope (payload = encoded
+    text) -- the test stand-in for a real binary column."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(df: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas``: Arrow-batched, one
+    Python worker per partition, constant memory per batch.  At 100 TB the
+    payload column dominates -- partitions must be sized by bytes
+    (spark.sql.files.maxPartitionBytes), not rows, and the feature output is
+    narrow so the shuffle after this op is cheap."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_DECODER(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "digest": pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: explode n_frames into sampled frame
+    indices (decode stubbed).  Pure built-ins -- the explode happens JVM-side;
+    real decode would be a second mapInPandas over (media_id, frame_idx)."""
+    return (
+        df.filter(F.col("meta.n_frames").isNotNull())
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
+        )
+    )

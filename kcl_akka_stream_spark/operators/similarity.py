@@ -1,0 +1,138 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two tiers for the 100 TB posture:
+
+- brute-force cosine top-k (the exactness baseline): query set x corpus,
+  dot product via ``F.aggregate``/``zip_with`` -- JVM-side fold, no Python;
+  the query side is broadcast so the corpus never shuffles;
+- IVF (inverted-file) ANN: corpus pre-clustered (here: by its ``label``
+  column as the deterministic cluster assignment, centroids = cluster
+  means); a query probes only its nearest centroid's cluster -- the scan
+  shrinks by the cluster fan-out, the classic coarse-quantizer trade.
+
+Cosine math is done in float64 with a deterministic left-to-right fold, so
+the DuckDB oracle (list_dot_product / explicit unnest-sum) matches exactly
+after rounding to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic sequential fold: sum_i a[i]*b[i] in float64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The (small) query set is broadcast; each corpus partition scores its rows
+    against all queries map-side, then a per-query top-k window.  Rank ties
+    break on neighbor id -> fully deterministic output."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_centroids(corpus: DataFrame, cluster_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster mean vector (the IVF coarse quantizer).  Element-wise mean
+    via posexplode + groupBy(cluster, pos) -- partial aggregation map-side,
+    one shuffle keyed by (cluster, dim)."""
+    ex = corpus.select(
+        F.col(cluster_col).alias("cluster"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    means = ex.groupBy("cluster", "pos").agg(F.avg(F.col("val").cast("double")).alias("m"))
+    return (
+        means.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos").alias("p"), F.col("m").alias("v")))),
+                lambda s: s.getField("v"),
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF ANN: assign each query to its nearest centroid (broadcast the tiny
+    centroid table), then search only that cluster's corpus slice.  The
+    corpus-side join key is the cluster id -- partition pruning by cluster at
+    scale (corpus stored partitioned by cluster)."""
+    centroids = ivf_centroids(corpus, cluster_col, vec_col)
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.join(F.broadcast(centroids)).select(
+        "q_id", "q_vec", "cluster", cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("cluster"))
+    q_assigned = q_scored.withColumn("r", F.row_number().over(wq)).filter(F.col("r") == 1).drop("r", "c_sim")
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), F.col(cluster_col).alias("cluster")
+    )
+    scored = c.join(F.broadcast(q_assigned), on="cluster").filter(F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by a coarse key so the
+    self-join is per-block instead of O(n^2).  At scale the block key would
+    be an LSH bucket or IVF cell; the fixture's label column plays that role
+    deterministically."""
+    a = corpus.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = corpus.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

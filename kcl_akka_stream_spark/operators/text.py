@@ -1,0 +1,99 @@
+"""Text analysis operators over the ``documents`` table.
+
+Large-scale training-data-pipeline surface (BASELINE.json north star):
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+All pure built-in expressions -- regexp/string functions evaluate inside
+whole-stage codegen, no Python in the hot path, embarrassingly parallel
+(no shuffle at all for per-document scoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword marker lists for the n-gram/stopword heuristic.
+#: Chosen to be disjoint-ish and high-frequency.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+TOKEN_PATTERN = "[a-z0-9]+"  # word pieces over lowercased text (SQL-dialect-portable)
+WS_PATTERN = "\\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Tokenize: regexp word pieces over lowercased text."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + regexp (BPE-ish) token count per document."""
+    return df.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col(text_col)), WS_PATTERN)).alias("ws_tokens"),
+        F.size(tokens(F.col(text_col))).alias("re_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, punctuation ratio, stopword ratio,
+    mean word length, all-caps ratio.  Mirrors the classic C4/Gopher-style
+    filters, computed as pure column expressions."""
+    txt = F.col(text_col)
+    n_chars = F.length(txt)
+    toks = tokens(txt)
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(txt, F.lit("[.,;:!?]"), 0))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    n_upper = F.size(F.regexp_extract_all(txt, F.lit("[A-Z]"), 0))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+        (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))).alias("mean_token_len"),
+        (n_upper.cast("double") / F.greatest(n_chars, F.lit(1))).alias("caps_ratio"),
+    )
+
+
+def _marker_predicate(markers: list[str]):
+    arr = F.array(*[F.lit(m) for m in markers])
+    return lambda t: F.array_contains(arr, t)
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: count per-language stopword hits, argmax.
+
+    Deterministic tie-break by language code; 'und' when nothing matches.
+    """
+    toks = tokens(F.col(text_col))
+    scores = [
+        F.size(F.filter(toks, _marker_predicate(markers))).alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select("doc_id", F.col(text_col), *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first (alphabetical) language achieving the max wins
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select("doc_id", *[f"score_{lang}" for lang in langs], pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint (OpenRefine-style key collision): lowercase,
+    tokenize, de-duplicate, sort, rejoin, md5.  Identical content modulo
+    word order/duplication/punctuation collides -- a cheap canonical-form
+    dedup key."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(F.col(text_col)))), " ")
+    return df.select(
+        "doc_id",
+        canon.alias("canonical"),
+        F.md5(canon).alias("fingerprint"),
+    )

@@ -1,0 +1,51 @@
+"""Window functions & ordering (SURVEY §2.7, W1-W4).
+
+W1 (per-shard total order by sequence number) is the reference's core
+invariant (KinesisRecord.scala:39-44, README.md:100-102); everything here is
+``Window.partitionBy(shard).orderBy(seq)`` -- one shuffle on the shard key,
+then sorted within partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shard_order(df: DataFrame, shard_col: str, seq_col: str) -> DataFrame:
+    """W1 -- per-shard arrival index + previous-seq (gap detection via lag)."""
+    w = Window.partitionBy(shard_col).orderBy(seq_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("prev_seq", F.lag(seq_col).over(w))
+        .withColumn("gap", F.col(seq_col) - F.coalesce(F.col("prev_seq"), F.col(seq_col)))
+    )
+
+
+def top_k_per_group(df: DataFrame, group_col: str, order_cols: list, k: int) -> DataFrame:
+    """Top-K per group -- rank within each group and keep k.  Deterministic
+    only if order_cols contain a unique tiebreaker."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return df.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def limit_n(df: DataFrame, n: int, order_cols: list | None = None) -> DataFrame:
+    """W3 -- ``take(n)`` (IT/KinesisSourceTest.scala:55).  With order columns
+    this is a global top-n: Spark plans TakeOrderedAndProject -- per-partition
+    heaps + single merge, no global sort."""
+    if order_cols:
+        return df.orderBy(*order_cols).limit(n)
+    return df.limit(n)
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str, gap_seconds: int) -> DataFrame:
+    """Batch sessionization: new session when the per-key gap exceeds the
+    threshold; session id = running count of session-starts.  (Streaming form
+    uses session_window -- streaming/pipeline.py.)"""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("__new_session", is_new).withColumn(
+        "session_id",
+        F.sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__new_session")

@@ -1,0 +1,633 @@
+"""Core relational query surface (SURVEY §2.2, §2.4-§2.8).
+
+Each query exercises one row of the operator inventory on the fixture star
+schema, with a DuckDB oracle.
+
+Money convention: the fixture's money/value columns carry exactly 2 decimal
+digits, so aggregation converts to *integer cents* (floor(x*100+0.5) as
+BIGINT -- exact for 2-dp doubles), sums integers (order-independent, no
+floating-point drift between engines), and divides once at the end.  Spark
+and the oracle share the identical expression shape, making the hash
+comparison exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kcl_akka_stream_spark.operators import joins as J
+from kcl_akka_stream_spark.operators import windows as W
+from kcl_akka_stream_spark.operators.aggregations import counts, shard_stats
+from kcl_akka_stream_spark.operators.merges import merge
+from kcl_akka_stream_spark.queries.registry import query, tbl
+
+
+def _cents(col: Column) -> Column:
+    """Exact integer cents of a 2-decimal-digit money column."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def _sum_money(col: Column) -> Column:
+    """Order-independent exact money sum, as double dollars."""
+    return F.sum(_cents(col)).cast("double") / F.lit(100.0)
+
+
+#: SQL fragments of the same convention.
+def _sql_cents(x: str) -> str:
+    return f"CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+
+
+def _sql_sum_money(x: str) -> str:
+    return f"CAST(sum({_sql_cents(x)}) AS DOUBLE) / 100.0"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (scan -> filter -> hash agg).
+# Catalyst pushes the shipdate filter and column pruning into the parquet
+# scan; aggregation is partial/final hash-agg -- the canonical 100 TB shape.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    f"""
+    WITH li AS (
+      SELECT l_returnflag, l_linestatus,
+             {_sql_cents('l_quantity')} AS q_c,
+             {_sql_cents('l_extendedprice')} AS e_c,
+             {_sql_cents('l_discount')} AS d_c,
+             {_sql_cents('l_tax')} AS t_c
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(q_c) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(sum(e_c) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(sum(e_c * (100 - d_c)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(sum(e_c * (100 - d_c) * (100 + t_c)) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(sum(q_c) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+           CAST(sum(d_c) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM li GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    q_c = _cents(F.col("l_quantity"))
+    e_c = _cents(F.col("l_extendedprice"))
+    d_c = _cents(F.col("l_discount"))
+    t_c = _cents(F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(q_c).cast("double") / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(e_c).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(e_c * (100 - d_c)).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(e_c * (100 - d_c) * (100 + t_c)).cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(q_c).cast("double") / F.lit(100.0) / n).alias("avg_qty"),
+            (F.sum(d_c).cast("double") / F.lit(100.0) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+@query(
+    "agg_counts",
+    "SELECT count(*) AS n_records, count(DISTINCT user_id) AS n_keys FROM events",
+)
+def agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4 -- size / keyset-size (IT/KinesisSourceTest.scala:86,154-159).
+    return counts(tbl(spark, sf_dir, "events"), "user_id").drop("approx_n_keys")
+
+
+@query(
+    "agg_shard_stats",
+    """
+    SELECT user_id AS shard, count(*) AS n_events,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_matching
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5 -- per-shard stats counters (IT/Inspectable.scala:95-106).
+    ev = tbl(spark, sf_dir, "events").withColumnRenamed("user_id", "shard")
+    return shard_stats(ev, "shard", "event_type", "error")
+
+
+@query(
+    "agg_group_by_key",
+    """
+    SELECT user_id AS key, string_agg(event_type, ',' ORDER BY event_id) AS msgs
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_group_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 -- order/duplicate-preserving groupByKey (IT/MessageUtil.scala:15-22)
+    # rendered as a string so the hash is order-sensitive per key.
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("event_id").alias("o"), F.col("event_type").alias("v")))
+                ),
+                lambda s: s.getField("v"),
+            ),
+            ",",
+        ).alias("msgs")
+    )
+
+
+@query(
+    "agg_dedup_group_by_key",
+    """
+    SELECT user_id AS key, string_agg(event_type, ',' ORDER BY first_o) AS msgs
+    FROM (SELECT user_id, event_type, min(event_id) AS first_o
+          FROM events GROUP BY user_id, event_type)
+    GROUP BY user_id
+    """,
+)
+def agg_dedup_group_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2 -- dedupAndGroupByKey, relational form (IT/MessageUtil.scala:9-13).
+    ev = tbl(spark, sf_dir, "events")
+    first = ev.groupBy("user_id", "event_type").agg(F.min("event_id").alias("first_o"))
+    return first.groupBy(F.col("user_id").alias("key")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("first_o").alias("o"), F.col("event_type").alias("v")))
+                ),
+                lambda s: s.getField("v"),
+            ),
+            ",",
+        ).alias("msgs")
+    )
+
+
+@query(
+    "agg_rollup",
+    f"""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           count(*) AS n, {_sql_sum_money('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _sum_money(F.col("l_quantity")).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    f"""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           count(*) AS n, {_sql_sum_money('o_totalprice')} AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _sum_money(F.col("o_totalprice")).alias("sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / flatten (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+@query(
+    "p3_filter_bootstrap",
+    """
+    SELECT key, count(*) AS n FROM (
+      SELECT CASE WHEN user_id % 5 = 0 THEN 'bootstrap_' ELSE 'key_' END
+             || CAST(user_id AS VARCHAR) AS key
+      FROM events)
+    WHERE key NOT LIKE 'bootstrap%' GROUP BY key
+    """,
+)
+def p3_filter_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3 -- filterBootstrapMessages (IT/KinesisTestComponents.scala:105-113).
+    from kcl_akka_stream_spark.operators.projections import filter_bootstrap
+
+    ev = tbl(spark, sf_dir, "events").select(
+        F.concat(
+            F.when(F.col("user_id") % 5 == 0, F.lit("bootstrap_")).otherwise(F.lit("key_")),
+            F.col("user_id").cast("string"),
+        ).alias("key")
+    )
+    return filter_bootstrap(ev, "key").groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "p4_flatten_tokens",
+    """
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def p4_flatten_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P4 -- mapConcat/flatten (KinesisSource.scala:191) as explode.
+    from kcl_akka_stream_spark.operators.projections import flatten
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toklist"))
+    return flatten(toks, "toklist", "token")
+
+
+@query(
+    "p5_grouped_batches",
+    """
+    SELECT event_id // 10 AS batch_id, count(*) AS batch_size,
+           min(event_id) AS first_seq, max(event_id) AS last_seq
+    FROM events GROUP BY 1
+    """,
+)
+def p5_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P5 -- grouped(n) fixed-size batching (README.md:43).
+    from kcl_akka_stream_spark.operators.projections import grouped
+
+    ev = grouped(tbl(spark, sf_dir, "events"), 10, "event_id")
+    return ev.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("batch_size"),
+        F.min("event_id").alias("first_seq"),
+        F.max("event_id").alias("last_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           substr(c_name, 1, 8) AS prefix,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           c_name LIKE 'Customer%' AS is_customer,
+           'cust_' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') AS padded
+    FROM customer
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.col("c_name").startswith("Customer").alias("is_customer"),
+        F.concat(F.lit("cust_"), F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0")).alias("padded"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n, {_sql_sum_money('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE date_part('year', o_orderdate) >= 1993
+    GROUP BY 1
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.filter(F.year("o_orderdate") >= 1993)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum_money(F.col("o_totalprice")).alias("sum_price"))
+    )
+
+
+@query(
+    "scalar_json",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 json family -- payload decode via get_json_object (SURVEY §1.3:
+    # payload schema applied at decode time).
+    ev = tbl(spark, sf_dir, "events")
+    return ev.select("event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k_value"))
+
+
+@query(
+    "scalar_numeric",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_linenumber % 2 = 0 AS is_even,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100.0 AS net_price,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           abs(l_discount - 0.05) AS disc_dev
+    FROM lineitem WHERE l_orderkey % 7 = 0
+    """,
+)
+def scalar_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_linenumber") % 2 == 0).alias("is_even"),
+        (F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)) / F.lit(100.0)).alias(
+            "net_price"
+        ),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge / set ops (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+@query(
+    "u_union_merge",
+    """
+    SELECT event_type, count(*) AS n FROM (
+      SELECT event_type FROM events WHERE event_type = 'click'
+      UNION ALL SELECT event_type FROM events WHERE event_type = 'view'
+      UNION ALL SELECT event_type FROM events WHERE event_type = 'purchase'
+    ) GROUP BY event_type
+    """,
+)
+def u_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U1/U2 -- MergeHub / Source.combine fan-in as unionByName.
+    ev = tbl(spark, sf_dir, "events").select("event_type")
+    parts = [ev.filter(F.col("event_type") == t) for t in ("click", "view", "purchase")]
+    return merge(*parts).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("u_except", "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders")
+def u_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U4 -- set difference (IT/KinesisSourceTest.scala:261-271 assertion algebra).
+    c = tbl(spark, sf_dir, "customer").select("c_custkey")
+    o = tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+@query("u_intersect", "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders")
+def u_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer").select("c_custkey")
+    o = tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.6 -- absent in reference, required by the star schema)
+# ---------------------------------------------------------------------------
+@query(
+    "j_orders_customer",
+    f"""
+    SELECT c_mktsegment, count(*) AS n_orders, {_sql_sum_money('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        J.equi_join(o, c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _sum_money(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+@query(
+    "j_broadcast_star",
+    f"""
+    SELECT n_name,
+           CAST(sum({_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})) AS DOUBLE)
+             / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n_name
+    """,
+)
+def j_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5-shaped star join: facts shuffle on their keys, the dimension
+    # chain (nation, region) broadcasts -- zero shuffle for the small sides.
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    rev = F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).cast("double") / F.lit(
+        10000.0
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(rev.alias("revenue"))
+    )
+
+
+@query(
+    "j_semi",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY n_name
+    """,
+)
+def j_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        J.semi_join(c, o, "c_custkey")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "j_anti",
+    """
+    SELECT c_mktsegment, count(*) AS n_inactive
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def j_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return J.anti_join(c, o, "c_custkey").groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_inactive"))
+
+
+@query(
+    "j_range_bucket",
+    f"""
+    SELECT r_name AS bucket_name, count(*) AS n, {_sql_sum_money('value')} AS sum_value
+    FROM events JOIN region
+      ON value >= r_regionkey * 70.0 AND value < (r_regionkey + 1) * 70.0
+    GROUP BY r_name
+    """,
+)
+def j_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range join via bucketization (operators/joins.py): equi-join on the
+    # coarse bucket id instead of a nested-loop inequality join.
+    ev = tbl(spark, sf_dir, "events")
+    buckets = tbl(spark, sf_dir, "region").select(
+        F.col("r_name").alias("bucket_name"),
+        (F.col("r_regionkey") * 70.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 70.0).alias("hi"),
+    )
+    joined = J.range_join_bucketed(ev, buckets, "value", "lo", "hi", bucket_width=70.0)
+    return joined.groupBy("bucket_name").agg(
+        F.count(F.lit(1)).alias("n"), _sum_money(F.col("value")).alias("sum_value")
+    )
+
+
+@query(
+    "j_asof",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, c.click_id
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join via union+window (operators/joins.py) -- no Python, one
+    # shuffle on the key; matches DuckDB's native ASOF JOIN.
+    ev = tbl(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return J.asof_join(purchases, clicks, "user_id", "ts", "ts", ["click_id"]).select(
+        "purchase_id", "user_id", "click_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions & ordering (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+@query(
+    "w1_shard_order",
+    """
+    SELECT user_id AS shard, event_id AS seq,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+           event_id - coalesce(lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id), event_id) AS gap
+    FROM events
+    """,
+)
+def w1_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1 -- per-shard total order + gap detection (KinesisRecord.scala:39-44).
+    ev = tbl(spark, sf_dir, "events").withColumnRenamed("user_id", "shard")
+    return W.shard_order(ev, "shard", "event_id").select(
+        "shard", F.col("event_id").alias("seq"), "rn", "gap"
+    )
+
+
+@query(
+    "w_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    WHERE rnk <= 3
+    """,
+)
+def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select("c_mktsegment", "o_orderkey", "o_totalprice")
+    return W.top_k_per_group(joined, "c_mktsegment", [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3)
+
+
+@query(
+    "w_global_topn",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def w_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3 -- take(n): Spark plans TakeOrderedAndProject (per-partition heaps,
+    # no global sort).
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return W.limit_n(o, 10, [F.col("o_totalprice").desc(), F.col("o_orderkey")])
+
+
+@query(
+    "w_running_sum",
+    f"""
+    SELECT user_id, event_id,
+           CAST(sum({_sql_cents('value')})
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS running_value
+    FROM events
+    """,
+)
+def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(_cents(F.col("value"))).over(w).cast("double") / F.lit(100.0)).alias("running_value"),
+    )
+
+
+@query(
+    "w_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    sess = W.sessionize(ev, "user_id", "ts", 1800)
+    return sess.groupBy("user_id").agg(F.max("session_id").cast("bigint").alias("n_sessions"))

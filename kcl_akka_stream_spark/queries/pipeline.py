@@ -1,0 +1,329 @@
+"""Training-data-pipeline queries: dedup, text analysis, similarity search,
+multimodal plumbing (BASELINE.json north star).
+
+Every hash used (minhash/simhash/fingerprints) is md5-based so the DuckDB
+oracle reproduces values bit-for-bit; cosine math follows the
+float64-fold + round(6) convention (operators/similarity.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcl_akka_stream_spark.operators import dedup as D
+from kcl_akka_stream_spark.operators import similarity as S
+from kcl_akka_stream_spark.operators import text as X
+from kcl_akka_stream_spark.queries.registry import query, tbl
+
+TOK = X.TOKEN_PATTERN  # '[a-z0-9]+'
+
+#: Shared DuckDB CTE: distinct word 3-shingles per document (mirror of
+#: operators/dedup.py::shingles with k=3).
+_SH_CTE = f"""
+    toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN [array_to_string(list_slice(t, i, i + 2), ' ')
+                   FOR i IN generate_series(1, len(t) - 2)]
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+      FROM toks
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(tbl(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ",\n        ".join(
+        f"min(md5(shingle || '#{s}')) AS mh_{s}" for s in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM mh"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH {_SH_CTE},
+    mh AS (
+      SELECT doc_id,
+        {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    b AS (
+      {bands_sql}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
+    WHERE a.doc_id < b2.doc_id
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash+LSH near-dup candidates: shingle -> 8 seeded-md5 minhashes ->
+    # 4 bands -> pairs sharing a band bucket.  Never materializes O(n^2).
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    return D.minhash_candidate_pairs(buckets)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    highs = "('8','9','a','b','c','d','e','f')"
+    sums = ",\n        ".join(
+        f"sum(CASE WHEN substr(hx, {i + 1}, 1) IN {highs} THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s_{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOK}')) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+    s AS (
+      SELECT doc_id,
+        {sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s
+    """
+
+
+@query("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(tbl(spark, sf_dir, "documents"), bits=16)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(tbl(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{TOK}')) AS BIGINT) AS re_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = X.token_count(tbl(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.col("re_tokens").cast("bigint").alias("re_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+_STOPS = "['the','and','of','to','is']"
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '{TOK}') AS toks,
+             length(text) AS nc
+      FROM documents)
+    SELECT doc_id,
+           CAST(nc AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(nc, 1) AS punct_ratio,
+           CAST(len(list_filter(toks, x -> list_contains({_STOPS}, x))) AS DOUBLE)
+             / greatest(len(toks), 1) AS stopword_ratio,
+           CAST(nc AS DOUBLE) / greatest(len(toks), 1) AS mean_token_len,
+           CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / greatest(nc, 1) AS caps_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = X.quality_score(tbl(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        "caps_ratio",
+    )
+
+
+def _langid_oracle() -> str:
+    langs = sorted(X.LANG_MARKERS)
+    score_cols = ",\n        ".join(
+        "CAST(len(list_filter(toks, x -> list_contains(["
+        + ",".join(f"'{m}'" for m in X.LANG_MARKERS[lang])
+        + f"], x))) AS BIGINT) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+        {score_cols}
+      FROM t)
+    SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+           CASE WHEN {best} <= 0 THEN 'und' {cases} END AS pred_lang
+    FROM s
+    """
+
+
+@query("text_langid", _langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = X.lang_id(tbl(spark, sf_dir, "documents"))
+    casts = [F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}") for lang in sorted(X.LANG_MARKERS)]
+    return out.select("doc_id", *casts, "pred_lang")
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '{TOK}'))), ' ')
+             AS canonical,
+           md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '{TOK}'))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(tbl(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search family
+# ---------------------------------------------------------------------------
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "sim_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec FROM embeddings),
+         scored AS (
+           SELECT q_id, n_id,
+                  round({_COS.format(a="q_vec", b="n_vec")}, 6) AS cos_sim
+           FROM c, q WHERE q_id <> n_id)
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT q_id, n_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, queries_df, k=5).select("q_id", "n_id", "cos_sim", "rank")
+
+
+@query(
+    "emb_near_dup",
+    f"""
+    WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS.format(a="a.v", b="b.v")}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_COS.format(a="a.v", b="b.v")}, 6) >= 0.35
+    """,
+)
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup_pairs(tbl(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary-column plumbing: documents-as-media -> Arrow-batched mapInPandas
+    # decode/feature stub (operators/multimodal.py).  The oracle checks the
+    # real plumbing outputs (sizes + digests); the fake feature vector is
+    # exercised by unit tests.
+    from kcl_akka_stream_spark.operators.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(tbl(spark, sf_dir, "documents"))
+    return extract_features(media).select("media_id", "kind", "n_bytes", "digest")
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id, unnest(range(0, (doc_id % 30) + 1, 10)) AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcl_akka_stream_spark.operators.multimodal import frame_sample
+
+    docs = tbl(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            ((F.col("doc_id") % 30) + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return frame_sample(media, every_n=10).select("media_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))

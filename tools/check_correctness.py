@@ -1,0 +1,97 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet tables, then
+compare row count + column names + order-insensitive values.
+
+Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from kcl_akka_stream_spark.session import get_session
+from kcl_akka_stream_spark.sources.batch import TABLE_NAMES
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if v is None:
+        return "NULL"
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm_cell(r[i]) for i in order))
+    return sorted(out), [cols[i] for i in order]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from kcl_akka_stream_spark.queries import ORACLES, QUERIES
+
+    spark = get_session("check_correctness")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_noracle = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in ORACLES:
+            print(f"NOOR  {name}: rows={len(s_rows)} ({time.time() - t0:.1f}s) [rows-only check]")
+            n_noracle += 1
+            continue
+        try:
+            res = con.execute(ORACLES[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        s_norm, s_c = _norm_rows(s_cols, s_rows)
+        d_norm, d_c = _norm_rows(d_cols, d_rows)
+        if [c.lower() for c in s_c] != [c.lower() for c in d_c]:
+            print(f"FAIL  {name}: columns differ: spark={s_c} duckdb={d_c}")
+            n_fail += 1
+        elif len(s_norm) != len(d_norm):
+            print(f"FAIL  {name}: rowcount spark={len(s_norm)} duckdb={len(d_norm)}")
+            n_fail += 1
+        elif s_norm != d_norm:
+            diff = [(a, b) for a, b in zip(s_norm, d_norm) if a != b][:3]
+            print(f"FAIL  {name}: values differ; first diffs: {diff}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: rows={len(s_norm)} ({time.time() - t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
