@@ -1,0 +1,67 @@
+"""Checkpoint-frontier tests -- scenarios from the reference's
+T/ShardCheckpointTrackerTest.scala (SURVEY §5.1), esp. the gap case
+:70-81 (acks {0,1,3} of 4 => frontier 1)."""
+
+from __future__ import annotations
+
+from kcl_akka_stream_spark.operators.checkpoint import checkpoint_frontier, should_checkpoint
+
+
+def _frontier(spark, rows):
+    df = spark.createDataFrame(rows, "shard_id string, seq long, processed boolean")
+    return {r.shard_id: r for r in checkpoint_frontier(df).collect()}
+
+
+def test_gap_blocks_frontier(spark):
+    # ShardCheckpointTrackerTest.scala:70-81: processed {0,1,3}, gap at 2.
+    out = _frontier(spark, [("s", 0, True), ("s", 1, True), ("s", 2, False), ("s", 3, True)])
+    r = out["s"]
+    assert r.frontier_seq == 1
+    assert r.processed_uncheckpointed_count == 1  # seq 3, above the gap
+    assert r.in_flight_count == 1  # seq 2
+
+
+def test_contiguous_prefix(spark):
+    # :57-68 -- frontier is last of the contiguous processed prefix.
+    out = _frontier(spark, [("s", 0, True), ("s", 1, True), ("s", 2, True), ("s", 3, False)])
+    r = out["s"]
+    assert r.frontier_seq == 2
+    assert r.processed_uncheckpointed_count == 0
+    assert r.in_flight_count == 1
+
+
+def test_nothing_processed(spark):
+    # :45-55 -- no-op when nothing is processed.
+    out = _frontier(spark, [("s", 0, False), ("s", 1, False)])
+    r = out["s"]
+    assert r.frontier_seq is None
+    assert r.in_flight_count == 2
+
+
+def test_all_processed(spark):
+    out = _frontier(spark, [("s", 0, True), ("s", 1, True)])
+    r = out["s"]
+    assert r.frontier_seq == 1
+    assert r.in_flight_count == 0
+
+
+def test_per_shard_independence(spark):
+    out = _frontier(
+        spark,
+        [("a", 0, True), ("a", 1, False), ("b", 0, False), ("c", 0, True), ("c", 1, True)],
+    )
+    assert out["a"].frontier_seq == 0
+    assert out["b"].frontier_seq is None
+    assert out["c"].frontier_seq == 1
+
+
+def test_count_trigger(spark):
+    # :26-33 -- count trigger fires at the record threshold.
+    rows = [("s", 0, False)] + [("s", i, True) for i in range(1, 12)]
+    df = spark.createDataFrame(rows, "shard_id string, seq long, processed boolean")
+    out = should_checkpoint(checkpoint_frontier(df), record_threshold=10).collect()[0]
+    assert out.processed_uncheckpointed_count == 11
+    assert bool(out.should_checkpoint)
+
+    out2 = should_checkpoint(checkpoint_frontier(df), record_threshold=100).collect()[0]
+    assert not bool(out2.should_checkpoint)

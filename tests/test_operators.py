@@ -1,0 +1,96 @@
+"""Unit tests for the batch operator library (SURVEY §2.2-§2.7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kcl_akka_stream_spark.operators.aggregations import dedup_and_group_by_key, group_by_key
+from kcl_akka_stream_spark.operators.joins import asof_join, range_join_bucketed
+from kcl_akka_stream_spark.operators.merges import except_all, intersect_all, merge
+from kcl_akka_stream_spark.operators.projections import filter_bootstrap, flatten, grouped
+from kcl_akka_stream_spark.operators.windows import sessionize, top_k_per_group
+
+
+def test_group_by_key_preserves_order_and_duplicates(spark):
+    # IT/MessageUtilTest.scala:9-13 -- duplicates kept, order preserved.
+    df = spark.createDataFrame(
+        [("k1", "m1", 0), ("k2", "m1", 1), ("k2", "m1", 2), ("k1", "m2", 3)],
+        "key string, msg string, o long",
+    )
+    got = {r.key: r["values"] for r in group_by_key(df, "key", "msg", "o").collect()}
+    assert got == {"k1": ["m1", "m2"], "k2": ["m1", "m1"]}
+
+
+def test_dedup_and_group_by_key(spark):
+    df = spark.createDataFrame(
+        [("k1", "m1", 0), ("k1", "m2", 1), ("k1", "m1", 2), ("k1", "m3", 3)],
+        "key string, msg string, o long",
+    )
+    got = {r.key: r["values"] for r in dedup_and_group_by_key(df, "key", "msg", "o").collect()}
+    assert got == {"k1": ["m1", "m2", "m3"]}
+
+
+def test_merge_and_set_ops(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,)], "x long")
+    b = spark.createDataFrame([(2,), (3,)], "x long")
+    assert sorted(r.x for r in merge(a, b).collect()) == [1, 2, 2, 2, 3]
+    assert sorted(r.x for r in except_all(a, b).collect()) == [1, 2]
+    assert sorted(r.x for r in intersect_all(a, b).collect()) == [2]
+
+
+def test_merge_requires_input():
+    with pytest.raises(ValueError):
+        merge()
+
+
+def test_filter_bootstrap(spark):
+    df = spark.createDataFrame([("bootstrap_1",), ("key_1",)], "partitionKey string")
+    assert [r.partitionKey for r in filter_bootstrap(df).collect()] == ["key_1"]
+
+
+def test_flatten_and_grouped(spark):
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])], "id long, xs array<string>")
+    out = flatten(df, "xs", "x")
+    assert sorted((r.id, r.x) for r in out.collect()) == [(1, "a"), (1, "b"), (2, "c")]
+
+    df2 = spark.createDataFrame([(i,) for i in range(25)], "seq long")
+    batches = grouped(df2, 10, "seq").groupBy("batch_id").count().collect()
+    assert {r.batch_id: r["count"] for r in batches} == {0: 10, 1: 10, 2: 5}
+
+
+def test_range_join_bucketed(spark):
+    facts = spark.createDataFrame([(0.5,), (10.0,), (25.0,), (99.9,)], "value double")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 50.0), ("high", 50.0, 100.0)],
+        "name string, lo double, hi double",
+    )
+    out = range_join_bucketed(facts, buckets, "value", "lo", "hi", bucket_width=7.0)
+    got = sorted((r.value, r.name) for r in out.collect())
+    assert got == [(0.5, "low"), (10.0, "mid"), (25.0, "mid"), (99.9, "high")]
+
+
+def test_asof_join(spark):
+    left = spark.createDataFrame([("k", 10, "p1"), ("k", 20, "p2"), ("k", 5, "p0")], "k string, t long, p string")
+    right = spark.createDataFrame([("k", 8, 100), ("k", 15, 200), ("k", 20, 300)], "k string, t long, v long")
+    out = asof_join(left, right, "k", "t", "t", ["v"])
+    got = {r.p: r.v for r in out.collect()}
+    # p0@5: no right <= 5 -> NULL; p1@10: right@8 -> 100; p2@20: right@20 (<=) -> 300
+    assert got == {"p0": None, "p1": 100, "p2": 300}
+
+
+def test_top_k_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 2, 5.0), ("g", 3, 1.0)], "g string, id long, v double"
+    )
+    out = top_k_per_group(df, "g", [F.col("v").desc(), F.col("id")], 2).collect()
+    assert [(r.id, r.rnk) for r in sorted(out, key=lambda r: r.rnk)] == [(1, 1), (2, 2)]
+
+
+def test_sessionize(spark):
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 100), ("u", 4000), ("u", 4100), ("u", 10000)], "k string, ts long"
+    )
+    df = df.withColumn("ts", F.timestamp_seconds("ts"))
+    out = sessionize(df, "k", "ts", gap_seconds=1800)
+    assert [r.session_id for r in out.orderBy("ts").collect()] == [1, 1, 2, 2, 3]

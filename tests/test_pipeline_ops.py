@@ -1,0 +1,142 @@
+"""Unit tests for the training-data-pipeline operators (dedup, similarity,
+text, multimodal)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from kcl_akka_stream_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_lsh_buckets,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from kcl_akka_stream_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+from kcl_akka_stream_spark.operators.similarity import brute_force_topk, ivf_topk
+from kcl_akka_stream_spark.operators.text import fingerprint, lang_id, quality_score, token_count
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_exact_dedup_counts(spark):
+    df = _docs(spark, ["same text", "same text", "other"])
+    got = {r.keeper_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert got == {0: 2, 2: 1}
+
+
+def test_minhash_identical_docs_collide(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [text, text, "completely different content with other words entirely present"])
+    pairs = minhash_candidate_pairs(minhash_lsh_buckets(df)).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_simhash_close_for_similar(spark):
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox jumps over the lazy cat"
+    c = "entirely unrelated words appear in this sentence structure"
+    got = {r.doc_id: r.simhash for r in simhash(_docs(spark, [a, b, c])).collect()}
+    ham_ab = bin(got[0] ^ got[1]).count("1")
+    ham_ac = bin(got[0] ^ got[2]).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc0: shingles {a b c, b c d}; doc1: {a b c}; jaccard = 1/2
+    df = _docs(spark, ["a b c d", "a b c"])
+    rows = ngram_jaccard_pairs(df, k=3, threshold=0.1).collect()
+    assert len(rows) == 1
+    assert rows[0].id_a == 0 and rows[0].id_b == 1
+    assert abs(rows[0].jaccard - 0.5) < 1e-9
+
+
+def test_brute_force_topk_finds_identical_vector(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.001, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r.n_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 2, 3]
+    assert abs(sorted(out, key=lambda r: r.rank)[0].cos_sim - 1.0) < 1e-5
+
+
+def test_ivf_restricts_to_cluster(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [0.1, 0.9], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ivf_topk(df, df.filter(F.col("vec_id") == 0), k=5)
+    # query 0 assigns to cluster 0 -> only neighbor 1 is searched
+    assert [r.n_id for r in out.collect()] == [1]
+
+
+def test_token_count_and_quality(spark):
+    df = _docs(spark, ["Hello, World! This is a test."])
+    tc = token_count(df).collect()[0]
+    assert tc.ws_tokens == 6
+    assert tc.re_tokens == 6
+    q = quality_score(df).collect()[0]
+    assert q.n_tokens == 6
+    assert abs(q.punct_ratio - 3 / 29) < 1e-9
+    assert q.stopword_ratio > 0  # 'is' and 'a'... 'is' is a marker
+
+
+def test_lang_id(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat and the dog of the house is big",
+            "der hund und die katze ist nicht hier",
+            "xyzzy qwerty",
+        ],
+    )
+    got = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "und"}
+
+
+def test_fingerprint_collides_on_word_order(spark):
+    df = _docs(spark, ["b a c", "c b a", "a b d"])
+    got = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = spark.createDataFrame([(1, "payload one"), (2, "payload two")], "doc_id long, text string")
+    media = documents_as_media(docs)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == len(b"payload one")
+    assert feats[1].digest == hashlib.sha256(b"payload one").hexdigest()
+    assert len(feats[1].feature) == 8
+    assert all(0.0 <= v <= 1.0 for v in feats[1].feature)
+
+
+def test_frame_sample(spark):
+    media = spark.createDataFrame([(1, 25), (2, 5)], "media_id long, nf int").select(
+        "media_id",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.col("nf").alias("n_frames"),
+        ).alias("meta"),
+    )
+    got = sorted((r.media_id, r.frame_idx) for r in frame_sample(media, every_n=10).collect())
+    assert got == [(1, 0), (1, 10), (1, 20), (2, 0)]
