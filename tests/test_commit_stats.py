@@ -1,0 +1,133 @@
+"""Commit-cadence (C3/C4) and ConsumerStats (§2.10) tests."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from kcl_akka_stream_spark.config import ConsumerConfig, ShardCheckpointConfig
+from kcl_akka_stream_spark.streaming.commit import (
+    CommitTracker,
+    committing_foreach_batch,
+    read_commits,
+)
+from kcl_akka_stream_spark.streaming.stats import (
+    ConsumerStats,
+    NoopConsumerStats,
+    RecordingStats,
+    get_instance,
+)
+
+
+def test_count_trigger_fires_at_threshold():
+    # ShardCheckpointTrackerTest.scala:26-33.
+    t = CommitTracker(ShardCheckpointConfig(checkpoint_period_seconds=1e9,
+                                            checkpoint_after_processing_nr_of_records=100))
+    assert not t.observe(40, now=0.0)
+    assert t.observe(60, now=0.0)  # cumulative 100
+    t.commit(0, 100, now=0.0)
+    assert not t.observe(99, now=0.0)
+
+
+def test_period_trigger_fires_after_elapsed():
+    # ShardCheckpointTrackerTest.scala:35-41.
+    t = CommitTracker(ShardCheckpointConfig(checkpoint_period_seconds=60,
+                                            checkpoint_after_processing_nr_of_records=10**9))
+    t._last_commit_at = 0.0
+    assert not t.observe(1, now=30.0)
+    assert t.observe(1, now=61.0)
+
+
+def test_at_least_once_commits_after_processing(spark):
+    processed = []
+    t = CommitTracker(ShardCheckpointConfig(checkpoint_period_seconds=1e9,
+                                            checkpoint_after_processing_nr_of_records=1))
+    with tempfile.TemporaryDirectory() as d:
+        cb = committing_foreach_batch(lambda df, e: processed.append(e), t, d)
+        df = spark.range(5)
+        cb(df, 0)
+        cb(df, 1)
+        commits = read_commits(d)
+        assert processed == [0, 1]
+        assert [c["epoch_id"] for c in commits] == [0, 1]
+
+
+def test_at_least_once_no_commit_on_failure(spark):
+    # C4 failure semantics: the commit point is only recorded after the
+    # user callback succeeds (checkpoint-after-processing, README.md:22-58).
+    t = CommitTracker(ShardCheckpointConfig(checkpoint_after_processing_nr_of_records=1))
+
+    def boom(df, e):
+        raise RuntimeError("processing failed")
+
+    with tempfile.TemporaryDirectory() as d:
+        cb = committing_foreach_batch(boom, t, d)
+        with pytest.raises(RuntimeError):
+            cb(spark.range(3), 0)
+        assert read_commits(d) == []
+
+
+def test_no_guarantees_commits_before_processing(spark):
+    # mark-before-process (README.md:61-95): commit recorded even though
+    # processing then fails.
+    t = CommitTracker()
+
+    def boom(df, e):
+        raise RuntimeError("processing failed")
+
+    with tempfile.TemporaryDirectory() as d:
+        cb = committing_foreach_batch(boom, t, d, mode="no-guarantees")
+        with pytest.raises(RuntimeError):
+            cb(spark.range(3), 0)
+        assert [c["epoch_id"] for c in read_commits(d)] == [0]
+
+
+def test_config_parsing_and_reader_options():
+    conf = ConsumerConfig.from_dict(
+        {
+            "stream-name": "s",
+            "application-name": "app",
+            "initial-position": "at-timestamp",
+            "at-timestamp": "2024-06-01T00:00:00",
+            "max-records-per-fetch": 500,
+            "shard-checkpoint-config": {
+                "checkpoint-period": 2,
+                "checkpoint-after-processing-nr-of-records": 200,
+                "max-wait-for-completion-on-stream-shutdown": 1,
+            },
+        }
+    )
+    opts = conf.reader_options()
+    assert opts["streamName"] == "s"
+    assert opts["maxFetchRecordsPerShard"] == "500"
+    assert opts["startingPosition"].startswith("2024-06-01")
+    assert conf.checkpoint.checkpoint_after_processing_nr_of_records == 200
+
+
+def test_config_rejects_bad_position():
+    with pytest.raises(ValueError):
+        ConsumerConfig(stream_name="s", application_name="a", initial_position="nonsense")
+    with pytest.raises(ValueError):
+        ConsumerConfig(stream_name="s", application_name="a", initial_position="at-timestamp")
+
+
+def test_stats_reflection_loading_and_fallback():
+    # ConsumerStats.scala:33-42: config-string reflection; any failure ->
+    # noop, never a crash.
+    inst = get_instance("kcl_akka_stream_spark.streaming.stats.RecordingStats")
+    assert isinstance(inst, RecordingStats)
+    assert isinstance(get_instance("no.such.module.Cls"), NoopConsumerStats)
+    assert isinstance(get_instance("os.path.join"), NoopConsumerStats)  # not a ConsumerStats
+    assert isinstance(get_instance(None), NoopConsumerStats)
+
+
+def test_recording_stats():
+    s = RecordingStats()
+    s.track_batch("shard-1", 10)
+    s.track_batch("shard-1", 5)
+    s.checkpoint_acked("shard-1")
+    assert s.records["shard-1"] == 15
+    assert s.batches["shard-1"] == 2
+    assert s.checkpoints["shard-1"] == 1
