@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kcl_akka_stream_spark.functions.hashing import hex_digit_bit, md5_seeded
+from kcl_akka_stream_spark.functions.hashing import md5_seeded
 from kcl_akka_stream_spark.operators.text import tokens
 
 
@@ -45,18 +45,35 @@ def shingles(col: Column, k: int = 3) -> Column:
 
 
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    return spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 8, k: int = 3
 ) -> DataFrame:
-    """Per-doc minhash signature: for each seed, min over shingles of the
-    seeded md5 (lexicographic min over hex = uniform min-hash).  Shuffles
-    once on doc id; signature width is a constant-column agg."""
+    """Per-doc minhash signature: 8 independent hashes from TWO md5s per
+    shingle (each 128-bit digest split into four 8-hex-digit chunks; the
+    lexicographic min of a uniform hex chunk is a valid min-hash).
+
+    Scale shape: explode shingles -> hash -> partial min-agg map-side ->
+    shuffle only (doc_id, 8 mins) -- the shuffle volume is docs x signature,
+    never the shingle count, and everything stays in whole-stage codegen
+    (2 md5/shingle instead of 8 keeps the hash cost down)."""
+    if num_hashes != 8:
+        raise ValueError("signature layout is fixed at 8 hashes (2 md5 digests x 4 chunks)")
     ex = _exploded_shingles(df, text_col, id_col, k)
-    mins = [F.min(md5_seeded(F.col("shingle"), s)).alias(f"mh_{s}") for s in range(num_hashes)]
-    return ex.groupBy(id_col).agg(*mins)
+    h1 = F.md5(F.col("shingle"))
+    h2 = md5_seeded(F.col("shingle"), 1)
+    hashed = ex.select(F.col(id_col), h1.alias("__h1"), h2.alias("__h2"))
+    mins = [
+        F.min(F.substring(F.col("__h1" if s < 4 else "__h2"), (s % 4) * 8 + 1, 8)).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def minhash_lsh_buckets(
@@ -99,23 +116,33 @@ def minhash_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataF
     )
 
 
+def _bit_predicate(position: int):
+    highs = ("8", "9", "a", "b", "c", "d", "e", "f")
+    return lambda h: F.substring(h, position, 1).isin(*highs)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """16-bit simhash: per token take bits 1..16 from its md5 hex digits,
     sign-sum over the document, bit set iff the sum is positive.  Equal
     fingerprints = near-dups under small edits.  Integer-exact, so the
-    oracle reproduces it."""
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.md5(F.col("tok"))
-    contribs = [
-        F.sum(F.when(hex_digit_bit(h, i + 1) == 1, 1).otherwise(-1)).alias(f"s_{i}")
-        for i in range(bits)
-    ]
-    sums = tok.groupBy(id_col).agg(*contribs)
+    oracle reproduces it.
+
+    MAP-ONLY: token hashes stay an array column; per-bit sign-sum is
+    ``2 * count(bit set) - n`` via array filter -- no explode, no shuffle.
+    Docs with zero tokens produce no row (same as the exploded form)."""
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    hashed = spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda t: F.md5(t)).alias("__hs"),
+    ).filter(F.size("__hs") > 0)
+    n = F.size(F.col("__hs"))
     fingerprint = None
     for i in range(bits):
-        term = F.when(F.col(f"s_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        cnt1 = F.size(F.filter(F.col("__hs"), _bit_predicate(i + 1)))
+        term = F.when(2 * cnt1 - n > 0, F.lit(2**i)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return sums.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+    return hashed.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
 
 
 def ngram_jaccard_pairs(

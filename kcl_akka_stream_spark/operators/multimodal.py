@@ -83,6 +83,10 @@ def extract_features(df: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:
     (spark.sql.files.maxPartitionBytes), not rows, and the feature output is
     narrow so the shuffle after this op is cheap."""
 
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    df = spread(df)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [_DECODER(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]

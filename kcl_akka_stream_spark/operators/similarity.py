@@ -50,8 +50,10 @@ def brute_force_topk(
     The (small) query set is broadcast; each corpus partition scores its rows
     against all queries map-side, then a per-query top-k window.  Rank ties
     break on neighbor id -> fully deterministic output."""
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    c = spread(corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
         .select(
@@ -124,6 +126,9 @@ def embedding_near_dup_pairs(
     self-join is per-block instead of O(n^2).  At scale the block key would
     be an LSH bucket or IVF cell; the fixture's label column plays that role
     deterministically."""
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    corpus = spread(corpus)
     a = corpus.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )

@@ -1,0 +1,17 @@
+from kcl_akka_stream_spark.plans.hygiene import (
+    count_in_plan,
+    has_broadcast_hash_join,
+    has_cartesian_product,
+    physical_plan,
+    pushed_filters,
+    spread,
+)
+
+__all__ = [
+    "count_in_plan",
+    "has_broadcast_hash_join",
+    "has_cartesian_product",
+    "physical_plan",
+    "pushed_filters",
+    "spread",
+]

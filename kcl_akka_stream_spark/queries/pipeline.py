@@ -50,9 +50,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    # Mirror of operators/dedup.py::minhash_signatures: two md5 digests per
+    # shingle, each split into four 8-hex chunks -> 8 independent min-hashes.
     rows = num_hashes // bands
     mins = ",\n        ".join(
-        f"min(md5(shingle || '#{s}')) AS mh_{s}" for s in range(num_hashes)
+        f"min(substr({'h1' if s < 4 else 'h2'}, {(s % 4) * 8 + 1}, 8)) AS mh_{s}"
+        for s in range(num_hashes)
     )
     band_selects = []
     for b in range(bands):
@@ -63,10 +66,13 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     bands_sql = "\n      UNION ALL ".join(band_selects)
     return f"""
     WITH {_SH_CTE},
+    h AS (
+      SELECT doc_id, md5(shingle) AS h1, md5(shingle || '#1') AS h2 FROM sh
+    ),
     mh AS (
       SELECT doc_id,
         {mins}
-      FROM sh GROUP BY doc_id
+      FROM h GROUP BY doc_id
     ),
     b AS (
       {bands_sql}
@@ -88,22 +94,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_oracle(bits: int = 16) -> str:
     highs = "('8','9','a','b','c','d','e','f')"
-    sums = ",\n        ".join(
-        f"sum(CASE WHEN substr(hx, {i + 1}, 1) IN {highs} THEN 1 ELSE -1 END) AS s_{i}"
+    fp = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> substr(x, {i + 1}, 1) IN {highs}))"
+        f" - len(hs) > 0 THEN {2**i} ELSE 0 END)"
         for i in range(bits)
     )
-    fp = " + ".join(f"(CASE WHEN s_{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits))
     return f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOK}')) AS tok FROM documents
-    ),
-    h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
-    s AS (
+    WITH t AS (
       SELECT doc_id,
-        {sums}
-      FROM h GROUP BY doc_id
+             [md5(x) FOR x IN regexp_extract_all(lower(text), '{TOK}')] AS hs
+      FROM documents
     )
-    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM t WHERE len(hs) > 0
     """
 
 
