@@ -115,6 +115,55 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def sign_lsh_bucket(vec: Column, dims: int = 8) -> Column:
+    """Random-hyperplane LSH specialized to axis-aligned planes: bucket id =
+    the sign bits of the first ``dims`` coordinates.  Deterministic and
+    integer-exact, so the DuckDB oracle reproduces it; at scale the planes
+    would be seeded random projections (same plan shape: map-only bucket
+    assignment, no shuffle)."""
+    bucket = None
+    for d in range(dims):
+        bit = F.when(F.element_at(vec, d + 1) >= 0, F.lit(2**d)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_dims: int = 4,
+) -> DataFrame:
+    """LSH-bucketed ANN: corpus and queries get a sign-LSH bucket map-side;
+    a query is scored only against its own bucket's corpus slice.
+
+    Scale shape: the bucket assignment is a narrow map (no shuffle); the
+    join key is the bucket id, so with the corpus stored bucketed/partitioned
+    by it the probe is a partition-pruned scan of ~n/2^dims rows instead of
+    n.  The (small) query side is broadcast, corpus never shuffles."""
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_lsh_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+    )
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        sign_lsh_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

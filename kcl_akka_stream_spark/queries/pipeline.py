@@ -271,6 +271,77 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries_df, k=5).select("q_id", "n_id", "cos_sim", "rank")
 
 
+def _ivf_oracle() -> str:
+    # Mirror of operators/similarity.py::ivf_topk: centroids = per-label
+    # element-wise mean; each query probes only its nearest centroid's
+    # cluster; exact top-5 within the cluster slice.
+    cos_qc = _COS.format(a="q.q_vec", b="c.centroid")
+    cos_qn = _COS.format(a="qa.q_vec", b="e.v")
+    return f"""
+    WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ex AS (
+      SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val FROM e
+    ),
+    cm AS (SELECT label, pos, avg(val) AS m FROM ex GROUP BY label, pos),
+    cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cm GROUP BY label),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+    qa AS (
+      SELECT q_id, q_vec, cluster FROM (
+        SELECT q.q_id, q.q_vec, c.label AS cluster,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {cos_qc} DESC, c.label) AS r
+        FROM q, cent c)
+      WHERE r = 1
+    ),
+    scored AS (
+      SELECT qa.q_id, e.vec_id AS n_id, round({cos_qn}, 6) AS cos_sim
+      FROM qa JOIN e ON e.label = qa.cluster AND e.vec_id <> qa.q_id
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT q_id, n_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@query("sim_topk_ivf", _ivf_oracle())
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries_df, k=5).select("q_id", "n_id", "cos_sim", "rank")
+
+
+def _lsh_topk_oracle(bucket_dims: int = 4) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {2**d} ELSE 0 END)" for d in range(bucket_dims)
+    )
+    cos = _COS.format(a="q.q_vec", b="c.n_vec")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST({bucket} AS INT) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS n_id, v AS n_vec, bucket FROM e),
+    scored AS (
+      SELECT q.q_id, c.n_id, round({cos}, 6) AS cos_sim
+      FROM c JOIN q ON c.bucket = q.bucket AND q.q_id <> c.n_id
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT q_id, n_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@query("sim_topk_lsh", _lsh_topk_oracle())
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(emb, queries_df, k=5, bucket_dims=4).select("q_id", "n_id", "cos_sim", "rank")
+
+
 @query(
     "emb_near_dup",
     f"""

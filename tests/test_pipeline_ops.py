@@ -87,6 +87,21 @@ def test_ivf_restricts_to_cluster(spark):
     assert [r.n_id for r in out.collect()] == [1]
 
 
+def test_lsh_topk_probes_own_bucket_only(spark):
+    from kcl_akka_stream_spark.operators.similarity import lsh_topk
+
+    rows = [
+        (0, [1.0, 1.0], 0),
+        (1, [0.9, 0.8], 0),
+        (2, [-1.0, 1.0], 1),  # different sign bucket on dim 0
+        (3, [-0.9, 0.8], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = lsh_topk(df, df.filter(F.col("vec_id") == 0), k=5, bucket_dims=2).collect()
+    # query 0's bucket (+,+) contains only neighbor 1
+    assert [r.n_id for r in out] == [1]
+
+
 def test_token_count_and_quality(spark):
     df = _docs(spark, ["Hello, World! This is a test."])
     tc = token_count(df).collect()[0]
