@@ -93,3 +93,165 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_sliding_agg",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+      FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.9 -- sliding event-time window (1 h window / 30 min slide): each
+    # event lands in exactly two windows.  Oracle expands the two
+    # epoch-aligned window starts per event.
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    ev = tbl(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="kcl_spark_slide_")
+    try:
+        ev.write.mode("overwrite").parquet(tmp)
+        stream = spark.readStream.schema(ev.schema).parquet(tmp)
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.sum(_cents(F.col("value"))).cast("double") / F.lit(100.0)).alias("sum_value"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.9 -- session windows (30 min inactivity gap) per user over the
+    # envelope stream.  Oracle is the classic gaps-and-islands rewrite.
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    ev = tbl(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="kcl_spark_sess_")
+    try:
+        ev.write.mode("overwrite").parquet(tmp)
+        stream = spark.readStream.schema(ev.schema).parquet(tmp)
+        agg = (
+            stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                "n",
+            )
+        )
+        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_checkpoint_frontier",
+    """
+    WITH t AS (
+      SELECT user_id AS shard_id, event_id AS seq,
+             (event_type <> 'error') AS processed,
+             sum(CASE WHEN event_type <> 'error' THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS UNBOUNDED PRECEDING) AS unproc
+      FROM events)
+    SELECT shard_id,
+           max(CASE WHEN unproc = 0 THEN seq END) AS frontier_seq,
+           CAST(sum(CASE WHEN processed AND unproc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS processed_uncheckpointed_count,
+           CAST(sum(CASE WHEN processed THEN 0 ELSE 1 END) AS BIGINT) AS in_flight_count
+    FROM t GROUP BY shard_id
+    """,
+)
+def stream_checkpoint_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.3 C1-C6 as a REAL stateful streaming operator: the reference's
+    # ShardCheckpointTracker (RecordProcessorImpl.scala:22-91) re-expressed
+    # with applyInPandasWithState.  Per shard the state holds every record
+    # seen with its processed flag (mirroring the reference's in-flight FIFO
+    # -- and its documented unbounded-growth failure mode when records are
+    # never acked, README.md:104-108); each micro-batch emits the updated
+    # prefix-monotone frontier.  The gate compares the LAST emission per
+    # shard against the batch-SQL oracle; events are split across multiple
+    # micro-batches (maxFilesPerTrigger=1) so the update path is exercised.
+    from kcl_akka_stream_spark.streaming.tracker import streaming_checkpoint_frontier
+
+    name = f"stream_ckpt_{uuid.uuid4().hex[:8]}"
+    ev = tbl(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="kcl_spark_ckpt_")
+    try:
+        ev.repartition(3).write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        tracked = streaming_checkpoint_frontier(
+            stream.select(
+                F.col("user_id").alias("shard_id"),
+                F.col("event_id").alias("seq"),
+                (F.col("event_type") != "error").alias("processed"),
+            )
+        )
+        q = tracked.writeStream.outputMode("update").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shard_id").orderBy(F.col("update_id").desc())
+        return (
+            spark.table(name)
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(
+                "shard_id", "frontier_seq", "processed_uncheckpointed_count", "in_flight_count"
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

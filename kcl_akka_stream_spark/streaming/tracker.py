@@ -1,0 +1,114 @@
+"""Streaming checkpoint tracker: the reference's one real stateful operator
+(`ShardCheckpointTracker`, RecordProcessorImpl.scala:22-91) as an
+``applyInPandasWithState`` transform.
+
+Semantics reproduced per shard:
+
+- records arrive in any order with a ``processed`` flag (the ack);
+- the checkpoint frontier only advances over the maximal *contiguous*
+  processed prefix in sequence order -- an unprocessed record behind a gap
+  blocks it (RecordProcessorImpl.scala:73-78, proven at
+  ShardCheckpointTrackerTest.scala:70-81);
+- gauges: processed-but-not-checkpointed count and in-flight count
+  (RecordProcessorImpl.scala:30-37).
+
+State holds every (seq, processed) pair seen, mirroring the reference's
+in-flight FIFO -- including its documented failure mode: a never-acked
+record pins state forever (README.md:104-108).  At 100 TB scale the state
+per shard is bounded by the un-acked window, not the stream length, exactly
+as in the reference; shards are independent groups so state shuffles once
+by shard key and is stored in the state store across micro-batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("seqs", ArrayType(LongType())),
+        StructField("procs", ArrayType(BooleanType())),
+        StructField("n_updates", IntegerType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("frontier_seq", LongType()),
+        StructField("processed_uncheckpointed_count", LongType()),
+        StructField("in_flight_count", LongType()),
+        StructField("update_id", IntegerType()),
+    ]
+)
+
+
+def _frontier(seqs: list, procs: list) -> Tuple[Any, int, int]:
+    """(frontier_seq|None, processed_uncheckpointed, in_flight) from the
+    accumulated per-shard record set -- the popProcessedRecords scan."""
+    order = sorted(range(len(seqs)), key=lambda i: seqs[i])
+    frontier = None
+    blocked = False
+    processed_behind = 0
+    in_flight = 0
+    for i in order:
+        if procs[i]:
+            if blocked:
+                processed_behind += 1
+            else:
+                frontier = seqs[i]
+        else:
+            blocked = True
+            in_flight += 1
+    return frontier, processed_behind, in_flight
+
+
+def _track(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        seqs_t, procs_t, n_updates = state.get
+        seqs, procs = list(seqs_t), list(procs_t)
+    else:
+        seqs, procs, n_updates = [], [], 0
+    for pdf in pdfs:
+        seqs.extend(int(s) for s in pdf["seq"])
+        procs.extend(bool(p) for p in pdf["processed"])
+    n_updates += 1
+    state.update((seqs, procs, n_updates))
+    frontier, processed_behind, in_flight = _frontier(seqs, procs)
+    yield pd.DataFrame(
+        [
+            {
+                "shard_id": int(key[0]),
+                "frontier_seq": frontier,
+                "processed_uncheckpointed_count": processed_behind,
+                "in_flight_count": in_flight,
+                "update_id": n_updates,
+            }
+        ]
+    )
+
+
+def streaming_checkpoint_frontier(df: DataFrame) -> DataFrame:
+    """Apply the tracker to a streaming DataFrame of
+    ``(shard_id long, seq long, processed boolean)``.  Emits one row per
+    shard per micro-batch with the running frontier and gauges; update_id
+    counts emissions so a consumer can keep the latest."""
+    return df.groupBy("shard_id").applyInPandasWithState(
+        _track,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

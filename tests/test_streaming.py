@@ -210,3 +210,36 @@ def test_stream_dedup_within_watermark(spark, stream_dir):
         q.stop()
     n = spark.table(name).count()
     assert n == len(_make_envelope_rows(0))
+
+
+def test_stateful_tracker_gap_blocks_frontier(spark, tmp_path):
+    # ShardCheckpointTrackerTest.scala:70-81 as a streaming stateful op:
+    # acks for seqs 0,1,3 -> frontier stops at 1; seq 2 blocks.
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from kcl_akka_stream_spark.streaming.tracker import streaming_checkpoint_frontier
+
+    rows = [(7, 0, True), (7, 1, True), (7, 2, False), (7, 3, True)]
+    df = spark.createDataFrame(rows, "shard_id long, seq long, processed boolean")
+    src = str(tmp_path / "ckpt_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    name = f"t_tracker_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_checkpoint_frontier(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).orderBy(F.col("update_id").desc()).collect()
+    last = out[0]
+    assert last.frontier_seq == 1
+    assert last.processed_uncheckpointed_count == 1  # seq 3 behind the gap
+    assert last.in_flight_count == 1  # seq 2 never acked
