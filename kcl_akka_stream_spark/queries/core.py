@@ -631,3 +631,47 @@ def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tbl(spark, sf_dir, "events")
     sess = W.sessionize(ev, "user_id", "ts", 1800)
     return sess.groupBy("user_id").agg(F.max("session_id").cast("bigint").alias("n_sessions"))
+
+
+@query(
+    "agg_salted_skew",
+    f"""
+    SELECT event_type, count(*) AS n, {_sql_sum_money('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew-safe two-stage aggregation (operators/skew.py): event_type has
+    # ~5 hot values over the whole table -- the worst groupBy-skew shape.
+    # Result-identical to the plain GROUP BY, which is the oracle.
+    from kcl_akka_stream_spark.operators.skew import salted_aggregate
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", _cents(F.col("value")).alias("__c"))
+    out = salted_aggregate(ev, ["event_type"], sums={"__c": "cents"}, count_alias="n", n_salts=16)
+    return out.select(
+        "event_type", "n", (F.col("cents").cast("double") / F.lit(100.0)).alias("sum_value")
+    )
+
+
+@query(
+    "j_salted_skew",
+    f"""
+    SELECT o_orderpriority, count(*) AS n_items, {_sql_sum_money('l_extendedprice')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew-safe fact-dim equi-join: fact rows get a per-row salt, the dim is
+    # replicated across the salt range (operators/skew.py::salted_join).
+    from kcl_akka_stream_spark.operators.skew import salted_join
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on="l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _sum_money(F.col("l_extendedprice")).alias("revenue"),
+    )
