@@ -103,6 +103,40 @@ def extract_features(df: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resizer: a real implementation would decode -> resample ->
+    re-encode (PIL/ffmpeg, not installed here).  Deterministic fake:
+    truncate the payload to the target pixel count so the byte-level
+    plumbing (binary in, binary out, metadata rewrite) is real and
+    oracle-checkable."""
+    return payload[: w * h]
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize plumbing over the media envelope: Arrow-batched mapInPandas,
+    binary -> binary, metadata struct rewritten to the target dims.  The
+    decode/re-encode inside is stubbed (_fake_resize); the schema, batch
+    shape and partition behavior are the production shape."""
+    out_schema = "media_id long, width int, height int, n_bytes long, digest string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_fake_resize(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(b) for b in resized],
+                    "digest": [hashlib.sha256(b).hexdigest() for b in resized],
+                }
+            )
+
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    return spread(df).mapInPandas(run, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: explode n_frames into sampled frame
     indices (decode stubbed).  Pure built-ins -- the explode happens JVM-side;

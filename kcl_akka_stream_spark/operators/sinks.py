@@ -1,0 +1,61 @@
+"""Sinks: the reference's producer-side surface.
+
+- S7 key-ordered producer sink (IT/KinesisTestProducer.scala:29-53):
+  ``groupBy(key).detach.mapAsync(1)(send).mergeSubstreams`` -- per-key
+  serialized, ordered sends; materialized value = everything sent.
+  Spark form: repartition by key + sortWithinPartitions -> each key's
+  records land in exactly one output file, in order; the written dataset
+  is the materialized "sent" manifest.
+- S8 inspectable collecting sink (IT/Inspectable.scala:19-53): the memory
+  sink (`streaming/pipeline.py::start_to_memory`) -- the streaming tests
+  use it throughout.
+- P6 mapAsync(parallelism=1) ordered effect (IT/KinesisTestProducer.scala:40-45):
+  parallelism is the partition count here; within a partition the effect
+  order is the sort order, exactly the per-key guarantee the reference's
+  ``mapAsync(1)`` provides.
+
+At 100 TB: one shuffle keyed by the routing key, then a streaming-friendly
+sequential write per partition -- no driver collect anywhere; the manifest
+stays distributed (read it back, don't .collect() it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def keyed_ordered_write(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    order_col: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Write ``df`` so each key's records are stored contiguously and in
+    ``order_col`` order (the Kinesis per-partition-key ordering contract),
+    then return the written dataset re-read -- the 'sent manifest'
+    materialized value of the reference's producer sink."""
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    (
+        df.repartition(n, F.col(key_col))
+        .sortWithinPartitions(key_col, order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
+def ordered_effect_per_key(df: DataFrame, key_col: str, order_col: str, effect_schema: str, fn):
+    """P6: apply a (potentially side-effecting) Python function per key in
+    strict ``order_col`` order -- ``applyInPandas`` gives one pandas frame
+    per key; the function sees rows sorted, mirroring mapAsync(1) per
+    substream.  Keys run in parallel across partitions, order holds within
+    a key -- the exact guarantee of the reference's producer."""
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf.sort_values(order_col, kind="mergesort"))
+
+    return df.groupBy(key_col).applyInPandas(run, schema=effect_schema)

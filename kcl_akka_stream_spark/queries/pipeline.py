@@ -380,6 +380,73 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id, 32 AS width, 32 AS height,
+           CAST(least(octet_length(encode(text)), 1024) AS BIGINT) AS n_bytes,
+           sha256(substring(text, 1, 1024)) AS digest
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Resize plumbing (binary->binary mapInPandas, stubbed codec); the
+    # fixture text is pure ASCII so the oracle's char-truncation == the
+    # operator's byte-truncation.
+    from kcl_akka_stream_spark.operators.multimodal import documents_as_media, resize_images
+
+    media = documents_as_media(tbl(spark, sf_dir, "documents"))
+    out = resize_images(media, width=32, height=32)
+    return out.select("media_id", "width", "height", "n_bytes", "digest")
+
+
+@query(
+    "sink_keyed_ordered",
+    """
+    SELECT user_id AS key, string_agg(event_type, ',' ORDER BY event_id) AS msgs
+    FROM events GROUP BY user_id
+    """,
+)
+def sink_keyed_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S7/P6 -- the producer sink's per-key ordering contract
+    # (IT/KinesisTestProducer.scala:29-53): write keyed+ordered, read the
+    # manifest back, and prove each key's messages come back in send order.
+    # The order witness is the PHYSICAL read position (monotonic id over a
+    # single-partition scan), not a re-sort by event_id -- so the oracle
+    # (ordered by event_id) only matches if the file order really is the
+    # send order.  collect_list alone is NOT order-stable through agg
+    # fallback (SURVEY §7 hard-thing #4), hence the explicit position sort.
+    import shutil
+    import tempfile
+
+    from kcl_akka_stream_spark.operators.sinks import keyed_ordered_write
+
+    ev = tbl(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="kcl_spark_sink_")
+    try:
+        manifest = keyed_ordered_write(ev, tmp, key_col="user_id", order_col="event_id")
+        positioned = manifest.coalesce(1).withColumn("__pos", F.monotonically_increasing_id())
+        out = (
+            positioned.groupBy(F.col("user_id").alias("key"))
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("event_type").alias("v")))
+                        ),
+                        lambda s: s.getField("v"),
+                    ),
+                    ",",
+                ).alias("msgs")
+            )
+        )
+        # materialize before the temp dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "multimodal_frame_sample",
     """
     SELECT doc_id AS media_id, unnest(range(0, (doc_id % 30) + 1, 10)) AS frame_idx

@@ -1,0 +1,48 @@
+"""Producer-sink parity (S7/P6): keyed ordered writes and per-key ordered
+effects."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kcl_akka_stream_spark.operators.sinks import keyed_ordered_write, ordered_effect_per_key
+
+
+def test_keyed_ordered_write_one_file_per_key(spark, tmp_path):
+    rows = [(k, i, f"m{i}") for k in ("a", "b", "c") for i in range(50)]
+    df = spark.createDataFrame(rows, "key string, seq long, msg string")
+    manifest = keyed_ordered_write(df, str(tmp_path / "out"), "key", "seq", n_partitions=4)
+    assert manifest.count() == 150
+    per_key_files = (
+        manifest.withColumn("f", F.input_file_name())
+        .groupBy("key")
+        .agg(F.countDistinct("f").alias("nf"))
+        .collect()
+    )
+    assert all(r.nf == 1 for r in per_key_files)
+
+
+def test_ordered_effect_sees_rows_in_order(spark):
+    rows = [("k1", 3, "c"), ("k1", 1, "a"), ("k1", 2, "b"), ("k2", 1, "x")]
+    df = spark.createDataFrame(rows, "key string, seq long, msg string")
+
+    def join_msgs(pdf):
+        import pandas as pd
+
+        return pd.DataFrame({"key": [pdf["key"].iloc[0]], "joined": [",".join(pdf["msg"])]})
+
+    out = {
+        r.key: r.joined
+        for r in ordered_effect_per_key(df, "key", "seq", "key string, joined string", join_msgs).collect()
+    }
+    assert out == {"k1": "a,b,c", "k2": "x"}
+
+
+def test_resize_truncates_and_rewrites_meta(spark):
+    from kcl_akka_stream_spark.operators.multimodal import documents_as_media, resize_images
+
+    docs = spark.createDataFrame([(1, "x" * 2000), (2, "short")], "doc_id long, text string")
+    out = {r.media_id: r for r in resize_images(documents_as_media(docs), 32, 32).collect()}
+    assert out[1].n_bytes == 1024  # truncated to w*h
+    assert out[2].n_bytes == 5  # shorter than target stays whole
+    assert out[1].width == 32 and out[1].height == 32
