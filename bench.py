@@ -16,16 +16,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kcl_akka_stream_spark.session import get_session
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "j_broadcast_star",
     "j_asof",
+    "j_salted_skew",
     "agg_group_by_key",
+    "agg_salted_skew",
     "w_topk_per_group",
+    # reference semantics
     "checkpoint_frontier",
-    "dedup_minhash_lsh",
+    # dedup family
     "dedup_exact",
-    "text_quality",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    # similarity search
     "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "emb_near_dup",
+    # text analysis + multimodal
+    "text_quality",
+    "text_langid",
+    "multimodal_features",
+    # streaming representative
     "stream_tumbling_agg",
 ]
 

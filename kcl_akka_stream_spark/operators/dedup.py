@@ -157,23 +157,63 @@ def ngram_jaccard_pairs(
     never meet -- no cross product), |A ∪ B| = |A|+|B|-|A∩B|.
 
     Output: (id_a, id_b, jaccard) for pairs >= threshold, jaccard rounded to
-    6 dp for stable cross-engine hashing."""
-    ex = _exploded_shingles(df, text_col, id_col, k)
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    6 dp for stable cross-engine hashing.
+
+    Plan shape: instead of the naive shingle self-join (shuffles the
+    exploded table twice and collapses every hot shingle onto one reducer),
+    group doc-ids per shingle ONCE, then emit the ordered pairs map-side
+    from the sorted id array -- one shuffle of the exploded shingles, one
+    shuffle of the pairs.  At 100 TB a df-cap (drop shingles appearing in
+    > X docs) bounds the per-shingle pair fan-out; not applied here because
+    the oracle is exact Jaccard.  The per-doc shingle count rides along
+    with every exploded row (computed once from the shingle array before
+    the explode), so no size-lookup join is needed -- the whole operator is
+    one tokenization, two shuffles, zero joins."""
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    sh_arr = spread(df.select(id_col, text_col)).select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("__shs")
+    )
+    ex = sh_arr.select(
+        F.col(id_col), F.size("__shs").alias("n_sh"), F.explode("__shs").alias("shingle")
+    )
+    docs_per_shingle = (
+        ex.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n_sh").alias("n")))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    big = F.lit(1 << 30)
+    pair_arrays = docs_per_shingle.select(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, big),
+                    lambda y: F.struct(
+                        x.getField("id").alias("id_a"),
+                        y.getField("id").alias("id_b"),
+                        x.getField("n").alias("n_a"),
+                        y.getField("n").alias("n_b"),
+                    ),
+                ),
+            )
+        ).alias("pairs")
+    )
     inter = (
-        a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        pair_arrays.select(F.explode("pairs").alias("p"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.n_a").alias("n_a"),
+            F.col("p.n_b").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
