@@ -97,3 +97,27 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         canon.alias("canonical"),
         F.md5(canon).alias("fingerprint"),
     )
+
+
+#: GPT-2-style pre-tokenizer pattern (BPE-ish), specialized to lowercased
+#: text: contraction suffixes, space-prefixed word/number runs, punctuation
+#: runs, whitespace runs.  Pure RE2-compatible so the DuckDB oracle runs the
+#: identical pattern.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization of lowercased text (the split a byte-pair
+    encoder would merge within); token COUNT approximates LLM token cost far
+    better than whitespace splitting."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.size(bpe_tokens(F.col(text_col))).alias("n_bpe_tokens"),
+        F.size(F.filter(bpe_tokens(F.col(text_col)), lambda t: t.rlike("^\\s+$") == False)).alias(
+            "n_nonspace_tokens"
+        ),
+    )

@@ -675,3 +675,68 @@ def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         _sum_money(F.col("l_extendedprice")).alias("revenue"),
     )
+
+
+@query(
+    "u_demux",
+    """
+    SELECT user_id AS key, string_agg(event_type, ',' ORDER BY event_id) AS msgs
+    FROM events GROUP BY user_id
+    """,
+)
+def u_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U3 -- groupBy(key).detach...mergeSubstreams (IT/KinesisTestProducer.
+    # scala:37-46): demux by key, per-key ordered processing, remux.  The
+    # order witness is the PHYSICAL row position after the remux
+    # (monotonically_increasing_id is partition-monotone and, being
+    # nondeterministic, cannot be reordered below the sort by Catalyst) --
+    # the oracle only matches if each key really is contiguous and ordered.
+    from kcl_akka_stream_spark.operators.merges import demux_process_remux
+
+    ev = tbl(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    out = demux_process_remux(ev, "user_id", "event_id")
+    positioned = out.withColumn("__pos", F.monotonically_increasing_id())
+    return positioned.groupBy(F.col("user_id").alias("key")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("event_type").alias("v")))
+                ),
+                lambda s: s.getField("v"),
+            ),
+            ",",
+        ).alias("msgs")
+    )
+
+
+@query(
+    "w_rank_funcs",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS gap_prev,
+           round(lead(o_totalprice) OVER w - o_totalprice, 2) AS gap_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def w_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.7 -- the analytic-function family (absent in the reference; Spark
+    # built-ins).  Ties broken on o_orderkey so every function is
+    # deterministic.
+    from pyspark.sql import Window
+
+    o = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("gap_prev"),
+        F.round(F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias("gap_next"),
+    )

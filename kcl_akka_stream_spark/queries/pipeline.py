@@ -467,3 +467,28 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return frame_sample(media, every_n=10).select("media_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
+
+
+@query(
+    "text_token_bpe",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{X.BPE_PATTERN.replace(chr(39), chr(39) * 2)}') AS bt
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(bt) AS INT) AS n_bpe_tokens,
+           CAST(len(list_filter(bt, x -> NOT regexp_matches(x, '^\\s+$'))) AS INT)
+             AS n_nonspace_tokens
+    FROM t
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE-ish pre-tokenizer counts (GPT-2-style pattern) -- the token-cost
+    # estimate a training-data pipeline budgets by.
+    out = X.bpe_token_count(tbl(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+        F.col("n_nonspace_tokens").cast("int").alias("n_nonspace_tokens"),
+    )

@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the two operators with
+reference-specific semantics: the replay-dedup acceptance oracle and the
+checkpoint frontier.  The reference pins these with example matrices
+(IT/MessageUtilTest.scala:15-95, T/ShardCheckpointTrackerTest.scala); the
+properties generalize those matrices."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kcl_akka_stream_spark.operators.replay import (
+    UnexpectedMessageSequence,
+    remove_reprocessed_list,
+)
+from kcl_akka_stream_spark.streaming.tracker import _frontier
+
+
+# --- replay acceptance ------------------------------------------------------
+# A valid at-least-once delivery is the original sequence with zero or more
+# injected contiguous replays: at any point, delivery may restart from an
+# earlier position p (p >= the previous restart position) and re-deliver
+# originals in order.  Build such sequences generatively and assert
+# remove_reprocessed recovers the original exactly.
+
+
+@st.composite
+def replayed_sequence(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    original = [f"m{i}" for i in range(n)]
+    received: list[str] = []
+    pos = 0
+    restart_floor = 0  # restart positions are monotonically non-decreasing
+    n_replays = draw(st.integers(min_value=0, max_value=3))
+    replay_at = sorted(draw(st.lists(st.integers(0, n - 1), min_size=n_replays, max_size=n_replays)))
+    while pos < n:
+        received.append(original[pos])
+        pos += 1
+        if replay_at and pos > replay_at[0]:
+            replay_at.pop(0)
+            restart = draw(st.integers(min_value=restart_floor, max_value=pos - 1))
+            restart_floor = restart
+            pos = restart
+    return original, received
+
+
+@given(replayed_sequence())
+@settings(max_examples=200, deadline=None)
+def test_accepts_any_contiguous_replay(case):
+    original, received = case
+    assert remove_reprocessed_list("k", received) == original
+
+
+@given(st.lists(st.sampled_from(["m0", "m1", "m2", "m3"]), min_size=2, max_size=10))
+@settings(max_examples=300, deadline=None)
+def test_never_reorders_or_invents(received):
+    """Whatever the input, the output is either a duplicate-free subsequence
+    whose first occurrences appear in input order, or a rejection."""
+    try:
+        out = remove_reprocessed_list("k", received)
+    except UnexpectedMessageSequence:
+        return
+    assert len(set(out)) == len(out)
+    first_seen = list(dict.fromkeys(received))
+    assert out == first_seen  # accepted => output is the first-occurrence order
+
+
+# --- checkpoint frontier ----------------------------------------------------
+
+
+def brute_frontier(seqs, procs):
+    """Reference semantics, brute force: frontier = last seq of the maximal
+    contiguous processed prefix in seq order."""
+    ordered = sorted(zip(seqs, procs))
+    frontier = None
+    for s, p in ordered:
+        if not p:
+            break
+        frontier = s
+    blocked_i = next((i for i, (_, p) in enumerate(ordered) if not p), len(ordered))
+    processed_behind = sum(1 for s, p in ordered[blocked_i:] if p)
+    in_flight = sum(1 for p in procs if not p)
+    return frontier, processed_behind, in_flight
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.booleans()), min_size=0, max_size=30, unique_by=lambda t: t[0]
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_frontier_matches_brute_force(pairs):
+    seqs = [s for s, _ in pairs]
+    procs = [p for _, p in pairs]
+    assert _frontier(seqs, procs) == brute_frontier(seqs, procs)
