@@ -129,13 +129,20 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
     MAP-ONLY: token hashes stay an array column; per-bit sign-sum is
     ``2 * count(bit set) - n`` via array filter -- no explode, no shuffle.
-    Docs with zero tokens produce no row (same as the exploded form)."""
+    Docs with zero tokens produce no row (same as the exploded form).
+
+    The zero-token filter is ``rlike('[a-z0-9]')`` -- exactly equivalent to
+    ``size(tokens) > 0`` but cheap and scan-pushable; filtering on the
+    computed array would push the whole token-hash transform below the
+    exchange and evaluate it twice (once in the Filter, once in the
+    Project)."""
     from kcl_akka_stream_spark.plans.hygiene import spread
 
-    hashed = spread(df.select(id_col, text_col)).select(
+    pre = df.select(id_col, text_col).filter(F.lower(F.col(text_col)).rlike("[a-z0-9]"))
+    hashed = spread(pre).select(
         F.col(id_col),
         F.transform(tokens(F.col(text_col)), lambda t: F.md5(t)).alias("__hs"),
-    ).filter(F.size("__hs") > 0)
+    )
     n = F.size(F.col("__hs"))
     fingerprint = None
     for i in range(bits):

@@ -41,6 +41,18 @@ def count_in_plan(df: DataFrame, pattern: str) -> int:
     return len(re.findall(pattern, physical_plan(df)))
 
 
+def count_operator(df: DataFrame, op: str) -> int:
+    """Count physical operators by their detail header ``(N) <op>`` --
+    formatted explain prints each operator in the tree AND in the detail
+    section, so a bare substring count double-counts."""
+    return len(re.findall(rf"\(\d+\) {op}\b", physical_plan(df)))
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle count of the plan (Exchange operators, incl. broadcast)."""
+    return count_operator(df, "Exchange")
+
+
 def has_broadcast_hash_join(df: DataFrame) -> bool:
     return count_in_plan(df, r"BroadcastHashJoin") > 0
 

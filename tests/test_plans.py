@@ -49,6 +49,35 @@ def test_topn_uses_take_ordered(spark, sf_dir):
     assert count_in_plan(df, r"TakeOrderedAndProject") > 0
 
 
+def test_shuffle_budgets(spark, sf_dir):
+    # Lock in each operator's documented shuffle accounting: a regression
+    # that adds an Exchange is a scale bug even when results stay correct.
+    from kcl_akka_stream_spark.plans import count_exchanges
+
+    budgets = {
+        "dedup_simhash": 1,  # spread only -- fingerprint is map-only
+        "dedup_exact": 1,  # one hash-shuffle on the digest
+        "dedup_ngram_jaccard": 3,  # spread + shingle-group + pair-group
+        "agg_salted_skew": 2,  # salted partial + final combine
+        "q1_pricing_summary": 1,  # single agg shuffle
+        "checkpoint_frontier": 2,  # window by shard + final agg
+    }
+    for name, budget in budgets.items():
+        got = count_exchanges(QUERIES[name](spark, sf_dir))
+        assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+
+
+def test_simhash_filter_pushed_to_scan(spark, sf_dir):
+    # The zero-token guard must reach the scan as a cheap rlike, not sit
+    # above the exchange recomputing the token-hash transform.
+    from kcl_akka_stream_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["dedup_simhash"](spark, sf_dir))
+    assert "RLIKE" in plan or "rlike" in plan
+    # the md5 transform appears exactly once (in the Project), not twice
+    assert plan.count("md5") <= 2  # tree line + detail line of one Project
+
+
 def test_spread_only_when_underpartitioned(spark):
     few = spark.createDataFrame([(i,) for i in range(100)], "x long").coalesce(1)
     assert spread(few).rdd.getNumPartitions() >= 2
