@@ -103,17 +103,33 @@ def minhash_lsh_buckets(
 
 
 def minhash_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct candidate pairs (a<b) from shared LSH buckets.  The join key
-    (band, bucket) hash-partitions; hot buckets are the skew risk at scale ->
-    AQE skew-join splits them."""
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(b, on=["band", "bucket"], how="inner")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    """Distinct candidate pairs (a<b) from shared LSH buckets.
+
+    No self-join: group ids per (band, bucket) and emit ordered pairs
+    map-side from the sorted array (same shape as ngram_jaccard_pairs) --
+    one shuffle to group, one for the final distinct.  A hot bucket still
+    fans its pair explosion out across the next stage instead of collapsing
+    one join reducer; at scale the standard guard is capping bucket size
+    (near-identical docs collide in EVERY band, so a cap loses only
+    already-found dup clusters)."""
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ds")
+    ).filter(F.size("ds") > 1)
+    big = F.lit(1 << 30)
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, big),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")).distinct()
 
 
 def _bit_predicate(position: int):

@@ -740,3 +740,50 @@ def w_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("gap_prev"),
         F.round(F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias("gap_next"),
     )
+
+
+@query(
+    "j_full_outer",
+    """
+    SELECT n_name, o_orderpriority, count(o_orderkey) AS n_orders
+    FROM nation
+    FULL OUTER JOIN (
+      SELECT o_orderkey, o_orderpriority, o_custkey FROM orders WHERE o_totalprice > 150000
+    ) big ON nation.n_nationkey = big.o_custkey % 25
+    GROUP BY n_name, o_orderpriority
+    """,
+)
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.6 -- full outer equi-join (absent in reference; Spark built-in):
+    # nations with no big orders and orders with no matching nation both
+    # survive with nulls.
+    n = tbl(spark, sf_dir, "nation")
+    big = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_orderpriority", "o_custkey")
+    )
+    joined = n.join(big, n.n_nationkey == big.o_custkey % 25, "full_outer")
+    return joined.groupBy("n_name", "o_orderpriority").agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), (o_orderpriority, o_orderstatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.5 -- grouping sets (absent in reference; Catalyst built-in via SQL).
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), (o_orderpriority, o_orderstatus))
+        """
+    )

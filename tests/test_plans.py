@@ -58,6 +58,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_simhash": 1,  # spread only -- fingerprint is map-only
         "dedup_exact": 1,  # one hash-shuffle on the digest
         "dedup_ngram_jaccard": 3,  # spread + shingle-group + pair-group
+        "dedup_minhash_lsh": 4,  # spread + sig-agg + bucket-group + distinct
         "agg_salted_skew": 2,  # salted partial + final combine
         "q1_pricing_summary": 1,  # single agg shuffle
         "checkpoint_frontier": 2,  # window by shard + final agg
