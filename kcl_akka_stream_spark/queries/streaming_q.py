@@ -35,12 +35,12 @@ def _cents(col):
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.9 -- tumbling event-time window over the envelope stream (absent in
     # the reference; Spark-native watermark+window).  Complete output mode ->
-    # every window is emitted once the file stream drains.
+    # every window is emitted once the file stream drains.  Streams the
+    # fixture file directly (no temp copy).
+    from kcl_akka_stream_spark.sources.batch import stream_events
+
     name = f"stream_agg_{uuid.uuid4().hex[:8]}"
-    ev = tbl(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="kcl_spark_agg_")
-    ev.write.mode("overwrite").parquet(tmp)  # file stream source needs a dir
-    stream = spark.readStream.schema(ev.schema).parquet(tmp)
+    stream = stream_events(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), (F.sum(_cents(F.col("value"))).cast("double") / F.lit(100.0)).alias("sum_value"))
@@ -51,15 +51,12 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
     try:
-        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return spark.table(name)
+        q.processAllAvailable()
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        q.stop()
+    return spark.table(name)
 
 
 @query(
@@ -113,33 +110,29 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.9 -- sliding event-time window (1 h window / 30 min slide): each
     # event lands in exactly two windows.  Oracle expands the two
     # epoch-aligned window starts per event.
+    from kcl_akka_stream_spark.sources.batch import stream_events
+
     name = f"stream_slide_{uuid.uuid4().hex[:8]}"
-    ev = tbl(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="kcl_spark_slide_")
-    try:
-        ev.write.mode("overwrite").parquet(tmp)
-        stream = spark.readStream.schema(ev.schema).parquet(tmp)
-        agg = (
-            stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                (F.sum(_cents(F.col("value"))).cast("double") / F.lit(100.0)).alias("sum_value"),
-            )
-            .select(
-                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-                "event_type",
-                "n",
-                "sum_value",
-            )
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents(F.col("value"))).cast("double") / F.lit(100.0)).alias("sum_value"),
         )
-        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return spark.table(name)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        q.stop()
+    return spark.table(name)
 
 
 @query(
@@ -165,29 +158,25 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.9 -- session windows (30 min inactivity gap) per user over the
     # envelope stream.  Oracle is the classic gaps-and-islands rewrite.
+    from kcl_akka_stream_spark.sources.batch import stream_events
+
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    ev = tbl(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="kcl_spark_sess_")
-    try:
-        ev.write.mode("overwrite").parquet(tmp)
-        stream = spark.readStream.schema(ev.schema).parquet(tmp)
-        agg = (
-            stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(
-                "user_id",
-                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-                "n",
-            )
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n",
         )
-        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return spark.table(name)
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        q.stop()
+    return spark.table(name)
 
 
 @query(

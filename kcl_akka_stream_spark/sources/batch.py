@@ -58,3 +58,19 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     """Register fixture tables as temp views for the SQL API."""
     for name in names or TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events fixture directly from its parquet file (the file
+    source takes the path as a glob) -- no temp-dir copy.  Same
+    nanos-to-micros handling as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file source needs a directory (or glob) -- a concrete file path
+    # fails basePath validation, so glob the exact filename.
+    glob_path = os.path.join(sf_dir, "events.[p]arquet")
+    stream = spark.readStream.schema(schema).parquet(glob_path)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
