@@ -72,6 +72,10 @@ def salted_join(
     between broadcast-hash-join and a skew-collapsed sort-merge join."""
     salted_fact = fact.withColumn(_SALT, _row_salt(fact, n_salts))
     salts = F.array([F.lit(i) for i in range(n_salts)])
-    replicated_dim = dim.withColumn(_SALT, F.explode(salts))
+    # shuffle_hash: broadcasting the REPLICATED dim would be strictly worse
+    # than broadcasting the original (n_salts x the bytes) -- if the dim fits
+    # in memory, plain broadcast needs no salt at all.  The salted shape only
+    # makes sense as a shuffled join on (key, salt).
+    replicated_dim = dim.withColumn(_SALT, F.explode(salts)).hint("shuffle_hash")
     out = salted_fact.join(replicated_dim, on=[on, _SALT], how=how)
     return out.drop(_SALT)
