@@ -244,3 +244,55 @@ def stream_checkpoint_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT a.event_id AS err_id, count(*) AS n_clicks_before
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'error' AND b.event_type = 'click'
+     AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts
+    GROUP BY a.event_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.9 -- watermarked stream-stream interval join (absent in the
+    # reference; Spark-native): for each error event, the clicks by the
+    # same user in the preceding 10 minutes.  Both sides are real streams;
+    # the watermark bounds join state, the time-range condition lets the
+    # engine expire rows.  Inner joins emit eagerly, so draining the file
+    # stream yields the full deterministic result.
+    from kcl_akka_stream_spark.sources.batch import stream_events
+
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    errs = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("err_user"), F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("clk_user"), F.col("ts").alias("clk_ts"))
+        .withWatermark("clk_ts", "1 hour")
+    )
+    joined = errs.join(
+        clicks,
+        (F.col("err_user") == F.col("clk_user"))
+        & (F.col("clk_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("clk_ts") <= F.col("err_ts")),
+        "inner",
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.col("err_id"))
+        .agg(F.count(F.lit(1)).alias("n_clicks_before"))
+    )
