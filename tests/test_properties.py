@@ -93,3 +93,34 @@ def test_frontier_matches_brute_force(pairs):
     seqs = [s for s, _ in pairs]
     procs = [p for _, p in pairs]
     assert _frontier(seqs, procs) == brute_frontier(seqs, procs)
+
+
+# --- salting equivalence ----------------------------------------------------
+# Salting must be result-identical to the unsalted form for ANY data,
+# including hot keys, empty frames, and nulls in value columns.
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["hot", "k1", "k2", "k3"]), st.integers(-1000, 1000)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=20, deadline=None)
+def test_salted_aggregate_equivalence(spark, rows, n_salts):
+    from kcl_akka_stream_spark.operators.skew import salted_aggregate
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r.k: (r.n, r.total)
+        for r in salted_aggregate(df, ["k"], sums={"v": "total"}, count_alias="n", n_salts=n_salts).collect()
+    }
+    want = {}
+    for k, v in rows:
+        n, t = want.get(k, (0, 0))
+        want[k] = (n + 1, t + v)
+    assert got == want
