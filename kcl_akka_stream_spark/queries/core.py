@@ -787,3 +787,54 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), (o_orderpriority, o_orderstatus))
         """
     )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           round(quantile_cont(l_quantity, 0.95), 6) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated percentiles (distribution analytics).  Spark's
+    # percentile and DuckDB's quantile_cont share the linear-interpolation
+    # definition, so values match to rounding.  At 100 TB the exact form
+    # is a single sort-free shuffle with per-group buffers; the approximate
+    # path (approx_percentile / t-digest) trades that for mergeable
+    # sketches -- not oracle-checkable, so the exact form is registered.
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@query(
+    "agg_histogram",
+    """
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-width histogram as a map-side-combinable groupBy -- the shape
+    # every data-profiling pass at scale reduces to.
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.floor(F.col("l_extendedprice") / 5000).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
