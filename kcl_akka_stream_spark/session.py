@@ -42,6 +42,10 @@ def get_session(app_name: str = "kcl_akka_stream_spark", *, shuffle_partitions: 
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # keep metastore/warehouse droppings out of the repo (bucketed-table
+        # support for co-located joins)
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"))
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/spark_graft_derby")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

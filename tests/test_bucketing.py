@@ -1,0 +1,33 @@
+"""Bucketed co-located join: pre-bucketing both sides of a recurring join
+key eliminates the per-query shuffle entirely -- the storage-layout lever
+for repeated 100 TB fact-fact joins (brief: 'co-locate joins via bucketing').
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from kcl_akka_stream_spark.plans import count_exchanges
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    a_name = f"bkt_a_{uuid.uuid4().hex[:8]}"
+    b_name = f"bkt_b_{uuid.uuid4().hex[:8]}"
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    try:
+        a.write.bucketBy(8, "k").sortBy("k").saveAsTable(a_name)
+        b.write.bucketBy(8, "k").sortBy("k").saveAsTable(b_name)
+        ta, tb = spark.table(a_name), spark.table(b_name)
+        # keep it a SortMergeJoin so the shuffle (absence) is what's measured
+        joined = ta.hint("merge").join(tb, on="k")
+        assert count_exchanges(joined) == 0, "bucketed sides must not re-shuffle"
+        assert joined.count() == 1000
+        # same join without bucketing shuffles both sides
+        plain = a.hint("merge").join(b, on="k")
+        assert count_exchanges(plain) >= 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {b_name}")
