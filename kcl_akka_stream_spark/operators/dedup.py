@@ -226,8 +226,19 @@ def ngram_jaccard_pairs(
             )
         ).alias("pairs")
     )
+    # Size-ratio prune (set-similarity-join length filter): jaccard(A,B)
+    # <= min(|A|,|B|)/max(|A|,|B|), so pairs whose sizes differ too much
+    # can NEVER reach the threshold -- drop them map-side, before the pair
+    # shuffle.  Exact: no false negatives.
+    pruned = pair_arrays.select(
+        F.filter(
+            F.col("pairs"),
+            lambda p: F.least(p.getField("n_a"), p.getField("n_b"))
+            >= F.lit(threshold) * F.greatest(p.getField("n_a"), p.getField("n_b")),
+        ).alias("pairs")
+    )
     inter = (
-        pair_arrays.select(F.explode("pairs").alias("p"))
+        pruned.select(F.explode("pairs").alias("p"))
         .groupBy(
             F.col("p.id_a").alias("id_a"),
             F.col("p.id_b").alias("id_b"),
