@@ -251,3 +251,55 @@ def ngram_jaccard_pairs(
     return inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the candidate
+    -pair graph by iterative min-label propagation.  Returns
+    ``(id_col, cluster_id)`` where cluster_id = the smallest node id
+    reachable from the node (singletons keep their own id).
+
+    Control flow is a driver-side loop, but every iteration is a
+    distributed join+agg and the loop runs O(component diameter) times;
+    near-dup graphs are shallow (dup clusters are cliques or near-cliques
+    from LSH banding, diameter ~2-3).  localCheckpoint every iteration cuts
+    the lineage so plans stay flat.  At extreme scale the large-star/
+    small-star variant halves rounds; not needed at dup-cluster diameters.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

@@ -492,3 +492,83 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
         F.col("n_nonspace_tokens").cast("int").alias("n_nonspace_tokens"),
     )
+
+
+def _clusters_oracle() -> str:
+    # Transitive closure over the minhash candidate-pair graph (recursive
+    # CTE), cluster id = min reachable doc id; singletons keep their own id.
+    mh = _minhash_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT * FROM ({mh})
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """
+
+
+@query("dedup_clusters", _clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The cluster->keeper step every dedup pipeline ends with: connected
+    # components over the LSH candidate pairs (iterative min-label
+    # propagation; operators/dedup.py::connected_components), checked
+    # against a recursive-CTE transitive closure.
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    pairs = D.minhash_candidate_pairs(buckets)
+    return D.connected_components(pairs, docs.select("doc_id"))
+
+
+@query(
+    "sample_stratified",
+    """
+    SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
+    FROM documents
+    WHERE substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic ~25% sample (md5 hash-gate on the id, seed baked into
+    # the salt string) -- reproducible across engines and runs, unlike
+    # rand()-based sampling; per-stratum counts prove the gate.  At scale
+    # this is a map-only filter: no shuffle until the audit agg.
+    docs = tbl(spark, sf_dir, "documents")
+    gate = F.substring(F.md5(F.concat(F.lit("s42|"), F.col("doc_id").cast("string"))), 1, 4) < "4000"
+    return (
+        docs.filter(gate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_id"))
+    )
+
+
+@query(
+    "corpus_vocab_topk",
+    f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOK}')) AS token FROM documents)
+    SELECT token, count(*) AS n FROM tok GROUP BY token
+    ORDER BY n DESC, token LIMIT 100
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus vocabulary head: explode -> count -> deterministic top-k
+    # (ties broken on the token).  TakeOrderedAndProject keeps the top-k
+    # selection map-side partial.
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(100)
+    )

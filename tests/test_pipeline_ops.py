@@ -155,3 +155,13 @@ def test_frame_sample(spark):
     )
     got = sorted((r.media_id, r.frame_idx) for r in frame_sample(media, every_n=10).collect())
     assert got == [(1, 0), (1, 10), (1, 20), (2, 0)]
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from kcl_akka_stream_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 (diameter 2, needs >1 iteration) + pair 10-11 + singleton 99
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
