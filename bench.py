@@ -39,6 +39,8 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "multimodal_features",
+    # end-to-end pipeline composition
+    "pipeline_clean_corpus",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -572,3 +572,43 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(100)
     )
+
+
+def _clean_corpus_oracle() -> str:
+    lang = _langid_oracle()
+    return f"""
+    WITH pred AS (SELECT doc_id, pred_lang FROM ({lang})),
+    q AS (
+      SELECT doc_id, len(regexp_extract_all(lower(text), '{TOK}')) AS n_toks FROM documents
+    ),
+    keeper AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT d.doc_id, p.pred_lang, CAST(q.n_toks AS BIGINT) AS n_tokens
+    FROM documents d
+    JOIN pred p USING (doc_id)
+    JOIN q USING (doc_id)
+    JOIN keeper k ON k.doc_id = d.doc_id
+    WHERE p.pred_lang = 'en' AND q.n_toks >= 10
+    """
+
+
+@query("pipeline_clean_corpus", _clean_corpus_oracle())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The canonical training-data pipeline composition: language gate ->
+    # quality gate -> exact-dup keeper, all as one declarative plan (every
+    # stage joins on doc_id, so after the first shuffle the joins are
+    # co-partitioned and Catalyst plans them without re-exchanges).
+    docs = tbl(spark, sf_dir, "documents")
+    lang = X.lang_id(docs).select("doc_id", "pred_lang").filter(F.col("pred_lang") == "en")
+    qual = (
+        X.quality_score(docs)
+        .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 10)
+    )
+    keepers = D.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "pred_lang", "n_tokens")
+    )
