@@ -117,3 +117,32 @@ def remove_reprocessed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     received = ev.withColumn("phase", F.lit(0)).unionByName(replay.withColumn("phase", F.lit(1)))
     received = received.withColumn("arrival", F.col("phase") * 10_000_000_000 + F.col("seq"))
     return remove_reprocessed(received, "key", "msg", "arrival")
+
+
+@query(
+    "envelope_seq_order",
+    """
+    SELECT user_id AS shard, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+    FROM events
+    """,
+)
+def envelope_seq_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1 compound ordering invariant (KinesisRecord.scala:39-44): per-shard
+    # order is (sequenceNumber, subSequenceNumber), where sequenceNumber is
+    # a DECIMAL STRING of arbitrary width -- ordered via (length, lex),
+    # which never overflows (vs DecimalType(38,0)).  seq = event_id div 3
+    # as a string (widths vary 1..5 digits), subSeq = event_id % 3 (the KPL
+    # aggregation sub-index); the string-order rank must equal the numeric
+    # rank the oracle computes.
+    from kcl_akka_stream_spark.envelope import seq_order_key
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").select(
+        F.col("user_id").alias("shard"),
+        "event_id",
+        F.expr("CAST(event_id div 3 AS STRING)").alias("sequenceNumber"),
+        (F.col("event_id") % 3).alias("subSequenceNumber"),
+    )
+    w = Window.partitionBy("shard").orderBy(*seq_order_key("sequenceNumber"), F.col("subSequenceNumber"))
+    return ev.select("shard", "event_id", F.row_number().over(w).alias("rn"))
