@@ -94,3 +94,13 @@ def test_sessionize(spark):
     df = df.withColumn("ts", F.timestamp_seconds("ts"))
     out = sessionize(df, "k", "ts", gap_seconds=1800)
     assert [r.session_id for r in out.orderBy("ts").collect()] == [1, 1, 2, 2, 3]
+
+
+def test_registry_contract():
+    # Driver-contract invariants: every oracle key has a query, names are
+    # unique and stable, and both dicts are non-trivially large.
+    from kcl_akka_stream_spark.queries import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) >= 68
+    assert all(n == n.lower() and " " not in n for n in QUERIES)
