@@ -190,3 +190,68 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The wide-embedding scale path for exact top-k: Arrow-batched
+    mapInPandas scoring with one numpy matmul per batch instead of a
+    per-element JVM fold -- at 1024+ dims the BLAS matmul wins by an order
+    of magnitude.
+
+    Exactness is preserved by per-partition pre-pruning: each partition
+    emits, per query, every row whose similarity >= its k-th best (ties
+    INCLUDED), so the global window over ~partitions x Q x k candidate rows
+    reproduces the full-scan top-k bit-for-bit.  The query set is small by
+    contract and ships in the task closure (the pandas-side equivalent of
+    the broadcast in brute_force_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (Q, D)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["n_id"].to_numpy()
+            m = np.array(list(pdf["n_vec"]), dtype=np.float64)  # (B, D)
+            m_norm = np.sqrt((m * m).sum(axis=1))
+            sims = (m @ q_mat.T) / np.outer(m_norm, q_norm)  # (B, Q)
+            out = []
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                mask = ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                col_c = col[cand_idx]
+                kth = min(k, len(col_c))
+                thresh = np.partition(col_c, -kth)[-kth]
+                keep = cand_idx[col_c >= thresh]  # ties included -> exact
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": q_ids[qi],
+                            "n_id": ids[keep],
+                            "cos_sim": np.round(col[keep], 6),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    c = spread(corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")))
+    scored = c.mapInPandas(score, schema="q_id long, n_id long, cos_sim double")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

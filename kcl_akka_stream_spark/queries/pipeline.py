@@ -612,3 +612,30 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(keepers, "doc_id", "left_semi")
         .select("doc_id", "pred_lang", "n_tokens")
     )
+
+
+@query(
+    "sim_topk_vectorized",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec FROM embeddings),
+         scored AS (
+           SELECT q_id, n_id,
+                  round({_COS.format(a="q_vec", b="n_vec")}, 6) AS cos_sim
+           FROM c, q WHERE q_id <> n_id)
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT q_id, n_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same result as sim_topk_bruteforce, computed on the numpy/BLAS path
+    # (Arrow-batched mapInPandas) -- the scale path for wide embeddings.
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk_vectorized(emb, queries_df, k=5).select(
+        "q_id", "n_id", "cos_sim", "rank"
+    )
