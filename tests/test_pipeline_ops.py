@@ -165,3 +165,20 @@ def test_connected_components_chain_and_singleton(spark):
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_vectorized_topk_matches_jvm_fold(spark):
+    import random
+
+    from kcl_akka_stream_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    qs = df.filter(F.col("vec_id") < 3)
+    a = {(r.q_id, r.rank): r.n_id for r in brute_force_topk(df, qs, k=5).collect()}
+    b = {(r.q_id, r.rank): r.n_id for r in brute_force_topk_vectorized(df, qs, k=5).collect()}
+    assert a == b
