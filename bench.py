@@ -33,7 +33,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     # similarity search
     "sim_topk_bruteforce",
+    "sim_topk_vectorized",
     "sim_topk_ivf",
+    "sim_topk_lsh",
     "emb_near_dup",
     # text analysis + multimodal
     "text_quality",
