@@ -121,3 +121,42 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_nonspace_tokens"
         ),
     )
+
+
+#: Rolling-hash parameters (polynomial / Rabin-Karp style): small-prime
+#: base, Mersenne-prime modulus keeps every intermediate < 2^40.
+RH_BASE = 257
+RH_MOD = 2147483647  # 2^31 - 1
+
+
+def _token_code(t: Column) -> Column:
+    """Stable 32-bit integer code per token: first 8 hex digits of md5."""
+    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
+
+def _poly_fold(codes: Column) -> Column:
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * RH_BASE + t) % RH_MOD,
+    )
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text", window: int = 4) -> DataFrame:
+    """Document fingerprinting via polynomial rolling hash (Rabin-Karp /
+    winnowing family): the whole-document rolling hash plus the minimum
+    over all ``window``-token rolling hashes (the winnowing pick).  Equal
+    winnow_min across docs flags shared passages even when documents differ
+    at the edges.  Map-only, integer-exact on both engines."""
+    codes = F.transform(tokens(F.col(text_col)), _token_code)
+    whole = _poly_fold(codes)
+    n_windows = F.greatest(F.size(codes) - window + 1, F.lit(1))
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: _poly_fold(F.slice(codes, i, window)),
+    )
+    return df.select(
+        "doc_id",
+        whole.alias("rolling_hash"),
+        F.array_min(win_hashes).alias("winnow_min"),
+    )

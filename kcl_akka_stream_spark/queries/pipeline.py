@@ -639,3 +639,32 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk_vectorized(emb, queries_df, k=5).select(
         "q_id", "n_id", "cos_sim", "rank"
     )
+
+
+def _rolling_oracle(window: int = 4, base: int = 257, mod: int = 2147483647) -> str:
+    code = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "[CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT) "
+        "FOR c IN string_split(substr(md5(x), 1, 8), '')]), (acc, v) -> acc * 16 + v)"
+    )
+    fold = f"(acc, t) -> (acc * {base} + t) % {mod}"
+    return f"""
+    WITH codes AS (
+      SELECT doc_id,
+             [{code} FOR x IN regexp_extract_all(lower(text), '{TOK}')] AS cs
+      FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), cs), {fold}) AS rolling_hash,
+           list_min([list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                              list_slice(cs, i, i + {window - 1})), {fold})
+                     FOR i IN generate_series(1, greatest(len(cs) - {window} + 1, 1))])
+             AS winnow_min
+    FROM codes
+    """
+
+
+@query("text_rolling_fingerprint", _rolling_oracle())
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rabin-Karp/winnowing document fingerprint: whole-doc polynomial
+    # rolling hash + min over 4-token window hashes (operators/text.py).
+    return X.rolling_fingerprint(tbl(spark, sf_dir, "documents"), window=4)

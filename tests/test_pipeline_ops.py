@@ -182,3 +182,27 @@ def test_vectorized_topk_matches_jvm_fold(spark):
     a = {(r.q_id, r.rank): r.n_id for r in brute_force_topk(df, qs, k=5).collect()}
     b = {(r.q_id, r.rank): r.n_id for r in brute_force_topk_vectorized(df, qs, k=5).collect()}
     assert a == b
+
+
+def test_rolling_fingerprint_matches_reference(spark):
+    import hashlib
+    import re as _re
+    from functools import reduce
+
+    from kcl_akka_stream_spark.operators.text import rolling_fingerprint
+
+    def py_ref(text, window=4):
+        toks = _re.findall("[a-z0-9]+", text.lower())
+        codes = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        fold = lambda cs: reduce(lambda a, t: (a * 257 + t) % 2147483647, cs, 0)
+        wins = [fold(codes[i : i + window]) for i in range(max(len(codes) - window + 1, 1))]
+        return fold(codes), min(wins)
+
+    texts = [
+        "intro words alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta closing words here",
+        "short",
+    ]
+    df = _docs(spark, texts)
+    got = {r.doc_id: (r.rolling_hash, r.winnow_min) for r in rolling_fingerprint(df, window=4).collect()}
+    assert got == {i: py_ref(t) for i, t in enumerate(texts)}
