@@ -243,3 +243,83 @@ def test_stateful_tracker_gap_blocks_frontier(spark, tmp_path):
     assert last.frontier_seq == 1
     assert last.processed_uncheckpointed_count == 1  # seq 3 behind the gap
     assert last.in_flight_count == 1  # seq 2 never acked
+
+
+def test_reshard_repartitioned_replay_dedups_to_sent(spark, stream_dir):
+    # Scenario 4 equivalent (IT/KinesisSourceTest.scala:182-228, reshard
+    # 4->8 / 4->2): the SURVEY §2.9 mapping is "repartitioned replay" --
+    # the shard layout changes mid-stream (each chunk written with a
+    # different partition layout, keys hash-routed), the consumer restarts
+    # from its checkpoint across the layout change, and the replay-dedup
+    # acceptance oracle must still recover exactly the sent messages.
+    ckpt = tempfile.mkdtemp(prefix="kcl_reshard_ckpt_")
+    captured: list[tuple[str, str, int]] = []
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.select(
+            "partitionKey", F.decode("data", "UTF-8").alias("msg"), "sequenceNumber"
+        ).collect():
+            captured.append((r.partitionKey, r.msg, int(r.sequenceNumber)))
+
+    def write(chunk, n_parts):
+        df = spark.createDataFrame(_make_envelope_rows(chunk), ENVELOPE_SCHEMA)
+        df.repartition(n_parts, "partitionKey").sortWithinPartitions(
+            "sequenceNumber"
+        ).write.mode("append").parquet(stream_dir)
+
+    def run():
+        stream = envelope_file_stream(spark, stream_dir)
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    try:
+        write(0, 4)
+        write(1, 4)
+        q = run()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+
+        write(2, 8)  # reshard up
+        write(3, 2)  # reshard down
+        q = run()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+
+        received = spark.createDataFrame(
+            captured, "partitionKey string, msg string, seq long"
+        )
+        # acceptance oracle: throws on reordering / non-replay duplication
+        out = remove_reprocessed(
+            received, key_col="partitionKey", msg_col="msg", order_col="seq"
+        )
+        got = {
+            r.partitionKey: r.msgs
+            for r in out.groupBy("partitionKey")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("position").alias("p"), F.col("msg").alias("v"))
+                            )
+                        ),
+                        lambda s: s.getField("v"),
+                    ),
+                    ",",
+                ).alias("msgs")
+            )
+            .collect()
+        }
+        assert got == {k: ",".join(v) for k, v in _sent_per_key().items()}
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
