@@ -323,3 +323,44 @@ def test_reshard_repartitioned_replay_dedups_to_sent(spark, stream_dir):
         assert got == {k: ",".join(v) for k, v in _sent_per_key().items()}
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_sparse_commit_cadence_loses_nothing(spark, stream_dir):
+    # Scenario 5 essence (IT/KinesisSourceTest.scala:230-258, DynamoDB
+    # throttled to 1 commit/s): commit points lag far behind processed
+    # batches, yet everything sent is processed exactly once per run.
+    from kcl_akka_stream_spark.config import ShardCheckpointConfig
+    from kcl_akka_stream_spark.streaming.commit import CommitTracker, committing_foreach_batch, read_commits
+
+    commit_dir = tempfile.mkdtemp(prefix="kcl_throttle_commits_")
+    captured: list[str] = []
+
+    def process(batch_df, epoch_id):
+        captured.extend(r.partitionKey for r in batch_df.select("partitionKey").collect())
+
+    try:
+        for c in range(CHUNKS):
+            _write_chunk(spark, stream_dir, c)
+        tracker = CommitTracker(
+            ShardCheckpointConfig(
+                checkpoint_period_seconds=3600,  # time trigger effectively off
+                checkpoint_after_processing_nr_of_records=75,  # 3 of 4 batches uncommitted
+            )
+        )
+        cb = committing_foreach_batch(process, tracker, commit_dir)
+        q = (
+            envelope_file_stream(spark, stream_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(cb)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        commits = read_commits(commit_dir)
+        # 4 batches x 25 records; commits fire at >=75 records -> exactly 1
+        assert len(commits) == 1
+        assert len(captured) == MSGS_PER_KEY * len(KEYS)  # nothing lost
+    finally:
+        shutil.rmtree(commit_dir, ignore_errors=True)
