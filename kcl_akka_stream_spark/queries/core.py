@@ -838,3 +838,28 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "scalar_json_schema",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           array_to_string(json_keys(props), ',') AS key_list,
+           json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+    FROM events
+    """,
+)
+def scalar_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §1.3 -- the payload-decode layer: user-supplied schema applied at
+    # decode time via from_json (the Kafka/Kinesis-connector pattern), plus
+    # schema introspection (json_object_keys) and null semantics for absent
+    # fields.
+    ev = tbl(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT, missing STRING")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        F.array_join(F.json_object_keys("props"), ",").alias("key_list"),
+        parsed.getField("missing").isNull().alias("missing_is_null"),
+    )
