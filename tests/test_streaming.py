@@ -364,3 +364,62 @@ def test_sparse_commit_cadence_loses_nothing(spark, stream_dir):
         assert len(captured) == MSGS_PER_KEY * len(KEYS)  # nothing lost
     finally:
         shutil.rmtree(commit_dir, ignore_errors=True)
+
+
+def test_kinesis_adapter_raises_without_connector(spark):
+    # S1/S2 seam: the reader builds with the mapped options and fails with
+    # the engine's typed error when the connector jar is absent (this
+    # container), telling callers to fall back to envelope_file_stream.
+    import pytest as _pytest
+
+    from kcl_akka_stream_spark.config import ConsumerConfig
+    from kcl_akka_stream_spark.sources.kinesis import KinesisConnectorMissing, kinesis_stream
+
+    cfg = ConsumerConfig(stream_name="s", application_name="app")
+    with _pytest.raises(KinesisConnectorMissing):
+        kinesis_stream(spark, cfg)
+
+
+def test_two_consumers_disjoint_leases_union_to_sent(spark):
+    # Scenario 3 equivalent (IT/KinesisSourceTest.scala:101-180, rebalance
+    # 1->2 / 2->1): two consumers own disjoint shard subsets (here: each
+    # reads its own lease directory, keys hash-split), their outputs are
+    # disjoint (U4 set algebra, :261-271), and the union dedups to sent.
+    from kcl_akka_stream_spark.operators.merges import except_all, intersect_all
+
+    base = tempfile.mkdtemp(prefix="kcl_leases_")
+    names = []
+    try:
+        for c in range(CHUNKS):
+            df = spark.createDataFrame(_make_envelope_rows(c), ENVELOPE_SCHEMA)
+            for lease in (0, 1):
+                part = df.filter(F.abs(F.hash("partitionKey")) % 2 == lease)
+                part.coalesce(1).write.mode("append").parquet(os.path.join(base, f"lease{lease}"))
+        outs = []
+        for lease in (0, 1):
+            name = f"t_lease{lease}_{uuid.uuid4().hex[:8]}"
+            names.append(name)
+            q = start_to_memory(
+                envelope_file_stream(spark, os.path.join(base, f"lease{lease}")), name
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            outs.append(
+                spark.table(name).select(
+                    "partitionKey", F.decode("data", "UTF-8").alias("msg"), "sequenceNumber"
+                )
+            )
+        # disjoint work
+        assert intersect_all(outs[0], outs[1]).count() == 0
+        assert except_all(outs[0], outs[1]).count() == outs[0].count()
+        # union == sent, per key, in order
+        union = outs[0].unionByName(outs[1])
+        per_key: dict[str, list[tuple[str, str]]] = {}
+        for r in union.collect():
+            per_key.setdefault(r.partitionKey, []).append((r.sequenceNumber, r.msg))
+        got = {k: [m for _, m in sorted(v)] for k, v in per_key.items()}
+        assert got == _sent_per_key()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
