@@ -59,3 +59,32 @@ def ordered_effect_per_key(df: DataFrame, key_col: str, order_col: str, effect_s
         return fn(pdf.sort_values(order_col, kind="mergesort"))
 
     return df.groupBy(key_col).applyInPandas(run, schema=effect_schema)
+
+
+def compact_parquet_dir(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files.  Streaming sinks produce one file per
+    partition per micro-batch; at 100 TB unmanaged, that layout destroys
+    scan parallelism planning (one task per tiny file) and NameNode/listing
+    cost.  Returns the number of output files.
+
+    Round-robin repartition (not coalesce): coalesce would skip the shuffle
+    but chains upstream partitioning into the write and can produce skewed
+    file sizes; compaction explicitly wants evenly-sized files."""
+    import math
+    import os as _os
+
+    df = spark.read.parquet(src_dir)
+    disk_bytes = 0
+    for root, _dirs, files in _os.walk(src_dir):
+        for name in files:
+            if name.endswith(".parquet"):
+                disk_bytes += _os.path.getsize(_os.path.join(root, name))
+    n_files = max(1, math.ceil(disk_bytes / target_file_bytes))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    return n_files

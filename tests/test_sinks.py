@@ -46,3 +46,24 @@ def test_resize_truncates_and_rewrites_meta(spark):
     assert out[1].n_bytes == 1024  # truncated to w*h
     assert out[2].n_bytes == 5  # shorter than target stays whole
     assert out[1].width == 32 and out[1].height == 32
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from pyspark.sql import functions as _F
+
+    from kcl_akka_stream_spark.operators.sinks import compact_parquet_dir
+
+    src = str(tmp_path / "small_files")
+    # simulate a streaming sink: many tiny files
+    for i in range(10):
+        spark.range(i * 100, (i + 1) * 100).withColumn("v", _F.col("id") * 2).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) >= 10
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet_dir(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(dst + "/*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == 1000
