@@ -863,3 +863,55 @@ def scalar_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.json_object_keys("props"), ",").alias("key_list"),
         parsed.getField("missing").isNull().alias("missing_is_null"),
     )
+
+
+@query(
+    "q14_promo_revenue",
+    f"""
+    SELECT p_type,
+           count(*) AS n_items,
+           {_sql_sum_money('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 flavor: revenue by part type.  part is the dim side --
+    # broadcast it so lineitem never shuffles for the join.
+    li = tbl(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "j_supplier_geo",
+    f"""
+    SELECT r_name, count(*) AS n_suppliers, {_sql_sum_money('s_acctbal')} AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def j_supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Supplier snowflake: two broadcast hops (nation, region are the
+    # always-broadcast dims) -- zero shuffles before the final agg.
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = tbl(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            _sum_money(F.col("s_acctbal")).alias("total_acctbal"),
+        )
+    )
