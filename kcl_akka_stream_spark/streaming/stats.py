@@ -84,6 +84,17 @@ class RecordingStats(ConsumerStats):
             self.batches[shard_id] += 1
             self.records[shard_id] += n_records
 
+    started: list[str] = field(default_factory=list)
+    ended: list[str] = field(default_factory=list)
+
+    def shard_started(self, shard_id: str) -> None:
+        with self._lock:
+            self.started.append(shard_id)
+
+    def shard_ended(self, shard_id: str) -> None:
+        with self._lock:
+            self.ended.append(shard_id)
+
 
 class StatsQueryListener(StreamingQueryListener):
     """Bridges StreamingQueryProgress events into ConsumerStats callbacks --

@@ -131,3 +131,41 @@ def test_recording_stats():
     assert s.records["shard-1"] == 15
     assert s.batches["shard-1"] == 2
     assert s.checkpoints["shard-1"] == 1
+
+
+def test_stats_query_listener_bridges_progress(spark, tmp_path):
+    import time
+    import uuid
+
+    from kcl_akka_stream_spark.streaming.stats import RecordingStats, StatsQueryListener
+
+    stats = RecordingStats()
+    listener = StatsQueryListener(stats)
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "listener_src")
+        spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        name = f"t_listener_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.schema("id long, v long")
+            .parquet(src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline and not (stats.started and stats.batches and stats.ended):
+            time.sleep(0.2)
+        assert stats.started, "onQueryStarted not bridged"
+        assert sum(stats.records.values()) == 100, dict(stats.records)
+        assert stats.ended, "onQueryTerminated not bridged"
+    finally:
+        spark.streams.removeListener(listener)
