@@ -99,3 +99,60 @@ def read_commits(commit_dir: str) -> list[dict]:
             with open(os.path.join(commit_dir, name)) as f:
                 out.append(json.load(f))
     return out
+
+
+class CommitAbort(RuntimeError):
+    """Unrecoverable commit failure -- the stream must abort (the
+    reference's kill-switch path)."""
+
+
+def classify_commit_error(exc: BaseException) -> str:
+    """The reference's checkpoint error taxonomy
+    (RecordProcessorImpl.scala:229-241) mapped onto engine failures:
+
+    - ``ignore``: shutdown races (the query is already stopping) --
+      ShutdownException there, StreamingQueryException-on-stop here;
+    - ``retry``: transient dependency pressure -- Throttling/
+      KinesisClientLibDependencyException there; timeouts / connection
+      resets / service-throttling here (stats hook: checkpoint_delayed);
+    - ``abort``: anything else fails the stream (kill switch there, query
+      exception here).
+    """
+    msg = f"{type(exc).__name__}: {exc}".lower()
+    if any(s in msg for s in ("query terminated", "stopped", "shutdown", "interrupted")):
+        return "ignore"
+    if any(
+        s in msg
+        for s in (
+            "throttl",
+            "rate exceeded",
+            "timeout",
+            "timed out",
+            "connection reset",
+            "service unavailable",
+            "provisionedthroughput",
+        )
+    ):
+        return "retry"
+    return "abort"
+
+
+def commit_with_taxonomy(tracker: CommitTracker, epoch_id: int, n: int, write, stats=None):
+    """Apply a commit attempt under the reference's error policy: ignore
+    shutdown races, keep the commit point pending on retryable errors (the
+    retry-keep behavior proven at ShardCheckpointTrackerTest.scala:98-118),
+    abort otherwise."""
+    try:
+        write(tracker.commit(epoch_id, n))
+        if stats is not None:
+            stats.checkpoint_acked(str(epoch_id))
+        return "committed"
+    except Exception as exc:  # noqa: BLE001 -- taxonomy decides
+        kind = classify_commit_error(exc)
+        if kind == "ignore":
+            return "ignored"
+        if kind == "retry":
+            if stats is not None:
+                stats.checkpoint_delayed(str(epoch_id), exc)
+            return "retry"
+        raise CommitAbort(str(exc)) from exc

@@ -169,3 +169,35 @@ def test_stats_query_listener_bridges_progress(spark, tmp_path):
         assert stats.ended, "onQueryTerminated not bridged"
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_commit_error_taxonomy():
+    from kcl_akka_stream_spark.streaming.commit import (
+        CommitAbort,
+        CommitTracker,
+        classify_commit_error,
+        commit_with_taxonomy,
+    )
+
+    assert classify_commit_error(RuntimeError("Query terminated by user")) == "ignore"
+    assert classify_commit_error(RuntimeError("Rate exceeded for shard")) == "retry"
+    assert classify_commit_error(TimeoutError("timed out")) == "retry"
+    assert classify_commit_error(ValueError("schema mismatch")) == "abort"
+
+    t = CommitTracker()
+
+    def ok(entry):
+        pass
+
+    def throttled(entry):
+        raise RuntimeError("ProvisionedThroughputExceededException: slow down")
+
+    def broken(entry):
+        raise ValueError("disk corrupt")
+
+    assert commit_with_taxonomy(t, 1, 10, ok) == "committed"
+    assert commit_with_taxonomy(t, 2, 10, throttled) == "retry"
+    import pytest as _pytest
+
+    with _pytest.raises(CommitAbort):
+        commit_with_taxonomy(t, 3, 10, broken)
