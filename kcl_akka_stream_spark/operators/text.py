@@ -147,7 +147,15 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text", window: int = 4) 
     winnowing family): the whole-document rolling hash plus the minimum
     over all ``window``-token rolling hashes (the winnowing pick).  Equal
     winnow_min across docs flags shared passages even when documents differ
-    at the edges.  Map-only, integer-exact on both engines."""
+    at the edges.  Map-only, integer-exact on both engines.
+
+    Higher-order functions evaluate interpreted (no codegen), so per-row
+    cost is high enough that partition parallelism is the whole game --
+    spread() guards the single-partition small-file case (found via
+    tools/scale_probe.py: 12.8s serial vs ~1s spread at sf0.1)."""
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    df = spread(df)
     codes = F.transform(tokens(F.col(text_col)), _token_code)
     whole = _poly_fold(codes)
     n_windows = F.greatest(F.size(codes) - window + 1, F.lit(1))

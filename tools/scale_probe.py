@@ -1,0 +1,104 @@
+"""Scale probe: time the heavy operator families at 1x and Nx the sf0.1
+documents/embeddings tables and report the runtime ratio.
+
+Replicas are deterministically perturbed (vowel rotation per replica) so
+the Nx corpus has Nx distinct content -- shingle/bucket group sizes stay
+realistic instead of degenerating into N-way duplicate cliques.
+
+Usage: python tools/scale_probe.py [sf_dir] [replication]
+Prints one line per (operator, scale) plus the Nx/1x ratio; a ratio near
+the replication factor = linear scaling, the 100 TB prerequisite.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from kcl_akka_stream_spark.operators import dedup as D
+from kcl_akka_stream_spark.operators import similarity as S
+from kcl_akka_stream_spark.operators import text as X
+from kcl_akka_stream_spark.session import get_session
+from kcl_akka_stream_spark.sources.batch import load_table
+
+VOWELS = "aeiou"
+
+
+def replicate_docs(docs: DataFrame, n: int) -> DataFrame:
+    parts = []
+    for i in range(n):
+        rot = VOWELS[i % 5 :] + VOWELS[: i % 5]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.translate(F.col("text"), VOWELS, rot).alias("text"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+def replicate_embeddings(emb: DataFrame, n: int) -> DataFrame:
+    parts = []
+    for i in range(n):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x + F.lit(float(i)) * F.lit(1e-4)
+                ).alias("embedding"),
+                F.col("label"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+def timed(fn, warm: bool = True) -> float:
+    if warm:
+        fn().write.format("noop").mode("overwrite").save()
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        e = time.time() - t0
+        best = e if best is None else min(best, e)
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    repl = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_session("scale_probe")
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb1 = load_table(spark, sf_dir, "embeddings")
+    docs_n = replicate_docs(docs1, repl).localCheckpoint()
+    emb_n = replicate_embeddings(emb1, repl).localCheckpoint()
+    print(f"# corpus: {docs1.count()} docs (1x) vs {docs_n.count()} docs ({repl}x)")
+
+    ops = {
+        "dedup_exact": lambda d: D.exact_dedup(d),
+        "dedup_simhash": lambda d: D.simhash(d),
+        "dedup_minhash_lsh": lambda d: D.minhash_candidate_pairs(D.minhash_lsh_buckets(d)),
+        "dedup_ngram_jaccard": lambda d: D.ngram_jaccard_pairs(d, threshold=0.5),
+        "text_rolling_fp": lambda d: X.rolling_fingerprint(d),
+    }
+    for name, op in ops.items():
+        t1 = timed(lambda: op(docs1))
+        tn = timed(lambda: op(docs_n))
+        print(f"{name:22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    def knn(e):
+        return S.brute_force_topk_vectorized(e, e.filter(F.col("vec_id") < 5), k=5)
+
+    t1 = timed(lambda: knn(emb1))
+    tn = timed(lambda: knn(emb_n))
+    print(f"{'sim_topk_vectorized':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+
+if __name__ == "__main__":
+    main()
