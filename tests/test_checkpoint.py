@@ -65,3 +65,37 @@ def test_count_trigger(spark):
 
     out2 = should_checkpoint(checkpoint_frontier(df), record_threshold=100).collect()[0]
     assert not bool(out2.should_checkpoint)
+
+
+def test_window_query_matches_tracker_scan_randomized(spark):
+    # Cross-implementation invariant: the batch window-SQL frontier
+    # (operators/checkpoint.py) and the stateful tracker's python scan
+    # (streaming/tracker.py::_frontier) implement the SAME semantics.
+    # 200 random (shard, seq, processed) rows, fixed seed.
+    import random
+
+    from kcl_akka_stream_spark.operators.checkpoint import checkpoint_frontier
+    from kcl_akka_stream_spark.streaming.tracker import _frontier
+
+    rng = random.Random(42)
+    rows = []
+    used = set()
+    for _ in range(200):
+        shard = rng.randint(0, 7)
+        seq = rng.randint(0, 60)
+        if (shard, seq) in used:
+            continue
+        used.add((shard, seq))
+        rows.append((shard, seq, rng.random() < 0.7))
+    df = spark.createDataFrame(rows, "shard_id long, seq long, processed boolean")
+    got = {
+        r.shard_id: (r.frontier_seq, r.processed_uncheckpointed_count, r.in_flight_count)
+        for r in checkpoint_frontier(df, "shard_id", "seq", "processed").collect()
+    }
+    per_shard: dict[int, tuple[list, list]] = {}
+    for shard, seq, proc in rows:
+        per_shard.setdefault(shard, ([], []))
+        per_shard[shard][0].append(seq)
+        per_shard[shard][1].append(proc)
+    want = {s: _frontier(seqs, procs) for s, (seqs, procs) in per_shard.items()}
+    assert got == want
