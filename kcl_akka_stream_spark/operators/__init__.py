@@ -1,0 +1,136 @@
+"""Operator library façade: one import point for the engine's public
+operators.  Submodules stay importable directly; this just re-exports the
+stable surface (see COVERAGE.md for the reference-inventory mapping)."""
+
+from kcl_akka_stream_spark.operators.aggregations import (
+    counts,
+    dedup_and_group_by_key,
+    group_by_key,
+    shard_stats,
+)
+from kcl_akka_stream_spark.operators.checkpoint import checkpoint_frontier
+from kcl_akka_stream_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_lsh_buckets,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from kcl_akka_stream_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    equi_join,
+    range_join_bucketed,
+    semi_join,
+)
+from kcl_akka_stream_spark.operators.merges import (
+    demux_process_remux,
+    except_all,
+    intersect_all,
+    merge,
+)
+from kcl_akka_stream_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    resize_images,
+    set_decoder,
+)
+from kcl_akka_stream_spark.operators.projections import (
+    ack_passthrough,
+    decode_json_payload,
+    decode_payload,
+    filter_bootstrap,
+    flatten,
+    grouped,
+)
+from kcl_akka_stream_spark.operators.replay import (
+    UnexpectedMessageSequence,
+    remove_reprocessed,
+)
+from kcl_akka_stream_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_vectorized,
+    cosine,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+from kcl_akka_stream_spark.operators.sinks import (
+    compact_parquet_dir,
+    keyed_ordered_write,
+    ordered_effect_per_key,
+)
+from kcl_akka_stream_spark.operators.skew import salted_aggregate, salted_join
+from kcl_akka_stream_spark.operators.windows import (
+    limit_n,
+    sessionize,
+    shard_order,
+    top_k_per_group,
+)
+from kcl_akka_stream_spark.operators.text import (
+    bpe_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+)
+
+__all__ = [
+    "UnexpectedMessageSequence",
+    "anti_join",
+    "asof_join",
+    "brute_force_topk",
+    "brute_force_topk_vectorized",
+    "bpe_token_count",
+    "checkpoint_frontier",
+    "compact_parquet_dir",
+    "connected_components",
+    "cosine",
+    "counts",
+    "dedup_and_group_by_key",
+    "demux_process_remux",
+    "embedding_near_dup_pairs",
+    "equi_join",
+    "exact_dedup",
+    "except_all",
+    "extract_features",
+    "fingerprint",
+    "frame_sample",
+    "group_by_key",
+    "intersect_all",
+    "ivf_topk",
+    "keyed_ordered_write",
+    "lang_id",
+    "lsh_topk",
+    "merge",
+    "minhash_candidate_pairs",
+    "minhash_lsh_buckets",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "ordered_effect_per_key",
+    "quality_score",
+    "range_join_bucketed",
+    "remove_reprocessed",
+    "resize_images",
+    "rolling_fingerprint",
+    "salted_aggregate",
+    "salted_join",
+    "semi_join",
+    "set_decoder",
+    "shard_stats",
+    "simhash",
+    "token_count",
+    "ack_passthrough",
+    "decode_json_payload",
+    "decode_payload",
+    "filter_bootstrap",
+    "flatten",
+    "grouped",
+    "limit_n",
+    "sessionize",
+    "shard_order",
+    "top_k_per_group",
+]
