@@ -40,11 +40,14 @@ def limit_n(df: DataFrame, n: int, order_cols: list | None = None) -> DataFrame:
 
 def sessionize(df: DataFrame, key_col: str, ts_col: str, gap_seconds: int) -> DataFrame:
     """Batch sessionization: new session when the per-key gap exceeds the
-    threshold; session id = running count of session-starts.  (Streaming form
-    uses session_window -- streaming/pipeline.py.)"""
+    threshold; session id = running count of session-starts.  Gap compares
+    at MICROSECOND precision, matching streaming session_window -- a
+    truncated-seconds compare flips sessions whose gap sits within 1 s of
+    the threshold.  (Streaming form: streaming/pipeline.py.)"""
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn("__new_session", is_new).withColumn(
         "session_id",
         F.sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),

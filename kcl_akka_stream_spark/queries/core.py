@@ -617,9 +617,8 @@ def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
       SELECT user_id,
-             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                       - lag(CAST(floor(epoch(ts)) AS BIGINT))
-                         OVER (PARTITION BY user_id ORDER BY ts) > 1800
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events)

@@ -459,3 +459,39 @@ def test_stateful_tracker_v2_gap_blocks_frontier(spark, tmp_path):
     assert last.frontier_seq == 1
     assert last.processed_uncheckpointed_count == 1
     assert last.in_flight_count == 1
+
+
+def test_batch_sessionize_matches_streaming_session_window(spark):
+    # Cross-boundary invariant: the batch window-function sessionization
+    # (operators/windows.py) and streaming session_window agree on session
+    # counts per key for the same gap -- both compare at microsecond
+    # precision.
+    import uuid as _uuid
+
+    from kcl_akka_stream_spark.operators.windows import sessionize
+    from kcl_akka_stream_spark.sources.batch import load_table, stream_events
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    batch = (
+        sessionize(ev, "user_id", "ts", 1800)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n"))
+    )
+    name = f"t_xsess_{_uuid.uuid4().hex[:8]}"
+    agg = (
+        stream_events(spark, sf)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_batch = {r.user_id: r.n for r in batch.collect()}
+    got_stream = {
+        r.user_id: r.n
+        for r in spark.table(name).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_batch == got_stream
