@@ -17,7 +17,7 @@ is pure Python over one key's messages.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
