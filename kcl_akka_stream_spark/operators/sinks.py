@@ -88,3 +88,24 @@ def compact_parquet_dir(
     n_files = max(1, math.ceil(disk_bytes / target_file_bytes))
     df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
     return n_files
+
+
+def keyed_ordered_stream_sink(path: str, key_col: str, order_col: str, n_partitions: int = 8):
+    """S7, streaming form: a foreachBatch callback that appends every
+    micro-batch keyed+ordered (repartition by key, sort within partitions).
+    Per epoch, each key's records land contiguously and in order -- the
+    per-partition-key send ordering of the reference's producer, with the
+    epoch id carried so consumers can reconstruct the global per-key order
+    as (epoch, file order)."""
+    from pyspark.sql import functions as F
+
+    def write(batch_df, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("__epoch", F.lit(epoch_id))
+            .repartition(n_partitions, F.col(key_col))
+            .sortWithinPartitions(key_col, order_col)
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    return write

@@ -67,3 +67,42 @@ def test_compact_parquet_dir(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(dst + "/*.parquet")) == 1
     assert spark.read.parquet(dst).count() == 1000
+
+
+def test_keyed_ordered_stream_sink(spark, tmp_path):
+    import uuid
+
+    from kcl_akka_stream_spark.operators.sinks import keyed_ordered_stream_sink
+
+    src = str(tmp_path / "sink_src")
+    out = str(tmp_path / "sink_out")
+    rows = [(k, i, f"m{i}") for k in ("a", "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "key string, seq long, msg string")
+    # two source files -> two micro-batches
+    df.filter(F.col("seq") < 15).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("seq") >= 15).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(keyed_ordered_stream_sink(out, "key", "seq"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    assert written.count() == 60
+    # per (epoch, key): exactly one file, rows in order within it
+    per = (
+        written.withColumn("f", F.input_file_name())
+        .groupBy("__epoch", "key")
+        .agg(F.countDistinct("f").alias("nf"))
+        .collect()
+    )
+    assert all(r.nf == 1 for r in per)
+    # global per-key order = (epoch, seq) is complete and gapless
+    for k in ("a", "b"):
+        seqs = [r.seq for r in written.filter(F.col("key") == k).orderBy("__epoch", "seq").collect()]
+        assert seqs == list(range(30))
