@@ -174,6 +174,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle-join candidate
     generation: |A ∩ B| from the shingle equi-join (docs sharing no shingle
@@ -209,6 +210,13 @@ def ngram_jaccard_pairs(
         )
         .filter(F.size("ds") > 1)
     )
+    if max_doc_freq is not None:
+        # df-cap guardrail: a shingle in more than max_doc_freq docs is a
+        # boilerplate/stop-shingle whose pair fan-out is quadratic; dropping
+        # it bounds the per-shingle explosion at 100 TB.  The cap is
+        # deterministic, so the capped variant is still oracle-checkable
+        # (intersection counts shrink -> jaccard becomes a lower bound).
+        docs_per_shingle = docs_per_shingle.filter(F.size("ds") <= max_doc_freq)
     big = F.lit(1 << 30)
     pair_arrays = docs_per_shingle.select(
         F.flatten(

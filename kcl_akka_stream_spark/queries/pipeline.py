@@ -668,3 +668,34 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rabin-Karp/winnowing document fingerprint: whole-doc polynomial
     # rolling hash + min over 4-token window hashes (operators/text.py).
     return X.rolling_fingerprint(tbl(spark, sf_dir, "documents"), window=4)
+
+
+@query(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 3),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      JOIN kept k ON k.shingle = a.shingle
+      WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB guardrail variant: shingles appearing in more than
+    # max_doc_freq docs are dropped before pair generation, bounding the
+    # quadratic fan-out of boilerplate shingles.  Jaccard becomes a lower
+    # bound (intersection restricted, sizes kept full); the cap is
+    # deterministic so the oracle mirrors it exactly.
+    return D.ngram_jaccard_pairs(
+        tbl(spark, sf_dir, "documents"), k=3, threshold=0.3, max_doc_freq=3
+    )

@@ -495,3 +495,29 @@ def test_batch_sessionize_matches_streaming_session_window(spark):
         for r in spark.table(name).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got_batch == got_stream
+
+
+def test_throttle_trigger_pacing(spark, stream_dir):
+    # W4 -- the reference's `throttle` maps to admission control: with
+    # maxFilesPerTrigger=1, the engine processes exactly one source file per
+    # micro-batch (trigger-paced pull, SURVEY §2.7 W4 / §2.9 backpressure).
+    n_batches = []
+
+    def count_batches(batch_df, epoch_id):
+        n_batches.append((epoch_id, batch_df.count()))
+
+    for c in range(CHUNKS):
+        _write_chunk(spark, stream_dir, c)
+    q = (
+        envelope_file_stream(spark, stream_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(count_batches)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(n_batches) == CHUNKS  # one batch per file: paced, not gulped
+    per_chunk = MSGS_PER_KEY // CHUNKS * len(KEYS)
+    assert all(n == per_chunk for _, n in n_batches)
