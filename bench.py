@@ -66,6 +66,9 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        # nudge GC between queries so accumulated garbage from earlier plans
+        # is not collected inside someone else's timed section
+        spark.sparkContext._jvm.System.gc()
         # best-of-2: single-pass local timings vary ~2x with JVM/GC noise;
         # min is the standard steady-state estimator.
         best = None
