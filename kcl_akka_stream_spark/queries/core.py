@@ -914,3 +914,35 @@ def j_supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sum_money(F.col("s_acctbal")).alias("total_acctbal"),
         )
     )
+
+
+@query(
+    "scalar_conversion",
+    """
+    SELECT event_id,
+           CAST(event_id AS VARCHAR) AS id_str,
+           CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_roundtrip,
+           CAST(ts AS DATE) AS event_date,
+           CAST(octet_length(encode(props)) AS INT) AS props_bytes,
+           upper(hex(encode(substring(props, 1, 4)))) AS props_hex_head,
+           CAST(floor(value) AS BIGINT) AS value_floor
+    FROM events
+    """,
+)
+def scalar_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 conversion family (ByteBuffer<->ByteString / Option wrapping in
+    # the reference, KinesisRecord.scala:50-57): string<->integer round
+    # trip, timestamp->date truncation, string->binary with byte length and
+    # hex rendering.  double->int goes through an explicit floor -- a bare
+    # CAST truncates in Spark but ROUNDS in DuckDB, the classic cross-engine
+    # trap this query pins down.
+    ev = tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").cast("string").alias("id_str"),
+        F.col("event_id").cast("string").cast("bigint").alias("id_roundtrip"),
+        F.col("ts").cast("date").alias("event_date"),
+        F.octet_length(F.encode("props", "UTF-8")).cast("int").alias("props_bytes"),
+        F.upper(F.hex(F.encode(F.substring("props", 1, 4), "UTF-8"))).alias("props_hex_head"),
+        F.floor("value").cast("bigint").alias("value_floor"),
+    )
