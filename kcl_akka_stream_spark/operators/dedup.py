@@ -1,6 +1,8 @@
 """Deduplication operators over the ``documents`` table.
 
-Exact + near-dup families for a 100 TB training-data pipeline:
+Beyond-reference extension (no counterpart in /root/reference; the
+BASELINE.json north star).  Exact + near-dup families for a 100 TB
+training-data pipeline:
 
 - exact: hash-groupBy on a content digest -- one shuffle on the digest;
 - minhash LSH: shingle -> seeded-md5 minhash signature -> banded buckets ->

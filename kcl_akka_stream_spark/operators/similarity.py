@@ -1,6 +1,7 @@
 """Similarity search over the ``embeddings`` table (array<float> column).
 
-Two tiers for the 100 TB posture:
+Beyond-reference extension (no counterpart in /root/reference; the
+BASELINE.json north star).  Tiers for the 100 TB posture:
 
 - brute-force cosine top-k (the exactness baseline): query set x corpus,
   dot product via ``F.aggregate``/``zip_with`` -- JVM-side fold, no Python;

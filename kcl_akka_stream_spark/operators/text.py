@@ -1,5 +1,6 @@
 """Text analysis operators over the ``documents`` table.
 
+Beyond-reference extension (no counterpart in /root/reference).
 Large-scale training-data-pipeline surface (BASELINE.json north star):
 token counting, quality scoring, language-ID heuristic, fingerprinting.
 All pure built-in expressions -- regexp/string functions evaluate inside
