@@ -200,20 +200,29 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_checkpoint_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.3 C1-C6 as a REAL stateful streaming operator: the reference's
     # ShardCheckpointTracker (RecordProcessorImpl.scala:22-91) re-expressed
-    # with applyInPandasWithState.  Per shard the state holds every record
-    # seen with its processed flag (mirroring the reference's in-flight FIFO
-    # -- and its documented unbounded-growth failure mode when records are
-    # never acked, README.md:104-108); each micro-batch emits the updated
-    # prefix-monotone frontier.  The gate compares the LAST emission per
-    # shard against the batch-SQL oracle; events are split across multiple
-    # micro-batches (maxFilesPerTrigger=1) so the update path is exercised.
+    # with applyInPandasWithState.  State is COMPACTED per micro-batch
+    # (popProcessedRecords, RecordProcessorImpl.scala:73-78): only the
+    # un-acked window survives, so like the reference the tracker relies on
+    # per-shard in-order delivery (Kinesis' per-shard ordering guarantee).
+    # The fixture honors that contract: events are range-split by seq into
+    # three files with increasing mtimes, so maxFilesPerTrigger=1 delivers
+    # each shard's records across micro-batches in seq order.  The gate
+    # compares the LAST emission per shard against the batch-SQL oracle.
+    import glob
+    import time as _time
+
     from kcl_akka_stream_spark.streaming.tracker import streaming_checkpoint_frontier
 
     name = f"stream_ckpt_{uuid.uuid4().hex[:8]}"
     ev = tbl(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="kcl_spark_ckpt_")
     try:
-        ev.repartition(3).write.mode("overwrite").parquet(tmp)
+        ev.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(tmp)
+        # range partition i holds the i-th seq band; stamp increasing mtimes
+        # so the file source (oldest-first) replays them in seq order.
+        base = _time.time() - 600
+        for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*")))):
+            os.utime(part, (base + 60 * i, base + 60 * i))
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")

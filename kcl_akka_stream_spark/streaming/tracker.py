@@ -12,12 +12,15 @@ Semantics reproduced per shard:
 - gauges: processed-but-not-checkpointed count and in-flight count
   (RecordProcessorImpl.scala:30-37).
 
-State holds every (seq, processed) pair seen, mirroring the reference's
-in-flight FIFO -- including its documented failure mode: a never-acked
-record pins state forever (README.md:104-108).  At 100 TB scale the state
-per shard is bounded by the un-acked window, not the stream length, exactly
-as in the reference; shards are independent groups so state shuffles once
-by shard key and is stored in the state store across micro-batches.
+State is COMPACTED each micro-batch, mirroring the reference's
+``popProcessedRecords`` (RecordProcessorImpl.scala:73-78): after the
+frontier advances, every record with ``seq <= frontier`` is evicted and the
+state keeps only (frontier_seq, records above the frontier) -- the un-acked
+window plus processed records blocked behind a gap.  A never-acked record
+still pins its successors, the reference's documented failure mode
+(README.md:104-108), but state is bounded by that window, never by the
+stream length.  Shards are independent groups so state shuffles once by
+shard key and lives in the state store across micro-batches.
 """
 
 from __future__ import annotations
@@ -38,11 +41,16 @@ from pyspark.sql.types import (
 
 STATE_SCHEMA = StructType(
     [
+        StructField("frontier", LongType()),
         StructField("seqs", ArrayType(LongType())),
         StructField("procs", ArrayType(BooleanType())),
         StructField("n_updates", IntegerType()),
     ]
 )
+
+# state-store sentinel for "no frontier yet" (state columns are typed, not
+# optional; seqs in the fixtures are non-negative so this never collides)
+_NO_FRONTIER = -(1 << 62)
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -75,23 +83,61 @@ def _frontier(seqs: list, procs: list) -> Tuple[Any, int, int]:
     return frontier, processed_behind, in_flight
 
 
+def _advance(
+    frontier: int, seqs: list, procs: list
+) -> Tuple[int, list, list, int, int]:
+    """popProcessedRecords (RecordProcessorImpl.scala:73-78): advance the
+    frontier over the leading contiguous processed run (in seq order, above
+    the stored frontier) and EVICT everything at or below it.  Returns
+    (frontier, kept_seqs, kept_procs, processed_behind_gap, in_flight);
+    kept = the first unprocessed record and everything after it -- the
+    un-acked window, exactly what the reference's Queue retains after the
+    pop.
+
+    A second row for an already-tracked seq is the ack: the reference's ack
+    completes the tracked record's future in place
+    (KinesisRecord.markProcessed), so processed flags OR together per seq
+    rather than tracking a duplicate."""
+    acked: dict = {}
+    for s, p in zip(seqs, procs):
+        acked[s] = acked.get(s, False) or p
+    blocked = False
+    processed_behind = 0
+    in_flight = 0
+    kept_seqs: list = []
+    kept_procs: list = []
+    for s in sorted(acked):
+        p = acked[s]
+        if not blocked and p:
+            frontier = max(frontier, s)
+            continue
+        if p:
+            processed_behind += 1
+        else:
+            blocked = True
+            in_flight += 1
+        kept_seqs.append(s)
+        kept_procs.append(p)
+    return frontier, kept_seqs, kept_procs, processed_behind, in_flight
+
+
 def _track(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     if state.exists:
-        seqs_t, procs_t, n_updates = state.get
+        frontier, seqs_t, procs_t, n_updates = state.get
         seqs, procs = list(seqs_t), list(procs_t)
     else:
-        seqs, procs, n_updates = [], [], 0
+        frontier, seqs, procs, n_updates = _NO_FRONTIER, [], [], 0
     for pdf in pdfs:
         seqs.extend(int(s) for s in pdf["seq"])
         procs.extend(bool(p) for p in pdf["processed"])
+    frontier, seqs, procs, processed_behind, in_flight = _advance(frontier, seqs, procs)
     n_updates += 1
-    state.update((seqs, procs, n_updates))
-    frontier, processed_behind, in_flight = _frontier(seqs, procs)
+    state.update((frontier, seqs, procs, n_updates))
     yield pd.DataFrame(
         [
             {
                 "shard_id": int(key[0]),
-                "frontier_seq": frontier,
+                "frontier_seq": None if frontier == _NO_FRONTIER else frontier,
                 "processed_uncheckpointed_count": processed_behind,
                 "in_flight_count": in_flight,
                 "update_id": n_updates,
@@ -141,26 +187,26 @@ try:  # pragma: no cover - import guard for older Sparks
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
                 "tracker",
-                "seqs array<long>, procs array<boolean>, n_updates int",
+                "frontier long, seqs array<long>, procs array<boolean>, n_updates int",
             )
 
         def handleInputRows(self, key, rows, timerValues):  # noqa: N802 - API name
             if self._state.exists():
-                seqs_t, procs_t, n_updates = self._state.get()
+                frontier, seqs_t, procs_t, n_updates = self._state.get()
                 seqs, procs = list(seqs_t), list(procs_t)
             else:
-                seqs, procs, n_updates = [], [], 0
+                frontier, seqs, procs, n_updates = _NO_FRONTIER, [], [], 0
             for pdf in rows:
                 seqs.extend(int(s) for s in pdf["seq"])
                 procs.extend(bool(p) for p in pdf["processed"])
+            frontier, seqs, procs, processed_behind, in_flight = _advance(frontier, seqs, procs)
             n_updates += 1
-            self._state.update((seqs, procs, n_updates))
-            frontier, processed_behind, in_flight = _frontier(seqs, procs)
+            self._state.update((frontier, seqs, procs, n_updates))
             yield pd.DataFrame(
                 [
                     {
                         "shard_id": int(key[0]),
-                        "frontier_seq": frontier,
+                        "frontier_seq": None if frontier == _NO_FRONTIER else frontier,
                         "processed_uncheckpointed_count": processed_behind,
                         "in_flight_count": in_flight,
                         "update_id": n_updates,

@@ -521,3 +521,96 @@ def test_throttle_trigger_pacing(spark, stream_dir):
     assert len(n_batches) == CHUNKS  # one batch per file: paced, not gulped
     per_chunk = MSGS_PER_KEY // CHUNKS * len(KEYS)
     assert all(n == per_chunk for _, n in n_batches)
+
+
+def test_tracker_state_compaction_unit():
+    # popProcessedRecords semantics (RecordProcessorImpl.scala:73-78): after
+    # each batch the retained state is the un-acked window (first unprocessed
+    # record and everything above it), never the records-seen history.
+    from kcl_akka_stream_spark.streaming.tracker import _NO_FRONTIER, _advance
+
+    # batch 1: seqs 0-3 all processed -> everything evicted
+    f, seqs, procs, behind, in_flight = _advance(_NO_FRONTIER, [0, 1, 2, 3], [True] * 4)
+    assert (f, seqs, procs, behind, in_flight) == (3, [], [], 0, 0)
+
+    # batch 2: gap at 4; 5,6 processed behind it -> window = [4,5,6]
+    f, seqs, procs, behind, in_flight = _advance(f, seqs + [4, 5, 6], procs + [False, True, True])
+    assert f == 3
+    assert seqs == [4, 5, 6] and procs == [False, True, True]
+    assert (behind, in_flight) == (2, 1)
+
+    # batch 3: more processed above the gap -> window grows only by them
+    f, seqs, procs, behind, in_flight = _advance(f, seqs + [7, 8], procs + [True, True])
+    assert f == 3
+    assert seqs == [4, 5, 6, 7, 8]  # bounded by the un-acked window (5), not 9 seen
+    assert (behind, in_flight) == (4, 1)
+
+    # the ack arrives for 4 (replayed row, now processed) -> window drains
+    f, seqs, procs, behind, in_flight = _advance(f, seqs + [4], procs + [True])
+    assert f == 8
+    assert seqs == [] and procs == []
+    assert (behind, in_flight) == (0, 0)
+
+
+def test_tracker_state_bounded_across_microbatches(spark, tmp_path):
+    # End-to-end: 3 micro-batches through applyInPandasWithState; the state
+    # store must hold the un-acked window, not every record seen.  Verified
+    # by reading the checkpoint's state store back (statestore reader).
+    import uuid as _uuid
+
+    from kcl_akka_stream_spark.streaming.tracker import streaming_checkpoint_frontier
+
+    src = str(tmp_path / "compact_src")
+    ckpt = str(tmp_path / "compact_ckpt")
+    os.makedirs(src)
+    schema = "shard_id long, seq long, processed boolean"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    name = f"t_compact_{_uuid.uuid4().hex[:8]}"
+    write([(1, s, True) for s in range(4)])  # batch 1: clean prefix
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        streaming_checkpoint_frontier(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write([(1, 4, False), (1, 5, True), (1, 6, True)])  # batch 2: gap at 4
+        q.processAllAvailable()
+        write([(1, s, True) for s in range(7, 10)])  # batch 3: more above the gap
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    last = (
+        spark.table(name)
+        .orderBy(F.col("update_id").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert last.frontier_seq == 3
+    assert last.processed_uncheckpointed_count == 5  # 5,6,7,8,9 behind the gap
+    assert last.in_flight_count == 1  # seq 4
+
+    state = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .selectExpr(
+            "key.shard_id AS shard_id",
+            "value.groupState.frontier AS frontier",
+            "size(value.groupState.seqs) AS n_kept",
+        )
+        .collect()
+    )
+    by_shard = {r.shard_id: r for r in state}
+    assert by_shard[1].frontier == 3
+    # un-acked window = {4,5,6,7,8,9}: 6 records kept, NOT the 10 seen
+    assert by_shard[1].n_kept == 6
