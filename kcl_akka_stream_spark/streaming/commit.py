@@ -2,11 +2,12 @@
 
 Reference semantics (SURVEY §2.3 C3/C4): checkpoint when processed-count
 >= N or elapsed >= period, whichever first (RecordProcessorImpl.scala:43-48;
-defaults 60 s / 10 000 records, reference.conf:5-9).  Spark's micro-batch
-epoch commit subsumes C4's retry-keep behavior (a failed batch re-runs);
-this module adds the *cadence* parity on top of foreachBatch: the user
-callback is invoked per micro-batch, and the tracker decides when a commit
-point is recorded.
+defaults 60 s / 10 000 records, reference.conf:5-9).  On top of Spark's own
+epoch commit (a failed batch re-runs), this module carries the reference's
+cadence AND its C4 attempt discipline: the commit point is marked before the
+external write, the write runs before any tracker mutation, triggers clear
+after every attempt, and the point survives failed attempts for re-commit
+(ShardCheckpointTrackerTest.scala:83-118).
 
 Sink ordering modes (README.md:22-95):
 - at-least-once: process the batch, then record the commit (checkpoint
@@ -30,12 +31,17 @@ from kcl_akka_stream_spark.config import ShardCheckpointConfig
 
 @dataclass
 class CommitTracker:
-    """C3 trigger state: records-since-commit + elapsed-since-commit."""
+    """C3 trigger state (records-since-commit + elapsed-since-commit) plus
+    the C4 pending commit point -- the analogue of the reference's
+    ``lastProcessedButNotCheckpointed`` (RecordProcessorImpl.scala:27,77):
+    marked as progress is made, retained across failed commit attempts, and
+    only cleared when a commit attempt succeeds."""
 
     config: ShardCheckpointConfig = field(default_factory=ShardCheckpointConfig)
     _records_since_commit: int = 0
     _last_commit_at: float = field(default_factory=time.monotonic)
     commits: list[dict] = field(default_factory=list)
+    pending: dict | None = None
 
     def observe(self, n_records: int, *, now: float | None = None) -> bool:
         """Register a processed batch; True if a commit point is due
@@ -46,11 +52,28 @@ class CommitTracker:
         by_time = (now - self._last_commit_at) >= self.config.checkpoint_period_seconds
         return by_count or by_time
 
-    def commit(self, epoch_id: int, n_records: int, *, now: float | None = None) -> dict:
-        entry = {"epoch_id": epoch_id, "n_records": n_records, "at": time.time()}
-        self.commits.append(entry)
+    def mark(self, epoch_id: int, n_records: int) -> dict:
+        """Advance the pending commit point (popProcessedRecords advancing
+        ``lastProcessedButNotCheckpointed``).  No trigger mutation."""
+        self.pending = {"epoch_id": epoch_id, "n_records": n_records}
+        return self.pending
+
+    def clear_triggers(self, *, now: float | None = None) -> None:
+        """clearCheckpointTriggers (RecordProcessorImpl.scala:80-83) -- runs
+        after EVERY commit attempt, success or failure (the reference's
+        ``finally`` block)."""
         self._records_since_commit = 0
         self._last_commit_at = time.monotonic() if now is None else now
+
+    def commit(self, epoch_id: int, n_records: int, *, now: float | None = None) -> dict:
+        """Record a SUCCESSFUL commit: append to the log, clear the pending
+        point, reset the triggers.  Call only after the external write has
+        succeeded -- a failed attempt must leave ``pending`` intact
+        (ShardCheckpointTrackerTest.scala:98-118)."""
+        entry = {"epoch_id": epoch_id, "n_records": n_records, "at": time.time()}
+        self.commits.append(entry)
+        self.pending = None
+        self.clear_triggers(now=now)
         return entry
 
 
@@ -76,16 +99,33 @@ def committing_foreach_batch(
         with open(path, "w") as f:
             json.dump(entry, f)
 
+    def attempt(epoch_id: int, n: int) -> None:
+        # write-then-record: the tracker only learns of the commit after the
+        # external write succeeds, so a failure keeps the point pending (C4).
+        entry = tracker.mark(epoch_id, n)
+        write_commit({**entry, "at": time.time()})
+        tracker.commit(epoch_id, n)
+
     def run(batch_df: DataFrame, epoch_id: int) -> None:
-        n = batch_df.count()
-        if mode == "no-guarantees":
-            # mark-before-process (README.md:61-95): ack first, then work.
-            write_commit(tracker.commit(epoch_id, n))
+        # one source scan per epoch: cache the batch before the count action
+        # so process() consumes the cached rows instead of re-reading the
+        # source through the whole lineage.
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if mode == "no-guarantees":
+                # mark-before-process (README.md:61-95): ack first, then
+                # work -- under the SAME C3 cadence as at-least-once (the
+                # reference's modes differ only in ordering).
+                if tracker.observe(n):
+                    attempt(epoch_id, n)
+                process(batch_df, epoch_id)
+                return
             process(batch_df, epoch_id)
-            return
-        process(batch_df, epoch_id)
-        if tracker.observe(n):
-            write_commit(tracker.commit(epoch_id, n))
+            if tracker.observe(n):
+                attempt(epoch_id, n)
+        finally:
+            batch_df.unpersist()
 
     return run
 
@@ -106,53 +146,109 @@ class CommitAbort(RuntimeError):
     reference's kill-switch path)."""
 
 
+class CommitShutdownRace(Exception):
+    """The commit raced a shutdown that already owns the lease -- the
+    engine-native analogue of the KCL's ShutdownException."""
+
+
+class CommitThrottled(Exception):
+    """The checkpoint store throttled the commit -- the engine-native
+    analogue of ThrottlingException/KinesisClientLibDependencyException."""
+
+
+# Known connector exception signatures.  Py4J flattens JVM exceptions into
+# message strings, so these FULL java class names (plus the one documented
+# AWS throttle message) are the only substring matches allowed -- generic
+# words like "timeout" or "stopped" must never reclassify an arbitrary
+# failure (a ValueError("user timeout parsing") is an abort, not a retry).
+_CONNECTOR_IGNORE_SIGNATURES = (
+    "software.amazon.kinesis.exceptions.ShutdownException",
+)
+_CONNECTOR_RETRY_SIGNATURES = (
+    "software.amazon.kinesis.exceptions.ThrottlingException",
+    "KinesisClientLibDependencyException",
+    "ProvisionedThroughputExceededException",
+    "Rate exceeded",  # documented AWS throttling message text
+)
+
+
 def classify_commit_error(exc: BaseException) -> str:
     """The reference's checkpoint error taxonomy
-    (RecordProcessorImpl.scala:229-241) mapped onto engine failures:
+    (RecordProcessorImpl.scala:229-241), discriminated by exception TYPE
+    first -- exactly as the reference's catch clauses do -- with substring
+    matching reserved for known connector signatures riding inside
+    Py4J-flattened messages:
 
-    - ``ignore``: shutdown races (the query is already stopping) --
-      ShutdownException there, StreamingQueryException-on-stop here;
+    - ``ignore``: shutdown races -- ShutdownException there;
+      CommitShutdownRace / InterruptedError / StreamingQueryException (the
+      query is already stopping) here;
     - ``retry``: transient dependency pressure -- Throttling/
-      KinesisClientLibDependencyException there; timeouts / connection
-      resets / service-throttling here (stats hook: checkpoint_delayed);
-    - ``abort``: anything else fails the stream (kill switch there, query
-      exception here).
+      KinesisClientLibDependencyException there; CommitThrottled /
+      TimeoutError / ConnectionError here (stats hook: checkpoint_delayed);
+    - ``abort``: anything else fails the stream (kill switch there,
+      CommitAbort here).
     """
-    msg = f"{type(exc).__name__}: {exc}".lower()
-    if any(s in msg for s in ("query terminated", "stopped", "shutdown", "interrupted")):
+    if isinstance(exc, CommitShutdownRace) or isinstance(exc, InterruptedError):
         return "ignore"
-    if any(
-        s in msg
-        for s in (
-            "throttl",
-            "rate exceeded",
-            "timeout",
-            "timed out",
-            "connection reset",
-            "service unavailable",
-            "provisionedthroughput",
-        )
-    ):
+    if isinstance(exc, (CommitThrottled, TimeoutError, ConnectionError)):
+        return "retry"
+    try:
+        from pyspark.errors import StreamingQueryException
+
+        if isinstance(exc, StreamingQueryException):
+            return "ignore"
+    except ImportError:  # pragma: no cover
+        pass
+    msg = str(exc)
+    if any(s in msg for s in _CONNECTOR_IGNORE_SIGNATURES):
+        return "ignore"
+    if any(s in msg for s in _CONNECTOR_RETRY_SIGNATURES):
         return "retry"
     return "abort"
 
 
-def commit_with_taxonomy(tracker: CommitTracker, epoch_id: int, n: int, write, stats=None):
-    """Apply a commit attempt under the reference's error policy: ignore
-    shutdown races, keep the commit point pending on retryable errors (the
-    retry-keep behavior proven at ShardCheckpointTrackerTest.scala:98-118),
-    abort otherwise."""
+def commit_with_taxonomy(
+    tracker: CommitTracker,
+    epoch_id: int | None = None,
+    n: int | None = None,
+    write=None,
+    stats=None,
+):
+    """checkpointLastProcessedRecord + checkpointAndHandleErrors
+    (RecordProcessorImpl.scala:50-61, 212-241): attempt the pending commit
+    point under the reference's error policy.
+
+    Passing ``epoch_id``/``n`` first advances the pending point (new
+    progress since the last attempt); passing neither re-attempts the point
+    kept by a previous failure.  ``write`` runs BEFORE any tracker
+    mutation, so on failure:
+
+    - the triggers are cleared regardless (the reference's ``finally``,
+      proven at ShardCheckpointTrackerTest.scala:83-96), and
+    - the pending point is KEPT for the next attempt (retry-keep,
+      ShardCheckpointTrackerTest.scala:98-118); only a SUCCESSFUL write
+      records the commit and clears it.
+    """
+    if epoch_id is not None:
+        tracker.mark(epoch_id, n)
+    pending = tracker.pending
+    if pending is None:
+        return "nothing"  # "do nothing if no processed records" (T:45-55)
     try:
-        write(tracker.commit(epoch_id, n))
-        if stats is not None:
-            stats.checkpoint_acked(str(epoch_id))
-        return "committed"
+        write({**pending, "at": time.time()})
     except Exception as exc:  # noqa: BLE001 -- taxonomy decides
+        tracker.clear_triggers()
         kind = classify_commit_error(exc)
         if kind == "ignore":
             return "ignored"
         if kind == "retry":
             if stats is not None:
-                stats.checkpoint_delayed(str(epoch_id), exc)
+                stats.checkpoint_delayed(str(pending["epoch_id"]), exc)
             return "retry"
+        if stats is not None:
+            stats.checkpoint_failed(str(pending["epoch_id"]), exc)
         raise CommitAbort(str(exc)) from exc
+    tracker.commit(pending["epoch_id"], pending["n_records"])
+    if stats is not None:
+        stats.checkpoint_acked(str(pending["epoch_id"]))
+    return "committed"

@@ -72,7 +72,8 @@ def test_at_least_once_no_commit_on_failure(spark):
 def test_no_guarantees_commits_before_processing(spark):
     # mark-before-process (README.md:61-95): commit recorded even though
     # processing then fails.
-    t = CommitTracker()
+    t = CommitTracker(ShardCheckpointConfig(checkpoint_period_seconds=1e9,
+                                            checkpoint_after_processing_nr_of_records=1))
 
     def boom(df, e):
         raise RuntimeError("processing failed")
@@ -82,6 +83,20 @@ def test_no_guarantees_commits_before_processing(spark):
         with pytest.raises(RuntimeError):
             cb(spark.range(3), 0)
         assert [c["epoch_id"] for c in read_commits(d)] == [0]
+
+
+def test_no_guarantees_respects_cadence(spark):
+    # "What's wrong" r2 #6: the reference applies the SAME C3 cadence in
+    # both sink modes -- only the ack/process ordering differs.  Below the
+    # count threshold, no-guarantees must NOT write a commit every batch.
+    t = CommitTracker(ShardCheckpointConfig(checkpoint_period_seconds=1e9,
+                                            checkpoint_after_processing_nr_of_records=10))
+    with tempfile.TemporaryDirectory() as d:
+        cb = committing_foreach_batch(lambda df, e: None, t, d, mode="no-guarantees")
+        cb(spark.range(3), 0)  # 3 < 10: below cadence
+        assert read_commits(d) == []
+        cb(spark.range(8), 1)  # cumulative 11 >= 10: fires
+        assert [c["epoch_id"] for c in read_commits(d)] == [1]
 
 
 def test_config_parsing_and_reader_options():
@@ -174,14 +189,36 @@ def test_stats_query_listener_bridges_progress(spark, tmp_path):
 def test_commit_error_taxonomy():
     from kcl_akka_stream_spark.streaming.commit import (
         CommitAbort,
+        CommitShutdownRace,
+        CommitThrottled,
         CommitTracker,
         classify_commit_error,
         commit_with_taxonomy,
     )
 
-    assert classify_commit_error(RuntimeError("Query terminated by user")) == "ignore"
-    assert classify_commit_error(RuntimeError("Rate exceeded for shard")) == "retry"
+    # type-first, mirroring the reference's catch clauses
+    # (RecordProcessorImpl.scala:229-241)
+    assert classify_commit_error(CommitShutdownRace("lease gone")) == "ignore"
+    assert classify_commit_error(InterruptedError()) == "ignore"
+    assert classify_commit_error(CommitThrottled("slow down")) == "retry"
     assert classify_commit_error(TimeoutError("timed out")) == "retry"
+    assert classify_commit_error(ConnectionResetError("peer reset")) == "retry"
+    # known connector signatures (full java class names in py4j messages)
+    assert (
+        classify_commit_error(
+            RuntimeError("software.amazon.kinesis.exceptions.ShutdownException: raced")
+        )
+        == "ignore"
+    )
+    assert classify_commit_error(RuntimeError("Rate exceeded for shard")) == "retry"
+    assert (
+        classify_commit_error(RuntimeError("ProvisionedThroughputExceededException: x"))
+        == "retry"
+    )
+    # misclassification guard: generic words inside unrelated exceptions
+    # must NOT downgrade an abort
+    assert classify_commit_error(ValueError("user timeout parsing")) == "abort"
+    assert classify_commit_error(RuntimeError("writer stopped unexpectedly")) == "abort"
     assert classify_commit_error(ValueError("schema mismatch")) == "abort"
 
     t = CommitTracker()
@@ -197,7 +234,79 @@ def test_commit_error_taxonomy():
 
     assert commit_with_taxonomy(t, 1, 10, ok) == "committed"
     assert commit_with_taxonomy(t, 2, 10, throttled) == "retry"
-    import pytest as _pytest
-
-    with _pytest.raises(CommitAbort):
+    with pytest.raises(CommitAbort):
         commit_with_taxonomy(t, 3, 10, broken)
+
+
+def test_commit_retry_keeps_pending_point():
+    # ShardCheckpointTrackerTest.scala:98-118: a failing commit attempt
+    # rethrows/retries, but the commit POINT is kept -- the next attempt
+    # (with no new progress) re-commits the same point.
+    from kcl_akka_stream_spark.streaming.commit import CommitTracker, commit_with_taxonomy
+
+    t = CommitTracker(ShardCheckpointConfig(checkpoint_period_seconds=1e9,
+                                            checkpoint_after_processing_nr_of_records=2))
+    seen = []
+
+    def throttled(entry):
+        seen.append(entry["epoch_id"])
+        raise RuntimeError("Rate exceeded")
+
+    def ok(entry):
+        seen.append(entry["epoch_id"])
+
+    assert commit_with_taxonomy(t, 7, 2, throttled) == "retry"
+    assert t.commits == []  # nothing recorded
+    assert t.pending == {"epoch_id": 7, "n_records": 2}  # point kept
+    # re-attempt with NO new progress: same point re-committed (T:113-117)
+    assert commit_with_taxonomy(t, write=ok) == "committed"
+    assert seen == [7, 7]
+    assert [c["epoch_id"] for c in t.commits] == [7]
+    assert t.pending is None
+    # nothing pending -> "do nothing if no processed records" (T:45-55)
+    assert commit_with_taxonomy(t, write=ok) == "nothing"
+
+
+def test_commit_failure_clears_triggers_but_keeps_point():
+    # ShardCheckpointTrackerTest.scala:83-96: the failing attempt still
+    # clears the checkpoint triggers (the reference's `finally`), so
+    # shouldCheckpoint flips back to false until new records accumulate.
+    from kcl_akka_stream_spark.streaming.commit import CommitTracker, commit_with_taxonomy
+
+    t = CommitTracker(ShardCheckpointConfig(checkpoint_period_seconds=1e9,
+                                            checkpoint_after_processing_nr_of_records=2))
+    assert t.observe(2, now=0.0)  # trigger armed
+
+    def throttled(entry):
+        raise RuntimeError("Rate exceeded")
+
+    assert commit_with_taxonomy(t, 0, 2, throttled) == "retry"
+    assert not t.observe(1, now=0.0)  # triggers cleared by the failed attempt
+    assert t.pending is not None  # but the point survives
+
+
+def test_one_source_scan_per_epoch(spark):
+    # "What's wrong" r2 #4: committing_foreach_batch used to run count()
+    # AND process() against the raw batch lineage -- two source scans per
+    # epoch.  The batch is now persisted, so the map work runs once even
+    # though two actions consume it.  Witness: an accumulator inside the
+    # lineage.
+    t = CommitTracker(ShardCheckpointConfig(checkpoint_period_seconds=1e9,
+                                            checkpoint_after_processing_nr_of_records=1))
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        for i in it:
+            acc.add(1)
+            yield (i,)
+
+    rdd = spark.sparkContext.parallelize(range(100), 4).mapPartitions(bump)
+    # explicit schema: no driver-side sampling, so the accumulator counts
+    # exactly the executor-side scans
+    df = spark.createDataFrame(rdd, schema="id long")
+    processed = []
+    with tempfile.TemporaryDirectory() as d:
+        cb = committing_foreach_batch(lambda b, e: processed.append(b.count()), t, d)
+        cb(df, 0)
+    assert processed == [100]
+    assert acc.value == 100  # one scan, not 200
