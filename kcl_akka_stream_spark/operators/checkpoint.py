@@ -31,16 +31,29 @@ def checkpoint_frontier(
     Output per shard:
     - ``frontier_seq``: max seq with an all-processed prefix (NULL if the
       first record is unprocessed -- nothing checkpointable yet);
+    - ``checkpointable_count``: the contiguous processed prefix -- records
+      the next checkpoint WOULD cover; this is the reference's
+      ``processedButNotCheckpointedCount``, the population popProcessedRecords
+      feeds into the C3 count trigger (RecordProcessorImpl.scala:73-77);
     - ``processed_uncheckpointed_count``: processed records above the
-      frontier (RecordProcessorImpl.scala:34-37);
-    - ``in_flight_count``: unprocessed records still tracked
-      (RecordProcessorImpl.scala:30-33).
+      frontier, i.e. blocked behind a gap -- an engine-side gauge the
+      reference folds into nrOfInFlightRecords rather than exposing;
+    - ``in_flight_count``: unprocessed records still tracked.  NOTE the
+      divergence: the reference's nrOfInFlightRecords
+      (RecordProcessorImpl.scala:30-32) also counts the popped-but-
+      uncommitted prefix, which in this no-checkpoint-applied batch snapshot
+      would equal ALL rows; the unprocessed count is the informative gauge.
     """
     w = Window.partitionBy(shard_col).orderBy(seq_col).rowsBetween(Window.unboundedPreceding, 0)
     unproc_running = F.sum(F.when(F.col(processed_col), 0).otherwise(1)).over(w)
     with_prefix = df.withColumn("__unproc_before", unproc_running)
+    # a row with a zero running-unprocessed count is necessarily processed
+    # (its own flag is in the count), so unproc == 0 IS the contiguous prefix
     return with_prefix.groupBy(shard_col).agg(
         F.max(F.when(F.col("__unproc_before") == 0, F.col(seq_col))).alias("frontier_seq"),
+        F.sum(F.when(F.col("__unproc_before") == 0, 1).otherwise(0)).alias(
+            "checkpointable_count"
+        ),
         F.sum(
             F.when(F.col(processed_col) & (F.col("__unproc_before") > 0), 1).otherwise(0)
         ).alias("processed_uncheckpointed_count"),
@@ -58,11 +71,17 @@ def should_checkpoint(
     """C3 -- trigger = processed-count >= N or elapsed >= period
     (RecordProcessorImpl.scala:43-48; defaults reference.conf:5-9).
 
-    Count trigger is evaluated on the frontier table; the time trigger needs
-    an elapsed-seconds column when available (batch fixture) -- in streaming
-    the micro-batch trigger supplies it (streaming/commit.py).
+    The count trigger fires on ``checkpointable_count`` -- the contiguous
+    processed prefix, the same population the reference's
+    ``processedButNotCheckpointedCount`` accumulates via popProcessedRecords
+    (RecordProcessorImpl.scala:73-77).  A fully-processed gap-free backlog
+    of N records fires; N processed records stuck BEHIND a gap do not
+    (they cannot be checkpointed, so triggering on them would spin).  The
+    time trigger needs an elapsed-seconds column when available (batch
+    fixture) -- in streaming the micro-batch trigger supplies it
+    (streaming/commit.py).
     """
-    trig = F.col("processed_uncheckpointed_count") >= record_threshold
+    trig = F.col("checkpointable_count") >= record_threshold
     if elapsed_col is not None:
         trig = trig | (F.col(elapsed_col) >= period_seconds)
     return frontier.withColumn("should_checkpoint", trig)

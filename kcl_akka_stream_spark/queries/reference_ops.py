@@ -69,6 +69,8 @@ def envelope_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT shard_id,
            max(CASE WHEN unproc = 0 THEN seq END) AS frontier_seq,
+           CAST(sum(CASE WHEN unproc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS checkpointable_count,
            CAST(sum(CASE WHEN processed AND unproc > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS processed_uncheckpointed_count,
            CAST(sum(CASE WHEN processed THEN 0 ELSE 1 END) AS BIGINT) AS in_flight_count

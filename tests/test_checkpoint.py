@@ -55,16 +55,32 @@ def test_per_shard_independence(spark):
     assert out["c"].frontier_seq == 1
 
 
-def test_count_trigger(spark):
-    # :26-33 -- count trigger fires at the record threshold.
-    rows = [("s", 0, False)] + [("s", i, True) for i in range(1, 12)]
+def test_count_trigger_gap_free_backlog_fires(spark):
+    # :26-33 -- the count trigger fires on the CHECKPOINTABLE contiguous
+    # prefix (processedButNotCheckpointedCount via popProcessedRecords,
+    # RecordProcessorImpl.scala:73-77): a fully-processed gap-free backlog
+    # of 11 records fires at threshold 10.
+    rows = [("s", i, True) for i in range(11)]
     df = spark.createDataFrame(rows, "shard_id string, seq long, processed boolean")
     out = should_checkpoint(checkpoint_frontier(df), record_threshold=10).collect()[0]
-    assert out.processed_uncheckpointed_count == 11
+    assert out.checkpointable_count == 11
     assert bool(out.should_checkpoint)
 
     out2 = should_checkpoint(checkpoint_frontier(df), record_threshold=100).collect()[0]
     assert not bool(out2.should_checkpoint)
+
+
+def test_count_trigger_gap_blocked_backlog_does_not_fire(spark):
+    # The inverse case (r2 "What's wrong" #3): 11 processed records stuck
+    # BEHIND an unprocessed head cannot be checkpointed, so the trigger must
+    # NOT fire on them -- the population is the prefix, not the gap-blocked
+    # pile-up.
+    rows = [("s", 0, False)] + [("s", i, True) for i in range(1, 12)]
+    df = spark.createDataFrame(rows, "shard_id string, seq long, processed boolean")
+    out = should_checkpoint(checkpoint_frontier(df), record_threshold=10).collect()[0]
+    assert out.checkpointable_count == 0
+    assert out.processed_uncheckpointed_count == 11
+    assert not bool(out.should_checkpoint)
 
 
 def test_window_query_matches_tracker_scan_randomized(spark):
