@@ -104,19 +104,26 @@ def minhash_lsh_buckets(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def minhash_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_candidate_pairs(
+    buckets: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs (a<b) from shared LSH buckets.
 
     No self-join: group ids per (band, bucket) and emit ordered pairs
     map-side from the sorted array (same shape as ngram_jaccard_pairs) --
-    one shuffle to group, one for the final distinct.  A hot bucket still
-    fans its pair explosion out across the next stage instead of collapsing
-    one join reducer; at scale the standard guard is capping bucket size
-    (near-identical docs collide in EVERY band, so a cap loses only
-    already-found dup clusters)."""
+    one shuffle to group, one for the final distinct.
+
+    ``max_bucket_size`` is the 100 TB hot-bucket guard (the twin of
+    ngram_jaccard_pairs' ``max_doc_freq``): a bucket with more than this
+    many docs is boilerplate-driven and its pair fan-out is quadratic, so
+    it is dropped whole before pair generation.  Near-identical docs
+    collide in EVERY band, so the cap loses only dup clusters another band
+    already found.  Deterministic -> oracle-mirrorable."""
     grouped = buckets.groupBy("band", "bucket").agg(
         F.array_sort(F.collect_list(F.col(id_col))).alias("ds")
     ).filter(F.size("ds") > 1)
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ds") <= max_bucket_size)
     big = F.lit(1 << 30)
     pairs = grouped.select(
         F.explode(

@@ -171,14 +171,25 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    lsh_dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by a coarse key so the
-    self-join is per-block instead of O(n^2).  At scale the block key would
-    be an LSH bucket or IVF cell; the fixture's label column plays that role
-    deterministically."""
+    self-join is per-block instead of O(n^2).
+
+    ``lsh_dims`` is the 100 TB path: derive the blocking key from
+    ``sign_lsh_bucket`` (a map-only projection of the vector itself), so no
+    semantic column like the fixture's ``label`` is required -- near-dup
+    vectors land in the same sign bucket with high probability, and the
+    per-block join shrinks by the 2^dims bucket fan-out.  With
+    ``lsh_dims=None`` the given ``block_col`` is trusted as the key."""
     from kcl_akka_stream_spark.plans.hygiene import spread
 
     corpus = spread(corpus)
+    if lsh_dims is not None:
+        corpus = corpus.withColumn(
+            "__lsh_blk", sign_lsh_bucket(F.col(vec_col), lsh_dims)
+        )
+        block_col = "__lsh_blk"
     a = corpus.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
@@ -199,6 +210,7 @@ def brute_force_topk_vectorized(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """The wide-embedding scale path for exact top-k: Arrow-batched
     mapInPandas scoring with one numpy matmul per batch instead of a
@@ -208,14 +220,22 @@ def brute_force_topk_vectorized(
     Exactness is preserved by per-partition pre-pruning: each partition
     emits, per query, every row whose similarity >= its k-th best (ties
     INCLUDED), so the global window over ~partitions x Q x k candidate rows
-    reproduces the full-scan top-k bit-for-bit.  The query set is small by
-    contract and ships in the task closure (the pandas-side equivalent of
-    the broadcast in brute_force_topk)."""
+    reproduces the full-scan top-k bit-for-bit.  The query set ships in the
+    task closure (the pandas-side equivalent of the broadcast in
+    brute_force_topk); ``max_queries`` ENFORCES the small-by-contract claim
+    -- an oversized query set fails loudly before the driver collect
+    instead of OOMing the driver or silently shipping a giant closure."""
     import numpy as np
     import pandas as pd
 
     from kcl_akka_stream_spark.plans.hygiene import spread
 
+    n_queries = queries.limit(max_queries + 1).count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"brute_force_topk_vectorized: query set exceeds max_queries="
+            f"{max_queries}; partition the query set or use ivf_topk/lsh_topk"
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (Q, D)

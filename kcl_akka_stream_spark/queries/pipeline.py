@@ -49,7 +49,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(tbl(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+def _minhash_oracle(
+    num_hashes: int = 8, bands: int = 4, max_bucket_size: int | None = None
+) -> str:
     # Mirror of operators/dedup.py::minhash_signatures: two md5 digests per
     # shingle, each split into four 8-hex chunks -> 8 independent min-hashes.
     rows = num_hashes // bands
@@ -64,6 +66,15 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
             f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM mh"
         )
     bands_sql = "\n      UNION ALL ".join(band_selects)
+    cap_cte = ""
+    cap_join = ""
+    if max_bucket_size is not None:
+        cap_cte = f""",
+    kept AS (
+      SELECT band, bucket FROM b
+      GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND {max_bucket_size}
+    )"""
+        cap_join = "JOIN kept k ON k.band = a.band AND k.bucket = a.bucket"
     return f"""
     WITH {_SH_CTE},
     h AS (
@@ -76,9 +87,10 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     ),
     b AS (
       {bands_sql}
-    )
+    ){cap_cte}
     SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
     FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
+    {cap_join}
     WHERE a.doc_id < b2.doc_id
     """
 
@@ -90,6 +102,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
     return D.minhash_candidate_pairs(buckets)
+
+
+@query("dedup_minhash_lsh_capped", _minhash_oracle(max_bucket_size=3))
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB guardrail variant: buckets holding more than
+    # max_bucket_size docs are dropped whole before pair generation,
+    # bounding the quadratic fan-out of boilerplate-driven hot buckets
+    # (minhash_candidate_pairs docstring; twin of the jaccard df-cap).
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    return D.minhash_candidate_pairs(buckets, max_bucket_size=3)
 
 
 def _simhash_oracle(bits: int = 16) -> str:
@@ -354,6 +377,33 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(tbl(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def _emb_near_dup_lsh_oracle(bucket_dims: int = 4, threshold: float = 0.35) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {2**d} ELSE 0 END)"
+        for d in range(bucket_dims)
+    )
+    cos = _COS.format(a="a.v", b="b.v")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST({bucket} AS INT) AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({cos}, 6) >= {threshold}
+    """
+
+
+@query("emb_near_dup_lsh", _emb_near_dup_lsh_oracle())
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB variant (r2 "What's missing" #5): the blocking key is the
+    # sign-LSH bucket derived from the vector itself -- no semantic label
+    # column needed, the per-block self-join shrinks by the 2^dims bucket
+    # fan-out, and the key is a map-only projection (no extra shuffle).
+    return S.embedding_near_dup_pairs(
+        tbl(spark, sf_dir, "embeddings"), threshold=0.35, lsh_dims=4
+    )
 
 
 # ---------------------------------------------------------------------------
