@@ -26,17 +26,21 @@ HEADLINE = [
     "w_topk_per_group",
     # reference semantics
     "checkpoint_frontier",
-    # dedup family
+    # dedup family -- the capped variants are the 100 TB scale paths
+    # (bounded fan-out); the uncapped exact forms stay for comparability
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     # similarity search
     "sim_topk_bruteforce",
     "sim_topk_vectorized",
     "sim_topk_ivf",
     "sim_topk_lsh",
     "emb_near_dup",
+    "emb_near_dup_lsh",
     # text analysis + multimodal
     "text_quality",
     "text_langid",
@@ -69,19 +73,20 @@ def main() -> None:
         # nudge GC between queries so accumulated garbage from earlier plans
         # is not collected inside someone else's timed section
         spark.sparkContext._jvm.System.gc()
-        # best-of-2: single-pass local timings vary ~2x with JVM/GC noise;
-        # min is the standard steady-state estimator.
-        best = None
-        for _ in range(2):
+        # median-of-3: single-pass local timings vary ~2x with JVM/GC noise
+        # (r1/r2 identical code measured 27.1s vs 15.1s); the median is
+        # robust to a one-off GC pause in either direction.
+        times = []
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # noop sink materializes every output column (count() would let
             # Catalyst prune the computed projections away).
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        per_query[name] = round(best, 3)
-        print(f"# {name}: {per_query[name]:.3f}s", file=sys.stderr)
+            times.append(time.time() - t0)
+        per_query[name] = round(sorted(times)[1], 3)
+        print(f"# {name}: {per_query[name]:.3f}s (runs: "
+              f"{', '.join(f'{t:.3f}' for t in times)})", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
