@@ -141,6 +141,35 @@ def minhash_candidate_pairs(
     return pairs.select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")).distinct()
 
 
+def verify_candidate_jaccard(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Stage 2 of the canonical MinHash pipeline: exact Jaccard computed
+    ONLY for LSH candidate pairs (stage 1 = minhash_candidate_pairs).
+
+    Scale shape: the shingle sets ride as array columns and join to the
+    candidate pairs by doc id -- two hash joins keyed on the id (Catalyst
+    broadcasts the candidate side when it fits), then the set intersection
+    is a map-side ``array_intersect``.  Cost is |candidates| * shingle-set
+    size, never corpus x corpus; this is what makes LSH+verify the 100 TB
+    near-dup recipe."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__shs"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    jac = inter / union
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def _bit_predicate(position: int):
     highs = ("8", "9", "a", "b", "c", "d", "e", "f")
     return lambda h: F.substring(h, position, 1).isin(*highs)

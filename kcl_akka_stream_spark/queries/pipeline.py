@@ -566,6 +566,43 @@ def _clusters_oracle() -> str:
     """
 
 
+def _minhash_verified_oracle(threshold: float = 0.5) -> str:
+    mh = _minhash_oracle()
+    return f"""
+    WITH {_SH_CTE},
+    cands AS (SELECT * FROM ({mh})),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common), 6)
+          >= {threshold}
+    """
+
+
+@query("dedup_minhash_verified", _minhash_verified_oracle())
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The canonical two-stage near-dup recipe: LSH candidate generation
+    # (probabilistic, cheap) -> exact Jaccard verification on candidates
+    # only (operators/dedup.py::verify_candidate_jaccard).  Unlike
+    # dedup_ngram_jaccard this never enumerates all shingle-sharing pairs
+    # -- verification cost is |candidates|, the 100 TB recipe.
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    cands = D.minhash_candidate_pairs(buckets)
+    return D.verify_candidate_jaccard(docs, cands, k=3, threshold=0.5)
+
+
 @query("dedup_clusters", _clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The cluster->keeper step every dedup pipeline ends with: connected

@@ -258,3 +258,25 @@ def test_minhash_hot_bucket_cap(spark):
     }
     assert uncapped == 11
     assert capped == {(10, 11)}
+
+
+def test_verify_candidate_jaccard_only_scores_candidates(spark):
+    # Stage-2 verification: exact jaccard restricted to the candidate
+    # pairs; non-candidate pairs are never scored even when similar.
+    from kcl_akka_stream_spark.operators.dedup import verify_candidate_jaccard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # identical to 1
+            (4, "completely different text entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 4)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           verify_candidate_jaccard(docs, cands, threshold=0.3).collect()}
+    assert (1, 2) in got and 0.5 < got[(1, 2)] < 1.0  # one-word edit
+    assert (1, 4) not in got      # candidate but dissimilar -> filtered
+    assert (1, 3) not in got      # identical but NOT a candidate -> never scored

@@ -58,7 +58,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_simhash": 1,  # spread only -- fingerprint is map-only
         "dedup_exact": 1,  # one hash-shuffle on the digest
         "dedup_ngram_jaccard": 3,  # spread + shingle-group + pair-group
+        "dedup_ngram_jaccard_capped": 3,  # df-cap is a map-side filter: same budget
         "dedup_minhash_lsh": 4,  # spread + sig-agg + bucket-group + distinct
+        "dedup_minhash_lsh_capped": 4,  # bucket cap is a map-side filter: same budget
+        "emb_near_dup_lsh": 2,  # spread + one side of the bucket-blocked self-join
         "agg_salted_skew": 2,  # salted partial + final combine
         "q1_pricing_summary": 1,  # single agg shuffle
         "checkpoint_frontier": 2,  # window by shard + final agg

@@ -84,7 +84,13 @@ def main() -> None:
         "dedup_exact": lambda d: D.exact_dedup(d),
         "dedup_simhash": lambda d: D.simhash(d),
         "dedup_minhash_lsh": lambda d: D.minhash_candidate_pairs(D.minhash_lsh_buckets(d)),
+        "dedup_minhash_capped": lambda d: D.minhash_candidate_pairs(
+            D.minhash_lsh_buckets(d), max_bucket_size=3
+        ),
         "dedup_ngram_jaccard": lambda d: D.ngram_jaccard_pairs(d, threshold=0.5),
+        "dedup_jaccard_capped": lambda d: D.ngram_jaccard_pairs(
+            d, threshold=0.5, max_doc_freq=3
+        ),
         "text_rolling_fp": lambda d: X.rolling_fingerprint(d),
     }
     for name, op in ops.items():
@@ -95,9 +101,16 @@ def main() -> None:
     def knn(e):
         return S.brute_force_topk_vectorized(e, e.filter(F.col("vec_id") < 5), k=5)
 
-    t1 = timed(lambda: knn(emb1))
-    tn = timed(lambda: knn(emb_n))
-    print(f"{'sim_topk_vectorized':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+    def near_dup_lsh(e):
+        return S.embedding_near_dup_pairs(e, threshold=0.35, lsh_dims=4)
+
+    for name, op, frames in (
+        ("sim_topk_vectorized", knn, (emb1, emb_n)),
+        ("emb_near_dup_lsh", near_dup_lsh, (emb1, emb_n)),
+    ):
+        t1 = timed(lambda: op(frames[0]))
+        tn = timed(lambda: op(frames[1]))
+        print(f"{name:22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
 
 if __name__ == "__main__":
