@@ -774,7 +774,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
+    WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
     """,
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,7 +782,9 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_doc_freq docs are dropped before pair generation, bounding the
     # quadratic fan-out of boilerplate shingles.  Jaccard becomes a lower
     # bound (intersection restricted, sizes kept full); the cap is
-    # deterministic so the oracle mirrors it exactly.
+    # deterministic so the oracle mirrors it exactly.  Threshold matches
+    # the uncapped headline (0.8) so BENCH compares the cap's effect
+    # apples-to-apples.
     return D.ngram_jaccard_pairs(
-        tbl(spark, sf_dir, "documents"), k=3, threshold=0.3, max_doc_freq=3
+        tbl(spark, sf_dir, "documents"), k=3, threshold=0.8, max_doc_freq=3
     )
