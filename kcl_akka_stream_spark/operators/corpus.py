@@ -1,0 +1,118 @@
+"""Corpus-level training-data-pipeline operators over ``documents``.
+
+Beyond-reference extension (no counterpart in /root/reference).  The three
+ops every large-scale pretraining pipeline runs between dedup and export:
+
+- PII redaction (map-only regexp rewrite, counts as audit columns);
+- token-budget packing (assign docs to fixed-token-budget shards -- the
+  step that turns a cleaned corpus into trainer-shaped output);
+- benchmark decontamination (drop/flag docs sharing n-grams with an
+  evaluation set -- the hygiene gate before training).
+
+All deterministic and built-in-expression-only, so every op has an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kcl_akka_stream_spark.operators.dedup import shingles
+
+#: Conservative matchers shared with the DuckDB oracle (RE2/Java-compatible).
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONG_NUMBER_PATTERN = "[0-9]{7,}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Map-only PII scrub: emails -> ``<EMAIL>``, 7+-digit runs (phone /
+    account numbers) -> ``<NUM>``, with per-doc match counts as audit
+    columns.  Pure regexp_replace/extract_all -- whole-stage codegen, zero
+    shuffle, embarrassingly parallel at any scale."""
+    txt = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(txt, F.lit(EMAIL_PATTERN), 0))
+    n_numbers = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(txt, EMAIL_PATTERN, "<EMAIL>"),
+            F.lit(LONG_NUMBER_PATTERN),
+            0,
+        )
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(txt, EMAIL_PATTERN, "<EMAIL>"),
+        LONG_NUMBER_PATTERN,
+        "<NUM>",
+    )
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted_text"),
+        n_emails.cast("int").alias("n_emails"),
+        n_numbers.cast("int").alias("n_numbers"),
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget shards: within each stratum
+    (ordered by id) a doc's shard is ``floor(tokens_before / budget)`` --
+    the deterministic continuous-packing rule, so shard boundaries are
+    reproducible across engines and runs.
+
+    Scale shape: ONE window partitioned by the stratum column -- packing
+    parallelizes across strata (a global pack order would serialize the
+    whole corpus through one reducer; per-stratum is how production
+    pipelines shard anyway: per language / source / domain)."""
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(F.col(id_col), F.col(stratum_col), n_tok.alias("n_tokens"))
+        .withColumn("tokens_before", cum_before.cast("long"))
+        .withColumn(
+            "pack_id", F.floor(F.col("tokens_before") / F.lit(budget)).cast("long")
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus doc sharing at least
+    one word ``k``-gram with the evaluation set, with the shared-gram count
+    as evidence.
+
+    Scale shape: the eval set's distinct k-grams are SMALL (benchmarks are
+    thousands of items, not billions) -- broadcast them; the corpus side
+    explodes its k-grams map-side and the broadcast hash join + count is
+    one shuffle keyed by doc.  The corpus never self-joins and never
+    shuffles its text."""
+    corpus_grams = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("gram")
+    )
+    eval_grams = (
+        eval_df.select(F.explode(shingles(F.col(text_col), k)).alias("gram"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), on="gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

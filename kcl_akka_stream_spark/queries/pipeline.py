@@ -788,3 +788,112 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         tbl(spark, sf_dir, "documents"), k=3, threshold=0.8, max_doc_freq=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus export surface: redact -> pack -> decontaminate
+# ---------------------------------------------------------------------------
+from kcl_akka_stream_spark.operators import corpus as C  # noqa: E402
+
+
+def _redact_oracle() -> str:
+    em, num = C.EMAIL_PATTERN, C.LONG_NUMBER_PATTERN
+    # same deterministic PII injection as the query body (the fixture text
+    # contains no PII, so the op would otherwise be a no-op pass)
+    inject = (
+        "text || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com ref 12345678' ELSE '' END"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {inject} AS text FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{em}', '<EMAIL>', 'g'),
+                          '{num}', '<NUM>', 'g') AS redacted_text,
+           CAST(len(regexp_extract_all(text, '{em}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(
+                regexp_replace(text, '{em}', '<EMAIL>', 'g'), '{num}')) AS INT)
+             AS n_numbers
+    FROM t
+    """
+
+
+@query("text_redact_pii", _redact_oracle())
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map-only PII scrub (operators/corpus.py::redact_pii).  The fixture
+    # text carries no PII, so the query injects a deterministic email +
+    # account number on every 7th doc (oracle mirrors the injection) --
+    # the redaction path is genuinely exercised, not a no-op.
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com ref 12345678"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return C.redact_pii(docs)
+
+
+def _pack_oracle(budget: int = 256) -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '{TOK}')) AS INT) AS n_tokens
+      FROM documents),
+    p AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM t)
+    SELECT doc_id, lang, n_tokens, tokens_before,
+           CAST(floor(tokens_before / {budget}.0) AS BIGINT) AS pack_id
+    FROM p
+    """
+
+
+@query("pipeline_pack_tokens", _pack_oracle())
+def pipeline_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-budget packing (operators/corpus.py::pack_token_budget): docs
+    # are assigned to 256-token shards per language stratum -- the
+    # trainer-shaped export step.  One window per stratum; packing
+    # parallelizes across strata.
+    return C.pack_token_budget(tbl(spark, sf_dir, "documents"), budget=256)
+
+
+def _decontaminate_oracle(k: int = 5, modulus: int = 97) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(t) >= {k}
+             THEN [array_to_string(list_slice(t, i, i + {k - 1}), ' ')
+                   FOR i IN generate_series(1, len(t) - {k - 1})]
+             ELSE [array_to_string(t, ' ')] END) AS gram
+      FROM toks
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {modulus} = 0)
+    SELECT g.doc_id, count(*) AS n_shared_grams
+    FROM g JOIN ev ON g.gram = ev.gram
+    GROUP BY g.doc_id
+    """
+
+
+@query("pipeline_decontaminate", _decontaminate_oracle())
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination (operators/corpus.py::decontaminate): flag
+    # corpus docs sharing any word 5-gram with the eval set (deterministic
+    # fixture eval set: doc_id % 97 == 0).  Eval grams broadcast; the
+    # corpus never self-joins.
+    docs = tbl(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return C.decontaminate(docs, eval_df, k=5)

@@ -280,3 +280,57 @@ def test_verify_candidate_jaccard_only_scores_candidates(spark):
     assert (1, 2) in got and 0.5 < got[(1, 2)] < 1.0  # one-word edit
     assert (1, 4) not in got      # candidate but dissimilar -> filtered
     assert (1, 3) not in got      # identical but NOT a candidate -> never scored
+
+
+def test_redact_pii(spark):
+    from kcl_akka_stream_spark.operators.corpus import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call 12345678901 now"),
+            (2, "clean text, short number 123 kept"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].redacted_text == "mail me at <EMAIL> or call <NUM> now"
+    assert (got[1].n_emails, got[1].n_numbers) == (1, 1)
+    assert got[2].redacted_text == "clean text, short number 123 kept"
+    assert (got[2].n_emails, got[2].n_numbers) == (0, 0)
+
+
+def test_pack_token_budget_strata_and_boundaries(spark):
+    from kcl_akka_stream_spark.operators.corpus import pack_token_budget
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b c d"),        # 4 tokens, before=0  -> pack 0
+            (2, "en", "e f g"),          # 3 tokens, before=4  -> pack 0
+            (3, "en", "h i j k l"),      # 5 tokens, before=7  -> pack 1
+            (4, "de", "x y z"),          # separate stratum restarts at 0
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {r.doc_id: (r.tokens_before, r.pack_id) for r in
+           pack_token_budget(docs, budget=5, stratum_col="lang").collect()}
+    assert got == {1: (0, 0), 2: (4, 0), 3: (7, 1), 4: (0, 0)}
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from kcl_akka_stream_spark.operators.corpus import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different document about spark plans"),
+            (3, "quick brown fox jumps over the lazy dog again"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared_grams for r in decontaminate(corpus, eval_df, k=5).collect()}
+    assert 1 in got and 3 in got  # doc 3 shares the 5-gram window tail
+    assert 2 not in got
