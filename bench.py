@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
+    "dedup_minhash_verified",
     # similarity search
     "sim_topk_bruteforce",
     "sim_topk_vectorized",
@@ -45,8 +46,11 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "multimodal_features",
-    # end-to-end pipeline composition
+    # end-to-end pipeline composition + corpus export
     "pipeline_clean_corpus",
+    "text_redact_pii",
+    "pipeline_pack_tokens",
+    "pipeline_decontaminate",
     # streaming representative
     "stream_tumbling_agg",
 ]

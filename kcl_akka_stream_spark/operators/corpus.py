@@ -104,7 +104,12 @@ def decontaminate(
     explodes its k-grams map-side and the broadcast hash join + count is
     one shuffle keyed by doc.  The corpus never self-joins and never
     shuffles its text."""
-    corpus_grams = df.select(
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    # spread(): the k-gram slicing is an interpreted higher-order function;
+    # without a parallelism floor it runs on however few partitions the
+    # scan produced (the round-1 rolling_fingerprint lesson).
+    corpus_grams = spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("gram")
     )
     eval_grams = (

@@ -62,6 +62,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_minhash_lsh": 4,  # spread + sig-agg + bucket-group + distinct
         "dedup_minhash_lsh_capped": 4,  # bucket cap is a map-side filter: same budget
         "emb_near_dup_lsh": 2,  # spread + one side of the bucket-blocked self-join
+        "text_redact_pii": 0,  # map-only regexp rewrite
+        "pipeline_pack_tokens": 1,  # one window shuffle keyed by stratum
+        "pipeline_decontaminate": 3,  # spread + gram-explode side + final per-doc agg
+        "dedup_minhash_verified": 4,  # candidate gen only; verify joins broadcast
         "agg_salted_skew": 2,  # salted partial + final combine
         "q1_pricing_summary": 1,  # single agg shuffle
         "checkpoint_frontier": 2,  # window by shard + final agg
