@@ -1,0 +1,69 @@
+"""Distinct-count sketching: a deterministic KMV (k-minimum-values) sketch.
+
+Beyond-reference extension (no counterpart in /root/reference).  The
+classic KMV/theta-sketch estimator: hash every value to (0,1), keep the k
+smallest distinct hashes per group, estimate ``n_distinct ~ (k-1)/h_(k)``
+where ``h_(k)`` is the k-th smallest hash.  Unlike HyperLogLog
+implementations (whose register layouts differ across engines), KMV over
+md5 is ENGINE-PORTABLE: the same hashes, the same k-th minimum, the same
+estimate bit-for-bit -- so the DuckDB oracle can verify it exactly.
+
+Scale shape: the (group, hash) distinct is one map-side-combinable
+shuffle; ranking the k smallest per group is a window over the surviving
+distinct hashes.  At 100 TB the distinct pre-aggregation is the standard
+first stage of any sketch rollup; a production variant would fold the
+k-min set associatively in a UDAF, but the relational form keeps the
+whole plan in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash01(col: Column) -> Column:
+    """md5 -> uniform fraction in (0,1): first 8 hex chars / 2^32.
+    Deterministic and reproducible in DuckDB with the same arithmetic."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 32))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Output: ``(group_col, n_exact_kept, kth_min, est_distinct)`` where
+    ``est_distinct = (k-1)/kth_min`` when the group has >= k distinct
+    values, else the exact distinct count (the sketch is exact below k --
+    the standard KMV small-set rule).  Rounded to 4 dp for stable
+    cross-engine hashing."""
+    hashed = df.select(
+        F.col(group_col), _hash01(F.col(value_col)).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("__h")
+    ranked = hashed.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k)
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_kept"),
+            F.max("__h").alias("kth_min"),
+        )
+        .select(
+            F.col(group_col),
+            F.col("n_exact_kept").cast("long").alias("n_exact_kept"),
+            F.round(F.col("kth_min"), 10).alias("kth_min"),
+            F.round(
+                F.when(
+                    F.col("n_exact_kept") >= k,
+                    (F.lit(k - 1) / F.col("kth_min")),
+                ).otherwise(F.col("n_exact_kept").cast("double")),
+                4,
+            ).alias("est_distinct"),
+        )
+    )

@@ -897,3 +897,44 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     return C.decontaminate(docs, eval_df, k=5)
+
+
+def _kmv_oracle(k: int = 64) -> str:
+    # md5 first-8-hex-chars -> uniform fraction, reproduced digit-by-digit
+    # (strpos arithmetic) so the estimate matches Spark bit-for-bit.
+    return f"""
+    WITH h0 AS (
+      SELECT DISTINCT event_type,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS h8
+      FROM events),
+    h AS (
+      SELECT event_type,
+             list_sum([(strpos('0123456789abcdef', substr(h8, i, 1)) - 1)
+                       * power(16, 8 - i)
+                       FOR i IN generate_series(1, 8)]) / 4294967296.0 AS hv
+      FROM h0),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h),
+    agg AS (
+      SELECT event_type, count(*) AS n_exact_kept, max(hv) AS kth
+      FROM r WHERE rn <= {k} GROUP BY event_type)
+    SELECT event_type,
+           CAST(n_exact_kept AS BIGINT) AS n_exact_kept,
+           round(kth, 10) AS kth_min,
+           round(CASE WHEN n_exact_kept >= {k} THEN {k - 1}.0 / kth
+                      ELSE CAST(n_exact_kept AS DOUBLE) END, 4) AS est_distinct
+    FROM agg
+    """
+
+
+@query("agg_kmv_distinct", _kmv_oracle())
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic KMV distinct-count sketch (operators/sketches.py):
+    # distinct users per event type, estimated from the 64 smallest md5
+    # fractions per group.  Engine-portable by construction, so the oracle
+    # verifies the ESTIMATE exactly -- not just row counts.
+    from kcl_akka_stream_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(tbl(spark, sf_dir, "events"), "event_type", "user_id", k=64)

@@ -334,3 +334,19 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     got = {r.doc_id: r.n_shared_grams for r in decontaminate(corpus, eval_df, k=5).collect()}
     assert 1 in got and 3 in got  # doc 3 shares the 5-gram window tail
     assert 2 not in got
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    from kcl_akka_stream_spark.operators.sketches import kmv_distinct
+
+    rows = [("small", v) for v in range(10) for _ in range(3)] + [
+        ("big", v) for v in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    got = {r.grp: r for r in kmv_distinct(df, "grp", "val", k=64).collect()}
+    # below k the sketch IS the exact distinct count (duplicates collapse)
+    assert got["small"].n_exact_kept == 10
+    assert got["small"].est_distinct == 10.0
+    # above k: (k-1)/kth_min lands within ~25% of 5000 for k=64
+    assert got["big"].n_exact_kept == 64
+    assert 3750 < got["big"].est_distinct < 6250
