@@ -77,6 +77,13 @@ from kcl_akka_stream_spark.operators.text import (
     rolling_fingerprint,
     token_count,
 )
+from kcl_akka_stream_spark.operators.corpus import (
+    decontaminate,
+    pack_token_budget,
+    redact_pii,
+)
+from kcl_akka_stream_spark.operators.dedup import verify_candidate_jaccard
+from kcl_akka_stream_spark.operators.sketches import kmv_distinct
 
 __all__ = [
     "UnexpectedMessageSequence",
@@ -90,6 +97,7 @@ __all__ = [
     "connected_components",
     "cosine",
     "counts",
+    "decontaminate",
     "dedup_and_group_by_key",
     "demux_process_remux",
     "embedding_near_dup_pairs",
@@ -103,6 +111,7 @@ __all__ = [
     "intersect_all",
     "ivf_topk",
     "keyed_ordered_write",
+    "kmv_distinct",
     "lang_id",
     "lsh_topk",
     "merge",
@@ -111,7 +120,9 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "ordered_effect_per_key",
+    "pack_token_budget",
     "quality_score",
+    "redact_pii",
     "range_join_bucketed",
     "remove_reprocessed",
     "resize_images",
@@ -123,6 +134,7 @@ __all__ = [
     "shard_stats",
     "simhash",
     "token_count",
+    "verify_candidate_jaccard",
     "ack_passthrough",
     "decode_json_payload",
     "decode_payload",
