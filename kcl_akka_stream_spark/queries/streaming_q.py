@@ -305,3 +305,63 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("err_id"))
         .agg(F.count(F.lit(1)).alias("n_clicks_before"))
     )
+
+
+@query(
+    "stream_committed_sink",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def stream_committed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.3 C3/C4 end-to-end under the gate: a real stream drains through
+    # committing_foreach_batch (at-least-once: process THEN record the
+    # commit; write-before-mutate C4 discipline) into a parquet sink, with
+    # the commit log carrying one entry per micro-batch at cadence N=1.
+    # The gate then verifies the sink holds exactly the source events --
+    # the reference's "received == sent" acceptance
+    # (IT/KinesisSourceTest.scala:52-68) with the commit machinery in the
+    # loop.
+    from kcl_akka_stream_spark.config import ShardCheckpointConfig
+    from kcl_akka_stream_spark.sources.batch import stream_events
+    from kcl_akka_stream_spark.streaming.commit import (
+        CommitTracker,
+        committing_foreach_batch,
+        read_commits,
+    )
+
+    base = tempfile.mkdtemp(prefix="kcl_spark_commit_sink_")
+    sink_dir = os.path.join(base, "sink")
+    commit_dir = os.path.join(base, "commits")
+    try:
+        tracker = CommitTracker(
+            ShardCheckpointConfig(
+                checkpoint_period_seconds=1e9,
+                checkpoint_after_processing_nr_of_records=1,
+            )
+        )
+
+        def process(batch_df, epoch_id):
+            batch_df.select("event_id", "user_id", "event_type").write.mode(
+                "append"
+            ).parquet(sink_dir)
+
+        cb = committing_foreach_batch(process, tracker, commit_dir)
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(cb)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        commits = read_commits(commit_dir)
+        if not commits:
+            raise AssertionError("commit log empty: cadence machinery did not run")
+        # materialize before the temp dir is removed
+        rows = spark.read.parquet(sink_dir).collect()
+        return spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

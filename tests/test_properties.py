@@ -124,3 +124,49 @@ def test_salted_aggregate_equivalence(spark, rows, n_salts):
         n, t = want.get(k, (0, 0))
         want[k] = (n + 1, t + v)
     assert got == want
+
+
+# --- compacted tracker vs full-history scan ---------------------------------
+# Under per-shard in-order delivery (the Kinesis contract the reference
+# relies on), iterating the COMPACTING _advance over any batch split must
+# emit exactly what the full-history _frontier computes -- and the retained
+# state must equal the un-acked window.
+
+
+@st.composite
+def ordered_batches(draw):
+    n = draw(st.integers(min_value=0, max_value=25))
+    procs = draw(st.lists(st.booleans(), min_size=n, max_size=n))
+    # split [0..n) into contiguous batches (in-order delivery)
+    cuts = sorted(draw(st.lists(st.integers(0, n), max_size=4)))
+    bounds = [0] + [c for c in cuts if 0 < c < n] + [n]
+    batches = [
+        list(range(a, b)) for a, b in zip(bounds, bounds[1:]) if a < b
+    ]
+    return procs, batches
+
+
+@given(ordered_batches())
+@settings(max_examples=300, deadline=None)
+def test_advance_iterated_matches_full_history(case):
+    from kcl_akka_stream_spark.streaming.tracker import _NO_FRONTIER, _advance, _frontier
+
+    procs, batches = case
+    frontier, seqs_kept, procs_kept = _NO_FRONTIER, [], []
+    out = None
+    for batch in batches:
+        frontier, seqs_kept, procs_kept, behind, in_flight = _advance(
+            frontier,
+            seqs_kept + batch,
+            procs_kept + [procs[s] for s in batch],
+        )
+        out = (None if frontier == _NO_FRONTIER else frontier, behind, in_flight)
+        # retained state IS the un-acked window: first unprocessed delivered
+        # seq and everything delivered after it
+        delivered = list(range(batch[-1] + 1))
+        first_unproc = next((s for s in delivered if not procs[s]), None)
+        window = [] if first_unproc is None else [s for s in delivered if s >= first_unproc]
+        assert seqs_kept == window
+    if out is not None:
+        all_seqs = [s for b in batches for s in b]
+        assert out == _frontier(all_seqs, [procs[s] for s in all_seqs])
