@@ -67,3 +67,51 @@ def kmv_distinct(
             ).alias("est_distinct"),
         )
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch STATE: the sorted k smallest distinct hashes as
+    an array column -- the mergeable representation (union two states, keep
+    the k smallest, estimate as usual)."""
+    hashed = df.select(
+        F.col(group_col), _hash01(F.col(value_col)).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("__h")
+    return (
+        hashed.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .groupBy(group_col)
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmins"))
+    )
+
+
+def kmv_merge_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge per-group sketch states into ONE global estimate.
+
+    EXACTLY equals the sketch built from the raw data: any hash among the
+    global k smallest has fewer than k hashes below it globally, hence
+    fewer within its own group -- so it survives into that group's state
+    and into the merged union.  That closure property is what makes KMV a
+    valid partial aggregate: shuffle G*k array entries, never the raw
+    values.  The single-partition ranking window is safe by construction
+    (input is <= groups * k rows -- sketch state, not data)."""
+    ex = sketches.select(F.explode("kmins").alias("__h")).distinct()
+    w = Window.orderBy("__h")
+    top = ex.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k)
+    return top.agg(
+        F.count(F.lit(1)).alias("n_exact_kept"), F.max("__h").alias("kth_min")
+    ).select(
+        F.col("n_exact_kept").cast("long").alias("n_exact_kept"),
+        F.round(F.col("kth_min"), 10).alias("kth_min"),
+        F.round(
+            F.when(
+                F.col("n_exact_kept") >= k, F.lit(k - 1) / F.col("kth_min")
+            ).otherwise(F.col("n_exact_kept").cast("double")),
+            4,
+        ).alias("est_distinct"),
+    )

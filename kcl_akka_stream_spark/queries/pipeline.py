@@ -938,3 +938,38 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcl_akka_stream_spark.operators.sketches import kmv_distinct
 
     return kmv_distinct(tbl(spark, sf_dir, "events"), "event_type", "user_id", k=64)
+
+
+def _kmv_merged_oracle(k: int = 64) -> str:
+    # Direct GLOBAL sketch over the raw data -- the merge of the per-group
+    # states must equal this exactly (closure property, see
+    # operators/sketches.py::kmv_merge_estimate).
+    return f"""
+    WITH h0 AS (
+      SELECT DISTINCT substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS h8 FROM events),
+    h AS (
+      SELECT list_sum([(strpos('0123456789abcdef', substr(h8, i, 1)) - 1)
+                       * power(16, 8 - i)
+                       FOR i IN generate_series(1, 8)]) / 4294967296.0 AS hv
+      FROM h0),
+    r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+    agg AS (SELECT count(*) AS n_exact_kept, max(hv) AS kth FROM r WHERE rn <= {k})
+    SELECT CAST(n_exact_kept AS BIGINT) AS n_exact_kept,
+           round(kth, 10) AS kth_min,
+           round(CASE WHEN n_exact_kept >= {k} THEN {k - 1}.0 / kth
+                      ELSE CAST(n_exact_kept AS DOUBLE) END, 4) AS est_distinct
+    FROM agg
+    """
+
+
+@query("agg_kmv_merged", _kmv_merged_oracle())
+def agg_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sketch MERGEABILITY under the gate: per-event-type KMV states are
+    # merged into one global distinct-users estimate, and the oracle
+    # computes the global sketch directly from raw data -- the two must
+    # match bit-for-bit (the partial-aggregate property that lets sketches
+    # roll up map-side at 100 TB).
+    from kcl_akka_stream_spark.operators.sketches import kmv_merge_estimate, kmv_sketch
+
+    states = kmv_sketch(tbl(spark, sf_dir, "events"), "event_type", "user_id", k=64)
+    return kmv_merge_estimate(states, k=64)

@@ -350,3 +350,23 @@ def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
     # above k: (k-1)/kth_min lands within ~25% of 5000 for k=64
     assert got["big"].n_exact_kept == 64
     assert 3750 < got["big"].est_distinct < 6250
+
+
+def test_kmv_merge_equals_direct_global_sketch(spark):
+    # The closure property: merging per-group sketch states must reproduce
+    # the global sketch exactly (partial-aggregate validity).
+    from kcl_akka_stream_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_merge_estimate,
+        kmv_sketch,
+    )
+
+    rows = [(f"g{v % 3}", v % 700) for v in range(4000)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    direct = kmv_distinct(df.withColumn("grp", F.lit("all")), "grp", "val", k=32).collect()[0]
+    merged = kmv_merge_estimate(kmv_sketch(df, "grp", "val", k=32), k=32).collect()[0]
+    assert (merged.n_exact_kept, merged.kth_min, merged.est_distinct) == (
+        direct.n_exact_kept,
+        direct.kth_min,
+        direct.est_distinct,
+    )
