@@ -79,40 +79,55 @@ from kcl_akka_stream_spark.operators.text import (
 )
 from kcl_akka_stream_spark.operators.corpus import (
     decontaminate,
+    dedup_segments,
     pack_token_budget,
     redact_pii,
 )
 from kcl_akka_stream_spark.operators.dedup import verify_candidate_jaccard
+from kcl_akka_stream_spark.operators.quality import (
+    gopher_quality_flags,
+    repetition_metrics,
+    structural_metrics,
+)
 from kcl_akka_stream_spark.operators.sketches import kmv_distinct
 
 __all__ = [
     "UnexpectedMessageSequence",
+    "ack_passthrough",
     "anti_join",
     "asof_join",
+    "bpe_token_count",
     "brute_force_topk",
     "brute_force_topk_vectorized",
-    "bpe_token_count",
     "checkpoint_frontier",
     "compact_parquet_dir",
     "connected_components",
     "cosine",
     "counts",
+    "decode_json_payload",
+    "decode_payload",
     "decontaminate",
     "dedup_and_group_by_key",
+    "dedup_segments",
     "demux_process_remux",
     "embedding_near_dup_pairs",
     "equi_join",
     "exact_dedup",
     "except_all",
     "extract_features",
+    "filter_bootstrap",
     "fingerprint",
+    "flatten",
     "frame_sample",
+    "gopher_quality_flags",
     "group_by_key",
+    "grouped",
     "intersect_all",
     "ivf_topk",
     "keyed_ordered_write",
     "kmv_distinct",
     "lang_id",
+    "limit_n",
     "lsh_topk",
     "merge",
     "minhash_candidate_pairs",
@@ -122,27 +137,22 @@ __all__ = [
     "ordered_effect_per_key",
     "pack_token_budget",
     "quality_score",
-    "redact_pii",
     "range_join_bucketed",
+    "redact_pii",
     "remove_reprocessed",
+    "repetition_metrics",
     "resize_images",
     "rolling_fingerprint",
     "salted_aggregate",
     "salted_join",
     "semi_join",
+    "sessionize",
     "set_decoder",
+    "shard_order",
     "shard_stats",
     "simhash",
+    "structural_metrics",
     "token_count",
-    "verify_candidate_jaccard",
-    "ack_passthrough",
-    "decode_json_payload",
-    "decode_payload",
-    "filter_bootstrap",
-    "flatten",
-    "grouped",
-    "limit_n",
-    "sessionize",
-    "shard_order",
     "top_k_per_group",
+    "verify_candidate_jaccard",
 ]

@@ -88,6 +88,72 @@ def pack_token_budget(
     )
 
 
+def dedup_segments(
+    df: DataFrame,
+    seg_tokens: int = 3,
+    max_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate removal (the C4 line-dedup rule, Raffel et
+    al. 2020): split each document into consecutive ``seg_tokens``-token
+    segments (the fixture corpus is single-line, so fixed token windows
+    stand in for lines), drop every segment occurring in more than
+    ``max_doc_freq`` documents corpus-wide, and reassemble the surviving
+    text in original order.
+
+    Scale shape: posexplode → document-frequency agg keyed by segment
+    (map-side combinable) → one join back on segment → one groupBy doc to
+    reassemble.  Shuffle volume is O(corpus tokens); nothing quadratic.
+    The reassembly collect_list is per-document (bounded by doc length),
+    never per-corpus."""
+    from kcl_akka_stream_spark.operators.text import tokens
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    toks = tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # spread(): segment slicing is an interpreted higher-order function.
+    ex = spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    seg_df = ex.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("seg_doc_freq")
+    )
+    kept_flag = F.col("seg_doc_freq") <= max_doc_freq
+    return (
+        ex.join(seg_df, "seg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_seg_total"),
+            F.sum(kept_flag.cast("long")).alias("n_seg_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                kept_flag,
+                                F.struct(F.col("pos"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("seg"),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(id_col, "clean_text", "n_seg_total", "n_seg_kept")
+    )
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,

@@ -973,3 +973,108 @@ def agg_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     states = kmv_sketch(tbl(spark, sf_dir, "events"), "event_type", "user_id", k=64)
     return kmv_merge_estimate(states, k=64)
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter family (Gopher/C4 rules) + corpus boilerplate removal
+# ---------------------------------------------------------------------------
+from kcl_akka_stream_spark.operators import quality as Q  # noqa: E402
+
+
+def _quality_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t FROM documents),
+    base AS (
+      SELECT doc_id, CAST(len(t) AS INT) AS n_words,
+             round(CAST(list_sum([len(x) FOR x IN t]) AS DOUBLE)
+                   / greatest(len(t), 1), 4) AS mean_word_len,
+             round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / greatest(len(t), 1), 6) AS frac_alpha_words
+      FROM toks),
+    bg AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 2
+             THEN [array_to_string(list_slice(t, i, i + 1), ' ')
+                   FOR i IN generate_series(1, len(t) - 1)]
+             ELSE [] END) AS g
+      FROM toks),
+    bgtop AS (
+      SELECT doc_id, max(c) AS top_cnt
+      FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+      GROUP BY doc_id),
+    tg AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN [array_to_string(list_slice(t, i, i + 2), ' ')
+                   FOR i IN generate_series(1, len(t) - 2)]
+             ELSE [] END) AS g
+      FROM toks),
+    tgc AS (
+      SELECT doc_id, count(*) AS n_tg, count(DISTINCT g) AS n_tg_distinct
+      FROM tg GROUP BY doc_id),
+    sel AS (
+      SELECT b.doc_id, n_words, mean_word_len, frac_alpha_words,
+             round(least(CAST(1.0 AS DOUBLE),
+                         2.0 * CAST(coalesce(top_cnt, 0) AS DOUBLE)
+                         / greatest(n_words, 1)), 6) AS top_bigram_frac,
+             round(CAST(coalesce(n_tg, 0) - coalesce(n_tg_distinct, 0) AS DOUBLE)
+                   / greatest(coalesce(n_tg, 0), 1), 6) AS dup_trigram_frac
+      FROM base b LEFT JOIN bgtop USING (doc_id) LEFT JOIN tgc USING (doc_id))
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+           top_bigram_frac, dup_trigram_frac,
+           CAST(n_words BETWEEN {Q.MIN_WORDS} AND {Q.MAX_WORDS}
+                AND mean_word_len BETWEEN {Q.MIN_MEAN_WORD_LEN} AND {Q.MAX_MEAN_WORD_LEN}
+                AND frac_alpha_words >= {Q.MIN_ALPHA_FRAC}
+                AND top_bigram_frac <= {Q.MAX_TOP_BIGRAM_FRAC}
+                AND dup_trigram_frac <= {Q.MAX_DUP_TRIGRAM_FRAC} AS INT) AS gopher_pass
+    FROM sel
+    """
+
+
+@query("text_quality_flags", _quality_oracle())
+def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher/C4 quality gate (operators/quality.py): structural metrics are
+    # map-only; repetition metrics are the standard explode + combinable
+    # two-stage agg.  Thresholds split the fixture corpus into genuine
+    # pass AND fail populations at every SF.
+    return Q.gopher_quality_flags(tbl(spark, sf_dir, "documents"))
+
+
+def _segdedup_oracle(seg: int = 3, max_df: int = 2) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t FROM documents),
+    seg0 AS (
+      SELECT doc_id,
+             CASE WHEN len(t) > 0 THEN
+               [{{'pos': i - 1,
+                  'seg': array_to_string(
+                      list_slice(t, (i - 1) * {seg} + 1, (i - 1) * {seg} + {seg}), ' ')}}
+                FOR i IN generate_series(1, CAST(ceil(len(t) / {seg}.0) AS BIGINT))]
+             ELSE [] END AS ss
+      FROM toks),
+    segs AS (
+      SELECT doc_id, s.pos AS pos, s.seg AS seg
+      FROM (SELECT doc_id, unnest(ss) AS s FROM seg0)),
+    dfc AS (SELECT seg, count(DISTINCT doc_id) AS dfreq FROM segs GROUP BY seg)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN dfreq <= {max_df} THEN seg END,
+                               ' ' ORDER BY pos), '') AS clean_text,
+           count(*) AS n_seg_total,
+           CAST(sum(CASE WHEN dfreq <= {max_df} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_seg_kept
+    FROM segs JOIN dfc USING (seg)
+    GROUP BY doc_id
+    """
+
+
+@query("dedup_boilerplate_segments", _segdedup_oracle())
+def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-style corpus-wide line dedup (operators/corpus.py::dedup_segments):
+    # 3-token segments stand in for lines (fixture text is single-line);
+    # segments appearing in more than 2 documents are boilerplate and are
+    # removed; surviving text reassembled in original order.
+    return C.dedup_segments(
+        tbl(spark, sf_dir, "documents"), seg_tokens=3, max_doc_freq=2
+    )

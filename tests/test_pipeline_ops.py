@@ -370,3 +370,56 @@ def test_kmv_merge_equals_direct_global_sketch(spark):
         direct.kth_min,
         direct.est_distinct,
     )
+
+
+def test_repetition_metrics_exact_values(spark):
+    from kcl_akka_stream_spark.operators.quality import repetition_metrics
+
+    df = _docs(spark, ["a b a b a b"])
+    row = repetition_metrics(df).collect()[0]
+    # bigrams: 'a b' x3, 'b a' x2 -> top covers 2*3/6 = 1.0 of tokens
+    assert row.top_bigram_frac == 1.0
+    # trigrams: 'a b a' x2, 'b a b' x2 -> 2 of 4 occurrences are repeats
+    assert row.dup_trigram_frac == 0.5
+
+
+def test_gopher_quality_flags_split(spark):
+    from kcl_akka_stream_spark.operators.quality import gopher_quality_flags
+
+    good = " ".join(f"word{i} thing{i} item{i}" for i in range(12))  # 36 words
+    short = "too short to pass the gate"
+    spammy = " ".join(["spam ham"] * 20)  # top bigram dominates
+    df = _docs(spark, [good, short, spammy])
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[0].gopher_pass == 1
+    assert got[1].gopher_pass == 0 and got[1].n_words < 30
+    assert got[2].gopher_pass == 0 and got[2].top_bigram_frac > 0.15
+
+
+def test_dedup_segments_drops_boilerplate_keeps_order(spark):
+    from kcl_akka_stream_spark.operators.corpus import dedup_segments
+
+    # 'common seg ment' occurs in 3 docs (> max_doc_freq=2) -> dropped;
+    # unique heads/tails survive in original order.
+    df = _docs(
+        spark,
+        [
+            "alpha one two common seg ment beta tail here",
+            "gamma three four common seg ment delta tail also",
+            "epsilon five six common seg ment zeta tail too",
+            "totally unique document text nothing shared anywhere at all",
+        ],
+    )
+    got = {r.doc_id: r for r in dedup_segments(df, seg_tokens=3, max_doc_freq=2).collect()}
+    assert got[0].clean_text == "alpha one two beta tail here"
+    assert got[0].n_seg_total == 3 and got[0].n_seg_kept == 2
+    assert got[3].clean_text == "totally unique document text nothing shared anywhere at all"
+    assert got[3].n_seg_kept == 3
+
+
+def test_dedup_segments_short_doc_single_segment(spark):
+    from kcl_akka_stream_spark.operators.corpus import dedup_segments
+
+    df = _docs(spark, ["just two", "completely different words here now yes"])
+    got = {r.doc_id: r for r in dedup_segments(df, seg_tokens=3, max_doc_freq=2).collect()}
+    assert got[0].n_seg_total == 1 and got[0].clean_text == "just two"
