@@ -89,7 +89,12 @@ from kcl_akka_stream_spark.operators.quality import (
     repetition_metrics,
     structural_metrics,
 )
-from kcl_akka_stream_spark.operators.sketches import kmv_distinct
+from kcl_akka_stream_spark.operators.sketches import (
+    cms_estimate,
+    cms_merge,
+    cms_state,
+    kmv_distinct,
+)
 
 __all__ = [
     "UnexpectedMessageSequence",
@@ -100,6 +105,9 @@ __all__ = [
     "brute_force_topk",
     "brute_force_topk_vectorized",
     "checkpoint_frontier",
+    "cms_estimate",
+    "cms_merge",
+    "cms_state",
     "compact_parquet_dir",
     "connected_components",
     "cosine",

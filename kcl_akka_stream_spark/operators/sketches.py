@@ -115,3 +115,90 @@ def kmv_merge_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
             4,
         ).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: frequency estimation / heavy hitters
+# ---------------------------------------------------------------------------
+def _cms_bucket(col: Column, row_seed: int, width: int) -> Column:
+    """Row-seeded md5 bucket: first 8 hex chars of md5('seed:value') mod
+    width.  Deterministic and reproduced digit-by-digit in DuckDB."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row_seed}:"), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_state(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch STATE in relational form: one counter row per
+    (row, bucket) [+ group].  Each input record increments ``depth``
+    counters; the build is explode(depth) → one map-side-combinable
+    groupBy — shuffle rows bounded by depth × width (+ groups), never by
+    the data.  Counter addition makes the state trivially mergeable
+    (see ``cms_merge``), the partial-aggregate property that lets
+    frequency sketches roll up map-side at 100 TB."""
+    keys = [group_col] if group_col else []
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("row"),
+                    _cms_bucket(F.col(value_col), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("e")
+    ex = df.select(*keys, probes).select(*keys, "e.row", "e.bucket")
+    return ex.groupBy(*keys, "row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(states: DataFrame) -> DataFrame:
+    """Merge CMS states (drop any grouping column, sum counters) — counter
+    addition is exact, so merged-state estimates equal direct-global-state
+    estimates bit-for-bit."""
+    return states.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    state: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-query the sketch: est(key) = min over rows of the key's
+    counter (0 for an untouched bucket).  The state is tiny by
+    construction (≤ depth × width rows) and is broadcast; the key side
+    never shuffles.  Guarantees est >= true count (one-sided error)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        _cms_bucket(F.col(key_col), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select(key_col, "e.row", "e.bucket")
+    return (
+        probes.join(F.broadcast(state), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+    )

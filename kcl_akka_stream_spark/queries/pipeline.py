@@ -1078,3 +1078,59 @@ def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.dedup_segments(
         tbl(spark, sf_dir, "documents"), seg_tokens=3, max_doc_freq=2
     )
+
+
+def _cms_oracle(depth: int = 4, width: int = 64, threshold: int = 120) -> str:
+    h = (
+        "CAST(list_sum([(strpos('0123456789abcdef', "
+        "substr(md5(CAST({r} AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), i, 1)) - 1)"
+        " * power(16, 8 - i) FOR i IN generate_series(1, 8)]) AS BIGINT)"
+        f" % {width}"
+    )
+    rows = ",".join(str(d) for d in range(depth))
+    return f"""
+    WITH d AS (SELECT unnest([{rows}]) AS row),
+    state AS (
+      SELECT row, bucket, count(*) AS cnt
+      FROM (SELECT row, {h.format(r='row')} AS bucket FROM events, d)
+      GROUP BY row, bucket),
+    probes AS (
+      SELECT DISTINCT user_id, row, {h.format(r='row')} AS bucket FROM events, d),
+    est AS (
+      SELECT user_id, min(coalesce(cnt, 0)) AS cms_count
+      FROM probes LEFT JOIN state USING (row, bucket) GROUP BY user_id),
+    ex AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id)
+    SELECT user_id, CAST(cms_count AS BIGINT) AS cms_count,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(cms_count - exact_count AS BIGINT) AS overcount
+    FROM est JOIN ex USING (user_id)
+    WHERE cms_count >= {threshold}
+    """
+
+
+@query("agg_cms_heavy_hitters", _cms_oracle())
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min heavy hitters (operators/sketches.py): 4x64 md5-seeded
+    # counter sketch over events.user_id; keys whose one-sided estimate
+    # clears the threshold are reported with the exact count alongside,
+    # so the gate verifies the ESTIMATOR (including its collisions)
+    # digit-by-digit, not just row counts.  State is depth*width rows,
+    # broadcast at probe time; nothing key-cardinality-sized shuffles
+    # twice.
+    from kcl_akka_stream_spark.operators.sketches import cms_estimate, cms_state
+
+    ev = tbl(spark, sf_dir, "events")
+    state = cms_state(ev, "user_id", depth=4, width=64)
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(state, keys, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .filter(F.col("cms_count") >= 120)
+        .select(
+            "user_id",
+            F.col("cms_count").cast("long").alias("cms_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("cms_count") - F.col("exact_count")).cast("long").alias("overcount"),
+        )
+    )

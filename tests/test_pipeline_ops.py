@@ -423,3 +423,40 @@ def test_dedup_segments_short_doc_single_segment(spark):
     df = _docs(spark, ["just two", "completely different words here now yes"])
     got = {r.doc_id: r for r in dedup_segments(df, seg_tokens=3, max_doc_freq=2).collect()}
     assert got[0].n_seg_total == 1 and got[0].clean_text == "just two"
+
+
+def test_cms_never_underestimates(spark):
+    from kcl_akka_stream_spark.operators.sketches import cms_estimate, cms_state
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(200)], "k long"
+    )
+    state = cms_state(df, "k", depth=3, width=4)  # tiny width forces collisions
+    keys = df.select("k").distinct()
+    est = {r.k: r.cms_count for r in cms_estimate(state, keys, "k", depth=3, width=4).collect()}
+    exact = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    assert sum(est.values()) > sum(exact.values())  # collisions actually happened
+
+
+def test_cms_exact_without_collisions(spark):
+    from kcl_akka_stream_spark.operators.sketches import cms_estimate, cms_state
+
+    df = spark.createDataFrame([(i % 3,) for i in range(30)], "k long")
+    state = cms_state(df, "k", depth=4, width=4096)
+    est = {r.k: r.cms_count for r in
+           cms_estimate(state, df.select("k").distinct(), "k", depth=4, width=4096).collect()}
+    assert est == {0: 10, 1: 10, 2: 10}
+
+
+def test_cms_merge_equals_global_state(spark):
+    from kcl_akka_stream_spark.operators.sketches import cms_merge, cms_state
+
+    df = spark.createDataFrame(
+        [(i % 5, "g%d" % (i % 2)) for i in range(100)], "k long, g string"
+    )
+    merged = {(r.row, r.bucket): r.cnt
+              for r in cms_merge(cms_state(df, "k", depth=3, width=8, group_col="g")).collect()}
+    direct = {(r.row, r.bucket): r.cnt
+              for r in cms_state(df, "k", depth=3, width=8).collect()}
+    assert merged == direct
