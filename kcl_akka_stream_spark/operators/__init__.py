@@ -89,6 +89,11 @@ from kcl_akka_stream_spark.operators.quality import (
     repetition_metrics,
     structural_metrics,
 )
+from kcl_akka_stream_spark.operators.sampling import (
+    rebalance_summary,
+    rebalance_to_weights,
+    stratified_topk_sample,
+)
 from kcl_akka_stream_spark.operators.sketches import (
     cms_estimate,
     cms_merge,
@@ -146,6 +151,8 @@ __all__ = [
     "pack_token_budget",
     "quality_score",
     "range_join_bucketed",
+    "rebalance_summary",
+    "rebalance_to_weights",
     "redact_pii",
     "remove_reprocessed",
     "repetition_metrics",
@@ -159,6 +166,7 @@ __all__ = [
     "shard_order",
     "shard_stats",
     "simhash",
+    "stratified_topk_sample",
     "structural_metrics",
     "token_count",
     "top_k_per_group",

@@ -1,0 +1,132 @@
+"""Deterministic sampling and stratum rebalancing for corpus curation.
+
+Beyond-reference extension (no counterpart in /root/reference).
+Large-scale training-data-pipeline surface: the two sampling shapes a
+curation pipeline needs beyond the flat md5-gate (queries/pipeline.py
+``sample_stratified``):
+
+- per-stratum fixed-size samples (eval carve-outs, inspection panels):
+  a ``row_number`` over md5-hash order inside each stratum — hash order
+  is a uniform deterministic permutation, so "first k by hash" IS a
+  uniform k-sample, reproducible across engines and runs;
+- distribution rebalancing (language/domain mixing): given target
+  weights, each stratum gets acceptance rate
+  ``min(1, w_s * N_total / n_s)`` and rows pass a per-row md5-fraction
+  gate — deterministic Bernoulli thinning toward the target mix.
+
+Scale shape: the k-sample is one shuffle keyed by stratum (the same
+shape as any per-group top-k; k rows survive per stratum).  Rebalancing
+aggregates per-stratum counts (tiny), broadcasts the rate table, and
+gates map-side — the corpus itself never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_fraction(col: Column, seed: str) -> Column:
+    """Seeded md5 -> uniform fraction in (0,1); DuckDB-reproducible via
+    the same first-8-hex-chars / 2^32 arithmetic (operators/sketches.py)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 32))
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    k: int = 10,
+    id_col: str = "doc_id",
+    seed: str = "k7",
+) -> DataFrame:
+    """Deterministic uniform k-sample per stratum: rank rows by seeded
+    md5 of their id within the stratum, keep the first ``k``."""
+    key = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(key, id_col)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select(id_col, stratum_col, "sample_rank")
+    )
+
+
+def _stratum_rates(
+    df: DataFrame, weights: dict[str, float], stratum_col: str
+) -> DataFrame:
+    """Per-stratum acceptance rates ``min(1, w_s * N_total / n_s)`` —
+    stratum-cardinality-sized, built from one combinable count agg."""
+    spark = df.sparkSession
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_before"))
+    totals = counts.agg(F.sum("n_before").alias("n_total"))
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        f"{stratum_col} string, target_w double",
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(wdf), stratum_col, "left")
+        .select(
+            stratum_col,
+            "n_before",
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("target_w"), F.lit(0.0))
+                * F.col("n_total").cast("double")
+                / F.col("n_before"),
+            ).alias("rate"),
+        )
+    )
+
+
+def rebalance_to_weights(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "r11",
+) -> DataFrame:
+    """Thin each stratum toward a target weight distribution.
+
+    ``rate_s = min(1, w_s * N_total / n_s)`` (a stratum already below its
+    target keeps everything — deterministic thinning cannot upsample);
+    strata absent from ``weights`` are dropped (rate 0).  Returns the
+    surviving rows with their stratum's ``rate`` attached.
+
+    The count aggregation is stratum-cardinality-sized; the rate table is
+    broadcast; the per-row gate is map-only."""
+    rates = _stratum_rates(df, weights, stratum_col)
+    gate = _hash_fraction(F.col(id_col), seed) < F.col("rate")
+    return df.join(F.broadcast(rates), stratum_col).filter(gate)
+
+
+def rebalance_summary(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "r11",
+) -> DataFrame:
+    """Audit view of ``rebalance_to_weights``: per-stratum before/after
+    counts and the applied rate.  Built from the rate table so strata
+    thinned to zero (or dropped for lack of a weight) still appear."""
+    rates = _stratum_rates(df, weights, stratum_col)
+    gate = _hash_fraction(F.col(id_col), seed) < F.col("rate")
+    after = (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(gate)
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        rates.join(after, stratum_col, "left")
+        .select(
+            stratum_col,
+            F.col("n_before").cast("long").alias("n_before"),
+            F.round(F.col("rate"), 6).alias("rate"),
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
+        )
+    )

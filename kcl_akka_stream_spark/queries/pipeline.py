@@ -1134,3 +1134,76 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_count") - F.col("exact_count")).cast("long").alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling / rebalancing family
+# ---------------------------------------------------------------------------
+from kcl_akka_stream_spark.operators import sampling as SA  # noqa: E402
+
+
+@query(
+    "sample_per_stratum",
+    """
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('k7|' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 10
+    """,
+)
+def sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic uniform 10-sample per language stratum
+    # (operators/sampling.py): hash order is a uniform permutation, so
+    # "first 10 by seeded md5" is a reproducible uniform sample -- the
+    # eval-carve-out / inspection-panel shape.
+    return SA.stratified_topk_sample(
+        tbl(spark, sf_dir, "documents"), stratum_col="lang", k=10
+    )
+
+
+#: Target language mix for the rebalance query: en thinned hard, zh
+#: thinned moderately, the rest capped at keep-everything.
+REBALANCE_WEIGHTS = {"en": 0.25, "de": 0.2, "fr": 0.25, "es": 0.2, "zh": 0.1}
+
+
+def _rebalance_oracle() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(REBALANCE_WEIGHTS.items()))
+    frac = (
+        "list_sum([(strpos('0123456789abcdef', "
+        "substr(md5('r11|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1) "
+        "* power(16, 8 - i) FOR i IN generate_series(1, 8)]) / 4294967296.0"
+    )
+    return f"""
+    WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+    t AS (SELECT sum(n_before) AS n_total FROM c),
+    w(lang, target_w) AS (VALUES {vals}),
+    r AS (
+      SELECT c.lang, n_before,
+             least(CAST(1.0 AS DOUBLE),
+                   coalesce(CAST(target_w AS DOUBLE), 0.0)
+                   * CAST(n_total AS DOUBLE) / n_before) AS rate
+      FROM c CROSS JOIN t LEFT JOIN w ON w.lang = c.lang),
+    kept AS (
+      SELECT d.lang, count(*) AS n_after
+      FROM documents d JOIN r ON r.lang = d.lang
+      WHERE {frac} < rate
+      GROUP BY d.lang)
+    SELECT r.lang, CAST(n_before AS BIGINT) AS n_before,
+           round(rate, 6) AS rate,
+           CAST(coalesce(n_after, 0) AS BIGINT) AS n_after
+    FROM r LEFT JOIN kept ON kept.lang = r.lang
+    """
+
+
+@query("pipeline_rebalance_langs", _rebalance_oracle())
+def pipeline_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distribution rebalancing (operators/sampling.py): thin each language
+    # toward the target mix with a deterministic md5-fraction gate;
+    # rate_s = min(1, w_s * N / n_s).  The gate verifies the rate math AND
+    # the exact set of surviving rows (n_after) digit-by-digit.
+    return SA.rebalance_summary(
+        tbl(spark, sf_dir, "documents"), REBALANCE_WEIGHTS, stratum_col="lang"
+    )

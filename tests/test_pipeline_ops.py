@@ -460,3 +460,44 @@ def test_cms_merge_equals_global_state(spark):
     direct = {(r.row, r.bucket): r.cnt
               for r in cms_state(df, "k", depth=3, width=8).collect()}
     assert merged == direct
+
+
+def test_stratified_topk_sample_deterministic_and_sized(spark):
+    from kcl_akka_stream_spark.operators.sampling import stratified_topk_sample
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(60)], "doc_id long, lang string"
+    )
+    a = sorted(map(tuple, stratified_topk_sample(df, k=5).collect()))
+    b = sorted(map(tuple, stratified_topk_sample(df, k=5).collect()))
+    assert a == b  # deterministic
+    per = {}
+    for _, s, r in a:
+        per.setdefault(s, []).append(r)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+
+
+def test_rebalance_rates_and_missing_stratum_dropped(spark):
+    from kcl_akka_stream_spark.operators.sampling import rebalance_summary
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    # big: rate = 0.25*100/80 = 0.3125; small: no weight -> rate 0, kept row
+    got = {r.lang: r for r in rebalance_summary(df, {"big": 0.25}).collect()}
+    assert got["big"].rate == 0.3125 and 0 < got["big"].n_after < 80
+    assert got["small"].rate == 0.0 and got["small"].n_after == 0
+    assert got["small"].n_before == 20
+
+
+def test_rebalance_rate_capped_at_one(spark):
+    from kcl_akka_stream_spark.operators.sampling import rebalance_summary
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 90 else "b") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    got = {r.lang: r for r in rebalance_summary(df, {"a": 0.5, "b": 0.5}).collect()}
+    # b is under target (10 < 50) -> rate caps at 1, keeps everything
+    assert got["b"].rate == 1.0 and got["b"].n_after == 10
