@@ -77,6 +77,11 @@ from kcl_akka_stream_spark.operators.text import (
     rolling_fingerprint,
     token_count,
 )
+from kcl_akka_stream_spark.operators.clustering import (
+    kmeans,
+    kmeans_assign,
+    kmeans_update,
+)
 from kcl_akka_stream_spark.operators.corpus import (
     decontaminate,
     dedup_segments,
@@ -138,6 +143,9 @@ __all__ = [
     "intersect_all",
     "ivf_topk",
     "keyed_ordered_write",
+    "kmeans",
+    "kmeans_assign",
+    "kmeans_update",
     "kmv_distinct",
     "lang_id",
     "limit_n",

@@ -1207,3 +1207,97 @@ def pipeline_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.rebalance_summary(
         tbl(spark, sf_dir, "documents"), REBALANCE_WEIGHTS, stratum_col="lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering family (Lloyd's k-means over embeddings)
+# ---------------------------------------------------------------------------
+from kcl_akka_stream_spark.operators import clustering as CL  # noqa: E402
+
+_D2 = (
+    "list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
+    " FOR i IN generate_series(1, len({a}))])"
+)
+
+
+def _kmeans_assign_oracle(k: int = 8) -> str:
+    d2 = _D2.format(a="v_vec", b="c_vec")
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS c_vec
+      FROM embeddings WHERE vec_id < {k}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v_vec FROM embeddings),
+    scored AS (
+      SELECT vec_id, cluster_id, {d2} AS d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY {d2}, cluster_id) AS rn
+      FROM v CROSS JOIN c)
+    SELECT vec_id, cluster_id, round(d2, 6) AS dist2
+    FROM scored WHERE rn = 1
+    """
+
+
+@query("cluster_kmeans_assign", _kmeans_assign_oracle())
+def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lloyd assignment step (operators/clustering.py): deterministic
+    # centroids (the 8 lowest-id embeddings) broadcast; every vector
+    # scored map-side, argmin with id tie-break.  The corpus never
+    # shuffles its vectors.
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("long").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return CL.kmeans_assign(emb, centroids)
+
+
+def _kmeans_step_oracle(k: int = 8) -> str:
+    d2 = _D2.format(a="v_vec", b="c_vec")
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS c_vec
+      FROM embeddings WHERE vec_id < {k}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v_vec FROM embeddings),
+    scored AS (
+      SELECT vec_id, cluster_id, {d2} AS d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY {d2}, cluster_id) AS rn
+      FROM v CROSS JOIN c),
+    assign AS (SELECT vec_id, cluster_id FROM scored WHERE rn = 1),
+    dims0 AS (
+      SELECT a.cluster_id,
+             [{{'dim': i, 'val': v_vec[i]}}
+              FOR i IN generate_series(1, len(v_vec))] AS dv
+      FROM assign a JOIN v USING (vec_id)),
+    dims AS (
+      SELECT cluster_id, s.dim AS dim, avg(s.val) AS mval
+      FROM (SELECT cluster_id, unnest(dv) AS s FROM dims0)
+      GROUP BY cluster_id, s.dim)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           round(sum(mval), 6) AS centroid_sum,
+           round(sqrt(sum(mval * mval)), 6) AS centroid_norm
+    FROM dims GROUP BY cluster_id
+    """
+
+
+@query("cluster_kmeans_step", _kmeans_step_oracle())
+def cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One full Lloyd iteration: assign + element-wise-mean centroid
+    # update (posexplode -> combinable avg keyed by (cluster, dim)).
+    # The gate verifies the recomputed centroids through scalar
+    # checksums (sum / L2 norm per centroid) -- engine-portable without
+    # hashing float arrays.
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("long").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assignment = CL.kmeans_assign(emb, centroids)
+    updated = CL.kmeans_update(emb, assignment)
+    comps = updated.select(
+        "cluster_id", F.explode("centroid").alias("mval")
+    )
+    return comps.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.round(F.sum("mval"), 6).alias("centroid_sum"),
+        F.round(F.sqrt(F.sum(F.col("mval") * F.col("mval"))), 6).alias("centroid_norm"),
+    )

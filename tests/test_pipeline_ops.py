@@ -501,3 +501,49 @@ def test_rebalance_rate_capped_at_one(spark):
     got = {r.lang: r for r in rebalance_summary(df, {"a": 0.5, "b": 0.5}).collect()}
     # b is under target (10 < 50) -> rate caps at 1, keeps everything
     assert got["b"].rate == 1.0 and got["b"].n_after == 10
+
+
+def test_kmeans_objective_decreases_and_deterministic(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kcl_akka_stream_spark.operators.clustering import kmeans, kmeans_assign
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(c * 5.0, 1.0) for _ in range(4)])
+        for i, c in ((i, i % 3) for i in range(90))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a1, c1 = kmeans(df, k=3, iters=1)
+    a3, c3 = kmeans(df, k=3, iters=3)
+    obj1 = a1.agg(F.sum("dist2")).collect()[0][0]
+    obj3 = a3.agg(F.sum("dist2")).collect()[0][0]
+    assert obj3 <= obj1  # Lloyd's never increases the objective
+
+    # deterministic: re-run reproduces the same assignment
+    a3b, _ = kmeans(df, k=3, iters=3)
+    assert sorted(map(tuple, a3.collect())) == sorted(map(tuple, a3b.collect()))
+
+    # clusters separate the three generating modes after 3 iters
+    final = {r.vec_id: r.cluster_id for r in a3.collect()}
+    groups = {}
+    for vid, cid in final.items():
+        groups.setdefault(vid % 3, set()).add(cid)
+    assert all(len(s) == 1 for s in groups.values())
+
+
+def test_kmeans_update_elementwise_mean(spark):
+    from kcl_akka_stream_spark.operators.clustering import kmeans_update
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 2.0]), (1, [2.0, 4.0]), (2, [10.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    asg = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1)], "vec_id long, cluster_id long"
+    )
+    got = {r.cluster_id: r.centroid for r in kmeans_update(vecs, asg).collect()}
+    assert got[0] == [1.0, 3.0] and got[1] == [10.0, 10.0]
