@@ -89,6 +89,7 @@ from kcl_akka_stream_spark.operators.corpus import (
     redact_pii,
 )
 from kcl_akka_stream_spark.operators.dedup import verify_candidate_jaccard
+from kcl_akka_stream_spark.operators.similarity import quantize_int8
 from kcl_akka_stream_spark.operators.quality import (
     gopher_quality_flags,
     repetition_metrics,
@@ -158,6 +159,7 @@ __all__ = [
     "ordered_effect_per_key",
     "pack_token_budget",
     "quality_score",
+    "quantize_int8",
     "range_join_bucketed",
     "rebalance_summary",
     "rebalance_to_weights",

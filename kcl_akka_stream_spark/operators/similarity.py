@@ -276,3 +276,36 @@ def brute_force_topk_vectorized(
     scored = c.mapInPandas(score, schema="q_id long, n_id long, cos_sim double")
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: ``scale = max|x|/127``,
+    ``q_i = round(x_i / scale)`` — the storage/serving compression step for
+    embedding corpora (4x smaller, dot products within ~1% at these
+    scales).  Output carries scalar checksums of the quantized vector
+    (sum, L1) plus the L2 norm, so the math is verifiable cross-engine
+    without hashing float arrays.  Map-only, zero shuffle; the fold is
+    the sequential float64 convention (see module docstring)."""
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0.0))).otherwise(
+        F.transform(v, lambda x: F.round(x.cast("double") / scale, 0))
+    )
+    return spread(df.select(id_col, vec_col)).select(
+        F.col(id_col),
+        F.size(v).alias("n_dims"),
+        F.round(norm(v), 6).alias("l2_norm"),
+        F.round(scale, 9).alias("scale"),
+        F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x)
+        .cast("long")
+        .alias("q_sum"),
+        F.aggregate(q, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+        .cast("long")
+        .alias("q_l1"),
+    )

@@ -1301,3 +1301,33 @@ def cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("mval"), 6).alias("centroid_sum"),
         F.round(F.sqrt(F.sum(F.col("mval") * F.col("mval"))), 6).alias("centroid_norm"),
     )
+
+
+@query(
+    "emb_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    m AS (
+      SELECT vec_id, e,
+             list_max([abs(x) FOR x IN e]) / 127.0 AS scale,
+             sqrt(list_sum([x * x FOR x IN e])) AS nrm
+      FROM v)
+    SELECT vec_id,
+           CAST(len(e) AS INT) AS n_dims,
+           round(nrm, 6) AS l2_norm,
+           round(scale, 9) AS scale,
+           CAST(list_sum([CASE WHEN scale = 0 THEN 0 ELSE round(x / scale) END
+                          FOR x IN e]) AS BIGINT) AS q_sum,
+           CAST(list_sum([abs(CASE WHEN scale = 0 THEN 0 ELSE round(x / scale) END)
+                          FOR x IN e]) AS BIGINT) AS q_l1
+    FROM m
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Int8 quantization audit (operators/similarity.py::quantize_int8):
+    # per-vector symmetric scale + rounded components, verified through
+    # scalar checksums (sum / L1 of the quantized vector, L2 norm of the
+    # original).  Map-only compression step for embedding storage.
+    from kcl_akka_stream_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(tbl(spark, sf_dir, "embeddings"))

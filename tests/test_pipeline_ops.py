@@ -547,3 +547,18 @@ def test_kmeans_update_elementwise_mean(spark):
     )
     got = {r.cluster_id: r.centroid for r in kmeans_update(vecs, asg).collect()}
     assert got[0] == [1.0, 3.0] and got[1] == [10.0, 10.0]
+
+
+def test_quantize_int8_checksums_and_zero_vector(spark):
+    from kcl_akka_stream_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [127.0, -127.0, 63.5]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in quantize_int8(df).collect()}
+    # scale = 127/127 = 1 -> q = [127, -127, 64(round half up)]
+    assert got[0].scale == 1.0
+    assert got[0].q_sum == 64 and got[0].q_l1 == 318
+    # zero vector: scale 0, quantized to zeros, no NaN/inf
+    assert got[1].q_sum == 0 and got[1].q_l1 == 0 and got[1].l2_norm == 0.0
