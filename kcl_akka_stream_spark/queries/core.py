@@ -946,3 +946,172 @@ def scalar_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.hex(F.encode(F.substring("props", 1, 4), "UTF-8"))).alias("props_hex_head"),
         F.floor("value").cast("bigint").alias("value_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic decision-support shapes (TPC-H Q3/Q5/Q10/Q18 adapted to the
+# fixture schema) -- the wide-join + agg plans a migrating user runs daily.
+# ---------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {_sql_sum_money('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3: unshipped-order revenue by priority.  customer is the
+    # filtered dim (one segment) -- broadcast; orders->lineitem is the one
+    # real shuffle; top-10 via TakeOrderedAndProject (no global sort).
+    c = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, {_sql_sum_money('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5: revenue where customer and supplier share a nation inside
+    # one region.  supplier/nation/region broadcast (dim-sized); the only
+    # data-sized shuffle is orders<->lineitem on orderkey.
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            _sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           {_sql_sum_money('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10: customers who returned the most revenue in a quarter.
+    # Date filter prunes orders before the join; customer broadcast at
+    # fixture scale (bucketed-SMJ at real scale -- see tests/test_bucketing).
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            _sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue")
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(total_qty, 2) AS total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18: orders above a quantity threshold with their customers.
+    # The HAVING pre-aggregation shrinks lineitem to qualifying orderkeys
+    # BEFORE any join (the classic agg-pushdown shape); survivors are few
+    # enough to broadcast into orders.
+    li = tbl(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("total_qty"), 2).alias("total_qty"),
+        )
+    )
