@@ -68,74 +68,117 @@ def structural_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _tagged_gram_stats(df: DataFrame, text_col: str, carry: dict) -> DataFrame:
+    """One linear pipeline for all per-doc gram statistics: project
+    (tokens → size-tagged bigrams + trigrams + a sentinel row so empty
+    docs survive) → explode → three map-side-combinable aggs keyed
+    (doc, size, gram) → (doc, size) → (doc).  Zero joins; per-doc scalar
+    columns in ``carry`` ride along via first().
+
+    Output: doc_id, carried columns, top_bigram_frac, dup_trigram_frac."""
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    toks = X.tokens(F.col(text_col))
+    tag = lambda garr, n: F.transform(  # noqa: E731
+        garr,
+        lambda g: F.struct(F.lit(n).cast("int").alias("size"), g.alias("g")),
+    )
+    sentinel = F.array(
+        F.struct(F.lit(0).cast("int").alias("size"), F.lit("").alias("g"))
+    )
+    # spread(): the gram slicing is an interpreted higher-order function;
+    # on a single-partition small-file read it would serialize.
+    proj = spread(df.select("doc_id", text_col)).select(
+        "doc_id",
+        *[c.alias(name) for name, c in carry.items()],
+        F.concat(tag(_grams(toks, 2), 2), tag(_grams(toks, 3), 3), sentinel).alias(
+            "tagged"
+        ),
+    )
+    ex = proj.select(
+        "doc_id", *carry.keys(), F.explode("tagged").alias("t")
+    ).select("doc_id", *carry.keys(), "t.size", "t.g")
+    per_gram = ex.groupBy("doc_id", "size", "g").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.first(k).alias(k) for k in carry],
+    )
+    per_size = per_gram.groupBy("doc_id", "size").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("n_occ"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        *[F.first(k).alias(k) for k in carry],
+    )
+    per_doc = per_size.groupBy("doc_id").agg(
+        F.max(F.when(F.col("size") == 2, F.col("top_cnt"))).alias("top_bg"),
+        F.max(F.when(F.col("size") == 3, F.col("n_occ"))).alias("n_tg"),
+        F.max(F.when(F.col("size") == 3, F.col("n_distinct"))).alias(
+            "n_tg_distinct"
+        ),
+        *[F.first(k).alias(k) for k in carry],
+    )
+    return per_doc.select(
+        "doc_id",
+        *carry.keys(),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0)
+                * F.coalesce(F.col("top_bg"), F.lit(0)).cast("double")
+                / F.greatest(
+                    F.coalesce(F.col("n_words"), F.lit(0)), F.lit(1)
+                ),
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            (
+                F.coalesce(F.col("n_tg"), F.lit(0))
+                - F.coalesce(F.col("n_tg_distinct"), F.lit(0))
+            ).cast("double")
+            / F.greatest(F.coalesce(F.col("n_tg"), F.lit(0)), F.lit(1)),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+
+
 def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document repetition stats (Gopher §A1.1):
 
     - ``top_bigram_frac`` — fraction of tokens covered by the single most
       frequent bigram (2 × its count / word count, capped at 1);
     - ``dup_trigram_frac`` — fraction of trigram occurrences that are
-      repeats of an earlier trigram in the same document.
-
-    Explode + two-stage agg keyed by (doc_id, gram) → doc_id; both stages
-    combine map-side, so shuffle rows ≈ distinct grams per doc."""
-    from kcl_akka_stream_spark.plans.hygiene import spread
-
-    # spread(): the gram slicing is an interpreted higher-order function;
-    # on a single-partition small-file read it would serialize.
-    toks = spread(df.select("doc_id", text_col)).select(
-        "doc_id",
-        F.size(X.tokens(F.col(text_col))).alias("n_words"),
-        _grams(X.tokens(F.col(text_col)), 2).alias("bg"),
-        _grams(X.tokens(F.col(text_col)), 3).alias("tg"),
-    )
-    bg = (
-        toks.select("doc_id", "n_words", F.explode("bg").alias("g"))
-        .groupBy("doc_id", "n_words", "g")
-        .count()
-        .groupBy("doc_id", "n_words")
-        .agg(F.max("count").alias("top_cnt"))
-    )
-    tg = (
-        toks.select("doc_id", F.explode("tg").alias("g"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tg"),
-            F.countDistinct("g").alias("n_tg_distinct"),
-        )
-    )
-    # Left joins: a short doc may have no bigrams/trigrams at all.
-    base = df.select("doc_id")
-    return (
-        base.join(bg, "doc_id", "left")
-        .join(tg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.lit(2.0)
-                    * F.coalesce(F.col("top_cnt"), F.lit(0)).cast("double")
-                    / F.greatest(F.coalesce(F.col("n_words"), F.lit(0)), F.lit(1)),
-                ),
-                6,
-            ).alias("top_bigram_frac"),
-            F.round(
-                (
-                    F.coalesce(F.col("n_tg"), F.lit(0))
-                    - F.coalesce(F.col("n_tg_distinct"), F.lit(0))
-                ).cast("double")
-                / F.greatest(F.coalesce(F.col("n_tg"), F.lit(0)), F.lit(1)),
-                6,
-            ).alias("dup_trigram_frac"),
-        )
-    )
+      repeats of an earlier trigram in the same document."""
+    toks = X.tokens(F.col(text_col))
+    out = _tagged_gram_stats(df, text_col, {"n_words": F.size(toks)})
+    return out.select("doc_id", "top_bigram_frac", "dup_trigram_frac")
 
 
 def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full quality gate: structural + repetition metrics and the
-    accept/reject flag (int 0/1 for cross-engine hash stability)."""
-    m = structural_metrics(df, text_col).join(
-        repetition_metrics(df, text_col), "doc_id"
+    accept/reject flag (int 0/1 for cross-engine hash stability).
+    Single linear pipeline — the structural scalars are computed map-side
+    in the same projection that builds the grams and ride the aggs via
+    first(), so there is no join anywhere in the plan."""
+    toks = X.tokens(F.col(text_col))
+    n_words = F.size(toks)
+    m = _tagged_gram_stats(
+        df,
+        text_col,
+        {
+            "n_words": n_words,
+            "mean_word_len": F.round(
+                F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast(
+                    "double"
+                )
+                / F.greatest(n_words, F.lit(1)),
+                4,
+            ),
+            "frac_alpha_words": F.round(
+                F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+                / F.greatest(n_words, F.lit(1)),
+                6,
+            ),
+        },
     )
     passed = (
         (F.col("n_words") >= MIN_WORDS)

@@ -69,6 +69,17 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_salted_skew": 2,  # salted partial + final combine
         "q1_pricing_summary": 1,  # single agg shuffle
         "checkpoint_frontier": 2,  # window by shard + final agg
+        "text_quality_flags": 4,  # spread + 3 combinable aggs, ZERO joins
+        "dedup_boilerplate_segments": 5,  # spread + seg-df agg + join + doc agg
+        "agg_cms_heavy_hitters": 3,  # state agg + key distinct + exact agg
+        "sample_per_stratum": 1,  # one window shuffle keyed by stratum
+        "cluster_kmeans_assign": 2,  # spread + per-vector argmin agg
+        "cluster_kmeans_step": 4,  # assign + (cluster,dim) avg + rebuild
+        "emb_quantize_int8": 1,  # spread only -- quantization is map-only
+        "q3_shipping_priority": 1,  # one orders<->lineitem shuffle; dims broadcast
+        "q5_local_supplier_volume": 1,  # same: only the orderkey join shuffles
+        "q10_returned_items": 1,  # same shape as q3
+        "q18_large_volume_customers": 1,  # HAVING pre-agg then broadcasts
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
