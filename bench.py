@@ -51,6 +51,19 @@ HEADLINE = [
     "text_redact_pii",
     "pipeline_pack_tokens",
     "pipeline_decontaminate",
+    # quality gate + corpus curation (round-3 additions)
+    "text_quality_flags",
+    "dedup_boilerplate_segments",
+    "pipeline_rebalance_langs",
+    "sample_per_stratum",
+    # sketches + clustering + quantization
+    "agg_cms_heavy_hitters",
+    "agg_kmv_distinct",
+    "cluster_kmeans_step",
+    "emb_quantize_int8",
+    # decision-support joins
+    "q3_shipping_priority",
+    "q18_large_volume_customers",
     # streaming representative
     "stream_tumbling_agg",
 ]

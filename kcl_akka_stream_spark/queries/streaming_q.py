@@ -365,3 +365,44 @@ def stream_committed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "stream_quality_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)
+    SELECT doc_id, CAST(len(t) AS INT) AS n_words,
+           round(CAST(list_sum([len(x) FOR x IN t]) AS DOUBLE)
+                 / greatest(len(t), 1), 4) AS mean_word_len
+    FROM toks WHERE len(t) >= 30
+    """,
+)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming quality gate: the map-only structural metrics
+    # (operators/quality.py) run UNCHANGED on a document stream -- no
+    # aggregation, no state, append mode, zero shuffle: every micro-batch
+    # filters independently, the shape that keeps a 100 TB backfill and
+    # its live tail on one code path.
+    from kcl_akka_stream_spark.operators.quality import structural_metrics
+
+    name = f"stream_quality_{uuid.uuid4().hex[:8]}"
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(
+        os.path.join(sf_dir, "documents.[p]arquet")
+    )
+    flagged = structural_metrics(stream).filter(F.col("n_words") >= 30).select(
+        "doc_id", "n_words", "mean_word_len"
+    )
+    q = (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
