@@ -122,7 +122,7 @@ def rebalance_summary(
         .agg(F.count(F.lit(1)).alias("n_after"))
     )
     return (
-        rates.join(after, stratum_col, "left")
+        rates.join(F.broadcast(after), stratum_col, "left")
         .select(
             stratum_col,
             F.col("n_before").cast("long").alias("n_before"),
