@@ -110,17 +110,21 @@ def dedup_segments(
     from kcl_akka_stream_spark.operators.text import tokens
     from kcl_akka_stream_spark.plans.hygiene import spread
 
+    # Zip-chain segment construction: join the token array positionally
+    # with its shifted slices (concat_ws skips the null padding, which
+    # yields the partial tail segment for free), then keep every
+    # seg_tokens-th position with an index filter.  The arrays are lambda
+    # ARGUMENTS — evaluated once per row; indexing ``toks`` inside a
+    # transform lambda would re-run the tokenizer regex per element (see
+    # operators/dedup.py::shingles).
     toks = tokens(F.col(text_col))
-    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
-    segs = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_segs - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    size = F.size(toks)
+    g = toks
+    for j in range(1, seg_tokens):
+        g = F.zip_with(
+            g, F.slice(toks, j + 1, size), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    segs = F.filter(g, lambda _, i: i % seg_tokens == 0)
     # spread(): segment slicing is an interpreted higher-order function.
     ex = spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.posexplode(segs).alias("pos", "seg")

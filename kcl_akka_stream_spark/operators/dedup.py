@@ -35,14 +35,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings (distinct)."""
+    """Word k-shingles as strings (distinct).
+
+    Built by zipping the token array with its own shifted slices: the
+    arrays are lambda ARGUMENTS, evaluated once per row.  The previous
+    form — ``transform(sequence(...), i -> slice(toks, i + 1, k))`` —
+    referenced ``toks`` inside the lambda body, where Catalyst
+    re-evaluates the underlying regexp_extract_all PER ELEMENT (no CSE
+    across lambda bodies), making shingling quadratic in document
+    length; the zip form cut dedup_ngram_jaccard from ~9 s to ~2 s at
+    sf0.1."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    size = F.size(toks)
+    g = toks
+    for j in range(1, k):
+        g = F.zip_with(
+            g, F.slice(toks, j + 1, size), lambda x, y: F.concat_ws(" ", x, y)
+        )
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= k,
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
-        ).otherwise(F.array(F.array_join(toks, " ")))
+        F.when(size >= k, F.slice(g, 1, size - (k - 1))).otherwise(
+            F.array(F.array_join(toks, " "))
+        )
     )
 
 

@@ -35,16 +35,26 @@ MAX_DUP_TRIGRAM_FRAC = 0.05
 
 
 def _grams(toks: Column, n: int) -> Column:
-    """Overlapping word n-grams of a token array (empty below n tokens)."""
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Overlapping word n-grams of a token array (empty below n tokens).
+
+    Built by zipping the array with its own shifted slices — the array
+    arguments are evaluated once per ROW.  The tempting alternative,
+    ``transform(sequence(...), i -> element_at(toks, i))``, puts ``toks``
+    inside the lambda body, where Catalyst re-evaluates the underlying
+    expression PER ELEMENT (no CSE across lambda bodies); with tokens
+    coming from regexp_extract_all that made gram construction quadratic
+    in document length (observed 25 s vs ~1 s at sf0.1)."""
+    size = F.size(toks)
+    g = toks
+    for j in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(toks, j + 1, size),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return F.when(size >= n, F.slice(g, 1, size - (n - 1))).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def structural_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -75,10 +85,11 @@ def _tagged_gram_stats(df: DataFrame, text_col: str, carry: dict) -> DataFrame:
     (doc, size, gram) → (doc, size) → (doc).  Zero joins; per-doc scalar
     columns in ``carry`` ride along via first().
 
-    Output: doc_id, carried columns, top_bigram_frac, dup_trigram_frac."""
+    ``carry`` maps output name → fn(token_array_column) so every carried
+    metric reads the MATERIALIZED token array.  Output: doc_id, carried
+    columns, top_bigram_frac, dup_trigram_frac."""
     from kcl_akka_stream_spark.plans.hygiene import spread
 
-    toks = X.tokens(F.col(text_col))
     tag = lambda garr, n: F.transform(  # noqa: E731
         garr,
         lambda g: F.struct(F.lit(n).cast("int").alias("size"), g.alias("g")),
@@ -86,12 +97,21 @@ def _tagged_gram_stats(df: DataFrame, text_col: str, carry: dict) -> DataFrame:
     sentinel = F.array(
         F.struct(F.lit(0).cast("int").alias("size"), F.lit("").alias("g"))
     )
+    # Two-stage projection: tokenize ONCE into a real column, then build
+    # grams off it.  Feeding the raw regexp_extract_all expression into
+    # _grams would re-run the regex inside every element_at access of the
+    # gram lambdas (no common-subexpression elimination across HOF lambda
+    # bodies) — observed 25 s vs ~1 s at sf0.1.
     # spread(): the gram slicing is an interpreted higher-order function;
     # on a single-partition small-file read it would serialize.
-    proj = spread(df.select("doc_id", text_col)).select(
+    toked = spread(df.select("doc_id", text_col)).select(
+        "doc_id", X.tokens(F.col(text_col)).alias("__t")
+    )
+    t = F.col("__t")
+    proj = toked.select(
         "doc_id",
-        *[c.alias(name) for name, c in carry.items()],
-        F.concat(tag(_grams(toks, 2), 2), tag(_grams(toks, 3), 3), sentinel).alias(
+        *[fn(t).alias(name) for name, fn in carry.items()],
+        F.concat(tag(_grams(t, 2), 2), tag(_grams(t, 3), 3), sentinel).alias(
             "tagged"
         ),
     )
@@ -148,8 +168,7 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
       frequent bigram (2 × its count / word count, capped at 1);
     - ``dup_trigram_frac`` — fraction of trigram occurrences that are
       repeats of an earlier trigram in the same document."""
-    toks = X.tokens(F.col(text_col))
-    out = _tagged_gram_stats(df, text_col, {"n_words": F.size(toks)})
+    out = _tagged_gram_stats(df, text_col, {"n_words": F.size})
     return out.select("doc_id", "top_bigram_frac", "dup_trigram_frac")
 
 
@@ -159,23 +178,21 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     Single linear pipeline — the structural scalars are computed map-side
     in the same projection that builds the grams and ride the aggs via
     first(), so there is no join anywhere in the plan."""
-    toks = X.tokens(F.col(text_col))
-    n_words = F.size(toks)
     m = _tagged_gram_stats(
         df,
         text_col,
         {
-            "n_words": n_words,
-            "mean_word_len": F.round(
-                F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast(
+            "n_words": F.size,
+            "mean_word_len": lambda t: F.round(
+                F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast(
                     "double"
                 )
-                / F.greatest(n_words, F.lit(1)),
+                / F.greatest(F.size(t), F.lit(1)),
                 4,
             ),
-            "frac_alpha_words": F.round(
-                F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
-                / F.greatest(n_words, F.lit(1)),
+            "frac_alpha_words": lambda t: F.round(
+                F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("double")
+                / F.greatest(F.size(t), F.lit(1)),
                 6,
             ),
         },

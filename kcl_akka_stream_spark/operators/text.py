@@ -153,17 +153,31 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text", window: int = 4) 
     Higher-order functions evaluate interpreted (no codegen), so per-row
     cost is high enough that partition parallelism is the whole game --
     spread() guards the single-partition small-file case (found via
-    tools/scale_probe.py: 12.8s serial vs ~1s spread at sf0.1)."""
+    tools/scale_probe.py: 12.8s serial vs ~1s spread at sf0.1).
+
+    Window hashes are built as a zip-chain over shifted slices of the
+    code array: ``h_j = (h_{j-1} * B + c_{i+j}) % M`` zipped positionally
+    -- congruent mod M to folding each window, so values are identical,
+    but the code array is evaluated per ROW.  The previous form
+    (``transform(sequence(...), i -> fold(slice(codes, i, window)))``)
+    re-evaluated the md5 token codes PER WINDOW (no CSE into lambda
+    bodies) -- O(doc_len) regex+md5 passes per document."""
     from kcl_akka_stream_spark.plans.hygiene import spread
 
     df = spread(df)
     codes = F.transform(tokens(F.col(text_col)), _token_code)
     whole = _poly_fold(codes)
-    n_windows = F.greatest(F.size(codes) - window + 1, F.lit(1))
-    win_hashes = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: _poly_fold(F.slice(codes, i, window)),
-    )
+    size = F.size(codes)
+    h = codes
+    for j in range(1, window):
+        h = F.zip_with(
+            h,
+            F.slice(codes, j + 1, size),
+            lambda acc, c: (acc * RH_BASE + c) % RH_MOD,
+        )
+    win_hashes = F.when(
+        size >= window, F.slice(h, 1, size - (window - 1))
+    ).otherwise(F.array(whole))
     return df.select(
         "doc_id",
         whole.alias("rolling_hash"),

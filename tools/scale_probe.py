@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F
 
+from kcl_akka_stream_spark.operators import clustering as CL
+from kcl_akka_stream_spark.operators import corpus as C
 from kcl_akka_stream_spark.operators import dedup as D
+from kcl_akka_stream_spark.operators import quality as Q
 from kcl_akka_stream_spark.operators import similarity as S
 from kcl_akka_stream_spark.operators import text as X
 from kcl_akka_stream_spark.session import get_session
@@ -92,6 +95,8 @@ def main() -> None:
             d, threshold=0.5, max_doc_freq=3
         ),
         "text_rolling_fp": lambda d: X.rolling_fingerprint(d),
+        "quality_flags": lambda d: Q.gopher_quality_flags(d),
+        "dedup_segments": lambda d: C.dedup_segments(d, seg_tokens=3, max_doc_freq=3),
     }
     for name, op in ops.items():
         t1 = timed(lambda: op(docs1))
@@ -104,9 +109,18 @@ def main() -> None:
     def near_dup_lsh(e):
         return S.embedding_near_dup_pairs(e, threshold=0.35, lsh_dims=4)
 
+    def kmeans_assign(e):
+        centroids = e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").cast("long").alias("cluster_id"),
+            F.col("embedding").alias("centroid"),
+        )
+        return CL.kmeans_assign(e, centroids)
+
     for name, op, frames in (
         ("sim_topk_vectorized", knn, (emb1, emb_n)),
         ("emb_near_dup_lsh", near_dup_lsh, (emb1, emb_n)),
+        ("kmeans_assign", kmeans_assign, (emb1, emb_n)),
+        ("emb_quantize_int8", lambda e: S.quantize_int8(e), (emb1, emb_n)),
     ):
         t1 = timed(lambda: op(frames[0]))
         tn = timed(lambda: op(frames[1]))
