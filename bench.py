@@ -64,6 +64,8 @@ HEADLINE = [
     # decision-support joins
     "q3_shipping_priority",
     "q18_large_volume_customers",
+    # end-to-end curation composite
+    "pipeline_export_manifest",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -1331,3 +1331,54 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcl_akka_stream_spark.operators.similarity import quantize_int8
 
     return quantize_int8(tbl(spark, sf_dir, "embeddings"))
+
+
+def _export_manifest_oracle(budget: int = 256) -> str:
+    return f"""
+    WITH qual AS (SELECT doc_id FROM ({_quality_oracle()}) WHERE gopher_pass = 1),
+    keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    surv AS (
+      SELECT d.doc_id, d.lang,
+             CAST(len(regexp_extract_all(lower(d.text), '{TOK}')) AS BIGINT)
+               AS n_tokens
+      FROM documents d JOIN qual USING (doc_id) JOIN keep USING (doc_id)),
+    p AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM surv)
+    SELECT lang,
+           CAST(floor(tokens_before / {budget}.0) AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY lang, pack_id
+    """
+
+
+@query("pipeline_export_manifest", _export_manifest_oracle())
+def pipeline_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # End-to-end curation composition: Gopher quality gate -> exact-dedup
+    # keepers -> per-language token packing -> per-shard manifest (doc
+    # count, token count, id range) -- the summary a trainer's data loader
+    # consumes.  Every stage keys on doc_id, so the joins co-partition
+    # after the first shuffle; packing is one window per language stratum.
+    docs = tbl(spark, sf_dir, "documents")
+    passed = Q.gopher_quality_flags(docs).filter(F.col("gopher_pass") == 1).select(
+        "doc_id"
+    )
+    keepers = D.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    surv = (
+        docs.join(passed, "doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "lang", "text")
+    )
+    packed = C.pack_token_budget(surv, budget=256)
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

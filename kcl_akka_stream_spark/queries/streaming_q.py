@@ -406,3 +406,70 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_kmv_merge",
+    # Oracle = the direct GLOBAL KMV sketch over the raw table (same
+    # arithmetic as agg_kmv_merged) -- sketch mergeability makes the
+    # streamed per-batch states collapse to EXACTLY this value.
+    """
+    WITH h0 AS (
+      SELECT DISTINCT substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS h8 FROM events),
+    h AS (
+      SELECT list_sum([(strpos('0123456789abcdef', substr(h8, i, 1)) - 1)
+                       * power(16, 8 - i)
+                       FOR i IN generate_series(1, 8)]) / 4294967296.0 AS hv
+      FROM h0),
+    r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+    agg AS (SELECT count(*) AS n_exact_kept, max(hv) AS kth FROM r WHERE rn <= 64)
+    SELECT CAST(n_exact_kept AS BIGINT) AS n_exact_kept,
+           round(kth, 10) AS kth_min,
+           round(CASE WHEN n_exact_kept >= 64 THEN 63.0 / kth
+                      ELSE CAST(n_exact_kept AS DOUBLE) END, 4) AS est_distinct
+    FROM agg
+    """,
+)
+def stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming sketch rollup: the event stream is split into 4 micro-
+    # batches (maxFilesPerTrigger=1 over a 4-file copy); each batch folds
+    # into its own KMV state inside foreachBatch; the tiny per-batch
+    # states (<= batches x k hashes) are then merged into ONE global
+    # estimate.  The KMV closure property guarantees the merge equals the
+    # direct batch sketch bit-for-bit -- which is exactly what the oracle
+    # checks.  This is the 100 TB shape for streaming distinct counts:
+    # state per batch is k numbers, never the data.
+    from kcl_akka_stream_spark.operators.sketches import (
+        kmv_merge_estimate,
+        kmv_sketch,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select("user_id")
+    src = tempfile.mkdtemp(prefix="kcl_kmv_src_")
+    state_rows = []
+    state_schema = None
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            st = kmv_sketch(
+                batch_df.withColumn("g", F.lit(int(epoch_id))), "g", "user_id", k=64
+            )
+            state_rows.extend(st.collect())
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        states = spark.createDataFrame(
+            state_rows, "g long, kmins array<double>"
+        )
+        return kmv_merge_estimate(states, k=64)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
