@@ -1382,3 +1382,35 @@ def pipeline_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query("agg_cms_merged", _cms_oracle())
+def agg_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CMS MERGEABILITY under the gate: per-event-type sketch states are
+    # merged (counter addition) into one global sketch, probed, and the
+    # oracle computes the direct global sketch -- the two must match
+    # digit-by-digit (the partial-aggregate closure that lets frequency
+    # sketches roll up map-side at 100 TB).  Same oracle as
+    # agg_cms_heavy_hitters by construction.
+    from kcl_akka_stream_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_state,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    states = cms_state(ev, "user_id", depth=4, width=64, group_col="event_type")
+    merged = cms_merge(states)
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(merged, keys, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .filter(F.col("cms_count") >= 120)
+        .select(
+            "user_id",
+            F.col("cms_count").cast("long").alias("cms_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("cms_count") - F.col("exact_count")).cast("long").alias("overcount"),
+        )
+    )
