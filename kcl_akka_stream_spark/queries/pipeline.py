@@ -1414,3 +1414,67 @@ def agg_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_count") - F.col("exact_count")).cast("long").alias("overcount"),
         )
     )
+
+
+@query(
+    "text_langid_confusion",
+    f"""
+    WITH pred AS (SELECT doc_id, pred_lang FROM ({_langid_oracle()}))
+    SELECT d.lang AS true_lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.pred_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Classifier evaluation as a first-class pipeline op: the confusion
+    # matrix of the n-gram language-ID heuristic against the fixture's
+    # ground-truth lang column.  One combinable agg; the prediction is
+    # map-only.
+    docs = tbl(spark, sf_dir, "documents")
+    pred = X.lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@query(
+    "pipeline_adaptive_length_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '{TOK}')) AS INT) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, n_tokens,
+             percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS pr
+      FROM t)
+    SELECT doc_id, lang, n_tokens, round(pr, 6) AS len_pctile
+    FROM r WHERE pr >= 0.2
+    """,
+)
+def pipeline_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Adaptive (distribution-relative) curation: drop the shortest 20% of
+    # documents WITHIN each language, not below a global absolute cut --
+    # the rule that survives corpus drift.  percent_rank ties broken on
+    # doc_id -> deterministic across engines.  One window shuffle keyed by
+    # stratum.
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(X.tokens(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    return (
+        t.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.2)
+        .select(
+            "doc_id", "lang", "n_tokens", F.round(F.col("pr"), 6).alias("len_pctile")
+        )
+    )
