@@ -172,6 +172,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
     lsh_dims: int | None = None,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by a coarse key so the
     self-join is per-block instead of O(n^2).
@@ -181,7 +182,15 @@ def embedding_near_dup_pairs(
     semantic column like the fixture's ``label`` is required -- near-dup
     vectors land in the same sign bucket with high probability, and the
     per-block join shrinks by the 2^dims bucket fan-out.  With
-    ``lsh_dims=None`` the given ``block_col`` is trusted as the key."""
+    ``lsh_dims=None`` the given ``block_col`` is trusted as the key.
+
+    Per-block cost is quadratic in block size, so ``lsh_dims`` must grow
+    with the corpus (buckets ~ n / target_block_size); ``max_block_size``
+    is the deterministic guardrail for the skewed tail -- over-cap blocks
+    are dropped whole BEFORE pair generation, the same bounded-fan-out
+    discipline as the MinHash hot-bucket cap and the Jaccard df-cap
+    (tools/scale_probe.py: uncapped 4-dim blocking went 45x wall at 10x
+    data; capped stays linear)."""
     from kcl_akka_stream_spark.plans.hygiene import spread
 
     corpus = spread(corpus)
@@ -193,8 +202,16 @@ def embedding_near_dup_pairs(
     a = corpus.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
-    b = corpus.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    if max_block_size is not None:
+        kept = (
+            a.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n").between(2, max_block_size))
+            .select("blk")
+        )
+        a = a.join(F.broadcast(kept), "blk")
+    b = a.select(
+        F.col("blk"), F.col("id_a").alias("id_b"), F.col("va").alias("vb")
     )
     return (
         a.join(b, on="blk")

@@ -1478,3 +1478,39 @@ def pipeline_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFra
             "doc_id", "lang", "n_tokens", F.round(F.col("pr"), 6).alias("len_pctile")
         )
     )
+
+
+def _emb_near_dup_capped_oracle(
+    bucket_dims: int = 4, threshold: float = 0.35, cap: int = 200
+) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {2**d} ELSE 0 END)"
+        for d in range(bucket_dims)
+    )
+    cos = _COS.format(a="a.v", b="b.v")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST({bucket} AS INT) AS bucket
+               FROM embeddings),
+    kept AS (
+      SELECT bucket FROM e GROUP BY bucket HAVING count(*) BETWEEN 2 AND {cap})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN kept k ON k.bucket = a.bucket
+    WHERE round({cos}, 6) >= {threshold}
+    """
+
+
+@query("emb_near_dup_lsh_capped", _emb_near_dup_capped_oracle())
+def emb_near_dup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Guardrailed form of emb_near_dup_lsh: sign-LSH blocks over the cap
+    # are dropped whole before pair generation -- the same deterministic
+    # bounded-fan-out discipline as the MinHash hot-bucket cap.  At scale
+    # lsh_dims grows with the corpus and the cap bounds the skewed tail
+    # (tools/scale_probe.py: uncapped 4-dim went 45x wall at 10x data).
+    return S.embedding_near_dup_pairs(
+        tbl(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        lsh_dims=4,
+        max_block_size=200,
+    )

@@ -109,6 +109,16 @@ def main() -> None:
     def near_dup_lsh(e):
         return S.embedding_near_dup_pairs(e, threshold=0.35, lsh_dims=4)
 
+    def near_dup_lsh_capped(e):
+        # the two 100 TB mitigations: cap the skewed-block tail...
+        return S.embedding_near_dup_pairs(
+            e, threshold=0.35, lsh_dims=4, max_block_size=600
+        )
+
+    def near_dup_lsh8(e):
+        # ...and scale the bucket count with the corpus (16 -> 256 blocks)
+        return S.embedding_near_dup_pairs(e, threshold=0.35, lsh_dims=8)
+
     def kmeans_assign(e):
         centroids = e.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").cast("long").alias("cluster_id"),
@@ -119,6 +129,8 @@ def main() -> None:
     for name, op, frames in (
         ("sim_topk_vectorized", knn, (emb1, emb_n)),
         ("emb_near_dup_lsh", near_dup_lsh, (emb1, emb_n)),
+        ("emb_near_dup_capped", near_dup_lsh_capped, (emb1, emb_n)),
+        ("emb_near_dup_lsh8", near_dup_lsh8, (emb1, emb_n)),
         ("kmeans_assign", kmeans_assign, (emb1, emb_n)),
         ("emb_quantize_int8", lambda e: S.quantize_int8(e), (emb1, emb_n)),
     ):
