@@ -1514,3 +1514,121 @@ def emb_near_dup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_dims=4,
         max_block_size=200,
     )
+
+
+@query(
+    "pipeline_incremental_dedup",
+    """
+    WITH existing AS (SELECT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0),
+    incoming AS (SELECT doc_id, lang, md5(text) AS digest FROM documents
+                 WHERE doc_id % 2 = 1)
+    SELECT i.doc_id, i.lang,
+           CAST(EXISTS (SELECT 1 FROM existing e WHERE e.digest = i.digest) AS INT)
+             AS is_known
+    FROM incoming i
+    """,
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental corpus update: an incoming batch checked against the
+    # EXISTING corpus's digest set (the daily-ingest shape: history never
+    # rescanned, only its digests).  Digest set joins as a broadcast/SMJ
+    # on the hash; flag rather than drop so the caller chooses the policy.
+    # At 100 TB the existing side is a digest-only table (32 bytes/doc),
+    # bucketed by digest for a shuffle-free probe.
+    docs = tbl(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.md5("text").alias("digest")
+    )
+    known = existing.withColumn("is_known", F.lit(1))
+    return (
+        incoming.join(F.broadcast(known), "digest", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("is_known"), F.lit(0)).cast("int").alias("is_known"),
+        )
+    )
+
+
+@query(
+    "diag_key_skew",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    s AS (SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(n) AS BIGINT) AS max_n FROM c),
+    top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 5)
+    SELECT t.user_id AS hot_key, CAST(t.n AS BIGINT) AS n_rows,
+           round(t.n / s.total, 6) AS frac_of_total,
+           round(t.n * s.n_keys / s.total, 4) AS skew_vs_mean
+    FROM top t CROSS JOIN s
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partition-skew diagnostics: the top hot keys with their share of
+    # the table and their ratio to the mean key size -- the report that
+    # decides between broadcast, salting (operators/skew.py) and AQE skew
+    # join.  One combinable count agg + a 5-row TakeOrdered; the totals
+    # side is a single-row broadcast.
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    s = c.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = c.orderBy(F.desc("n"), "user_id").limit(5)
+    return top.crossJoin(F.broadcast(s)).select(
+        F.col("user_id").alias("hot_key"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.col("n") / F.col("total"), 6).alias("frac_of_total"),
+        F.round(F.col("n") * F.col("n_keys") / F.col("total"), 4).alias(
+            "skew_vs_mean"
+        ),
+    )
+
+
+@query(
+    "emb_lang_centroids",
+    """
+    WITH j AS (
+      SELECT d.lang, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    dims AS (
+      SELECT lang, s.dim AS dim, avg(s.val) AS mval
+      FROM (SELECT lang,
+                   unnest([{'dim': i, 'val': v[i]}
+                           FOR i IN generate_series(1, len(v))]) AS s
+            FROM j)
+      GROUP BY lang, s.dim)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_dims,
+           round(sum(mval), 6) AS centroid_sum,
+           round(sqrt(sum(mval * mval)), 6) AS centroid_norm
+    FROM dims GROUP BY lang
+    """,
+)
+def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-table composition: embeddings joined to their documents'
+    # language, then a per-language centroid (the seed for semantic
+    # balancing / IVF coarse quantizers).  The dim explode aggregates
+    # map-side to langs x dims rows; verified through scalar checksums.
+    emb = tbl(spark, sf_dir, "embeddings")
+    docs = tbl(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    j = emb.join(F.broadcast(docs), "vec_id").select(
+        "lang", F.posexplode("embedding").alias("dim", "val")
+    )
+    means = j.groupBy("lang", "dim").agg(
+        F.avg(F.col("val").cast("double")).alias("mval")
+    )
+    return means.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.round(F.sum("mval"), 6).alias("centroid_sum"),
+        F.round(F.sqrt(F.sum(F.col("mval") * F.col("mval"))), 6).alias(
+            "centroid_norm"
+        ),
+    )
