@@ -80,6 +80,14 @@ def test_shuffle_budgets(spark, sf_dir):
         "q5_local_supplier_volume": 1,  # same: only the orderkey join shuffles
         "q10_returned_items": 1,  # same shape as q3
         "q18_large_volume_customers": 1,  # HAVING pre-agg then broadcasts
+        "emb_near_dup_lsh_capped": 6,  # + kept-block agg & broadcast vs uncapped
+        "pipeline_export_manifest": 6,  # quality pipeline + dedup join + pack window
+        "pipeline_incremental_dedup": 1,  # digest set broadcast; incoming never shuffles
+        "diag_key_skew": 3,  # count agg + TakeOrdered + single-row broadcast
+        "emb_lang_centroids": 2,  # docs broadcast; (lang,dim) avg combines map-side
+        "pipeline_adaptive_length_filter": 1,  # one window shuffle keyed by stratum
+        "text_langid_confusion": 1,  # map-only predict + one combinable agg
+        "agg_cms_merged": 4,  # grouped state + merge + probe + exact agg
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
