@@ -473,3 +473,67 @@ def stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return kmv_merge_estimate(states, k=64)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@query(
+    "stream_cms_merge",
+    # Oracle = the direct global CMS built from the raw table; counter
+    # addition makes the streamed per-batch states sum to exactly this.
+    """
+    WITH d AS (SELECT unnest([0,1,2,3]) AS row),
+    state AS (
+      SELECT row, bucket, count(*) AS cnt
+      FROM (SELECT row,
+                   CAST(list_sum([(strpos('0123456789abcdef',
+                        substr(md5(CAST(row AS VARCHAR) || ':' ||
+                               CAST(user_id AS VARCHAR)), i, 1)) - 1)
+                        * power(16, 8 - i)
+                        FOR i IN generate_series(1, 8)]) AS BIGINT) % 64 AS bucket
+            FROM events, d)
+      GROUP BY row, bucket)
+    SELECT row, bucket, CAST(cnt AS BIGINT) AS cnt FROM state
+    """,
+)
+def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming frequency-sketch rollup, twin of stream_kmv_merge: each
+    # of 4 micro-batches folds into its own Count-Min counter state
+    # inside foreachBatch; the states are summed into the global sketch,
+    # which counter additivity guarantees equals the direct batch build
+    # -- the oracle checks every counter.  Streaming state per batch is
+    # <= depth x width counters, never the data.
+    from kcl_akka_stream_spark.operators.sketches import cms_merge, cms_state
+
+    ev = tbl(spark, sf_dir, "events").select("user_id")
+    src = tempfile.mkdtemp(prefix="kcl_cms_src_")
+    state_rows = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            st = cms_state(
+                batch_df.withColumn("g", F.lit(int(epoch_id))),
+                "user_id",
+                depth=4,
+                width=64,
+                group_col="g",
+            )
+            state_rows.extend(st.collect())
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        states = spark.createDataFrame(
+            state_rows, "g long, row int, bucket long, cnt long"
+        )
+        return cms_merge(states).select(
+            "row", "bucket", F.col("cnt").cast("long").alias("cnt")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
