@@ -170,3 +170,103 @@ def test_advance_iterated_matches_full_history(case):
     if out is not None:
         all_seqs = [s for b in batches for s in b]
         assert out == _frontier(all_seqs, [procs[s] for s in all_seqs])
+
+
+# --- zip-chain gram construction -------------------------------------------
+# The round-3 rewrite builds n-grams / shingles / segments / rolling-hash
+# windows as zip_with chains over shifted slices (performance: arrays are
+# lambda arguments, evaluated once per row).  These properties pin the
+# chains to their obvious Python definitions over arbitrary token lists.
+
+RH_BASE, RH_MOD = 257, 2147483647
+
+_token = st.text(alphabet="ab0", min_size=1, max_size=3)
+_texts = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+
+
+def _py_tokens(text):
+    import re
+
+    return re.findall("[a-z0-9]+", text.lower())
+
+
+@given(_texts)
+@settings(max_examples=20, deadline=None)
+def test_shingles_match_python_reference(spark, text):
+    from pyspark.sql import functions as F
+
+    from kcl_akka_stream_spark.operators.dedup import shingles
+
+    toks = _py_tokens(text)
+    if len(toks) >= 3:
+        want = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+    else:
+        want = [" ".join(toks)]
+    df = spark.createDataFrame([(text,)], "text string")
+    got = sorted(df.select(shingles(F.col("text")).alias("s")).collect()[0].s)
+    assert got == want
+
+
+@given(_texts)
+@settings(max_examples=20, deadline=None)
+def test_quality_grams_match_python_reference(spark, text):
+    from pyspark.sql import functions as F
+
+    from kcl_akka_stream_spark.operators.quality import _grams
+
+    toks = _py_tokens(text)
+    df = spark.createDataFrame([(text,)], "text string")
+    for n in (2, 3):
+        want = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        want = want if len(toks) >= n else []
+        from kcl_akka_stream_spark.operators.text import tokens as tok_col
+
+        got = df.select(_grams(tok_col(F.col("text")), n).alias("g")).collect()[0].g
+        assert got == want, (n, toks)
+
+
+@given(_texts)
+@settings(max_examples=20, deadline=None)
+def test_segments_match_python_reference(spark, text):
+    from kcl_akka_stream_spark.operators.corpus import dedup_segments
+
+    toks = _py_tokens(text)
+    want = [" ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)]
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    if not toks:
+        # no segments -> doc vanishes from the positional explode
+        assert dedup_segments(df).count() == 0
+        return
+    row = dedup_segments(df, seg_tokens=3, max_doc_freq=5).collect()[0]
+    assert row.clean_text == " ".join(want)
+    assert row.n_seg_total == len(want)
+
+
+@given(_texts)
+@settings(max_examples=20, deadline=None)
+def test_rolling_windows_match_python_reference(spark, text):
+    import hashlib
+
+    from kcl_akka_stream_spark.operators.text import rolling_fingerprint
+
+    toks = _py_tokens(text)
+
+    def code(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+
+    def fold(cs):
+        acc = 0
+        for c in cs:
+            acc = (acc * RH_BASE + c) % RH_MOD
+        return acc
+
+    codes = [code(t) for t in toks]
+    whole = fold(codes)
+    if len(codes) >= 4:
+        wins = [fold(codes[i : i + 4]) for i in range(len(codes) - 3)]
+    else:
+        wins = [whole]
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = rolling_fingerprint(df).collect()[0]
+    assert row.rolling_hash == whole
+    assert row.winnow_min == min(wins)
