@@ -1632,3 +1632,46 @@ def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_norm"
         ),
     )
+
+
+@query(
+    "sink_partitioned_roundtrip",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hive-style partitioned sink + partition-pruned re-read as one gated
+    # roundtrip: write events partitioned BY event_type, read back with a
+    # partition filter, aggregate.  The re-read scans only the two
+    # selected partition directories (partition pruning is plan-asserted
+    # in tests/test_partition_pruning.py) -- the layout every downstream
+    # consumer of a 100 TB export relies on.
+    import shutil
+    import tempfile
+
+    ev = tbl(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="kcl_part_sink_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        back = spark.read.parquet(out).filter(
+            F.col("event_type").isin("click", "view")
+        )
+        agg = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        # materialize before the tmp dir disappears
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
