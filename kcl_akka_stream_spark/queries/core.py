@@ -1115,3 +1115,38 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("total_qty"), 2).alias("total_qty"),
         )
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot_event_types",
+    f"""
+    SELECT user_id,
+           {", ".join(
+               "CAST(sum(CASE WHEN event_type = '" + t + "' THEN 1 ELSE 0 END) AS BIGINT)"
+               " AS n_" + t
+               for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The pivot (long->wide) reshape: per-user event counts, one column
+    # per event type.  The pivot values are LISTED explicitly -- omitting
+    # them makes Spark run an extra distinct pass to discover them, a
+    # hidden second scan at 100 TB.  One combinable agg.
+    ev = tbl(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
