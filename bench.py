@@ -42,6 +42,7 @@ HEADLINE = [
     "sim_topk_lsh",
     "emb_near_dup",
     "emb_near_dup_lsh",
+    "emb_near_dup_lsh_capped",
     # text analysis + multimodal
     "text_quality",
     "text_langid",
