@@ -85,23 +85,22 @@ def _tagged_gram_stats(df: DataFrame, text_col: str, carry: dict) -> DataFrame:
     (doc, size, gram) → (doc, size) → (doc).  Zero joins; per-doc scalar
     columns in ``carry`` ride along via first().
 
-    ``carry`` maps output name → fn(token_array_column) so every carried
-    metric reads the MATERIALIZED token array.  Output: doc_id, carried
-    columns, top_bigram_frac, dup_trigram_frac."""
+    ``carry`` maps output name → fn(token_array_column), computed once
+    per document in the gram projection and carried through the aggs via
+    first().  Output: doc_id, carried columns, top_bigram_frac,
+    dup_trigram_frac.
+
+    Shape note — ONE scan, everything codegen except the gram zip: the
+    bigram and trigram arrays are concatenated as PLAIN strings together
+    with one empty-string sentinel (so empty docs survive) and exploded
+    once; the size tag is recovered from the gram's space count (tokens
+    are [a-z0-9]+, so a bigram has exactly one space).  Both
+    alternatives measured slower at sf0.1: size-tagged structs via
+    transform() evaluate interpreted (~2x), and a union of per-size
+    explode branches plans three scans of the source (~2x at fixture
+    scale, 3x the I/O at 100 TB)."""
     from kcl_akka_stream_spark.plans.hygiene import spread
 
-    tag = lambda garr, n: F.transform(  # noqa: E731
-        garr,
-        lambda g: F.struct(F.lit(n).cast("int").alias("size"), g.alias("g")),
-    )
-    sentinel = F.array(
-        F.struct(F.lit(0).cast("int").alias("size"), F.lit("").alias("g"))
-    )
-    # Two-stage projection: tokenize ONCE into a real column, then build
-    # grams off it.  Feeding the raw regexp_extract_all expression into
-    # _grams would re-run the regex inside every element_at access of the
-    # gram lambdas (no common-subexpression elimination across HOF lambda
-    # bodies) — observed 25 s vs ~1 s at sf0.1.
     # spread(): the gram slicing is an interpreted higher-order function;
     # on a single-partition small-file read it would serialize.
     toked = spread(df.select("doc_id", text_col)).select(
@@ -111,13 +110,18 @@ def _tagged_gram_stats(df: DataFrame, text_col: str, carry: dict) -> DataFrame:
     proj = toked.select(
         "doc_id",
         *[fn(t).alias(name) for name, fn in carry.items()],
-        F.concat(tag(_grams(t, 2), 2), tag(_grams(t, 3), 3), sentinel).alias(
-            "tagged"
-        ),
+        F.explode(
+            F.concat(_grams(t, 2), _grams(t, 3), F.array(F.lit("")))
+        ).alias("g"),
     )
     ex = proj.select(
-        "doc_id", *carry.keys(), F.explode("tagged").alias("t")
-    ).select("doc_id", *carry.keys(), "t.size", "t.g")
+        "doc_id",
+        *carry.keys(),
+        F.when(F.col("g") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("g"), " ")))
+        .alias("size"),
+        "g",
+    )
     per_gram = ex.groupBy("doc_id", "size", "g").agg(
         F.count(F.lit(1)).alias("cnt"),
         *[F.first(k).alias(k) for k in carry],
