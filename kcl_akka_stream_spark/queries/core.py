@@ -1150,3 +1150,108 @@ def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _EVENT_TYPES
         ],
     )
+
+
+@query(
+    "w_funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id)
+    SELECT CAST(count(s1.user_id) AS BIGINT) AS n_viewed,
+           CAST(count(s2.user_id) AS BIGINT) AS n_clicked_after,
+           CAST(count(s3.user_id) AS BIGINT) AS n_purchased_after
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+)
+def w_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered funnel (view -> later click -> later purchase): each stage
+    # anchors on the previous stage's first event time.  Stage tables are
+    # user-cardinality-sized aggregates; the event table is scanned with
+    # a pushed event_type filter per stage and re-joined broadcast -- no
+    # data-sized shuffle beyond the per-stage aggs.
+    ev = tbl(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count("t_view").cast("long").alias("n_viewed"),
+            F.count("t_click").cast("long").alias("n_clicked_after"),
+            F.count("t_purchase").cast("long").alias("n_purchased_after"),
+        )
+    )
+
+
+@query(
+    "w_gap_fill_hourly",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events WHERE user_id < 10 GROUP BY user_id, date_trunc('hour', ts)),
+    spans AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      FROM spans)
+    SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(coalesce(b.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h
+    """,
+)
+def w_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-series densification: per-user hourly counts with MISSING
+    # hours materialized as zero rows (sequence() -> explode over each
+    # user's own [min, max] span).  The grid explode is bounded by span
+    # hours per user; the join back is co-keyed on (user, hour).  The
+    # user_id < 10 filter keeps fixture output reviewable -- the shape is
+    # unchanged at full key cardinality.
+    ev = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spans = b.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    return (
+        grid.join(b, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format(F.col("h"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
