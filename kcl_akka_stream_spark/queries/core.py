@@ -1255,3 +1255,73 @@ def w_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+@query(
+    "sql_api_pricing",
+    f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {_sql_sum_money('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SQL front end as a first-class surface: the same Catalyst plan
+    # is reachable through spark.sql over registered views -- a migrating
+    # user can keep their SQL verbatim.  (Same aggregation as
+    # q1_pricing_summary, entered through the other door.)
+    from kcl_akka_stream_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS sum_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "source_schema_evolution",
+    """
+    WITH v1 AS (SELECT event_id, event_type, NULL AS value FROM events
+                WHERE event_id % 2 = 0),
+    v2 AS (SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 1),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(value) AS BIGINT) AS n_with_value
+    FROM u GROUP BY event_type
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Schema evolution at the source: an old export (no `value` column)
+    # and a new export (with it) live in one directory; mergeSchema
+    # reconciles them and the missing column reads as NULL.  The audit
+    # counts how much of each type carries the new column.  At 100 TB
+    # this is the append-only data-lake reality; mergeSchema costs one
+    # footer pass, the scan stays pruned.
+    import shutil
+    import tempfile
+
+    ev = tbl(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="kcl_evolve_")
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "event_type"
+        ).write.mode("overwrite").parquet(out + "/v1")
+        ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "event_type", "value"
+        ).write.mode("overwrite").parquet(out + "/v2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            out + "/v1", out + "/v2"
+        )
+        agg = merged.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("value").cast("long").alias("n_with_value"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
