@@ -362,3 +362,56 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 2,
+) -> DataFrame:
+    """SimHash near-dup PAIRS: band the fingerprint (two 8-bit halves by
+    default), candidate docs share a band value, survivors verified by
+    exact hamming distance (bit_count of xor).
+
+    The banding is the same pigeonhole trade as MinHash-LSH: hamming
+    <= bits/bands - 1 per band guarantees a shared band for distance
+    <= bands - 1; larger distances are caught probabilistically.  Scale
+    shape: fingerprints are one map-only pass (see ``simhash``); the
+    band self-join is keyed by (band, value) -- fan-out bounded by
+    bucket sizes, the verify is a row-local bit op, and the pair
+    distinct collapses double-banded pairs map-side."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    banded = None
+    for b in range(bands):
+        part = sh.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(mask).alias(
+                "bv"
+            ),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select(
+        "band", "bv", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b_ = banded.select(
+        "band", "bv", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    pairs = (
+        a.join(b_, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -1675,3 +1675,30 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    return f"""
+    WITH sh AS ({_simhash_oracle()}),
+    banded AS (
+      SELECT doc_id, simhash, 0 AS band, simhash & 255 AS bv FROM sh
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS band, (simhash >> 8) & 255 AS bv FROM sh),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_pairs", _simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash banded near-dup pairs (operators/dedup.py): two 8-bit bands
+    # bucket the candidates, exact hamming (bit_count of xor) verifies --
+    # completing the simhash family from fingerprint to usable pairs.
+    return D.simhash_near_dup_pairs(
+        tbl(spark, sf_dir, "documents"), max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
