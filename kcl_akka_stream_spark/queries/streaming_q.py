@@ -537,3 +537,44 @@ def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@query(
+    "stream_static_enrich",
+    """
+    SELECT c.c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-static dimension enrichment: the event STREAM joins a static
+    # customer dimension (broadcast each micro-batch -- the standard
+    # streaming enrich; the dim is re-resolvable per batch so slowly-
+    # changing dims pick up updates), then a complete-mode aggregate per
+    # market segment.
+    from kcl_akka_stream_spark.sources.batch import stream_events
+
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    stream = stream_events(spark, sf_dir)
+    dim = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_cents(F.col("value"))).cast("double") / F.lit(100.0)).alias(
+            "sum_value"
+        ),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
