@@ -1702,3 +1702,32 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(
         tbl(spark, sf_dir, "documents"), max_hamming=3
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "udf_pandas_vowel_density",
+    """
+    SELECT doc_id,
+           CAST(len(text) AS INT) AS n_chars,
+           round(CAST(len(regexp_extract_all(lower(text), '[aeiou]')) AS DOUBLE)
+                 / greatest(len(text), 1), 6) AS vowel_density
+    FROM documents
+    """,
+)
+def udf_pandas_vowel_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Arrow SCALAR-UDF seam, gated: a @pandas_udf receives columnar
+    # batches (zero-copy Arrow, vectorized pandas str ops) -- the path
+    # for per-row logic Spark can't express (external scorers,
+    # tokenizers).  Deliberately computes a regexp-expressible feature so
+    # the oracle verifies the plumbing end-to-end.  In production prefer
+    # the built-in (whole-stage codegen); this entry documents the
+    # escape hatch and its batch shape.
+    from kcl_akka_stream_spark.functions.pandas_udfs import vowel_density
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    docs = spread(tbl(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        vowel_density(F.col("text")).alias("vowel_density"),
+    )
