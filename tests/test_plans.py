@@ -88,6 +88,12 @@ def test_shuffle_budgets(spark, sf_dir):
         "pipeline_adaptive_length_filter": 1,  # one window shuffle keyed by stratum
         "text_langid_confusion": 1,  # map-only predict + one combinable agg
         "agg_cms_merged": 4,  # grouped state + merge + probe + exact agg
+        "dedup_simhash_pairs": 5,  # fingerprint spread + band union + pair distinct
+        "w_funnel_conversion": 7,  # 3 stage aggs + broadcasts, all key-sized
+        "w_gap_fill_hourly": 2,  # bucket agg + span agg; grid join co-keyed
+        "sql_api_pricing": 1,  # same plan as q1 through the SQL door
+        "agg_pivot_event_types": 2,  # one combinable pivot agg
+        "udf_pandas_vowel_density": 1,  # spread only -- ArrowEvalPython is map-side
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
