@@ -226,6 +226,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    containment: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle-join candidate
     generation: |A ∩ B| from the shingle equi-join (docs sharing no shingle
@@ -288,14 +289,18 @@ def ngram_jaccard_pairs(
     # Size-ratio prune (set-similarity-join length filter): jaccard(A,B)
     # <= min(|A|,|B|)/max(|A|,|B|), so pairs whose sizes differ too much
     # can NEVER reach the threshold -- drop them map-side, before the pair
-    # shuffle.  Exact: no false negatives.
-    pruned = pair_arrays.select(
-        F.filter(
-            F.col("pairs"),
-            lambda p: F.least(p.getField("n_a"), p.getField("n_b"))
-            >= F.lit(threshold) * F.greatest(p.getField("n_a"), p.getField("n_b")),
-        ).alias("pairs")
-    )
+    # shuffle.  Exact: no false negatives.  NOT valid for containment
+    # (a tiny doc fully inside a huge one scores 1.0), so skipped there.
+    if containment:
+        pruned = pair_arrays
+    else:
+        pruned = pair_arrays.select(
+            F.filter(
+                F.col("pairs"),
+                lambda p: F.least(p.getField("n_a"), p.getField("n_b"))
+                >= F.lit(threshold) * F.greatest(p.getField("n_a"), p.getField("n_b")),
+            ).alias("pairs")
+        )
     inter = (
         pruned.select(F.explode("pairs").alias("p"))
         .groupBy(
@@ -306,6 +311,13 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    if containment:
+        # asymmetric measure: |A∩B| / min(|A|,|B|) -- catches quotes and
+        # supersets Jaccard misses (full embedding scores 1.0)
+        m = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+        return inter.select(
+            "id_a", "id_b", F.round(m, 6).alias("containment")
+        ).filter(F.col("containment") >= threshold)
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
         F.col("jaccard") >= threshold

@@ -1731,3 +1731,111 @@ def udf_pandas_vowel_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         vowel_density(F.col("text")).alias("vowel_density"),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+             AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) >= 0.5
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ASYMMETRIC near-dup: shingle containment |A∩B| / min(|A|,|B|)
+    # catches quotes and supersets that Jaccard misses (a doc fully
+    # embedded in a longer one has low Jaccard but containment 1.0).
+    # Same zero-join shingle-group plan as ngram_jaccard_pairs, different
+    # normalizer.
+    return D.ngram_jaccard_pairs(
+        tbl(spark, sf_dir, "documents"), k=3, threshold=0.5, containment=True
+    )
+
+
+@query(
+    "text_winnow_pairs",
+    f"""
+    WITH codes AS (
+      SELECT doc_id,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                   FOR c IN string_split(substr(md5(x), 1, 8), '')]),
+                  (acc, v) -> acc * 16 + v)
+              FOR x IN regexp_extract_all(lower(text), '{TOK}')] AS cs
+      FROM documents),
+    fp AS (
+      SELECT doc_id,
+             list_min([list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_slice(cs, i, i + 3)),
+                           (acc, t) -> (acc * 257 + t) % 2147483647)
+                       FOR i IN generate_series(1, greatest(len(cs) - 3, 1))])
+               AS winnow_min
+      FROM codes WHERE len(cs) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.winnow_min
+    FROM fp a JOIN fp b ON a.winnow_min = b.winnow_min AND a.doc_id < b.doc_id
+    """,
+)
+def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Winnowing collision pairs: documents sharing their minimum 4-token
+    # window hash -- the plagiarism-detection primitive built on
+    # text_rolling_fingerprint.  Group-by-fingerprint then in-bucket
+    # pairs; never an all-pairs join.
+    fp = X.rolling_fingerprint(
+        tbl(spark, sf_dir, "documents"), window=4
+    ).select("doc_id", "winnow_min")
+    a = fp.select(F.col("doc_id").alias("id_a"), "winnow_min")
+    b = fp.select(F.col("doc_id").alias("id_b"), "winnow_min")
+    return (
+        a.join(b, "winnow_min")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "winnow_min")
+    )
+
+
+def _kmv_error_oracle(k: int = 64) -> str:
+    return f"""
+    WITH est AS ({_kmv_oracle(k)}),
+    ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           FROM events GROUP BY event_type)
+    SELECT est.event_type, est.est_distinct, ex.exact_distinct,
+           round(abs(est.est_distinct - ex.exact_distinct)
+                 / greatest(ex.exact_distinct, 1), 6) AS rel_error
+    FROM est JOIN ex USING (event_type)
+    """
+
+
+@query("agg_kmv_error_report", _kmv_error_oracle())
+def agg_kmv_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Close the sketch loop: the KMV estimate NEXT TO the exact distinct
+    # count with its relative error -- the accuracy audit a user runs
+    # before trusting a sketch at 100 TB (where the exact side of this
+    # query is the thing they can no longer afford).
+    from kcl_akka_stream_spark.operators.sketches import kmv_distinct
+
+    ev = tbl(spark, sf_dir, "events")
+    est = kmv_distinct(ev, "event_type", "user_id", k=64).select(
+        "event_type", "est_distinct"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.greatest(F.col("exact_distinct"), F.lit(1)),
+            6,
+        ).alias("rel_error"),
+    )
