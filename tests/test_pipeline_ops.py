@@ -562,3 +562,36 @@ def test_quantize_int8_checksums_and_zero_vector(spark):
     assert got[0].q_sum == 64 and got[0].q_l1 == 318
     # zero vector: scale 0, quantized to zeros, no NaN/inf
     assert got[1].q_sum == 0 and got[1].q_l1 == 0 and got[1].l2_norm == 0.0
+
+
+def test_containment_catches_embedded_doc(spark):
+    from kcl_akka_stream_spark.operators.dedup import ngram_jaccard_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    df = _docs(spark, [small, big])
+    cont = ngram_jaccard_pairs(df, threshold=0.9, containment=True).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    # plain jaccard misses the same pair at the same threshold
+    jac = ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert jac == []
+
+
+def test_simhash_pairs_identical_docs_zero_hamming(spark):
+    from kcl_akka_stream_spark.operators.dedup import simhash_near_dup_pairs
+
+    text = "the quick brown fox jumps over the lazy dog repeatedly today"
+    df = _docs(spark, [text, text, "entirely different content with other words"])
+    got = simhash_near_dup_pairs(df, max_hamming=0).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(0, 1, 0)]
+
+
+def test_kmeans_assign_ties_break_on_lower_cluster_id(spark):
+    from kcl_akka_stream_spark.operators.clustering import kmeans_assign
+
+    vecs = spark.createDataFrame([(10, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (0, [0.0, 1.0])], "cluster_id long, centroid array<double>"
+    )
+    row = kmeans_assign(vecs, cents).collect()[0]
+    assert row.cluster_id == 0  # equal distance -> lower id wins
