@@ -1839,3 +1839,73 @@ def agg_kmv_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+def _hist_median_oracle(width: float = 10.0, n_bins: int = 50) -> str:
+    return f"""
+    WITH b AS (
+      SELECT event_type,
+             least(CAST(floor(value / {width}) AS BIGINT), {n_bins - 1}) AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY event_type, bin),
+    c AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM b),
+    m AS (
+      SELECT event_type, bin, cnt, cum, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rk
+      FROM c WHERE cum >= n * 0.5)
+    SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+           round(bin * {width}
+                 + (n * 0.5 - (cum - cnt)) / cnt * {width}, 6) AS est_median
+    FROM m WHERE rk = 1
+    """
+
+
+@query("agg_hist_median", _hist_median_oracle())
+def agg_hist_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable approximate median: a 50-bin equi-width histogram (bin
+    # counts are additive -> a valid partial aggregate, the same closure
+    # property as the KMV/CMS sketches) with linear interpolation inside
+    # the median bin.  At 100 TB this replaces the exact sort-based
+    # median with one combinable agg + a bins-sized window.
+    from pyspark.sql import Window
+
+    width, n_bins = 10.0, 50
+    ev = tbl(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / width).cast("long"), F.lit(n_bins - 1)
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    ).filter(F.col("cum") >= F.col("n") * 0.5)
+    rk = Window.partitionBy("event_type").orderBy("bin")
+    return (
+        c.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(
+                F.col("bin") * width
+                + (F.col("n") * 0.5 - (F.col("cum") - F.col("cnt")))
+                / F.col("cnt")
+                * width,
+                6,
+            ).alias("est_median"),
+        )
+    )
