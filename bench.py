@@ -93,6 +93,12 @@ def main() -> None:
         # nudge GC between queries so accumulated garbage from earlier plans
         # is not collected inside someone else's timed section
         spark.sparkContext._jvm.System.gc()
+        # per-query warmup immediately before timing: interpreted
+        # higher-order-function expressions (gram zip-chains) need a few
+        # million evaluations before C2 JIT-compiles their call sites --
+        # measured 12-21s cold vs 1.4s steady-state for text_quality_flags;
+        # the single global warmup pass above is too far removed to cover it.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         # median-of-3: single-pass local timings vary ~2x with JVM/GC noise
         # (r1/r2 identical code measured 27.1s vs 15.1s); the median is
         # robust to a one-off GC pause in either direction.
