@@ -1909,3 +1909,43 @@ def agg_hist_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_median"),
         )
     )
+
+
+def _dedup_savings_oracle() -> str:
+    return f"""
+    WITH clusters AS ({_clusters_oracle()})
+    SELECT c.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(d.doc_id) AS keeper_id,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(d.n_chars) - min_by(d.n_chars, d.doc_id) AS BIGINT)
+             AS chars_saved
+    FROM clusters c JOIN documents d USING (doc_id)
+    GROUP BY c.cluster_id
+    HAVING count(*) > 1
+    """
+
+
+@query("dedup_savings_report", _dedup_savings_oracle())
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The number a curation run reports up: per near-dup cluster (minhash
+    # candidates -> connected components), the keeper and the bytes that
+    # dropping the rest saves.  Cluster assignment is the iterative
+    # min-label propagation; the savings agg is one combinable groupBy.
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    pairs = D.minhash_candidate_pairs(buckets)
+    clusters = D.connected_components(pairs, docs.select("doc_id"))
+    return (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (F.sum("n_chars") - F.min_by("n_chars", "doc_id"))
+            .cast("long")
+            .alias("chars_saved"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
