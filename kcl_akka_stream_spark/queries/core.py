@@ -1325,3 +1325,79 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "scalar_null_semantics",
+    """
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS u,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+      FROM events)
+    SELECT event_id,
+           (u IS NOT DISTINCT FROM 42) AS null_safe_eq_42,
+           CAST(coalesce(u, -1) AS BIGINT) AS u_filled,
+           nullif(CAST(u AS BIGINT), 0) AS u_nullif_zero,
+           CASE WHEN u IS NULL THEN 'missing' ELSE 'present' END AS u_state,
+           round(coalesce(v, 0.0), 2) AS v_filled,
+           CAST((u IS NULL AND v IS NULL) AS INT) AS both_null
+    FROM t
+    """,
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The null-handling scalar family: null-safe equality (<=>), coalesce
+    # chains, nullif, IS NULL branches -- three-valued logic pinned
+    # against the oracle on deterministically injected nulls.
+    ev = tbl(spark, sf_dir, "events")
+    u = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("user_id"))
+    v = F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(F.col("value"))
+    t = ev.select("event_id", u.alias("u"), v.alias("v"))
+    return t.select(
+        "event_id",
+        F.col("u").eqNullSafe(F.lit(42)).alias("null_safe_eq_42"),
+        F.coalesce(F.col("u"), F.lit(-1)).cast("long").alias("u_filled"),
+        F.nullif(F.col("u").cast("long"), F.lit(0)).alias("u_nullif_zero"),
+        F.when(F.col("u").isNull(), "missing").otherwise("present").alias("u_state"),
+        F.round(F.coalesce(F.col("v"), F.lit(0.0)), 2).alias("v_filled"),
+        (F.col("u").isNull() & F.col("v").isNull()).cast("int").alias("both_null"),
+    )
+
+
+@query(
+    "j_null_safe",
+    """
+    WITH l AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS k
+      FROM events WHERE event_id < 1000),
+    r AS (
+      SELECT DISTINCT CASE WHEN user_id % 50 = 0 THEN NULL ELSE user_id END AS k
+      FROM events)
+    SELECT CAST(l.k IS NULL AS INT) AS key_is_null,
+           CAST(count(*) AS BIGINT) AS n_joined
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k IS NULL
+    """,
+)
+def j_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Null-safe equi-join (<=>): NULL keys MATCH each other (unlike =,
+    # which drops them silently) -- the semantics audit every ETL join on
+    # nullable keys needs.  Counts joined rows by key-nullity.
+    ev = tbl(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+    )
+    right = ev.select(
+        F.when(F.col("user_id") % 50 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("k")
+    ).distinct()
+    return (
+        left.join(right, left.k.eqNullSafe(right.k))
+        .groupBy(left.k.isNull().cast("int").alias("key_is_null"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_joined"))
+    )
