@@ -8,12 +8,19 @@ the repetition family (top-bigram coverage, duplicate-trigram fraction)
 from the Gopher rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) and the
 C4 heuristics (Raffel et al. 2020).
 
-Scale shape: the structural metrics are pure column expressions — map
-only, zero shuffle, whole-stage codegen.  The repetition metrics need a
-per-document n-gram mode/distinct, done as explode → two map-side
-combinable aggregations keyed by (doc_id, gram) then doc_id — shuffle
-volume is O(corpus tokens), the standard shape, never quadratic.  All
-arithmetic is float64 + round so the DuckDB oracle matches exactly.
+Scale shape: ONE Arrow-batched ``mapInPandas`` pass — zero shuffle, zero
+joins, linear in corpus bytes.  The per-document gram statistics
+(top-bigram count, distinct-trigram count) are a mode/distinct over a
+tiny per-doc multiset; computing them inside the Arrow batch with a
+``collections.Counter`` keeps the whole operator map-only, where the
+previous relational form (explode → two-stage agg) shuffled O(corpus
+tokens), and the expression form (zip_with/slice HOF chain) never
+entered whole-stage codegen — it ran on the interpreted expression
+evaluator until HotSpot C2 compiled it, costing two full ~60 s cold
+executions per fresh JVM at sf0.1 (measured; see VERDICT r3).  At 100 TB
+every fresh executor pays that cold penalty, so the Arrow path is both
+the fast AND the scale-correct shape.  All arithmetic is float64 with
+half-up rounding so the DuckDB oracle matches bit-for-bit.
 """
 
 from __future__ import annotations
@@ -36,6 +43,10 @@ MAX_DUP_TRIGRAM_FRAC = 0.05
 
 def _grams(toks: Column, n: int) -> Column:
     """Overlapping word n-grams of a token array (empty below n tokens).
+
+    Retained as the expression-level reference implementation (property-
+    tested against a Python model in tests/test_properties.py); the
+    quality-gate hot path no longer uses it — see module docstring.
 
     Built by zipping the array with its own shifted slices — the array
     arguments are evaluated once per ROW.  The tempting alternative,
