@@ -8,22 +8,29 @@ the repetition family (top-bigram coverage, duplicate-trigram fraction)
 from the Gopher rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) and the
 C4 heuristics (Raffel et al. 2020).
 
-Scale shape: ONE Arrow-batched ``mapInPandas`` pass — zero shuffle, zero
-joins, linear in corpus bytes.  The per-document gram statistics
-(top-bigram count, distinct-trigram count) are a mode/distinct over a
-tiny per-doc multiset; computing them inside the Arrow batch with a
-``collections.Counter`` keeps the whole operator map-only, where the
-previous relational form (explode → two-stage agg) shuffled O(corpus
-tokens), and the expression form (zip_with/slice HOF chain) never
-entered whole-stage codegen — it ran on the interpreted expression
-evaluator until HotSpot C2 compiled it, costing two full ~60 s cold
-executions per fresh JVM at sf0.1 (measured; see VERDICT r3).  At 100 TB
-every fresh executor pays that cold penalty, so the Arrow path is both
-the fast AND the scale-correct shape.  All arithmetic is float64 with
-half-up rounding so the DuckDB oracle matches bit-for-bit.
+Scale shape: ONE Arrow-batched ``mapInPandas`` pass — zero shuffle
+beyond the small-input ``spread``, zero joins, linear in corpus bytes.
+Every per-document statistic is a mode/distinct over a tiny per-doc
+multiset, so a ``collections.Counter`` inside the Arrow batch computes
+them map-only.  The Python pass emits only INTEGER-exact counters
+(word count, summed token length, alpha-token count, top-bigram count,
+trigram totals); all division and rounding stay JVM-side in ``F.round``,
+so the result is bit-for-bit identical to the previous relational form
+and to the DuckDB oracle — no float math crosses the Arrow boundary.
+
+Why not the previous shapes: the relational form (explode grams →
+two-stage agg) shuffled O(corpus tokens); the expression form
+(zip_with/slice HOF chain) never entered whole-stage codegen — it ran
+on the interpreted expression evaluator until HotSpot C2 compiled it,
+costing ~12 s cold vs ~1 s steady per fresh JVM at sf0.1 (measured,
+VERDICT r4).  At 100 TB every fresh executor pays that cold penalty,
+so the Arrow path is both the fast AND the scale-correct shape.
 """
 
 from __future__ import annotations
+
+import re
+from collections import Counter
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -40,13 +47,22 @@ MIN_ALPHA_FRAC = 0.5
 MAX_TOP_BIGRAM_FRAC = 0.15
 MAX_DUP_TRIGRAM_FRAC = 0.05
 
+#: Python twins of operators/text.py's TOKEN_PATTERN — the Arrow pass
+#: must tokenize exactly like the expression path (`[a-z0-9]+` over
+#: lowercased text; ASCII-only classes, so Java/Python regex agree).
+_TOKEN_RE = re.compile(X.TOKEN_PATTERN)
+_ALPHA_RE = re.compile("[a-z]")
+
 
 def _grams(toks: Column, n: int) -> Column:
     """Overlapping word n-grams of a token array (empty below n tokens).
 
-    Retained as the expression-level reference implementation (property-
-    tested against a Python model in tests/test_properties.py); the
-    quality-gate hot path no longer uses it — see module docstring.
+    Expression-level reference implementation, property-tested against a
+    Python model in tests/test_properties.py and used by callers that
+    need grams as a COLUMN (decontamination overlap).  The quality gate
+    itself computes gram statistics in the Arrow pass below — this HOF
+    chain evaluates interpreted (never codegen), which is exactly the
+    cold-JVM cliff the mapInPandas path exists to avoid.
 
     Built by zipping the array with its own shifted slices — the array
     arguments are evaluated once per ROW.  The tempting alternative,
@@ -89,91 +105,79 @@ def structural_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _tagged_gram_stats(df: DataFrame, text_col: str, carry: dict) -> DataFrame:
-    """One linear pipeline for all per-doc gram statistics: project
-    (tokens → size-tagged bigrams + trigrams + a sentinel row so empty
-    docs survive) → explode → three map-side-combinable aggs keyed
-    (doc, size, gram) → (doc, size) → (doc).  Zero joins; per-doc scalar
-    columns in ``carry`` ride along via first().
+_GRAM_STATS_SCHEMA = (
+    "doc_id long, n_words int, total_len long, n_alpha long, "
+    "top_bg long, n_tg long, n_tg_distinct long"
+)
 
-    ``carry`` maps output name → fn(token_array_column), computed once
-    per document in the gram projection and carried through the aggs via
-    first().  Output: doc_id, carried columns, top_bigram_frac,
-    dup_trigram_frac.
 
-    Shape note — ONE scan, everything codegen except the gram zip: the
-    bigram and trigram arrays are concatenated as PLAIN strings together
-    with one empty-string sentinel (so empty docs survive) and exploded
-    once; the size tag is recovered from the gram's space count (tokens
-    are [a-z0-9]+, so a bigram has exactly one space).  Both
-    alternatives measured slower at sf0.1: size-tagged structs via
-    transform() evaluate interpreted (~2x), and a union of per-size
-    explode branches plans three scans of the source (~2x at fixture
-    scale, 3x the I/O at 100 TB)."""
+def _gram_stats_batches(batches):
+    """mapInPandas kernel: per-document integer counters, one Arrow batch
+    at a time.  Tuple-keyed Counters stand in for the string grams —
+    tokens contain no spaces, so tuple identity == joined-string identity."""
+    import pandas as pd
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        out = {k: [] for k in (
+            "doc_id", "n_words", "total_len", "n_alpha",
+            "top_bg", "n_tg", "n_tg_distinct",
+        )}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = _TOKEN_RE.findall(text.lower()) if text is not None else []
+            n = len(toks)
+            top_bg = (
+                max(Counter(zip(toks, toks[1:])).values()) if n >= 2 else 0
+            )
+            n_tg_distinct = (
+                len(set(zip(toks, toks[1:], toks[2:]))) if n >= 3 else 0
+            )
+            out["doc_id"].append(doc_id)
+            out["n_words"].append(n)
+            out["total_len"].append(sum(map(len, toks)))
+            out["n_alpha"].append(
+                sum(1 for t in toks if _ALPHA_RE.search(t))
+            )
+            out["top_bg"].append(top_bg)
+            out["n_tg"].append(n - 2 if n >= 3 else 0)
+            out["n_tg_distinct"].append(n_tg_distinct)
+        yield pd.DataFrame(out)
+
+
+def _gram_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """One Arrow-batched pass over (doc_id, text) emitting the integer
+    statistics every quality metric derives from.  Map-only: the column
+    pruning to (doc_id, text) happens before the Python exchange, and
+    ``spread`` only fires on under-partitioned local reads."""
     from kcl_akka_stream_spark.plans.hygiene import spread
 
-    # spread(): the gram slicing is an interpreted higher-order function;
-    # on a single-partition small-file read it would serialize.
-    toked = spread(df.select("doc_id", text_col)).select(
-        "doc_id", X.tokens(F.col(text_col)).alias("__t")
-    )
-    t = F.col("__t")
-    proj = toked.select(
-        "doc_id",
-        *[fn(t).alias(name) for name, fn in carry.items()],
-        F.explode(
-            F.concat(_grams(t, 2), _grams(t, 3), F.array(F.lit("")))
-        ).alias("g"),
-    )
-    ex = proj.select(
-        "doc_id",
-        *carry.keys(),
-        F.when(F.col("g") == "", F.lit(0))
-        .otherwise(F.size(F.split(F.col("g"), " ")))
-        .alias("size"),
-        "g",
-    )
-    per_gram = ex.groupBy("doc_id", "size", "g").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        *[F.first(k).alias(k) for k in carry],
-    )
-    per_size = per_gram.groupBy("doc_id", "size").agg(
-        F.max("cnt").alias("top_cnt"),
-        F.sum("cnt").alias("n_occ"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        *[F.first(k).alias(k) for k in carry],
-    )
-    per_doc = per_size.groupBy("doc_id").agg(
-        F.max(F.when(F.col("size") == 2, F.col("top_cnt"))).alias("top_bg"),
-        F.max(F.when(F.col("size") == 3, F.col("n_occ"))).alias("n_tg"),
-        F.max(F.when(F.col("size") == 3, F.col("n_distinct"))).alias(
-            "n_tg_distinct"
+    src = spread(df.select("doc_id", F.col(text_col).alias("text")))
+    return src.mapInPandas(_gram_stats_batches, schema=_GRAM_STATS_SCHEMA)
+
+
+def _repetition_cols() -> list[Column]:
+    """JVM-side derivation of the two repetition fractions from the
+    integer counters — F.round keeps rounding semantics identical to the
+    previous relational implementation and the DuckDB oracle."""
+    top_bigram_frac = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0)
+            * F.coalesce(F.col("top_bg"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(F.col("n_words"), F.lit(0)), F.lit(1)),
         ),
-        *[F.first(k).alias(k) for k in carry],
-    )
-    return per_doc.select(
-        "doc_id",
-        *carry.keys(),
-        F.round(
-            F.least(
-                F.lit(1.0),
-                F.lit(2.0)
-                * F.coalesce(F.col("top_bg"), F.lit(0)).cast("double")
-                / F.greatest(
-                    F.coalesce(F.col("n_words"), F.lit(0)), F.lit(1)
-                ),
-            ),
-            6,
-        ).alias("top_bigram_frac"),
-        F.round(
-            (
-                F.coalesce(F.col("n_tg"), F.lit(0))
-                - F.coalesce(F.col("n_tg_distinct"), F.lit(0))
-            ).cast("double")
-            / F.greatest(F.coalesce(F.col("n_tg"), F.lit(0)), F.lit(1)),
-            6,
-        ).alias("dup_trigram_frac"),
-    )
+        6,
+    ).alias("top_bigram_frac")
+    dup_trigram_frac = F.round(
+        (
+            F.coalesce(F.col("n_tg"), F.lit(0))
+            - F.coalesce(F.col("n_tg_distinct"), F.lit(0))
+        ).cast("double")
+        / F.greatest(F.coalesce(F.col("n_tg"), F.lit(0)), F.lit(1)),
+        6,
+    ).alias("dup_trigram_frac")
+    return [top_bigram_frac, dup_trigram_frac]
 
 
 def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -183,34 +187,30 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
       frequent bigram (2 × its count / word count, capped at 1);
     - ``dup_trigram_frac`` — fraction of trigram occurrences that are
       repeats of an earlier trigram in the same document."""
-    out = _tagged_gram_stats(df, text_col, {"n_words": F.size})
-    return out.select("doc_id", "top_bigram_frac", "dup_trigram_frac")
+    return _gram_stats(df, text_col).select("doc_id", *_repetition_cols())
 
 
 def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full quality gate: structural + repetition metrics and the
     accept/reject flag (int 0/1 for cross-engine hash stability).
-    Single linear pipeline — the structural scalars are computed map-side
-    in the same projection that builds the grams and ride the aggs via
-    first(), so there is no join anywhere in the plan."""
-    m = _tagged_gram_stats(
-        df,
-        text_col,
-        {
-            "n_words": F.size,
-            "mean_word_len": lambda t: F.round(
-                F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast(
-                    "double"
-                )
-                / F.greatest(F.size(t), F.lit(1)),
-                4,
-            ),
-            "frac_alpha_words": lambda t: F.round(
-                F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("double")
-                / F.greatest(F.size(t), F.lit(1)),
-                6,
-            ),
-        },
+    One Arrow pass computes every counter; one JVM-side projection does
+    all division/rounding/thresholding — no join, no agg, no shuffle
+    anywhere in the plan."""
+    s = _gram_stats(df, text_col)
+    m = s.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.col("total_len").cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)),
+            4,
+        ).alias("mean_word_len"),
+        F.round(
+            F.col("n_alpha").cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)),
+            6,
+        ).alias("frac_alpha_words"),
+        *_repetition_cols(),
     )
     passed = (
         (F.col("n_words") >= MIN_WORDS)

@@ -38,16 +38,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
-        # type for; read nanos as long and truncate to microseconds (same
-        # truncation DuckDB applies).  Integer `div` keeps full precision --
-        # a double division would round at 2^53.
+        # events.ts is an absolute arrival instant (the reference pins
+        # approximateArrivalTimestamp as a java.time.Instant --
+        # M/KinesisRecord.scala:18), which in Spark is TIMESTAMP (LTZ),
+        # never TIMESTAMP_NTZ.  The fixture's parquet encoding has drifted
+        # across regenerations, so normalize every encoding on load:
+        #  - TIMESTAMP(NANOS): Spark has no native type; read nanos as long
+        #    and truncate to micros (integer `div` keeps full precision --
+        #    a double division would round at 2^53; same truncation DuckDB
+        #    applies).
+        #  - plain timestamp[us] without the UTC flag: Spark reads
+        #    TIMESTAMP_NTZ, which unix_micros/withWatermark reject; cast to
+        #    "timestamp".  Session TZ is pinned to UTC (session.py), so the
+        #    cast is value-exact vs the DuckDB oracle.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_event_ts(df)
         return df
     return spark.read.parquet(path)
+
+
+def _normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the events arrival timestamp to TIMESTAMP (LTZ) regardless
+    of the parquet encoding -- nanos-as-long or TIMESTAMP_NTZ."""
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, T.LongType):
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    if isinstance(dtype, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -62,8 +83,9 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events fixture directly from its parquet file (the file
-    source takes the path as a glob) -- no temp-dir copy.  Same
-    nanos-to-micros handling as the batch loader."""
+    source takes the path as a glob) -- no temp-dir copy.  Same timestamp
+    normalization as the batch loader (nanos-as-long OR TIMESTAMP_NTZ ->
+    TIMESTAMP; watermarks reject NTZ event-time columns)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
@@ -71,6 +93,4 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fails basePath validation, so glob the exact filename.
     glob_path = os.path.join(sf_dir, "events.[p]arquet")
     stream = spark.readStream.schema(schema).parquet(glob_path)
-    if isinstance(schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return _normalize_event_ts(stream)

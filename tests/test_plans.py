@@ -69,7 +69,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_salted_skew": 2,  # salted partial + final combine
         "q1_pricing_summary": 1,  # single agg shuffle
         "checkpoint_frontier": 2,  # window by shard + final agg
-        "text_quality_flags": 4,  # spread + 3 combinable aggs, ZERO joins
+        "text_quality_flags": 1,  # spread only -- one Arrow pass, ZERO joins/aggs
         "dedup_boilerplate_segments": 5,  # spread + seg-df agg + join + doc agg
         "agg_cms_heavy_hitters": 3,  # state agg + key distinct + exact agg
         "sample_per_stratum": 1,  # one window shuffle keyed by stratum
