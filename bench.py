@@ -1,7 +1,28 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+JSON line: {"metric": ..., "value": total_steady_sec, "unit": "sec",
+"queries": {name: steady_sec}, "cold": {name: first_run_sec},
+"data_bytes": {table: parquet_bytes}, "sf": ...}.
+
+Two timing columns per query (VERDICT r4: a 48s->2.4s "win" and a
+0.8s->6.8s regression were both invisible to a single post-warmup
+median):
+
+- ``cold``  -- the FIRST execution in this JVM: codegen compilation,
+  HotSpot C2 warmup of interpreted expressions, Python/Arrow worker
+  spawn.  At 100 TB every fresh executor pays this, so a query whose
+  cold time is many times its steady time is a scale bug even when the
+  steady median looks good.  Shared infra (JVM, Arrow workers) does warm
+  progressively across the cold pass, so later entries understate their
+  true fresh-JVM cost -- the column is a per-round tripwire, not an
+  absolute measurement.
+- ``queries`` -- steady-state: per-query warmup, then median-of-3
+  (single-pass local timings vary ~2x with JVM/GC noise; r1/r2 identical
+  code measured 27.1s vs 15.1s).
+
+``data_bytes`` fingerprints the fixture files so a timing swing caused
+by driver-side testdata regeneration (the whole r4 story) is
+distinguishable from a plan change.
 """
 
 from __future__ import annotations
@@ -72,47 +93,55 @@ HEADLINE = [
 ]
 
 
+def _noop_write(df) -> None:
+    # noop sink materializes every output column (count() would let
+    # Catalyst prune the computed projections away).
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kcl_akka_stream_spark.queries import QUERIES
+    from kcl_akka_stream_spark.sources.batch import TABLE_NAMES
 
     spark = get_session("bench")
-    # Warm the JVM + parquet footers with a trivial action so per-query times
-    # measure the queries, not session startup.
+    # Warm the JVM + parquet footers with a trivial action so the cold
+    # column measures the queries, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # Warm-up pass: JVM codegen compilation + JIT dominate cold runs of the
-    # wide plans (observed 12s cold vs 1.8s steady-state for minhash); the
-    # timed pass below reports steady-state throughput.
+    # Cold pass: first execution of each query in this JVM, timed.
+    cold: dict[str, float] = {}
     for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        _noop_write(QUERIES[name](spark, sf_dir))
+        cold[name] = round(time.time() - t0, 3)
+        print(f"# cold {name}: {cold[name]:.3f}s", file=sys.stderr)
 
+    # Steady pass: per-query warmup immediately before timing (C2 JIT
+    # needs a few million evaluations to compile interpreted expression
+    # call sites; the cold pass above is too far removed to cover it),
+    # then median-of-3.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         # nudge GC between queries so accumulated garbage from earlier plans
         # is not collected inside someone else's timed section
         spark.sparkContext._jvm.System.gc()
-        # per-query warmup immediately before timing: interpreted
-        # higher-order-function expressions (gram zip-chains) need a few
-        # million evaluations before C2 JIT-compiles their call sites --
-        # measured 12-21s cold vs 1.4s steady-state for text_quality_flags;
-        # the single global warmup pass above is too far removed to cover it.
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # median-of-3: single-pass local timings vary ~2x with JVM/GC noise
-        # (r1/r2 identical code measured 27.1s vs 15.1s); the median is
-        # robust to a one-off GC pause in either direction.
+        _noop_write(fn(spark, sf_dir))
         times = []
         for _ in range(3):
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            # noop sink materializes every output column (count() would let
-            # Catalyst prune the computed projections away).
-            df.write.format("noop").mode("overwrite").save()
+            _noop_write(fn(spark, sf_dir))
             times.append(time.time() - t0)
         per_query[name] = round(sorted(times)[1], 3)
         print(f"# {name}: {per_query[name]:.3f}s (runs: "
               f"{', '.join(f'{t:.3f}' for t in times)})", file=sys.stderr)
+
+    data_bytes = {}
+    for t in TABLE_NAMES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            data_bytes[t] = os.path.getsize(p)
 
     total = round(sum(per_query.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -123,6 +152,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "cold": cold,
+                "cold_total": round(sum(cold.values()), 3),
+                "data_bytes": data_bytes,
                 "sf": float(sf) if sf else None,
             }
         )

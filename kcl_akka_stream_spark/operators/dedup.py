@@ -341,6 +341,13 @@ def connected_components(
     from LSH banding, diameter ~2-3).  localCheckpoint every iteration cuts
     the lineage so plans stay flat.  At extreme scale the large-star/
     small-star variant halves rounds; not needed at dup-cluster diameters.
+
+    ``max_iterations`` is a HARD guard, not a soft cap: if the labels have
+    not converged when it runs out (a pathological long-chain graph, or a
+    runaway candidate generator feeding giant components), the operator
+    raises rather than silently returning HALF-MERGED clusters -- wrong
+    cluster ids in a dedup pipeline mean silently dropping the wrong
+    documents downstream.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -348,6 +355,7 @@ def connected_components(
         .distinct()
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -373,6 +381,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iterations} iterations ({changed} nodes moved last round) "
+            f"-- component diameter exceeds the bound; raise max_iterations "
+            f"or switch to the large-star/small-star contraction for this "
+            f"graph shape"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

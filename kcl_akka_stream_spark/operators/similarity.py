@@ -93,13 +93,57 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cluster_col: str = "label",
+    cluster_col: str | None = None,
+    n_clusters: int = 8,
 ) -> DataFrame:
     """IVF ANN: assign each query to its nearest centroid (broadcast the tiny
     centroid table), then search only that cluster's corpus slice.  The
     corpus-side join key is the cluster id -- partition pruning by cluster at
-    scale (corpus stored partitioned by cluster)."""
+    scale (corpus stored partitioned by cluster).
+
+    By default the coarse quantizer is LEARNED from the vectors themselves
+    (one deterministic Lloyd step seeded by the ``n_clusters`` lowest-id
+    vectors -- operators/clustering.py), because at 100 TB there is no
+    semantic ``label`` column to lean on; the index build joins each corpus
+    vector to its learned cluster, the offline cost every IVF index pays
+    once.  Pass ``cluster_col`` to trust an existing partitioning column
+    instead (the pre-clustered-corpus case)."""
+    if cluster_col is None:
+        # function-level import: clustering imports `dot` from this module
+        from kcl_akka_stream_spark.operators.clustering import (
+            kmeans_assign,
+            kmeans_update,
+        )
+
+        seeds = corpus.orderBy(id_col).limit(n_clusters).select(
+            F.col(id_col).cast("long").alias("cluster_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+        assignment = kmeans_assign(corpus, seeds, id_col, vec_col)
+        centroids = kmeans_update(corpus, assignment, id_col, vec_col).select(
+            F.col("cluster_id").alias("cluster"), "centroid"
+        )
+        corpus = corpus.join(
+            assignment.select(id_col, F.col("cluster_id").alias("__ivf_cluster")),
+            id_col,
+        )
+        cluster_col = "__ivf_cluster"
+        return _ivf_probe(corpus, queries, centroids, k, id_col, vec_col, cluster_col)
     centroids = ivf_centroids(corpus, cluster_col, vec_col)
+    return _ivf_probe(corpus, queries, centroids, k, id_col, vec_col, cluster_col)
+
+
+def _ivf_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+) -> DataFrame:
+    """The IVF probe: nearest centroid per query (broadcast centroids),
+    then exact top-k within only that cluster's corpus slice."""
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     q_scored = q.join(F.broadcast(centroids)).select(
         "q_id", "q_vec", "cluster", cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim")
@@ -124,7 +168,11 @@ def sign_lsh_bucket(vec: Column, dims: int = 8) -> Column:
     assignment, no shuffle)."""
     bucket = None
     for d in range(dims):
-        bit = F.when(F.element_at(vec, d + 1) >= 0, F.lit(2**d)).otherwise(F.lit(0))
+        # try_element_at: a vector shorter than `dims` contributes 0 bits
+        # past its length (NULL >= 0 is NULL -> otherwise-branch), exactly
+        # like the oracle's CASE WHEN embedding[i] >= 0 -- never an ANSI
+        # out-of-bounds error.
+        bit = F.when(F.try_element_at(vec, F.lit(d + 1)) >= 0, F.lit(2**d)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
 
@@ -165,6 +213,21 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: Hard ceiling on auto-derived sign-LSH dims: 2^16 buckets bounds the
+#: driver-side block-size collect at 65,536 rows regardless of corpus size.
+MAX_AUTO_LSH_DIMS = 16
+
+
+def auto_lsh_dims(n: int, target_block_size: int = 64) -> int:
+    """Smallest d in [1, MAX_AUTO_LSH_DIMS] with n <= target_block_size *
+    2^d -- integer-exact (no float log2), so the DuckDB oracle reproduces
+    it from the same count with the same arithmetic."""
+    for d in range(1, MAX_AUTO_LSH_DIMS + 1):
+        if n <= target_block_size * (1 << d):
+            return d
+    return MAX_AUTO_LSH_DIMS
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -173,26 +236,106 @@ def embedding_near_dup_pairs(
     block_col: str = "label",
     lsh_dims: int | None = None,
     max_block_size: int | None = None,
+    target_block_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by a coarse key so the
     self-join is per-block instead of O(n^2).
 
-    ``lsh_dims`` is the 100 TB path: derive the blocking key from
+    Sign-LSH blocking is the 100 TB path: derive the blocking key from
     ``sign_lsh_bucket`` (a map-only projection of the vector itself), so no
     semantic column like the fixture's ``label`` is required -- near-dup
     vectors land in the same sign bucket with high probability, and the
-    per-block join shrinks by the 2^dims bucket fan-out.  With
-    ``lsh_dims=None`` the given ``block_col`` is trusted as the key.
+    per-block join shrinks by the 2^dims bucket fan-out.  Pass
+    ``target_block_size`` to derive the dims from the corpus count
+    (``auto_lsh_dims``: one cheap count job), so blocking SCALES with the
+    corpus instead of freezing at a constant -- a fixed dims is wrong in
+    both directions: too few buckets and every block is under any cap
+    (full quadratic work), too many and the skewed tail still dominates.
+    A fixed ``lsh_dims`` remains available for oracle-pinned tests; with
+    both None the given ``block_col`` is trusted as the key.
 
-    Per-block cost is quadratic in block size, so ``lsh_dims`` must grow
-    with the corpus (buckets ~ n / target_block_size); ``max_block_size``
-    is the deterministic guardrail for the skewed tail -- over-cap blocks
-    are dropped whole BEFORE pair generation, the same bounded-fan-out
+    Per-block cost is quadratic in block size; ``max_block_size`` is the
+    deterministic guardrail for the skewed tail -- over-cap blocks are
+    dropped whole BEFORE pair generation, the same bounded-fan-out
     discipline as the MinHash hot-bucket cap and the Jaccard df-cap
     (tools/scale_probe.py: uncapped 4-dim blocking went 45x wall at 10x
-    data; capped stays linear)."""
+    data; capped stays linear).  On the LSH path the per-bucket sizes
+    (<= 2^MAX_AUTO_LSH_DIMS rows) are collected driver-side: the kept set
+    broadcasts from a local list and the dropped-block count is LOGGED --
+    no silent truncation, no second scan for the cap."""
+    import logging
+    from collections import Counter
+
     from kcl_akka_stream_spark.plans.hygiene import spread
 
+    auto = target_block_size is not None and lsh_dims is None
+    if max_block_size is not None and (auto or lsh_dims is not None):
+        # Capped LSH path -- the 100 TB shape.  ONE probe job counts the
+        # corpus per bucket at full MAX_AUTO_LSH_DIMS resolution (a
+        # map-side-combinable agg over a bounded 2^16 key domain); from
+        # that single collect the driver derives the corpus count, the
+        # auto dims (auto_lsh_dims), and the coarser per-block sizes by
+        # masking the low `dims` sign bits -- no separate count job, no
+        # second sizes scan.  The kept set broadcasts from a local list
+        # (over-cap blocks are pruned BEFORE the group shuffle -- a hot
+        # bucket's vectors never ship to one task) and the dropped-block
+        # count is LOGGED, never silent.  Pair scoring then runs as ONE
+        # applyInPandas over buckets: each vector crosses Arrow once (not
+        # once per pair) and the per-block all-pairs cosine is a
+        # dimension-loop numpy accumulation that reproduces the JVM
+        # sequential fold bit-for-bit (see _block_pair_scores); the final
+        # round + threshold stay JVM-side, identical to the oracle.
+        probe_dims = MAX_AUTO_LSH_DIMS if auto else lsh_dims
+        probe = corpus.groupBy(
+            sign_lsh_bucket(F.col(vec_col), probe_dims).alias("__b")
+        ).agg(F.count(F.lit(1)).alias("__n")).collect()
+        if auto:
+            n = sum(r["__n"] for r in probe)
+            lsh_dims = auto_lsh_dims(n, target_block_size)
+        mask = (1 << lsh_dims) - 1
+        folded: Counter = Counter()
+        for r in probe:
+            folded[r["__b"] & mask] += r["__n"]
+        kept_ids = [
+            b for b, c in folded.items() if 2 <= c <= max_block_size
+        ]
+        dropped = {b: c for b, c in folded.items() if c > max_block_size}
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "embedding_near_dup_pairs: cap=%d dropped %d/%d blocks "
+                "(%d vectors) before pair generation",
+                max_block_size,
+                len(dropped),
+                len(folded),
+                sum(dropped.values()),
+            )
+        # No spread here: the groupBy("blk") shuffle below already
+        # redistributes the kept vectors across the cluster, so an extra
+        # repartition of the input would be a pure waste of one exchange.
+        a = corpus.select(
+            sign_lsh_bucket(F.col(vec_col), lsh_dims).alias("blk"),
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+        )
+        if len(kept_ids) <= 2048:
+            # Small kept set -> a plain isin filter (map-side, prunable),
+            # no broadcast exchange or join at all.
+            pruned = a.filter(F.col("blk").isin(kept_ids))
+        else:
+            kept = corpus.sparkSession.createDataFrame(
+                [(b,) for b in kept_ids], schema="blk int"
+            )
+            pruned = a.join(F.broadcast(kept), "blk")
+        scored = pruned.groupBy("blk").applyInPandas(
+            _block_pair_scores("id_a", "va", threshold),
+            schema="id_a long, id_b long, cos_raw double",
+        )
+        return (
+            scored.select(
+                "id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cos_sim")
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
     corpus = spread(corpus)
     if lsh_dims is not None:
         corpus = corpus.withColumn(
@@ -203,6 +346,8 @@ def embedding_near_dup_pairs(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
     if max_block_size is not None:
+        # Unbounded block domain (semantic block_col): keep the cap filter
+        # lazy -- collecting all block sizes would not scale.
         kept = (
             a.groupBy("blk")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -219,6 +364,52 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _block_pair_scores(id_col: str, vec_col: str, threshold: float):
+    """applyInPandas kernel factory: all-pairs cosine within one block.
+
+    Bit-exactness contract: the JVM expression path computes
+    ``dot = fold_d(acc + a_d * b_d)`` left-to-right in float64, then
+    ``dot / (sqrt(dot(a,a)) * sqrt(dot(b,b)))``.  The numpy version
+    accumulates over the DIMENSION loop (``G += outer(col_d, col_d)``),
+    which performs the identical sequence of IEEE additions per pair --
+    so emitted raw cosines equal the expression path's to the last ulp,
+    and the JVM-side F.round/threshold downstream match the oracle.
+    Python-side pruning uses a 1e-7 safety margin below the threshold;
+    the exact cut happens after F.round in the JVM."""
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        m = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []})
+        if m < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        V = np.array(list(pdf[vec_col]), dtype=np.float64)  # (m, D)
+        G = np.zeros((m, m))
+        N = np.zeros(m)
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            G += np.outer(col, col)
+            N += col * col
+        norms = np.sqrt(N)
+        cos = G / np.outer(norms, norms)
+        ia, ib = np.triu_indices(m, k=1)
+        keep = cos[ia, ib] >= threshold - 1e-7
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_raw": cos[ia[keep], ib[keep]],
+            }
+        )
+
+    return score
 
 
 def brute_force_topk_vectorized(

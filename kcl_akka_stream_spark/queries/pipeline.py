@@ -294,31 +294,52 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries_df, k=5).select("q_id", "n_id", "cos_sim", "rank")
 
 
-def _ivf_oracle() -> str:
-    # Mirror of operators/similarity.py::ivf_topk: centroids = per-label
-    # element-wise mean; each query probes only its nearest centroid's
-    # cluster; exact top-5 within the cluster slice.
+def _ivf_oracle(n_clusters: int = 8) -> str:
+    # Mirror of operators/similarity.py::ivf_topk's LEARNED quantizer:
+    # seeds = the n_clusters lowest-id vectors, one Lloyd step (squared-L2
+    # argmin with cluster-id tie-break, then element-wise cluster means --
+    # identical to operators/clustering.py and the cluster_kmeans_* gate
+    # rows); each query probes only its nearest centroid's cluster; exact
+    # top-5 within the cluster slice.  No fixture `label` column anywhere.
+    d2 = (
+        "list_sum([(v_vec[i] - c_vec[i]) * (v_vec[i] - c_vec[i])"
+        " FOR i IN generate_series(1, len(v_vec))])"
+    )
     cos_qc = _COS.format(a="q.q_vec", b="c.centroid")
     cos_qn = _COS.format(a="qa.q_vec", b="e.v")
     return f"""
-    WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    ex AS (
-      SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val FROM e
-    ),
-    cm AS (SELECT label, pos, avg(val) AS m FROM ex GROUP BY label, pos),
-    cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cm GROUP BY label),
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v_vec FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster_id, v_vec AS c_vec FROM v WHERE vec_id < {n_clusters}),
+    scored0 AS (
+      SELECT vec_id, cluster_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY {d2}, cluster_id) AS rn
+      FROM v CROSS JOIN c0),
+    assign AS (SELECT vec_id, cluster_id FROM scored0 WHERE rn = 1),
+    dims0 AS (
+      SELECT a.cluster_id,
+             [{{'dim': i, 'val': v_vec[i]}}
+              FOR i IN generate_series(1, len(v_vec))] AS dv
+      FROM assign a JOIN v USING (vec_id)),
+    dims AS (
+      SELECT cluster_id, s.dim AS dim, avg(s.val) AS mval
+      FROM (SELECT cluster_id, unnest(dv) AS s FROM dims0)
+      GROUP BY cluster_id, s.dim),
+    cent AS (SELECT cluster_id, list(mval ORDER BY dim) AS centroid
+             FROM dims GROUP BY cluster_id),
+    e AS (SELECT v.vec_id, v.v_vec AS v, a.cluster_id AS cl
+          FROM v JOIN assign a USING (vec_id)),
     q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
     qa AS (
       SELECT q_id, q_vec, cluster FROM (
-        SELECT q.q_id, q.q_vec, c.label AS cluster,
+        SELECT q.q_id, q.q_vec, c.cluster_id AS cluster,
                row_number() OVER (PARTITION BY q.q_id
-                                  ORDER BY {cos_qc} DESC, c.label) AS r
+                                  ORDER BY {cos_qc} DESC, c.cluster_id) AS r
         FROM q, cent c)
       WHERE r = 1
     ),
     scored AS (
       SELECT qa.q_id, e.vec_id AS n_id, round({cos_qn}, 6) AS cos_sim
-      FROM qa JOIN e ON e.label = qa.cluster AND e.vec_id <> qa.q_id
+      FROM qa JOIN e ON e.cl = qa.cluster AND e.vec_id <> qa.q_id
     )
     SELECT q_id, n_id, cos_sim, rank FROM (
       SELECT q_id, n_id, cos_sim,
@@ -330,6 +351,10 @@ def _ivf_oracle() -> str:
 
 @query("sim_topk_ivf", _ivf_oracle())
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF with a LEARNED coarse quantizer (default ivf_topk path): seeds =
+    # 8 lowest-id vectors, one Lloyd step builds the centroids, the corpus
+    # joins its learned cluster id (the offline index-build cost), and each
+    # query scans only its nearest centroid's slice.
     emb = tbl(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return S.ivf_topk(emb, queries_df, k=5).select("q_id", "n_id", "cos_sim", "rank")
@@ -1481,17 +1506,25 @@ def pipeline_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _emb_near_dup_capped_oracle(
-    bucket_dims: int = 4, threshold: float = 0.35, cap: int = 200
+    target_block: int = 32, threshold: float = 0.35, cap: int = 200
 ) -> str:
-    bucket = " + ".join(
-        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {2**d} ELSE 0 END)"
-        for d in range(bucket_dims)
-    )
+    # The bucket dims come from the corpus COUNT via the same integer-exact
+    # rule as operators/similarity.py::auto_lsh_dims (smallest d in [1,16]
+    # with n <= target_block * 2^d) -- no float log2, so both engines
+    # derive identical dims from identical data.  The bucket is then the
+    # sign-bit integer over the first `dims` coordinates.
     cos = _COS.format(a="a.v", b="b.v")
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                      CAST({bucket} AS INT) AS bucket
-               FROM embeddings),
+    WITH params AS (
+      SELECT coalesce(
+        (SELECT min(g.d) FROM generate_series(1, 16) AS g(d)
+         WHERE (SELECT count(*) FROM embeddings) <= {target_block} * 2 ** g.d),
+        16) AS dims),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 CAST(list_sum(
+                   [CASE WHEN embedding[i] >= 0 THEN 2 ** (i - 1) ELSE 0 END
+                    FOR i IN generate_series(1, p.dims)]) AS INT) AS bucket
+          FROM embeddings, params p),
     kept AS (
       SELECT bucket FROM e GROUP BY bucket HAVING count(*) BETWEEN 2 AND {cap})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
@@ -1503,15 +1536,17 @@ def _emb_near_dup_capped_oracle(
 
 @query("emb_near_dup_lsh_capped", _emb_near_dup_capped_oracle())
 def emb_near_dup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Guardrailed form of emb_near_dup_lsh: sign-LSH blocks over the cap
-    # are dropped whole before pair generation -- the same deterministic
-    # bounded-fan-out discipline as the MinHash hot-bucket cap.  At scale
-    # lsh_dims grows with the corpus and the cap bounds the skewed tail
-    # (tools/scale_probe.py: uncapped 4-dim went 45x wall at 10x data).
+    # Guardrailed form of emb_near_dup_lsh: the sign-LSH dims are DERIVED
+    # from the corpus count (target block ~32 vectors -- auto_lsh_dims, one
+    # cheap count job), so the bucket fan-out grows with the corpus instead
+    # of freezing at a constant; blocks over the cap are dropped whole
+    # before pair generation (logged, never silent) -- the same
+    # deterministic bounded-fan-out discipline as the MinHash hot-bucket
+    # cap (tools/scale_probe.py: uncapped 4-dim went 45x wall at 10x data).
     return S.embedding_near_dup_pairs(
         tbl(spark, sf_dir, "embeddings"),
         threshold=0.35,
-        lsh_dims=4,
+        target_block_size=32,
         max_block_size=200,
     )
 

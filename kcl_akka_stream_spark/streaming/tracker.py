@@ -17,10 +17,17 @@ State is COMPACTED each micro-batch, mirroring the reference's
 frontier advances, every record with ``seq <= frontier`` is evicted and the
 state keeps only (frontier_seq, records above the frontier) -- the un-acked
 window plus processed records blocked behind a gap.  A never-acked record
-still pins its successors, the reference's documented failure mode
-(README.md:104-108), but state is bounded by that window, never by the
-stream length.  Shards are independent groups so state shuffles once by
-shard key and lives in the state store across micro-batches.
+still pins its successors, the reference's DOCUMENTED failure mode
+(README.md:104-108: a lost ack blocks the checkpoint forever and state
+grows with the stream).  This engine improves on that leak with an
+optional ``max_pending`` bound (``streaming_checkpoint_frontier``): when a
+shard's kept window exceeds the bound, the oldest blocking record is
+force-evicted (the frontier advances past it) and the cumulative
+``evicted_count`` gauge reports every record whose at-least-once guarantee
+was given up -- a bounded-state/bounded-loss trade the operator surfaces
+LOUDLY instead of leaking.  Shards are independent groups so state
+shuffles once by shard key and lives in the state store across
+micro-batches.
 """
 
 from __future__ import annotations
@@ -45,6 +52,7 @@ STATE_SCHEMA = StructType(
         StructField("seqs", ArrayType(LongType())),
         StructField("procs", ArrayType(BooleanType())),
         StructField("n_updates", IntegerType()),
+        StructField("n_evicted", LongType()),
     ]
 )
 
@@ -60,6 +68,12 @@ OUTPUT_SCHEMA = StructType(
         StructField("in_flight_count", LongType()),
         StructField("update_id", IntegerType()),
     ]
+)
+
+#: Output schema when the eviction bound is active: adds the cumulative
+#: count of force-evicted (at-least-once-forfeited) records per shard.
+EVICTING_OUTPUT_SCHEMA = StructType(
+    OUTPUT_SCHEMA.fields + [StructField("evicted_count", LongType())]
 )
 
 
@@ -121,39 +135,86 @@ def _advance(
     return frontier, kept_seqs, kept_procs, processed_behind, in_flight
 
 
-def _track(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        frontier, seqs_t, procs_t, n_updates = state.get
-        seqs, procs = list(seqs_t), list(procs_t)
-    else:
-        frontier, seqs, procs, n_updates = _NO_FRONTIER, [], [], 0
-    for pdf in pdfs:
-        seqs.extend(int(s) for s in pdf["seq"])
-        procs.extend(bool(p) for p in pdf["processed"])
-    frontier, seqs, procs, processed_behind, in_flight = _advance(frontier, seqs, procs)
-    n_updates += 1
-    state.update((frontier, seqs, procs, n_updates))
-    yield pd.DataFrame(
-        [
-            {
-                "shard_id": int(key[0]),
-                "frontier_seq": None if frontier == _NO_FRONTIER else frontier,
-                "processed_uncheckpointed_count": processed_behind,
-                "in_flight_count": in_flight,
-                "update_id": n_updates,
-            }
-        ]
-    )
+def _evict_over_bound(
+    frontier: int, seqs: list, procs: list, max_pending: int
+) -> Tuple[int, list, list, int, int, int]:
+    """Bound the kept window: while it exceeds ``max_pending``, force-evict
+    the oldest record (after ``_advance`` the head is always the blocking
+    unprocessed one), advance the frontier past it, and re-run the
+    contiguous-prefix advance over whatever it was pinning.  Returns
+    (frontier, seqs, procs, processed_behind, in_flight, evicted_now)."""
+    evicted = 0
+    processed_behind = sum(1 for p in procs if p)
+    in_flight = len(procs) - processed_behind
+    while len(seqs) > max_pending:
+        frontier = max(frontier, seqs[0])
+        evicted += 1
+        frontier, seqs, procs, processed_behind, in_flight = _advance(
+            frontier, seqs[1:], procs[1:]
+        )
+    return frontier, seqs, procs, processed_behind, in_flight, evicted
 
 
-def streaming_checkpoint_frontier(df: DataFrame) -> DataFrame:
+def _make_track(max_pending: int | None):
+    """Tracker kernel factory: ``max_pending=None`` is the faithful
+    reference semantics (a never-acked record pins its successors
+    forever); an integer bound adds the force-eviction guard."""
+
+    def _track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            frontier, seqs_t, procs_t, n_updates, n_evicted = state.get
+            seqs, procs = list(seqs_t), list(procs_t)
+        else:
+            frontier, seqs, procs, n_updates, n_evicted = _NO_FRONTIER, [], [], 0, 0
+        for pdf in pdfs:
+            seqs.extend(int(s) for s in pdf["seq"])
+            procs.extend(bool(p) for p in pdf["processed"])
+        frontier, seqs, procs, processed_behind, in_flight = _advance(frontier, seqs, procs)
+        if max_pending is not None:
+            frontier, seqs, procs, processed_behind, in_flight, evicted_now = (
+                _evict_over_bound(frontier, seqs, procs, max_pending)
+            )
+            n_evicted += evicted_now
+        n_updates += 1
+        state.update((frontier, seqs, procs, n_updates, n_evicted))
+        row = {
+            "shard_id": int(key[0]),
+            "frontier_seq": None if frontier == _NO_FRONTIER else frontier,
+            "processed_uncheckpointed_count": processed_behind,
+            "in_flight_count": in_flight,
+            "update_id": n_updates,
+        }
+        if max_pending is not None:
+            row["evicted_count"] = n_evicted
+        yield pd.DataFrame([row])
+
+    return _track
+
+
+#: Default kernel (reference semantics, no eviction) -- kept as a module
+#: attribute so checkpointed queries resume against a stable function.
+_track = _make_track(None)
+
+
+def streaming_checkpoint_frontier(
+    df: DataFrame, max_pending: int | None = None
+) -> DataFrame:
     """Apply the tracker to a streaming DataFrame of
     ``(shard_id long, seq long, processed boolean)``.  Emits one row per
     shard per micro-batch with the running frontier and gauges; update_id
-    counts emissions so a consumer can keep the latest."""
+    counts emissions so a consumer can keep the latest.
+
+    ``max_pending`` bounds per-shard state for poisoned shards: when the
+    kept window exceeds it, the oldest blocking record is force-evicted
+    (frontier advances past it, forfeiting its at-least-once redelivery)
+    and the cumulative ``evicted_count`` column reports the loss."""
     return df.groupBy("shard_id").applyInPandasWithState(
-        _track,
-        outputStructType=OUTPUT_SCHEMA,
+        _track if max_pending is None else _make_track(max_pending),
+        outputStructType=(
+            OUTPUT_SCHEMA if max_pending is None else EVICTING_OUTPUT_SCHEMA
+        ),
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

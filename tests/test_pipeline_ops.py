@@ -82,9 +82,17 @@ def test_ivf_restricts_to_cluster(spark):
         (3, [0.1, 0.9], 1),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
-    out = ivf_topk(df, df.filter(F.col("vec_id") == 0), k=5)
-    # query 0 assigns to cluster 0 -> only neighbor 1 is searched
+    # trusted-partitioning path: query 0 assigns to label-cluster 0 ->
+    # only neighbor 1 is searched
+    out = ivf_topk(df, df.filter(F.col("vec_id") == 0), k=5, cluster_col="label")
     assert [r.n_id for r in out.collect()] == [1]
+
+    # learned-quantizer path (default): seeds 0,1 -> one Lloyd step puts
+    # {1,2,3} in seed-1's cluster and leaves 0 alone; query 2 probes only
+    # its own cluster, so neighbor 0 (cos=0, but a legitimate brute-force
+    # top-5 member) is EXCLUDED by the cluster restriction
+    out2 = ivf_topk(df, df.filter(F.col("vec_id") == 2), k=5, n_clusters=2)
+    assert [r.n_id for r in out2.collect()] == [3, 1]
 
 
 def test_lsh_topk_probes_own_bucket_only(spark):
@@ -165,6 +173,28 @@ def test_connected_components_chain_and_singleton(spark):
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_iteration_guard(spark):
+    # A pathological long chain propagates the min label ONE hop per
+    # iteration; with too few iterations the operator must raise loudly
+    # instead of returning half-merged cluster ids.
+    import pytest
+
+    from kcl_akka_stream_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components(pairs, nodes, max_iterations=3)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, nodes, max_iterations=n + 2).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
 
 
 def test_vectorized_topk_matches_jvm_fold(spark):

@@ -80,7 +80,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "q5_local_supplier_volume": 1,  # same: only the orderkey join shuffles
         "q10_returned_items": 1,  # same shape as q3
         "q18_large_volume_customers": 1,  # HAVING pre-agg then broadcasts
-        "emb_near_dup_lsh_capped": 6,  # + kept-block agg & broadcast vs uncapped
+        "emb_near_dup_lsh_capped": 1,  # isin-pruned scan + one group shuffle into the Arrow pair-scorer
         "pipeline_export_manifest": 6,  # quality pipeline + dedup join + pack window
         "pipeline_incremental_dedup": 1,  # digest set broadcast; incoming never shuffles
         "diag_key_skew": 3,  # count agg + TakeOrdered + single-row broadcast

@@ -614,3 +614,108 @@ def test_tracker_state_bounded_across_microbatches(spark, tmp_path):
     assert by_shard[1].frontier == 3
     # un-acked window = {4,5,6,7,8,9}: 6 records kept, NOT the 10 seen
     assert by_shard[1].n_kept == 6
+
+
+def test_tracker_eviction_bound_unit():
+    # _evict_over_bound: the poisoned-shard guard.  A never-acked record
+    # pins its successors (the reference's documented leak, README.md:104-
+    # 108); with a bound, the oldest blocker is force-evicted, the frontier
+    # advances over whatever it pinned, and the loss is counted.
+    from kcl_akka_stream_spark.streaming.tracker import (
+        _NO_FRONTIER,
+        _advance,
+        _evict_over_bound,
+    )
+
+    # poison at 2; 3..9 processed behind it -> window of 8
+    f, seqs, procs, behind, in_flight = _advance(
+        _NO_FRONTIER, list(range(10)), [True, True, False] + [True] * 7
+    )
+    assert f == 1 and len(seqs) == 8
+    f, seqs, procs, behind, in_flight, evicted = _evict_over_bound(
+        f, seqs, procs, max_pending=3
+    )
+    # evicting the single poison releases the whole pinned run
+    assert (f, seqs, procs, evicted) == (9, [], [], 1)
+    assert (behind, in_flight) == (0, 0)
+
+    # under the bound -> untouched, zero evictions
+    f2, seqs2, procs2, behind2, in_flight2 = _advance(9, [10, 11], [False, True])
+    f2, seqs2, procs2, behind2, in_flight2, ev2 = _evict_over_bound(
+        f2, seqs2, procs2, max_pending=3
+    )
+    assert (f2, seqs2, ev2) == (9, [10, 11], 0)
+    assert (behind2, in_flight2) == (1, 1)
+
+    # two interleaved poisons over the bound -> both evicted
+    f3, seqs3, procs3, *_ = _advance(
+        _NO_FRONTIER, list(range(6)), [False, True, True, False, True, True]
+    )
+    f3, seqs3, procs3, behind3, in_flight3, ev3 = _evict_over_bound(
+        f3, seqs3, procs3, max_pending=2
+    )
+    assert (f3, seqs3, ev3) == (5, [], 2)
+
+
+def test_tracker_poisoned_shard_bounded_state(spark, tmp_path):
+    # End-to-end: a shard whose record 4 is NEVER acked.  Unbounded, its
+    # state would grow with the stream; with max_pending the state store
+    # stays bounded, the frontier advances past the poison, and the
+    # cumulative evicted_count gauge reports exactly the forfeited records.
+    import uuid as _uuid
+
+    from kcl_akka_stream_spark.streaming.tracker import streaming_checkpoint_frontier
+
+    src = str(tmp_path / "poison_src")
+    ckpt = str(tmp_path / "poison_ckpt")
+    os.makedirs(src)
+    schema = "shard_id long, seq long, processed boolean"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    name = f"t_poison_{_uuid.uuid4().hex[:8]}"
+    write([(1, s, s != 4) for s in range(6)])  # poison at 4
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        streaming_checkpoint_frontier(stream, max_pending=3)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write([(1, s, True) for s in range(6, 12)])  # window would grow to 8
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    last = (
+        spark.table(name)
+        .orderBy(F.col("update_id").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    # batch 1: window [4,5] is under the bound -> poison retained;
+    # batch 2: [4..11] = 8 > 3 -> 4 evicted, frontier sweeps to 11
+    assert last.frontier_seq == 11
+    assert last.evicted_count == 1
+    assert last.in_flight_count == 0 and last.processed_uncheckpointed_count == 0
+
+    state = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .selectExpr(
+            "key.shard_id AS shard_id",
+            "size(value.groupState.seqs) AS n_kept",
+            "value.groupState.n_evicted AS n_evicted",
+        )
+        .collect()
+    )
+    by_shard = {r.shard_id: r for r in state}
+    assert by_shard[1].n_kept == 0
+    assert by_shard[1].n_evicted == 1

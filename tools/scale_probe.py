@@ -110,13 +110,15 @@ def main() -> None:
         return S.embedding_near_dup_pairs(e, threshold=0.35, lsh_dims=4)
 
     def near_dup_lsh_capped(e):
-        # the two 100 TB mitigations: cap the skewed-block tail...
+        # the production path (emb_near_dup_lsh_capped): dims derived from
+        # the corpus count so blocks stay ~target-sized at any scale, cap
+        # as the skewed-tail guard, Arrow per-block pair scoring
         return S.embedding_near_dup_pairs(
-            e, threshold=0.35, lsh_dims=4, max_block_size=600
+            e, threshold=0.35, target_block_size=32, max_block_size=200
         )
 
     def near_dup_lsh8(e):
-        # ...and scale the bucket count with the corpus (16 -> 256 blocks)
+        # fixed-dims comparison point (16 -> 256 blocks regardless of n)
         return S.embedding_near_dup_pairs(e, threshold=0.35, lsh_dims=8)
 
     def kmeans_assign(e):
