@@ -1552,6 +1552,55 @@ def emb_near_dup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_near_dup_block_report",
+    """
+    WITH params AS (
+      SELECT coalesce(
+        (SELECT min(g.d) FROM generate_series(1, 16) AS g(d)
+         WHERE (SELECT count(*) FROM embeddings) <= 32 * 2 ** g.d), 16) AS dims),
+    e AS (SELECT CAST(list_sum(
+            [CASE WHEN embedding[i] >= 0 THEN 2 ** (i - 1) ELSE 0 END
+             FOR i IN generate_series(1, p.dims)]) AS INT) AS blk
+          FROM embeddings, params p),
+    s AS (SELECT blk, count(*) AS n FROM e GROUP BY blk)
+    SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+           CAST((SELECT dims FROM params) AS INT) AS lsh_dims,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(coalesce(sum(CASE WHEN n BETWEEN 2 AND 200 THEN 1 END), 0) AS BIGINT) AS kept_blocks,
+           CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 END), 0) AS BIGINT) AS singleton_blocks,
+           CAST(coalesce(sum(CASE WHEN n > 200 THEN 1 END), 0) AS BIGINT) AS dropped_blocks,
+           CAST(coalesce(sum(CASE WHEN n > 200 THEN n END), 0) AS BIGINT) AS dropped_vectors,
+           CAST(max(n) AS BIGINT) AS max_block_size
+    FROM s
+    """,
+)
+def emb_near_dup_block_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Truncation visibility as a first-class, oracle-checked output: the
+    # exact blocking the capped near-dup path will use (auto dims from the
+    # corpus count, cap 200) summarized as kept / singleton / dropped
+    # block counts and dropped-vector volume.  At 100 TB this is the
+    # report an operator reads BEFORE trusting a near-dup run -- "the cap
+    # silently ate the corpus" becomes a visible number instead of an
+    # empty result.
+    emb = tbl(spark, sf_dir, "embeddings")
+    dims = S.auto_lsh_dims(emb.count(), target_block_size=32)
+    sizes = emb.groupBy(
+        S.sign_lsh_bucket(F.col("embedding"), dims).alias("blk")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    kept = F.col("n").between(2, 200)
+    return sizes.agg(
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.lit(dims).cast("int").alias("lsh_dims"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.coalesce(F.sum(F.when(kept, 1)), F.lit(0)).cast("long").alias("kept_blocks"),
+        F.coalesce(F.sum(F.when(F.col("n") == 1, 1)), F.lit(0)).cast("long").alias("singleton_blocks"),
+        F.coalesce(F.sum(F.when(F.col("n") > 200, 1)), F.lit(0)).cast("long").alias("dropped_blocks"),
+        F.coalesce(F.sum(F.when(F.col("n") > 200, F.col("n"))), F.lit(0)).cast("long").alias("dropped_vectors"),
+        F.max("n").cast("long").alias("max_block_size"),
+    )
+
+
+@query(
     "pipeline_incremental_dedup",
     """
     WITH existing AS (SELECT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0),
