@@ -95,11 +95,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     cluster_col: str | None = None,
     n_clusters: int = 8,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF ANN: assign each query to its nearest centroid (broadcast the tiny
     centroid table), then search only that cluster's corpus slice.  The
     corpus-side join key is the cluster id -- partition pruning by cluster at
-    scale (corpus stored partitioned by cluster).
+    scale (corpus stored partitioned by cluster).  ``nprobe`` > 1 searches
+    the n nearest clusters -- the standard recall lever (a query near a
+    cluster boundary misses neighbors just across it at nprobe=1); scan
+    cost grows linearly in nprobe, still cluster-pruned.
 
     By default the coarse quantizer is LEARNED from the vectors themselves
     (one deterministic Lloyd step seeded by the ``n_clusters`` lowest-id
@@ -128,9 +132,9 @@ def ivf_topk(
             id_col,
         )
         cluster_col = "__ivf_cluster"
-        return _ivf_probe(corpus, queries, centroids, k, id_col, vec_col, cluster_col)
+        return _ivf_probe(corpus, queries, centroids, k, id_col, vec_col, cluster_col, nprobe)
     centroids = ivf_centroids(corpus, cluster_col, vec_col)
-    return _ivf_probe(corpus, queries, centroids, k, id_col, vec_col, cluster_col)
+    return _ivf_probe(corpus, queries, centroids, k, id_col, vec_col, cluster_col, nprobe)
 
 
 def _ivf_probe(
@@ -141,15 +145,17 @@ def _ivf_probe(
     id_col: str,
     vec_col: str,
     cluster_col: str,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """The IVF probe: nearest centroid per query (broadcast centroids),
-    then exact top-k within only that cluster's corpus slice."""
+    """The IVF probe: nprobe nearest centroids per query (broadcast
+    centroids), then exact top-k within only those clusters' corpus
+    slices (clusters are disjoint, so no pair dedup is needed)."""
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     q_scored = q.join(F.broadcast(centroids)).select(
         "q_id", "q_vec", "cluster", cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim")
     )
     wq = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("cluster"))
-    q_assigned = q_scored.withColumn("r", F.row_number().over(wq)).filter(F.col("r") == 1).drop("r", "c_sim")
+    q_assigned = q_scored.withColumn("r", F.row_number().over(wq)).filter(F.col("r") <= nprobe).drop("r", "c_sim")
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), F.col(cluster_col).alias("cluster")
     )

@@ -294,7 +294,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries_df, k=5).select("q_id", "n_id", "cos_sim", "rank")
 
 
-def _ivf_oracle(n_clusters: int = 8) -> str:
+def _ivf_oracle(n_clusters: int = 8, nprobe: int = 1) -> str:
     # Mirror of operators/similarity.py::ivf_topk's LEARNED quantizer:
     # seeds = the n_clusters lowest-id vectors, one Lloyd step (squared-L2
     # argmin with cluster-id tie-break, then element-wise cluster means --
@@ -335,7 +335,7 @@ def _ivf_oracle(n_clusters: int = 8) -> str:
                row_number() OVER (PARTITION BY q.q_id
                                   ORDER BY {cos_qc} DESC, c.cluster_id) AS r
         FROM q, cent c)
-      WHERE r = 1
+      WHERE r <= {nprobe}
     ),
     scored AS (
       SELECT qa.q_id, e.vec_id AS n_id, round({cos_qn}, 6) AS cos_sim
@@ -358,6 +358,19 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return S.ivf_topk(emb, queries_df, k=5).select("q_id", "n_id", "cos_sim", "rank")
+
+
+@query("sim_topk_ivf_nprobe", _ivf_oracle(nprobe=2))
+def sim_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The IVF recall lever: probe the TWO nearest clusters per query
+    # (boundary queries stop missing neighbors just across the seam);
+    # scan cost doubles but stays cluster-pruned -- the standard
+    # nprobe/recall trade every IVF index exposes.
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries_df, k=5, nprobe=2).select(
+        "q_id", "n_id", "cos_sim", "rank"
+    )
 
 
 def _lsh_topk_oracle(bucket_dims: int = 4) -> str:

@@ -270,3 +270,43 @@ def test_rolling_windows_match_python_reference(spark, text):
     row = rolling_fingerprint(df).collect()[0]
     assert row.rolling_hash == whole
     assert row.winnow_min == min(wins)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=4, max_size=4
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_arrow_pair_scorer_matches_jvm_fold(spark, vecs):
+    # The capped near-dup path claims its numpy dimension-loop accumulation
+    # reproduces the JVM sequential float64 fold BIT-FOR-BIT.  Property-
+    # check it: same corpus, same blocking, threshold low enough to keep
+    # every pair -- the Arrow path (auto/capped) and the expression path
+    # (fixed dims, uncapped) must emit IDENTICAL rounded cosines, not
+    # merely close ones.
+    import math
+
+    from kcl_akka_stream_spark.operators.similarity import embedding_near_dup_pairs
+
+    # exclude zero-norm vectors (cos undefined -> NaN on both paths anyway,
+    # but NaN != NaN makes the dict comparison vacuously fail)
+    if any(math.sqrt(sum(x * x for x in v)) == 0 for v in vecs):
+        return
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    arrow = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dup_pairs(
+            df, threshold=-2.0, lsh_dims=2, max_block_size=1000
+        ).collect()
+    }
+    jvm = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dup_pairs(df, threshold=-2.0, lsh_dims=2).collect()
+    }
+    assert arrow == jvm
