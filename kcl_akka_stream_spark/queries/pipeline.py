@@ -1774,6 +1774,64 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+@query(
+    "sink_bucketed_join_roundtrip",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bucketed sink + shuffle-free co-located join as one gated roundtrip:
+    # orders and customer are both written bucketed (and sorted) by the
+    # customer key with the same bucket count, then joined back THROUGH
+    # the catalog tables -- the join plans with no Exchange on either side
+    # (asserted in tests/test_plans.py::test_bucketed_join_is_shuffle_free).
+    # At 100 TB this is the difference between shuffling the fact table on
+    # every join and never shuffling it at all.
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from kcl_akka_stream_spark.sources.bucketed import drop_table, write_bucketed
+
+    tag = _uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="kcl_bucketed_")
+    t_orders, t_cust = f"b_orders_{tag}", f"b_customer_{tag}"
+    try:
+        write_bucketed(
+            tbl(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+            t_orders, f"{base}/orders", "o_custkey",
+        )
+        write_bucketed(
+            tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            t_cust, f"{base}/customer", "c_custkey",
+        )
+        joined = spark.table(t_orders).join(
+            spark.table(t_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        agg = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_totalprice"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        drop_table(spark, t_orders)
+        drop_table(spark, t_cust)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
     return f"""
     WITH sh AS ({_simhash_oracle()}),

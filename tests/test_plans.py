@@ -116,3 +116,49 @@ def test_spread_only_when_underpartitioned(spark):
     assert spread(few).rdd.getNumPartitions() >= 2
     many = spark.range(1000).repartition(64)
     assert spread(many).rdd.getNumPartitions() == 64
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    # Both sides bucketed (and sorted) by the join key with the same
+    # bucket count -> the equi-join plans with ZERO Exchange operators:
+    # each task zips bucket i with bucket i.  Broadcast is disabled so
+    # the assertion exercises the bucketed sort-merge path, not a
+    # broadcast shortcut.
+    import uuid as _uuid
+
+    from kcl_akka_stream_spark.plans import count_exchanges
+    from kcl_akka_stream_spark.queries.registry import tbl
+    from kcl_akka_stream_spark.sources.bucketed import drop_table, write_bucketed
+
+    tag = _uuid.uuid4().hex[:8]
+    t_a, t_b = f"tb_orders_{tag}", f"tb_cust_{tag}"
+    write_bucketed(
+        tbl(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        t_a, str(tmp_path / "orders"), "o_custkey",
+    )
+    write_bucketed(
+        tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        t_b, str(tmp_path / "cust"), "c_custkey",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(t_a).join(
+            spark.table(t_b), F.col("o_custkey") == F.col("c_custkey")
+        )
+        assert count_exchanges(joined) == 0, joined._jdf.queryExecution().toString()
+        # and the result is actually correct, not just well-planned
+        n = joined.count()
+        expected = (
+            tbl(spark, sf_dir, "orders")
+            .join(
+                tbl(spark, sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_table(spark, t_a)
+        drop_table(spark, t_b)
