@@ -336,6 +336,66 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_json_corrupt",
+    """
+    WITH raw AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN '{truncated' || props
+                  ELSE props END AS props
+      FROM events),
+    parsed AS (
+      SELECT event_id, event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k_value,
+             NOT json_valid(props) AS is_corrupt
+      FROM raw)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN NOT is_corrupt THEN k_value END) AS BIGINT) AS k_sum
+    FROM parsed GROUP BY event_type
+    """,
+)
+def scalar_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Malformed-payload tolerance: at 100 TB a corrupt record is a
+    # certainty, and a decoder that either crashes or silently nulls is a
+    # pipeline bug.  Deterministically corrupt 1/7 of the JSON payloads
+    # and parse with the PERMISSIVE corrupt-record column (the standard
+    # quarantine pattern: bad input lands verbatim in _corrupt_record,
+    # never an exception, never silently confused with a valid record
+    # that merely lacks the key), then return the damage audit: per-type
+    # record / corrupt counts and the aggregate over clean rows only.
+    ev = tbl(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.lit("{truncated"), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = raw.select(
+        "event_type",
+        F.from_json(
+            F.col("props"),
+            "k bigint, _corrupt_record string",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    ).select(
+        "event_type",
+        F.col("j.k").alias("k_value"),
+        F.col("j._corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum(F.when(F.col("is_corrupt"), 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(~F.col("is_corrupt"), F.col("k_value"))).cast("long").alias("k_sum"),
+    )
+
+
+@query(
     "scalar_numeric",
     """
     SELECT l_orderkey, l_linenumber,

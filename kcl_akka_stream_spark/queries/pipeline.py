@@ -1832,6 +1832,50 @@ def sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+@query(
+    "pipeline_compact_shards",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(64 AS BIGINT) AS n_files_small,
+           CAST(ceil(count(*) / 300.0) AS BIGINT) AS n_files_compacted
+    FROM documents
+    """,
+)
+def pipeline_compact_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Small-files compaction -- the maintenance job every streaming sink
+    # needs: a micro-batch writer leaves N tiny files per trigger, and a
+    # 100 TB table of 1 MB files destroys scan throughput (per-file open
+    # cost, footer reads, scheduler pressure).  Simulate the fragmented
+    # state (64 shard files), compact to ceil(rows / rows_per_file)
+    # row-bounded files via repartition, and report ACTUAL on-disk file
+    # counts -- the oracle recomputes both arithmetically, so a writer
+    # that emits empty or extra part files fails the gate.
+    import os as _os
+    import shutil
+    import tempfile
+
+    def _n_part_files(d: str) -> int:
+        return sum(
+            1 for f in _os.listdir(d) if f.startswith("part-") and f.endswith(".parquet")
+        )
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="kcl_compact_")
+    small, big = f"{base}/small", f"{base}/compacted"
+    try:
+        docs.repartition(64).write.mode("overwrite").parquet(small)
+        frag = spark.read.parquet(small)
+        n_rows = frag.count()
+        n_target = -(-n_rows // 300)  # ceil
+        frag.repartition(n_target).write.mode("overwrite").parquet(big)
+        result = [(n_rows, _n_part_files(small), _n_part_files(big))]
+        return spark.createDataFrame(
+            result, "n_rows long, n_files_small long, n_files_compacted long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
     return f"""
     WITH sh AS ({_simhash_oracle()}),
