@@ -392,6 +392,82 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def connected_components_fast(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components with POINTER JUMPING: each round does one
+    min-label propagation hop (as ``connected_components``) and then a
+    label-of-label join (``L(u) <- L(L(u))``), which halves the remaining
+    pointer-chain depth -- convergence in O(log diameter) rounds instead
+    of O(diameter).  This is the graph shape the plain operator's
+    iteration guard points at: a 1000-deep chain converges in ~10 rounds
+    here versus 1000 there.  Same contract and the same loud
+    non-convergence failure; per-round cost is one extra self-join of the
+    (id, label) table, so for the shallow near-dup cliques LSH banding
+    produces, the plain operator is cheaper -- use this one when
+    components can be deep (reply chains, co-citation paths, web graphs).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    changed = -1
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        hopped = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: follow the label's own label (labels only ever
+        # DECREASE toward the component min, so L(L(u)) <= L(u) and the
+        # jump is always safe)
+        parent = hopped.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            hopped.join(parent, hopped.label == parent.p_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components_fast: labels still changing after "
+            f"{max_iterations} iterations ({changed} nodes moved last "
+            f"round) -- with pointer jumping this means diameter > "
+            f"~2^{max_iterations}; the graph is almost certainly not a "
+            f"dedup candidate graph"
+        )
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,

@@ -653,6 +653,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, docs.select("doc_id"))
 
 
+@query("dedup_clusters_fast", _clusters_oracle())
+def dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same cluster assignment through the pointer-jumping variant
+    # (O(log diameter) rounds -- operators/dedup.py::
+    # connected_components_fast): both implementations must agree with
+    # the recursive-CTE transitive closure, so the oracle is shared.
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    pairs = D.minhash_candidate_pairs(buckets)
+    return D.connected_components_fast(pairs, docs.select("doc_id"))
+
+
 @query(
     "sample_stratified",
     """

@@ -625,3 +625,46 @@ def test_kmeans_assign_ties_break_on_lower_cluster_id(spark):
     )
     row = kmeans_assign(vecs, cents).collect()[0]
     assert row.cluster_id == 0  # equal distance -> lower id wins
+
+
+def test_connected_components_fast_log_rounds_and_equivalence(spark):
+    # Pointer jumping converges a 60-deep chain within ~log2(60)+slack
+    # rounds -- the budget that makes the plain operator RAISE.
+    import pytest
+
+    from kcl_akka_stream_spark.operators.dedup import (
+        connected_components,
+        connected_components_fast,
+    )
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with pytest.raises(RuntimeError):
+        connected_components(pairs, nodes, max_iterations=10)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_fast(pairs, nodes, max_iterations=10).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+    # equivalence with the plain operator on a multi-component graph
+    # (two cliques bridged to nothing + a path + singletons)
+    pairs2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    nodes2 = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 20, 21, 99)], "doc_id long"
+    )
+    slow = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs2, nodes2).collect()
+    }
+    fast = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_fast(pairs2, nodes2).collect()
+    }
+    assert fast == slow
