@@ -56,6 +56,9 @@ _PRIORITY = [
     "stream_tumbling_agg",
     "stream_stream_join",
     "w_sessionize",
+    "sink_bucketed_join_roundtrip",
+    "scalar_json_corrupt",
+    "dedup_clusters_fast",
 ]
 
 
