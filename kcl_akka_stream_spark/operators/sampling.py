@@ -130,3 +130,48 @@ def rebalance_summary(
             F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: Column,
+    k: int = 100,
+    id_col: str = "doc_id",
+    seed: str = "w19",
+    max_weight: int = 8,
+) -> DataFrame:
+    """Deterministic WEIGHTED k-sample without replacement, hash-portable.
+
+    Integer-exact equivalent of Efraimidis-Spirakis weighted reservoir
+    sampling: a row with integer weight w draws w independent md5 keys
+    and keeps the MINIMUM -- the min of w uniforms is distributed as the
+    w-th root order statistic, so ranking ascending by that min IS
+    sampling with probability proportional to weight, with ZERO float
+    arithmetic (the keys compare as hex strings).  Float-free matters
+    cross-engine: ``pow(u, 1/w)`` is not correctly rounded and a last-ulp
+    disagreement near the k-th boundary would change the selected SET;
+    string comparison of md5 hex cannot disagree.
+
+    ``weight_col`` must produce a positive integer; it is clamped to
+    [1, max_weight] (the key list is materialized per row, so the clamp
+    bounds per-row work -- at 100 TB this is a map-only projection
+    followed by a TakeOrdered, never a full sort).
+    """
+    w = F.least(F.greatest(weight_col.cast("int"), F.lit(1)), F.lit(max_weight))
+    keys = F.transform(
+        F.sequence(F.lit(1), w),
+        lambda j: F.md5(
+            F.concat(
+                F.lit(f"{seed}|"),
+                F.col(id_col).cast("string"),
+                F.lit("|"),
+                j.cast("string"),
+            )
+        ),
+    )
+    scored = df.select(
+        id_col,
+        w.alias("weight"),
+        F.array_min(keys).alias("sel_key"),
+    )
+    return scored.orderBy("sel_key", id_col).limit(k)

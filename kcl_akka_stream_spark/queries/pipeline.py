@@ -666,6 +666,35 @@ def dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(LEAST(GREATEST(n_chars // 100, 1), 8) AS INT) AS weight
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, weight,
+             list_min([md5('w19|' || CAST(doc_id AS VARCHAR) || '|'
+                           || CAST(j AS VARCHAR))
+                       FOR j IN generate_series(1, weight)]) AS sel_key
+      FROM s)
+    SELECT doc_id, weight, sel_key
+    FROM keyed ORDER BY sel_key, doc_id LIMIT 50
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality/length-WEIGHTED corpus sampling (operators/sampling.py::
+    # weighted_sample_topk): integer-exact Efraimidis-Spirakis -- weight-w
+    # rows keep the min of w md5 keys, rank ascending, take k.  No float
+    # pow anywhere, so the selected SET is bit-identical cross-engine;
+    # the plan is map-only projection + TakeOrdered, never a full sort.
+    docs = tbl(spark, sf_dir, "documents")
+    return SA.weighted_sample_topk(
+        docs, weight_col=F.floor(F.col("n_chars") / 100), k=50
+    )
+
+
+@query(
     "sample_stratified",
     """
     SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id

@@ -668,3 +668,19 @@ def test_connected_components_fast_log_rounds_and_equivalence(spark):
         for r in connected_components_fast(pairs2, nodes2).collect()
     }
     assert fast == slow
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # Integer-exact Efraimidis-Spirakis: weight-8 rows keep the min of 8
+    # md5 keys, so they dominate a k-sample over weight-1 rows ~8:1 in
+    # expectation.  Deterministic seed -> deterministic selected set.
+    from kcl_akka_stream_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 8 if i < 100 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    sel = weighted_sample_topk(df, weight_col=F.col("w"), k=50, max_weight=8).collect()
+    heavy = sum(1 for r in sel if r.doc_id < 100)
+    assert len(sel) == 50
+    assert heavy > 35, heavy  # expectation ~ 44 of 50
+    # weights clamped and reported faithfully
+    assert {r.weight for r in sel} <= {1, 8}
