@@ -79,3 +79,29 @@ def salted_join(
     replicated_dim = dim.withColumn(_SALT, F.explode(salts)).hint("shuffle_hash")
     out = salted_fact.join(replicated_dim, on=[on, _SALT], how=how)
     return out.drop(_SALT)
+
+
+def null_bypass_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+) -> DataFrame:
+    """Left join that routes NULL-keyed rows AROUND the shuffle.
+
+    Under standard `=` semantics a NULL key matches nothing, yet every
+    NULL-keyed row still hashes to the SAME shuffle partition -- on a fact
+    table where 30% of the FK is null (unattributed events, optional
+    dimensions) that one reducer receives 30% of the data and the join
+    stalls on it.  AQE's skew splitting cannot help: splitting the null
+    partition is wasted work that ends in no matches anyway.
+
+    Split instead: non-null rows take the equi-join; null rows bypass it
+    entirely (their right-side columns are NULL by definition) and union
+    back map-side.  Result-identical to the plain left join -- the oracle
+    IS the plain left join."""
+    nn = left.filter(F.col(on).isNotNull()).join(right, on, "left")
+    right_cols = [c for c in right.columns if c != on]
+    nu = left.filter(F.col(on).isNull())
+    for c in right_cols:
+        nu = nu.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    return nn.unionByName(nu.select(nn.columns))

@@ -737,6 +737,57 @@ def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j_null_skew_bypass",
+    """
+    WITH l AS (
+      SELECT event_id, value,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END AS user_id
+      FROM events),
+    r AS (
+      SELECT DISTINCT user_id, user_id % 10 AS segment
+      FROM events),
+    j AS (
+      SELECT l.event_id, l.user_id, r.segment
+      FROM l LEFT JOIN r ON l.user_id = r.user_id)
+    SELECT coalesce(segment, -1) AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unattributed
+    FROM j GROUP BY coalesce(segment, -1)
+    """,
+)
+def j_null_skew_bypass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Null-skew-safe LEFT join (operators/skew.py::null_bypass_left_join):
+    # a third of the fact FK is nulled (the unattributed-events shape);
+    # under a plain join every null row hashes to ONE reducer for zero
+    # matches.  The operator routes null keys around the shuffle and
+    # unions them back map-side -- result-identical, so the oracle is the
+    # PLAIN left join.
+    from kcl_akka_stream_spark.operators.skew import null_bypass_left_join
+
+    ev = tbl(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
+    right = ev.select(
+        "user_id", (F.col("user_id") % 10).alias("segment")
+    ).distinct()
+    joined = null_bypass_left_join(left, right, on="user_id")
+    return joined.groupBy(
+        F.coalesce(F.col("segment"), F.lit(-1)).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unattributed"),
+    )
+
+
+@query(
     "u_demux",
     """
     SELECT user_id AS key, string_agg(event_type, ',' ORDER BY event_id) AS msgs

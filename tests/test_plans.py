@@ -162,3 +162,14 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         drop_table(spark, t_a)
         drop_table(spark, t_b)
+
+
+def test_null_bypass_join_filters_nulls_before_join(spark, sf_dir):
+    # The null-keyed rows must flow through the Union branch, never into
+    # the join: the join's left input carries an isnotnull filter and the
+    # plan has exactly one join under a Union.
+    from kcl_akka_stream_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["j_null_skew_bypass"](spark, sf_dir))
+    assert "Union" in plan
+    assert "isnotnull(user_id" in plan
