@@ -343,6 +343,11 @@ def embedding_near_dup_pairs(
             .filter(F.col("cos_sim") >= threshold)
         )
     corpus = spread(corpus)
+    if auto:
+        # target_block_size without a cap still means LSH blocking (auto
+        # dims from the corpus count) -- falling back to the semantic
+        # block_col here would silently change the operator's meaning.
+        lsh_dims = auto_lsh_dims(corpus.count(), target_block_size)
     if lsh_dims is not None:
         corpus = corpus.withColumn(
             "__lsh_blk", sign_lsh_bucket(F.col(vec_col), lsh_dims)
