@@ -81,7 +81,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "q10_returned_items": 1,  # same shape as q3
         "q18_large_volume_customers": 1,  # HAVING pre-agg then broadcasts
         "emb_near_dup_lsh_capped": 1,  # isin-pruned scan + one group shuffle into the Arrow pair-scorer
-        "pipeline_export_manifest": 6,  # quality pipeline + dedup join + pack window
+        "pipeline_export_manifest": 3,  # Arrow quality gate + dedup join + pack window
         "pipeline_incremental_dedup": 1,  # digest set broadcast; incoming never shuffles
         "diag_key_skew": 3,  # count agg + TakeOrdered + single-row broadcast
         "emb_lang_centroids": 2,  # docs broadcast; (lang,dim) avg combines map-side
@@ -158,6 +158,10 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
             .count()
         )
         assert n == expected
+        # bucketed layout also serves GROUP BY on the bucket key without
+        # a shuffle: the scan's output partitioning satisfies the agg
+        agg = spark.table(t_a).groupBy("o_custkey").count()
+        assert count_exchanges(agg) == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         drop_table(spark, t_a)
