@@ -355,8 +355,8 @@ def connected_components(
         .distinct()
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    changed = -1
-    for _ in range(max_iterations):
+
+    def step(labels):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -378,18 +378,34 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        return new_labels, changed
+
+    labels, changed = _cc_loop(step, labels, max_iterations, "connected_components")
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def _cc_loop(step, labels, max_iterations: int, op_name: str):
+    """Shared propagate-until-stable loop with a confirmation round:
+    ``max_iterations`` propagation rounds, plus (if the last round still
+    moved labels) ONE extra round that either confirms convergence --
+    labels that stabilized exactly on the final allowed round are a
+    SUCCESS, not an error -- or proves the graph is genuinely deeper
+    than the budget and raises."""
+    changed = -1
+    for _ in range(max_iterations):
+        labels, changed = step(labels)
         if changed == 0:
-            break
+            return labels, changed
+    labels, changed = step(labels)
     if changed != 0:
         raise RuntimeError(
-            f"connected_components: labels still changing after "
-            f"{max_iterations} iterations ({changed} nodes moved last round) "
+            f"{op_name}: labels still changing after {max_iterations} "
+            f"iterations ({changed} nodes moved in the confirmation round) "
             f"-- component diameter exceeds the bound; raise max_iterations "
-            f"or switch to the large-star/small-star contraction for this "
-            f"graph shape"
+            f"or use connected_components_fast (pointer jumping, O(log "
+            f"diameter) rounds) for this graph shape"
         )
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    return labels, changed
 
 
 def connected_components_fast(
@@ -417,8 +433,8 @@ def connected_components_fast(
         .localCheckpoint()
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    changed = -1
-    for _ in range(max_iterations):
+
+    def step(labels):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -454,17 +470,9 @@ def connected_components_fast(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        raise RuntimeError(
-            f"connected_components_fast: labels still changing after "
-            f"{max_iterations} iterations ({changed} nodes moved last "
-            f"round) -- with pointer jumping this means diameter > "
-            f"~2^{max_iterations}; the graph is almost certainly not a "
-            f"dedup candidate graph"
-        )
+        return new_labels, changed
+
+    labels, _ = _cc_loop(step, labels, max_iterations, "connected_components_fast")
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

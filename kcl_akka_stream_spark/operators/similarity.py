@@ -123,7 +123,13 @@ def ivf_topk(
             F.col(id_col).cast("long").alias("cluster_id"),
             F.col(vec_col).alias("centroid"),
         )
-        assignment = kmeans_assign(corpus, seeds, id_col, vec_col)
+        # localCheckpoint: assignment feeds BOTH the centroid build and the
+        # corpus cluster join -- without it the broadcast-score-argmin
+        # subplan over the whole corpus executes twice per action (the
+        # kmeans() discipline in operators/clustering.py)
+        assignment = kmeans_assign(corpus, seeds, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
         centroids = kmeans_update(corpus, assignment, id_col, vec_col).select(
             F.col("cluster_id").alias("cluster"), "centroid"
         )
@@ -387,8 +393,10 @@ def _block_pair_scores(id_col: str, vec_col: str, threshold: float):
     which performs the identical sequence of IEEE additions per pair --
     so emitted raw cosines equal the expression path's to the last ulp,
     and the JVM-side F.round/threshold downstream match the oracle.
-    Python-side pruning uses a 1e-7 safety margin below the threshold;
-    the exact cut happens after F.round in the JVM."""
+    Python-side pruning uses a 1e-6 safety margin below the threshold --
+    strictly wider than the 5e-7 HALF_UP window of round(., 6), so a raw
+    cosine that the JVM would round UP to the threshold can never be
+    dropped here; the exact cut happens after F.round in the JVM."""
     import numpy as np
     import pandas as pd
 
@@ -409,7 +417,7 @@ def _block_pair_scores(id_col: str, vec_col: str, threshold: float):
         norms = np.sqrt(N)
         cos = G / np.outer(norms, norms)
         ia, ib = np.triu_indices(m, k=1)
-        keep = cos[ia, ib] >= threshold - 1e-7
+        keep = cos[ia, ib] >= threshold - 1e-6
         if not keep.any():
             return empty
         return pd.DataFrame(

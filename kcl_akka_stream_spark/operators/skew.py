@@ -98,7 +98,20 @@ def null_bypass_left_join(
     Split instead: non-null rows take the equi-join; null rows bypass it
     entirely (their right-side columns are NULL by definition) and union
     back map-side.  Result-identical to the plain left join -- the oracle
-    IS the plain left join."""
+    IS the plain left join.
+
+    Requires disjoint non-key column names (like any USING-style join you
+    intend to consume by name): with a shared name, ``withColumn`` on the
+    bypass branch would silently overwrite the LEFT side's data with
+    NULL, so the overlap is rejected loudly instead."""
+    overlap = (set(left.columns) & set(right.columns)) - {on}
+    if overlap:
+        raise ValueError(
+            f"null_bypass_left_join: left and right share non-key columns "
+            f"{sorted(overlap)}; rename them first -- a silent overwrite "
+            f"of the left side's values on the bypass branch is the "
+            f"alternative"
+        )
     nn = left.filter(F.col(on).isNotNull()).join(right, on, "left")
     right_cols = [c for c in right.columns if c != on]
     nu = left.filter(F.col(on).isNull())

@@ -309,7 +309,8 @@ def _ivf_oracle(n_clusters: int = 8, nprobe: int = 1) -> str:
     cos_qn = _COS.format(a="qa.q_vec", b="e.v")
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v_vec FROM embeddings),
-    c0 AS (SELECT vec_id AS cluster_id, v_vec AS c_vec FROM v WHERE vec_id < {n_clusters}),
+    c0 AS (SELECT vec_id AS cluster_id, v_vec AS c_vec FROM v
+           ORDER BY vec_id LIMIT {n_clusters}),
     scored0 AS (
       SELECT vec_id, cluster_id,
              row_number() OVER (PARTITION BY vec_id ORDER BY {d2}, cluster_id) AS rn

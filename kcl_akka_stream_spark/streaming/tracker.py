@@ -52,8 +52,15 @@ STATE_SCHEMA = StructType(
         StructField("seqs", ArrayType(LongType())),
         StructField("procs", ArrayType(BooleanType())),
         StructField("n_updates", IntegerType()),
-        StructField("n_evicted", LongType()),
     ]
+)
+
+#: State schema when the eviction bound is active: adds the cumulative
+#: evicted counter.  Kept SEPARATE from the default schema so existing
+#: checkpoints written by the no-eviction tracker keep resuming against
+#: the unchanged 4-field state layout.
+EVICTING_STATE_SCHEMA = StructType(
+    STATE_SCHEMA.fields + [StructField("n_evicted", LongType())]
 )
 
 # state-store sentinel for "no frontier yet" (state columns are typed, not
@@ -163,8 +170,13 @@ def _make_track(max_pending: int | None):
     def _track(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        evicting = max_pending is not None
         if state.exists:
-            frontier, seqs_t, procs_t, n_updates, n_evicted = state.get
+            if evicting:
+                frontier, seqs_t, procs_t, n_updates, n_evicted = state.get
+            else:
+                frontier, seqs_t, procs_t, n_updates = state.get
+                n_evicted = 0
             seqs, procs = list(seqs_t), list(procs_t)
         else:
             frontier, seqs, procs, n_updates, n_evicted = _NO_FRONTIER, [], [], 0, 0
@@ -172,13 +184,16 @@ def _make_track(max_pending: int | None):
             seqs.extend(int(s) for s in pdf["seq"])
             procs.extend(bool(p) for p in pdf["processed"])
         frontier, seqs, procs, processed_behind, in_flight = _advance(frontier, seqs, procs)
-        if max_pending is not None:
+        if evicting:
             frontier, seqs, procs, processed_behind, in_flight, evicted_now = (
                 _evict_over_bound(frontier, seqs, procs, max_pending)
             )
             n_evicted += evicted_now
         n_updates += 1
-        state.update((frontier, seqs, procs, n_updates, n_evicted))
+        if evicting:
+            state.update((frontier, seqs, procs, n_updates, n_evicted))
+        else:
+            state.update((frontier, seqs, procs, n_updates))
         row = {
             "shard_id": int(key[0]),
             "frontier_seq": None if frontier == _NO_FRONTIER else frontier,
@@ -186,7 +201,7 @@ def _make_track(max_pending: int | None):
             "in_flight_count": in_flight,
             "update_id": n_updates,
         }
-        if max_pending is not None:
+        if evicting:
             row["evicted_count"] = n_evicted
         yield pd.DataFrame([row])
 
@@ -215,7 +230,9 @@ def streaming_checkpoint_frontier(
         outputStructType=(
             OUTPUT_SCHEMA if max_pending is None else EVICTING_OUTPUT_SCHEMA
         ),
-        stateStructType=STATE_SCHEMA,
+        stateStructType=(
+            STATE_SCHEMA if max_pending is None else EVICTING_STATE_SCHEMA
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

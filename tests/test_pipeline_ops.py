@@ -684,3 +684,21 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert heavy > 35, heavy  # expectation ~ 44 of 50
     # weights clamped and reported faithfully
     assert {r.weight for r in sel} <= {1, 8}
+
+
+def test_connected_components_converges_on_last_allowed_round(spark):
+    # An n-chain stabilizes after n-1 propagation rounds; with
+    # max_iterations = n-1 the loop exits mid-change and a CONFIRMATION
+    # round must accept the (complete) result rather than raising.
+    from kcl_akka_stream_spark.operators.dedup import connected_components
+
+    n = 6
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, nodes, max_iterations=n - 1).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
