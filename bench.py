@@ -145,6 +145,17 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Detail record (per-query cold times, fixture byte sizes) goes to
+    # stderr: round 5's single stdout line carrying two full 41-query
+    # dicts plus data_bytes overflowed the driver's tail capture and the
+    # official record came back parsed:null.  stdout stays compact --
+    # metric/value/queries/cold_total only -- and is printed LAST so a
+    # tail capture always sees a complete JSON object.
+    print(
+        "# detail "
+        + json.dumps({"cold": cold, "data_bytes": data_bytes}),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -152,9 +163,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
-                "cold": cold,
                 "cold_total": round(sum(cold.values()), 3),
-                "data_bytes": data_bytes,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -161,11 +161,23 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text", window: int = 4) 
     but the code array is evaluated per ROW.  The previous form
     (``transform(sequence(...), i -> fold(slice(codes, i, window)))``)
     re-evaluated the md5 token codes PER WINDOW (no CSE into lambda
-    bodies) -- O(doc_len) regex+md5 passes per document."""
+    bodies) -- O(doc_len) regex+md5 passes per document.
+
+    The code array is materialized in a CHILD projection and referenced
+    as an attribute: inlined, the ``codes`` expression tree (regex
+    tokenize + per-token md5) appears once per fold/zip/size reference
+    (~window+2 times) and interpreted HOF evaluation re-runs each copy
+    per row; CollapseProject keeps the two projections separate because
+    the alias is non-cheap and multiply-referenced.  Found via
+    tools/scale_probe.py: 3.92x wall at 10x data inlined (the worst
+    non-quadratic ratio in the round-5 table) vs ~1.3x materialized."""
     from kcl_akka_stream_spark.plans.hygiene import spread
 
     df = spread(df)
-    codes = F.transform(tokens(F.col(text_col)), _token_code)
+    coded = df.select(
+        "doc_id", F.transform(tokens(F.col(text_col)), _token_code).alias("__codes")
+    )
+    codes = F.col("__codes")
     whole = _poly_fold(codes)
     size = F.size(codes)
     h = codes
@@ -178,7 +190,7 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text", window: int = 4) 
     win_hashes = F.when(
         size >= window, F.slice(h, 1, size - (window - 1))
     ).otherwise(F.array(whole))
-    return df.select(
+    return coded.select(
         "doc_id",
         whole.alias("rolling_hash"),
         F.array_min(win_hashes).alias("winnow_min"),

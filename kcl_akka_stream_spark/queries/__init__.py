@@ -21,44 +21,62 @@ from kcl_akka_stream_spark.queries import streaming_q  # noqa: E402,F401
 
 #: Samplers that take the first N registry entries (the driver's
 #: correctness gate records 50) must see a REPRESENTATIVE slice, not just
-#: whichever module imported first.  Front-load the flagship plus the
-#: LLM-pipeline surface (dedup / similarity / sketches / quality / corpus
-#: / streaming) so the hard external signal covers the operators that
-#: carry the 100 TB story; the relational core fills the remainder of the
-#: sample in its original order.
+#: whichever module imported first.  The sample ROTATES each round
+#: (VERDICT r5 #2): rounds 1-5 never sampled 43 of the 131 queries, so
+#: round 6 front-loads exactly the never-before-sampled names (plus this
+#: round's new queries) after the flagship; previously-green entries fill
+#: the remainder in their original registration order.
 _PRIORITY = [
     "q1_pricing_summary",
-    "text_quality_flags",
-    "dedup_minhash_verified",
-    "agg_kmv_merged",
-    "cluster_kmeans_step",
-    "stream_dedup",
-    "emb_near_dup_lsh_capped",
-    "sim_topk_ivf",
-    "dedup_exact",
-    "dedup_minhash_lsh_capped",
-    "dedup_simhash",
+    # -- never sampled in CORRECTNESS_r01..r05 --
+    "j_null_skew_bypass",
+    "j_null_safe",
+    "text_fingerprint",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf_nprobe",
+    "emb_near_dup",
+    "emb_near_dup_lsh",
+    "multimodal_resize",
+    "sink_keyed_ordered",
+    "multimodal_frame_sample",
+    "text_token_bpe",
+    "sample_weighted",
+    "sample_stratified",
+    "corpus_vocab_topk",
+    "text_rolling_fingerprint",
+    "dedup_boilerplate_segments",
+    "pipeline_rebalance_langs",
+    "cluster_kmeans_assign",
+    "pipeline_export_manifest",
+    "agg_cms_merged",
+    "text_langid_confusion",
+    "pipeline_adaptive_length_filter",
+    "emb_near_dup_block_report",
+    "pipeline_incremental_dedup",
+    "diag_key_skew",
+    "emb_lang_centroids",
+    "sink_partitioned_roundtrip",
+    "pipeline_compact_shards",
+    "dedup_simhash_pairs",
+    "udf_pandas_vowel_density",
+    "dedup_containment_pairs",
+    "text_winnow_pairs",
+    "agg_kmv_error_report",
+    "agg_hist_median",
+    "dedup_savings_report",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_checkpoint_frontier",
+    "stream_committed_sink",
+    "stream_quality_filter",
+    "stream_kmv_merge",
+    "stream_cms_merge",
+    "stream_static_enrich",
+    # -- new this round --
+    "sim_topk_ivf_prebuilt",
     "dedup_ngram_jaccard_capped",
-    "dedup_clusters",
-    "sim_topk_vectorized",
-    "sim_topk_lsh",
-    "emb_quantize_int8",
-    "agg_cms_heavy_hitters",
-    "agg_kmv_distinct",
-    "text_quality",
-    "text_langid",
-    "pipeline_clean_corpus",
-    "pipeline_decontaminate",
-    "pipeline_pack_tokens",
-    "text_redact_pii",
-    "multimodal_features",
-    "sample_per_stratum",
-    "stream_tumbling_agg",
-    "stream_stream_join",
-    "w_sessionize",
-    "sink_bucketed_join_roundtrip",
-    "scalar_json_corrupt",
-    "dedup_clusters_fast",
+    "u_except",
+    "j_anti",
 ]
 
 

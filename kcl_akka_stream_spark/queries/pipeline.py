@@ -374,6 +374,38 @@ def sim_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_topk_ivf_prebuilt", _ivf_oracle())
+def sim_topk_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build-once / probe-many IVF (VERDICT r5 #4): the learned quantizer +
+    # corpus assignment are persisted to disk (corpus PARTITIONED BY
+    # cluster) the first time a fixture is seen, and every subsequent call
+    # runs only the probe -- 2 exchanges instead of the inline build's 8.
+    # The on-disk index is keyed by the fixture file's (size, mtime) so a
+    # driver-side testdata regeneration invalidates it automatically.
+    # Same oracle as sim_topk_ivf: the build is deterministic, so the
+    # prebuilt probe returns the identical result.
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"kcl_ivf_index_{key}")
+    marker = os.path.join(index_dir, "_BUILT")
+    emb = tbl(spark, sf_dir, "embeddings")
+    if not os.path.exists(marker):
+        S.ivf_build(emb, index_dir)
+        with open(marker, "w"):
+            pass
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_probe_prebuilt(spark, index_dir, queries_df, k=5).select(
+        "q_id", "n_id", "cos_sim", "rank"
+    )
+
+
 def _lsh_topk_oracle(bucket_dims: int = 4) -> str:
     bucket = " + ".join(
         f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {2**d} ELSE 0 END)" for d in range(bucket_dims)
@@ -842,7 +874,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SH_CTE},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 3),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 5),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle
@@ -864,9 +896,12 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound (intersection restricted, sizes kept full); the cap is
     # deterministic so the oracle mirrors it exactly.  Threshold matches
     # the uncapped headline (0.8) so BENCH compares the cap's effect
-    # apples-to-apples.
+    # apples-to-apples.  max_doc_freq=5 (was 3, which pruned every
+    # candidate at sf0.01 and made the gate row vacuous -- VERDICT r5 #3):
+    # at 5 the cap still bounds boilerplate fan-out but the sf0.01 fixture
+    # yields 25 surviving pairs, so the hash comparison is non-trivial.
     return D.ngram_jaccard_pairs(
-        tbl(spark, sf_dir, "documents"), k=3, threshold=0.8, max_doc_freq=3
+        tbl(spark, sf_dir, "documents"), k=3, threshold=0.8, max_doc_freq=5
     )
 
 
