@@ -312,6 +312,12 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup pairs, blocked by a coarse key so the
     self-join is per-block instead of O(n^2).
 
+    NOT fully lazy on the capped-LSH path (``max_block_size`` with
+    ``lsh_dims``/``target_block_size``): the bucket-size probe runs an
+    EAGER Spark job at DataFrame-construction time, and each call
+    re-runs it -- cache the returned DataFrame (or reuse it) if calling
+    repeatedly on the same corpus.
+
     Sign-LSH blocking is the 100 TB path: derive the blocking key from
     ``sign_lsh_bucket`` (a map-only projection of the vector itself), so no
     semantic column like the fixture's ``label`` is required -- near-dup
@@ -455,37 +461,53 @@ def _block_pair_scores(id_col: str, vec_col: str, threshold: float):
     Python-side pruning uses a 1e-6 safety margin below the threshold --
     strictly wider than the 5e-7 HALF_UP window of round(., 6), so a raw
     cosine that the JVM would round UP to the threshold can never be
-    dropped here; the exact cut happens after F.round in the JVM."""
+    dropped here; the exact cut happens after F.round in the JVM.
+
+    Ragged (mixed-length) vectors within a block are in-scope:
+    ``sign_lsh_bucket`` deliberately tolerates vectors shorter than its
+    dims, so a bucket can mix lengths.  The expression path's
+    ``zip_with`` null-pads the shorter side, the fold propagates NULL,
+    and the NULL cosine fails the threshold filter -- cross-length pairs
+    are silently dropped.  This kernel reproduces that by scoring each
+    same-length group separately and emitting nothing across groups
+    (a rectangular np.array over mixed lengths would raise instead)."""
     import numpy as np
     import pandas as pd
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col)
-        m = len(pdf)
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []})
-        if m < 2:
+        if len(pdf) < 2:
             return empty
-        ids = pdf[id_col].to_numpy()
-        V = np.array(list(pdf[vec_col]), dtype=np.float64)  # (m, D)
-        G = np.zeros((m, m))
-        N = np.zeros(m)
-        for d in range(V.shape[1]):
-            col = V[:, d]
-            G += np.outer(col, col)
-            N += col * col
-        norms = np.sqrt(N)
-        cos = G / np.outer(norms, norms)
-        ia, ib = np.triu_indices(m, k=1)
-        keep = cos[ia, ib] >= threshold - 1e-6
-        if not keep.any():
-            return empty
-        return pd.DataFrame(
-            {
-                "id_a": ids[ia[keep]],
-                "id_b": ids[ib[keep]],
-                "cos_raw": cos[ia[keep], ib[keep]],
-            }
-        )
+        out = [empty]
+        for _, grp in pdf.groupby(pdf[vec_col].map(len), sort=True):
+            m = len(grp)
+            if m < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            V = np.array(list(grp[vec_col]), dtype=np.float64)  # (m, D)
+            G = np.zeros((m, m))
+            N = np.zeros(m)
+            for d in range(V.shape[1]):
+                col = V[:, d]
+                G += np.outer(col, col)
+                N += col * col
+            norms = np.sqrt(N)
+            cos = G / np.outer(norms, norms)
+            ia, ib = np.triu_indices(m, k=1)
+            keep = cos[ia, ib] >= threshold - 1e-6
+            if not keep.any():
+                continue
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[ia[keep]],
+                        "id_b": ids[ib[keep]],
+                        "cos_raw": cos[ia[keep], ib[keep]],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if len(out) > 1 else empty
 
     return score
 

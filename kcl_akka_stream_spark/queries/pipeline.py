@@ -1874,7 +1874,11 @@ def sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid as _uuid
 
-    from kcl_akka_stream_spark.sources.bucketed import drop_table, write_bucketed
+    from kcl_akka_stream_spark.sources.bucketed import (
+        assert_cobucketed,
+        drop_table,
+        write_bucketed,
+    )
 
     tag = _uuid.uuid4().hex[:8]
     base = tempfile.mkdtemp(prefix="kcl_bucketed_")
@@ -1888,6 +1892,7 @@ def sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
             t_cust, f"{base}/customer", "c_custkey",
         )
+        assert_cobucketed(spark, t_orders, t_cust)
         joined = spark.table(t_orders).join(
             spark.table(t_cust),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -1913,7 +1918,7 @@ def sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_compact_shards",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(64 AS BIGINT) AS n_files_small,
+           CAST(least(64, count(*)) AS BIGINT) AS n_files_small,
            CAST(ceil(count(*) / 300.0) AS BIGINT) AS n_files_compacted
     FROM documents
     """,
@@ -1940,9 +1945,13 @@ def pipeline_compact_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="kcl_compact_")
     small, big = f"{base}/small", f"{base}/compacted"
     try:
-        docs.repartition(64).write.mode("overwrite").parquet(small)
+        # min(64, n_rows) shard files: round-robin writes no part file for
+        # an empty partition, so at a fixture smaller than 64 rows a flat
+        # repartition(64) would undershoot the hardcoded oracle count
+        # (mirrored there as least(64, count(*))).
+        n_rows = docs.count()
+        docs.repartition(min(64, max(n_rows, 1))).write.mode("overwrite").parquet(small)
         frag = spark.read.parquet(small)
-        n_rows = frag.count()
         n_target = -(-n_rows // 300)  # ceil
         frag.repartition(n_target).write.mode("overwrite").parquet(big)
         result = [(n_rows, _n_part_files(small), _n_part_files(big))]

@@ -22,7 +22,21 @@ tests/test_plans.py::test_bucketed_join_is_shuffle_free.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+#: Plain unqualified identifier -- table names are interpolated into SQL
+#: (DROP TABLE) and must never carry quoting/injection surface.
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_ident(table: str) -> None:
+    if not _IDENT.match(table):
+        raise ValueError(
+            f"invalid table identifier {table!r}: expected a plain "
+            "[A-Za-z_][A-Za-z0-9_]* name (it is interpolated into SQL)"
+        )
 
 
 def write_bucketed(
@@ -34,7 +48,10 @@ def write_bucketed(
     sort: bool = True,
 ) -> None:
     """Write ``df`` as an external bucketed table (overwriting any previous
-    definition).  ``n_buckets`` must match across tables that will join."""
+    definition).  ``n_buckets`` must match across tables that will join --
+    use ``assert_cobucketed`` to fail loudly on a mismatch instead of
+    silently reintroducing the Exchange this module exists to eliminate."""
+    _check_ident(table)
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     w = df.write.mode("overwrite").option("path", path).bucketBy(n_buckets, bucket_col)
@@ -43,5 +60,30 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def bucket_count(spark: SparkSession, table: str) -> int | None:
+    """Bucket count recorded in the catalog for ``table`` (None if the
+    table is not bucketed)."""
+    _check_ident(table)
+    for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if r.col_name == "Num Buckets":
+            return int(r.data_type)
+    return None
+
+
+def assert_cobucketed(spark: SparkSession, *tables: str) -> int:
+    """Assert every table is bucketed with the SAME bucket count (the
+    precondition for a shuffle-free co-located join) and return it."""
+    counts = {t: bucket_count(spark, t) for t in tables}
+    vals = set(counts.values())
+    if None in vals or len(vals) != 1:
+        raise ValueError(
+            f"tables are not co-bucketed: {counts} -- a join between them "
+            "would silently plan an Exchange; rewrite with matching "
+            "bucketBy counts"
+        )
+    return vals.pop()
+
+
 def drop_table(spark: SparkSession, table: str) -> None:
+    _check_ident(table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")

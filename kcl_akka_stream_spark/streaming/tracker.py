@@ -172,10 +172,19 @@ def _make_track(max_pending: int | None):
     ) -> Iterator[pd.DataFrame]:
         evicting = max_pending is not None
         if state.exists:
+            got = state.get
+            if len(got) != (5 if evicting else 4):
+                raise ValueError(
+                    "cannot toggle max_pending on an existing checkpoint: the "
+                    f"stored tracker state has {len(got)} fields but this query "
+                    f"expects {5 if evicting else 4} (the bounded tracker keeps "
+                    "a separate evicted_count field).  Resume with the same "
+                    "max_pending setting, or start a fresh checkpoint location."
+                )
             if evicting:
-                frontier, seqs_t, procs_t, n_updates, n_evicted = state.get
+                frontier, seqs_t, procs_t, n_updates, n_evicted = got
             else:
-                frontier, seqs_t, procs_t, n_updates = state.get
+                frontier, seqs_t, procs_t, n_updates = got
                 n_evicted = 0
             seqs, procs = list(seqs_t), list(procs_t)
         else:
@@ -224,7 +233,13 @@ def streaming_checkpoint_frontier(
     ``max_pending`` bounds per-shard state for poisoned shards: when the
     kept window exceeds it, the oldest blocking record is force-evicted
     (frontier advances past it, forfeiting its at-least-once redelivery)
-    and the cumulative ``evicted_count`` column reports the loss."""
+    and the cumulative ``evicted_count`` column reports the loss.
+
+    ``max_pending`` CANNOT be toggled across a restart of the same
+    checkpoint location: the bounded tracker persists a 5-field state
+    (extra evicted_count) where the default persists 4, and Spark state
+    schemas are fixed at first run.  The kernel detects the mismatch and
+    raises an actionable error instead of an opaque unpack failure."""
     return df.groupBy("shard_id").applyInPandasWithState(
         _track if max_pending is None else _make_track(max_pending),
         outputStructType=(

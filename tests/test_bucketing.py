@@ -31,3 +31,34 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {a_name}")
         spark.sql(f"DROP TABLE IF EXISTS {b_name}")
+
+
+def test_assert_cobucketed_detects_mismatch(spark, tmp_path):
+    from kcl_akka_stream_spark.sources.bucketed import (
+        assert_cobucketed,
+        write_bucketed,
+    )
+    import pytest
+
+    a_name = f"cb_a_{uuid.uuid4().hex[:8]}"
+    b_name = f"cb_b_{uuid.uuid4().hex[:8]}"
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    try:
+        write_bucketed(df, a_name, str(tmp_path / "a"), "k", n_buckets=8)
+        write_bucketed(df, b_name, str(tmp_path / "b"), "k", n_buckets=4)
+        with pytest.raises(ValueError, match="not co-bucketed"):
+            assert_cobucketed(spark, a_name, b_name)
+        write_bucketed(df, b_name, str(tmp_path / "b2"), "k", n_buckets=8)
+        assert assert_cobucketed(spark, a_name, b_name) == 8
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {b_name}")
+
+
+def test_write_bucketed_rejects_sql_unsafe_identifier(spark, tmp_path):
+    from kcl_akka_stream_spark.sources.bucketed import write_bucketed
+    import pytest
+
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="invalid table identifier"):
+        write_bucketed(df, "bad-name; DROP TABLE x", str(tmp_path / "x"), "k")

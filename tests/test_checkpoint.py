@@ -115,3 +115,25 @@ def test_window_query_matches_tracker_scan_randomized(spark):
         per_shard[shard][1].append(proc)
     want = {s: _frontier(seqs, procs) for s, (seqs, procs) in per_shard.items()}
     assert got == want
+
+
+def test_tracker_rejects_max_pending_toggle_on_existing_state():
+    # A checkpoint written by the 4-field default tracker cannot resume
+    # with max_pending enabled (5-field state) -- the kernel must raise
+    # an actionable error, not an opaque unpack failure.
+    import pandas as pd
+    import pytest
+
+    from kcl_akka_stream_spark.streaming.tracker import _make_track
+
+    class FakeState:
+        exists = True
+        get = (0, [], [], 1)  # 4-field default-tracker state
+
+        def update(self, v):
+            pass
+
+    track = _make_track(3)
+    batch = pd.DataFrame({"seq": [1], "processed": [True]})
+    with pytest.raises(ValueError, match="max_pending"):
+        list(track((1,), iter([batch]), FakeState()))

@@ -702,3 +702,30 @@ def test_connected_components_converges_on_last_allowed_round(spark):
         for r in connected_components(pairs, nodes, max_iterations=n - 1).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_near_dup_capped_handles_ragged_vectors(spark):
+    # sign_lsh_bucket tolerates vectors shorter than its dims, so a block
+    # can mix lengths; the Arrow pair scorer must not crash on the ragged
+    # block (ADVICE r5) and must match the expression path, which drops
+    # cross-length pairs via NULL cosines.
+    from kcl_akka_stream_spark.operators.similarity import embedding_near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),
+        (3, [1.0, 0.0]),  # short vector, same sign bucket
+        (4, [1.0, 0.0005, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.9, lsh_dims=2, max_block_size=10
+        ).collect()
+    }
+    expr = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.9, lsh_dims=2).collect()
+    }
+    assert capped == expr == {(1, 2), (1, 4), (2, 4)}

@@ -310,3 +310,61 @@ def test_arrow_pair_scorer_matches_jvm_fold(spark, vecs):
         for r in embedding_near_dup_pairs(df, threshold=-2.0, lsh_dims=2).collect()
     }
     assert arrow == jvm
+
+
+# --- weighted sampling ------------------------------------------------------
+# Efraimidis-Spirakis min-key claim: ranking by the MINIMUM of w
+# independent uniform keys samples with probability proportional to w.
+# With k=1 the selection probability is EXACTLY w_i / sum(w): the global
+# minimum over sum(w) iid keys belongs to row i's group of w_i keys with
+# probability w_i / sum(w).  The keys here are the operator's own md5
+# construction, so the property checks the shipped arithmetic, not a
+# lookalike.
+
+
+def _sel_key(seed: str, id_: int, w: int) -> str:
+    import hashlib
+
+    return min(
+        hashlib.md5(f"{seed}|{id_}|{j}".encode()).hexdigest()
+        for j in range(1, w + 1)
+    )
+
+
+@given(st.lists(st.integers(min_value=1, max_value=8), min_size=2, max_size=5))
+@settings(max_examples=20, deadline=None)
+def test_weighted_min_key_selection_tracks_weights(weights):
+    import math
+    from collections import Counter
+
+    ids = list(range(len(weights)))
+    total = sum(weights)
+    n_seeds = 500
+    wins: Counter = Counter()
+    for s in range(n_seeds):
+        seed = f"hyp{s}"
+        best = min(ids, key=lambda i: (_sel_key(seed, i, weights[i]), i))
+        wins[best] += 1
+    for i, w in zip(ids, weights):
+        p = w / total
+        # 5-sigma binomial band + slack: deterministic given (weights,
+        # seeds) so this either always passes or flags a real bias
+        tol = 5 * math.sqrt(p * (1 - p) / n_seeds) + 0.01
+        assert abs(wins[i] / n_seeds - p) < tol, (i, w, wins[i] / n_seeds, p)
+
+
+def test_weighted_sampler_matches_python_min_key(spark):
+    # The Spark operator's md5 min-key must equal the pure-python
+    # replication -- pins the exact string layout (seed|id|j) the
+    # property test above relies on.
+    from pyspark.sql import functions as F
+
+    from kcl_akka_stream_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, (i % 8) + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    sel = weighted_sample_topk(df, F.col("w"), k=5, seed="xcheck").collect()
+    keys = {i: _sel_key("xcheck", i, w) for i, w in rows}
+    expect = sorted(keys, key=lambda i: (keys[i], i))[:5]
+    assert [r.doc_id for r in sel] == expect
+    assert [r.sel_key for r in sel] == [keys[i] for i in expect]
