@@ -140,6 +140,113 @@ def main() -> None:
         tn = timed(lambda: op(frames[1]))
         print(f"{name:22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
+    # --- round-5 storage / skew / sampling operators (VERDICT r5 #5) ----
+    import shutil
+    import tempfile
+    import uuid
+
+    from kcl_akka_stream_spark.operators import sampling as SA
+    from kcl_akka_stream_spark.operators.skew import null_bypass_left_join
+    from kcl_akka_stream_spark.sources.bucketed import drop_table, write_bucketed
+
+    def timed_action(fn) -> float:
+        fn()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            e = time.time() - t0
+            best = e if best is None else min(best, e)
+        return best
+
+    def weighted(d: DataFrame) -> DataFrame:
+        return SA.weighted_sample_topk(
+            d, weight_col=F.length("text") % 8 + 1, k=100
+        )
+
+    for name, op, frames in (
+        ("sample_weighted", weighted, (docs1, docs_n)),
+    ):
+        t1 = timed(lambda: op(frames[0]))
+        tn = timed(lambda: op(frames[1]))
+        print(f"{name:22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # bucketed co-located join: the write is the amortized offline cost,
+    # so only the join is timed -- the lever's whole point is paying the
+    # shuffle once at write time.
+    def bucketed_join_time(d: DataFrame, tag: str) -> float:
+        base = tempfile.mkdtemp(prefix="kcl_probe_bkt_")
+        ta, tb = f"sp_a_{tag}", f"sp_b_{tag}"
+        try:
+            write_bucketed(
+                d.select(F.col("doc_id").alias("k"), F.length("text").alias("va")),
+                ta, f"{base}/a", "k",
+            )
+            write_bucketed(
+                d.select(F.col("doc_id").alias("k"), (F.length("text") * 2).alias("vb")),
+                tb, f"{base}/b", "k",
+            )
+            return timed(
+                lambda: spark.table(ta)
+                .hint("merge")
+                .join(spark.table(tb), "k")
+                .groupBy(F.pmod(F.col("k"), F.lit(16)).alias("g"))
+                .agg(F.sum("va").alias("sa"), F.sum("vb").alias("sb"))
+            )
+        finally:
+            drop_table(spark, ta)
+            drop_table(spark, tb)
+            shutil.rmtree(base, ignore_errors=True)
+
+    tag = uuid.uuid4().hex[:8]
+    t1 = bucketed_join_time(docs1, f"one_{tag}")
+    tn = bucketed_join_time(docs_n, f"ten_{tag}")
+    print(f"{'bucketed_join':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # null-skew bypass join: 30% null FK; broadcast disabled so the probe
+    # exercises the shuffled-join shape the operator exists for.
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("fk"), (F.col("id") * 7).alias("dim_payload")
+    ).localCheckpoint()
+
+    def null_skew(d: DataFrame) -> DataFrame:
+        fact = d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 < 3, F.lit(None))
+            .otherwise(F.col("doc_id") % 1000)
+            .alias("fk"),
+        )
+        return null_bypass_left_join(fact, dim, "fk")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t1 = timed(lambda: null_skew(docs1))
+        tn = timed(lambda: null_skew(docs_n))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    print(f"{'j_null_skew_bypass':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # shard compaction: timed end-to-end (fragmented write + compacting
+    # rewrite) -- the op IS the write path.
+    def compact(d: DataFrame) -> None:
+        base = tempfile.mkdtemp(prefix="kcl_probe_compact_")
+        try:
+            n_rows = d.count()
+            d.repartition(min(64, max(n_rows, 1))).write.mode("overwrite").parquet(
+                f"{base}/small"
+            )
+            frag = spark.read.parquet(f"{base}/small")
+            frag.repartition(-(-n_rows // 300)).write.mode("overwrite").parquet(
+                f"{base}/compacted"
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    t1 = timed_action(lambda: compact(docs1))
+    tn = timed_action(lambda: compact(docs_n))
+    print(f"{'pipeline_compact_shards':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
 
 if __name__ == "__main__":
     main()
