@@ -60,6 +60,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_topk_vectorized",
     "sim_topk_ivf",
+    "sim_topk_ivf_prebuilt",
     "sim_topk_lsh",
     "emb_near_dup",
     "emb_near_dup_lsh",
@@ -85,7 +86,10 @@ HEADLINE = [
     "emb_quantize_int8",
     # decision-support joins
     "q3_shipping_priority",
+    "q4_order_priority",
+    "q12_priority_shipping",
     "q18_large_volume_customers",
+    "q19_discounted_revenue",
     # end-to-end curation composite
     "pipeline_export_manifest",
     # streaming representative

@@ -77,6 +77,9 @@ _PRIORITY = [
     "dedup_ngram_jaccard_capped",
     "u_except",
     "j_anti",
+    "q4_order_priority",
+    "q12_priority_shipping",
+    "q19_discounted_revenue",
 ]
 
 

@@ -1247,6 +1247,105 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape (EXISTS -> left-semi join, then a tiny agg), adapted
+    # to the fixture's columns: the reference predicate l_commitdate <
+    # l_receiptdate doesn't exist here, so "late" = shipped more than 60
+    # days after the order date.  The semi-join carries the non-equi date
+    # condition alongside the orderkey equi-join; dedup of multiple late
+    # lines per order is the semi-join itself, not a distinct.
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape (conditional aggregation over a fact-fact join),
+    # adapted: no l_shipmode column in the fixture, so the group key is
+    # l_linestatus.  Both CASE counters fold into ONE aggregate pass --
+    # never two scans or a self-join; the date filter pushes to the
+    # lineitem scan.
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    f"""
+    SELECT {_sql_sum_money('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 35)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape: a disjunction of brand x quantity-band predicates
+    # over a part<->lineitem join, adapted to the fixture's columns (no
+    # l_shipinstruct / l_shipmode / p_container).  part is dim-sized ->
+    # broadcast; the OR-of-ANDs stays ABOVE the join (it references both
+    # sides) but each side's half-pushable conjuncts (brand isin, quantity
+    # range) are derived by Catalyst and reach the scans.
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cond = (
+        (F.col("p_brand") == "Brand#11") & F.col("l_quantity").between(1, 20)
+    ) | ((F.col("p_brand") == "Brand#22") & F.col("l_quantity").between(10, 35))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            _sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

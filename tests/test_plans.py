@@ -94,6 +94,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "sql_api_pricing": 1,  # same plan as q1 through the SQL door
         "agg_pivot_event_types": 2,  # one combinable pivot agg
         "udf_pandas_vowel_density": 1,  # spread only -- ArrowEvalPython is map-side
+        "q4_order_priority": 1,  # semi-join + tiny priority agg
+        "q12_priority_shipping": 1,  # one fact-fact shuffle; CASE counters fold into one agg
+        "q19_discounted_revenue": 1,  # part broadcast; single-row agg
+        "sim_topk_ivf_prebuilt": 3,  # probe-only: query-side windows; corpus never shuffles
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
@@ -177,3 +181,14 @@ def test_null_bypass_join_filters_nulls_before_join(spark, sf_dir):
     plan = physical_plan(QUERIES["j_null_skew_bypass"](spark, sf_dir))
     assert "Union" in plan
     assert "isnotnull(user_id" in plan
+
+
+def test_ivf_prebuilt_probe_prunes_partitions(spark, sf_dir):
+    # The persisted IVF corpus is partitioned by cluster; the probe's
+    # broadcast equi-join on that partition column must trigger dynamic
+    # partition pruning so only the probed clusters' directories are
+    # scanned -- the index's entire point at 100 TB.
+    from kcl_akka_stream_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["sim_topk_ivf_prebuilt"](spark, sf_dir))
+    assert "dynamicpruning" in plan, "probe scan lost dynamic partition pruning"
