@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_verified",
+    "dedup_semantic",
     # similarity search
     "sim_topk_bruteforce",
     "sim_topk_vectorized",

@@ -202,6 +202,59 @@ def ivf_probe_prebuilt(
     return _ivf_probe(corpus, queries, centroids, k, id_col, vec_col, "cluster", nprobe)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space with the learned coarse quantizer, find
+    near-duplicate pairs ONLY within each cluster, union the pairs into
+    duplicate groups, and elect one deterministic representative per
+    group (the lowest id).
+
+    Output: one row per corpus vector --
+    ``(id, sem_cluster, dup_group, is_rep)``; filtering ``is_rep`` yields
+    the deduplicated corpus.
+
+    Scale shape: the quantizer is the same offline-able build as IVF
+    (``ivf_build``); within-cluster pairing is quadratic PER CLUSTER, so
+    ``n_clusters`` must grow with the corpus (k = n / target cluster
+    size -- SemDeDup runs ~100k clusters at web scale) exactly like
+    ``auto_lsh_dims`` grows the near-dup blocking; the component pass is
+    O(log diameter) pointer jumping.  No stage shuffles the corpus more
+    than once on a key."""
+    from kcl_akka_stream_spark.operators.dedup import connected_components_fast
+
+    assignment, _ = _learn_quantizer(corpus, id_col, vec_col, n_clusters)
+    withc = corpus.join(
+        assignment.select(id_col, F.col("cluster_id").alias("sem_cluster")), id_col
+    )
+    pairs = embedding_near_dup_pairs(
+        withc,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="sem_cluster",
+    )
+    comps = connected_components_fast(
+        pairs, withc.select(id_col), id_col=id_col, max_iterations=max_iterations
+    ).select(id_col, F.col("cluster_id").alias("dup_group"))
+    return (
+        withc.select(id_col, "sem_cluster")
+        .join(comps, id_col)
+        .select(
+            id_col,
+            F.col("sem_cluster").cast("long").alias("sem_cluster"),
+            "dup_group",
+            (F.col(id_col) == F.col("dup_group")).alias("is_rep"),
+        )
+    )
+
+
 def _ivf_probe(
     corpus: DataFrame,
     queries: DataFrame,

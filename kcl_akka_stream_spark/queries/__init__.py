@@ -80,6 +80,7 @@ _PRIORITY = [
     "q4_order_priority",
     "q12_priority_shipping",
     "q19_discounted_revenue",
+    "dedup_semantic",
 ]
 
 

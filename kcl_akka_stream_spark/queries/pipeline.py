@@ -294,28 +294,35 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries_df, k=5).select("q_id", "n_id", "cos_sim", "rank")
 
 
-def _ivf_oracle(n_clusters: int = 8, nprobe: int = 1) -> str:
-    # Mirror of operators/similarity.py::ivf_topk's LEARNED quantizer:
+def _ivf_assign_ctes(n_clusters: int = 8) -> str:
+    # Shared CTE chunk mirroring operators/similarity.py::_learn_quantizer:
     # seeds = the n_clusters lowest-id vectors, one Lloyd step (squared-L2
-    # argmin with cluster-id tie-break, then element-wise cluster means --
-    # identical to operators/clustering.py and the cluster_kmeans_* gate
-    # rows); each query probes only its nearest centroid's cluster; exact
-    # top-5 within the cluster slice.  No fixture `label` column anywhere.
+    # argmin with cluster-id tie-break -- identical to
+    # operators/clustering.py).  Used by the IVF oracles and the semantic
+    # dedup oracle.  No fixture `label` column anywhere.
     d2 = (
         "list_sum([(v_vec[i] - c_vec[i]) * (v_vec[i] - c_vec[i])"
         " FOR i IN generate_series(1, len(v_vec))])"
     )
-    cos_qc = _COS.format(a="q.q_vec", b="c.centroid")
-    cos_qn = _COS.format(a="qa.q_vec", b="e.v")
-    return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v_vec FROM embeddings),
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v_vec FROM embeddings),
     c0 AS (SELECT vec_id AS cluster_id, v_vec AS c_vec FROM v
            ORDER BY vec_id LIMIT {n_clusters}),
     scored0 AS (
       SELECT vec_id, cluster_id,
              row_number() OVER (PARTITION BY vec_id ORDER BY {d2}, cluster_id) AS rn
       FROM v CROSS JOIN c0),
-    assign AS (SELECT vec_id, cluster_id FROM scored0 WHERE rn = 1),
+    assign AS (SELECT vec_id, cluster_id FROM scored0 WHERE rn = 1)"""
+
+
+def _ivf_oracle(n_clusters: int = 8, nprobe: int = 1) -> str:
+    # Mirror of operators/similarity.py::ivf_topk's LEARNED quantizer
+    # (assign CTEs shared via _ivf_assign_ctes), then element-wise cluster
+    # means; each query probes only its nearest centroid's cluster; exact
+    # top-5 within the cluster slice.
+    cos_qc = _COS.format(a="q.q_vec", b="c.centroid")
+    cos_qn = _COS.format(a="qa.q_vec", b="e.v")
+    return f"""
+    WITH {_ivf_assign_ctes(n_clusters)},
     dims0 AS (
       SELECT a.cluster_id,
              [{{'dim': i, 'val': v_vec[i]}}
@@ -404,6 +411,47 @@ def sim_topk_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_probe_prebuilt(spark, index_dir, queries_df, k=5).select(
         "q_id", "n_id", "cos_sim", "rank"
     )
+
+
+def _semantic_dedup_oracle(threshold: float = 0.4, n_clusters: int = 8) -> str:
+    # Same learned-quantizer assign as IVF, then within-cluster pairs at
+    # round(cos,6) >= threshold, transitive closure (recursive CTE), dup
+    # group = min reachable id; representatives = their own group min.
+    cos = _COS.format(a="a.v", b="b.v")
+    return f"""
+    WITH RECURSIVE {_ivf_assign_ctes(n_clusters)},
+    e AS (SELECT v.vec_id, v.v_vec AS v, a.cluster_id AS cl
+          FROM v JOIN assign a USING (vec_id)),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE round({cos}, 6) >= {threshold}),
+    edges AS (
+      SELECT id_a AS ea, id_b AS eb FROM pairs
+      UNION ALL
+      SELECT id_b AS ea, id_a AS eb FROM pairs),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM v
+      UNION
+      SELECT r.src, g.eb FROM reach r JOIN edges g ON r.dst = g.ea),
+    comp AS (SELECT src AS vec_id, min(dst) AS dup_group FROM reach GROUP BY src)
+    SELECT e.vec_id, CAST(e.cl AS BIGINT) AS sem_cluster, comp.dup_group,
+           e.vec_id = comp.dup_group AS is_rep
+    FROM e JOIN comp USING (vec_id)
+    """
+
+
+@query("dedup_semantic", _semantic_dedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup-style semantic dedup: learned-quantizer clusters, within-
+    # cluster cosine pairs, pointer-jumping components, lowest-id
+    # representative per duplicate group.  threshold=0.4 because the
+    # synthetic fixture's global cosine ceiling is ~0.51 -- a production
+    # 0.95 would make the gate row vacuous (zero pairs); the operator
+    # default stays 0.95.
+    return S.semantic_dedup(
+        tbl(spark, sf_dir, "embeddings"), threshold=0.4, n_clusters=8
+    ).select("vec_id", "sem_cluster", "dup_group", "is_rep")
 
 
 def _lsh_topk_oracle(bucket_dims: int = 4) -> str:

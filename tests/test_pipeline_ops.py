@@ -729,3 +729,31 @@ def test_near_dup_capped_handles_ragged_vectors(spark):
         for r in embedding_near_dup_pairs(df, threshold=0.9, lsh_dims=2).collect()
     }
     assert capped == expr == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_semantic_dedup_elects_one_representative_per_group(spark):
+    # Two tight duplicate groups anchored on the quantizer seeds (lowest
+    # ids) plus a far-away singleton: each group collapses to its lowest
+    # id, the singleton represents itself.
+    from kcl_akka_stream_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (11, [0.999, 0.01, 0.0]),  # dup of 1
+        (13, [0.01, 0.999, 0.0]),  # dup of 3
+        (20, [0.0, 0.0, 1.0]),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(df, threshold=0.95, n_clusters=2).collect()
+    }
+    assert len(out) == 5
+    assert out[1].dup_group == 1 and out[1].is_rep
+    assert out[11].dup_group == 1 and not out[11].is_rep
+    assert out[3].dup_group == 3 and out[3].is_rep
+    assert out[13].dup_group == 3 and not out[13].is_rep
+    assert out[20].dup_group == 20 and out[20].is_rep
+    kept = [i for i, r in out.items() if r.is_rep]
+    assert sorted(kept) == [1, 3, 20]
