@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_verified",
     "dedup_semantic",
+    "dedup_semantic_auto",
     # similarity search
     "sim_topk_bruteforce",
     "sim_topk_vectorized",
@@ -79,6 +80,7 @@ HEADLINE = [
     "text_quality_flags",
     "dedup_boilerplate_segments",
     "pipeline_rebalance_langs",
+    "pipeline_source_cap",
     "sample_per_stratum",
     # sketches + clustering + quantization
     "agg_cms_heavy_hitters",

@@ -15,7 +15,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kcl_akka_stream_spark.operators.dedup import shingles
@@ -190,4 +190,33 @@ def decontaminate(
         corpus_grams.join(F.broadcast(eval_grams), on="gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def source_cap(
+    df: DataFrame,
+    max_per_source: int = 10,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "cap7",
+) -> DataFrame:
+    """Per-source document cap -- the per-domain quota every web-crawl
+    curation pipeline applies (C4 / RefinedWeb style, public): no single
+    domain may contribute more than ``max_per_source`` documents.
+
+    Selection within a source ranks by a deterministic md5 of the id
+    (unbiased w.r.t. document length or position -- ranking by id alone
+    would systematically prefer early-crawled pages), tie-broken by id.
+    One window shuffle keyed by the source; at 100 TB the key domain is
+    domains (millions), so the shuffle is well-spread, and a genuinely
+    hot megadomain is exactly what the cap truncates.
+
+    Output: the kept rows with their ``source_rank`` audit column."""
+    rank_key = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(source_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("source_rank", F.row_number().over(w))
+        .filter(F.col("source_rank") <= max_per_source)
     )

@@ -209,6 +209,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iterations: int = 25,
+    cluster_col: str | None = None,
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster the embedding space with the learned coarse quantizer, find
@@ -226,13 +228,37 @@ def semantic_dedup(
     size -- SemDeDup runs ~100k clusters at web scale) exactly like
     ``auto_lsh_dims`` grows the near-dup blocking; the component pass is
     O(log diameter) pointer jumping.  No stage shuffles the corpus more
-    than once on a key."""
+    than once on a key.
+
+    Pass ``cluster_col`` to reuse an EXISTING cluster assignment (e.g.
+    the corpus persisted by ``ivf_build`` — the same learned quantizer)
+    instead of re-learning it per call: clustering once offline and
+    deduplicating against the stored assignment is the production shape.
+
+    Pass ``target_cluster_size`` to derive the cluster count from the
+    corpus itself via sign-LSH blocking (``auto_lsh_dims`` — one count
+    job, no centroid assign): block count scales with the corpus so
+    expected per-cluster size stays ~constant.  A FIXED small
+    ``n_clusters`` on a growing corpus is the quadratic anti-pattern
+    (tools/scale_probe.py measured 12.5x wall at 10x data for frozen
+    k=8 vs ~flat for the auto mode); the learned-quantizer mode exists
+    for oracle-pinned gates and pre-clustered corpora, the auto mode is
+    the 100 TB default."""
     from kcl_akka_stream_spark.operators.dedup import connected_components_fast
 
-    assignment, _ = _learn_quantizer(corpus, id_col, vec_col, n_clusters)
-    withc = corpus.join(
-        assignment.select(id_col, F.col("cluster_id").alias("sem_cluster")), id_col
-    )
+    if cluster_col is not None:
+        withc = corpus.withColumn("sem_cluster", F.col(cluster_col))
+    elif target_cluster_size is not None:
+        dims = auto_lsh_dims(corpus.count(), target_cluster_size)
+        withc = corpus.withColumn(
+            "sem_cluster", sign_lsh_bucket(F.col(vec_col), dims).cast("long")
+        )
+    else:
+        assignment, _ = _learn_quantizer(corpus, id_col, vec_col, n_clusters)
+        withc = corpus.join(
+            assignment.select(id_col, F.col("cluster_id").alias("sem_cluster")),
+            id_col,
+        )
     pairs = embedding_near_dup_pairs(
         withc,
         threshold=threshold,

@@ -81,6 +81,8 @@ _PRIORITY = [
     "q12_priority_shipping",
     "q19_discounted_revenue",
     "dedup_semantic",
+    "dedup_semantic_auto",
+    "pipeline_source_cap",
 ]
 
 

@@ -381,16 +381,14 @@ def sim_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_ivf_prebuilt", _ivf_oracle())
-def sim_topk_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Build-once / probe-many IVF (VERDICT r5 #4): the learned quantizer +
-    # corpus assignment are persisted to disk (corpus PARTITIONED BY
-    # cluster) the first time a fixture is seen, and every subsequent call
-    # runs only the probe -- 2 exchanges instead of the inline build's 8.
-    # The on-disk index is keyed by the fixture file's (size, mtime) so a
-    # driver-side testdata regeneration invalidates it automatically.
-    # Same oracle as sim_topk_ivf: the build is deterministic, so the
-    # prebuilt probe returns the identical result.
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture) and return the on-disk IVF index dir: the
+    learned quantizer's centroids plus the corpus parquet PARTITIONED BY
+    cluster (operators/similarity.py::ivf_build).  Keyed by the fixture
+    file's (size, mtime) so a driver-side testdata regeneration
+    invalidates the cache automatically.  Shared by the prebuilt IVF
+    probe and semantic dedup -- cluster once, reuse everywhere, the
+    offline-index shape every 100 TB deployment runs."""
     import hashlib
     import os
     import tempfile
@@ -402,12 +400,22 @@ def sim_topk_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"kcl_ivf_index_{key}")
     marker = os.path.join(index_dir, "_BUILT")
-    emb = tbl(spark, sf_dir, "embeddings")
     if not os.path.exists(marker):
-        S.ivf_build(emb, index_dir)
+        S.ivf_build(tbl(spark, sf_dir, "embeddings"), index_dir)
         with open(marker, "w"):
             pass
-    queries_df = emb.filter(F.col("vec_id") < 5)
+    return index_dir
+
+
+@query("sim_topk_ivf_prebuilt", _ivf_oracle())
+def sim_topk_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build-once / probe-many IVF (VERDICT r5 #4): first call per fixture
+    # builds the persisted index, every subsequent call runs only the
+    # probe -- 3 exchanges (vs 8 inline) and dynamic partition pruning on
+    # the corpus scan.  Same oracle as sim_topk_ivf: the build is
+    # deterministic, so the prebuilt probe returns the identical result.
+    index_dir = _ensure_ivf_index(spark, sf_dir)
+    queries_df = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
     return S.ivf_probe_prebuilt(spark, index_dir, queries_df, k=5).select(
         "q_id", "n_id", "cos_sim", "rank"
     )
@@ -445,12 +453,66 @@ def _semantic_dedup_oracle(threshold: float = 0.4, n_clusters: int = 8) -> str:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup-style semantic dedup: learned-quantizer clusters, within-
     # cluster cosine pairs, pointer-jumping components, lowest-id
-    # representative per duplicate group.  threshold=0.4 because the
-    # synthetic fixture's global cosine ceiling is ~0.51 -- a production
-    # 0.95 would make the gate row vacuous (zero pairs); the operator
-    # default stays 0.95.
+    # representative per duplicate group.  Reuses the PERSISTED IVF index
+    # (same quantizer, built once per fixture) instead of re-learning the
+    # clustering per call -- cluster offline once, dedup against the
+    # stored assignment.  threshold=0.4 because the synthetic fixture's
+    # global cosine ceiling is ~0.51 -- a production 0.95 would make the
+    # gate row vacuous (zero pairs); the operator default stays 0.95.
+    index_dir = _ensure_ivf_index(spark, sf_dir)
+    corpus = spark.read.parquet(f"{index_dir}/corpus")
     return S.semantic_dedup(
-        tbl(spark, sf_dir, "embeddings"), threshold=0.4, n_clusters=8
+        corpus, threshold=0.4, cluster_col="cluster"
+    ).select("vec_id", "sem_cluster", "dup_group", "is_rep")
+
+
+def _semantic_dedup_auto_oracle(target_cluster: int = 64, threshold: float = 0.4) -> str:
+    # Auto-scaled variant: sem_cluster = sign-LSH bucket with dims derived
+    # from the corpus count (same integer-exact auto_lsh_dims rule as the
+    # capped near-dup oracle); then the same transitive closure +
+    # representative election as _semantic_dedup_oracle.
+    cos = _COS.format(a="a.v", b="b.v")
+    return f"""
+    WITH RECURSIVE params AS (
+      SELECT coalesce(
+        (SELECT min(g.d) FROM generate_series(1, 16) AS g(d)
+         WHERE (SELECT count(*) FROM embeddings) <= {target_cluster} * 2 ** g.d),
+        16) AS dims),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 CAST(list_sum(
+                   [CASE WHEN embedding[i] >= 0 THEN 2 ** (i - 1) ELSE 0 END
+                    FOR i IN generate_series(1, p.dims)]) AS BIGINT) AS cl
+          FROM embeddings, params p),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE round({cos}, 6) >= {threshold}),
+    edges AS (
+      SELECT id_a AS ea, id_b AS eb FROM pairs
+      UNION ALL
+      SELECT id_b AS ea, id_a AS eb FROM pairs),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM e
+      UNION
+      SELECT r.src, g.eb FROM reach r JOIN edges g ON r.dst = g.ea),
+    comp AS (SELECT src AS vec_id, min(dst) AS dup_group FROM reach GROUP BY src)
+    SELECT e.vec_id, e.cl AS sem_cluster, comp.dup_group,
+           e.vec_id = comp.dup_group AS is_rep
+    FROM e JOIN comp USING (vec_id)
+    """
+
+
+@query("dedup_semantic_auto", _semantic_dedup_auto_oracle())
+def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB twin of dedup_semantic: cluster count DERIVED from the
+    # corpus (sign-LSH auto dims, expected cluster size ~constant) instead
+    # of frozen k=8 -- the frozen form is quadratic per cluster under
+    # growth (12.5x wall at 10x data, SCALE_PROBE.md), this one stays
+    # ~flat.  Same components + representative election downstream.
+    return S.semantic_dedup(
+        tbl(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        target_cluster_size=64,
     ).select("vec_id", "sem_cluster", "dup_group", "is_rep")
 
 
@@ -1359,6 +1421,29 @@ def _rebalance_oracle() -> str:
            CAST(coalesce(n_after, 0) AS BIGINT) AS n_after
     FROM r LEFT JOIN kept ON kept.lang = r.lang
     """
+
+
+@query(
+    "pipeline_source_cap",
+    """
+    SELECT doc_id, source, CAST(source_rank AS INTEGER) AS source_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap7|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS source_rank
+      FROM documents)
+    WHERE source_rank <= 10
+    """,
+)
+def pipeline_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source (per-domain) document cap -- C4/RefinedWeb-style quota:
+    # each source keeps at most 10 docs, chosen by a deterministic md5
+    # rank so the oracle reproduces the exact kept set.  One window
+    # shuffle keyed by source.
+    return C.source_cap(
+        tbl(spark, sf_dir, "documents"), max_per_source=10
+    ).select("doc_id", "source", "source_rank")
 
 
 @query("pipeline_rebalance_langs", _rebalance_oracle())

@@ -98,6 +98,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "q12_priority_shipping": 1,  # one fact-fact shuffle; CASE counters fold into one agg
         "q19_discounted_revenue": 1,  # part broadcast; single-row agg
         "sim_topk_ivf_prebuilt": 3,  # probe-only: query-side windows; corpus never shuffles
+        "pipeline_source_cap": 1,  # one window shuffle keyed by source
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

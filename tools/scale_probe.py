@@ -128,6 +128,15 @@ def main() -> None:
         )
         return CL.kmeans_assign(e, centroids)
 
+    def semantic_frozen(e):
+        # frozen k=8: the quadratic-per-cluster anti-pattern, kept for
+        # contrast (the operator docstring points here)
+        return S.semantic_dedup(e, threshold=0.4, n_clusters=8)
+
+    def semantic_auto(e):
+        # production shape: cluster count derived from the corpus
+        return S.semantic_dedup(e, threshold=0.4, target_cluster_size=64)
+
     for name, op, frames in (
         ("sim_topk_vectorized", knn, (emb1, emb_n)),
         ("emb_near_dup_lsh", near_dup_lsh, (emb1, emb_n)),
@@ -135,6 +144,8 @@ def main() -> None:
         ("emb_near_dup_lsh8", near_dup_lsh8, (emb1, emb_n)),
         ("kmeans_assign", kmeans_assign, (emb1, emb_n)),
         ("emb_quantize_int8", lambda e: S.quantize_int8(e), (emb1, emb_n)),
+        ("dedup_semantic (k=8)", semantic_frozen, (emb1, emb_n)),
+        ("dedup_semantic_auto", semantic_auto, (emb1, emb_n)),
     ):
         t1 = timed(lambda: op(frames[0]))
         tn = timed(lambda: op(frames[1]))
