@@ -368,3 +368,83 @@ def test_weighted_sampler_matches_python_min_key(spark):
     expect = sorted(keys, key=lambda i: (keys[i], i))[:5]
     assert [r.doc_id for r in sel] == expect
     assert [r.sel_key for r in sel] == [keys[i] for i in expect]
+
+
+# --- semantic dedup ---------------------------------------------------------
+# Pure-python replication of the whole pipeline (seed quantizer -> within-
+# cluster threshold pairs -> union-find -> min-id representative); the
+# Spark operator must match it exactly on arbitrary small corpora.
+
+
+def _semantic_expected(rows, threshold, n_clusters):
+    import math
+
+    ids = sorted(i for i, _ in rows)
+    vecs = dict(rows)
+    seeds = ids[:n_clusters]
+    assign = {}
+    for i in ids:
+        best = None
+        for s in seeds:
+            d2 = sum((a - b) ** 2 for a, b in zip(vecs[i], vecs[s]))
+            # tie-break on lower cluster id (= seed id), like kmeans_assign
+            key = (d2, s)
+            if best is None or key < best[0]:
+                best = (key, s)
+        assign[i] = best[1]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a in ids:
+        for b in ids:
+            if a < b and assign[a] == assign[b]:
+                na = math.sqrt(sum(x * x for x in vecs[a]))
+                nb = math.sqrt(sum(x * x for x in vecs[b]))
+                dot = 0.0
+                for x, y in zip(vecs[a], vecs[b]):
+                    dot += x * y
+                if round(dot / (na * nb), 6) >= threshold:
+                    union(a, b)
+    return {i: (assign[i], find(i)) for i in ids}
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4, allow_nan=False).map(
+                lambda x: round(x, 3)
+            ),
+            min_size=3,
+            max_size=3,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=3,
+        max_size=10,
+    ),
+    st.sampled_from([0.6, 0.8, 0.95]),
+)
+@settings(max_examples=10, deadline=None)
+def test_semantic_dedup_matches_python_replication(spark, vecs, threshold):
+    from kcl_akka_stream_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    expected = _semantic_expected(rows, threshold, n_clusters=2)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.sem_cluster, r.dup_group, r.is_rep)
+        for r in semantic_dedup(df, threshold=threshold, n_clusters=2).collect()
+    }
+    assert set(got) == set(expected)
+    for i, (cl, grp) in expected.items():
+        assert got[i][0] == cl, (i, got[i], expected[i])
+        assert got[i][1] == grp, (i, got[i], expected[i])
+        assert got[i][2] == (i == grp)
