@@ -259,24 +259,7 @@ def semantic_dedup(
             assignment.select(id_col, F.col("cluster_id").alias("sem_cluster")),
             id_col,
         )
-    # Within-cluster pair scoring goes through the Arrow kernel (ONE
-    # applyInPandas pass per cluster, numpy accumulation bit-exact with
-    # the JVM fold -- see _block_pair_scores), NOT the zip_with/aggregate
-    # expression cosine: the interpreted-HOF form cost a 16 s fresh-JVM
-    # C2 compile cliff on first execution (the r3/r4 quality-gate lesson,
-    # re-measured here), the Arrow form only the shared worker spawn.
-    blocks = withc.select(
-        F.col("sem_cluster").alias("blk"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-    )
-    scored = blocks.groupBy("blk").applyInPandas(
-        _block_pair_scores("id_a", "va", threshold),
-        schema="id_a long, id_b long, cos_raw double",
-    )
-    pairs = scored.select(
-        "id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
+    pairs = _semantic_pairs(withc, threshold, id_col, vec_col)
     comps = connected_components_fast(
         pairs, withc.select(id_col), id_col=id_col, max_iterations=max_iterations
     ).select(id_col, F.col("cluster_id").alias("dup_group"))
@@ -290,6 +273,31 @@ def semantic_dedup(
             (F.col(id_col) == F.col("dup_group")).alias("is_rep"),
         )
     )
+
+
+def _semantic_pairs(
+    withc: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Within-cluster near-dup pairs for semantic_dedup, scored through
+    the Arrow kernel (ONE applyInPandas pass per cluster, numpy
+    accumulation bit-exact with the JVM fold -- see _block_pair_scores),
+    NOT the zip_with/aggregate expression cosine: the interpreted-HOF
+    form cost a 16 s fresh-JVM C2 compile cliff on first execution (the
+    r3/r4 quality-gate lesson, re-measured in round 6), the Arrow form
+    only the shared worker spawn.  Plan shape locked by
+    tests/test_plans.py::test_semantic_dedup_scores_pairs_in_arrow_kernel."""
+    blocks = withc.select(
+        F.col("sem_cluster").alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    scored = blocks.groupBy("blk").applyInPandas(
+        _block_pair_scores("id_a", "va", threshold),
+        schema="id_a long, id_b long, cos_raw double",
+    )
+    return scored.select(
+        "id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
 
 
 def _ivf_probe(

@@ -193,3 +193,27 @@ def test_ivf_prebuilt_probe_prunes_partitions(spark, sf_dir):
 
     plan = physical_plan(QUERIES["sim_topk_ivf_prebuilt"](spark, sf_dir))
     assert "dynamicpruning" in plan, "probe scan lost dynamic partition pruning"
+
+
+def test_semantic_dedup_scores_pairs_in_arrow_kernel(spark, sf_dir):
+    # The within-cluster pair scoring must plan as the Arrow kernel
+    # (FlatMapGroupsInPandas), not the interpreted zip_with/aggregate
+    # cosine -- the expression form cost a ~16s fresh-JVM C2 compile
+    # cliff on first execution (NOTES_r6).  Asserted on the pairs stage
+    # directly: the component loop's localCheckpoints truncate it out of
+    # the final DataFrame's lineage.
+    from kcl_akka_stream_spark.operators.similarity import (
+        _semantic_pairs,
+        auto_lsh_dims,
+        sign_lsh_bucket,
+    )
+    from kcl_akka_stream_spark.plans import physical_plan
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    withc = emb.withColumn(
+        "sem_cluster", sign_lsh_bucket(F.col("embedding"), 4).cast("long")
+    )
+    plan = physical_plan(_semantic_pairs(withc, 0.4, "vec_id", "embedding"))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "zip_with" not in plan
