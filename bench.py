@@ -93,6 +93,13 @@ HEADLINE = [
     "q12_priority_shipping",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
+    "q13_customer_distribution",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q22_global_sales_opportunity",
+    # keyword extraction + multi-dim layout (round-6 additions)
+    "pipeline_tfidf_topk",
+    "sink_zorder_roundtrip",
     # end-to-end curation composite
     "pipeline_export_manifest",
     # streaming representative

@@ -75,6 +75,7 @@ from kcl_akka_stream_spark.operators.text import (
     lang_id,
     quality_score,
     rolling_fingerprint,
+    tfidf_topk,
     token_count,
 )
 from kcl_akka_stream_spark.operators.clustering import (
@@ -178,6 +179,7 @@ __all__ = [
     "simhash",
     "stratified_topk_sample",
     "structural_metrics",
+    "tfidf_topk",
     "token_count",
     "top_k_per_group",
     "verify_candidate_jaccard",

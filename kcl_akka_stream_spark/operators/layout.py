@@ -1,0 +1,95 @@
+"""Multi-dimensional data layout: z-order (Morton) clustering keys.
+
+Public technique (Morton 1966; used by Delta Lake OPTIMIZE ZORDER BY and
+Iceberg's sort-order transforms): interleave the bits of several scaled
+columns so that rows close in the multi-dimensional value space land
+close in the one-dimensional sort order.  Written as a parquet sort key,
+row-group min/max stats then prune MULTI-column range predicates --
+a single-column sort can only ever prune one of them.  At 100 TB this is
+the difference between scanning one file stripe and scanning the whole
+table for a (customer x date) rectangle.
+
+Everything here is integer arithmetic end-to-end: columns are scaled to
+[0, 2^bits) with exact BIGINT math against a broadcast min/max row, then
+interleaved with shift/add of disjoint bits -- so an external oracle
+(or a re-run on another engine) reproduces the key bit-for-bit; no float
+rounding is involved anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scale_to_bits(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Exact integer min-max scaling of an integral column to [0, 2^bits).
+
+    ((x - lo) * (2^bits - 1)) div (hi - lo), computed in BIGINT -- exact
+    for integral inputs (no doubles, so no boundary drift between
+    engines).  A degenerate column (hi == lo) scales to 0.
+    """
+    span = (hi - lo).cast("long")
+    top = F.lit((1 << bits) - 1).cast("long")
+    a = (col.cast("long") - lo.cast("long")) * top
+    # exact integer floor-division: subtract the modulus BEFORE dividing,
+    # so the quotient is an exact integer and the double division cannot
+    # round across a boundary (a % span keeps everything in BIGINT).
+    q = ((a - (a % span)) / span).cast("long")
+    return F.when(span > 0, q).otherwise(F.lit(0))
+
+
+def interleave_bits(cols: list[Column], bits: int) -> Column:
+    """Morton-interleave ``cols`` (each already in [0, 2^bits)) into one
+    BIGINT z-value.  Bit b of column i lands at position b*len(cols)+i;
+    the per-term target bits are disjoint, so the combine is a plain sum
+    (equal to bitwise OR, without the operator-precedence traps).  The
+    expanded expression is bits*len(cols) shift/and/add terms -- all
+    JVM-side, inside whole-stage codegen.
+    """
+    n = len(cols)
+    if not 1 <= n * bits <= 62:
+        raise ValueError(f"interleave of {n} cols x {bits} bits exceeds BIGINT")
+    terms = []
+    for i, c in enumerate(cols):
+        c = c.cast("long")
+        for b in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def sql_interleave_bits(cols: list[str], bits: int) -> str:
+    """The oracle-side twin of :func:`interleave_bits`: a SQL expression
+    string (DuckDB/ANSI bit operators) computing the identical z-value.
+    """
+    n = len(cols)
+    terms = []
+    for i, c in enumerate(cols):
+        for b in range(bits):
+            terms.append(f"((({c} >> {b}) & 1) << {b * n + i})")
+    return " + ".join(terms)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    zcol: str,
+    n_files: int,
+) -> None:
+    """Write ``df`` as parquet physically clustered by the z-value column:
+    range-partition on the key (contiguous, non-overlapping per-file
+    z-ranges -- a hash repartition would scatter every z-range across all
+    files and destroy the min/max stats) and sort within each partition so
+    row groups inside a file are tight too.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

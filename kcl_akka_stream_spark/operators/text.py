@@ -195,3 +195,57 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text", window: int = 4) 
         whole.alias("rolling_hash"),
         F.array_min(win_hashes).alias("winnow_min"),
     )
+
+
+def tfidf_topk(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (classic ln(N/df) weighting).
+
+    Three data-sized exchanges -- the canonical distributed TF-IDF
+    floor: (1) explode -> partial-combinable (doc, term) count, (2) the
+    vocabulary document-frequency aggregate + term-keyed join back, and
+    (3) the per-document top-k window.  Nothing is collected to the
+    driver; the corpus size N enters as a single-row broadcast cross
+    join (same pattern as pipeline_export_manifest's totals).
+
+    Cross-engine exactness: the IDF weight is frozen to integer
+    MICRO-units (round(ln(N/df) * 1e6)) before multiplying by the
+    integer term frequency, so ranking and emitted scores are integer
+    arithmetic -- a sub-ulp ln() difference between libm and the JVM
+    cannot flip a rank or a hash.  Ties break on the term itself.
+    """
+    toks = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf_micro = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("dfreq")) * 1e6, 0
+    ).cast("long")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dfreq",
+            (F.col("tf") * idf_micro).alias("score_micro"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dfreq",
+            (F.col("score_micro").cast("double") / F.lit(1e6)).alias("tfidf"),
+        )
+    )

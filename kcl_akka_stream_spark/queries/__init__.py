@@ -80,6 +80,12 @@ _PRIORITY = [
     "q4_order_priority",
     "q12_priority_shipping",
     "q19_discounted_revenue",
+    "q13_customer_distribution",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q22_global_sales_opportunity",
+    "pipeline_tfidf_topk",
+    "sink_zorder_roundtrip",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

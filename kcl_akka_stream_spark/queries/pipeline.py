@@ -2367,3 +2367,134 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "pipeline_tfidf_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOK}')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.dfreq,
+             tf.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfreq)
+                                * 1000000) AS BIGINT) AS score_micro
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, dfreq,
+           CAST(score_micro AS DOUBLE) / 1000000.0 AS tfidf
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def pipeline_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-document keyword extraction: top-5 terms by TF-IDF.  The
+    # ranking weight is frozen to integer micro-units before the
+    # tf-multiply (see operators/text.py::tfidf_topk) so a sub-ulp ln()
+    # difference between DuckDB's libm and the JVM cannot flip a rank;
+    # at the 100 TB shape this is the canonical 3-exchange plan --
+    # (doc,term) count, term-keyed df join, per-doc top-k window -- with
+    # the corpus size N entering as a single-row broadcast.
+    docs = tbl(spark, sf_dir, "documents")
+    return X.tfidf_topk(docs, k=5)
+
+
+from kcl_akka_stream_spark.operators import layout as LO  # noqa: E402
+
+_Z_BITS = 8  # per-dimension resolution; 2 dims -> 16-bit z-values
+
+
+def _zorder_oracle() -> str:
+    z = LO.sql_interleave_bits(["sck", "sdy"], _Z_BITS)
+    top = (1 << _Z_BITS) - 1
+    return f"""
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dy
+      FROM orders),
+    mm AS (
+      SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
+             min(dy) AS dy_lo, max(dy) AS dy_hi
+      FROM o),
+    scaled AS (
+      SELECT CASE WHEN ck_hi > ck_lo
+                  THEN ((ck - ck_lo) * {top}) // (ck_hi - ck_lo) ELSE 0 END AS sck,
+             CASE WHEN dy_hi > dy_lo
+                  THEN ((dy - dy_lo) * {top}) // (dy_hi - dy_lo) ELSE 0 END AS sdy
+      FROM o CROSS JOIN mm),
+    z AS (SELECT sck, sdy, {z} AS zval FROM scaled)
+    SELECT zval >> 12 AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN sck < 64 AND sdy < 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rect
+    FROM z GROUP BY zval >> 12
+    """
+
+
+@query("sink_zorder_roundtrip", _zorder_oracle())
+def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z-order layout sink as a gated roundtrip: scale (o_custkey,
+    # order-day) to 8 bits each with EXACT integer min-max math, Morton-
+    # interleave into a 16-bit z-value, write parquet range-partitioned +
+    # sorted on it (operators/layout.py::zorder_write), read back, and
+    # report per-z-prefix-bucket row counts plus how many rows of a
+    # (custkey x date) query rectangle land in each bucket.  The
+    # rectangle concentrating into few buckets IS the layout's value:
+    # contiguous z-ranges mean parquet min/max stats prune the rest (the
+    # locality witness is test_layout.py's distinct-input-file count).
+    # The min/max row enters as a single-row broadcast; everything else
+    # is map-side until the final 16-group agg.
+    import shutil
+    import tempfile
+
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("dy"),
+    )
+    mm = o.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("dy").alias("dy_lo"),
+        F.max("dy").alias("dy_hi"),
+    )
+    scaled = o.crossJoin(F.broadcast(mm)).select(
+        LO.scale_to_bits(
+            F.col("ck"), F.col("ck_lo"), F.col("ck_hi"), _Z_BITS
+        ).alias("sck"),
+        LO.scale_to_bits(
+            F.col("dy"), F.col("dy_lo"), F.col("dy_hi"), _Z_BITS
+        ).alias("sdy"),
+    )
+    z = scaled.select(
+        "sck",
+        "sdy",
+        LO.interleave_bits([F.col("sck"), F.col("sdy")], _Z_BITS).alias("zval"),
+    )
+    out = tempfile.mkdtemp(prefix="kcl_zorder_sink_")
+    try:
+        LO.zorder_write(z, out, "zval", n_files=8)
+        back = spark.read.parquet(out)
+        agg = back.groupBy(
+            F.shiftright(F.col("zval"), 12).alias("zbucket")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when((F.col("sck") < 64) & (F.col("sdy") < 64), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rect"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -99,6 +99,11 @@ def test_shuffle_budgets(spark, sf_dir):
         "q19_discounted_revenue": 1,  # part broadcast; single-row agg
         "sim_topk_ivf_prebuilt": 3,  # probe-only: query-side windows; corpus never shuffles
         "pipeline_source_cap": 1,  # one window shuffle keyed by source
+        "q13_customer_distribution": 2,  # outer-join shuffle pair; both aggs ride its partitioning
+        "q16_supplier_part_counts": 2,  # anti+dim broadcast; count-distinct = partial-distinct + final
+        "q17_small_qty_revenue": 2,  # per-part avg agg; both joins broadcast; single-row final
+        "q22_global_sales_opportunity": 2,  # scalar agg + nation rollup; anti/dim broadcast
+        "pipeline_tfidf_topk": 5,  # 3 data-sized (tf agg, term join, doc window) + vocab df + single-row N
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
