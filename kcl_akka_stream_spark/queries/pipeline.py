@@ -2399,10 +2399,11 @@ def pipeline_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-document keyword extraction: top-5 terms by TF-IDF.  The
     # ranking weight is frozen to integer micro-units before the
     # tf-multiply (see operators/text.py::tfidf_topk) so a sub-ulp ln()
-    # difference between DuckDB's libm and the JVM cannot flip a rank;
-    # at the 100 TB shape this is the canonical 3-exchange plan --
-    # (doc,term) count, term-keyed df join, per-doc top-k window -- with
-    # the corpus size N entering as a single-row broadcast.
+    # difference between DuckDB's libm and the JVM cannot flip a rank.
+    # Two data-sized exchanges -- (doc,term) count and the per-doc top-k
+    # window; the vocab-sized document-frequency table is broadcast back
+    # instead of re-shuffling tf on term (2.8x -> 1.2x wall at 10x data,
+    # SCALE_PROBE.md), and the corpus size N is a single-row broadcast.
     docs = tbl(spark, sf_dir, "documents")
     return X.tfidf_topk(docs, k=5)
 

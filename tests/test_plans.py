@@ -103,7 +103,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "q16_supplier_part_counts": 2,  # anti+dim broadcast; count-distinct = partial-distinct + final
         "q17_small_qty_revenue": 2,  # per-part avg agg; both joins broadcast; single-row final
         "q22_global_sales_opportunity": 2,  # scalar agg + nation rollup; anti/dim broadcast
-        "pipeline_tfidf_topk": 5,  # 3 data-sized (tf agg, term join, doc window) + vocab df + single-row N
+        "pipeline_tfidf_topk": 5,  # 2 data-sized (tf agg, doc window) + vocab df agg/broadcast + single-row N
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
@@ -222,3 +222,55 @@ def test_semantic_dedup_scores_pairs_in_arrow_kernel(spark, sf_dir):
     plan = physical_plan(_semantic_pairs(withc, 0.4, "vec_id", "embedding"))
     assert "FlatMapGroupsInPandas" in plan
     assert "zip_with" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    # At 100 TB a selective dim filter should not force a full fact
+    # shuffle: Spark's runtime bloom filter (injected from the filtered
+    # creation side into the fact scan) drops non-joining rows BEFORE the
+    # exchange.  The fixture is far below the default size thresholds, so
+    # the test lowers them -- the assertion is that the engine's plans
+    # are bloom-eligible (no structural blocker like a non-deterministic
+    # projection above the scan), not about the thresholds themselves.
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = tbl(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+        p = (
+            tbl(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#11")
+            .select("p_partkey")
+        )
+        j = li.join(p, li.l_partkey == p.p_partkey).agg(
+            F.sum("l_quantity").alias("s")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        # and the filtered join still answers correctly
+        assert j.collect()[0][0] is not None
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -258,6 +258,38 @@ def main() -> None:
     tn = timed_action(lambda: compact(docs_n))
     print(f"{'pipeline_compact_shards':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
+    # --- round-6 additions: TF-IDF top-k and z-order layout ------------
+    from kcl_akka_stream_spark.operators import layout as LO
+
+    def tfidf(d: DataFrame) -> DataFrame:
+        return X.tfidf_topk(d, k=5)
+
+    t1 = timed(lambda: tfidf(docs1))
+    tn = timed(lambda: tfidf(docs_n))
+    print(f"{'pipeline_tfidf_topk':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # z-order layout: timed end-to-end (key computation + range-partition
+    # + sorted write) -- like compact_shards, the op IS the write path, so
+    # the Nx run writes Nx the bytes.
+    def zorder(d: DataFrame) -> None:
+        base = tempfile.mkdtemp(prefix="kcl_probe_zorder_")
+        try:
+            keyed = d.select(
+                "doc_id",
+                (F.col("doc_id") % 256).alias("a"),
+                (F.length("text") % 256).alias("b"),
+            )
+            z = keyed.withColumn(
+                "zval", LO.interleave_bits([F.col("a"), F.col("b")], 8)
+            )
+            LO.zorder_write(z, f"{base}/z", "zval", n_files=8)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    t1 = timed_action(lambda: zorder(docs1))
+    tn = timed_action(lambda: zorder(docs_n))
+    print(f"{'sink_zorder_write':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
 
 if __name__ == "__main__":
     main()
