@@ -86,6 +86,7 @@ _PRIORITY = [
     "q22_global_sales_opportunity",
     "pipeline_tfidf_topk",
     "sink_zorder_roundtrip",
+    "stream_dedup_watermarked",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

@@ -69,7 +69,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.9 at-least-once replay -> exactly-once via watermarked
     # dropDuplicates: the source directory holds TWO copies of every event
     # (a simulated replay-from-checkpoint); the streaming dedup must emit
-    # each exactly once.
+    # each exactly once.  NOTE: with the dedup key not containing the
+    # event-time column, dropDuplicates state is NOT evicted by the
+    # watermark -- fine for a bounded replay test, an unbounded-state
+    # bug on an endless stream; stream_dedup_watermarked below is the
+    # state-bounded production form.
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     ev = tbl(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="kcl_spark_dedup_")
@@ -79,6 +83,52 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = spark.readStream.schema(ev.schema).parquet(tmp)
         deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
         q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_dedup_watermarked",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The STATE-BOUNDED twin of stream_dedup.  dropDuplicates(keys) with
+    # a watermark only evicts state when the event-time column is part
+    # of the dedup keys -- with a plain id key the state store grows
+    # forever, which at 100 TB/day of events is an OOM with a fuse, not
+    # a dedup.  dropDuplicatesWithinWatermark (the API Spark added for
+    # exactly this) dedups on the id while evicting any key older than
+    # the watermark delay, so state is bounded by (event rate x delay)
+    # regardless of run length.  Semantics differ only for duplicates
+    # arriving later than the delay -- the replay fixture's duplicates
+    # carry identical timestamps, so the exact-dedup oracle still holds.
+    name = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    ev = tbl(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="kcl_spark_dedup_wm_")
+    try:
+        ev.write.mode("overwrite").parquet(tmp)
+        ev.write.mode("append").parquet(tmp)  # the replayed duplicates
+        stream = spark.readStream.schema(ev.schema).parquet(tmp)
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
         try:
             q.processAllAvailable()
         finally:
