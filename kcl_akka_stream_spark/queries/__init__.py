@@ -87,6 +87,7 @@ _PRIORITY = [
     "pipeline_tfidf_topk",
     "sink_zorder_roundtrip",
     "stream_dedup_watermarked",
+    "stream_hist_merge",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

@@ -628,3 +628,103 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_hist_merge",
+    """
+    WITH b AS (
+      SELECT event_type,
+             least(CAST(floor(value / 10.0) AS BIGINT), 49) AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY event_type, bin),
+    c AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM b),
+    m AS (
+      SELECT event_type, bin, cnt, cum, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rk
+      FROM c WHERE cum >= n * 0.5)
+    SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+           round(bin * 10.0 + (n * 0.5 - (cum - cnt)) / cnt * 10.0, 6)
+             AS est_median
+    FROM m WHERE rk = 1
+    """,
+)
+def stream_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming quantile rollup -- the third mergeable-state family after
+    # KMV (distinct) and CMS (frequency): per-micro-batch equi-width
+    # histogram states fold in foreachBatch (state per batch = at most
+    # types x 50 bin counts, never the data), then merge by SUMMING bin
+    # counts -- additive, so the merged histogram equals the direct batch
+    # histogram exactly and the oracle is the same one agg_hist_median
+    # checks against.  This is the 100 TB shape for streaming medians /
+    # percentiles: no sort, no raw-value retention, bounded state.
+    from pyspark.sql import Window
+
+    width, n_bins = 10.0, 50
+    ev = tbl(spark, sf_dir, "events").select("event_type", "value")
+    src = tempfile.mkdtemp(prefix="kcl_hist_src_")
+    state_rows = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            st = batch_df.groupBy(
+                "event_type",
+                F.least(
+                    F.floor(F.col("value") / width).cast("long"),
+                    F.lit(n_bins - 1),
+                ).alias("bin"),
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+            state_rows.extend(st.collect())
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        states = spark.createDataFrame(
+            state_rows, "event_type string, bin long, cnt long"
+        )
+        merged = states.groupBy("event_type", "bin").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        wc = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wt = Window.partitionBy("event_type")
+        c = merged.select(
+            "event_type",
+            "bin",
+            "cnt",
+            F.sum("cnt").over(wc).alias("cum"),
+            F.sum("cnt").over(wt).alias("n"),
+        ).filter(F.col("cum") >= F.col("n") * 0.5)
+        rk = Window.partitionBy("event_type").orderBy("bin")
+        return (
+            c.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") == 1)
+            .select(
+                "event_type",
+                F.col("n").cast("long").alias("n_rows"),
+                F.round(
+                    F.col("bin") * width
+                    + (F.col("n") * 0.5 - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                    * width,
+                    6,
+                ).alias("est_median"),
+            )
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

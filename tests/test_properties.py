@@ -448,3 +448,57 @@ def test_semantic_dedup_matches_python_replication(spark, vecs, threshold):
         assert got[i][0] == cl, (i, got[i], expected[i])
         assert got[i][1] == grp, (i, got[i], expected[i])
         assert got[i][2] == (i == grp)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k: the Spark operator must match a pure-python replication
+# (tokenize -> tf -> df -> integer micro-unit idf -> top-k with term
+# tiebreak) on arbitrary small corpora.
+# ---------------------------------------------------------------------------
+_tfidf_corpora = st.lists(
+    st.text(alphabet="ab cd1 ", min_size=0, max_size=40),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_tfidf_topk(texts, k):
+    import math
+    from collections import Counter
+
+    tf = {i: Counter(_py_tokens(t)) for i, t in enumerate(texts)}
+    dfreq = Counter()
+    for c in tf.values():
+        dfreq.update(set(c))
+    n = len(texts)
+    out = {}
+    for i, c in tf.items():
+        scored = []
+        for term, f in c.items():
+            idf_micro = round(math.log(n / dfreq[term]) * 1e6)
+            scored.append((-f * idf_micro, term, f, dfreq[term]))
+        scored.sort()
+        out[i] = [
+            (term, f, d, -s / 1e6) for (s, term, f, d) in scored[:k]
+        ]
+    return out
+
+
+@given(_tfidf_corpora)
+@settings(max_examples=15, deadline=None)
+def test_tfidf_topk_matches_python_reference(spark, texts):
+    from kcl_akka_stream_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in tfidf_topk(df, k=3).collect():
+        got.setdefault(r.doc_id, []).append((r.term, r.tf, r.dfreq, r.tfidf))
+    # operator emits in window order only per partition slice; normalize by
+    # re-sorting on (-score, term) exactly like the replication
+    for d in got:
+        got[d].sort(key=lambda x: (-x[3], x[0]))
+    want = _py_tfidf_topk(texts, 3)
+    want = {d: v for d, v in want.items() if v}
+    assert got == want
