@@ -84,6 +84,7 @@ from kcl_akka_stream_spark.operators.clustering import (
     kmeans_update,
 )
 from kcl_akka_stream_spark.operators.corpus import (
+    snapshot_diff,
     decontaminate,
     dedup_segments,
     pack_token_budget,
@@ -177,6 +178,7 @@ __all__ = [
     "shard_order",
     "shard_stats",
     "simhash",
+    "snapshot_diff",
     "stratified_topk_sample",
     "structural_metrics",
     "tfidf_topk",

@@ -220,3 +220,37 @@ def source_cap(
         df.withColumn("source_rank", F.row_number().over(w))
         .filter(F.col("source_rank") <= max_per_source)
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reconcile two corpus snapshots: per-document status
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``.
+
+    The ops primitive behind every incremental 100 TB pipeline run:
+    before re-processing a refreshed crawl, diff it against the previous
+    snapshot so downstream stages (dedup index, embeddings, exports)
+    touch only the added/changed slice.  One full-outer join keyed on
+    the document id -- content comparison is by md5 fingerprint computed
+    map-side on each side, so the join carries (key, 32-byte digest),
+    never the documents themselves; at bucketed-table layouts
+    (sources/bucketed.py) the join is shuffle-free.
+    """
+    o = old_df.select(
+        F.col(key_col).alias("k"), F.md5(F.col(text_col)).alias("old_fp")
+    )
+    n = new_df.select(
+        F.col(key_col).alias("k"), F.md5(F.col(text_col)).alias("new_fp")
+    )
+    j = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("k").alias(key_col), status.alias("status"))

@@ -88,6 +88,7 @@ _PRIORITY = [
     "sink_zorder_roundtrip",
     "stream_dedup_watermarked",
     "stream_hist_merge",
+    "pipeline_snapshot_diff",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

@@ -2499,3 +2499,38 @@ def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "pipeline_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 17 <> 0),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END) AS fp
+      FROM documents WHERE doc_id % 11 <> 0)
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.fp IS NULL THEN 'added'
+                WHEN new.fp IS NULL THEN 'removed'
+                WHEN old.fp <> new.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two simulated snapshots of the documents table (the "old" run is
+    # missing every 17th doc, the "new" crawl dropped every 11th and
+    # re-extracted every 13th with different casing) reconciled into
+    # per-doc added/removed/changed/unchanged statuses.  The join
+    # carries only (id, md5) -- never text -- and is ONE full-outer
+    # shuffle (shuffle-free on bucketed layouts).
+    docs = tbl(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 0)
+    new = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.upper(F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return C.snapshot_diff(old, new)
