@@ -90,7 +90,10 @@ from kcl_akka_stream_spark.operators.corpus import (
     pack_token_budget,
     redact_pii,
 )
-from kcl_akka_stream_spark.operators.dedup import verify_candidate_jaccard
+from kcl_akka_stream_spark.operators.dedup import (
+    verify_candidate_edit_distance,
+    verify_candidate_jaccard,
+)
 from kcl_akka_stream_spark.operators.similarity import quantize_int8
 from kcl_akka_stream_spark.operators.quality import (
     gopher_quality_flags,
@@ -184,5 +187,6 @@ __all__ = [
     "tfidf_topk",
     "token_count",
     "top_k_per_group",
+    "verify_candidate_edit_distance",
     "verify_candidate_jaccard",
 ]

@@ -527,3 +527,52 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return pairs
+
+
+def verify_candidate_edit_distance(
+    docs: DataFrame,
+    cands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 200,
+    max_dist_per_5_chars: int = 1,
+) -> DataFrame:
+    """Edit-distance verification of LSH candidate pairs: keep pairs whose
+    Levenshtein distance over the first ``prefix_len`` characters is at
+    most ``max_dist_per_5_chars`` per 5 characters of the longer prefix
+    (the default keeps pairs within 20% relative edit distance).
+
+    The complement of verify_candidate_jaccard for REORDER-sensitive
+    near-dup detection: Jaccard over shingle sets is blind to segment
+    order, edit distance is not.  Levenshtein is O(len_a * len_b) per
+    pair, so at 100 TB it is never run on whole documents -- the prefix
+    cap bounds the DP matrix (200x200 here) and the candidate set bounds
+    the pair count; both caps are explicit arguments, not defaults
+    buried in code.  The acceptance test is integer-exact
+    (dist * 5 <= max_dist_per_5_chars * max_len), so no float boundary
+    can disagree across engines.  (Cross-engine caveat: Spark's
+    levenshtein counts unicode codepoints while DuckDB's counts BYTES --
+    identical on ASCII corpora like the fixture, divergent beyond.)
+    """
+    a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("pa"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("pb"),
+    )
+    j = cands.join(a, "id_a").join(b, "id_b")
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    max_len = F.greatest(F.length("pa"), F.length("pb"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("edit_dist"),
+            max_len.cast("long").alias("max_len"),
+        )
+        .filter(
+            F.col("edit_dist") * 5 <= F.lit(max_dist_per_5_chars) * F.col("max_len")
+        )
+    )

@@ -89,6 +89,7 @@ _PRIORITY = [
     "stream_dedup_watermarked",
     "stream_hist_merge",
     "pipeline_snapshot_diff",
+    "dedup_edit_verified",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

@@ -2534,3 +2534,37 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return C.snapshot_diff(old, new)
+
+
+def _edit_verified_oracle(prefix_len: int = 200) -> str:
+    mh = _minhash_oracle()
+    # DuckDB's levenshtein counts bytes, Spark's counts codepoints --
+    # identical on the ASCII fixture (verified: zero non-ASCII chars at
+    # every SF); the operator docstring carries the caveat for users.
+    return f"""
+    WITH cands AS (SELECT * FROM ({mh})),
+    p AS (SELECT doc_id, substring(text, 1, {prefix_len}) AS pfx FROM documents),
+    d AS (
+      SELECT c.id_a, c.id_b,
+             CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
+             CAST(greatest(len(a.pfx), len(b.pfx)) AS BIGINT) AS max_len
+      FROM cands c
+      JOIN p a ON a.doc_id = c.id_a
+      JOIN p b ON b.doc_id = c.id_b)
+    SELECT id_a, id_b, edit_dist, max_len
+    FROM d WHERE edit_dist * 5 <= max_len
+    """
+
+
+@query("dedup_edit_verified", _edit_verified_oracle())
+def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-stage near-dup with an ORDER-SENSITIVE verifier: LSH candidates
+    # -> Levenshtein over 200-char prefixes, keep pairs within 20%
+    # relative edit distance (integer-exact: dist*5 <= max_len).  The
+    # complement of dedup_minhash_verified -- shingle Jaccard is blind to
+    # segment reordering, edit distance is not; the prefix cap bounds the
+    # O(n*m) DP per pair, the candidate set bounds the pair count.
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    cands = D.minhash_candidate_pairs(buckets)
+    return D.verify_candidate_edit_distance(docs, cands, prefix_len=200)
