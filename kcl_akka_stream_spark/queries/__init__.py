@@ -90,6 +90,7 @@ _PRIORITY = [
     "stream_hist_merge",
     "pipeline_snapshot_diff",
     "dedup_edit_verified",
+    "agg_approx_quantile_report",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

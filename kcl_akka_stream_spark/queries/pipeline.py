@@ -2568,3 +2568,49 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
     cands = D.minhash_candidate_pairs(buckets)
     return D.verify_candidate_edit_distance(docs, cands, prefix_len=200)
+
+
+@query(
+    "agg_approx_quantile_report",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The percentile_approx acceptance contract: at 100 TB exact
+    # quantiles (full sort) are off the table, so the approx sketch must
+    # be trusted -- this query VERIFIES the trust per group.  Spark
+    # computes the approx p50 (accuracy=1000 -> rank error <= n/1000),
+    # then counts how many values fall at or below it and asserts the
+    # rank lands inside a generous [49%, 51%] band (integer-exact
+    # comparison: cnt*100 vs n*49/51, +-1 row of slack).  The oracle
+    # cannot replicate Spark's internal sketch, so it emits the exact
+    # median and a literal TRUE -- the hash only matches if every
+    # group's within_bound is ALSO true on the Spark side: an
+    # out-of-contract sketch turns the gate red.  exact_p50 itself is
+    # cross-checked (Spark `percentile` and DuckDB `quantile_cont`
+    # share the p*(n-1) linear-interpolation definition).
+    ev = tbl(spark, sf_dir, "events").select("event_type", "value")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+        F.percentile_approx("value", 0.5, 1000).alias("approx_p50"),
+    )
+    ranked = (
+        ev.join(F.broadcast(agg), "event_type")
+        .groupBy("event_type", "n_rows", "exact_p50", "approx_p50")
+        .agg(
+            F.sum((F.col("value") <= F.col("approx_p50")).cast("long")).alias(
+                "cnt_le"
+            )
+        )
+    )
+    within = (F.col("cnt_le") * 100 >= F.col("n_rows") * 49 - 100) & (
+        F.col("cnt_le") * 100 <= F.col("n_rows") * 51 + 100
+    )
+    return ranked.select(
+        "event_type", "n_rows", "exact_p50", within.alias("within_bound")
+    )
