@@ -97,9 +97,12 @@ HEADLINE = [
     "q16_supplier_part_counts",
     "q17_small_qty_revenue",
     "q22_global_sales_opportunity",
-    # keyword extraction + multi-dim layout (round-6 additions)
+    # keyword extraction + multi-dim layout + ops tooling (round-6 additions)
     "pipeline_tfidf_topk",
     "sink_zorder_roundtrip",
+    "dedup_edit_verified",
+    "pipeline_snapshot_diff",
+    "agg_approx_quantile_report",
     # end-to-end curation composite
     "pipeline_export_manifest",
     # streaming representative
