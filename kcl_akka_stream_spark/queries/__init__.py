@@ -91,6 +91,8 @@ _PRIORITY = [
     "pipeline_snapshot_diff",
     "dedup_edit_verified",
     "agg_approx_quantile_report",
+    "agg_conditional_funcs",
+    "agg_corr_exact",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

@@ -1828,3 +1828,95 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bal_c").cast("double") / F.lit(100.0)).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "agg_conditional_funcs",
+    """
+    SELECT event_type,
+           CAST(count_if(value > 50.0) AS BIGINT) AS n_high,
+           bool_and(value >= 0.0) AS all_nonneg,
+           bool_or(value > 99.0) AS any_extreme,
+           CAST(arg_max(event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) * 100000 + event_id) AS BIGINT)
+             AS id_of_max,
+           CAST(arg_min(event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) * 100000 + event_id) AS BIGINT)
+             AS id_of_min
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The conditional-aggregate family: count_if, bool_and/bool_or, and
+    # arg-extremes (max_by/min_by).  The arg-extreme ORDERING KEY is made
+    # unique (value cents * 1e5 + event_id) because max_by on a column
+    # with duplicate values is tie-nondeterministic -- per-partition
+    # fold order decides the winner, so the same query can return
+    # different ids run to run: exactly the kind of silent flakiness a
+    # 100 TB pipeline cannot debug.  All aggregates fold in one
+    # combinable pass.
+    ev = tbl(spark, sf_dir, "events")
+    key = _cents(F.col("value")) * 100000 + F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50.0).cast("long").alias("n_high"),
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99.0).alias("any_extreme"),
+        F.max_by("event_id", key).cast("long").alias("id_of_max"),
+        F.min_by("event_id", key).cast("long").alias("id_of_min"),
+    )
+
+
+@query(
+    "agg_corr_exact",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS DECIMAL(18,0)) AS x,
+             CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS DECIMAL(18,0)) AS y
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM c GROUP BY l_returnflag),
+    f AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM s)
+    SELECT l_returnflag, n AS n_rows,
+           round((nd * sxy - sx * sy)
+                 / sqrt(nd * sxx - sx * sx)
+                 / sqrt(nd * syy - sy * sy), 6) AS corr_qty_price,
+           round((nd * sxy - sx * sy) / (nd * nd) / 10000.0, 6) AS covar_pop_dollars
+    FROM f
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlation/covariance with EXACT integer moments: Spark's built-in
+    # corr folds doubles in partition order (run-to-run drift at scale),
+    # so the moments here accumulate as DECIMAL sums of integer cents --
+    # order-independent, exact, overflow-safe (x,y declared DECIMAL(18,0)
+    # so x*y stays within both engines' 38-digit product rule; the sums
+    # widen to 38) -- then each EXACT sum casts to double once and the
+    # textbook formula runs in identical IEEE ops on both engines,
+    # rounded to 6 dp.
+    li = tbl(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        _cents(F.col("l_quantity")).cast("decimal(18,0)").alias("x"),
+        _cents(F.col("l_extendedprice")).cast("decimal(18,0)").alias("y"),
+    )
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+    dy = F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(num / dx / dy, 6).alias("corr_qty_price"),
+        F.round(num / (nd * nd) / F.lit(10000.0), 6).alias("covar_pop_dollars"),
+    )
