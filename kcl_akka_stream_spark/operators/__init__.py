@@ -84,6 +84,7 @@ from kcl_akka_stream_spark.operators.clustering import (
     kmeans_update,
 )
 from kcl_akka_stream_spark.operators.corpus import (
+    chunk_documents,
     snapshot_diff,
     decontaminate,
     dedup_segments,
@@ -121,6 +122,7 @@ __all__ = [
     "brute_force_topk",
     "brute_force_topk_vectorized",
     "checkpoint_frontier",
+    "chunk_documents",
     "cms_estimate",
     "cms_merge",
     "cms_state",

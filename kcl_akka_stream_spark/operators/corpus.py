@@ -254,3 +254,59 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col("k").alias(key_col), status.alias("status"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the RAG /
+    context-window prep step: every training or retrieval corpus ends up
+    chunked).
+
+    Map-only: tokenize once into a child projection, explode one chunk
+    index per window position, slice -- no shuffle at all, so it scales
+    with scan bandwidth.  Chunk count per doc is
+    ceil(max(n_tokens - window, 0) / stride) + 1 (integer-exact), so the
+    final chunk always carries more than ``window - stride`` tokens and
+    no empty chunks are emitted; empty documents yield no rows.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError(f"need 0 < stride <= window, got {window=} {stride=}")
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    toked = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    n_extra = F.greatest(F.col("__n") - window, F.lit(0))
+    last_idx = F.floor((n_extra + (stride - 1)) / F.lit(stride)).cast("long")
+    return (
+        toked.filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__toks",
+            "__n",
+            F.explode(F.sequence(F.lit(0).cast("long"), last_idx)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "__toks", F.col("chunk_idx") * stride + 1, F.lit(window)
+                ),
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(window), F.col("__n") - F.col("chunk_idx") * stride
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

@@ -93,6 +93,8 @@ _PRIORITY = [
     "agg_approx_quantile_report",
     "agg_conditional_funcs",
     "agg_corr_exact",
+    "pipeline_chunk_docs",
+    "sink_jsonl_roundtrip",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

@@ -2614,3 +2614,72 @@ def agg_approx_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "event_type", "n_rows", "exact_p50", within.alias("within_bound")
     )
+
+
+@query(
+    "pipeline_chunk_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS toks
+      FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM tok WHERE len(toks) > 0),
+    idx AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(range(0,
+               CAST(floor((greatest(n_tok - 8, 0) + 3) / 4) AS BIGINT) + 1))
+               AS chunk_idx
+      FROM n)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(toks[chunk_idx*4 + 1 : chunk_idx*4 + 8], ' ')
+             AS chunk_text,
+           CAST(least(8, n_tok - chunk_idx*4) AS BIGINT) AS n_tokens
+    FROM idx
+    """,
+)
+def pipeline_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RAG/context-window chunking: overlapping token windows (window 8,
+    # stride 4 at gate scale; 128/64 operator defaults), map-only --
+    # tokenize once, explode chunk indices, slice.  Zero shuffles; the
+    # op scales with scan bandwidth alone.  Tail chunks keep their
+    # shorter-than-window token counts; empty docs vanish.
+    docs = tbl(spark, sf_dir, "documents")
+    return C.chunk_documents(docs, window=8, stride=4)
+
+
+@query(
+    "sink_jsonl_roundtrip",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+    FROM documents GROUP BY lang
+    """,
+)
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON-lines export/ingest roundtrip -- the interchange format every
+    # LLM corpus pipeline speaks.  Write gzip-compressed JSONL, read it
+    # back with an EXPLICIT schema (schema inference = a full extra pass
+    # at 100 TB), and fingerprint per language: count, char mass, and
+    # distinct md5 of the text AFTER the roundtrip -- any JSON
+    # escaping/encoding corruption changes a digest and turns the gate
+    # red.  The oracle reads the original parquet, so the comparison IS
+    # the fidelity check.
+    import shutil
+    import tempfile
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="kcl_jsonl_sink_")
+    try:
+        docs.write.mode("overwrite").option("compression", "gzip").json(out)
+        back = spark.read.schema(docs.schema).json(out)
+        agg = back.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_texts"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
