@@ -104,6 +104,12 @@ def test_shuffle_budgets(spark, sf_dir):
         "q17_small_qty_revenue": 2,  # per-part avg agg; both joins broadcast; single-row final
         "q22_global_sales_opportunity": 2,  # scalar agg + nation rollup; anti/dim broadcast
         "pipeline_tfidf_topk": 5,  # 2 data-sized (tf agg, doc window) + vocab df agg/broadcast + single-row N
+        "dedup_edit_verified": 4,  # candidate gen only (minhash budget); verify joins broadcast
+        "pipeline_snapshot_diff": 2,  # one full-outer join pair carrying (id, md5) only
+        "agg_approx_quantile_report": 2,  # group agg + broadcast join-back rank count
+        "agg_conditional_funcs": 1,  # one combinable agg pass
+        "agg_corr_exact": 1,  # one combinable agg of exact decimal moments
+        "pipeline_chunk_docs": 0,  # map-only: tokenize once, explode indices, slice
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
