@@ -95,6 +95,7 @@ _PRIORITY = [
     "agg_corr_exact",
     "pipeline_chunk_docs",
     "sink_jsonl_roundtrip",
+    "pipeline_train_val_split",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

@@ -2683,3 +2683,46 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "pipeline_train_val_split",
+    """
+    WITH g AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN h * 10 < 4294967296 * 8 THEN 'train'
+                  WHEN h * 10 < 4294967296 * 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM g)
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY split, lang
+    """,
+)
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic 80/10/10 train/val/test split: the assignment is a
+    # pure function of (seed, doc_id) via an md5-prefix integer, so it
+    # is stable across runs, machines, and engines -- re-running the
+    # pipeline NEVER migrates a document between splits (the leakage
+    # every ML team gets burned by once).  The threshold test is
+    # integer-exact (h*10 vs 2^32 * 8/9), map-only; the only shuffle is
+    # the audit aggregation itself.
+    docs = tbl(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split1|"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(h * 10 < F.lit(4294967296) * 8, "train")
+        .when(h * 10 < F.lit(4294967296) * 9, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -757,3 +757,44 @@ def test_semantic_dedup_elects_one_representative_per_group(spark):
     assert out[20].dup_group == 20 and out[20].is_rep
     kept = [i for i, r in out.items() if r.is_rep]
     assert sorted(kept) == [1, 3, 20]
+
+
+def test_chunk_documents_edges(spark):
+    from kcl_akka_stream_spark.operators.corpus import chunk_documents
+    import pytest as _pytest
+
+    rows = [
+        (1, ""),                          # empty -> no chunks
+        (2, "a b c"),                     # shorter than window -> 1 chunk
+        (3, "a b c d"),                   # exactly window -> 1 chunk
+        (4, "a b c d e"),                 # window+1 -> 2 chunks (tail 3 tokens)
+        (5, "a b c d e f g h i j"),       # 10 tokens -> 4 chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, window=4, stride=2).collect()
+    }
+    assert not any(k[0] == 1 for k in got)
+    assert got[(2, 0)] == ("a b c", 3)
+    assert got[(3, 0)] == ("a b c d", 4)
+    assert got[(4, 0)] == ("a b c d", 4) and got[(4, 1)] == ("c d e", 3)
+    assert [got[(5, i)][0] for i in range(4)] == [
+        "a b c d", "c d e f", "e f g h", "g h i j",
+    ]
+    assert max(k[1] for k in got if k[0] == 5) == 3  # no empty tail chunk
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=4, stride=5)
+
+
+def test_snapshot_diff_statuses(spark):
+    from kcl_akka_stream_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
