@@ -96,6 +96,7 @@ _PRIORITY = [
     "pipeline_chunk_docs",
     "sink_jsonl_roundtrip",
     "pipeline_train_val_split",
+    "text_oov_report",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

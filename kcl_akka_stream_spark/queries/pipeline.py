@@ -2726,3 +2726,67 @@ def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+@query(
+    "text_oov_report",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOK}')) AS term
+      FROM documents),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS n FROM tok GROUP BY term
+        ORDER BY n DESC, term LIMIT 100)),
+    flagged AS (
+      SELECT t.doc_id, CAST(v.term IS NULL AS BIGINT) AS is_oov
+      FROM tok t LEFT JOIN vocab v USING (term)),
+    per_doc AS (
+      SELECT d.doc_id, d.lang, count(*) AS n_tok, sum(f.is_oov) AS n_oov
+      FROM documents d JOIN flagged f USING (doc_id)
+      GROUP BY d.doc_id, d.lang)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_oov) AS BIGINT) AS oov_tokens,
+           round(CAST(sum(n_oov) AS DOUBLE) / sum(n_tok), 6) AS oov_rate,
+           CAST(count_if(n_oov * 2 > n_tok) AS BIGINT) AS n_docs_majority_oov
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vocabulary-coverage audit: out-of-vocabulary rate against the
+    # corpus's own top-100 token vocabulary (deterministic tiebreak on
+    # the term), per language -- the metric that tells you whether a
+    # tokenizer/vocab fits a corpus slice before burning a training
+    # run.  The vocab is TakeOrdered (map-side partial top-k) and
+    # broadcast back; the majority-OOV doc counter is integer-exact
+    # (n_oov*2 > n_tok).  Plan: tf agg + vocab top-k + per-doc agg --
+    # the explode never shuffles raw tokens twice.
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(100)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "term", "left_outer")
+    per_doc = flagged.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_oov").cast("long").alias("oov_tokens"),
+        F.round(
+            F.sum("n_oov").cast("double") / F.sum("n_tok"), 6
+        ).alias("oov_rate"),
+        F.count_if(F.col("n_oov") * 2 > F.col("n_tok"))
+        .cast("long")
+        .alias("n_docs_majority_oov"),
+    )

@@ -798,3 +798,26 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_observe_collects_audit_metrics_inline(spark, sf_dir):
+    # df.observe(): audit counters ride the SAME job as the query --
+    # at 100 TB a separate count() for monitoring doubles the scan, so
+    # pipelines should attach observations instead (the batch analogue
+    # of streaming/stats.py's ConsumerStats listener).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    docs = tbl(spark, sf_dir, "documents")
+    obs = Observation("corpus_audit")
+    gated = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum((F.col("n_chars") >= 100).cast("long")).alias("rows_passing"),
+    ).filter(F.col("n_chars") >= 100)
+    kept = gated.count()  # one job: scan + observe + filter + count
+    m = obs.get
+    assert m["rows_in"] == docs.count()
+    assert m["rows_passing"] == kept
