@@ -719,3 +719,71 @@ def test_tracker_poisoned_shard_bounded_state(spark, tmp_path):
     by_shard = {r.shard_id: r for r in state}
     assert by_shard[1].n_kept == 0
     assert by_shard[1].n_evicted == 1
+
+
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    # The late-data POLICY test: a row arriving AFTER its window was
+    # finalized must be dropped, not double-counted -- the contract that
+    # bounds state and makes append-mode results final at 100 TB.  File
+    # order is pinned via explicit mtimes + maxFilesPerTrigger=1.  Spark
+    # applies a newly-computed watermark with a ONE-BATCH lag (the
+    # watermark used while processing batch N is the one committed at
+    # the end of batch N-1), so the late row is delivered two batches
+    # after the on-time data: batch 0 carries hour-10 traffic plus a
+    # 12:05 row, batch 1 is an innocuous 12:06 row that COMMITS the
+    # 12:05 watermark, and batch 2 delivers the too-late 10:20 row.
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    utc = dt.timezone.utc
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m, tzinfo=utc)
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    batches = [
+        [(1, ts(10, 5)), (2, ts(10, 10)), (3, ts(10, 15)), (4, ts(12, 5))],
+        [(5, ts(12, 6))],
+        [(6, ts(10, 20)), (7, ts(12, 10))],  # 6 is too late: hour 10 closed
+    ]
+    now = 1_700_000_000
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        df.coalesce(1).write.parquet(str(src / f"b{i}"))
+        for f in (src / f"b{i}").iterdir():
+            os.utime(f, (now + i * 60, now + i * 60))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.hour("w.start").alias("h"), "n")
+    )
+    name = "late_drop_audit"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+        )
+    finally:
+        q.stop()
+    rows = {r.h: r.n for r in spark.table(name).collect()}
+    # hour 10 finalized with count 3; the late 10:20 row must not appear
+    # anywhere, and the engine must account for exactly one dropped row.
+    assert rows == {10: 3}, rows
+    assert dropped == 1, dropped
