@@ -821,3 +821,44 @@ def test_observe_collects_audit_metrics_inline(spark, sf_dir):
     m = obs.get
     assert m["rows_in"] == docs.count()
     assert m["rows_passing"] == kept
+
+
+def test_operators_tolerate_empty_and_unicode_input(spark):
+    # 100 TB pipelines constantly hand operators EMPTY slices (a lang
+    # partition with no docs, a filter that matched nothing) and text
+    # far outside [a-z0-9].  Every library operator must return an
+    # empty/defined result, never raise.
+    from pyspark.sql import functions as F
+
+    from kcl_akka_stream_spark.operators import corpus as C
+    from kcl_akka_stream_spark.operators import dedup as D
+    from kcl_akka_stream_spark.operators import quality as Q
+    from kcl_akka_stream_spark.operators import text as X
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    uni = spark.createDataFrame(
+        [(1, "😀😀😀"), (2, "漢字テキスト"), (3, "mixed ascii 漢字 tail")],
+        "doc_id long, text string",
+    )
+
+    ops = {
+        "exact_dedup": lambda d: D.exact_dedup(d),
+        "simhash": lambda d: D.simhash(d),
+        "minhash_pairs": lambda d: D.minhash_candidate_pairs(
+            D.minhash_lsh_buckets(d)
+        ),
+        "tfidf_topk": lambda d: X.tfidf_topk(d),
+        "chunk": lambda d: C.chunk_documents(d, window=4, stride=2),
+        "quality_flags": lambda d: Q.gopher_quality_flags(d),
+        "snapshot_diff": lambda d: C.snapshot_diff(d, d),
+        "token_count": lambda d: X.token_count(d),
+        "lang_id": lambda d: X.lang_id(d),
+    }
+    for name, op in ops.items():
+        assert op(empty).count() == 0, f"{name} on empty"
+        op(uni).collect()  # defined, no crash
+
+    # the [a-z0-9] tokenizer treats pure-CJK/emoji docs as zero-token:
+    # chunking emits nothing for them, only the mixed doc chunks.
+    chunked = C.chunk_documents(uni, window=4, stride=2)
+    assert sorted({r.doc_id for r in chunked.collect()}) == [3]
