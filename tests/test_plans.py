@@ -110,6 +110,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_conditional_funcs": 1,  # one combinable agg pass
         "agg_corr_exact": 1,  # one combinable agg of exact decimal moments
         "pipeline_chunk_docs": 0,  # map-only: tokenize once, explode indices, slice
+        "text_oov_report": 3,  # tf agg + vocab TakeOrdered + per-doc agg; vocab broadcast back
+        "pipeline_train_val_split": 1,  # map-only md5 split; audit agg is the only shuffle
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
