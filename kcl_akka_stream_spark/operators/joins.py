@@ -109,3 +109,65 @@ def asof_join(
         "__l.*", *[F.col(f"__r_{c}").alias(c) for c in right_value_cols]
     )
     return out
+
+
+def cogrouped_interval_counts(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_key: str,
+    interval_key: str,
+    event_ts: str,
+    interval_ts: str,
+    interval_id: str,
+) -> DataFrame:
+    """Per-key event counts inside consecutive-interval windows, via the
+    COGROUP Arrow seam: each ``intervals`` row of a key owns the window
+    [its ts, next interval ts of the same key), the last owns an open
+    tail; emit how many of that key's events fall inside each window.
+
+    The one API surface the operator library had not yet exercised:
+    ``groupBy().cogroup().applyInPandas`` aligns TWO tables per key in
+    one shuffle each, handing both sides to a vectorized kernel --
+    the shape for per-key sequence alignment where a join would
+    materialize the cross product first.  Inside the kernel the counts
+    are O((n+m) log n) via searchsorted, not a nested loop.  Keys with
+    no intervals emit nothing (the events match no window); keys with
+    no events emit zero counts; ties on the interval timestamp are
+    broken by ``interval_id``, giving the earlier duplicate an empty
+    [t, t) window -- the same deterministic convention a SQL
+    lead()-window oracle produces.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{interval_key} long, {interval_id} long, n_events long"
+    )
+
+    def count_per_key(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if r_pdf.empty:
+            return pd.DataFrame(
+                {interval_key: [], interval_id: [], "n_events": []}
+            )
+        r = r_pdf.sort_values([interval_ts, interval_id]).reset_index(drop=True)
+        ts = np.sort(l_pdf[event_ts].to_numpy()) if not l_pdf.empty else np.array(
+            [], dtype="datetime64[ns]"
+        )
+        starts = r[interval_ts].to_numpy()
+        lo = np.searchsorted(ts, starts, side="left")
+        hi = np.empty_like(lo)
+        hi[:-1] = np.searchsorted(ts, starts[1:], side="left")
+        hi[-1] = len(ts)
+        return pd.DataFrame(
+            {
+                interval_key: r[interval_key].astype("int64"),
+                interval_id: r[interval_id].astype("int64"),
+                "n_events": (hi - lo).astype("int64"),
+            }
+        )
+
+    return (
+        events.groupBy(event_key)
+        .cogroup(intervals.groupBy(interval_key))
+        .applyInPandas(count_per_key, schema=out_schema)
+    )

@@ -97,6 +97,7 @@ _PRIORITY = [
     "sink_jsonl_roundtrip",
     "pipeline_train_val_split",
     "text_oov_report",
+    "j_cogroup_interval_counts",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

@@ -1920,3 +1920,44 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / dx / dy, 6).alias("corr_qty_price"),
         F.round(num / (nd * nd) / F.lit(10000.0), 6).alias("covar_pop_dollars"),
     )
+
+
+@query(
+    "j_cogroup_interval_counts",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS next_date
+      FROM orders WHERE o_custkey < 150)
+    SELECT o.o_custkey, o.o_orderkey,
+           CAST(count(e.ts) AS BIGINT) AS n_events
+    FROM o LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND (o.next_date IS NULL OR e.ts < o.next_date)
+    GROUP BY o.o_custkey, o.o_orderkey
+    """,
+)
+def j_cogroup_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The cogroup Arrow seam, gated: per customer, each order owns the
+    # window [its date, next order date) and counts the events landing
+    # inside it (operators/joins.py::cogrouped_interval_counts --
+    # searchsorted kernel, one shuffle per side, never a join cross
+    # product).  The oracle is the equivalent lead()-window + interval
+    # LEFT JOIN.  Orders are pre-filtered to the event key range so the
+    # cogroup only shuffles keys that can match.
+    ev = tbl(spark, sf_dir, "events").select("user_id", "ts")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150).select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return J.cogrouped_interval_counts(
+        ev,
+        o,
+        event_key="user_id",
+        interval_key="o_custkey",
+        event_ts="ts",
+        interval_ts="o_orderdate",
+        interval_id="o_orderkey",
+    )
