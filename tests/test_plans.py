@@ -112,6 +112,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "pipeline_chunk_docs": 0,  # map-only: tokenize once, explode indices, slice
         "text_oov_report": 3,  # tf agg + vocab TakeOrdered + per-doc agg; vocab broadcast back
         "pipeline_train_val_split": 1,  # map-only md5 split; audit agg is the only shuffle
+        "j_cogroup_interval_counts": 2,  # one shuffle per cogroup side; kernel is map-side
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
