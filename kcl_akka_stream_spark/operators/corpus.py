@@ -240,12 +240,13 @@ def snapshot_diff(
     never the documents themselves; at bucketed-table layouts
     (sources/bucketed.py) the join is shuffle-free.
     """
-    o = old_df.select(
-        F.col(key_col).alias("k"), F.md5(F.col(text_col)).alias("old_fp")
-    )
-    n = new_df.select(
-        F.col(key_col).alias("k"), F.md5(F.col(text_col)).alias("new_fp")
-    )
+    # NULL text must not read as "row absent": fingerprint NULL to a
+    # sentinel digest distinct from every real md5 (and from md5('')).
+    def fp(c):
+        return F.coalesce(F.md5(F.col(c)), F.lit("<null-text>"))
+
+    o = old_df.select(F.col(key_col).alias("k"), fp(text_col).alias("old_fp"))
+    n = new_df.select(F.col(key_col).alias("k"), fp(text_col).alias("new_fp"))
     j = o.join(n, "k", "full_outer")
     status = (
         F.when(F.col("old_fp").isNull(), F.lit("added"))

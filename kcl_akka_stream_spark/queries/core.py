@@ -1751,18 +1751,23 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-part aggregate is part-key-sized, far smaller than lineitem ->
     # broadcast; brand-filtered part likewise.
     li = tbl(spark, sf_dir, "lineitem")
-    pa = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        F.sum(_cents(F.col("l_quantity"))).alias("sq"),
-        F.count(F.lit(1)).alias("nq"),
-    )
     p = (
         tbl(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#11")
         .select("p_partkey")
     )
+    # Restrict lineitem to the brand's parts BEFORE the per-part
+    # aggregate: the avg per part is unchanged (it never mixes parts),
+    # but pa shrinks from all-parts-sized to brand-sized -- at 100 TB
+    # the difference between a broadcastable aggregate and one that
+    # grows with the part table.
+    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    pa = li_b.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("sq"),
+        F.count(F.lit(1)).alias("nq"),
+    )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(pa), li.l_partkey == pa.a_partkey)
+        li_b.join(F.broadcast(pa), li_b.l_partkey == pa.a_partkey)
         .filter(_cents(F.col("l_quantity")) * 5 * F.col("nq") < F.col("sq"))
         .agg(
             (_sum_money(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
@@ -1837,9 +1842,9 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count_if(value > 50.0) AS BIGINT) AS n_high,
            bool_and(value >= 0.0) AS all_nonneg,
            bool_or(value > 99.0) AS any_extreme,
-           CAST(arg_max(event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) * 100000 + event_id) AS BIGINT)
+           CAST(arg_max(event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000000000 + event_id) AS BIGINT)
              AS id_of_max,
-           CAST(arg_min(event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) * 100000 + event_id) AS BIGINT)
+           CAST(arg_min(event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000000000 + event_id) AS BIGINT)
              AS id_of_min
     FROM events GROUP BY event_type
     """,
@@ -1854,7 +1859,9 @@ def agg_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB pipeline cannot debug.  All aggregates fold in one
     # combinable pass.
     ev = tbl(spark, sf_dir, "events")
-    key = _cents(F.col("value")) * 100000 + F.col("event_id")
+    # 1e12 multiplier: cents <= ~1e4 keeps the key < 1e16 (BIGINT-safe)
+    # while event ids stay unique below 1e12 -- at any fixture SF.
+    key = _cents(F.col("value")) * F.lit(1_000_000_000_000) + F.col("event_id")
     return ev.groupBy("event_type").agg(
         F.count_if(F.col("value") > 50.0).cast("long").alias("n_high"),
         F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
