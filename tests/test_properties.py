@@ -502,3 +502,64 @@ def test_tfidf_topk_matches_python_reference(spark, texts):
     want = _py_tfidf_topk(texts, 3)
     want = {d: v for d, v in want.items() if v}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped interval counts: the searchsorted kernel must match a direct
+# python replication (per key: sort intervals by (ts, id); interval i owns
+# [ts_i, ts_{i+1}), last owns the open tail) on arbitrary small inputs.
+# ---------------------------------------------------------------------------
+_interval_cases = st.tuples(
+    st.lists(  # events: (key, ts-minute)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), max_size=25
+    ),
+    st.lists(  # intervals: (key, ts-minute) -- ids assigned by position
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        max_size=10,
+    ),
+)
+
+
+@given(_interval_cases)
+@settings(max_examples=12, deadline=None)
+def test_cogroup_interval_counts_matches_python(spark, case):
+    import datetime as dt
+
+    from kcl_akka_stream_spark.operators.joins import cogrouped_interval_counts
+
+    events, intervals = case
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    ev = spark.createDataFrame(
+        [(k, ts(m)) for k, m in events] or [(99, ts(0))],
+        "user_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(k, i, ts(m)) for i, (k, m) in enumerate(intervals)] or [(98, 0, ts(0))],
+        "o_custkey long, o_orderkey long, o_orderdate timestamp",
+    )
+    got = {
+        (r.o_custkey, r.o_orderkey): r.n_events
+        for r in cogrouped_interval_counts(
+            ev, iv, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey"
+        ).collect()
+    }
+    # python replication
+    want = {}
+    iv_rows = [(k, i, m) for i, (k, m) in enumerate(intervals)] or [(98, 0, 0)]
+    ev_rows = events or [(99, 0)]
+    keys = {k for k, _, _ in iv_rows}
+    for key in keys:
+        mine = sorted(
+            [(m, i) for k, i, m in iv_rows if k == key]
+        )  # (ts, id) -- same tiebreak as the kernel
+        evts = sorted(m for k, m in ev_rows if k == key)
+        for j, (m, i) in enumerate(mine):
+            end = mine[j + 1][0] if j + 1 < len(mine) else None
+            want[(key, i)] = sum(
+                1 for e in evts if e >= m and (end is None or e < end)
+            )
+    assert got == want
