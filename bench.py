@@ -97,6 +97,9 @@ HEADLINE = [
     "q16_supplier_part_counts",
     "q17_small_qty_revenue",
     "q22_global_sales_opportunity",
+    "q21_suppliers_kept_waiting",
+    "q15_top_supplier",
+    "q11_important_supplier_value",
     # keyword extraction + multi-dim layout + ops tooling (round-6 additions)
     "pipeline_tfidf_topk",
     "sink_zorder_roundtrip",

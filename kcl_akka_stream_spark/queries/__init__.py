@@ -98,6 +98,9 @@ _PRIORITY = [
     "pipeline_train_val_split",
     "text_oov_report",
     "j_cogroup_interval_counts",
+    "q21_suppliers_kept_waiting",
+    "q15_top_supplier",
+    "q11_important_supplier_value",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

@@ -1968,3 +1968,145 @@ def j_cogroup_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_ts="o_orderdate",
         interval_id="o_orderkey",
     )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    """
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND o_orderstatus = 'F'),
+    pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    nsupp AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS ns
+              FROM pairs GROUP BY l_orderkey),
+    nlate AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nl
+              FROM late GROUP BY l_orderkey)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late lt
+    JOIN nsupp USING (l_orderkey)
+    JOIN nlate USING (l_orderkey)
+    JOIN supplier ON s_suppkey = lt.l_suppkey
+    WHERE ns > 1 AND nl = 1
+    GROUP BY s_name
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape (suppliers who alone kept a multi-supplier order
+    # waiting), with the reference's EXISTS / NOT-EXISTS pair REWRITTEN
+    # as per-order counts: "another supplier shipped" = order has >1
+    # distinct suppliers, "no other supplier was late" = exactly one
+    # late supplier.  Equivalent, and the scalable form -- two
+    # combinable aggregates joined back instead of two correlated
+    # self-joins re-scanning lineitem.  Adapted: no l_commitdate /
+    # l_receiptdate in the fixture, so "late" = shipped >60 days after
+    # the order date (the q4 convention).
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    nsupp = pairs.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("ns"))
+    nlate = late.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("nl"))
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(nsupp, "l_orderkey")
+        .join(nlate, "l_orderkey")
+        .filter((F.col("ns") > 1) & (F.col("nl") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum({_sql_cents('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+               AS r_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(r_cents AS DOUBLE) / 100.0 AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE r_cents = (SELECT max(r_cents) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15 shape: a revenue "view" consumed twice -- once for the
+    # global max (scalar subquery -> single-row broadcast) and once for
+    # the equality match.  The max comparison is in integer cents, so
+    # the top supplier cannot flip on a float boundary; ties would
+    # return every tied supplier (the reference's semantics) rather
+    # than an arbitrary one.
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "r_cents"
+        )
+    )
+    mx = rev.agg(F.max("r_cents").alias("mx"))
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r_cents") == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("r_cents").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q11_important_supplier_value",
+    f"""
+    WITH v AS (
+      SELECT l_suppkey,
+             CAST(sum({_sql_cents('l_extendedprice')}) AS BIGINT) AS val_cents
+      FROM lineitem GROUP BY l_suppkey),
+    t AS (SELECT CAST(sum(val_cents) AS BIGINT) AS total_cents FROM v)
+    SELECT l_suppkey AS suppkey,
+           CAST(val_cents AS DOUBLE) / 100.0 AS supplier_value
+    FROM v, t WHERE val_cents * 1000 > total_cents * 11
+    """,
+)
+def q11_important_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape: a grouped sum filtered against a FRACTION of the
+    # global sum (HAVING sum > f * total) -- the global total enters as
+    # a single-row broadcast, and the 1.1% threshold is integer-exact
+    # (val*1000 > total*11; at extreme SFs move both sides to
+    # DECIMAL(38) -- cents sums approach BIGINT range near 1e17 rows).
+    # Adapted: no partsupp in the fixture, so supplier "stock value" is
+    # lineitem extendedprice mass per supplier.
+    li = tbl(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("val_cents")
+    )
+    t = v.agg(F.sum("val_cents").alias("total_cents"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("val_cents") * 1000 > F.col("total_cents") * 11)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            (F.col("val_cents").cast("double") / F.lit(100.0)).alias(
+                "supplier_value"
+            ),
+        )
+    )

@@ -113,6 +113,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "text_oov_report": 3,  # tf agg + vocab TakeOrdered + per-doc agg; vocab broadcast back
         "pipeline_train_val_split": 1,  # map-only md5 split; audit agg is the only shuffle
         "j_cogroup_interval_counts": 2,  # one shuffle per cogroup side; kernel is map-side
+        "q21_suppliers_kept_waiting": 7,  # exists/not-exists rewritten as 2 key-sized aggs + joins back
+        "q15_top_supplier": 3,  # revenue agg + single-row max broadcast + dim broadcast
+        "q11_important_supplier_value": 3,  # value agg + single-row total broadcast
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
