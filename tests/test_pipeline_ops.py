@@ -862,3 +862,20 @@ def test_operators_tolerate_empty_and_unicode_input(spark):
     # chunking emits nothing for them, only the mixed doc chunks.
     chunked = C.chunk_documents(uni, window=4, stride=2)
     assert sorted({r.doc_id for r in chunked.collect()}) == [3]
+
+
+def test_train_val_split_proportions_and_stability(spark, sf_dir):
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = {(r.split, r.lang): r.n_docs for r in QUERIES[
+        "pipeline_train_val_split"
+    ](spark, sf_dir).collect()}
+    total = sum(rows.values())
+    train = sum(v for (s, _), v in rows.items() if s == "train")
+    # 80% +- generous binomial slack at fixture size
+    assert 0.70 <= train / total <= 0.90, train / total
+    # determinism: a second run assigns identically
+    again = {(r.split, r.lang): r.n_docs for r in QUERIES[
+        "pipeline_train_val_split"
+    ](spark, sf_dir).collect()}
+    assert rows == again

@@ -563,3 +563,26 @@ def test_cogroup_interval_counts_matches_python(spark, case):
                 1 for e in evts if e >= m and (end is None or e < end)
             )
     assert got == want
+
+
+@given(_texts)
+@settings(max_examples=15, deadline=None)
+def test_chunking_matches_python_reference(spark, text):
+    from kcl_akka_stream_spark.operators.corpus import chunk_documents
+
+    W, S = 4, 2
+    toks = _py_tokens(text)
+    if not toks:
+        want = []
+    else:
+        n_chunks = (max(len(toks) - W, 0) + S - 1) // S + 1
+        want = [
+            (i, " ".join(toks[i * S : i * S + W]), min(W, len(toks) - i * S))
+            for i in range(n_chunks)
+        ]
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    got = sorted(
+        (r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, window=W, stride=S).collect()
+    )
+    assert got == sorted(want)
