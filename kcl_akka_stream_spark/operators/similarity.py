@@ -715,3 +715,81 @@ def quantize_int8(
         .cast("long")
         .alias("q_l1"),
     )
+
+
+def random_sign_projection(
+    df: DataFrame,
+    out_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "jl1",
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction with a
+    DETERMINISTIC +-1 sign matrix: output dim k of a vector v is
+    ``sum_j q_j * s(j,k)`` where ``q_j = round(v_j * 1e6)`` (int64
+    micro-units) and ``s(j,k) = +1`` iff the first hex digit of
+    ``md5(seed|j|k)`` is odd.  The projection runs as ONE Arrow
+    ``mapInPandas`` pass doing an int64 numpy matmul -- integer
+    arithmetic is order-independent, so the result is bit-identical to
+    any re-computation (including a SQL unnest+join oracle), unlike a
+    float matmul whose partial-sum order drifts.
+
+    The standard cheap pre-ANN compression: sign projections preserve
+    inner products in expectation (public: Achlioptas 2003), and at
+    100 TB the matmul is map-only -- no shuffle, the sign matrix is
+    built inside each task from the seed (nothing is broadcast or
+    collected; one eager size() probe runs at construction to fix the
+    input width, and ragged vectors raise a named error).  Output: one row per (id, out_dim) with the exact
+    integer projection in micro-units and its double rendering.
+    """
+    import numpy as np
+    import pandas as pd
+    import hashlib
+
+    in_dims_probe = df.select(F.size(vec_col).alias("d")).first()
+    if in_dims_probe is None:
+        in_dims = 0
+    else:
+        in_dims = in_dims_probe["d"]
+
+    def _sign(j: int, k: int) -> int:
+        h = hashlib.md5(f"{seed}|{j}|{k}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 1 else -1
+
+    signs = np.array(
+        [[_sign(j, k) for k in range(out_dims)] for j in range(max(in_dims, 0))],
+        dtype=np.int64,
+    )
+
+    out_schema = f"{id_col} long, out_dim long, proj_micro long"
+
+    def project(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            lens = pdf[vec_col].map(len)
+            if not (lens == in_dims).all():
+                bad = pdf.loc[lens != in_dims, id_col].iloc[0]
+                raise ValueError(
+                    f"ragged embedding: {id_col}={bad} has "
+                    f"{lens[lens != in_dims].iloc[0]} dims, expected {in_dims}"
+                )
+            q = np.array(
+                [
+                    np.floor(np.asarray(v, dtype=np.float64) * 1e6 + 0.5)
+                    for v in pdf[vec_col]
+                ],
+                dtype=np.int64,
+            )
+            proj = q @ signs  # exact int64 matmul
+            n, k = proj.shape
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, k),
+                    "out_dim": np.tile(np.arange(k, dtype=np.int64), n),
+                    "proj_micro": proj.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(project, schema=out_schema)

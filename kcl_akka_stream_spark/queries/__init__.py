@@ -101,6 +101,7 @@ _PRIORITY = [
     "q21_suppliers_kept_waiting",
     "q15_top_supplier",
     "q11_important_supplier_value",
+    "emb_random_projection",
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",

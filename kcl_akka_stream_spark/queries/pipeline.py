@@ -2790,3 +2790,40 @@ def text_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_docs_majority_oov"),
     )
+
+
+@query(
+    "emb_random_projection",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             [{'j': i - 1,
+               'q': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)}
+              FOR i IN generate_series(1, len(embedding))] AS qv
+      FROM embeddings),
+    e AS (SELECT vec_id, unnest(qv) AS s FROM q),
+    k AS (SELECT unnest(range(0, 4)) AS out_dim),
+    m AS (
+      SELECT e.vec_id, k.out_dim,
+             CASE WHEN CAST(('0x' || substring(
+                      md5('jl1|' || CAST(s.j AS VARCHAR) || '|'
+                          || CAST(k.out_dim AS VARCHAR)), 1, 1)) AS BIGINT)
+                    % 2 = 1
+                  THEN s.q ELSE -s.q END AS term
+      FROM e CROSS JOIN k)
+    SELECT vec_id, CAST(out_dim AS BIGINT) AS out_dim,
+           CAST(sum(term) AS BIGINT) AS proj_micro
+    FROM m GROUP BY vec_id, out_dim
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic sign-projection dim reduction (64 -> 4 at gate
+    # scale): ONE Arrow mapInPandas pass doing an int64 matmul against
+    # the md5-seeded +-1 matrix -- integer math is partial-sum-order
+    # independent, so the Spark kernel and the oracle's unnest+join
+    # reduction agree bit-for-bit (a float matmul could not be gated
+    # this way).  Map-only: no shuffle, the sign matrix is rebuilt from
+    # the seed inside each task.
+    emb = tbl(spark, sf_dir, "embeddings")
+    return S.random_sign_projection(emb, out_dims=4)

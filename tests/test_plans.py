@@ -116,6 +116,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "q21_suppliers_kept_waiting": 7,  # exists/not-exists rewritten as 2 key-sized aggs + joins back
         "q15_top_supplier": 3,  # revenue agg + single-row max broadcast + dim broadcast
         "q11_important_supplier_value": 3,  # value agg + single-row total broadcast
+        "emb_random_projection": 0,  # one Arrow mapInPandas pass; sign matrix rebuilt per task
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
