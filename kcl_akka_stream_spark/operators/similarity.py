@@ -736,10 +736,11 @@ def random_sign_projection(
 
     The standard cheap pre-ANN compression: sign projections preserve
     inner products in expectation (public: Achlioptas 2003), and at
-    100 TB the matmul is map-only -- no shuffle, the sign matrix is
-    built inside each task from the seed (nothing is broadcast or
-    collected; one eager size() probe runs at construction to fix the
-    input width, and ragged vectors raise a named error).  Output: one row per (id, out_dim) with the exact
+    100 TB the matmul is map-only -- no shuffle; the sign matrix
+    (in_dims x out_dims ints, a few KB) is built once from the seed on
+    the driver and closure-shipped.  One eager size() probe runs at
+    construction to fix the input width, and ragged vectors raise a
+    named error.  Output: one row per (id, out_dim) with the exact
     integer projection in micro-units and its double rendering.
     """
     import numpy as np

@@ -2823,7 +2823,7 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the md5-seeded +-1 matrix -- integer math is partial-sum-order
     # independent, so the Spark kernel and the oracle's unnest+join
     # reduction agree bit-for-bit (a float matmul could not be gated
-    # this way).  Map-only: no shuffle, the sign matrix is rebuilt from
-    # the seed inside each task.
+    # this way).  Map-only: no shuffle; the few-KB sign matrix is
+    # closure-shipped.
     emb = tbl(spark, sf_dir, "embeddings")
     return S.random_sign_projection(emb, out_dims=4)
