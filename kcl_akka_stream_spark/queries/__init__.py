@@ -105,6 +105,12 @@ _PRIORITY = [
     "dedup_semantic",
     "dedup_semantic_auto",
     "pipeline_source_cap",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q20_excess_inventory_suppliers",
+    "q2_min_cost_supplier",
 ]
 
 

@@ -2110,3 +2110,328 @@ def q11_important_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 third wave: the remaining classic decision-support shapes (Q2, Q6,
+# Q7, Q8, Q9, Q20 adapted to the fixture schema).  With these, all 22 TPC-H
+# plan shapes have a fixture-adapted twin in the registry.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(sum({_sql_cents('l_extendedprice * l_discount')}) AS DOUBLE) / 100.0
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 shape: the pure scan-dominated aggregate -- no joins, no
+    # groups, three conjunctive range predicates all pushed to the
+    # parquet scan (PushedFilters carries every one), then a single
+    # combinable sum.  At 100 TB this is the query whose cost IS the
+    # I/O: row-group min/max pruning on l_shipdate skips most of the
+    # table before a byte is decoded.
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _sum_money(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           {_sql_sum_money('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND year(l_shipdate) IN (1996, 1997)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape: bilateral trade volume between two nations by
+    # year.  The nation pair disjunction sits ABOVE the supplier x
+    # customer joins (it references both sides); each nation dim is
+    # joined twice under different roles (n1/n2 aliases).  supplier +
+    # nation broadcast; lineitem<->orders<->customer are the data-sized
+    # shuffles.  Adapted: fixture has no l_commitdate, the year filter
+    # stands in for the shipdate range.
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            _sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    f"""
+    WITH vol AS (
+      SELECT year(o_orderdate) AS o_year,
+             {_sql_cents('l_extendedprice * (1 - l_discount)')} AS v_c,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n2.n_regionkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+    SELECT CAST(o_year AS INT) AS o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v_c ELSE 0 END)
+                        AS DOUBLE)
+                 / CAST(sum(v_c) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 shape: national market share -- the share of one
+    # supplier nation's revenue within a region's PROMO-part purchases,
+    # per order year.  The numerator is a CASE inside the same
+    # aggregate pass as the denominator (one shuffle, not two query
+    # runs); both sides sum integer cents, and the single
+    # double-division is rounded to 6 dp so the ratio hashes
+    # identically cross-engine.  region/nation/supplier/part broadcast.
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n2 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    v_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_rkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", v_c).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum(v_c).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    f"""
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+           CAST(sum({_sql_cents('l_extendedprice * (1 - l_discount)')}
+                    - {_sql_cents('l_quantity * p_retailprice * 0.1')}) AS DOUBLE)
+             / 100.0 AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 shape: profit by supplier nation and year for parts
+    # matching a name substring.  Adapted: the fixture has no partsupp,
+    # so supply cost is modeled as 10% of p_retailprice per unit --
+    # profit = revenue_cents - cost_cents, each term floored to cents
+    # BEFORE the subtraction (identical expression both engines, so
+    # partial-agg order cannot move a boundary).  The LIKE '%bolt%'
+    # predicate cannot prune row groups (no prefix), but it IS pushed
+    # to the part scan, and part is broadcast -- lineitem never
+    # shuffles until the (nation, year) agg.
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - _cents(
+        F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.1)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg((F.sum(profit).cast("double") / F.lit(100.0)).alias("sum_profit"))
+    )
+
+
+@query(
+    "q20_excess_inventory_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 60)
+    """,
+)
+def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 shape: the nested-IN / correlated-threshold query --
+    # suppliers who moved more than a threshold quantity of any PROMO
+    # part in 1996.  The reference form correlates ps_availqty against
+    # 0.5 * sum(l_quantity); without partsupp the threshold is a
+    # constant, which keeps the structural shape (grouped HAVING
+    # feeding a semi-join) while staying fixture-honest.  The grouped
+    # aggregate is combinable; the semi-join against the 100-row
+    # supplier dim broadcasts the AGGREGATED side, not supplier,
+    # because the group-by output is the smaller relation at scale.
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    movers = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        F.broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min({_sql_cents('l_extendedprice / l_quantity')}) AS unit_cents
+      FROM lineitem GROUP BY 1, 2),
+    m AS (SELECT l_partkey, min(unit_cents) AS mn FROM ps GROUP BY 1)
+    SELECT p_partkey, s_name, n_name AS nation,
+           CAST(unit_cents AS DOUBLE) / 100.0 AS unit_cost
+    FROM ps
+    JOIN m USING (l_partkey)
+    JOIN part ON p_partkey = ps.l_partkey
+    JOIN supplier ON s_suppkey = ps.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size = 10 AND unit_cents = mn
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 shape: for each size-10 part, the supplier(s) offering
+    # the minimum cost -- the correlated-min subquery re-expressed as
+    # (group-min joined back on equality), the scalable decorrelated
+    # form.  Adapted: no partsupp, so the observed unit price
+    # min(cents(l_extendedprice / l_quantity)) per (part, supplier)
+    # stands in for ps_supplycost.  The min is in integer cents, so a
+    # float boundary cannot drop or duplicate a tied supplier; ties
+    # return every minimal supplier (reference semantics).  Three
+    # exchanges, but only the first is data-sized: the per-part min and
+    # the join-back move (part, supplier)-cardinality partial-agg
+    # output, never raw lineitem -- cheaper at scale than forcing both
+    # aggs onto one l_partkey repartition of the full fact table.
+    li = tbl(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_cents(F.col("l_extendedprice") / F.col("l_quantity"))).alias(
+            "unit_cents"
+        )
+    )
+    m = ps.groupBy("l_partkey").agg(F.min("unit_cents").alias("mn"))
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_size") == 10).select("p_partkey")
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ps.join(m, "l_partkey")
+        .filter(F.col("unit_cents") == F.col("mn"))
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            (F.col("unit_cents").cast("double") / F.lit(100.0)).alias("unit_cost"),
+        )
+    )

@@ -117,6 +117,12 @@ def test_shuffle_budgets(spark, sf_dir):
         "q15_top_supplier": 3,  # revenue agg + single-row max broadcast + dim broadcast
         "q11_important_supplier_value": 3,  # value agg + single-row total broadcast
         "emb_random_projection": 0,  # one Arrow mapInPandas pass; sign matrix rebuilt per task
+        "q6_forecast_revenue": 1,  # pure scan + single-row agg; all predicates pushed
+        "q7_volume_shipping": 1,  # one orderkey/custkey shuffle chain; dims broadcast
+        "q8_market_share": 1,  # numerator CASE folds into the same agg as the denominator
+        "q9_product_type_profit": 1,  # part/supplier/nation broadcast; one (nation, year) agg
+        "q20_excess_inventory_suppliers": 2,  # grouped HAVING + aggregated side broadcast into semi-join
+        "q2_min_cost_supplier": 3,  # 1 data-sized (part,supp) agg + 2 key-sized (min + join-back)
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
