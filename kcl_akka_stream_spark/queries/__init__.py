@@ -111,6 +111,10 @@ _PRIORITY = [
     "q9_product_type_profit",
     "q20_excess_inventory_suppliers",
     "q2_min_cost_supplier",
+    "arrow_doc_stats",
+    "udtf_token_runs",
+    "j_lateral_topk",
+    "scalar_variant_extract",
 ]
 
 

@@ -2435,3 +2435,145 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("unit_cents").cast("double") / F.lit(100.0)).alias("unit_cost"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 fourth wave: the remaining Python/SQL extension surfaces -- the
+# RecordBatch seam (mapInArrow), the table-function seam (@udtf + SQL
+# LATERAL), the DataFrame lateral-correlation API, and the VARIANT
+# semi-structured type.  Each is a first-class gated query, not a demo.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "arrow_doc_stats",
+    r"""
+    SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The mapInArrow seam: per-doc size stats computed by pyarrow C++
+    # kernels on zero-copy RecordBatches -- no pandas boxing, no per-row
+    # Python.  Map-only: 0 exchanges.  (n_chars counts codepoints,
+    # n_bytes UTF-8 bytes; they differ on non-ASCII corpora -- equal on
+    # this fixture, and the oracle checks both independently.)
+    from kcl_akka_stream_spark.operators.arrow_ops import doc_stats_arrow
+
+    return doc_stats_arrow(tbl(spark, sf_dir, "documents"))
+
+
+@query(
+    "udtf_token_runs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok,
+             unnest(generate_series(1, len(regexp_extract_all(text, '\S+'))))
+               AS i
+      FROM documents),
+    marked AS (
+      SELECT doc_id, i, tok,
+             CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY i) = tok
+                  THEN 0 ELSE 1 END AS brk
+      FROM toks),
+    grp AS (
+      SELECT doc_id, i, tok,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+      FROM marked)
+    SELECT doc_id, CAST(run_id AS INT) AS run_idx, tok AS token,
+           CAST(count(*) AS INT) AS run_len
+    FROM grp GROUP BY doc_id, run_id, tok HAVING count(*) >= 2
+    """,
+)
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Python UDTF seam through the SQL door: LATERAL token_runs(text)
+    # expands each document into its adjacent-repeated-token runs
+    # (elongation artifacts -- the repetition-filter family's witness
+    # rows).  Run-length encoding is genuinely sequential within a row,
+    # so the per-row Python loop is the natural form; the oracle
+    # re-derives the runs relationally (lag -> break flags -> island
+    # ids -> grouped counts), so the gate proves the two formulations
+    # agree row-for-row.  Map-only on the Spark side: 0 exchanges.
+    from kcl_akka_stream_spark.functions.udtfs import register_udtfs
+    from kcl_akka_stream_spark.sources.batch import register_views
+
+    register_udtfs(spark)
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT doc_id, r.run_idx, r.token, r.run_len
+        FROM documents, LATERAL token_runs(text) r
+        """
+    )
+
+
+@query(
+    "j_lateral_topk",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rn
+      FROM orders)
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer JOIN ranked ON o_custkey = c_custkey
+    WHERE rn <= 2
+    """,
+)
+def j_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The DataFrame lateral-correlation API (Spark 4 lateralJoin): "each
+    # customer's two largest orders" written as a correlated per-row
+    # subquery.  Catalyst DECORRELATES it -- the physical plan is
+    # WindowGroupLimit (partial top-k before the shuffle) + row_number
+    # + one equi-join, identical to the hand-written window form; no
+    # nested-loop per-customer execution survives.  Tie-broken on
+    # o_orderkey so top-2 is unique.
+    c = tbl(spark, sf_dir, "customer").select("c_custkey")
+    o = tbl(spark, sf_dir, "orders")
+    top2 = (
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(top2).select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "scalar_variant_extract",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS n_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The VARIANT semi-structured type (Spark 4): parse_json once into
+    # the binary variant encoding, then typed variant_get extraction --
+    # the schema-on-read path for payloads too heterogeneous for a
+    # from_json struct schema.  Unlike get_json_object (string re-parse
+    # per access), the variant value parses once and every extraction
+    # is a binary probe.  One combinable agg on top.
+    ev = tbl(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("k").cast("long").alias("n_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )

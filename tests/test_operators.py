@@ -104,3 +104,47 @@ def test_registry_contract():
     assert set(ORACLES) <= set(QUERIES)
     assert len(QUERIES) >= 68
     assert all(n == n.lower() and " " not in n for n in QUERIES)
+
+
+def test_token_runs_udtf_logic():
+    # The UDTF's sequential RLE logic, exercised directly: run_idx counts
+    # ALL runs (singletons included), only runs >= 2 emit, trailing runs
+    # are not lost, and None/empty inputs emit nothing.
+    from kcl_akka_stream_spark.functions.udtfs import TokenRuns
+
+    inner = TokenRuns.func
+    assert list(inner().eval("a a b c c c")) == [(1, "a", 2), (3, "c", 3)]
+    assert list(inner().eval("x x")) == [(1, "x", 2)]
+    assert list(inner().eval("a b c")) == []
+    assert list(inner().eval(None)) == []
+    assert list(inner().eval("")) == []
+    # whitespace runs collapse like \S+ tokenization
+    assert list(inner().eval("  a\t a \n b ")) == [(1, "a", 2)]
+
+
+def test_doc_stats_arrow_multibyte_and_empty(spark):
+    # n_chars counts codepoints, n_bytes UTF-8 bytes -- they must diverge
+    # on non-ASCII text; empty docs report zeros rather than vanishing.
+    from kcl_akka_stream_spark.operators.arrow_ops import doc_stats_arrow
+
+    df = spark.createDataFrame(
+        [(1, "héllo wörld"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_chars, r.n_bytes, r.n_tokens)
+           for r in doc_stats_arrow(df).collect()}
+    assert got == {1: (11, 13, 2), 2: (0, 0, 0), 3: (3, 3, 2)}
+
+
+def test_lateral_topk_decorrelates(spark, sf_dir):
+    # The lateralJoin must NOT survive as a per-row nested loop: Catalyst
+    # decorrelates it into partial-top-k (WindowGroupLimit) + row_number
+    # + one equi-join.  A CartesianProduct here would be the 100 TB
+    # scale-killer this query exists to disprove.
+    from kcl_akka_stream_spark.plans import has_cartesian_product
+    from kcl_akka_stream_spark.plans.hygiene import physical_plan
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    df = QUERIES["j_lateral_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert not has_cartesian_product(df)

@@ -123,6 +123,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "q9_product_type_profit": 1,  # part/supplier/nation broadcast; one (nation, year) agg
         "q20_excess_inventory_suppliers": 2,  # grouped HAVING + aggregated side broadcast into semi-join
         "q2_min_cost_supplier": 3,  # 1 data-sized (part,supp) agg + 2 key-sized (min + join-back)
+        "arrow_doc_stats": 1,  # spread only -- pyarrow kernels are map-side
+        "udtf_token_runs": 0,  # LATERAL expansion is map-side (BatchEvalPythonUDTF)
+        "j_lateral_topk": 1,  # decorrelated: one window shuffle; customer broadcast
+        "scalar_variant_extract": 1,  # parse_json/variant_get map-side + one agg
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
