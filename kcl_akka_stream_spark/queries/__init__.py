@@ -115,6 +115,8 @@ _PRIORITY = [
     "udtf_token_runs",
     "j_lateral_topk",
     "scalar_variant_extract",
+    "stream_left_outer_join",
+    "stream_cdc_upsert",
 ]
 
 

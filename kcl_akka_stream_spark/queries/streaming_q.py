@@ -728,3 +728,151 @@ def stream_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@query(
+    "stream_left_outer_join",
+    # Unmatched errors null-flush only once the join watermark passes
+    # their last possible match time: err_ts < min(side maxima) - delay.
+    # The oracle encodes exactly that policy, so a flush regression
+    # (rows held forever, or flushed early) turns the gate red.
+    """
+    WITH errs AS (SELECT event_id AS err_id, user_id, ts AS err_ts
+                  FROM events WHERE event_type = 'error'),
+    clicks AS (SELECT user_id AS cu, ts AS clk_ts
+               FROM events WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'error'),
+                        (SELECT max(ts) FROM events WHERE event_type = 'click'))
+                  - INTERVAL 61 MINUTE AS w),
+    j AS (SELECT e.err_id, e.err_ts, c.clk_ts FROM errs e LEFT JOIN clicks c
+          ON e.user_id = c.cu
+         AND c.clk_ts BETWEEN e.err_ts - INTERVAL 10 MINUTE AND e.err_ts)
+    SELECT err_id, CAST(count(clk_ts) AS BIGINT) AS n_clicks_before
+    FROM j, wm GROUP BY err_id, wm.w
+    HAVING count(clk_ts) > 0 OR min(err_ts) < wm.w
+    """,
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.9 -- watermarked LEFT OUTER stream-stream join: errors with no
+    # click in the preceding 10 minutes must still emit (null-padded) --
+    # but only after the watermark proves no match can still arrive.
+    # Matched rows emit eagerly like the inner join; unmatched rows are
+    # held in state until the join watermark (min over both sides of
+    # max event time - 61 min) passes their last possible match time,
+    # then flush in Spark's no-data micro-batch.  Errors NEWER than the
+    # final watermark stay in state forever on a drained stream -- the
+    # oracle models precisely this boundary, which is the part of outer
+    # stream-joins that surprises every production user.
+    from kcl_akka_stream_spark.sources.batch import stream_events
+
+    name = f"stream_loj_{uuid.uuid4().hex[:8]}"
+    errs = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("err_user"),
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "61 minutes")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("clk_user"), F.col("ts").alias("clk_ts"))
+        .withWatermark("clk_ts", "61 minutes")
+    )
+    joined = errs.join(
+        clicks,
+        (F.col("err_user") == F.col("clk_user"))
+        & (F.col("clk_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("clk_ts") <= F.col("err_ts")),
+        "left_outer",
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("err_id")
+        .agg(F.count("clk_ts").alias("n_clicks_before"))
+    )
+
+
+@query(
+    "stream_cdc_upsert",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM r WHERE rn = 1
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The CDC-apply / keyed-upsert pattern: a changelog stream folds into
+    # a keyed state table via foreachBatch -- per batch, take the batch's
+    # latest row per key (max of the UNIQUE (ts, event_id) struct --
+    # duplicate-ts max_by would be fold-order-nondeterministic), merge
+    # with the prior state, and write a NEW state version (write-
+    # before-swap, the C4 commit discipline; Delta's MERGE INTO is the
+    # managed form of this loop).  Two micro-batches with interleaved
+    # keys force genuine cross-batch upserts; the merge is an argmax, so
+    # the final state is batch-split-independent -- which is what the
+    # whole-table oracle verifies.  State is one row per key, never the
+    # changelog.
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    src = tempfile.mkdtemp(prefix="kcl_cdc_src_")
+    state_root = tempfile.mkdtemp(prefix="kcl_cdc_state_")
+    last_state: list[str] = []
+    try:
+        ev.repartition(2).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def upsert(batch_df, epoch_id):
+            latest = batch_df.groupBy("user_id").agg(
+                F.max(F.struct("ts", "event_id", "event_type")).alias("s")
+            )
+            cur = latest.select("user_id", "s.ts", "s.event_id", "s.event_type")
+            if last_state:
+                prev = batch_df.sparkSession.read.parquet(last_state[-1])
+                cur = (
+                    cur.unionByName(prev)
+                    .groupBy("user_id")
+                    .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("s"))
+                    .select("user_id", "s.ts", "s.event_id", "s.event_type")
+                )
+            out = os.path.join(state_root, f"v{int(epoch_id)}")
+            cur.write.mode("overwrite").parquet(out)
+            last_state.append(out)
+
+        q = stream.writeStream.foreachBatch(upsert).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        state = spark.read.parquet(last_state[-1])
+        rows = state.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "user_id long, last_event_id long, last_event_type string, last_ts string",
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
