@@ -261,3 +261,52 @@ def tfidf_topk(
             (F.col("score_micro").cast("double") / F.lit(1e6)).alias("tfidf"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", broadcast_vocab: bool = True
+) -> DataFrame:
+    """Per-document unigram language-model score -- the KenLM-style
+    fluency gate of LLM data pipelines (CCNet/RedPajama filter by LM
+    perplexity; a corpus-fit unigram model is its distributable core).
+
+    Fits the LM on the corpus itself in the same pass: token counts over
+    the whole corpus -> P(t) = n_t / N, then each document scores
+    avg_nll = -(1/len) * sum ln P(t_i).  Lower = more typical of the
+    corpus; gibberish and boilerplate outliers rank high.
+
+    Cross-engine exactness (the tfidf_topk convention): per-token
+    ln-probabilities are frozen to integer MICRO-nats
+    (round(ln(n_t/N) * 1e6)) before summing, and the per-doc average is
+    integer division of the (positive) negated sum -- so partial-agg
+    order cannot move a result and the oracle matches bit-for-bit.
+
+    Plan: explode -> (term) count agg (vocab-sized output, broadcast
+    back by default -- pass broadcast_vocab=False for open-domain
+    vocabularies too large for executor memory) -> per-doc sum agg.
+    Two data-sized shuffles, like tfidf_topk.
+    """
+    toks = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    lp_micro = F.round(
+        F.log(F.col("n_t").cast("double") / F.col("n_total").cast("double")) * 1e6,
+        0,
+    ).cast("long")
+    return (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp_micro.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lp").alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(-sum_lp) div n_tokens").alias("avg_nll_micro"),
+        )
+    )

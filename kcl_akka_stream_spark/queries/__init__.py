@@ -117,6 +117,9 @@ _PRIORITY = [
     "scalar_variant_extract",
     "stream_left_outer_join",
     "stream_cdc_upsert",
+    "text_unigram_logprob",
+    "pipeline_bpe_top_pairs",
+    "graph_pagerank_topk",
 ]
 
 

@@ -2827,3 +2827,122 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closure-shipped.
     emb = tbl(spark, sf_dir, "embeddings")
     return S.random_sign_projection(emb, out_dims=4)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 fifth wave: unigram-LM fluency scoring, BPE training statistics,
+# and PageRank -- the remaining LLM-pipeline primitives.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOK}')) AS term
+      FROM documents),
+    vocab AS (SELECT term, count(*) AS n_t FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    lp AS (
+      SELECT doc_id,
+             CAST(round(ln(CAST(n_t AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e6,
+                        0) AS BIGINT) AS lp
+      FROM toks JOIN vocab USING (term), tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_nll_micro
+    FROM lp GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KenLM-style fluency gate, distributable core: fit a unigram LM on
+    # the corpus in-pass, score each doc by average negative log prob in
+    # integer micro-nats (operators/text.py::unigram_logprob).  The
+    # per-token ln is frozen to micro-units BEFORE the per-doc sum, so
+    # cross-engine hashing is exact.
+    return X.unigram_logprob(tbl(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipeline_bpe_top_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOK}')) AS tok,
+             unnest(generate_series(1, len(regexp_extract_all(lower(text),
+                                                              '{TOK}')))) AS i
+      FROM documents),
+    p AS (
+      SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i)
+               AS pair
+      FROM toks)
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM p WHERE pair IS NOT NULL
+    GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def pipeline_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The BPE tokenizer-training statistics step (Sennrich 2016): corpus
+    # adjacent-pair frequencies, top-20 with ties on the pair.  The
+    # Spark form zips each token array with its own tail (one pass, no
+    # posexplode self-join); one combinable count shuffle + TakeOrdered
+    # head.  The merge-APPLY step is greedy-sequential and lives in
+    # operators/tokenizer.py::bpe_merge_step (property-tested against a
+    # python replication; no relational form exists for the oracle).
+    from kcl_akka_stream_spark.operators.tokenizer import pair_counts
+
+    return pair_counts(tbl(spark, sf_dir, "documents"), k=20)
+
+
+@query(
+    "graph_pagerank_topk",
+    """
+    WITH p AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst, w FROM p
+          UNION ALL SELECT dst AS src, src AS dst, w FROM p),
+    deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+    i1 AS (SELECT e.dst AS node,
+                  150000 + (85 * sum((r.r * e.w) // d.deg)) // 100 AS r
+           FROM e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node = e.src
+           GROUP BY e.dst),
+    i2 AS (SELECT e.dst AS node,
+                  150000 + (85 * sum((r.r * e.w) // d.deg)) // 100 AS r
+           FROM e JOIN deg d ON d.src = e.src JOIN i1 r ON r.node = e.src
+           GROUP BY e.dst),
+    i3 AS (SELECT e.dst AS node,
+                  150000 + (85 * sum((r.r * e.w) // d.deg)) // 100 AS r
+           FROM e JOIN deg d ON d.src = e.src JOIN i2 r ON r.node = e.src
+           GROUP BY e.dst)
+    SELECT node, CAST(r AS BIGINT) AS rank_micro
+    FROM i3 ORDER BY r DESC, node LIMIT 20
+    """,
+)
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Damped PageRank (3 iterations, integer micro-unit arithmetic) over
+    # the customer<->supplier co-purchase graph, symmetrized so every
+    # node has out-edges (operators/graph.py docstring).  The edge list
+    # is cached across iterations; ranks stay node-sized; the oracle
+    # unrolls the same three iterations in SQL and matches bit-for-bit
+    # because every step is integer math.  Top-20 by rank, ties on node.
+    from kcl_akka_stream_spark.operators.graph import pagerank
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).cache()
+    ranks = pagerank(edges, iterations=3)
+    return ranks.orderBy(F.col("rank_micro").desc(), "node").limit(20)

@@ -127,6 +127,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "udtf_token_runs": 0,  # LATERAL expansion is map-side (BatchEvalPythonUDTF)
         "j_lateral_topk": 1,  # decorrelated: one window shuffle; customer broadcast
         "scalar_variant_extract": 1,  # parse_json/variant_get map-side + one agg
+        "text_unigram_logprob": 3,  # term agg (vocab broadcast back) + single-row N + doc agg
+        "pipeline_bpe_top_pairs": 1,  # zip-with-tail is map-only; one pair-count shuffle
+        "graph_pagerank_topk": 12,  # 1 data-sized edge build; the rest node-sized (3 iters x join+agg)
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -586,3 +586,36 @@ def test_chunking_matches_python_reference(spark, text):
         for r in chunk_documents(df, window=W, stride=S).collect()
     )
     assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "ab", "c"]), max_size=12),
+        min_size=1,
+        max_size=4,
+    ),
+    st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("ab", "c")]),
+)
+@settings(max_examples=15, deadline=None)
+def test_bpe_merge_kernel_matches_python_reference(spark, docs, pair):
+    # The greedy leftmost-first non-overlapping merge through the Arrow
+    # kernel must equal the pure-python replication on arbitrary token
+    # streams -- including the overlap case ("a a a" under (a,a) ->
+    # ["a_a", "a"]) that a regex replace would get wrong.
+    from kcl_akka_stream_spark.operators.tokenizer import (
+        bpe_merge_step,
+        merge_pair_python,
+    )
+
+    left, right = pair
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.merged)
+        for r in bpe_merge_step(df, left, right).collect()
+    }
+    # the operator tokenizes with TOKEN_PATTERN over lowercased text:
+    # our inputs are already lowercase single tokens, so the reference
+    # tokenization is the list itself
+    want = {i: merge_pair_python(toks, left, right) for i, toks in enumerate(docs)}
+    assert got == want
