@@ -120,6 +120,9 @@ _PRIORITY = [
     "text_unigram_logprob",
     "pipeline_bpe_top_pairs",
     "graph_pagerank_topk",
+    "w_rolling_range_frame",
+    "agg_outlier_zscore",
+    "sink_csv_roundtrip",
 ]
 
 

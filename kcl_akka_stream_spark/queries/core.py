@@ -2577,3 +2577,92 @@ def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("int").alias("max_k"),
         )
     )
+
+
+@query(
+    "w_rolling_range_frame",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(sum({_sql_cents('o_totalprice')}) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS trailing_30d
+    FROM orders
+    """,
+)
+def w_rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The RANGE window frame (value-based, not row-based): per customer,
+    # revenue over the trailing 30 DAYS of order dates -- rows-between
+    # frames cannot express this when order cadence is irregular.  Spark
+    # takes range bounds as numeric offsets, so the ordering key is epoch
+    # seconds and the frame is [-30d, 0] seconds; equal-date peers all
+    # enter the frame together (RANGE semantics) on both engines, which
+    # keeps duplicate order dates deterministic.  One window shuffle
+    # keyed by customer; the sum is integer cents.
+    from pyspark.sql import Window
+
+    o = tbl(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        (
+            F.sum(_cents(F.col("o_totalprice"))).over(w).cast("double")
+            / F.lit(100.0)
+        ).alias("trailing_30d"),
+    )
+
+
+@query(
+    "agg_outlier_zscore",
+    """
+    WITH c AS (
+      SELECT event_id, event_type, value,
+             CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DECIMAL(18,0)) AS v
+      FROM events),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DOUBLE) AS sv, CAST(sum(v * v) AS DOUBLE) AS svv
+      FROM c GROUP BY event_type)
+    SELECT event_id, c.event_type, value
+    FROM c JOIN s USING (event_type)
+    WHERE (CAST(n AS DOUBLE) * CAST(v AS DOUBLE) - sv)
+          * (CAST(n AS DOUBLE) * CAST(v AS DOUBLE) - sv)
+          > 9.0 * (CAST(n AS DOUBLE) * svv - sv * sv)
+    """,
+)
+def agg_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three-sigma outlier detection with EXACT moments (the agg_corr
+    # convention): per-type sums of integer cents accumulate as DECIMAL
+    # (order-independent), cast to double ONCE, and the z-score test is
+    # algebraically cleared of division and sqrt --
+    # (n*v - s)^2 > 9 * (n*q - s^2) -- so both engines evaluate the
+    # same IEEE comparison and the flagged set is bit-identical.  The
+    # built-in stddev would fold doubles in partition order: run-to-run
+    # boundary drift for points sitting near 3 sigma.  Plan: one
+    # combinable stats agg (5 rows out), broadcast back to the scan.
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        _cents(F.col("value")).cast("decimal(18,0)").alias("v"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("double").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    d = nd * F.col("v").cast("double") - F.col("sv")
+    return (
+        c.join(F.broadcast(s), "event_type")
+        .filter(d * d > F.lit(9.0) * (nd * F.col("svv") - F.col("sv") * F.col("sv")))
+        .select("event_id", "event_type", "value")
+    )

@@ -2946,3 +2946,53 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     ranks = pagerank(edges, iterations=3)
     return ranks.orderBy(F.col("rank_micro").desc(), "node").limit(20)
+
+
+@query(
+    "sink_csv_roundtrip",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+    FROM documents GROUP BY lang
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CSV export/ingest roundtrip, twin of sink_jsonl_roundtrip: gzip CSV
+    # with header and full quoting/escaping enabled, read back with an
+    # EXPLICIT schema (inference = a full extra pass at 100 TB, and it
+    # guesses types), fingerprinted per language with post-roundtrip text
+    # digests.  CSV is the format where quoting bugs actually corrupt
+    # data (embedded delimiters/quotes/newlines); the digest comparison
+    # against the parquet-reading oracle IS the fidelity check.
+    import shutil
+    import tempfile
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="kcl_csv_sink_")
+    try:
+        (
+            docs.write.mode("overwrite")
+            .option("compression", "gzip")
+            .option("header", "true")
+            .option("quoteAll", "true")
+            .option("escape", '"')
+            .csv(out)
+        )
+        back = (
+            spark.read.schema(docs.schema)
+            .option("header", "true")
+            .option("escape", '"')
+            .csv(out)
+        )
+        agg = back.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_texts"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -130,6 +130,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "text_unigram_logprob": 3,  # term agg (vocab broadcast back) + single-row N + doc agg
         "pipeline_bpe_top_pairs": 1,  # zip-with-tail is map-only; one pair-count shuffle
         "graph_pagerank_topk": 12,  # 1 data-sized edge build; the rest node-sized (3 iters x join+agg)
+        "w_rolling_range_frame": 1,  # one window shuffle keyed by customer
+        "agg_outlier_zscore": 1,  # stats agg (5 rows) broadcast back; scan-side filter
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

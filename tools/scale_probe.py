@@ -290,6 +290,65 @@ def main() -> None:
     tn = timed_action(lambda: zorder(docs_n))
     print(f"{'sink_zorder_write':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
+    # --- round-6 wave: LM scoring / BPE stats / extension seams / graph ---
+    from kcl_akka_stream_spark.functions.udtfs import register_udtfs
+    from kcl_akka_stream_spark.operators.arrow_ops import doc_stats_arrow
+    from kcl_akka_stream_spark.operators.graph import pagerank
+    from kcl_akka_stream_spark.operators.tokenizer import pair_counts
+
+    register_udtfs(spark)
+
+    def unigram(d: DataFrame) -> DataFrame:
+        return X.unigram_logprob(d)
+
+    def bpe_pairs(d: DataFrame) -> DataFrame:
+        return pair_counts(d, k=20)
+
+    def token_runs(d: DataFrame) -> DataFrame:
+        d.createOrReplaceTempView("probe_docs_runs")
+        return spark.sql(
+            "SELECT doc_id, r.run_idx, r.token, r.run_len "
+            "FROM probe_docs_runs, LATERAL token_runs(text) r"
+        )
+
+    for name, op, frames in (
+        ("text_unigram_lp", unigram, (docs1, docs_n)),
+        ("bpe_pair_counts", bpe_pairs, (docs1, docs_n)),
+        ("udtf_token_runs", token_runs, (docs1, docs_n)),
+        ("arrow_doc_stats", doc_stats_arrow, (docs1, docs_n)),
+    ):
+        t1 = timed(lambda: op(frames[0]))
+        tn = timed(lambda: op(frames[1]))
+        print(f"{name:22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # PageRank: scale the GRAPH (nodes and edges together) by replicating
+    # the doc->source bipartite relation under id offsets -- each replica
+    # is a disjoint component, so ranks stay comparable while edge count
+    # grows by the factor.
+    def doc_edges(d: DataFrame) -> DataFrame:
+        p = d.select(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+            F.concat(
+                F.lit("s"), ((F.col("doc_id") % 37) + (F.col("doc_id") / 10000).cast("long") * 37).cast("string")
+            ).alias("dst"),
+            F.lit(1).cast("long").alias("w"),
+        )
+        return p.unionByName(
+            p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+
+    def pr(d: DataFrame) -> DataFrame:
+        e = doc_edges(d).cache()
+        try:
+            return pagerank(e, iterations=3)
+        finally:
+            pass
+
+    t1 = timed(lambda: pr(docs1))
+    tn = timed(lambda: pr(docs_n))
+    print(f"{'graph_pagerank_3it':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+
 
 if __name__ == "__main__":
     main()
