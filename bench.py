@@ -100,6 +100,12 @@ HEADLINE = [
     "q21_suppliers_kept_waiting",
     "q15_top_supplier",
     "q11_important_supplier_value",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q20_excess_inventory_suppliers",
     # keyword extraction + multi-dim layout + ops tooling (round-6 additions)
     "pipeline_tfidf_topk",
     "sink_zorder_roundtrip",
@@ -108,6 +114,17 @@ HEADLINE = [
     "agg_approx_quantile_report",
     # end-to-end curation composite
     "pipeline_export_manifest",
+    # LM scoring, tokenizer training, graph, outliers (round-6 wave 5)
+    "text_unigram_logprob",
+    "pipeline_bpe_top_pairs",
+    "graph_pagerank_topk",
+    "agg_outlier_zscore",
+    "w_rolling_range_frame",
+    # extension seams
+    "arrow_doc_stats",
+    "udtf_token_runs",
+    "j_lateral_topk",
+    "scalar_variant_extract",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -2996,3 +2996,78 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _leakage_split_oracle() -> str:
+    mh = _minhash_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT * FROM ({mh})
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    clusters AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    g AS (
+      SELECT doc_id, cluster_id,
+             CAST(('0x' || substring(md5('lsplit1|' || CAST(cluster_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) AS h
+      FROM clusters),
+    s AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN h * 10 < 4294967296 * 8 THEN 'train'
+                  WHEN h * 10 < 4294967296 * 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM g)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM s GROUP BY split
+    """
+
+
+@query("pipeline_split_leakage_safe", _leakage_split_oracle())
+def pipeline_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage-safe train/val/test split: the assignment hashes the
+    # near-dup CLUSTER id, not the document id -- so a document and its
+    # near-duplicates land in the same split BY CONSTRUCTION (per-doc
+    # hashing puts ~19% of each multi-doc duplicate cluster's mass in
+    # eval: the contamination the decontaminate query hunts, reintroduced
+    # by the splitter itself).  Composition: minhash LSH candidates ->
+    # connected components -> md5(cluster_id) against the same
+    # integer-exact 80/10/10 thresholds as pipeline_train_val_split.
+    # The per-split (n_docs, n_clusters) pair is the audit: n_docs >
+    # n_clusters in a split proves multi-doc clusters travel whole.
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    pairs = D.minhash_candidate_pairs(buckets)
+    clusters = D.connected_components(pairs, docs.select("doc_id"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("lsplit1|"), F.col("cluster_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(h * 10 < F.lit(4294967296) * 8, "train")
+        .when(h * 10 < F.lit(4294967296) * 9, "val")
+        .otherwise("test")
+    )
+    return (
+        clusters.select("doc_id", "cluster_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+    )
