@@ -28,24 +28,32 @@ BASE = 150_000  # (1 - d) * SCALE with d = 0.85
 def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """Damped PageRank over a weighted directed edge list (src, dst, w).
 
+    EAGER: calling this runs the iterations immediately (it materializes
+    the final ranks so the data-sized edge cache can be released before
+    returning); the returned DataFrame is a small cached node-sized
+    relation, not a lazy plan.
+
     Every node reachable as a destination must also appear as a source
     (no dangling redistribution is performed) -- bipartite co-occurrence
     graphs symmetrized as (a->b, b->a) satisfy this by construction.
     Returns (node, rank_micro) for every node.
 
-    Scale: edges is the data-sized relation -- it is joined ``iterations``
-    times, so callers should ``.cache()`` it (the query layer does);
-    ranks and degrees are node-sized.  Each iteration costs one join
-    (rank attach, node-sized build side) + one dst-keyed agg shuffle.
+    Scale: edges is the data-sized relation.  The degree column is
+    attached ONCE and the (src, dst, w, deg) relation is cached already
+    HASH-PARTITIONED BY src -- each iteration's rank-attach join reuses
+    that partitioning and shuffles only the node-sized ranks, never the
+    edges (without the pre-partition, every iteration re-exchanges the
+    full edge relation into its sort-merge join: 3 extra data-sized
+    shuffles for 3 iterations).  Per-iteration cost: one node-sized
+    ranks exchange + one dst-keyed agg shuffle.
     """
     edges = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
     deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+    ew = edges.join(deg, "src").repartition("src").cache()
     ranks = deg.select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("r"))
     for _ in range(iterations):
-        contrib = (
-            edges.join(deg, "src")
-            .join(ranks, edges.src == F.col("node"))
-            .select("dst", F.expr("(r * w) div deg").alias("c"))
+        contrib = ew.join(ranks, ew.src == F.col("node")).select(
+            "dst", F.expr("(r * w) div deg").alias("c")
         )
         ranks = (
             contrib.groupBy("dst")
@@ -55,4 +63,11 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
                 (F.lit(BASE) + F.expr("(85 * inflow) div 100")).alias("r"),
             )
         )
-    return ranks.select("node", F.col("r").alias("rank_micro"))
+    # Materialize the final node-sized ranks eagerly so the DATA-sized
+    # edge cache can be released before returning -- otherwise every
+    # call leaks a cached copy of the edge relation until LRU eviction
+    # (only the small per-call ranks cache remains resident).
+    out = ranks.select("node", F.col("r").alias("rank_micro")).cache()
+    out.count()
+    ew.unpersist()
+    return out

