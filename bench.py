@@ -149,6 +149,9 @@ def main() -> None:
     # Cold pass: first execution of each query in this JVM, timed.
     cold: dict[str, float] = {}
     for name in HEADLINE:
+        # drop cached relations left by earlier queries (some operators
+        # cache eagerly) so each query is timed against its own working set
+        spark.catalog.clearCache()
         t0 = time.time()
         _noop_write(QUERIES[name](spark, sf_dir))
         cold[name] = round(time.time() - t0, 3)
@@ -162,7 +165,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         # nudge GC between queries so accumulated garbage from earlier plans
-        # is not collected inside someone else's timed section
+        # is not collected inside someone else's timed section, and drop
+        # cached relations so no query's timed runs fight earlier queries'
+        # resident blocks for storage memory (within-query cache reuse
+        # across the warmup + 3 timed runs is preserved)
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         _noop_write(fn(spark, sf_dir))
         times = []

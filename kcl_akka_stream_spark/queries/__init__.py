@@ -124,6 +124,9 @@ _PRIORITY = [
     "agg_outlier_zscore",
     "sink_csv_roundtrip",
     "pipeline_split_leakage_safe",
+    "agg_unpivot_brand_metrics",
+    "u_except_all",
+    "u_intersect_all",
 ]
 
 

@@ -467,6 +467,45 @@ def u_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersect(o)
 
 
+@query(
+    "u_except_all",
+    "SELECT o_custkey AS custkey FROM orders"
+    " EXCEPT ALL"
+    " SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+)
+def u_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multiset difference (dedup-free EXCEPT): each custkey keeps
+    # max(m_left - m_right, 0) occurrences.  Physically one count-per-key
+    # agg on each side + a key-joined replication -- no row-level
+    # pairing, so it scales like a groupBy, not like a join explosion.
+    o = tbl(spark, sf_dir, "orders")
+    left = o.select(F.col("o_custkey").alias("custkey"))
+    right = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.exceptAll(right)
+
+
+@query(
+    "u_intersect_all",
+    "SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'"
+    " INTERSECT ALL"
+    " SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+)
+def u_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multiset intersection: min(m_left, m_right) occurrences per key --
+    # the "customers active in BOTH order states, counted with
+    # multiplicity" question EXCEPT/INTERSECT (distinct) cannot answer.
+    o = tbl(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.intersectAll(right)
+
+
 # ---------------------------------------------------------------------------
 # Joins (SURVEY §2.6 -- absent in reference, required by the star schema)
 # ---------------------------------------------------------------------------
@@ -1378,6 +1417,42 @@ def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
             for t in _EVENT_TYPES
         ],
+    )
+
+
+@query(
+    "agg_unpivot_brand_metrics",
+    """
+    WITH wide AS (
+      SELECT p_brand,
+             CAST(count(*) AS DOUBLE) AS n_parts,
+             CAST(sum(p_size) AS DOUBLE) / count(*) AS avg_size,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_price
+      FROM part GROUP BY p_brand)
+    SELECT p_brand, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (n_parts, avg_size, avg_price))
+    """,
+)
+def agg_unpivot_brand_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The unpivot/melt (wide->long) reshape, the inverse of
+    # agg_pivot_event_types: per-brand metric columns become
+    # (metric, value) rows via ``DataFrame.unpivot`` -- a map-side Expand,
+    # NOT a shuffle; the single exchange is the brand agg feeding it.
+    # Cross-engine exactness: counts and int sums are exact in double;
+    # each avg is ONE IEEE division; the money sum folds in DECIMAL(18,2)
+    # first (partial-agg-order independent) per the module convention.
+    p = tbl(spark, sf_dir, "part")
+    wide = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n_parts"),
+        (F.sum("p_size").cast("double") / F.count(F.lit(1))).alias("avg_size"),
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["p_brand"], ["n_parts", "avg_size", "avg_price"], "metric", "value"
     )
 
 

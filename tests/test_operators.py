@@ -148,3 +148,27 @@ def test_lateral_topk_decorrelates(spark, sf_dir):
     plan = physical_plan(df)
     assert "WindowGroupLimit" in plan
     assert not has_cartesian_product(df)
+
+
+def test_multiset_except_intersect_all(spark):
+    # exceptAll keeps max(m_l - m_r, 0) copies; intersectAll keeps
+    # min(m_l, m_r) -- the duplicate-preserving semantics EXCEPT and
+    # INTERSECT (distinct) erase.  Spark implements both as a count
+    # agg + replicate, NOT a row-pairing join -- scale is groupBy-like.
+    l = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,)], "k long")
+    r = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    exc = sorted(x.k for x in l.exceptAll(r).collect())
+    assert exc == [1, 1, 3]
+    inter = sorted(x.k for x in l.intersectAll(r).collect())
+    assert inter == [1, 2]
+
+
+def test_unpivot_is_map_side_expand(spark, sf_dir):
+    # wide->long must be an Expand over the agg output, never a shuffle
+    # of its own: exactly the one exchange feeding the brand agg.
+    from kcl_akka_stream_spark.plans.hygiene import count_exchanges, physical_plan
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    df = QUERIES["agg_unpivot_brand_metrics"](spark, sf_dir)
+    assert "Expand" in physical_plan(df)
+    assert count_exchanges(df) <= 1

@@ -136,6 +136,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "graph_pagerank_topk": 25,
         "w_rolling_range_frame": 1,  # one window shuffle keyed by customer
         "agg_outlier_zscore": 1,  # stats agg (5 rows) broadcast back; scan-side filter
+        "agg_unpivot_brand_metrics": 1,  # brand agg; the unpivot is a map-side Expand
+        "u_except_all": 1,  # count-agg + replicate, not a row-pairing join
+        "u_intersect_all": 1,  # same multiset count-agg shape
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
