@@ -127,6 +127,8 @@ _PRIORITY = [
     "agg_unpivot_brand_metrics",
     "u_except_all",
     "u_intersect_all",
+    "source_python_datasource",
+    "stream_python_datasource",
 ]
 
 

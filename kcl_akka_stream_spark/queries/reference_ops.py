@@ -148,3 +148,38 @@ def envelope_seq_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("shard").orderBy(*seq_order_key("sequenceNumber"), F.col("subSequenceNumber"))
     return ev.select("shard", "event_id", F.row_number().over(w).alias("rn"))
+
+
+_ENVELOPE_SIM_ORACLE = """
+    WITH shards AS (SELECT s FROM generate_series(0, 7) t(s)),
+    seqs AS (SELECT i FROM generate_series(1, 250) t(i))
+    SELECT 'shardId-' || lpad(CAST(s AS VARCHAR), 12, '0') AS shard_id,
+           CAST(i AS BIGINT) AS sequence_number,
+           md5('pk-' || s || '-' || i) AS partition_key,
+           'msg-' || s || '-' || i AS data,
+           strftime(TIMESTAMP '2026-01-01 00:00:00' + i * INTERVAL 1 SECOND,
+                    '%Y-%m-%d %H:%M:%S') AS arrival_s
+    FROM shards, seqs
+"""
+
+
+@query("source_python_datasource", _ENVELOPE_SIM_ORACLE)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S1 via the Spark 4 Python Data Source API: the connector seam the
+    # env-gated Kinesis jar blocks, implemented for real as a pure-Python
+    # DataSource (sources/python_source.py) emitting the reference's
+    # record shape (KinesisRecord.scala:12-19) with one InputPartition per
+    # shard (S5's shard->sub-source mapping).  Deterministic generation ->
+    # the oracle reproduces every row, making this the first
+    # connector-family entry the gate hash-checks end-to-end.
+    from kcl_akka_stream_spark.sources.python_source import register
+
+    register(spark)
+    df = spark.read.format("envelope_sim").load()
+    return df.select(
+        "shard_id",
+        "sequence_number",
+        "partition_key",
+        "data",
+        F.date_format("arrival_ts", "yyyy-MM-dd HH:mm:ss").alias("arrival_s"),
+    )

@@ -876,3 +876,49 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
+
+
+@query(
+    "stream_python_datasource",
+    """
+    WITH shards AS (SELECT s FROM generate_series(0, 7) t(s))
+    SELECT 'shardId-' || lpad(CAST(s AS VARCHAR), 12, '0') AS shard_id,
+           CAST(250 AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS min_seq,
+           CAST(250 AS BIGINT) AS max_seq,
+           CAST(250 * 251 / 2 AS BIGINT) AS sum_seq
+    FROM shards
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S1/S5 streaming protocol end-to-end: readStream over the pure-Python
+    # DataSource (sources/python_source.py) -- initialOffset/latestOffset/
+    # partitions/read/commit with JSON-checkpointable offsets, paced at 100
+    # seqs per trigger so the 250-seq fixture drains over THREE micro-batches
+    # (the multi-batch path is what distinguishes this from a batch read).
+    # Complete-mode per-shard totals prove no seq was dropped or doubled at
+    # the batch boundaries.
+    from kcl_akka_stream_spark.sources.python_source import register
+
+    register(spark)
+    name = f"stream_pyds_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("envelope_sim")
+        .option("seqs_per_batch", "100")
+        .load()
+    )
+    agg = stream.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("sequence_number").alias("min_seq"),
+        F.max("sequence_number").alias("max_seq"),
+        # streaming forbids distinct aggs; the sum of 1..N is the stronger
+        # invariant anyway -- any dropped or doubled seq at a batch
+        # boundary shifts it
+        F.sum("sequence_number").alias("sum_seq"),
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,152 @@
+"""Python Data Source (Spark 4 ``pyspark.sql.datasource``): a deterministic
+sharded-envelope source standing in for the live Kinesis reader.
+
+The reference library IS a source connector -- its record type
+(src/main/scala/com/contxt/kinesis/KinesisRecord.scala:12-19: data,
+partitionKey, sequenceNumber, approximateArrivalTimestamp, shard identity
+via the per-shard sub-source, KinesisSource.scala) is what this source
+emits, and its per-shard sub-stream model (one ordered sequence per shard,
+S5) is what the partitioning reproduces: **one InputPartition per shard**,
+so reader parallelism equals shard count exactly like the real connector's
+shard->task mapping, and rows within a shard arrive in sequence order.
+The live-jar path (sources/kinesis.py) stays env-gated; this module is the
+same seam implemented with the pure-Python connector API, so the streaming
+source PROTOCOL (initialOffset / latestOffset / partitions / read / commit,
+JSON-checkpointable offsets) is exercised for real without AWS.
+
+Generation is a pure function of (shard, seq) -- partition keys are md5
+digests both engines compute identically -- so a DuckDB ``generate_series``
+oracle reproduces every row bit-for-bit: the one connector family the gate
+could not previously hash-check end-to-end.
+
+Scale posture: rows are generated executor-side inside ``read`` (the driver
+ships only (shard, seq-range) descriptors); a real deployment would swap the
+generator body for KCL fetches while keeping the partition/offset protocol
+unchanged.  Throughput of THIS simulator is Python-bound -- it exists for
+protocol correctness, not for data-plane benchmarks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
+
+SCHEMA = (
+    "shard_id string, sequence_number bigint, partition_key string, "
+    "data string, arrival_ts timestamp"
+)
+
+
+def _shard_id(s: int) -> str:
+    return f"shardId-{s:012d}"
+
+
+def _row(shard: int, seq: int):
+    pk = hashlib.md5(f"pk-{shard}-{seq}".encode()).hexdigest()
+    return (
+        _shard_id(shard),
+        seq,
+        pk,
+        f"msg-{shard}-{seq}",
+        BASE_TS + timedelta(seconds=seq),
+    )
+
+
+class _ShardRange(InputPartition):
+    def __init__(self, shard: int, start: int, end: int):
+        self.shard = shard
+        self.start = start  # exclusive
+        self.end = end  # inclusive
+
+
+def _opts(options) -> tuple[int, int, int]:
+    n_shards = int(options.get("n_shards", "8"))
+    per_shard = int(options.get("records_per_shard", "250"))
+    step = int(options.get("seqs_per_batch", "100"))
+    return n_shards, per_shard, step
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options):
+        self._n_shards, self._per_shard, _ = _opts(options)
+
+    def partitions(self):
+        return [_ShardRange(s, 0, self._per_shard) for s in range(self._n_shards)]
+
+    def read(self, partition: _ShardRange):
+        for seq in range(partition.start + 1, partition.end + 1):
+            yield _row(partition.shard, seq)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Micro-batch protocol over the same generator: the offset is the
+    per-source sequence frontier ``{"seq": n}`` (every shard advances in
+    lockstep, mirroring how the reference checkpoints a sequence number per
+    shard, ShardCheckpointTracker).  Each trigger advances by
+    ``seqs_per_batch``, so a full drain takes ceil(per_shard/step)
+    micro-batches -- a multi-batch, checkpointable, bounded stream."""
+
+    def __init__(self, options):
+        self._n_shards, self._per_shard, self._step = _opts(options)
+        self._current = 0
+
+    def initialOffset(self):
+        return {"seq": 0}
+
+    def latestOffset(self):
+        # Pacing lives HERE, not in partitions(): the offset Spark records
+        # in the checkpoint is exactly what latestOffset returned, so
+        # clamping the range later would silently skip the tail between the
+        # clamp and the recorded end.  The driver-side reader instance
+        # advances its own frontier by `step` per trigger (the same pattern
+        # as maxRecordsPerFetch pacing in the real connector).  After a
+        # restart mid-stream the frontier re-advances from 0 and emits no
+        # batch until it passes the checkpointed offset -- self-healing,
+        # never skipping.
+        self._current = min(self._current + self._step, self._per_shard)
+        return {"seq": self._current}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["seq"]), int(end["seq"])
+        return [_ShardRange(s, lo, hi) for s in range(self._n_shards)]
+
+    def read(self, partition: _ShardRange):
+        for seq in range(partition.start + 1, partition.end + 1):
+            yield _row(partition.shard, seq)
+
+    def commit(self, end):
+        pass
+
+
+class EnvelopeSimDataSource(DataSource):
+    """``spark.read.format("envelope_sim")`` / ``spark.readStream.format(...)``.
+
+    Options: ``n_shards`` (default 8), ``records_per_shard`` (default 250),
+    ``seqs_per_batch`` (streaming pace, default 100).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "envelope_sim"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema):
+        return _BatchReader(self.options)
+
+    def streamReader(self, schema):
+        return _StreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(EnvelopeSimDataSource)
