@@ -6,6 +6,12 @@ deployment with the connector jar on the classpath works unchanged, and
 tests can assert the option mapping (the reference's worker-factory
 injection seam, KinesisSource.scala:63-68, re-expressed as a format
 parameter).
+
+For the full source PROTOCOL without the jar, see
+``sources/python_source.py``: a pure-Python Data Source (Spark 4 API)
+implementing the paced micro-batch offset contract end-to-end with the
+same per-shard partitioning -- the gate verifies it row-for-row
+(source_python_datasource / stream_python_datasource).
 """
 
 from __future__ import annotations

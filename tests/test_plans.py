@@ -309,3 +309,49 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cbo_stats_reorder_join(spark, sf_dir):
+    # The stats-driven planning layer a 100 TB warehouse runs on: ANALYZE
+    # TABLE column statistics + spark.sql.cbo.joinReorder let Catalyst
+    # rewrite a user-written (big JOIN big JOIN selective-dim) chain so
+    # the selective pair joins FIRST -- without stats the join tree is
+    # left-deep in user order and the big intermediate is materialized.
+    import re
+    import uuid
+
+    from kcl_akka_stream_spark.sources.batch import load_table
+
+    sfx = uuid.uuid4().hex[:8]
+    li, od, cu = f"cbo_li_{sfx}", f"cbo_ord_{sfx}", f"cbo_cust_{sfx}"
+    try:
+        load_table(spark, sf_dir, "lineitem").write.mode("overwrite").saveAsTable(li)
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(od)
+        load_table(spark, sf_dir, "customer").write.mode("overwrite").saveAsTable(cu)
+        for t in (li, od, cu):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        q = f"""
+        SELECT c_mktsegment, count(*) AS n
+        FROM {li} JOIN {od} ON l_orderkey = o_orderkey
+        JOIN {cu} ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_mktsegment
+        """
+        try:
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+            on = re.findall(r"cbo_\w+", spark.sql(q)._jdf.queryExecution().optimizedPlan().toString())
+            on_rows = spark.sql(q).collect()
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+            off = re.findall(r"cbo_\w+", spark.sql(q)._jdf.queryExecution().optimizedPlan().toString())
+            off_rows = spark.sql(q).collect()
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+            spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+        # user order is left-deep with lineitem first; CBO must push the
+        # data-sized lineitem to the LAST join position
+        assert off[0] == li and on[-1] == li, (on, off)
+        assert on_rows == off_rows and len(on_rows) == 1
+    finally:
+        for t in (li, od, cu):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

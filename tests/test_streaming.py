@@ -787,3 +787,54 @@ def test_watermark_drops_too_late_rows(spark, tmp_path):
     # anywhere, and the engine must account for exactly one dropped row.
     assert rows == {10: 3}, rows
     assert dropped == 1, dropped
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
+    # The 100 TB state posture: the default HDFS-backed store keeps every
+    # key on the JVM heap (executor-memory-bounded state); RocksDB spills
+    # to local disk and is the provider a large stateful deployment runs.
+    # Same watermarked window agg on both providers must produce identical
+    # results, and the RocksDB run must REALLY be RocksDB (its custom
+    # metrics appear in the progress).
+    from kcl_akka_stream_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="kcl_rocks_")
+    try:
+        ev.write.mode("overwrite").parquet(src)
+
+        def run(provider: str | None):
+            key = "spark.sql.streaming.stateStore.providerClass"
+            if provider:
+                spark.conf.set(key, provider)
+            else:
+                spark.conf.unset(key)
+            name = f"state_{uuid.uuid4().hex[:8]}"
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            agg = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.date_format("w.start", "yyyy-MM-dd HH").alias("h"), "event_type", "n")
+            )
+            q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+            try:
+                q.processAllAvailable()
+                prog = q.lastProgress
+            finally:
+                q.stop()
+            rows = {(r.h, r.event_type): r.n for r in spark.table(name).collect()}
+            return rows, prog
+
+        try:
+            default_rows, _ = run(None)
+            rocks_rows, prog = run(
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+            )
+        finally:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        assert rocks_rows == default_rows and len(rocks_rows) > 0
+        metrics = prog["stateOperators"][0]["customMetrics"]
+        assert any(k.startswith("rocksdb") for k in metrics)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
