@@ -1,6 +1,7 @@
 """Python Data Source connector seam (sources/python_source.py): the
 shard->partition mapping and the paced micro-batch offset protocol."""
 
+import time
 import uuid
 
 from pyspark.sql import functions as F
@@ -45,3 +46,54 @@ def test_stream_drains_in_paced_microbatches(spark):
     assert sizes == [200, 200, 100]
     rows = {r.shard_id: r.sum_seq for r in spark.table(name).collect()}
     assert rows == {f"shardId-{s:012d}": 250 * 251 // 2 for s in range(2)}
+
+
+def test_stream_restart_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    # Protocol evidence across a REAL restart: run 1 (Trigger.AvailableNow)
+    # snapshots the paced frontier once -- exactly the first `step` seqs per
+    # shard commit, then the query stops.  Run 2 reuses the checkpoint; the
+    # fresh reader's frontier re-advances from 0 and Spark forms batches
+    # only for (committed, latest] -- the remainder arrives exactly once:
+    # no seq is skipped at the restart boundary and none is doubled.
+    register(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def start(**trigger):
+        stream = (
+            spark.readStream.format("envelope_sim")
+            .option("n_shards", "2")
+            .option("records_per_shard", "250")
+            .option("seqs_per_batch", "100")
+            .load()
+        )
+        w = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+        )
+        return (w.trigger(**trigger) if trigger else w).start()
+
+    q1 = start(availableNow=True)
+    assert q1.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 200  # first 100 seqs x 2 shards
+
+    q2 = start()
+    try:
+        # processAllAvailable() can return at the first tick (the restarted
+        # frontier needs one tick per `step` to climb back past the
+        # checkpointed offset before new batches form) -- poll until the
+        # remainder lands
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q2.processAllAvailable()
+            if spark.read.parquet(out).count() >= 500:
+                break
+            time.sleep(1)
+    finally:
+        q2.stop()
+    df = spark.read.parquet(out)
+    assert df.count() == 500
+    assert df.select("shard_id", "sequence_number").distinct().count() == 500
+    total = df.agg(F.sum("sequence_number").alias("s")).collect()[0].s
+    assert total == 2 * (250 * 251 // 2)
