@@ -129,6 +129,7 @@ _PRIORITY = [
     "u_intersect_all",
     "source_python_datasource",
     "stream_python_datasource",
+    "sink_pyds_manifest_roundtrip",
 ]
 
 

@@ -3071,3 +3071,48 @@ def pipeline_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
         )
     )
+
+
+@query(
+    "sink_pyds_manifest_roundtrip",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS digest_mass
+    FROM documents GROUP BY lang
+    """,
+)
+def sink_pyds_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The WRITER half of the Python Data Source seam
+    # (sources/python_source.py::_ManifestJsonlWriter): export per-doc
+    # digests through the manifest-commit protocol (tasks stage files +
+    # commit messages; driver publishes an atomic manifest), read back ONLY
+    # manifest-listed files, and fingerprint per language.  The oracle
+    # recomputes from the original parquet, so the comparison checks the
+    # full write->commit->trusted-read path; digest_mass (sum of 32-bit
+    # md5 prefixes) changes if any row is lost, doubled, or corrupted.
+    import shutil
+    import tempfile
+
+    from kcl_akka_stream_spark.sources.python_source import manifest_files, register
+
+    register(spark)
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("digest")
+    )
+    out = tempfile.mkdtemp(prefix="kcl_pyds_sink_")
+    try:
+        docs.write.format("manifest_jsonl").option("path", out).mode("append").save()
+        back = spark.read.schema("doc_id long, lang string, digest string").json(
+            manifest_files(spark, out)
+        )
+        agg = back.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.conv(F.substring("digest", 1, 8), 16, 10).cast("long"))
+            .cast("long")
+            .alias("digest_mass"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -150,3 +150,92 @@ class EnvelopeSimDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(EnvelopeSimDataSource)
+    spark.dataSource.register(ManifestJsonlDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer half of the connector seam: manifest-commit JSONL sink
+# ---------------------------------------------------------------------------
+import json as _json
+import os as _os
+import uuid as _uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class _ManifestJsonlWriter(DataSourceWriter):
+    """The file-commit protocol every exactly-once batch sink uses
+    (Hadoop-committer pattern, and the transactional discipline of the
+    reference's ordered producer sink, S7): tasks stage
+    ``staged-<uuid>.jsonl`` files and report them in commit messages; the
+    driver's ``commit`` publishes an atomic ``manifest.json`` (tmp +
+    rename) listing exactly the committed files; ``abort`` deletes the
+    stray stages.  Readers that trust only the manifest can NEVER see a
+    failed/duplicate task attempt's output -- torn-job output is
+    invisible, not merely unlikely.
+
+    Local-FS caveat: executors must share the filesystem with the driver
+    (true on local[*] and any shared-storage cluster); a cloud deployment
+    points ``path`` at object storage and keeps the protocol unchanged.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("manifest_jsonl writer requires option 'path'")
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        _os.makedirs(self._dir, exist_ok=True)
+        path = _os.path.join(self._dir, f"staged-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str, sort_keys=True))
+                f.write("\n")
+                n += 1
+        return _StagedFile(path=path, n_rows=n)
+
+    def commit(self, messages):
+        files = sorted(
+            _os.path.basename(m.path) for m in messages if m is not None
+        )
+        rows = sum(m.n_rows for m in messages if m is not None)
+        manifest = {"files": files, "n_rows": rows}
+        tmp = _os.path.join(self._dir, f".manifest-{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        _os.replace(tmp, _os.path.join(self._dir, "manifest.json"))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class ManifestJsonlDataSource(DataSource):
+    """``df.write.format("manifest_jsonl").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return _ManifestJsonlWriter(self.options, overwrite)
+
+
+def manifest_files(spark, path: str) -> list:
+    """The trusting-reader half: ONLY manifest-listed files exist."""
+    with open(_os.path.join(path, "manifest.json")) as f:
+        manifest = _json.load(f)
+    return [_os.path.join(path, name) for name in manifest["files"]]

@@ -97,3 +97,23 @@ def test_stream_restart_resumes_from_checkpoint_exactly_once(spark, tmp_path):
     assert df.select("shard_id", "sequence_number").distinct().count() == 500
     total = df.agg(F.sum("sequence_number").alias("s")).collect()[0].s
     assert total == 2 * (250 * 251 // 2)
+
+
+def test_manifest_writer_ignores_uncommitted_stray_files(spark, tmp_path):
+    # The committer property itself: a stray staged file (a failed or
+    # zombie task attempt that never reached commit) sits in the SAME
+    # directory, but the manifest-trusting reader cannot see it.
+    from kcl_akka_stream_spark.sources.python_source import manifest_files
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    df.repartition(2).write.format("manifest_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    # zombie attempt drops a stray stage AFTER the job committed
+    stray = f"{out}/staged-deadbeef.jsonl"
+    with open(stray, "w") as f:
+        f.write('{"id": 99, "v": "zombie"}\n')
+    back = spark.read.schema("id long, v string").json(manifest_files(spark, out))
+    assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
