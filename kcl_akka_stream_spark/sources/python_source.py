@@ -78,11 +78,59 @@ def _opts(options) -> tuple[int, int, int]:
 class _BatchReader(DataSourceReader):
     def __init__(self, options):
         self._n_shards, self._per_shard, _ = _opts(options)
+        self._shard_eq: str | None = None
+        self._seq_lo = 0  # exclusive
+        self._seq_hi = self._per_shard  # inclusive
+
+    def pushFilters(self, filters):
+        # Scan-level pruning through the Python connector API: a shard_id
+        # equality drops whole partitions (the real connector's listShards
+        # filter), and sequence_number bounds narrow each partition's
+        # generate range (getShardIterator AT_SEQUENCE_NUMBER).  Both are
+        # EXACT on this source, so the handled filters are consumed --
+        # Spark plans no residual evaluation for them.  Everything else is
+        # yielded back for Spark-side evaluation.
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            v = getattr(f, "value", None)
+            if isinstance(f, EqualTo) and attr == ("shard_id",) and isinstance(v, str):
+                self._shard_eq = v
+            elif attr == ("sequence_number",) and isinstance(v, int):
+                if isinstance(f, GreaterThan):
+                    self._seq_lo = max(self._seq_lo, v)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self._seq_lo = max(self._seq_lo, v - 1)
+                elif isinstance(f, LessThan):
+                    self._seq_hi = min(self._seq_hi, v - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    self._seq_hi = min(self._seq_hi, v)
+                else:
+                    yield f
+            else:
+                yield f
 
     def partitions(self):
-        return [_ShardRange(s, 0, self._per_shard) for s in range(self._n_shards)]
+        shards = range(self._n_shards)
+        if self._shard_eq is not None:
+            shards = [
+                s for s in shards if _shard_id(s) == self._shard_eq
+            ]  # no match -> zero partitions, zero work
+        lo, hi = self._seq_lo, self._seq_hi
+        if hi <= lo:
+            shards = []
+        return [_ShardRange(s, lo, hi) for s in shards]
 
     def read(self, partition: _ShardRange):
+        if partition is None:  # Spark runs one empty task when partitions()==[]
+            return
         for seq in range(partition.start + 1, partition.end + 1):
             yield _row(partition.shard, seq)
 
@@ -151,6 +199,9 @@ class EnvelopeSimDataSource(DataSource):
 def register(spark) -> None:
     spark.dataSource.register(EnvelopeSimDataSource)
     spark.dataSource.register(ManifestJsonlDataSource)
+    # required for pushFilters (runtime-settable; also set in session.py for
+    # sessions built by the engine's own factory)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 # ---------------------------------------------------------------------------

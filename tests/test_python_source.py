@@ -117,3 +117,38 @@ def test_manifest_writer_ignores_uncommitted_stray_files(spark, tmp_path):
         f.write('{"id": 99, "v": "zombie"}\n')
     back = spark.read.schema("id long, v string").json(manifest_files(spark, out))
     assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_batch_reader_pushes_filters_to_partition_planning(spark):
+    # Scan-level pruning through pushFilters: shard equality must drop
+    # whole partitions (plan-level, not row-level) and sequence bounds
+    # must narrow the generate range -- with results identical to
+    # Spark-side filtering.
+    register(spark)
+
+    def load():
+        return (
+            spark.read.format("envelope_sim")
+            .option("n_shards", "4")
+            .option("records_per_shard", "100")
+            .load()
+        )
+
+    q = load().filter(
+        (F.col("shard_id") == "shardId-000000000002")
+        & (F.col("sequence_number") > 90)
+    )
+    assert q.rdd.getNumPartitions() == 1  # 3 shards pruned at planning
+    rows = q.collect()
+    assert sorted(r.sequence_number for r in rows) == list(range(91, 101))
+    assert {r.shard_id for r in rows} == {"shardId-000000000002"}
+
+    # boundary forms: >= and <= are off-by-one traps
+    q2 = load().filter(
+        (F.col("sequence_number") >= 95) & (F.col("sequence_number") <= 97)
+    )
+    assert sorted(r.sequence_number for r in q2.collect()) == sorted([95, 96, 97] * 4)
+
+    # unsatisfiable range -> zero partitions, zero tasks
+    q3 = load().filter(F.col("shard_id") == "shardId-000000000099")
+    assert q3.count() == 0
