@@ -130,6 +130,7 @@ _PRIORITY = [
     "source_python_datasource",
     "stream_python_datasource",
     "sink_pyds_manifest_roundtrip",
+    "stream_session_dynamic_gap",
 ]
 
 

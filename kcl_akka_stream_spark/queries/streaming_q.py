@@ -922,3 +922,61 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_session_dynamic_gap",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN INTERVAL '15 minutes'
+                  ELSE INTERVAL '45 minutes' END AS gap
+      FROM events),
+    o AS (
+      SELECT user_id, ts, event_id, gap,
+             max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS running_end
+      FROM g),
+    s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN running_end IS NULL OR ts >= running_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.9 -- session windows with a PER-EVENT inactivity gap (clicks close
+    # after 15 min, everything else 45): `session_window(ts, gap_expr)`,
+    # the form fixed-gap sessionization cannot express (high-frequency
+    # event types get tight sessions, sparse types stay glued).  Oracle is
+    # the gaps-and-islands rewrite generalized to a RUNNING MAX of
+    # (ts + that row's gap) with Spark's exclusive-end merge rule
+    # (a new session starts when ts >= the running end).
+    from kcl_akka_stream_spark.sources.batch import stream_events
+
+    name = f"stream_dynsess_{uuid.uuid4().hex[:8]}"
+    stream = stream_events(spark, sf_dir)
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("15 minutes"))
+        .otherwise(F.lit("45 minutes"))
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n",
+        )
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
