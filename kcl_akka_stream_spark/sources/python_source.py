@@ -212,7 +212,11 @@ import os as _os
 import uuid as _uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 
 @dataclass
@@ -283,6 +287,51 @@ class ManifestJsonlDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return _ManifestJsonlWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _ManifestJsonlStreamWriter(self.options, overwrite)
+
+
+class _ManifestJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the manifest committer: each micro-batch publishes
+    its own atomic ``manifest-<batchId>.json``.  A batch REPLAYED after a
+    failure (same batchId) overwrites its own manifest with the fresh
+    attempt's files, so manifest-trusting readers see each batch's output
+    exactly once -- the idempotent-sink contract Structured Streaming
+    requires for end-to-end exactly-once."""
+
+    def __init__(self, options, overwrite: bool):
+        self._inner = _ManifestJsonlWriter(options, overwrite)
+        self._dir = self._inner._dir
+
+    def write(self, iterator):
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = sorted(
+            _os.path.basename(m.path) for m in messages if m is not None
+        )
+        rows = sum(m.n_rows for m in messages if m is not None)
+        tmp = _os.path.join(self._dir, f".manifest-{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            _json.dump({"files": files, "n_rows": rows, "batch_id": batchId}, f)
+        _os.replace(tmp, _os.path.join(self._dir, f"manifest-{batchId}.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        self._inner.abort(messages)
+
+
+def stream_manifest_files(spark, path: str) -> list:
+    """Union of every committed micro-batch's manifest."""
+    import glob as _glob
+
+    out = []
+    for mf in sorted(_glob.glob(_os.path.join(path, "manifest-*.json"))):
+        with open(mf) as f:
+            out.extend(
+                _os.path.join(path, name) for name in _json.load(f)["files"]
+            )
+    return out
 
 
 def manifest_files(spark, path: str) -> list:
