@@ -78,6 +78,7 @@ def _opts(options) -> tuple[int, int, int]:
 class _BatchReader(DataSourceReader):
     def __init__(self, options):
         self._n_shards, self._per_shard, _ = _opts(options)
+        self._arrow = options.get("arrow", "false").lower() == "true"
         self._shard_eq: str | None = None
         self._seq_lo = 0  # exclusive
         self._seq_hi = self._per_shard  # inclusive
@@ -131,8 +132,50 @@ class _BatchReader(DataSourceReader):
     def read(self, partition: _ShardRange):
         if partition is None:  # Spark runs one empty task when partitions()==[]
             return
+        if self._arrow:
+            yield from _arrow_batches(partition)
+            return
         for seq in range(partition.start + 1, partition.end + 1):
             yield _row(partition.shard, seq)
+
+
+def _arrow_batches(partition: _ShardRange, chunk: int = 4096):
+    """The data-plane fast path of the Python connector API: ``read`` may
+    yield ``pyarrow.RecordBatch`` objects instead of tuples -- rows then
+    cross the Python/JVM boundary as columnar Arrow buffers (no per-row
+    pickling), the same transport that makes pandas UDFs ~10-100x faster
+    than row-at-a-time Python.  Columns are built vectorized; md5 is the
+    only per-value Python call left."""
+    import pyarrow as pa
+
+    seqs = list(range(partition.start + 1, partition.end + 1))
+    for i in range(0, len(seqs), chunk):
+        part = seqs[i : i + chunk]
+        yield pa.record_batch(
+            [
+                pa.array([_shard_id(partition.shard)] * len(part), pa.string()),
+                pa.array(part, pa.int64()),
+                pa.array(
+                    [
+                        hashlib.md5(f"pk-{partition.shard}-{q}".encode()).hexdigest()
+                        for q in part
+                    ],
+                    pa.string(),
+                ),
+                pa.array([f"msg-{partition.shard}-{q}" for q in part], pa.string()),
+                pa.array(
+                    [BASE_TS + timedelta(seconds=q) for q in part],
+                    pa.timestamp("us"),
+                ),
+            ],
+            names=[
+                "shard_id",
+                "sequence_number",
+                "partition_key",
+                "data",
+                "arrival_ts",
+            ],
+        )
 
 
 class _StreamReader(DataSourceStreamReader):

@@ -188,3 +188,24 @@ def test_stream_writer_commits_per_batch_manifests(spark, tmp_path):
     ).json(files)
     assert back.count() == 500
     assert back.select("shard_id", "sequence_number").distinct().count() == 500
+
+
+def test_arrow_batch_read_matches_row_read(spark):
+    # The Arrow fast path (read() yielding pyarrow.RecordBatch) must be
+    # bit-identical to the tuple path -- including the timestamp column,
+    # where naive-datetime vs timestamp("us") conversions can silently
+    # shift by the session timezone.
+    register(spark)
+
+    def load(arrow):
+        return (
+            spark.read.format("envelope_sim")
+            .option("n_shards", "3")
+            .option("records_per_shard", "200")
+            .option("arrow", arrow)
+            .load()
+        )
+
+    rows = sorted(map(tuple, load("false").collect()))
+    arrows = sorted(map(tuple, load("true").collect()))
+    assert rows == arrows and len(rows) == 600
