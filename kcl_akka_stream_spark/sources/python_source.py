@@ -282,6 +282,10 @@ class _ManifestJsonlWriter(DataSourceWriter):
     Local-FS caveat: executors must share the filesystem with the driver
     (true on local[*] and any shared-storage cluster); a cloud deployment
     points ``path`` at object storage and keeps the protocol unchanged.
+
+    Overwrite semantics: save modes only replace the MANIFEST (the unit of
+    visibility); superseded staged files linger invisibly until a
+    compaction sweep -- manifest readers never see them either way.
     """
 
     def __init__(self, options, overwrite: bool):
