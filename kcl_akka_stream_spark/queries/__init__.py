@@ -131,6 +131,7 @@ _PRIORITY = [
     "stream_python_datasource",
     "sink_pyds_manifest_roundtrip",
     "stream_session_dynamic_gap",
+    "udaf_grouped_median",
 ]
 
 

@@ -2741,3 +2741,29 @@ def agg_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d * d > F.lit(9.0) * (nd * F.col("svv") - F.col("sv") * F.col("sv")))
         .select("event_id", "event_type", "value")
     )
+
+
+@query(
+    "udaf_grouped_median",
+    """
+    SELECT o_orderpriority, median(o_totalprice) AS med
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.10 UDAF seam: a GROUPED_AGG pandas UDF in .agg() next to a
+    # built-in -- the user-defined aggregate surface (the scalar pandas
+    # UDF and applyInPandas kernels cover the other two Python-eval
+    # shapes).  Exact median is deliberately the demo: it has no
+    # combinable form, so this query ALSO documents the seam's scale
+    # cost (whole group to one reducer) against the mergeable-sketch
+    # alternatives the engine provides.
+    from kcl_akka_stream_spark.functions.pandas_udfs import exact_median
+
+    # NOTE: Spark forbids mixing a GROUPED_AGG pandas UDF with JVM
+    # aggregates in one .agg() (INVALID_PANDAS_UDF_PLACEMENT) -- another
+    # structural cost of the seam worth knowing.
+    o = tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        exact_median("o_totalprice").alias("med"),
+    )
