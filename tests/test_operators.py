@@ -172,3 +172,30 @@ def test_unpivot_is_map_side_expand(spark, sf_dir):
     df = QUERIES["agg_unpivot_brand_metrics"](spark, sf_dir)
     assert "Expand" in physical_plan(df)
     assert count_exchanges(df) <= 1
+
+
+def test_grouped_agg_udaf_over_window(spark, sf_dir):
+    # The GROUPED_AGG pandas UDF doubles as a WINDOW aggregate (unbounded
+    # frame): per-row medians must agree exactly with the groupBy form.
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.functions.pandas_udfs import exact_median
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    o = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    via_window = {
+        (r.o_orderpriority, r.med)
+        for r in o.select(
+            "o_orderpriority", exact_median("o_totalprice").over(w).alias("med")
+        )
+        .distinct()
+        .collect()
+    }
+    via_group = {
+        (r.o_orderpriority, r.med)
+        for r in o.groupBy("o_orderpriority")
+        .agg(exact_median("o_totalprice").alias("med"))
+        .collect()
+    }
+    assert via_window == via_group and len(via_group) == 5
