@@ -132,6 +132,7 @@ _PRIORITY = [
     "sink_pyds_manifest_roundtrip",
     "stream_session_dynamic_gap",
     "udaf_grouped_median",
+    "stream_chained_window_agg",
 ]
 
 

@@ -980,3 +980,58 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_chained_window_agg",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    h AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hs, event_type,
+             count(*) AS n_h
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT time_bucket(INTERVAL '1 day', hs) AS ds, event_type,
+             sum(n_h) AS n, count(*) AS n_hours
+      FROM h GROUP BY 1, 2)
+    SELECT strftime(ds, '%Y-%m-%d') AS day, event_type, CAST(n AS BIGINT) AS n,
+           CAST(n_hours AS BIGINT) AS n_hours
+    FROM d, wm WHERE ds + INTERVAL '1 day' <= wm.w
+    """,
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.9 -- CHAINED stateful operators in ONE streaming query
+    # (SPARK-40925): hourly tumbling agg feeding a daily rollup keyed on
+    # the first agg's window column, both stateful, append mode (complete
+    # mode is rejected by the global-watermark correctness check).  This
+    # is the streaming form of a rollup hierarchy -- without chaining it
+    # takes two queries and an intermediate sink.  Append emits each
+    # daily window exactly once when the watermark passes its end, so the
+    # UNCLOSED tail (any day within 1 h of max event time) is absent by
+    # design -- the oracle mirrors that closure rule, making the
+    # watermark-eviction boundary itself part of the checked contract.
+    from kcl_akka_stream_spark.sources.batch import stream_events
+
+    name = f"stream_chain_{uuid.uuid4().hex[:8]}"
+    stream = stream_events(spark, sf_dir)
+    hourly = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_h"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("w1"), "1 day").alias("w2"), "event_type")
+        .agg(F.sum("n_h").alias("n"), F.count(F.lit(1)).alias("n_hours"))
+    )
+    out = daily.select(
+        F.date_format("w2.start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        "n_hours",
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
