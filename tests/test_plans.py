@@ -356,3 +356,25 @@ def test_cbo_stats_reorder_join(spark, sf_dir):
     finally:
         for t in (li, od, cu):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sql_join_hints_control_strategy(spark, sf_dir):
+    # The per-query planner-control surface ops teams reach for when a
+    # stats-blind default picks wrong: join-strategy hints must actually
+    # bind.  MERGE forces sort-merge where the dim would otherwise
+    # broadcast; SHUFFLE_HASH forces a shuffled hash join; BROADCAST
+    # still broadcasts under them all.
+    from kcl_akka_stream_spark.plans import count_operator
+    from kcl_akka_stream_spark.sources.batch import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("h_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("h_cust")
+    base = "SELECT /*+ {hint} */ c_mktsegment, count(*) AS n FROM h_orders JOIN h_cust ON o_custkey = c_custkey GROUP BY 1"
+    cases = {
+        "MERGE(h_cust)": "SortMergeJoin",
+        "SHUFFLE_HASH(h_cust)": "ShuffledHashJoin",
+        "BROADCAST(h_cust)": "BroadcastHashJoin",
+    }
+    for hint, op in cases.items():
+        df = spark.sql(base.format(hint=hint))
+        assert count_operator(df, op) > 0, (hint, op)
