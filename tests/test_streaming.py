@@ -838,3 +838,34 @@ def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
         assert any(k.startswith("rocksdb") for k in metrics)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_observe_metrics_ride_microbatches(spark, sf_dir):
+    # Streaming twin of the batch observe() test: per-batch audit counters
+    # (rows seen, error rows) ride the SAME micro-batches as the query --
+    # the ConsumerStats pattern without a second scan of the stream.
+    from kcl_akka_stream_spark.sources.batch import stream_events
+
+    stream = stream_events(spark, sf_dir)
+    obs = stream.observe(
+        "audit",
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    agg = obs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = f"obs_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        audits = [
+            p["observedMetrics"]["audit"]
+            for p in q.recentProgress
+            if p.get("observedMetrics", {}).get("audit") is not None
+        ]
+    finally:
+        q.stop()
+    total = sum(a["rows_seen"] for a in audits)
+    errs = sum(a["n_err"] for a in audits)
+    direct = spark.table(name).agg(F.sum("n").alias("s")).collect()[0].s
+    err_direct = {r.event_type: r.n for r in spark.table(name).collect()}.get("error", 0)
+    assert total == direct and errs == err_direct and total > 0
