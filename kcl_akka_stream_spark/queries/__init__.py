@@ -133,6 +133,7 @@ _PRIORITY = [
     "stream_session_dynamic_gap",
     "udaf_grouped_median",
     "stream_chained_window_agg",
+    "stream_pyds_pipeline_manifest",
 ]
 
 

@@ -1035,3 +1035,71 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_pyds_pipeline_manifest",
+    """
+    WITH shards AS (SELECT s FROM generate_series(0, 7) t(s)),
+    seqs AS (SELECT i FROM generate_series(1, 250) t(i)),
+    rows_ AS (
+      SELECT 'shardId-' || lpad(CAST(s AS VARCHAR), 12, '0') AS shard_id,
+             CAST(i AS BIGINT) AS seq, md5('pk-' || s || '-' || i) AS pk
+      FROM shards, seqs)
+    SELECT shard_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(seq) AS BIGINT) AS sum_seq
+    FROM rows_ WHERE substring(pk, 1, 1) < '8'
+    GROUP BY shard_id
+    """,
+)
+def stream_pyds_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The connector matrix as ONE pipeline: Python streaming SOURCE (paced
+    # micro-batches) -> filter (deterministic md5-prefix gate, the
+    # sample_stratified idiom) -> Python streaming SINK (per-batch atomic
+    # manifests) -> manifest-trusting re-read -> per-shard fingerprints
+    # checked against the generator's closed form.  Any row lost, doubled,
+    # or corrupted ANYWHERE in the read-transform-commit-reread chain
+    # moves a count or a seq-sum.
+    import shutil
+    import tempfile
+
+    from kcl_akka_stream_spark.sources.python_source import (
+        register,
+        stream_manifest_files,
+    )
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="kcl_pyds_pipe_")
+    ckpt = tempfile.mkdtemp(prefix="kcl_pyds_pipe_ckpt_")
+    try:
+        stream = (
+            spark.readStream.format("envelope_sim")
+            .option("seqs_per_batch", "100")
+            .load()
+        )
+        kept = stream.filter(F.substring("partition_key", 1, 1) < "8").select(
+            "shard_id", "sequence_number", "partition_key"
+        )
+        q = (
+            kept.writeStream.format("manifest_jsonl")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = spark.read.schema(
+            "shard_id string, sequence_number long, partition_key string"
+        ).json(stream_manifest_files(spark, out))
+        agg = back.groupBy("shard_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("sequence_number").cast("long").alias("sum_seq"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
