@@ -51,3 +51,44 @@ def doc_stats_arrow(
     return spread(df.select(id_col, text_col)).mapInArrow(
         gen, f"{id_col} long, n_chars int, n_bytes int, n_tokens int"
     )
+
+
+def lang_stats_arrow(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group corpus stats via ``groupBy().applyInArrow`` -- the grouped
+    twin of mapInArrow: each key's rows arrive as ONE zero-copy
+    ``pyarrow.Table`` (no pandas boxing) and C++ kernels reduce it.  The
+    per-key output is one row, so this is the Arrow-native UDAF shape for
+    reductions pyarrow.compute can express.
+
+    Scale: one shuffle keyed by ``lang_col``; like every grouped Python
+    eval, a whole group must fit one task -- fine for bounded key
+    cardinality stats, wrong for per-document keys (use mapInArrow there).
+    """
+
+    def agg(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = table.column(text_col)
+        return pa.table(
+            {
+                lang_col: [table.column(lang_col)[0].as_py()],
+                "n_docs": pa.array([table.num_rows], pa.int64()),
+                "total_chars": pa.array(
+                    [pc.sum(pc.utf8_length(t)).as_py() or 0], pa.int64()
+                ),
+                "max_tokens": pa.array(
+                    [pc.max(pc.count_substring_regex(t, r"\S+")).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        df.select(lang_col, text_col)
+        .groupBy(lang_col)
+        .applyInArrow(
+            agg, f"{lang_col} string, n_docs long, total_chars long, max_tokens long"
+        )
+    )

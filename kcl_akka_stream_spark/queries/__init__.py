@@ -134,6 +134,7 @@ _PRIORITY = [
     "udaf_grouped_median",
     "stream_chained_window_agg",
     "stream_pyds_pipeline_manifest",
+    "arrow_lang_stats",
 ]
 
 

@@ -3116,3 +3116,23 @@ def sink_pyds_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "arrow_lang_stats",
+    r"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(max(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def arrow_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The grouped Arrow seam (operators/arrow_ops.py::lang_stats_arrow):
+    # groupBy().applyInArrow with pyarrow C++ kernels reducing each
+    # language's zero-copy Table to one row -- completes the Arrow seam
+    # family next to mapInArrow (arrow_doc_stats) and the pandas-boxed
+    # grouped kernels.
+    from kcl_akka_stream_spark.operators.arrow_ops import lang_stats_arrow
+
+    return lang_stats_arrow(tbl(spark, sf_dir, "documents"))
