@@ -1,8 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_steady_sec, "unit": "sec",
-"queries": {name: steady_sec}, "cold": {name: first_run_sec},
-"data_bytes": {table: parquet_bytes}, "sf": ...}.
+compact JSON line on stdout: {"metric": ..., "value": total_steady_sec,
+"unit": "sec", "n_queries": N, "cold_total": sec, "sf": ...}.  The
+per-query breakdown ({name: steady_sec}, {name: cold_sec}, anti-pattern
+baseline timings, fixture byte fingerprints) goes to a stderr
+"# detail" line -- the stdout object is fixed-size scalars only, so the
+driver's bounded tail capture can never truncate it (rounds 5 and 6 both
+lost their official perf record to an oversized stdout line).
 
 Two timing columns per query (VERDICT r4: a 48s->2.4s "win" and a
 0.8s->6.8s regression were both invisible to a single post-warmup
@@ -48,15 +52,13 @@ HEADLINE = [
     # reference semantics
     "checkpoint_frontier",
     # dedup family -- the capped variants are the 100 TB scale paths
-    # (bounded fan-out); the uncapped exact forms stay for comparability
+    # (bounded fan-out)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_capped",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_verified",
-    "dedup_semantic",
     "dedup_semantic_auto",
     # similarity search
     "sim_topk_bruteforce",
@@ -129,6 +131,16 @@ HEADLINE = [
     "stream_tumbling_agg",
 ]
 
+# Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as
+# quadratic contrast twins of their capped/auto production paths, but NOT
+# part of the headline total -- their cost is a property of the documented
+# anti-pattern, not of the engine.  Timed in a separate pass, reported
+# only on the stderr detail line.
+BASELINES = [
+    "dedup_ngram_jaccard",  # uncapped quadratic shingle-join baseline
+    "dedup_semantic",       # frozen-k SemDeDup (quadratic per cluster)
+]
+
 
 def _noop_write(df) -> None:
     # noop sink materializes every output column (count() would let
@@ -148,7 +160,7 @@ def main() -> None:
 
     # Cold pass: first execution of each query in this JVM, timed.
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + BASELINES:
         # drop cached relations left by earlier queries (some operators
         # cache eagerly) so each query is timed against its own working set
         spark.catalog.clearCache()
@@ -162,7 +174,8 @@ def main() -> None:
     # call sites; the cold pass above is too far removed to cover it),
     # then median-of-3.
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
+    baselines: dict[str, float] = {}
+    for name in HEADLINE + BASELINES:
         fn = QUERIES[name]
         # nudge GC between queries so accumulated garbage from earlier plans
         # is not collected inside someone else's timed section, and drop
@@ -177,8 +190,9 @@ def main() -> None:
             t0 = time.time()
             _noop_write(fn(spark, sf_dir))
             times.append(time.time() - t0)
-        per_query[name] = round(sorted(times)[1], 3)
-        print(f"# {name}: {per_query[name]:.3f}s (runs: "
+        target = baselines if name in BASELINES else per_query
+        target[name] = round(sorted(times)[1], 3)
+        print(f"# {name}: {target[name]:.3f}s (runs: "
               f"{', '.join(f'{t:.3f}' for t in times)})", file=sys.stderr)
 
     data_bytes = {}
@@ -189,28 +203,44 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    # Detail record (per-query cold times, fixture byte sizes) goes to
-    # stderr: round 5's single stdout line carrying two full 41-query
-    # dicts plus data_bytes overflowed the driver's tail capture and the
-    # official record came back parsed:null.  stdout stays compact --
-    # metric/value/queries/cold_total only -- and is printed LAST so a
-    # tail capture always sees a complete JSON object.
+    # Detail record (per-query steady + cold times, anti-pattern baseline
+    # timings, fixture byte sizes) goes to stderr.  stdout carries ONLY
+    # the tiny summary object (VERDICT r6 #1: rounds 5 AND 6 both came
+    # back parsed:null because the per-query dict grew past the driver's
+    # 2,000-char tail capture -- at 75 headline queries the queries dict
+    # alone was 2,367 bytes).  summary_line() is the single source of
+    # truth; tests/test_bench_stdout.py asserts it stays under 1 KB no
+    # matter how large HEADLINE grows.  Printed LAST so a tail capture
+    # always sees a complete JSON object.
     print(
         "# detail "
-        + json.dumps({"cold": cold, "data_bytes": data_bytes}),
+        + json.dumps(
+            {
+                "queries": per_query,
+                "cold": cold,
+                "baselines": baselines,
+                "data_bytes": data_bytes,
+            }
+        ),
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf else None,
-            }
-        )
+    headline_cold = {k: v for k, v in cold.items() if k not in BASELINES}
+    print(summary_line(per_query, headline_cold, sf))
+
+
+def summary_line(per_query: dict, cold: dict, sf: str) -> str:
+    """The ONE stdout JSON line.  Fixed-size: aggregate scalars only --
+    never a per-query collection, so growth of HEADLINE cannot overflow
+    the driver's bounded tail capture again."""
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": round(sum(per_query.values()), 3),
+            "unit": "sec",
+            "n_queries": len(per_query),
+            "cold_total": round(sum(cold.values()), 3),
+            "sf": float(sf) if sf else None,
+        }
     )
 
 
