@@ -2985,6 +2985,10 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.schema(docs.schema)
             .option("header", "true")
             .option("escape", '"')
+            # without multiLine a quoted value containing a newline is
+            # torn into two records on re-read (ADVICE r6); the writer
+            # quotes all fields, so the reader must parse across lines
+            .option("multiLine", "true")
             .csv(out)
         )
         agg = back.groupBy("lang").agg(

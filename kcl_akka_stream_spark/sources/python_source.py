@@ -79,7 +79,7 @@ class _BatchReader(DataSourceReader):
     def __init__(self, options):
         self._n_shards, self._per_shard, _ = _opts(options)
         self._arrow = options.get("arrow", "false").lower() == "true"
-        self._shard_eq: str | None = None
+        self._shard_eq: set[str] | None = None  # intersection of EqualTo values
         self._seq_lo = 0  # exclusive
         self._seq_hi = self._per_shard  # inclusive
 
@@ -103,7 +103,15 @@ class _BatchReader(DataSourceReader):
             attr = getattr(f, "attribute", None)
             v = getattr(f, "value", None)
             if isinstance(f, EqualTo) and attr == ("shard_id",) and isinstance(v, str):
-                self._shard_eq = v
+                # INTERSECT repeated equalities: Catalyst does not fold
+                # `shard_id = 'A' AND shard_id = 'B'` to false, and a
+                # consumed filter gets no Spark-side residual evaluation --
+                # keeping only the last value would answer a contradictory
+                # conjunction with shard B's rows instead of the empty set.
+                if self._shard_eq is None:
+                    self._shard_eq = {v}
+                else:
+                    self._shard_eq &= {v}
             elif attr == ("sequence_number",) and isinstance(v, int):
                 if isinstance(f, GreaterThan):
                     self._seq_lo = max(self._seq_lo, v)
@@ -122,8 +130,8 @@ class _BatchReader(DataSourceReader):
         shards = range(self._n_shards)
         if self._shard_eq is not None:
             shards = [
-                s for s in shards if _shard_id(s) == self._shard_eq
-            ]  # no match -> zero partitions, zero work
+                s for s in shards if _shard_id(s) in self._shard_eq
+            ]  # no match / contradictory equalities -> zero partitions
         lo, hi = self._seq_lo, self._seq_hi
         if hi <= lo:
             shards = []
@@ -199,15 +207,28 @@ class _StreamReader(DataSourceStreamReader):
         # clamping the range later would silently skip the tail between the
         # clamp and the recorded end.  The driver-side reader instance
         # advances its own frontier by `step` per trigger (the same pattern
-        # as maxRecordsPerFetch pacing in the real connector).  After a
-        # restart mid-stream the frontier re-advances from 0 and emits no
-        # batch until it passes the checkpointed offset -- self-healing,
-        # never skipping.
+        # as maxRecordsPerFetch pacing in the real connector).
+        #
+        # Restart safety: the frontier must be MONOTONE w.r.t. the
+        # checkpoint.  Spark plans micro-batches on offset INEQUALITY, so a
+        # fresh reader whose frontier re-climbed from 0 would get its
+        # regressed latestOffset recorded as an end offset, and the next
+        # climb past it would re-emit the (regressed, checkpointed] range
+        # into append sinks (observed: 300 duplicate rows after restarting
+        # a drained 500-row stream).  The traced restart protocol (Spark
+        # 4.1) is: partitions(committed, committed) FIRST, then
+        # latestOffset -- so partitions()/commit() below fold every offset
+        # Spark hands us into the frontier before pacing ever resumes, and
+        # this method can never return less than an offset already
+        # checkpointed.
         self._current = min(self._current + self._step, self._per_shard)
         return {"seq": self._current}
 
     def partitions(self, start, end):
         lo, hi = int(start["seq"]), int(end["seq"])
+        # Learn the checkpoint frontier: on restart this is called with the
+        # committed offsets before any latestOffset (see above).
+        self._current = max(self._current, lo, hi)
         return [_ShardRange(s, lo, hi) for s in range(self._n_shards)]
 
     def read(self, partition: _ShardRange):
@@ -215,7 +236,9 @@ class _StreamReader(DataSourceStreamReader):
             yield _row(partition.shard, seq)
 
     def commit(self, end):
-        pass
+        # Belt-and-braces for the monotone-frontier invariant (a commit
+        # replayed on restart also carries the committed offset).
+        self._current = max(self._current, int(end["seq"]))
 
 
 class EnvelopeSimDataSource(DataSource):

@@ -209,3 +209,82 @@ def test_arrow_batch_read_matches_row_read(spark):
     rows = sorted(map(tuple, load("false").collect()))
     arrows = sorted(map(tuple, load("true").collect()))
     assert rows == arrows and len(rows) == 600
+
+
+def test_stream_restart_after_full_drain_emits_no_duplicates(spark, tmp_path):
+    # ADVICE r6 (medium): Spark plans micro-batches on offset INEQUALITY,
+    # so a restarted reader whose pacing frontier re-climbed from 0 got its
+    # regressed latestOffset recorded as an end offset, and the climb back
+    # re-emitted the (regressed, checkpointed] range -- 300 duplicate rows
+    # on this exact scenario before the monotone-frontier fix.  The traced
+    # Spark 4.1 restart protocol calls partitions(committed, committed)
+    # before any latestOffset, so the reader folds every planner-supplied
+    # offset into its frontier (partitions + commit) and latestOffset can
+    # never regress below the checkpoint.
+    register(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def start():
+        stream = (
+            spark.readStream.format("envelope_sim")
+            .option("n_shards", "2")
+            .option("records_per_shard", "250")
+            .option("seqs_per_batch", "100")
+            .load()
+        )
+        return (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        q1.processAllAvailable()
+        if spark.read.parquet(out).count() >= 500:
+            break
+        time.sleep(0.3)
+    q1.stop()
+    assert spark.read.parquet(out).count() == 500  # fully drained + committed
+
+    # restart the drained stream and give the fresh reader's frontier ample
+    # triggers to climb; with the fix it starts AT the checkpoint, so no
+    # batch forms and nothing is re-emitted
+    q2 = start()
+    t0 = time.time()
+    while time.time() - t0 < 10:
+        q2.processAllAvailable()
+        time.sleep(0.5)
+    q2.stop()
+    df = spark.read.parquet(out)
+    assert df.count() == 500
+    assert df.select("shard_id", "sequence_number").distinct().count() == 500
+
+
+def test_batch_contradictory_shard_equalities_yield_empty(spark):
+    # ADVICE r6 (low): consumed filters get no Spark-side residual
+    # evaluation, and Catalyst does not fold `shard_id='A' AND
+    # shard_id='B'` to false -- keeping only the last EqualTo answered the
+    # contradiction with shard B's rows.  The reader now intersects all
+    # equality values: conflict -> zero partitions, zero rows.
+    register(spark)
+    df = (
+        spark.read.format("envelope_sim")
+        .option("n_shards", "4")
+        .option("records_per_shard", "10")
+        .load()
+    )
+    q = df.filter(
+        (F.col("shard_id") == "shardId-000000000001")
+        & (F.col("shard_id") == "shardId-000000000002")
+    )
+    assert q.count() == 0
+    # and a self-consistent repeated equality still prunes to one shard
+    q2 = df.filter(
+        (F.col("shard_id") == "shardId-000000000001")
+        & (F.col("shard_id") == "shardId-000000000001")
+    )
+    assert q2.count() == 10

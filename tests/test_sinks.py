@@ -106,3 +106,37 @@ def test_keyed_ordered_stream_sink(spark, tmp_path):
     for k in ("a", "b"):
         seqs = [r.seq for r in written.filter(F.col("key") == k).orderBy("__epoch", "seq").collect()]
         assert seqs == list(range(30))
+
+
+def test_csv_roundtrip_preserves_embedded_newlines_and_quotes(spark, tmp_path):
+    # ADVICE r6 (low): sink_csv_roundtrip claims quoting fidelity for
+    # embedded delimiters/quotes/newlines, but the fixture documents
+    # contain none -- this pins the claimed failure mode with the SAME
+    # writer/reader options the gate query uses.  Without multiLine=true
+    # on the read, the newline row is torn into two records and the
+    # roundtrip count/digest comparison here fails.
+    rows = [
+        (1, 'line one\nline two', "en", 17),
+        (2, 'she said "hi", twice', "en", 20),
+        (3, "comma, delimited, value", "fr", 23),
+        (4, 'mix: "q"\n,and more', "fr", 18),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars int")
+    out = str(tmp_path / "csv")
+    (
+        df.write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(df.schema)
+        .option("header", "true")
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(out)
+    )
+    got = sorted((r.doc_id, r.text, r.lang, r.n_chars) for r in back.collect())
+    assert got == sorted(rows)

@@ -340,9 +340,13 @@ def main() -> None:
     def pr(d: DataFrame) -> DataFrame:
         e = doc_edges(d).cache()
         try:
+            # pagerank() materializes its result eagerly, so releasing the
+            # edge cache here is safe -- and necessary: a leaked cache from
+            # the 1x probe would skew the Nx probe's storage memory
+            # (ADVICE r6).
             return pagerank(e, iterations=3)
         finally:
-            pass
+            e.unpersist()
 
     t1 = timed(lambda: pr(docs1))
     tn = timed(lambda: pr(docs_n))
