@@ -2,6 +2,17 @@
 on Spark and its oracle_sql() on DuckDB over the same parquet tables, then
 compare row count + column names + order-insensitive values.
 
+Float tolerance caveat (VERDICT r6 #8): this tool normalizes doubles to 10
+significant digits (``_norm_cell``) while the driver's value hash has no
+such normalization -- so this gate is strictly LOOSER on floats, and a
+local green can mask a driver-red when two engines differ past the 10th
+significant digit.  Queries must therefore never RELY on this rounding:
+the registry conventions (queries/__init__.py) make every float column
+either a single shared IEEE op on both engines or explicitly rounded to 6
+dp IN THE QUERY, keeping results bit-comparable before either gate
+normalizes anything.  tests/test_bench_stdout.py::test_norm_cell_is_looser
+_than_bit_exact pins the masking window so the gap stays documented.
+
 Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
 """
 
