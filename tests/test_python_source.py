@@ -288,3 +288,43 @@ def test_batch_contradictory_shard_equalities_yield_empty(spark):
         & (F.col("shard_id") == "shardId-000000000001")
     )
     assert q2.count() == 10
+
+
+def test_stream_arrow_mode_matches_row_mode(spark):
+    # The streaming data plane's Arrow fast path (arrow=true yields
+    # RecordBatch from read()) must be bit-identical to the row path --
+    # same rows, same batch pacing.
+    register(spark)
+    results = {}
+    for arrow in ("false", "true"):
+        name = f"pyds_arrow_{uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.format("envelope_sim")
+            .option("n_shards", "2")
+            .option("records_per_shard", "250")
+            .option("seqs_per_batch", "100")
+            .option("arrow", arrow)
+            .load()
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            sizes = [
+                int(p["numInputRows"])
+                for p in q.recentProgress
+                if int(p["numInputRows"]) > 0
+            ]
+        finally:
+            q.stop()
+        assert sizes == [200, 200, 100]
+        results[arrow] = sorted(
+            (r.shard_id, r.sequence_number, r.partition_key, r.data, r.arrival_ts)
+            for r in spark.table(name).collect()
+        )
+    assert results["true"] == results["false"]
+    assert len(results["true"]) == 500
