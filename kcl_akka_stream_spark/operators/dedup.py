@@ -576,3 +576,97 @@ def verify_candidate_edit_distance(
             F.col("edit_dist") * 5 <= F.lit(max_dist_per_5_chars) * F.col("max_len")
         )
     )
+
+
+def bloom_prune_known(
+    incoming: DataFrame,
+    existing_digests: DataFrame,
+    digest_col: str = "digest",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Two-phase exact membership check against a historical corpus with a
+    Bloom-filter prune: flag each ``incoming`` row as already present in
+    ``existing_digests`` WITHOUT joining the full history against the
+    full batch.
+
+    Phase 1 (prune): the history compresses to its set of Bloom bit
+    positions -- ``k_hashes`` md5-derived positions per digest, distinct,
+    so the relation is bounded by ``m_bits`` ROWS no matter how many
+    billions of documents the history holds.  That bounded set broadcasts
+    to every executor, and each incoming row checks its own k positions
+    against it map-side.  A row missing ANY position is definitively
+    absent (Bloom filters have no false negatives) and never reaches
+    phase 2.
+
+    Phase 2 (verify): only the Bloom-positive candidates -- the true
+    matches plus the false-positive tail governed by the standard
+    (1 - e^(-kn/m))^k rate -- are exactly joined against the history
+    digests.  The result is therefore EXACT; the Bloom stage is purely a
+    work-pruner, the shape that keeps daily-ingest dedup affordable when
+    the history is 1000x the batch.
+
+    The position hash is md5-based and integer-exact
+    (``conv(substr(md5(digest || '|i'), 1, 8), 16, 10) % m``), so an
+    external engine can replicate the filter bit-for-bit -- including
+    which rows are false positives (surfaced as
+    ``bloom_candidate = 1, is_known = 0``).
+
+    Output: incoming's columns plus ``bloom_candidate`` and ``is_known``
+    (int 0/1 -- cross-engine hash stability).
+    """
+    def _positions(col: Column) -> list[Column]:
+        return [
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(col, F.lit(f"|{i}"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for i in range(k_hashes)
+        ]
+
+    digest = F.col(digest_col)
+    bits = (
+        existing_digests.select(
+            F.explode(F.array(*_positions(digest))).alias("bit")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    inc_pos = incoming.select(
+        *incoming.columns, F.explode(F.array(*_positions(digest))).alias("pos")
+    )
+    cand = (
+        inc_pos.join(F.broadcast(bits), F.col("pos") == F.col("bit"), "left")
+        .groupBy(*incoming.columns)
+        .agg(
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) == k_hashes)
+            .cast("int")
+            .alias("bloom_candidate")
+        )
+    )
+    known = (
+        existing_digests.select(digest.alias("__known_digest"))
+        .distinct()
+        .withColumn("__is_known", F.lit(1))
+    )
+    positives = (
+        cand.filter(F.col("bloom_candidate") == 1)
+        .join(
+            F.broadcast(known),
+            F.col(digest_col) == F.col("__known_digest"),
+            "left",
+        )
+        .select(
+            *incoming.columns,
+            "bloom_candidate",
+            F.coalesce(F.col("__is_known"), F.lit(0)).cast("int").alias("is_known"),
+        )
+    )
+    negatives = cand.filter(F.col("bloom_candidate") == 0).select(
+        *incoming.columns, "bloom_candidate", F.lit(0).cast("int").alias("is_known")
+    )
+    return positives.unionByName(negatives)

@@ -3140,3 +3140,104 @@ def arrow_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcl_akka_stream_spark.operators.arrow_ops import lang_stats_arrow
 
     return lang_stats_arrow(tbl(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave: Bloom-pruned incremental dedup + columnar-format roundtrip
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 1024, 3  # gate scale: all three row classes non-vacuous
+
+
+def _bloom_dedup_oracle() -> str:
+    pos = (
+        "CAST(('0x' || substring(md5(digest || '|' || CAST(i AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {_BLOOM_M}"
+    )
+    return f"""
+    WITH ks AS (SELECT unnest(range({_BLOOM_K})) AS i),
+    existing AS (SELECT DISTINCT md5(text) AS digest FROM documents
+                 WHERE doc_id % 3 != 0),
+    incoming AS (SELECT doc_id, lang, md5(text) AS digest FROM documents
+                 WHERE doc_id % 2 = 1),
+    bits AS (SELECT DISTINCT {pos} AS bit FROM existing CROSS JOIN ks),
+    ipos AS (SELECT doc_id, lang, digest, {pos} AS pos
+             FROM incoming CROSS JOIN ks),
+    cand AS (SELECT doc_id, lang, digest,
+                    CAST(count(b.bit) = {_BLOOM_K} AS INT) AS bloom_candidate
+             FROM ipos LEFT JOIN bits b ON b.bit = ipos.pos
+             GROUP BY doc_id, lang, digest)
+    SELECT doc_id, lang, bloom_candidate,
+           CASE WHEN bloom_candidate = 1
+                 AND EXISTS (SELECT 1 FROM existing e WHERE e.digest = c.digest)
+                THEN 1 ELSE 0 END AS is_known
+    FROM cand c
+    """
+
+
+@query("pipeline_bloom_dedup", _bloom_dedup_oracle())
+def pipeline_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom-pruned incremental dedup (operators/dedup.py::
+    # bloom_prune_known): the 1000x-history daily-ingest shape --
+    # history compresses to a bit-position set BOUNDED BY m (not by
+    # corpus size), broadcasts map-side, and only Bloom-positive
+    # candidates pay the exact digest join.  Result is exact (no false
+    # negatives; false positives resolved by the verify join) and the
+    # md5 position hash is integer-exact, so the oracle reproduces the
+    # filter bit-for-bit -- including which rows are false positives
+    # (bloom_candidate=1, is_known=0).  The slices OVERLAP (existing =
+    # ids % 3 != 0, incoming = odd ids -- the re-crawl re-ingest shape)
+    # because the fixture has no exact text duplicates, and gate m/k are
+    # shrunk so all three row classes are non-vacuous at sf0.01
+    # (60 pruned / 23 false-positive / 167 known); production default is
+    # m=2^20.
+    docs = tbl(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.md5("text").alias("digest")
+    )
+    return D.bloom_prune_known(
+        incoming, existing, m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+    ).select("doc_id", "lang", "bloom_candidate", "is_known")
+
+
+@query(
+    "sink_orc_roundtrip",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+    FROM documents GROUP BY lang
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORC columnar roundtrip, completing the format matrix next to
+    # parquet (fixtures), z-ordered/bucketed/partitioned parquet, gzip
+    # JSONL and quoted CSV: write the documents slice as zlib ORC, read
+    # it back, fingerprint per language.  The oracle aggregates the
+    # PARQUET fixture, so the hash only matches if the ORC roundtrip
+    # preserved every row and byte (text digests included) -- format
+    # fidelity, not just row counts.
+    import shutil
+    import tempfile
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="kcl_orc_sink_")
+    try:
+        docs.write.mode("overwrite").option("compression", "zlib").orc(out)
+        back = spark.read.schema(docs.schema).orc(out)
+        agg = back.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_texts"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -879,3 +879,32 @@ def test_train_val_split_proportions_and_stability(spark, sf_dir):
         "pipeline_train_val_split"
     ](spark, sf_dir).collect()}
     assert rows == again
+
+
+def test_bloom_prune_known_is_exact_at_any_parameters(spark):
+    # The Bloom stage is a work-pruner, never a correctness knob: even a
+    # pathologically tiny filter (m=8 -> nearly everything is a
+    # candidate) must yield the same is_known flags as the plain exact
+    # join, because candidates are verified and non-candidates are
+    # guaranteed absent (no false negatives).
+    from kcl_akka_stream_spark.operators.dedup import bloom_prune_known
+
+    existing = spark.createDataFrame(
+        [(f"digest-{i}",) for i in range(0, 40, 2)], "digest string"
+    )
+    incoming = spark.createDataFrame(
+        [(i, f"digest-{i}") for i in range(30)], "id long, digest string"
+    )
+    truth = {i: int(i % 2 == 0 and i < 40) for i in range(30)}
+    for m_bits, k_hashes in ((8, 2), (1 << 10, 3), (1 << 20, 4)):
+        out = bloom_prune_known(
+            incoming, existing, m_bits=m_bits, k_hashes=k_hashes
+        ).collect()
+        assert len(out) == 30
+        assert {r.id: r.is_known for r in out} == truth, (m_bits, k_hashes)
+        # no false negatives ever: every known row is also a candidate
+        assert all(r.bloom_candidate == 1 for r in out if r.is_known == 1)
+    # and the big filter actually prunes: most unknown rows are negative
+    big = bloom_prune_known(incoming, existing, m_bits=1 << 20, k_hashes=4)
+    neg = big.filter("bloom_candidate = 0").count()
+    assert neg == 15  # all odd ids pruned without touching the exact join
