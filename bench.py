@@ -127,6 +127,9 @@ HEADLINE = [
     "udtf_token_runs",
     "j_lateral_topk",
     "scalar_variant_extract",
+    # round-7 additions: bloom-pruned incremental dedup + ORC roundtrip
+    "pipeline_bloom_dedup",
+    "sink_orc_roundtrip",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -1103,3 +1103,105 @@ def stream_pyds_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _stream_bloom_oracle() -> str:
+    from kcl_akka_stream_spark.queries.pipeline import _bloom_dedup_oracle
+
+    return _bloom_dedup_oracle()
+
+
+@query("stream_bloom_dedup", _stream_bloom_oracle())
+def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming twin of pipeline_bloom_dedup, SAME oracle: a live ingest
+    # deduplicated against a static historical corpus.  The streaming
+    # shape replaces the batch operator's explode+groupBy (stateful on a
+    # stream) with k chained STREAM-STATIC BROADCAST left joins against
+    # the bounded bit-position relation -- map-side, zero state, append
+    # mode, so every micro-batch resolves its rows independently and the
+    # history (compressed to <= m bit rows however large it is) ships
+    # once per executor exactly like the batch path.  Bloom-negative rows
+    # skip nothing here (the verify join is also a broadcast at gate
+    # scale) but carry the candidate flag the batch operator would have
+    # used to prune the exact join.
+    from kcl_akka_stream_spark.queries.pipeline import _BLOOM_K, _BLOOM_M
+
+    def _pos(col, i: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(col, F.lit(f"|{i}"))), 1, 8), 16, 10
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    static_docs = spark.read.parquet(path)
+    existing = (
+        static_docs.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    bits = (
+        existing.select(
+            F.explode(
+                F.array(*[_pos(F.col("digest"), i) for i in range(_BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    known = existing.select(
+        F.col("digest").alias("__kd"), F.lit(1).alias("__is_known")
+    )
+
+    name = f"stream_bloom_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(static_docs.schema)
+        .parquet(os.path.join(sf_dir, "documents.[p]arquet"))
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", F.md5("text").alias("digest"))
+    )
+    joined = stream.select(
+        "*", *[_pos(F.col("digest"), i).alias(f"__p{i}") for i in range(_BLOOM_K)]
+    )
+    for i in range(_BLOOM_K):
+        joined = joined.join(
+            F.broadcast(
+                bits.select(
+                    F.col("bit").alias(f"__b{i}"), F.col("hit").alias(f"__h{i}")
+                )
+            ),
+            F.col(f"__p{i}") == F.col(f"__b{i}"),
+            "left",
+        )
+    cand = F.when(
+        sum(F.col(f"__h{i}").isNotNull().cast("int") for i in range(_BLOOM_K))
+        == _BLOOM_K,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = joined.withColumn("bloom_candidate", cand).join(
+        F.broadcast(known), F.col("digest") == F.col("__kd"), "left"
+    )
+    out = flagged.select(
+        "doc_id",
+        "lang",
+        "bloom_candidate",
+        F.when(
+            (F.col("bloom_candidate") == 1) & F.col("__is_known").isNotNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_known"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -33,14 +33,30 @@ from kcl_akka_stream_spark.sources.batch import load_table
 VOWELS = "aeiou"
 
 
+CONSONANTS = "bcdfghjklmnpqrstvwxz"
+
+
 def replicate_docs(docs: DataFrame, n: int) -> DataFrame:
+    # Perturbation must be INJECTIVE per replica: the first version
+    # rotated vowels by i % 5 only, so with n=10 replica i and i+5 were
+    # byte-identical -- the "10x distinct content" claim was false and
+    # the 10x corpus carried 25k built-in exact-dup pairs, inflating
+    # every candidate-verify probe (~100x more candidate work read as a
+    # 19x wall "regression" in dedup_edit_verified).  Rotating
+    # consonants by i // 5 as well makes all (i%5, i//5) pairs distinct
+    # for n <= 100, so every replica differs from every other in most
+    # shingles.
     parts = []
     for i in range(n):
         rot = VOWELS[i % 5 :] + VOWELS[: i % 5]
+        crot_n = (i // 5) % len(CONSONANTS)
+        crot = CONSONANTS[crot_n:] + CONSONANTS[:crot_n]
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                F.translate(F.col("text"), VOWELS, rot).alias("text"),
+                F.translate(
+                    F.translate(F.col("text"), VOWELS, rot), CONSONANTS, crot
+                ).alias("text"),
             )
         )
     return reduce(DataFrame.unionByName, parts)
