@@ -235,8 +235,10 @@ class _StreamReader(DataSourceStreamReader):
     def read(self, partition: _ShardRange):
         # arrow=true: same RecordBatch fast path as the batch reader --
         # micro-batch rows cross the Python/JVM boundary as columnar
-        # buffers instead of per-row pickles (measured ~5x source
-        # throughput in tools/scale_probe.py's streaming probe).
+        # buffers instead of per-row pickles.  tools/scale_probe.py's
+        # streaming probe measures ~1.7x end-to-end pipeline throughput
+        # (45k vs 27k rows/s incl. windowed agg; the source-only gain is
+        # larger but the stateful stages cap the pipeline).
         if self._arrow:
             yield from _arrow_batches(partition)
             return
