@@ -653,11 +653,19 @@ def bloom_prune_known(
         .distinct()
         .withColumn("__is_known", F.lit(1))
     )
-    positives = (
-        cand.filter(F.col("bloom_candidate") == 1)
-        .join(
+    # Single-pass verify: a LEFT join whose condition includes
+    # bloom_candidate = 1 resolves candidates exactly and leaves
+    # negatives unmatched (is_known -> 0) WITHOUT the
+    # filter-positives/union-negatives split, which would re-execute the
+    # whole upstream candidate aggregation once per branch.  When the
+    # history digest relation outgrows broadcast range, split + cache the
+    # candidate frame instead so bloom-negative rows never enter the
+    # shuffled verify join.
+    return (
+        cand.join(
             F.broadcast(known),
-            F.col(digest_col) == F.col("__known_digest"),
+            (F.col(digest_col) == F.col("__known_digest"))
+            & (F.col("bloom_candidate") == 1),
             "left",
         )
         .select(
@@ -666,7 +674,3 @@ def bloom_prune_known(
             F.coalesce(F.col("__is_known"), F.lit(0)).cast("int").alias("is_known"),
         )
     )
-    negatives = cand.filter(F.col("bloom_candidate") == 0).select(
-        *incoming.columns, "bloom_candidate", F.lit(0).cast("int").alias("is_known")
-    )
-    return positives.unionByName(negatives)

@@ -138,6 +138,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_outlier_zscore": 1,  # stats agg (5 rows) broadcast back; scan-side filter
         "agg_unpivot_brand_metrics": 1,  # brand agg; the unpivot is a map-side Expand
         "u_except_all": 1,  # count-agg + replicate, not a row-pairing join
+        "pipeline_bloom_dedup": 4,  # existing-distinct x2 (bits + known, both bounded/broadcast) + bit distinct + candidate agg; single-pass verify join
         "u_intersect_all": 1,  # same multiset count-agg shape
         "udaf_grouped_median": 1,  # one group shuffle; NO partial agg (GROUPED_AGG is non-combinable)
     }
