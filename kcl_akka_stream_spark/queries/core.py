@@ -2767,3 +2767,81 @@ def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         exact_median("o_totalprice").alias("med"),
     )
+
+
+# Exact EWMA weights: alpha(1-alpha)^j frozen to integer micro-units in
+# PYTHON (one source for both engines), so the time-decayed average is an
+# integer dot product -- partial-agg order cannot move it and the single
+# final division is one shared IEEE op.
+_EWMA_WEIGHTS = [300000, 210000, 147000, 102900, 72030, 50421]  # a=0.3, H=6
+
+
+def _ewma_weight_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {j + 1} THEN {w}" for j, w in enumerate(_EWMA_WEIGHTS)
+    )
+    return f"CASE {col} {whens} END"
+
+
+@query(
+    "w_ewma_time_decay",
+    f"""
+    WITH r AS (
+      SELECT user_id, value,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    k AS (SELECT user_id, v_cents, {_ewma_weight_case('rn')} AS w
+          FROM r WHERE rn <= {len(_EWMA_WEIGHTS)})
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,
+           CAST(sum(v_cents * w) AS BIGINT) AS weighted_micro_cents,
+           CAST(sum(w) AS BIGINT) AS weight_sum,
+           round(CAST(sum(v_cents * w) AS DOUBLE)
+                 / CAST(sum(w) AS DOUBLE) / 100.0, 6) AS ewma_value
+    FROM k GROUP BY user_id
+    """,
+)
+def w_ewma_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exponentially-weighted moving average per user over the last H
+    # events -- the time-decayed feature every behavioral model wants,
+    # and the recursion every engine refuses to distribute.  The
+    # truncated-horizon form makes it relational: rank events most-
+    # recent-first (unique (ts, event_id) tiebreaker), attach the
+    # PRECOMPUTED integer weight for each rank (element_at on a literal
+    # array -- no float pow anywhere), integer dot product, one shared
+    # division at the end.  One window shuffle keyed by user; the final
+    # agg rides the same partitioning (zero extra exchanges).  The
+    # infinite-horizon recursion would need sequential state; H-truncation
+    # bounds the error at (1-a)^H (~12% mass here) and is the standard
+    # streaming-feature trade.
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    H = len(_EWMA_WEIGHTS)
+    weights = F.array(*[F.lit(x) for x in _EWMA_WEIGHTS])
+    ranked = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            _cents(F.col("value")).alias("v_cents"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= H)
+        .withColumn("w", F.element_at(weights, F.col("rn")).cast("long"))
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum(F.col("v_cents") * F.col("w")).cast("long").alias(
+            "weighted_micro_cents"
+        ),
+        F.sum("w").cast("long").alias("weight_sum"),
+        F.round(
+            F.sum(F.col("v_cents") * F.col("w")).cast("double")
+            / F.sum("w").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("ewma_value"),
+    )
