@@ -139,6 +139,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_unpivot_brand_metrics": 1,  # brand agg; the unpivot is a map-side Expand
         "u_except_all": 1,  # count-agg + replicate, not a row-pairing join
         "pipeline_bloom_dedup": 4,  # existing-distinct x2 (bits + known, both bounded/broadcast) + bit distinct + candidate agg; single-pass verify join
+        "w_ewma_time_decay": 1,  # one user-keyed window shuffle; final agg rides its partitioning
         "u_intersect_all": 1,  # same multiset count-agg shape
         "udaf_grouped_median": 1,  # one group shuffle; NO partial agg (GROUPED_AGG is non-combinable)
     }

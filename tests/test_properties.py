@@ -619,3 +619,83 @@ def test_bpe_merge_kernel_matches_python_reference(spark, docs, pair):
     # tokenization is the list itself
     want = {i: merge_pair_python(toks, left, right) for i, toks in enumerate(docs)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# EWMA: the truncated-horizon window query must match a direct python
+# replication (sort by (ts, id) desc, take H, integer dot with the frozen
+# micro-unit weights) on arbitrary small event sets -- including ties on
+# ts (broken by event_id) and users with fewer than H events.
+# ---------------------------------------------------------------------------
+_ewma_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),      # user_id
+        st.integers(0, 20),     # ts minute
+        st.integers(-500, 500),  # value cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_ewma_events)
+@settings(max_examples=15, deadline=None)
+def test_ewma_matches_python_reference(spark, events):
+    from datetime import datetime, timedelta
+
+    from kcl_akka_stream_spark.queries.core import _EWMA_WEIGHTS
+
+    base = datetime(2026, 1, 1)
+    rows = [
+        (i, uid, base + timedelta(minutes=m), cents / 100.0)
+        for i, (uid, m, cents) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+    # pure-python replication
+    from collections import defaultdict
+
+    import math
+
+    per_user = defaultdict(list)
+    for eid, uid, ts, val in rows:
+        per_user[uid].append((ts, eid, math.floor(val * 100 + 0.5)))
+    want = {}
+    for uid, evs in per_user.items():
+        evs.sort(key=lambda x: (x[0], x[1]), reverse=True)
+        head = evs[: len(_EWMA_WEIGHTS)]
+        wm = sum(v * w for (_, _, v), w in zip(head, _EWMA_WEIGHTS))
+        ws = sum(w for _, w in zip(head, _EWMA_WEIGHTS))
+        want[uid] = (len(head), wm, ws)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    weights = F.array(*[F.lit(x) for x in _EWMA_WEIGHTS])
+    ranked = (
+        df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= len(_EWMA_WEIGHTS))
+        .withColumn("w", F.element_at(weights, F.col("rn")).cast("long"))
+    )
+    got = {
+        r.user_id: (r.n, r.wm, r.ws)
+        for r in ranked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v") * F.col("w")).alias("wm"),
+            F.sum("w").alias("ws"),
+        )
+        .collect()
+    }
+    # python's int(v*100+0.5) and Spark's floor(v*100+0.5) agree on the
+    # generated grid (exact cents), so the comparison is integer-exact
+    assert got == want
