@@ -696,6 +696,6 @@ def test_ewma_matches_python_reference(spark, events):
         )
         .collect()
     }
-    # python's int(v*100+0.5) and Spark's floor(v*100+0.5) agree on the
-    # generated grid (exact cents), so the comparison is integer-exact
+    # both sides use floor(v*100+0.5) on an exact-cents grid, so the
+    # comparison is integer-exact
     assert got == want
