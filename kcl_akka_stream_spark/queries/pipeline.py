@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from kcl_akka_stream_spark.operators import dedup as D
 from kcl_akka_stream_spark.operators import similarity as S
 from kcl_akka_stream_spark.operators import text as X
-from kcl_akka_stream_spark.queries.registry import query, tbl
+from kcl_akka_stream_spark.queries.registry import ORACLES, query, tbl
 
 TOK = X.TOKEN_PATTERN  # '[a-z0-9]+'
 
@@ -3241,3 +3241,57 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _ivf_recall_oracle() -> str:
+    # Compose the two independently-verified oracles: exact top-5 and the
+    # IVF nprobe=1 top-5 as derived tables, count the per-query overlap.
+    exact = ORACLES["sim_topk_bruteforce"]
+    approx = _ivf_oracle()
+    return f"""
+    WITH exact AS (SELECT * FROM ({exact})),
+    approx AS (SELECT * FROM ({approx}))
+    SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.n_id) AS BIGINT) AS n_hits,
+           CAST(count(a.n_id) * 100 / count(*) AS BIGINT) AS recall_pct
+    FROM exact e LEFT JOIN approx a
+      ON a.q_id = e.q_id AND a.n_id = e.n_id
+    GROUP BY e.q_id
+    """
+
+
+@query("sim_ivf_recall_report", _ivf_recall_oracle())
+def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ANN acceptance contract, measured IN-QUERY: recall@5 of the
+    # IVF nprobe=1 probe against the exact brute-force top-5, per query
+    # vector (the twin of agg_approx_quantile_report for the similarity
+    # family).  At 100 TB nobody can afford to verify an index by
+    # re-running brute force over the corpus -- but a SAMPLED recall
+    # report exactly like this (queries = the sample) is how production
+    # ANN deployments track index quality, and the oracle replicates
+    # both branches so the measurement itself is hash-verified.
+    # Integer-exact: hits * 100 / k.  Deterministic: both branches break
+    # cosine ties by n_id (the same rule their individual gates verify).
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries_df, k=5).select(
+        "q_id", "n_id"
+    )
+    approx = S.ivf_topk(emb, queries_df, k=5, nprobe=1).select(
+        F.col("q_id").alias("a_q"), F.col("n_id").alias("a_n")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("q_id") == F.col("a_q")) & (F.col("n_id") == F.col("a_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("a_n").cast("long").alias("n_hits"),
+            (F.count("a_n") * 100 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("recall_pct"),
+        )
+    )
