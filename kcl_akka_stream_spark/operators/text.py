@@ -310,3 +310,60 @@ def unigram_logprob(
             F.expr("(-sum_lp) div n_tokens").alias("avg_nll_micro"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", broadcast_counts: bool = True
+) -> DataFrame:
+    """Per-document bigram language-model score -- the next rung of the
+    fluency-gate ladder above ``unigram_logprob``: MLE conditionals
+    P(t_i | t_{i-1}) = n(t_{i-1} t_i) / n(t_{i-1} ·), scored as the
+    average negative log-conditional over each document's bigrams.
+    Word-salad that passes a unigram gate (all common words, shuffled)
+    fails here, because the CONTEXT carries the signal.
+
+    Same cross-engine exactness convention as unigram/tfidf: per-bigram
+    ln-probabilities freeze to integer micro-nats before the per-doc
+    sum, and the average is integer division -- partial-agg order cannot
+    move a result.  Documents with fewer than two tokens emit nothing
+    (they have no bigrams).
+
+    Plan: one zip-with-tail pass builds the bigram relation (map-only,
+    the pair_counts shape), ONE (a, b) count agg whose output is
+    distinct-pair-sized; the context totals derive from that same
+    aggregate (vocab-sized, no second pass over the data), and both
+    broadcast back by default (``broadcast_counts=False`` for open-domain
+    corpora whose pair table outgrows executor memory).  Two data-sized
+    shuffles total (pair agg + per-doc agg), like unigram_logprob.
+    """
+    t = tokens(F.col(text_col))
+    pair_struct = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    pairs = df.select("doc_id", F.explode(pair_struct).alias("p")).select(
+        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    cc = pc.groupBy("a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    if broadcast_counts:
+        pc, cc = F.broadcast(pc), F.broadcast(cc)
+    lp_micro = F.round(
+        F.log(F.col("n_ab").cast("double") / F.col("n_a").cast("double")) * 1e6, 0
+    ).cast("long")
+    return (
+        pairs.join(pc, ["a", "b"])
+        .join(cc, "a")
+        .select("doc_id", lp_micro.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lp").alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("(-sum_lp) div n_bigrams").alias("avg_nll_micro"),
+        )
+    )

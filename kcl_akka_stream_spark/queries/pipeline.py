@@ -3295,3 +3295,35 @@ def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_pct"),
         )
     )
+
+
+@query(
+    "text_bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t FROM documents),
+    pairs AS (
+      SELECT doc_id, unnest([{{'a': t[i], 'b': t[i + 1]}}
+                             FOR i IN generate_series(1, len(t) - 1)]) AS p
+      FROM toks WHERE len(t) >= 2),
+    pr AS (SELECT doc_id, p.a AS a, p.b AS b FROM pairs),
+    pc AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY a, b),
+    cc AS (SELECT a, sum(n_ab) AS n_a FROM pc GROUP BY a),
+    lp AS (
+      SELECT pr.doc_id,
+             CAST(round(ln(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE)) * 1e6,
+                        0) AS BIGINT) AS lp
+      FROM pr JOIN pc USING (a, b) JOIN cc USING (a))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_nll_micro
+    FROM lp GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Context-aware fluency gate (operators/text.py::bigram_logprob):
+    # corpus-fit MLE bigram conditionals, per-doc average negative
+    # log-conditional in integer micro-nats.  The unigram gate's blind
+    # spot -- shuffled common words -- scores poorly here; the pair with
+    # text_unigram_logprob gives pipelines the cheap two-model contrast
+    # (big unigram-vs-bigram gap = locally fluent but incoherent text).
+    return X.bigram_logprob(tbl(spark, sf_dir, "documents"))
