@@ -140,6 +140,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "u_except_all": 1,  # count-agg + replicate, not a row-pairing join
         "pipeline_bloom_dedup": 4,  # existing-distinct x2 (bits + known, both bounded/broadcast) + bit distinct + candidate agg; single-pass verify join
         "w_ewma_time_decay": 1,  # one user-keyed window shuffle; final agg rides its partitioning
+        "text_bigram_logprob": 4,  # pair agg + context rollup (pair-table-sized) + broadcasts + doc agg
+        "sim_ivf_recall_report": 9,  # composes brute-force (1) + inline IVF build/probe (8); sampled-quality report, not a hot path
         "u_intersect_all": 1,  # same multiset count-agg shape
         "udaf_grouped_median": 1,  # one group shuffle; NO partial agg (GROUPED_AGG is non-combinable)
     }
