@@ -202,3 +202,76 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
     )
+
+
+def kmv_set_estimates(
+    set_a: DataFrame,
+    set_b: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch-style SET-OPERATION estimates from two KMV states:
+    union size, Jaccard, and intersection size of two value sets --
+    without ever materializing either set.
+
+    The estimator: take the k smallest distinct hashes of A union B
+    (themselves computable from the two k-min STATES -- any hash among
+    the union's k smallest has < k union hashes below it, hence < k of
+    its own set's hashes below it, so it survives in that set's state:
+    the same closure that makes KMV a valid partial aggregate).  Then
+    ``J = |{union k-mins present in both states}| / k`` and
+    ``|A n B| = J * |A u B|``.  Deterministic md5 hashing makes every
+    number bit-reproducible by an external engine, so the gate verifies
+    the ESTIMATES exactly, not just shapes.
+
+    Output: one row -- (n_a_kept, n_b_kept, n_union_kept, union_kth,
+    est_union, n_both, jaccard_est, est_intersection)."""
+    ha = set_a.select(_hash01(F.col(value_col)).alias("__h")).distinct()
+    hb = set_b.select(_hash01(F.col(value_col)).alias("__h")).distinct()
+
+    def kmins(h: DataFrame) -> DataFrame:
+        w = Window.orderBy("__h")
+        return h.withColumn("__r", F.row_number().over(w)).filter(
+            F.col("__r") <= k
+        )
+
+    ka = kmins(ha).select(F.col("__h").alias("__ha"))
+    kb = kmins(hb).select(F.col("__h").alias("__hb"))
+    ku = kmins(ka.select(F.col("__ha").alias("__h")).union(
+        kb.select(F.col("__hb").alias("__h"))
+    ).distinct())
+    both = (
+        ku.join(F.broadcast(ka), F.col("__h") == F.col("__ha"), "left")
+        .join(F.broadcast(kb), F.col("__h") == F.col("__hb"), "left")
+        .select(
+            "__h",
+            (F.col("__ha").isNotNull() & F.col("__hb").isNotNull())
+            .cast("long")
+            .alias("__in_both"),
+        )
+    )
+    agg = (
+        both.agg(
+            F.count(F.lit(1)).alias("n_union_kept"),
+            F.max("__h").alias("union_kth"),
+            F.sum("__in_both").alias("n_both"),
+        )
+        # sketch sizes ride the same DAG as single-row broadcasts (an
+        # eager .count() here would re-execute each sketch's upstream)
+        .crossJoin(F.broadcast(ka.agg(F.count(F.lit(1)).alias("__na"))))
+        .crossJoin(F.broadcast(kb.agg(F.count(F.lit(1)).alias("__nb"))))
+    )
+    est_union = F.when(
+        F.col("n_union_kept") >= k, F.lit(k - 1) / F.col("union_kth")
+    ).otherwise(F.col("n_union_kept").cast("double"))
+    jacc = F.col("n_both").cast("double") / F.col("n_union_kept").cast("double")
+    return agg.select(
+        F.col("__na").cast("long").alias("n_a_kept"),
+        F.col("__nb").cast("long").alias("n_b_kept"),
+        F.col("n_union_kept").cast("long").alias("n_union_kept"),
+        F.round(F.col("union_kth"), 10).alias("union_kth"),
+        F.round(est_union, 4).alias("est_union"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.round(jacc, 4).alias("jaccard_est"),
+        F.round(jacc * est_union, 4).alias("est_intersection"),
+    )

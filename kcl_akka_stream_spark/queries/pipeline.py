@@ -3327,3 +3327,54 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text_unigram_logprob gives pipelines the cheap two-model contrast
     # (big unigram-vs-bigram gap = locally fluent but incoherent text).
     return X.bigram_logprob(tbl(spark, sf_dir, "documents"))
+
+
+def _kmv_set_ops_oracle(k: int = 64) -> str:
+    h = (
+        "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0"
+    )
+    eu = f"CASE WHEN nu >= {k} THEN {k - 1}.0 / kth ELSE CAST(nu AS DOUBLE) END"
+    return f"""
+    WITH a AS (SELECT DISTINCT {h} AS h FROM events
+               WHERE event_type = 'purchase' AND value >= 50),
+    b AS (SELECT DISTINCT {h} AS h FROM events
+          WHERE event_type = 'click' AND value >= 50),
+    ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM a)
+           WHERE r <= {k}),
+    kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM b)
+           WHERE r <= {k}),
+    u AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)),
+    ku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM u)
+           WHERE r <= {k}),
+    m AS (SELECT ku.h,
+                 CAST(ka.h IS NOT NULL AND kb.h IS NOT NULL AS BIGINT) AS in_both
+          FROM ku LEFT JOIN ka ON ka.h = ku.h LEFT JOIN kb ON kb.h = ku.h),
+    agg AS (SELECT count(*) AS nu, max(h) AS kth, sum(in_both) AS n2 FROM m),
+    sa AS (SELECT count(*) AS v FROM ka), sb AS (SELECT count(*) AS v FROM kb)
+    SELECT CAST(sa.v AS BIGINT) AS n_a_kept, CAST(sb.v AS BIGINT) AS n_b_kept,
+           CAST(nu AS BIGINT) AS n_union_kept, round(kth, 10) AS union_kth,
+           round({eu}, 4) AS est_union,
+           CAST(n2 AS BIGINT) AS n_both,
+           round(CAST(n2 AS DOUBLE) / CAST(nu AS DOUBLE), 4) AS jaccard_est,
+           round(CAST(n2 AS DOUBLE) / CAST(nu AS DOUBLE) * ({eu}), 4)
+             AS est_intersection
+    FROM agg, sa, sb
+    """
+
+
+@query("agg_kmv_set_ops", _kmv_set_ops_oracle())
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theta-sketch-style set algebra on KMV states (operators/
+    # sketches.py::kmv_set_estimates): union size, Jaccard and
+    # intersection size of two user sets (purchasers vs clickers at
+    # value >= 50) estimated purely from k-min sketch states -- the
+    # audience-overlap query every analytics deployment runs, at sketch
+    # cost instead of a distinct-pair join.  Deterministic md5 hashing
+    # -> the oracle reproduces every estimate bit-for-bit.
+    from kcl_akka_stream_spark.operators.sketches import kmv_set_estimates
+
+    ev = tbl(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 50))
+    b = ev.filter((F.col("event_type") == "click") & (F.col("value") >= 50))
+    return kmv_set_estimates(a, b, "user_id", k=64)
