@@ -71,3 +71,51 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     out.count()
     ew.unpersist()
     return out
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected simple graph.
+
+    ``edges`` must be the canonical form: one row per undirected edge
+    with ``src < dst`` (dedup + orient before calling).  The count uses
+    the ORIENTED wedge join -- every triangle {a < b < c} is found
+    exactly once as (a,b) join (b,c) join (a,c):
+
+        wedges: E(a,b) x E(b,c) on the shared middle vertex (a < b < c
+                holds by construction, so each wedge is built once), then
+        close:  semi-join the wedge's (a,c) against E.
+
+    Orientation is the standard trick that keeps the join tractable at
+    scale: joining the unoriented adjacency would build every wedge
+    twice and blow up on high-degree vertices; orienting by vertex id
+    bounds each vertex's out-degree by its rank neighbors (the
+    degree-ordering refinement drops in here if the id order correlates
+    badly with degree).  Two shuffles of the edge relation; the close
+    step is a semi-join, never a materialized wedge table.
+
+    Output: one row (n_nodes, n_edges, n_triangles).
+    """
+    # The edge relation feeds FIVE subplans (both wedge sides, the
+    # closing semi-join, the node set, the edge count); without
+    # materialization each reference re-executes the caller's whole
+    # edge-derivation (13 exchanges on the co-purchase build -- measured).
+    # localCheckpoint once, like _learn_quantizer/kmeans.
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = ab.join(bc, "b")
+    closed = wedges.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    nodes = e.select(F.col("src").alias("n")).union(
+        e.select(F.col("dst").alias("n"))
+    ).distinct()
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    sizes = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        F.broadcast(nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    )
+    return F.broadcast(sizes).crossJoin(tri).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )

@@ -2931,7 +2931,15 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # because every step is integer math.  Top-20 by rank, ties on node.
     from kcl_akka_stream_spark.operators.graph import pagerank
 
-    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # restrict to high-quantity lineitems: the unfiltered projection is
+    # the COMPLETE supplier graph at fixture scale (every pair shares
+    # some order -- 161,700 triangles of no structure); the filtered one
+    # has real topology (403 edges / 126 triangles at sf0.01)
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+    )
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     p = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -3378,3 +3386,55 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 50))
     b = ev.filter((F.col("event_type") == "click") & (F.col("value") >= 50))
     return kmv_set_estimates(a, b, "user_id", k=64)
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+    nodes AS (SELECT DISTINCT n FROM (
+      SELECT src AS n FROM pairs UNION ALL SELECT dst AS n FROM pairs)),
+    tri AS (
+      SELECT count(*) AS t
+      FROM pairs ab
+      JOIN pairs bc ON bc.src = ab.dst
+      WHERE EXISTS (SELECT 1 FROM pairs ac
+                    WHERE ac.src = ab.src AND ac.dst = bc.dst))
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(t AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Triangle counting (operators/graph.py::triangle_count) over the
+    # supplier co-purchase projection: suppliers are adjacent when they
+    # share an order (the unipartite projection of the order-supplier
+    # bipartite graph -- the bipartite graph itself is triangle-free).
+    # Edges are canonically oriented (src < dst) at build time, so the
+    # oriented wedge join counts each triangle exactly once; the third
+    # side closes via a semi-join, never a materialized wedge table.
+    from kcl_akka_stream_spark.operators.graph import triangle_count
+
+    # restrict to high-quantity lineitems: the unfiltered projection is
+    # the COMPLETE supplier graph at fixture scale (every pair shares
+    # some order -- 161,700 triangles of no structure); the filtered one
+    # has real topology (403 edges / 126 triangles at sf0.01)
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)
