@@ -127,9 +127,15 @@ HEADLINE = [
     "udtf_token_runs",
     "j_lateral_topk",
     "scalar_variant_extract",
-    # round-7 additions: bloom-pruned incremental dedup + ORC roundtrip
+    # round-7 additions: bloom-pruned incremental dedup, ORC roundtrip,
+    # exact EWMA, bigram LM, sketch set algebra, triangles, ANN recall
     "pipeline_bloom_dedup",
     "sink_orc_roundtrip",
+    "w_ewma_time_decay",
+    "text_bigram_logprob",
+    "agg_kmv_set_ops",
+    "graph_triangle_count",
+    "sim_ivf_recall_report",
     # streaming representative
     "stream_tumbling_agg",
 ]

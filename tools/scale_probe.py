@@ -394,10 +394,14 @@ def main() -> None:
             d, D.minhash_candidate_pairs(b), prefix_len=200
         )
 
+    def bigram_lp(d: DataFrame) -> DataFrame:
+        return X.bigram_logprob(d)
+
     for name, op, frames in (
         ("arrow_lang_stats", lang_stats, (docs1, docs_n)),
         ("dedup_edit_verified", edit_verified, (docs1, docs_n)),
         ("emb_random_proj", lambda e: S.random_sign_projection(e, out_dims=4), (emb1, emb_n)),
+        ("text_bigram_lp", bigram_lp, (docs1, docs_n)),
     ):
         t1 = timed(lambda: op(frames[0]))
         tn = timed(lambda: op(frames[1]))
@@ -439,6 +443,40 @@ def main() -> None:
     t1 = timed(lambda: cogroup_counts((ev1, o1)))
     tn = timed(lambda: cogroup_counts((ev_n, o_n)))
     print(f"{'j_cogroup_intervals':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # triangle count: scale the GRAPH via disjoint replicas of the
+    # quantity-filtered supplier co-purchase edges (id offsets keep
+    # components disjoint -> triangle count scales exactly linearly,
+    # wedge work per component constant).
+    from kcl_akka_stream_spark.operators.graph import triangle_count
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    ea = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
+    eb = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    edges1 = (
+        ea.join(eb, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    edges_n = reduce(
+        DataFrame.unionByName,
+        [
+            edges1.select(
+                (F.col("src") + F.lit(i * 10_000_000)).alias("src"),
+                (F.col("dst") + F.lit(i * 10_000_000)).alias("dst"),
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+    t1 = timed(lambda: triangle_count(edges1))
+    tn = timed(lambda: triangle_count(edges_n))
+    print(f"{'graph_triangles':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
     # --- streaming sustained-throughput probe (VERDICT r6 #5) -------------
     stream_throughput(spark)
