@@ -2931,15 +2931,7 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # because every step is integer math.  Top-20 by rank, ties on node.
     from kcl_akka_stream_spark.operators.graph import pagerank
 
-    # restrict to high-quantity lineitems: the unfiltered projection is
-    # the COMPLETE supplier graph at fixture scale (every pair shares
-    # some order -- 161,700 triangles of no structure); the filtered one
-    # has real topology (403 edges / 126 triangles at sf0.01)
-    li = (
-        tbl(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 48)
-        .select("l_orderkey", "l_suppkey")
-    )
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     p = (
         li.join(o, li.l_orderkey == o.o_orderkey)
