@@ -199,3 +199,20 @@ def test_grouped_agg_udaf_over_window(spark, sf_dir):
         .collect()
     }
     assert via_window == via_group and len(via_group) == 5
+
+
+def test_triangle_count_on_known_graph(spark):
+    # K4 minus one edge has exactly 2 triangles; plus an isolated edge
+    # and a disconnected path (no triangles).  Canonical src<dst input.
+    from kcl_akka_stream_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4),  # K4 minus (3,4)
+            (10, 11),                                  # isolated edge
+            (20, 21), (21, 22),                        # path, open wedge
+        ],
+        "src long, dst long",
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (9, 8, 2)
