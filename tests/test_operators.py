@@ -216,3 +216,18 @@ def test_triangle_count_on_known_graph(spark):
     )
     row = triangle_count(edges).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (9, 8, 2)
+
+
+def test_kmv_set_estimates_exact_below_k(spark):
+    # Below k the sketch keeps every hash, so the "estimates" must be
+    # EXACT set sizes: |A|=6, |B|=5, |A u B|=8, |A n B|=3, J=3/8.
+    from kcl_akka_stream_spark.operators.sketches import kmv_set_estimates
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5, 6]], "v long")
+    b = spark.createDataFrame([(v,) for v in [4, 5, 6, 7, 8]], "v long")
+    row = kmv_set_estimates(a, b, "v", k=64).collect()[0]
+    assert (row.n_a_kept, row.n_b_kept, row.n_union_kept) == (6, 5, 8)
+    assert row.est_union == 8.0
+    assert row.n_both == 3
+    assert row.jaccard_est == round(3 / 8, 4)
+    assert row.est_intersection == 3.0
