@@ -119,3 +119,54 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return F.broadcast(sizes).crossJoin(tri).select(
         "n_nodes", "n_edges", "n_triangles"
     )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering: triangles through each node vs wedges
+    centered on it, as EXACT INTEGER counts (the coefficient is the
+    caller's division -- kept rational here so external engines can
+    verify bit-for-bit).
+
+    Same canonical input contract as ``triangle_count`` (src < dst, one
+    row per undirected edge).  Each oriented triangle (a < b < c)
+    increments all three corners; wedges per node = deg*(deg-1)/2 over
+    the UNDIRECTED degree.  Scale shape: the oriented wedge join from
+    triangle_count plus one explode to corners and two key-sized aggs --
+    the edge relation is checkpointed once and shared.
+
+    Output: (node, degree, n_triangles, n_wedges) -- coefficient =
+    n_triangles / n_wedges where n_wedges > 0.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    triangles = ab.join(bc, "b").join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    corners = triangles.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    tri_per_node = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            (F.col("degree") * (F.col("degree") - 1) / 2)
+            .cast("long")
+            .alias("n_wedges"),
+        )
+    )

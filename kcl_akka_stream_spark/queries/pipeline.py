@@ -3430,3 +3430,53 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+@query(
+    "graph_clustering_coeff",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+    tri AS (
+      SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+      FROM pairs ab JOIN pairs bc ON bc.src = ab.dst
+      WHERE EXISTS (SELECT 1 FROM pairs ac
+                    WHERE ac.src = ab.src AND ac.dst = bc.dst)),
+    corners AS (
+      SELECT unnest([a, b, c]) AS node FROM tri),
+    tpn AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY node),
+    deg AS (SELECT node, count(*) AS degree FROM (
+      SELECT src AS node FROM pairs UNION ALL SELECT dst AS node FROM pairs)
+      GROUP BY node)
+    SELECT deg.node, CAST(degree AS BIGINT) AS degree,
+           CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(degree * (degree - 1) // 2 AS BIGINT) AS n_wedges
+    FROM deg LEFT JOIN tpn ON tpn.node = deg.node
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-node local clustering over the same quantity-filtered supplier
+    # co-purchase projection as graph_triangle_count
+    # (operators/graph.py::clustering_coefficients): triangles through
+    # each node vs wedges centered on it, kept as exact integer counts
+    # so the coefficient is a caller-side division and the gate hashes
+    # integers only.
+    from kcl_akka_stream_spark.operators.graph import clustering_coefficients
+
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    ea = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
+    eb = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        ea.join(eb, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return clustering_coefficients(edges)

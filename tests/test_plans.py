@@ -144,6 +144,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "sim_ivf_recall_report": 9,  # composes brute-force (1) + inline IVF build/probe (8); sampled-quality report, not a hot path
         "agg_kmv_set_ops": 6,  # 2 per-set distinct+rank chains + union rank + single-row size broadcasts; all sketch-sized after the distincts
         "graph_triangle_count": 8,  # edges checkpointed once (was 13 re-derived); wedge join pair + close semi-join + node/edge counts
+        "graph_clustering_coeff": 6,  # shared checkpointed edges; wedge join + corner agg + degree agg + final join
         "u_intersect_all": 1,  # same multiset count-agg shape
         "udaf_grouped_median": 1,  # one group shuffle; NO partial agg (GROUPED_AGG is non-combinable)
     }
