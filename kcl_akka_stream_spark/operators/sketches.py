@@ -209,6 +209,7 @@ def kmv_set_estimates(
     set_b: DataFrame,
     value_col: str,
     k: int = 64,
+    prehashed: bool = False,
 ) -> DataFrame:
     """Theta-sketch-style SET-OPERATION estimates from two KMV states:
     union size, Jaccard, and intersection size of two value sets --
@@ -226,8 +227,14 @@ def kmv_set_estimates(
 
     Output: one row -- (n_a_kept, n_b_kept, n_union_kept, union_kth,
     est_union, n_both, jaccard_est, est_intersection)."""
-    ha = set_a.select(_hash01(F.col(value_col)).alias("__h")).distinct()
-    hb = set_b.select(_hash01(F.col(value_col)).alias("__h")).distinct()
+    # prehashed=True: value_col already holds the (0,1) md5 fractions --
+    # the streaming path merges per-batch k-min STATES and estimates from
+    # them (the closure makes the merged states equal the direct sketch).
+    hv = (
+        (lambda c: c.cast("double")) if prehashed else (lambda c: _hash01(c))
+    )
+    ha = set_a.select(hv(F.col(value_col)).alias("__h")).distinct()
+    hb = set_b.select(hv(F.col(value_col)).alias("__h")).distinct()
 
     def kmins(h: DataFrame) -> DataFrame:
         w = Window.orderBy("__h")

@@ -1205,3 +1205,75 @@ def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _stream_kmv_set_ops_oracle() -> str:
+    from kcl_akka_stream_spark.queries.pipeline import _kmv_set_ops_oracle
+
+    return _kmv_set_ops_oracle()
+
+
+@query("stream_kmv_set_ops", _stream_kmv_set_ops_oracle())
+def stream_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming twin of agg_kmv_set_ops, SAME oracle: each micro-batch
+    # folds its purchase-user and click-user slices into separate KMV
+    # states (<= k hashes per set per batch); the accumulated states
+    # merge into each set's global k-mins, and the set-operation
+    # estimator runs on the MERGED states (prehashed path).  The KMV
+    # closure makes merged == direct, so streamed union/Jaccard/
+    # intersection estimates equal the batch query bit-for-bit -- the
+    # fourth mergeable-state streaming family (KMV distinct, CMS,
+    # histogram, and now KMV set algebra).
+    from kcl_akka_stream_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    src = tempfile.mkdtemp(prefix="kcl_kmvset_src_")
+    states = {"a": [], "b": []}
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            for tag, etype in (("a", "purchase"), ("b", "click")):
+                st = kmv_sketch(
+                    batch_df.filter(
+                        (F.col("event_type") == etype) & (F.col("value") >= 50)
+                    ).withColumn("g", F.lit(int(epoch_id))),
+                    "g",
+                    "user_id",
+                    k=64,
+                )
+                states[tag].extend(st.collect())
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        def merged(tag: str) -> DataFrame:
+            st = spark.createDataFrame(
+                states[tag], "g long, kmins array<double>"
+            )
+            ex = st.select(F.explode("kmins").alias("h")).distinct()
+            from pyspark.sql import Window
+
+            w = Window.orderBy("h")
+            return (
+                ex.withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= 64)
+                .select("h")
+            )
+
+        return kmv_set_estimates(
+            merged("a"), merged("b"), "h", k=64, prehashed=True
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
