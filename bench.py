@@ -135,6 +135,7 @@ HEADLINE = [
     "text_bigram_logprob",
     "agg_kmv_set_ops",
     "graph_triangle_count",
+    "graph_clustering_coeff",
     "sim_ivf_recall_report",
     # streaming representative
     "stream_tumbling_agg",
