@@ -79,3 +79,20 @@ def test_norm_cell_is_looser_than_bit_exact():
     c = 0.1234567891  # differs at the 10th significant digit
     d = 0.1234567892
     assert cc._norm_cell(c) != cc._norm_cell(d)  # local gate: caught
+
+
+def test_priority_rotation_names_all_registered():
+    # The driver's 50-row correctness sample takes the first N registry
+    # entries after _PRIORITY reordering; a typo in _PRIORITY silently
+    # shrinks the front-loaded never-sampled set (the _reorder helper
+    # drops unknown names rather than failing).  Pin every name.
+    from kcl_akka_stream_spark.queries import QUERIES, _PRIORITY
+
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    # and the rotation really front-loads: the first 50 sampled entries
+    # must include >= 45 of the 56 never-driver-sampled names (VERDICT
+    # r6 #2's acceptance bar)
+    first50 = list(QUERIES)[:50]
+    never_sampled = set(_PRIORITY[1:57])
+    assert len(never_sampled & set(first50)) >= 45
