@@ -170,3 +170,64 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             .alias("n_wedges"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: list[str], iterations: int = 3
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass concentrates on ``seeds``
+    instead of spreading uniformly -- the random walker restarts at the
+    seed set, so ranks measure proximity TO the seeds (the
+    recommendation / related-items primitive).
+
+    Same integer micro-unit discipline as ``pagerank``: per-seed base is
+    ``150_000 // len(seeds)`` (integer division, so an unrolled SQL
+    oracle matches bit-for-bit), non-seeds get base 0, initial rank is
+    ``SCALE // len(seeds)`` on seeds else 0.  Each iteration:
+    ``rank = base + (85 * inflow) div 100`` over ALL nodes (a node with
+    no inflow keeps its base -- the left join matters: dropping
+    zero-inflow nodes would silently erase seed restarts).
+
+    Same edge contract and scale shape as ``pagerank``: (src, dst, w)
+    directed with every dst also a src; edges cached pre-partitioned by
+    src once, iterations shuffle node-sized ranks only.
+    """
+    n = len(seeds)
+    if n == 0:
+        raise ValueError("personalized_pagerank requires at least one seed")
+    edges = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+    ew = edges.join(deg, "src").repartition("src").cache()
+    seed_col = F.col("node").isin(seeds)
+    nodes = deg.select(F.col("src").alias("node"))
+    base = nodes.select(
+        "node",
+        F.when(seed_col, F.lit(BASE // n)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("base"),
+    )
+    ranks = nodes.select(
+        "node",
+        F.when(seed_col, F.lit(SCALE // n)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    for _ in range(iterations):
+        contrib = ew.join(ranks, ew.src == F.col("node")).select(
+            "dst", F.expr("(r * w) div deg").alias("c")
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            base.join(inflow, base.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + F.expr("(85 * coalesce(inflow, 0L)) div 100")
+                ).alias("r"),
+            )
+        )
+    out = ranks.select("node", F.col("r").alias("rank_micro")).cache()
+    out.count()
+    ew.unpersist()
+    return out

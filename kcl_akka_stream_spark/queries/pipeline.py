@@ -3480,3 +3480,67 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return clustering_coefficients(edges)
+
+
+_PPR_SEEDS = ["c1", "c2", "c3"]
+
+
+def _ppr_oracle(iterations: int = 3) -> str:
+    n = len(_PPR_SEEDS)
+    seeds = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+    base = f"CASE WHEN node IN ({seeds}) THEN {150000 // n} ELSE 0 END"
+    r0 = f"CASE WHEN src IN ({seeds}) THEN {1000000 // n} ELSE 0 END"
+    it = lambda prev, cur: f"""
+    {cur} AS (
+      SELECT n.node,
+             ({base}) + (85 * coalesce(i.inflow, 0)) // 100 AS r
+      FROM (SELECT DISTINCT src AS node FROM e) n
+      LEFT JOIN (
+        SELECT e.dst, sum((r.r * e.w) // d.deg) AS inflow
+        FROM e JOIN deg d ON d.src = e.src JOIN {prev} r ON r.node = e.src
+        GROUP BY e.dst) i ON i.dst = n.node)"""
+    return f"""
+    WITH p AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst, w FROM p
+          UNION ALL SELECT dst AS src, src AS dst, w FROM p),
+    deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT DISTINCT src AS node, CAST({r0} AS BIGINT) AS r FROM e),
+    {it('r0', 'i1')},
+    {it('i1', 'i2')},
+    {it('i2', 'i3')}
+    SELECT node, CAST(r AS BIGINT) AS rank_micro
+    FROM i3 ORDER BY r DESC, node LIMIT 20
+    """
+
+
+@query("graph_ppr_topk", _ppr_oracle())
+def graph_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Personalized PageRank (operators/graph.py::personalized_pagerank):
+    # restart mass on three seed customers over the same symmetrized
+    # co-purchase graph as graph_pagerank_topk -- ranks measure
+    # proximity to the seeds, the related-items/recommendation
+    # primitive.  Integer micro-unit arithmetic throughout, so the
+    # 3-iteration unrolled SQL oracle matches bit-for-bit.  Top-20 by
+    # rank, ties on node.
+    from kcl_akka_stream_spark.operators.graph import personalized_pagerank
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    ranks = personalized_pagerank(edges, _PPR_SEEDS, iterations=3)
+    return ranks.orderBy(F.col("rank_micro").desc(), "node").limit(20)

@@ -145,6 +145,11 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_kmv_set_ops": 6,  # 2 per-set distinct+rank chains + union rank + single-row size broadcasts; all sketch-sized after the distincts
         "graph_triangle_count": 8,  # edges checkpointed once (was 13 re-derived); wedge join pair + close semi-join + node/edge counts
         "graph_clustering_coeff": 6,  # shared checkpointed edges; wedge join + corner agg + degree agg + final join
+        # Like graph_pagerank_topk: the cached (edges+deg) subtree re-renders
+        # in the plan STRING at each iteration reference; physically it
+        # executes once + 2 node-sized exchanges per iteration (base join
+        # adds one more vs plain pagerank).
+        "graph_ppr_topk": 36,
         "u_intersect_all": 1,  # same multiset count-agg shape
         "udaf_grouped_median": 1,  # one group shuffle; NO partial agg (GROUPED_AGG is non-combinable)
     }
