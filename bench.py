@@ -136,6 +136,7 @@ HEADLINE = [
     "agg_kmv_set_ops",
     "graph_triangle_count",
     "graph_clustering_coeff",
+    "graph_ppr_topk",
     "sim_ivf_recall_report",
     # streaming representative
     "stream_tumbling_agg",
