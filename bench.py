@@ -67,7 +67,6 @@ HEADLINE = [
     "sim_topk_ivf_prebuilt",
     "sim_topk_lsh",
     "emb_near_dup",
-    "emb_near_dup_lsh",
     "emb_near_dup_lsh_capped",
     # text analysis + multimodal
     "text_quality",
@@ -150,6 +149,9 @@ HEADLINE = [
 BASELINES = [
     "dedup_ngram_jaccard",  # uncapped quadratic shingle-join baseline
     "dedup_semantic",       # frozen-k SemDeDup (quadratic per cluster)
+    "emb_near_dup_lsh",     # frozen lsh_dims=4 (SCALE_PROBE: 19x at 10x --
+                            # block sizes grow with corpus under frozen
+                            # dims); capped twin is the headline path
 ]
 
 
@@ -157,6 +159,25 @@ def _noop_write(df) -> None:
     # noop sink materializes every output column (count() would let
     # Catalyst prune the computed projections away).
     df.write.format("noop").mode("overwrite").save()
+
+
+def _calibrate(spark, sf_dir: str) -> float:
+    """Contention tripwire (VERDICT r7 #2): a FIXED workload -- the
+    region.parquet count plus a 20M-row in-memory integer aggregation
+    across 32 tasks -- whose cost depends only on the host, never on the
+    query set.  Timed at the start AND end of the run; an inflated
+    calibration marks the whole record as environment-contended (the r7
+    driver record was uniformly 2-4x inflated with nothing in the record
+    to distinguish that from a real regression).  Median of 3."""
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+        spark.range(0, 20_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1) AS s"
+        ).collect()
+        times.append(time.time() - t0)
+    return round(sorted(times)[1], 3)
 
 
 def main() -> None:
@@ -168,6 +189,7 @@ def main() -> None:
     # Warm the JVM + parquet footers with a trivial action so the cold
     # column measures the queries, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    cal_start = _calibrate(spark, sf_dir)
 
     # Cold pass: first execution of each query in this JVM, timed.
     cold: dict[str, float] = {}
@@ -236,13 +258,22 @@ def main() -> None:
         file=sys.stderr,
     )
     headline_cold = {k: v for k, v in cold.items() if k not in BASELINES}
-    print(summary_line(per_query, headline_cold, sf))
+    cal_end = _calibrate(spark, sf_dir)
+    print(summary_line(per_query, headline_cold, sf, cal_start, cal_end))
 
 
-def summary_line(per_query: dict, cold: dict, sf: str) -> str:
+def summary_line(
+    per_query: dict,
+    cold: dict,
+    sf: str,
+    cal_start: float = 0.0,
+    cal_end: float = 0.0,
+) -> str:
     """The ONE stdout JSON line.  Fixed-size: aggregate scalars only --
     never a per-query collection, so growth of HEADLINE cannot overflow
-    the driver's bounded tail capture again."""
+    the driver's bounded tail capture again.  ``calibration_*_sec`` are
+    the fixed-workload tripwire times (start / end of the run): compare
+    them round-over-round to tell host contention from plan regressions."""
     return json.dumps(
         {
             "metric": "headline_queries_total_runtime",
@@ -250,6 +281,8 @@ def summary_line(per_query: dict, cold: dict, sf: str) -> str:
             "unit": "sec",
             "n_queries": len(per_query),
             "cold_total": round(sum(cold.values()), 3),
+            "calibration_start_sec": cal_start,
+            "calibration_end_sec": cal_end,
             "sf": float(sf) if sf else None,
         }
     )

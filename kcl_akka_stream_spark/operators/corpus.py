@@ -113,11 +113,14 @@ def dedup_segments(
     # Zip-chain segment construction: join the token array positionally
     # with its shifted slices (concat_ws skips the null padding, which
     # yields the partial tail segment for free), then keep every
-    # seg_tokens-th position with an index filter.  The arrays are lambda
-    # ARGUMENTS — evaluated once per row; indexing ``toks`` inside a
-    # transform lambda would re-run the tokenizer regex per element (see
-    # operators/dedup.py::shingles).
-    toks = tokens(F.col(text_col))
+    # seg_tokens-th position with an index filter.  The token array is
+    # materialized in a CHILD projection first (SCALE_PROBE r7's 2.71x
+    # row): the zip-chain references it 2*seg_tokens - 1 times (initial
+    # array, each slice, and the size), and inlining the tokenizer
+    # expression re-runs the regex that many times per row.
+    # CollapseProject keeps the non-cheap multiply-referenced alias
+    # separate, so the tokenizer runs once per row.
+    toks = F.col("__toks")
     size = F.size(toks)
     g = toks
     for j in range(1, seg_tokens):
@@ -126,8 +129,10 @@ def dedup_segments(
         )
     segs = F.filter(g, lambda _, i: i % seg_tokens == 0)
     # spread(): segment slicing is an interpreted higher-order function.
-    ex = spread(df.select(id_col, text_col)).select(
-        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    ex = (
+        spread(df.select(id_col, text_col))
+        .withColumn("__toks", tokens(F.col(text_col)))
+        .select(F.col(id_col), F.posexplode(segs).alias("pos", "seg"))
     )
     seg_df = ex.groupBy("seg").agg(
         F.countDistinct(id_col).alias("seg_doc_freq")

@@ -91,6 +91,24 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*mins)
 
 
+def _band_buckets(
+    sig: DataFrame, num_hashes: int, bands: int, id_col: str
+) -> DataFrame:
+    """Banding over an existing signature frame (shared by
+    minhash_lsh_buckets and minhash_estimate_vs_exact, which reuses one
+    signature computation across banding and agreement scoring)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -104,17 +122,8 @@ def minhash_lsh_buckets(
     sharing any band bucket are near-dup candidates.  Output: one row per
     (doc, band) with its bucket id -- candidate pairs come from a self-join
     on (band, bucket), which only touches colliding groups."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
-        )
-    return sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return _band_buckets(sig, num_hashes, bands, id_col)
 
 
 def minhash_candidate_pairs(
@@ -578,6 +587,81 @@ def verify_candidate_edit_distance(
     )
 
 
+def minhash_estimate_vs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    dup_threshold_micro: int = 500_000,
+) -> DataFrame:
+    """Sketch acceptance contract for the MinHash-LSH family -- the twin
+    of the ANN recall report (queries/pipeline.py::sim_ivf_recall_report):
+    for every LSH candidate pair, score the SIGNATURE-estimated
+    similarity (count of agreeing minhash components, 0..num_hashes)
+    against the TRUE shingle-set Jaccard (integer micro-units), and
+    aggregate into a calibration table keyed by agreement count.
+
+    At 100 TB nobody re-verifies a dedup sweep by computing exact
+    Jaccard corpus-wide; a calibration table over the candidate set
+    (est agreement vs measured truth) is how production dedup tracks
+    whether its banding threshold still separates dups from collisions.
+    Everything is integer (agreement counts, micro-Jaccard via
+    truncating div, pair counters), so an external engine reproduces
+    the table bit-for-bit.
+
+    Scale shape: ONE signature computation is checkpointed and shared by
+    banding and both agreement joins (the data-sized shingle explode
+    runs once); candidate pairs are bucket-local (never corpus x
+    corpus); the exact-Jaccard verify touches only candidates.  Output:
+    (n_agree, n_pairs, sum_jaccard_micro, n_true_dups).
+    """
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, k
+    ).localCheckpoint(eager=True)
+    pairs = minhash_candidate_pairs(
+        _band_buckets(sig, num_hashes, bands, id_col), id_col
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{s}").alias(f"__a_{s}") for s in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{s}").alias(f"__b_{s}") for s in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"__a_{s}") == F.col(f"__b_{s}")).cast("long")
+        for s in range(num_hashes)
+    )
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", agree.alias("n_agree")
+    )
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__shs"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    scored = (
+        est.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__i", inter.cast("long"))
+        .withColumn("__u", union.cast("long"))
+        .select(
+            "n_agree",
+            F.expr("(__i * 1000000) div __u").alias("jac_micro"),
+        )
+    )
+    return scored.groupBy("n_agree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("jac_micro").cast("long").alias("sum_jaccard_micro"),
+        F.sum(
+            (F.col("jac_micro") >= dup_threshold_micro).cast("long")
+        ).alias("n_true_dups"),
+    )
+
+
 def bloom_prune_known(
     incoming: DataFrame,
     existing_digests: DataFrame,
@@ -613,7 +697,10 @@ def bloom_prune_known(
     ``bloom_candidate = 1, is_known = 0``).
 
     Output: incoming's columns plus ``bloom_candidate`` and ``is_known``
-    (int 0/1 -- cross-engine hash stability).
+    (int 0/1 -- cross-engine hash stability).  ROW-PRESERVING: duplicate
+    incoming rows each come back once (the k-position regroup keys on an
+    internal per-row id, not on the value columns), matching the
+    streaming twin ``stream_bloom_dedup``'s chained-join semantics.
     """
     def _positions(col: Column) -> list[Column]:
         return [
@@ -636,12 +723,21 @@ def bloom_prune_known(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    inc_pos = incoming.select(
-        *incoming.columns, F.explode(F.array(*_positions(digest))).alias("pos")
+    # The per-row id (assigned BEFORE the k-position explode) is the
+    # regroup key, so duplicate incoming rows survive as duplicates --
+    # grouping on the value columns would silently collapse them and
+    # change output multiplicity.  Uniqueness within one evaluation is
+    # all the id is used for; it never leaves this function.
+    inc_pos = incoming.withColumn(
+        "__row_id", F.monotonically_increasing_id()
+    ).select(
+        "__row_id",
+        *incoming.columns,
+        F.explode(F.array(*_positions(digest))).alias("pos"),
     )
     cand = (
         inc_pos.join(F.broadcast(bits), F.col("pos") == F.col("bit"), "left")
-        .groupBy(*incoming.columns)
+        .groupBy("__row_id", *incoming.columns)
         .agg(
             (F.sum(F.coalesce(F.col("hit"), F.lit(0))) == k_hashes)
             .cast("int")

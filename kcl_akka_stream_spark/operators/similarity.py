@@ -699,11 +699,31 @@ def quantize_int8(
     from kcl_akka_stream_spark.plans.hygiene import spread
 
     v = F.col(vec_col)
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
-    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0.0))).otherwise(
-        F.transform(v, lambda x: F.round(x.cast("double") / scale, 0))
+    # Materialize scale and the quantized array in CHILD projections
+    # (the rolling-fingerprint lesson, re-learned here via SCALE_PROBE's
+    # 2.86x row): inlining ``scale`` into the transform lambda makes the
+    # interpreted HOF evaluator re-run the array_max PER ELEMENT
+    # (O(d^2) per row), and referencing ``q`` from both aggregates runs
+    # the division transform twice.  CollapseProject keeps non-cheap
+    # multiply-referenced aliases in their own Project, so each runs
+    # once per row.
+    scale = F.col("__scale")
+    q = F.col("__q")
+    staged = (
+        spread(df.select(id_col, vec_col))
+        .withColumn(
+            "__scale",
+            F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+            / F.lit(127.0),
+        )
+        .withColumn(
+            "__q",
+            F.when(scale == 0, F.transform(v, lambda x: F.lit(0.0))).otherwise(
+                F.transform(v, lambda x: F.round(x.cast("double") / scale, 0))
+            ),
+        )
     )
-    return spread(df.select(id_col, vec_col)).select(
+    return staged.select(
         F.col(id_col),
         F.size(v).alias("n_dims"),
         F.round(norm(v), 6).alias("l2_norm"),

@@ -98,11 +98,13 @@ def kmv_merge_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
     fewer within its own group -- so it survives into that group's state
     and into the merged union.  That closure property is what makes KMV a
     valid partial aggregate: shuffle G*k array entries, never the raw
-    values.  The single-partition ranking window is safe by construction
-    (input is <= groups * k rows -- sketch state, not data)."""
+    values.  The global k-min selection is ``orderBy().limit(k)`` --
+    Spark's TakeOrderedAndProject does per-partition top-k then a k-sized
+    merge, so NO single partition ever sorts the full input (the input
+    here is already <= groups * k rows, but the plan shape stays
+    scale-safe and matches ``kmv_set_estimates``)."""
     ex = sketches.select(F.explode("kmins").alias("__h")).distinct()
-    w = Window.orderBy("__h")
-    top = ex.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k)
+    top = ex.orderBy("__h").limit(k)
     return top.agg(
         F.count(F.lit(1)).alias("n_exact_kept"), F.max("__h").alias("kth_min")
     ).select(
@@ -237,10 +239,13 @@ def kmv_set_estimates(
     hb = set_b.select(hv(F.col(value_col)).alias("__h")).distinct()
 
     def kmins(h: DataFrame) -> DataFrame:
-        w = Window.orderBy("__h")
-        return h.withColumn("__r", F.row_number().over(w)).filter(
-            F.col("__r") <= k
-        )
+        # orderBy + limit compiles to TakeOrderedAndProject: each
+        # partition keeps its own k smallest, then a k-sized merge --
+        # the DATA-SIZED distinct hash set is never funneled through one
+        # task (the old unpartitioned Window.orderBy ranking did exactly
+        # that: a serial sort of every distinct hash, OOM-shaped at
+        # 100 TB).  The k-min RESULT is identical: global k smallest.
+        return h.orderBy("__h").limit(k)
 
     ka = kmins(ha).select(F.col("__h").alias("__ha"))
     kb = kmins(hb).select(F.col("__h").alias("__hb"))

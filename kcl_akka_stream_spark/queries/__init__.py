@@ -22,73 +22,72 @@ from kcl_akka_stream_spark.queries import streaming_q  # noqa: E402,F401
 #: Samplers that take the first N registry entries (the driver's
 #: correctness gate records 50) must see a REPRESENTATIVE slice, not just
 #: whichever module imported first.  The sample ROTATES each round
-#: (VERDICT r5 #2, r6 #2): rounds 1-6 collectively sampled 134 of the 190
-#: queries, so round 7 front-loads exactly the 56 never-before-sampled
-#: names (computed by set difference over CORRECTNESS_r01..r06) after the
-#: flagship; previously-green entries fill the remainder in their original
-#: registration order.  Round-7 NEW queries go after the 56 (they get
-#: judge-checked locally this round and rotate into the driver sample next
-#: round).
+#: (VERDICT r5 #2, r6 #2, r7 #3): after round 7, exactly 18 of the 201
+#: registry names had never appeared in a driver CORRECTNESS sample --
+#: the 11 round-7 additions plus 7 older entries that sat past the 50-row
+#: cutoff (set difference over CORRECTNESS_r01..r07).  Round 8
+#: front-loads all 18 after the flagship, then round-8 NEW queries (so
+#: they are driver-verified the round they land), then rotation fill from
+#: the longest-unsampled previously-green names.
 _PRIORITY = [
     "q1_pricing_summary",
-    # -- never sampled in CORRECTNESS_r01..r06 (all 56) --
-    "q19_discounted_revenue",
-    "q13_customer_distribution",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q22_global_sales_opportunity",
-    "pipeline_tfidf_topk",
-    "sink_zorder_roundtrip",
-    "stream_dedup_watermarked",
-    "stream_hist_merge",
-    "pipeline_snapshot_diff",
-    "dedup_edit_verified",
-    "agg_approx_quantile_report",
-    "agg_conditional_funcs",
-    "agg_corr_exact",
-    "pipeline_chunk_docs",
-    "sink_jsonl_roundtrip",
-    "pipeline_train_val_split",
-    "text_oov_report",
-    "j_cogroup_interval_counts",
-    "q21_suppliers_kept_waiting",
-    "q15_top_supplier",
-    "q11_important_supplier_value",
-    "emb_random_projection",
-    "dedup_semantic",
-    "dedup_semantic_auto",
-    "pipeline_source_cap",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q20_excess_inventory_suppliers",
-    "q2_min_cost_supplier",
-    "arrow_doc_stats",
-    "udtf_token_runs",
-    "j_lateral_topk",
-    "scalar_variant_extract",
-    "stream_left_outer_join",
-    "stream_cdc_upsert",
-    "text_unigram_logprob",
-    "pipeline_bpe_top_pairs",
-    "graph_pagerank_topk",
-    "w_rolling_range_frame",
-    "agg_outlier_zscore",
-    "sink_csv_roundtrip",
-    "pipeline_split_leakage_safe",
-    "agg_unpivot_brand_metrics",
-    "u_except_all",
-    "u_intersect_all",
-    "source_python_datasource",
-    "stream_python_datasource",
+    # -- the final 18 never driver-sampled in CORRECTNESS_r01..r07 --
+    "pipeline_bloom_dedup",
+    "stream_bloom_dedup",
+    "sink_orc_roundtrip",
+    "w_ewma_time_decay",
+    "text_bigram_logprob",
+    "agg_kmv_set_ops",
+    "stream_kmv_set_ops",
+    "graph_triangle_count",
+    "graph_clustering_coeff",
+    "graph_ppr_topk",
+    "sim_ivf_recall_report",
+    "arrow_lang_stats",
     "sink_pyds_manifest_roundtrip",
-    "stream_session_dynamic_gap",
-    "udaf_grouped_median",
     "stream_chained_window_agg",
     "stream_pyds_pipeline_manifest",
-    "arrow_lang_stats",
-    # -- new in round 7 (rotate into the driver sample in r8) --
+    "stream_python_datasource",
+    "stream_session_dynamic_gap",
+    "udaf_grouped_median",
+    # -- new in round 8 (driver-verified the round they land) --
+    "dedup_minhash_calibration",
+    "pipeline_rollup_incremental",
+    "pipeline_dataset_card",
+    "w_cumulative_distinct",
+    "agg_winsorized_stats",
+    # -- rotation fill: longest-unsampled previously-green names --
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q12_priority_shipping",
+    "q18_large_volume_customers",
+    "j_orders_customer",
+    "j_broadcast_star",
+    "j_semi",
+    "j_anti",
+    "j_full_outer",
+    "j_asof",
+    "j_range_bucket",
+    "j_salted_skew",
+    "j_null_safe",
+    "j_null_skew_bypass",
+    "agg_group_by_key",
+    "agg_dedup_group_by_key",
+    "agg_counts",
+    "agg_shard_stats",
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_pivot_event_types",
+    "w1_shard_order",
+    "w_global_topn",
+    "w_rank_funcs",
+    "w_sessionize",
+    "w_funnel_conversion",
+    "w_gap_fill_hourly",
+    "checkpoint_frontier",
+    "remove_reprocessed",
+    "u_union_merge",
 ]
 
 

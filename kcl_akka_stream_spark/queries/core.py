@@ -2845,3 +2845,142 @@ def w_ewma_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma_value"),
     )
+
+
+@query(
+    "w_cumulative_distinct",
+    """
+    WITH f AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT user_id, event_type,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT)
+             AS running_distinct
+    FROM f WHERE rn = 1
+    """,
+)
+def w_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Running DISTINCT count per user over event time -- the
+    # first-touch/variety feature (how many distinct event types has
+    # this user produced so far, stamped at each first occurrence).
+    # COUNT(DISTINCT) OVER a running frame is unsupported in both
+    # engines; the relational decomposition is two stacked windows:
+    # first-occurrence flag (row_number per (user, type) = 1), then
+    # ordinal numbering of the survivors per user.  Both windows key on
+    # user_id, so the second rides the first's partitioning -- one
+    # exchange total.  Unique (ts, event_id) tiebreaker keeps the
+    # numbering deterministic cross-engine.
+    ev = tbl(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    firsts = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return firsts.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w2).cast("long").alias("running_distinct"),
+    )
+
+
+@query(
+    "agg_winsorized_stats",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+      FROM events),
+    hist AS (
+      SELECT event_type, v_cents, count(*) AS c
+      FROM v GROUP BY event_type, v_cents),
+    cdf AS (
+      SELECT event_type, v_cents, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v_cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM hist),
+    thr AS (
+      SELECT event_type,
+             min(CASE WHEN cum >= (n + 19) // 20 THEN v_cents END) AS p05,
+             min(CASE WHEN cum >= (19 * n + 19) // 20 THEN v_cents END) AS p95
+      FROM cdf GROUP BY event_type)
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(t.p05 AS BIGINT) AS p05_cents,
+           CAST(t.p95 AS BIGINT) AS p95_cents,
+           CAST(sum(CASE WHEN v.v_cents < t.p05 THEN t.p05
+                         WHEN v.v_cents > t.p95 THEN t.p95
+                         ELSE v.v_cents END) AS BIGINT) AS winsorized_sum_cents,
+           CAST((sum(CASE WHEN v.v_cents < t.p05 THEN t.p05
+                          WHEN v.v_cents > t.p95 THEN t.p95
+                          ELSE v.v_cents END) * 10000) // count(*) AS BIGINT)
+             AS winsorized_mean_micro,
+           CAST(sum(CASE WHEN v.v_cents < t.p05 OR v.v_cents > t.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM v JOIN thr t ON t.event_type = v.event_type
+    GROUP BY v.event_type, t.p05, t.p95
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Winsorized (clamped-tail) robust statistics per event type: exact
+    # discrete p05/p95 via the HISTOGRAM-CDF decomposition, then clamp
+    # and aggregate.  The naive exact form ranks every raw row in a
+    # per-group sort window (data-sized per-key sort -- the shape the
+    # KMV fix just removed); instead the values pre-aggregate to
+    # (group, value) counts (one combinable shuffle), the cumulative
+    # window runs over the DISTINCT-VALUE relation (cents-bounded, tiny),
+    # and the rank-r value is min(v where cum >= r).  The clamp is a
+    # broadcast join back.  Integer cents/micro throughout.
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    hist = ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    cdf = hist.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    thr = cdf.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 19) div 20"), F.col("v"))
+        ).alias("p05"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(19 * n + 19) div 20"), F.col("v"))
+        ).alias("p95"),
+    )
+    clamped = ev.join(F.broadcast(thr), "event_type").withColumn(
+        "w",
+        F.when(F.col("v") < F.col("p05"), F.col("p05"))
+        .when(F.col("v") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("v")),
+    )
+    return clamped.groupBy("event_type", "p05", "p95").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast("long").alias("winsorized_sum_cents"),
+        F.sum(
+            ((F.col("v") < F.col("p05")) | (F.col("v") > F.col("p95"))).cast(
+                "long"
+            )
+        ).alias("n_clamped"),
+    ).select(
+        "event_type",
+        "n",
+        F.col("p05").cast("long").alias("p05_cents"),
+        F.col("p95").cast("long").alias("p95_cents"),
+        "winsorized_sum_cents",
+        F.expr("(winsorized_sum_cents * 10000) div n")
+        .cast("long")
+        .alias("winsorized_mean_micro"),
+        F.col("n_clamped").cast("long").alias("n_clamped"),
+    )

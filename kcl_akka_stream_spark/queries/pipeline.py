@@ -784,6 +784,72 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.verify_candidate_jaccard(docs, cands, k=3, threshold=0.5)
 
 
+def _minhash_calibration_oracle(
+    num_hashes: int = 8, dup_threshold_micro: int = 500_000
+) -> str:
+    mh = _minhash_oracle()
+    agree = " + ".join(
+        f"CASE WHEN ma.mh_{s} = mb.mh_{s} THEN 1 ELSE 0 END"
+        for s in range(num_hashes)
+    )
+    return f"""
+    WITH {_SH_CTE},
+    cands AS (SELECT * FROM ({mh})),
+    h AS (
+      SELECT doc_id, md5(shingle) AS h1, md5(shingle || '#1') AS h2 FROM sh
+    ),
+    mh2 AS (
+      SELECT doc_id,
+        {",".join(f"min(substr({'h1' if s < 4 else 'h2'}, {(s % 4) * 8 + 1}, 8)) AS mh_{s}" for s in range(num_hashes))}
+      FROM h GROUP BY doc_id
+    ),
+    agree AS (
+      SELECT c.id_a, c.id_b, CAST({agree} AS BIGINT) AS n_agree
+      FROM cands c
+      JOIN mh2 ma ON ma.doc_id = c.id_a
+      JOIN mh2 mb ON mb.doc_id = c.id_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    ex AS (
+      SELECT g.id_a, g.id_b, g.n_agree,
+             (coalesce(i.n_common, 0) * 1000000)
+               // (sa.n_sh + sb.n_sh - coalesce(i.n_common, 0)) AS jac_micro
+      FROM agree g
+      LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
+      JOIN sizes sa ON sa.doc_id = g.id_a
+      JOIN sizes sb ON sb.doc_id = g.id_b
+    )
+    SELECT n_agree, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(jac_micro) AS BIGINT) AS sum_jaccard_micro,
+           CAST(sum(CASE WHEN jac_micro >= {dup_threshold_micro}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups
+    FROM ex GROUP BY n_agree
+    """
+
+
+@query("dedup_minhash_calibration", _minhash_calibration_oracle())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The dedup family's acceptance contract, measured in-query (the
+    # twin of sim_ivf_recall_report): signature-estimated similarity
+    # (agreeing minhash components per LSH candidate pair) calibrated
+    # against TRUE shingle Jaccard in integer micro-units
+    # (operators/dedup.py::minhash_estimate_vs_exact).  At 100 TB this
+    # candidate-set calibration table -- not a corpus-wide re-verify --
+    # is how a production sweep proves its banding threshold still
+    # separates dups from bucket collisions.  All-integer, so the oracle
+    # reproduces the table bit-for-bit.
+    return D.minhash_estimate_vs_exact(
+        tbl(spark, sf_dir, "documents"), num_hashes=8, bands=4, k=3
+    )
+
+
 @query("dedup_clusters", _clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The cluster->keeper step every dedup pipeline ends with: connected
@@ -2893,6 +2959,21 @@ def pipeline_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_counts(tbl(spark, sf_dir, "documents"), k=20)
 
 
+# Long node-id encoding for the co-purchase graph queries: customer
+# custkey stays as-is, supplier suppkey is offset by 2^40 (far above any
+# realistic custkey).  Injective, so the iteration results are the same
+# graph quantities the string-keyed oracle computes; decode happens once
+# on the node-sized final ranks.
+_GRAPH_OFF = 1 << 40
+
+
+def _graph_decode(col: str):
+    c = F.col(col)
+    return F.when(
+        c < _GRAPH_OFF, F.concat(F.lit("c"), c.cast("string"))
+    ).otherwise(F.concat(F.lit("s"), (c - _GRAPH_OFF).cast("string")))
+
+
 @query(
     "graph_pagerank_topk",
     """
@@ -2925,10 +3006,21 @@ def pipeline_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Damped PageRank (3 iterations, integer micro-unit arithmetic) over
     # the customer<->supplier co-purchase graph, symmetrized so every
-    # node has out-edges (operators/graph.py docstring).  The edge list
-    # is cached across iterations; ranks stay node-sized; the oracle
-    # unrolls the same three iterations in SQL and matches bit-for-bit
-    # because every step is integer math.  Top-20 by rank, ties on node.
+    # node has out-edges (operators/graph.py docstring).  The edge base
+    # is checkpointed once; ranks stay node-sized; the oracle unrolls
+    # the same three iterations in SQL and matches bit-for-bit because
+    # every step is integer math.  Top-20 by rank, ties on node.
+    #
+    # Node ids run through the iterations as LONGS (customer = custkey,
+    # supplier = suppkey + 2^40) and decode to the oracle's 'c..'/'s..'
+    # strings only at the final top-20: the checkpointed edge base and
+    # every iteration shuffle then move 8-byte ints instead of strings
+    # (~40% of the old steady-state cost was string hashing + payload).
+    # Ranks depend only on graph structure, so the injective encoding
+    # changes nothing the oracle can see.  broadcast_ranks=True: this
+    # graph's node set (customers + suppliers) is orders of magnitude
+    # smaller than its edge set at every sf -- flip off only for graphs
+    # whose rank table outgrows executor broadcast range.
     from kcl_akka_stream_spark.operators.graph import pagerank
 
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -2936,16 +3028,20 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + _GRAPH_OFF).alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     edges = p.unionByName(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
-    ranks = pagerank(edges, iterations=3)  # caches (edges+deg) by src itself
-    return ranks.orderBy(F.col("rank_micro").desc(), "node").limit(20)
+    ranks = pagerank(edges, iterations=3, broadcast_ranks=True)
+    return (
+        ranks.select(_graph_decode("node").alias("node"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), "node")
+        .limit(20)
+    )
 
 
 @query(
@@ -3253,7 +3349,7 @@ def _ivf_recall_oracle() -> str:
     approx AS (SELECT * FROM ({approx}))
     SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
            CAST(count(a.n_id) AS BIGINT) AS n_hits,
-           CAST(count(a.n_id) * 100 / count(*) AS BIGINT) AS recall_pct
+           CAST((count(a.n_id) * 100) // count(*) AS BIGINT) AS recall_pct
     FROM exact e LEFT JOIN approx a
       ON a.q_id = e.q_id AND a.n_id = e.n_id
     GROUP BY e.q_id
@@ -3290,9 +3386,17 @@ def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_exact"),
             F.count("a_n").cast("long").alias("n_hits"),
-            (F.count("a_n") * 100 / F.count(F.lit(1)))
-            .cast("long")
-            .alias("recall_pct"),
+        )
+        # Integer division on BOTH engines (Spark `div`, DuckDB `//`) --
+        # double-divide-then-cast only agreed because 100 % k == 0:
+        # Spark's cast truncates while DuckDB's rounds half-even, so
+        # e.g. k=3 with 2 hits would be 66 vs 67.  Counts are positive,
+        # so truncating div == flooring div and the match is k-agnostic.
+        .select(
+            "q_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(n_hits * 100) div n_exact").cast("long").alias("recall_pct"),
         )
     )
 
@@ -3526,7 +3630,8 @@ def graph_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # proximity to the seeds, the related-items/recommendation
     # primitive.  Integer micro-unit arithmetic throughout, so the
     # 3-iteration unrolled SQL oracle matches bit-for-bit.  Top-20 by
-    # rank, ties on node.
+    # rank, ties on node.  Long node-id encoding + broadcast ranks as in
+    # graph_pagerank_topk; seeds are encoded to the same long space.
     from kcl_akka_stream_spark.operators.graph import personalized_pagerank
 
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -3534,13 +3639,158 @@ def graph_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + _GRAPH_OFF).alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     edges = p.unionByName(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
-    ranks = personalized_pagerank(edges, _PPR_SEEDS, iterations=3)
-    return ranks.orderBy(F.col("rank_micro").desc(), "node").limit(20)
+    seeds = [
+        int(s[1:]) if s[0] == "c" else int(s[1:]) + _GRAPH_OFF
+        for s in _PPR_SEEDS
+    ]
+    ranks = personalized_pagerank(
+        edges, seeds, iterations=3, broadcast_ranks=True
+    )
+    return (
+        ranks.select(_graph_decode("node").alias("node"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), "node")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave: incremental rollup maintenance, corpus dataset card
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_rollup_incremental",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v_cents) AS BIGINT) AS sum_cents,
+           CAST(min(v_cents) AS BIGINT) AS min_cents,
+           CAST(max(v_cents) AS BIGINT) AS max_cents,
+           CAST((sum(v_cents) * 10000) // count(*) AS BIGINT) AS avg_micro
+    FROM v GROUP BY event_type
+    """,
+)
+def pipeline_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental rollup maintenance -- the daily-ETL pattern that keeps
+    # a 100 TB aggregate table current WITHOUT re-reading history: the
+    # standing rollup holds per-group PARTIAL STATES (count, sum, min,
+    # max -- each a commutative monoid), today's batch folds to the same
+    # states, and the merge is a states-sized groupBy.  Derived columns
+    # (avg) are computed AFTER the merge, never stored -- storing an avg
+    # makes the state unmergeable, the classic rollup bug.  The query
+    # simulates the split (history = 3/4 of events by id, batch = the
+    # rest), merges, and the oracle recomputes from ALL raw rows in one
+    # pass: the hash match IS the merge == direct proof, the same
+    # contract the KMV/CMS/histogram sketch families pin for their
+    # approximate states.
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+
+    def partial(d: DataFrame) -> DataFrame:
+        return d.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("sum_cents"),
+            F.min("v").cast("long").alias("min_cents"),
+            F.max("v").cast("long").alias("max_cents"),
+        )
+
+    history = partial(ev.filter(F.col("event_id") % 4 != 0))
+    batch = partial(ev.filter(F.col("event_id") % 4 == 0))
+    merged = (
+        history.unionByName(batch)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.min("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        F.expr("(sum_cents * 10000) div n").cast("long").alias("avg_micro"),
+    )
+
+
+@query(
+    "pipeline_dataset_card",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars, md5(text) AS digest,
+             len(regexp_extract_all(lower(text), '{TOK}')) AS n_toks
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct_texts,
+           CAST(((count(*) - count(DISTINCT digest)) * 1000000) // count(*)
+                AS BIGINT) AS dup_rate_micro,
+           CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short_docs,
+           CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT)
+             AS mean_chars_micro
+    FROM t
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The dataset-card generator: the one-row corpus summary every
+    # training-data release ships (docs, language/source spread, token
+    # mass, exact-dup rate, short-doc tail, mean length) -- integer
+    # ratios in micro-units so the card hashes identically across
+    # engines.  One combinable pass over the corpus plus the digest
+    # distinct; at 100 TB the same plan runs as one scan + partial aggs
+    # (distincts expand map-side, combine per partition).
+    from kcl_akka_stream_spark.operators.text import tokens as _toks
+
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        F.size(_toks(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.countDistinct("digest").cast("long").alias("n_distinct_texts"),
+        F.sum((F.col("n_chars") < 100).cast("long"))
+        .cast("long")
+        .alias("n_short_docs"),
+    ).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_chars",
+        "total_tokens",
+        "n_distinct_texts",
+        F.expr("((n_docs - n_distinct_texts) * 1000000) div n_docs")
+        .cast("long")
+        .alias("dup_rate_micro"),
+        "n_short_docs",
+        F.expr("(total_chars * 1000000) div n_docs")
+        .cast("long")
+        .alias("mean_chars_micro"),
+    )

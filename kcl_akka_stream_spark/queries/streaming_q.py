@@ -1263,14 +1263,10 @@ def stream_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 states[tag], "g long, kmins array<double>"
             )
             ex = st.select(F.explode("kmins").alias("h")).distinct()
-            from pyspark.sql import Window
-
-            w = Window.orderBy("h")
-            return (
-                ex.withColumn("r", F.row_number().over(w))
-                .filter(F.col("r") <= 64)
-                .select("h")
-            )
+            # global k-min via TakeOrderedAndProject (per-partition top-k
+            # + k-sized merge) -- same scale-safe shape as the batch
+            # estimator; input here is bounded (batches x k) anyway.
+            return ex.orderBy("h").limit(64).select("h")
 
         return kmv_set_estimates(
             merged("a"), merged("b"), "h", k=64, prehashed=True

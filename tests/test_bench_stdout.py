@@ -18,7 +18,7 @@ def test_bench_stdout_is_tiny_even_with_huge_headline():
     # grow with it.
     per_query = {f"query_name_{i:04d}": 1.234 for i in range(1000)}
     cold = {f"query_name_{i:04d}": 9.876 for i in range(1000)}
-    line = bench.summary_line(per_query, cold, "0.1")
+    line = bench.summary_line(per_query, cold, "0.1", 0.123, 0.456)
     assert len(line.encode()) < 1000, (
         f"bench stdout line is {len(line.encode())} bytes; the driver tail "
         "capture truncates past ~2000 and the official record comes back "
@@ -31,20 +31,31 @@ def test_bench_stdout_is_tiny_even_with_huge_headline():
     assert isinstance(obj["value"], float)
     assert obj["n_queries"] == 1000
     assert "queries" not in obj
+    # the contention tripwire scalars (VERDICT r7 #2) ride the same line
+    assert obj["calibration_start_sec"] == 0.123
+    assert obj["calibration_end_sec"] == 0.456
     for v in obj.values():
         assert not isinstance(v, (dict, list))
 
 
 def test_headline_set_excludes_documented_antipatterns():
-    # VERDICT r6 #3: the repo documents dedup_ngram_jaccard (uncapped)
-    # and dedup_semantic (frozen-k) as quadratic anti-pattern baselines;
-    # they must not sit in the headline total they exist to contrast.
-    assert "dedup_ngram_jaccard" not in bench.HEADLINE
-    assert "dedup_semantic" not in bench.HEADLINE
-    assert set(bench.BASELINES) == {"dedup_ngram_jaccard", "dedup_semantic"}
+    # VERDICT r6 #3 + r7 #4: the repo documents dedup_ngram_jaccard
+    # (uncapped), dedup_semantic (frozen-k) and emb_near_dup_lsh (frozen
+    # lsh_dims=4 -- SCALE_PROBE's 19x-at-10x row) as anti-pattern
+    # baselines; they must not sit in the headline total they exist to
+    # contrast.  Membership pinned BOTH ways.
+    expected_baselines = {
+        "dedup_ngram_jaccard",
+        "dedup_semantic",
+        "emb_near_dup_lsh",
+    }
+    assert set(bench.BASELINES) == expected_baselines
+    for name in expected_baselines:
+        assert name not in bench.HEADLINE
     # their production twins DO stay headline
     assert "dedup_ngram_jaccard_capped" in bench.HEADLINE
     assert "dedup_semantic_auto" in bench.HEADLINE
+    assert "emb_near_dup_lsh_capped" in bench.HEADLINE
 
 
 def test_every_headline_query_is_registered():
@@ -91,8 +102,9 @@ def test_priority_rotation_names_all_registered():
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     # and the rotation really front-loads: the first 50 sampled entries
-    # must include >= 45 of the 56 never-driver-sampled names (VERDICT
-    # r6 #2's acceptance bar)
-    first50 = list(QUERIES)[:50]
-    never_sampled = set(_PRIORITY[1:57])
-    assert len(never_sampled & set(first50)) >= 45
+    # must include ALL 18 never-driver-sampled names (VERDICT r7 #3's
+    # acceptance bar -- closes the registry-evidence gap for good)
+    first50 = set(list(QUERIES)[:50])
+    never_sampled = set(_PRIORITY[1:19])
+    assert len(never_sampled) == 18
+    assert never_sampled <= first50, sorted(never_sampled - first50)

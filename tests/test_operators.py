@@ -218,6 +218,56 @@ def test_triangle_count_on_known_graph(spark):
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (9, 8, 2)
 
 
+def test_pagerank_broadcast_flag_and_id_encoding_are_invisible(spark):
+    # The broadcast_ranks physical knob and the node-id representation
+    # (string vs injectively-encoded long) must never change a single
+    # rank -- they are plan choices, not semantics.  Ring + chord graph,
+    # symmetrized so every dst is a src.
+    from kcl_akka_stream_spark.operators.graph import pagerank
+
+    raw = [(1, 2, 2), (2, 3, 1), (3, 4, 1), (4, 1, 3), (1, 3, 1)]
+    sym = raw + [(d, s, w) for (s, d, w) in raw]
+    as_long = spark.createDataFrame(sym, "src long, dst long, w long")
+    as_str = spark.createDataFrame(
+        [(f"n{s}", f"n{d}", w) for (s, d, w) in sym],
+        "src string, dst string, w long",
+    )
+    smj = {r.node: r.rank_micro for r in pagerank(as_long, 3).collect()}
+    bc = {
+        r.node: r.rank_micro
+        for r in pagerank(as_long, 3, broadcast_ranks=True).collect()
+    }
+    s = {
+        int(r.node[1:]): r.rank_micro
+        for r in pagerank(as_str, 3, broadcast_ranks=True).collect()
+    }
+    assert smj == bc == s and len(smj) == 4
+    # micro-unit conservation sanity: total rank stays near n * SCALE
+    assert abs(sum(smj.values()) - 4_000_000) < 4_000
+
+
+def test_personalized_pagerank_seed_mass_and_broadcast_parity(spark):
+    from kcl_akka_stream_spark.operators.graph import personalized_pagerank
+
+    raw = [(1, 2, 1), (2, 3, 1), (3, 1, 1), (3, 4, 1), (4, 3, 2)]
+    sym = raw + [(d, s, w) for (s, d, w) in raw]
+    edges = spark.createDataFrame(sym, "src long, dst long, w long")
+    a = {
+        r.node: r.rank_micro
+        for r in personalized_pagerank(edges, [1], 3).collect()
+    }
+    b = {
+        r.node: r.rank_micro
+        for r in personalized_pagerank(
+            edges, [1], 3, broadcast_ranks=True
+        ).collect()
+    }
+    assert a == b and len(a) == 4
+    # teleport mass concentrates near the seed: the seed outranks the
+    # node farthest from it
+    assert a[1] > a[4]
+
+
 def test_kmv_set_estimates_exact_below_k(spark):
     # Below k the sketch keeps every hash, so the "estimates" must be
     # EXACT set sizes: |A|=6, |B|=5, |A u B|=8, |A n B|=3, J=3/8.

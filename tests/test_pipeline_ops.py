@@ -908,3 +908,20 @@ def test_bloom_prune_known_is_exact_at_any_parameters(spark):
     big = bloom_prune_known(incoming, existing, m_bits=1 << 20, k_hashes=4)
     neg = big.filter("bloom_candidate = 0").count()
     assert neg == 15  # all odd ids pruned without touching the exact join
+
+
+def test_bloom_prune_known_preserves_duplicate_rows(spark):
+    # ADVICE r7: the operator contract is "incoming's columns plus
+    # flags" -- duplicate incoming rows must each come back once (the
+    # regroup keys on an internal per-row id, never on the value
+    # columns), matching the streaming twin's chained-join semantics.
+    from kcl_akka_stream_spark.operators.dedup import bloom_prune_known
+
+    existing = spark.createDataFrame([("dup",)], "digest string")
+    incoming = spark.createDataFrame(
+        [("dup",)] * 3 + [("miss",)] * 2, "digest string"
+    )
+    out = bloom_prune_known(incoming, existing, m_bits=1 << 10, k_hashes=3)
+    rows = [(r.digest, r.is_known) for r in out.collect()]
+    assert sorted(rows) == [("dup", 1)] * 3 + [("miss", 0)] * 2
+    assert out.columns == ["digest", "bloom_candidate", "is_known"]

@@ -129,11 +129,11 @@ def test_shuffle_budgets(spark, sf_dir):
         "scalar_variant_extract": 1,  # parse_json/variant_get map-side + one agg
         "text_unigram_logprob": 3,  # term agg (vocab broadcast back) + single-row N + doc agg
         "pipeline_bpe_top_pairs": 1,  # zip-with-tail is map-only; one pair-count shuffle
-        # PageRank caches (edges+deg) pre-partitioned by src; the plan STRING
-        # re-renders that cached subtree (~7 exchanges, executed ONCE) at each
-        # of the 3 iteration references, so the naive count is inflated to 25.
-        # Physically: edge build once + 2 node-sized exchanges per iteration.
-        "graph_pagerank_topk": 25,
+        # PageRank eagerly checkpoints the edge base AND the final ranks
+        # (VERDICT r7 #1): the returned plan is decode + TakeOrdered over
+        # a node-sized LogicalRDD -- zero exchanges visible (the bounded
+        # iteration shuffles ran inside the operator, once).
+        "graph_pagerank_topk": 0,
         "w_rolling_range_frame": 1,  # one window shuffle keyed by customer
         "agg_outlier_zscore": 1,  # stats agg (5 rows) broadcast back; scan-side filter
         "agg_unpivot_brand_metrics": 1,  # brand agg; the unpivot is a map-side Expand
@@ -145,17 +145,27 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_kmv_set_ops": 6,  # 2 per-set distinct+rank chains + union rank + single-row size broadcasts; all sketch-sized after the distincts
         "graph_triangle_count": 8,  # edges checkpointed once (was 13 re-derived); wedge join pair + close semi-join + node/edge counts
         "graph_clustering_coeff": 6,  # shared checkpointed edges; wedge join + corner agg + degree agg + final join
-        # Like graph_pagerank_topk: the cached (edges+deg) subtree re-renders
-        # in the plan STRING at each iteration reference; physically it
-        # executes once + 2 node-sized exchanges per iteration (base join
-        # adds one more vs plain pagerank).
-        "graph_ppr_topk": 36,
+        # Same checkpoint discipline as graph_pagerank_topk.
+        "graph_ppr_topk": 0,
         "u_intersect_all": 1,  # same multiset count-agg shape
         "udaf_grouped_median": 1,  # one group shuffle; NO partial agg (GROUPED_AGG is non-combinable)
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
         assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+
+
+def test_kmv_set_ops_kmin_is_take_ordered(spark, sf_dir):
+    # VERDICT r7 #5 / ADVICE r7 (medium): the global k-min selection must
+    # plan as TakeOrderedAndProject (per-partition top-k + k-sized merge),
+    # never as an unpartitioned Window ranking that funnels every distinct
+    # hash of a data-sized set through ONE task before the r<=k filter.
+    from kcl_akka_stream_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["agg_kmv_set_ops"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan, "k-min regressed to a global Window rank"
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_simhash_filter_pushed_to_scan(spark, sf_dir):

@@ -354,19 +354,29 @@ def main() -> None:
         )
 
     def pr(d: DataFrame) -> DataFrame:
-        e = doc_edges(d).cache()
-        try:
-            # pagerank() materializes its result eagerly, so releasing the
-            # edge cache here is safe -- and necessary: a leaked cache from
-            # the 1x probe would skew the Nx probe's storage memory
-            # (ADVICE r6).
-            return pagerank(e, iterations=3)
-        finally:
-            e.unpersist()
+        # pagerank() eagerly checkpoints its own edge base (round 8):
+        # no caller-side cache to manage or leak.
+        return pagerank(doc_edges(d), iterations=3, broadcast_ranks=True)
 
     t1 = timed(lambda: pr(docs1))
     tn = timed(lambda: pr(docs_n))
     print(f"{'graph_pagerank_3it':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Personalized PageRank (VERDICT r7 #6): same disjoint-replica graph;
+    # seeds live in replica 0, so seed-reachable work stays constant while
+    # the graph grows by the factor -- the iteration machinery (edge base
+    # checkpoint + node-sized rank joins) still touches every edge.
+    from kcl_akka_stream_spark.operators.graph import personalized_pagerank
+
+    def ppr(d: DataFrame) -> DataFrame:
+        return personalized_pagerank(
+            doc_edges(d), ["d1", "d2", "d3"], iterations=3,
+            broadcast_ranks=True,
+        )
+
+    t1 = timed(lambda: ppr(docs1))
+    tn = timed(lambda: ppr(docs_n))
+    print(f"{'graph_ppr_3it':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
     # --- round-7 additions (VERDICT r6 #4): the remaining third-wave ops ---
     from kcl_akka_stream_spark.operators.arrow_ops import lang_stats_arrow
@@ -478,27 +488,152 @@ def main() -> None:
     tn = timed(lambda: triangle_count(edges_n))
     print(f"{'graph_triangles':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
+    # --- round-8 additions (VERDICT r7 #6): the remaining second-wave ops ---
+    from kcl_akka_stream_spark.operators.dedup import bloom_prune_known
+    from kcl_akka_stream_spark.operators.sketches import kmv_set_estimates
+
+    # KMV set algebra: both input sets scale with the events replication
+    # (disjoint user-id spaces per replica, so distinct counts really grow
+    # by the factor); the sketch math itself stays k-sized.
+    def kmv_sets(frames) -> DataFrame:
+        ev = frames
+        a = ev.filter(F.col("user_id") % 3 != 0).select("user_id")
+        b = ev.filter(F.col("user_id") % 2 == 0).select("user_id")
+        return kmv_set_estimates(a, b, "user_id", k=64)
+
+    t1 = timed(lambda: kmv_sets(ev1))
+    tn = timed(lambda: kmv_sets(ev_n))
+    print(f"{'agg_kmv_set_ops':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Bloom-pruned membership: history = even docs, batch = odd docs, both
+    # sides scale together (the daily-ingest shape where history is the
+    # data-sized input compressed to <= m_bits broadcast rows).
+    def bloom(d: DataFrame) -> DataFrame:
+        hist = d.filter(F.col("doc_id") % 2 == 0).select(
+            F.md5("text").alias("digest")
+        )
+        inc = d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", F.md5("text").alias("digest")
+        )
+        return bloom_prune_known(inc, hist, m_bits=1 << 20, k_hashes=4)
+
+    t1 = timed(lambda: bloom(docs1))
+    tn = timed(lambda: bloom(docs_n))
+    print(f"{'pipeline_bloom_dedup':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # ORC roundtrip: writes + reads Nx the bytes end-to-end (byte-bound
+    # like compact_shards -- the row tracks IO parallelism, not plan
+    # quality).
+    def orc_rt(d: DataFrame) -> None:
+        out = tempfile.mkdtemp(prefix="kcl_probe_orc_")
+        try:
+            d.write.mode("overwrite").option("compression", "zlib").orc(out)
+            spark.read.schema(d.schema).orc(out).selectExpr(
+                "count(*) AS n", "sum(length(text)) AS b"
+            ).collect()
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    t1 = timed_action(lambda: orc_rt(docs1))
+    tn = timed_action(lambda: orc_rt(docs_n))
+    print(f"{'sink_orc_roundtrip':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}  (writes {repl}x the bytes end-to-end)")
+
+    # IVF recall report: runs BOTH ANN branches (exact brute force + IVF
+    # nprobe=1) by definition; corpus side scales, query side fixed.
+    def recall(e: DataFrame) -> DataFrame:
+        qs = e.filter(F.col("vec_id") < 5)
+        exact = S.brute_force_topk(e, qs, k=5).select("q_id", "n_id")
+        approx = S.ivf_topk(e, qs, k=5, nprobe=1).select(
+            F.col("q_id").alias("a_q"), F.col("n_id").alias("a_n")
+        )
+        return (
+            exact.join(
+                approx,
+                (F.col("q_id") == F.col("a_q"))
+                & (F.col("n_id") == F.col("a_n")),
+                "left",
+            )
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"), F.count("a_n").alias("n_hits"))
+        )
+
+    t1 = timed(lambda: recall(emb1))
+    tn = timed(lambda: recall(emb_n))
+    print(f"{'sim_ivf_recall_report':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # EWMA: one user-keyed window + agg riding the same partitioning;
+    # replicated events carry disjoint user spaces, so windows stay the
+    # same depth while user count grows by the factor.
+    ev_full1 = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    ev_full_n = repl_keyed(
+        ev_full1, "user_id", ["user_id", "event_id"]
+    ).localCheckpoint()
+
+    def ewma(d: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        weights = F.array(*[F.lit(x) for x in (100, 80, 64, 51, 41)])
+        ranked = (
+            d.select(
+                "user_id", "ts", "event_id",
+                F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .withColumn("w", F.element_at(weights, F.col("rn")).cast("long"))
+        )
+        return ranked.groupBy("user_id").agg(
+            F.sum(F.col("v") * F.col("w")).alias("num"),
+            F.sum("w").alias("den"),
+        )
+
+    t1 = timed(lambda: ewma(ev_full1))
+    tn = timed(lambda: ewma(ev_full_n))
+    print(f"{'w_ewma_time_decay':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
     # --- streaming sustained-throughput probe (VERDICT r6 #5) -------------
     stream_throughput(spark)
 
 
-def stream_throughput(spark, per_shard: int = 25_000, n_shards: int = 8) -> None:
+def stream_throughput(spark, n_shards: int = 8) -> None:
     """Sustained streaming rows/sec through the full micro-batch path:
     the Python streaming source paced at 100k rows/batch -> event-time
     tumbling window aggregation under a watermark -> memory sink, drained
     to completion.  Row-mode vs Arrow-mode isolates the Python/JVM
     boundary cost of the source data plane; the Arrow number is the
     connector's real ceiling (the row number is the per-row-pickle
-    anti-pattern, kept as contrast).  Recorded in SCALE_PROBE.md
-    round-over-round so streaming has a perf signal like batch."""
+    anti-pattern, kept as contrast).  The RocksDB rows (VERDICT r7 #7)
+    A/B the state-store backend at the same volume and then scale the
+    volume 10x (2M rows): at 100 TB the state outgrows executor heap,
+    and RocksDB's off-heap + incremental-checkpoint behavior is the
+    production backend -- the probe checks the swap costs nothing at
+    small state and holds up when volume grows.  Recorded in
+    SCALE_PROBE.md round-over-round so streaming has a perf signal like
+    batch."""
     import uuid as _uuid
 
     from kcl_akka_stream_spark.sources.python_source import register
 
     register(spark)
-    total = per_shard * n_shards
-    for mode, arrow in (("rows", "false"), ("arrow", "true")):
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    default_provider = spark.conf.get(provider_key)
+    cases = (
+        ("rows", "false", 25_000, None),
+        ("arrow", "true", 25_000, None),
+        ("arrow_rocksdb", "true", 25_000, rocksdb),
+        ("arrow_rocksdb_10x", "true", 250_000, rocksdb),
+    )
+    for mode, arrow, per_shard, provider in cases:
+        total = per_shard * n_shards
         name = f"tp_{_uuid.uuid4().hex[:8]}"
+        spark.conf.set(provider_key, provider or default_provider)
         stream = (
             spark.readStream.format("envelope_sim")
             .option("n_shards", str(n_shards))
@@ -527,6 +662,7 @@ def stream_throughput(spark, per_shard: int = 25_000, n_shards: int = 8) -> None
         finally:
             q.stop()
         wall = time.time() - t0
+        spark.conf.set(provider_key, default_provider)
         print(
             f"{'stream_tput_' + mode:22s} {total} rows in {wall:6.2f}s  "
             f"= {total / wall:9.0f} rows/s"
