@@ -113,3 +113,63 @@ def kmeans(
         )
         assignment = kmeans_assign(vectors, centroids, id_col, vec_col)
     return assignment, centroids
+
+
+def pq_assign(
+    vectors: DataFrame,
+    codebook_vectors: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jegou et al. 2011, public): split
+    each vector into ``m`` contiguous subvectors and assign each to its
+    nearest code in that subspace's codebook -- the compression step of
+    IVF-PQ, the index family serving billion-vector ANN in production.
+    An encoded vector is m small integers (here m x 3 bits) instead of
+    d floats; distance evaluation against the codes happens per-subspace
+    via lookup tables.
+
+    ``codebook_vectors`` supplies the codebooks: its rows' slices are
+    the per-subspace codes, keyed by its ``id_col`` (deterministic here;
+    a k-means-trained codebook drops into the same shape -- see
+    ``kmeans``).  Assignment reuses ``kmeans_assign`` per subspace:
+    codebooks broadcast, the corpus never shuffles, one vector-keyed agg
+    per subspace.  Ragged vectors (length not divisible by m) raise.
+
+    Output: (id, sub_id, code, dist2) -- one row per (vector, subspace),
+    dist2 = squared L2 to the chosen code in that subspace, rounded 6dp.
+    """
+    from functools import reduce
+
+    probe = vectors.select(F.size(vec_col).alias("d")).first()
+    dims = probe["d"] if probe is not None else 0
+    if dims % m != 0:
+        raise ValueError(
+            f"pq_assign: vector length {dims} not divisible by m={m}"
+        )
+    sub = dims // m
+    outs = []
+    for s in range(m):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        vs = vectors.select(F.col(id_col), sl.alias("__subvec"))
+        cs = codebook_vectors.select(
+            F.col(id_col).cast("long").alias("code"), sl.alias("__subcode")
+        )
+        assigned = kmeans_assign(
+            vs,
+            cs,
+            id_col=id_col,
+            vec_col="__subvec",
+            centroid_id_col="code",
+            centroid_vec_col="__subcode",
+        )
+        outs.append(
+            assigned.select(
+                F.col(id_col),
+                F.lit(s).cast("long").alias("sub_id"),
+                F.col("cluster_id").cast("long").alias("code"),
+                "dist2",
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)

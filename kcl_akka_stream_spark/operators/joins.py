@@ -171,3 +171,66 @@ def cogrouped_interval_counts(
         .cogroup(intervals.groupBy(interval_key))
         .applyInPandas(count_per_key, schema=out_schema)
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str = "a_id",
+    a_start: str = "a_start",
+    a_end: str = "a_end",
+    b_id: str = "b_id",
+    b_start: str = "b_start",
+    b_end: str = "b_end",
+    grain_days: int = 7,
+) -> DataFrame:
+    """Interval-overlap join without a cartesian product: the
+    incident-windows x request-windows / promo x session shape that a
+    naive ``a.s <= b.e AND b.s <= a.e`` theta-join turns into an
+    all-pairs scan at 100 TB.
+
+    The bucketing trick (the time twin of ``range_join_bucketed``):
+    explode each interval into the coarse ``grain_days`` buckets it
+    covers, EQUI-join on the bucket (hash-partitionable, prunable), then
+    re-check the exact overlap predicate and dedupe pairs that co-occur
+    in several buckets.  Join volume is bounded by intervals-per-bucket
+    fan-out, never |A| x |B|; pick the grain near the typical interval
+    length so each interval explodes to O(1) buckets.
+
+    Inputs carry (id, start, end) columns under the given names; output
+    is one row per overlapping pair: (a_id, b_id, overlap_days) with
+    overlap_days = days in the closed intersection (>= 1).
+    """
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def bucketed(d: DataFrame, i: str, s: str, e: str) -> DataFrame:
+        lo = F.floor(F.datediff(F.col(s), epoch) / grain_days).cast("long")
+        hi = F.floor(F.datediff(F.col(e), epoch) / grain_days).cast("long")
+        return d.select(
+            F.col(i), F.col(s), F.col(e),
+            F.explode(F.sequence(lo, hi)).alias("__bucket"),
+        )
+
+    ab = bucketed(a, a_id, a_start, a_end)
+    bb = bucketed(b, b_id, b_start, b_end).withColumnRenamed(
+        "__bucket", "__bucket_b"
+    )
+    joined = ab.join(bb, F.col("__bucket") == F.col("__bucket_b")).filter(
+        (F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end))
+    )
+    return (
+        joined.select(
+            a_id,
+            b_id,
+            (
+                F.datediff(
+                    F.least(F.col(a_end), F.col(b_end)),
+                    F.greatest(F.col(a_start), F.col(b_start)),
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+        .distinct()
+    )

@@ -56,6 +56,10 @@ _PRIORITY = [
     "pipeline_dataset_card",
     "w_cumulative_distinct",
     "agg_winsorized_stats",
+    "j_interval_overlap",
+    "emb_pq_assign",
+    "agg_approx_distinct_report",
+    "stream_rollup_incremental",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

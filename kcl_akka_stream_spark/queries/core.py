@@ -2984,3 +2984,51 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("winsorized_mean_micro"),
         F.col("n_clamped").cast("long").alias("n_clamped"),
     )
+
+
+@query(
+    "j_interval_overlap",
+    """
+    WITH w AS (
+      SELECT o_orderkey AS k, o_orderdate AS s,
+             o_orderdate + INTERVAL 14 DAY AS e
+      FROM orders WHERE o_totalprice > 490000)
+    SELECT a.k AS a_id, b.k AS b_id,
+           CAST(datediff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1
+                AS BIGINT) AS overlap_days
+    FROM w a JOIN w b ON a.k < b.k AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval-overlap join (operators/joins.py::interval_overlap_join):
+    # concurrent high-value order windows (14-day spans over the rare
+    # o_totalprice > 490k tail).  The oracle brute-forces the theta-join
+    # (fine at gate scale); the engine runs the GRAIN-BUCKETED form --
+    # explode to week buckets, equi-join on bucket, exact refine, dedupe
+    # -- the shape that stays hash-partitionable at 100 TB where the
+    # theta-join is an all-pairs scan.  Plan-asserted: no
+    # CartesianProduct (tests/test_plans.py).
+    w = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 490000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").alias("s"),
+            F.date_add(F.col("o_orderdate"), 14).cast("timestamp").alias("e"),
+        )
+    )
+    from kcl_akka_stream_spark.operators.joins import interval_overlap_join
+
+    a = w.select(
+        F.col("k").alias("a_id"),
+        F.col("s").alias("a_start"),
+        F.col("e").alias("a_end"),
+    )
+    b = w.select(
+        F.col("k").alias("b_id"),
+        F.col("s").alias("b_start"),
+        F.col("e").alias("b_end"),
+    )
+    return interval_overlap_join(a, b, grain_days=7).filter(
+        F.col("a_id") < F.col("b_id")
+    )

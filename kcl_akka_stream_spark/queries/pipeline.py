@@ -3794,3 +3794,83 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_chars_micro"),
     )
+
+
+def _pq_assign_oracle(m: int = 4, k: int = 8, dims: int = 64) -> str:
+    sub = dims // m
+    d2 = _D2.format(a="sl.sv", b="cs.sc")
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {k}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub_id),
+    sliced AS (
+      SELECT v.vec_id, s.sub_id,
+             list_slice(v.vv, s.sub_id * {sub} + 1, (s.sub_id + 1) * {sub}) AS sv
+      FROM v CROSS JOIN subs s),
+    csub AS (
+      SELECT s.sub_id, c.code,
+             list_slice(c.cv, s.sub_id * {sub} + 1, (s.sub_id + 1) * {sub}) AS sc
+      FROM c CROSS JOIN subs s),
+    scored AS (
+      SELECT sl.vec_id, sl.sub_id, cs.code, {d2} AS d2
+      FROM sliced sl JOIN csub cs ON cs.sub_id = sl.sub_id),
+    ranked AS (
+      SELECT vec_id, sub_id, code, d2,
+             row_number() OVER (PARTITION BY vec_id, sub_id
+                                ORDER BY d2, code) AS rn
+      FROM scored)
+    SELECT vec_id, CAST(sub_id AS BIGINT) AS sub_id,
+           CAST(code AS BIGINT) AS code, round(d2, 6) AS dist2
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("emb_pq_assign", _pq_assign_oracle())
+def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-quantization encoding (operators/clustering.py::pq_assign):
+    # each 64-dim embedding splits into 4 x 16-dim subvectors, each
+    # assigned to its nearest code in that subspace's deterministic
+    # codebook (slices of the 8 lowest-id vectors; a k-means-trained
+    # codebook drops into the same shape).  This is the compression half
+    # of IVF-PQ -- the index family behind billion-vector ANN serving:
+    # a vector becomes m small codes, and query scoring runs on
+    # per-subspace lookup tables instead of raw floats.  Codebooks
+    # broadcast per subspace; the corpus never shuffles.
+    emb = tbl(spark, sf_dir, "embeddings")
+    codebook = emb.filter(F.col("vec_id") < 8)
+    return CL.pq_assign(emb, codebook, m=4)
+
+
+@query(
+    "agg_approx_distinct_report",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           CAST(1 AS INT) AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The HLL acceptance contract (the distinct-count twin of
+    # agg_approx_quantile_report): approx_count_distinct's estimate is
+    # engine-specific and must never enter the hashed output -- what IS
+    # checked is the CONTRACT: the estimate lands within 5% of the exact
+    # distinct count (the sketch's documented rsd is 5%).  The oracle
+    # asserts within_5pct = 1 by construction, so a Spark sketch that
+    # drifts out of its error contract turns the gate red.  Both
+    # aggregates fold map-side in ONE pass (HLL registers merge; exact
+    # distinct expands then combines).
+    ev = tbl(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("__approx"),
+    )
+    within = (
+        (F.col("__approx") * 100 >= F.col("n_exact") * 95)
+        & (F.col("__approx") * 100 <= F.col("n_exact") * 105)
+    )
+    return agg.select(
+        "event_type", "n_exact", within.cast("int").alias("within_5pct")
+    )

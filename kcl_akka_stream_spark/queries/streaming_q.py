@@ -1273,3 +1273,76 @@ def stream_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _rollup_incremental_oracle() -> str:
+    from kcl_akka_stream_spark.queries.pipeline import ORACLES as _O
+
+    return _O["pipeline_rollup_incremental"]
+
+
+@query("stream_rollup_incremental", _rollup_incremental_oracle())
+def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming twin of pipeline_rollup_incremental, SAME oracle: each
+    # micro-batch folds to per-group partial states (count/sum/min/max --
+    # commutative monoids), the accumulated states merge states-sized,
+    # and derived columns (avg) compute after the merge.  The fifth
+    # mergeable-state streaming family (KMV, CMS, histogram, KMV set
+    # ops, and now plain rollup states): merged == direct is checked by
+    # the oracle recomputing from all raw rows in one pass.
+    ev = tbl(spark, sf_dir, "events").select("event_type", "value")
+    src = tempfile.mkdtemp(prefix="kcl_rollup_src_")
+    states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            part = (
+                batch_df.select(
+                    "event_type",
+                    F.floor(F.col("value") * 100 + F.lit(0.5))
+                    .cast("long")
+                    .alias("v"),
+                )
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("v").cast("long").alias("sum_cents"),
+                    F.min("v").cast("long").alias("min_cents"),
+                    F.max("v").cast("long").alias("max_cents"),
+                )
+            )
+            states.extend(part.collect())
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        st = spark.createDataFrame(
+            states,
+            "event_type string, n long, sum_cents long, "
+            "min_cents long, max_cents long",
+        )
+        merged = st.groupBy("event_type").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.min("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+        return merged.select(
+            "event_type",
+            "n",
+            "sum_cents",
+            "min_cents",
+            "max_cents",
+            F.expr("(sum_cents * 10000) div n").cast("long").alias("avg_micro"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

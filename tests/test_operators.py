@@ -281,3 +281,77 @@ def test_kmv_set_estimates_exact_below_k(spark):
     assert row.n_both == 3
     assert row.jaccard_est == round(3 / 8, 4)
     assert row.est_intersection == 3.0
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    # Bucketed overlap join must equal the theta-join on adversarial
+    # shapes: spans crossing grain boundaries, nesting, touching
+    # endpoints (closed intervals overlap), and disjoint gaps.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kcl_akka_stream_spark.operators.joins import interval_overlap_join
+
+    def mk(rows, i, s, e):
+        return spark.createDataFrame(
+            [
+                (k, dt.datetime(2024, 1, a), dt.datetime(2024, 1, b))
+                for (k, a, b) in rows
+            ],
+            f"{i} long, {s} timestamp, {e} timestamp",
+        )
+
+    a = mk([(1, 1, 10), (2, 5, 6), (3, 20, 25), (4, 28, 31)],
+           "a_id", "a_start", "a_end")
+    b = mk([(10, 10, 12), (20, 2, 3), (30, 26, 27), (40, 31, 31)],
+           "b_id", "b_start", "b_end")
+    got = {
+        (r.a_id, r.b_id, r.overlap_days)
+        for r in interval_overlap_join(a, b, grain_days=7).collect()
+    }
+    brute = a.crossJoin(b).filter(
+        (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end"))
+    ).select(
+        "a_id",
+        "b_id",
+        (
+            F.datediff(
+                F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+            )
+            + 1
+        ).cast("long").alias("overlap_days"),
+    )
+    want = {(r.a_id, r.b_id, r.overlap_days) for r in brute.collect()}
+    assert got == want
+    # the touching-endpoint pair is present (closed-interval semantics)
+    assert (1, 10, 1) in got and (4, 40, 1) in got
+
+
+def test_pq_assign_reconstructs_codebook_and_rejects_ragged(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kcl_akka_stream_spark.operators.clustering import pq_assign
+
+    # 4-dim vectors, m=2 subspaces; codebook = vectors 0 and 1.  Vector 2
+    # is codebook 0's first half and codebook 1's second half -> its PQ
+    # codes must be (0, 1) with dist2 = 0 in both subspaces.
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [0.0, 0.0, 1.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_assign(vecs, vecs.filter(F.col("vec_id") < 2), m=2)
+    got = {(r.vec_id, r.sub_id): (r.code, r.dist2) for r in out.collect()}
+    assert got[(2, 0)] == (0, 0.0)
+    assert got[(2, 1)] == (1, 0.0)
+    # every codebook vector encodes to itself exactly
+    assert got[(0, 0)] == (0, 0.0) and got[(1, 1)] == (1, 0.0)
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_assign(ragged, ragged, m=2)

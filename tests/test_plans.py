@@ -39,7 +39,7 @@ def test_projection_prunes_columns(spark, sf_dir):
 
 
 def test_no_cartesian_anywhere_in_headline(spark, sf_dir):
-    for name in ["dedup_minhash_lsh", "dedup_ngram_jaccard", "sim_topk_bruteforce", "j_range_bucket"]:
+    for name in ["dedup_minhash_lsh", "dedup_ngram_jaccard", "sim_topk_bruteforce", "j_range_bucket", "j_interval_overlap"]:
         df = QUERIES[name](spark, sf_dir)
         assert not has_cartesian_product(df), name
 
@@ -149,6 +149,15 @@ def test_shuffle_budgets(spark, sf_dir):
         "graph_ppr_topk": 0,
         "u_intersect_all": 1,  # same multiset count-agg shape
         "udaf_grouped_median": 1,  # one group shuffle; NO partial agg (GROUPED_AGG is non-combinable)
+        # round-8 wave
+        "j_interval_overlap": 1,  # grain-bucket equi-join (one side broadcast) + pair distinct riding it
+        "emb_pq_assign": 8,  # 4 subspaces x (spread + per-vector argmin agg); codebooks broadcast
+        "agg_approx_distinct_report": 2,  # one pass: HLL + exact distinct expand/combine
+        "pipeline_rollup_incremental": 2,  # two partial-state aggs (shared scan) + states-sized merge
+        "pipeline_dataset_card": 2,  # single agg with distinct expansion
+        "w_cumulative_distinct": 2,  # (user,type) window + user window
+        "agg_winsorized_stats": 3,  # (type,value) hist agg + tiny CDF window + clamp-agg; thresholds broadcast
+        "dedup_minhash_calibration": 3,  # pair gen over checkpointed signatures + shingle joins + report agg
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
