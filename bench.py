@@ -137,6 +137,17 @@ HEADLINE = [
     "graph_clustering_coeff",
     "graph_ppr_topk",
     "sim_ivf_recall_report",
+    # round-8 additions: dedup/ANN acceptance contracts, incremental
+    # rollup, dataset card, robust stats, interval overlap, PQ encode+ADC
+    "dedup_minhash_calibration",
+    "pipeline_rollup_incremental",
+    "pipeline_dataset_card",
+    "w_cumulative_distinct",
+    "agg_winsorized_stats",
+    "j_interval_overlap",
+    "emb_pq_assign",
+    "sim_topk_pq_adc",
+    "agg_approx_distinct_report",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -115,6 +115,26 @@ def kmeans(
     return assignment, centroids
 
 
+def _pq_quantize(col):
+    """Micro-unit integer rendering of a float vector: ``floor(x * 1e6 +
+    0.5)`` per element, as int64 -- the PQ family's shared convention.
+    Integer squared distances are order-independent and EXACT, so the
+    Arrow kernel, the relational twin, and the SQL oracle all agree
+    bit-for-bit (the ``random_sign_projection`` discipline)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    )
+
+
+def _pq_idist2(a, b):
+    """Exact integer squared L2 between two micro-unit int64 arrays."""
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(
+        F.zip_with(d, d, lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_assign(
     vectors: DataFrame,
     codebook_vectors: DataFrame,
@@ -122,23 +142,26 @@ def pq_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Product-quantization encoding (Jegou et al. 2011, public): split
-    each vector into ``m`` contiguous subvectors and assign each to its
-    nearest code in that subspace's codebook -- the compression step of
-    IVF-PQ, the index family serving billion-vector ANN in production.
-    An encoded vector is m small integers (here m x 3 bits) instead of
-    d floats; distance evaluation against the codes happens per-subspace
-    via lookup tables.
+    """Product-quantization encoding (Jegou et al. 2011, public),
+    RELATIONAL form: split each vector into ``m`` contiguous subvectors
+    and assign each to its nearest code in that subspace's codebook --
+    the compression step of IVF-PQ, the index family serving
+    billion-vector ANN in production.  An encoded vector is m small
+    integers instead of d floats; distance evaluation against the codes
+    happens per-subspace via lookup tables.
 
-    ``codebook_vectors`` supplies the codebooks: its rows' slices are
-    the per-subspace codes, keyed by its ``id_col`` (deterministic here;
-    a k-means-trained codebook drops into the same shape -- see
-    ``kmeans``).  Assignment reuses ``kmeans_assign`` per subspace:
-    codebooks broadcast, the corpus never shuffles, one vector-keyed agg
-    per subspace.  Ragged vectors (length not divisible by m) raise.
+    All arithmetic is EXACT int64 micro-units (``_pq_quantize``):
+    distances are order-independent integer sums, ties break on the
+    lower code -- bit-reproducible by any engine.  ``codebook_vectors``
+    supplies the codebooks: its rows' slices are the per-subspace codes
+    keyed by ``id_col`` (deterministic here; a k-means-trained codebook
+    drops into the same shape).  Codebooks broadcast; the corpus pays
+    one vector-keyed argmin agg per subspace.  ``pq_encode`` is the
+    map-only Arrow twin (zero exchanges), pytest-pinned identical.
 
-    Output: (id, sub_id, code, dist2) -- one row per (vector, subspace),
-    dist2 = squared L2 to the chosen code in that subspace, rounded 6dp.
+    Output: (id, sub_id, code, d2_micro2) -- one row per
+    (vector, subspace); d2_micro2 = exact integer squared L2 in
+    micro^2 units.  Ragged vectors raise.
     """
     from functools import reduce
 
@@ -149,27 +172,119 @@ def pq_assign(
             f"pq_assign: vector length {dims} not divisible by m={m}"
         )
     sub = dims // m
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
     outs = []
     for s in range(m):
-        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
-        vs = vectors.select(F.col(id_col), sl.alias("__subvec"))
-        cs = codebook_vectors.select(
-            F.col(id_col).cast("long").alias("code"), sl.alias("__subcode")
+        sl = _pq_quantize(F.slice(F.col(vec_col), s * sub + 1, sub))
+        vs = spread(vectors.select(id_col, vec_col)).select(
+            F.col(id_col), sl.alias("__subvec")
         )
-        assigned = kmeans_assign(
-            vs,
-            cs,
-            id_col=id_col,
-            vec_col="__subvec",
-            centroid_id_col="code",
-            centroid_vec_col="__subcode",
+        cs = codebook_vectors.select(
+            F.col(id_col).cast("long").alias("__code"), sl.alias("__subcode")
+        )
+        scored = vs.crossJoin(F.broadcast(cs)).select(
+            id_col,
+            "__code",
+            _pq_idist2(F.col("__subvec"), F.col("__subcode")).alias("__d2"),
+        )
+        best = scored.groupBy(id_col).agg(
+            F.min(F.struct(F.col("__d2"), F.col("__code"))).alias("__best")
         )
         outs.append(
-            assigned.select(
+            best.select(
                 F.col(id_col),
                 F.lit(s).cast("long").alias("sub_id"),
-                F.col("cluster_id").cast("long").alias("code"),
-                "dist2",
+                F.col("__best.__code").cast("long").alias("code"),
+                F.col("__best.__d2").cast("long").alias("d2_micro2"),
             )
         )
     return reduce(DataFrame.unionByName, outs)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook_vectors: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_codebook_rows: int = 4096,
+) -> DataFrame:
+    """MAP-ONLY Arrow product-quantization encode: the production twin
+    of ``pq_assign``.  PQ codebooks are tiny BY CONSTRUCTION (m x k x
+    sub values -- that is the whole point of the method), so the
+    codebook is collected once driver-side, quantized to int64
+    micro-units, and closure-shipped into ONE ``mapInPandas`` pass that
+    computes all m argmins per vector with vectorized int64 numpy --
+    ZERO exchanges, where the compositional ``pq_assign`` pays m
+    vector-keyed agg shuffles.  At 100 TB encoding is a pure map over
+    the corpus, exactly how PQ indexes are built in production.
+
+    Integer arithmetic is order-independent, so the result is
+    bit-identical to ``pq_assign`` and to the SQL oracle (pytest-pinned;
+    ties break on the lower code -- numpy argmin picks the first
+    occurrence of the min, codebook rows sorted by code).
+
+    ``max_codebook_rows`` guards the collect (a codebook that large
+    stopped being a codebook); empty codebooks and ragged vectors
+    raise.  Output: (id, sub_id, code, d2_micro2), same as
+    ``pq_assign``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    probe = vectors.select(F.size(vec_col).alias("d")).first()
+    dims = probe["d"] if probe is not None else 0
+    if dims % m != 0:
+        raise ValueError(f"pq_encode: vector length {dims} not divisible by m={m}")
+    sub = dims // m
+    rows = (
+        codebook_vectors.select(
+            F.col(id_col).cast("long").alias("code"), F.col(vec_col).alias("v")
+        )
+        .limit(max_codebook_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_codebook_rows:
+        raise ValueError(
+            f"pq_encode: codebook exceeds max_codebook_rows={max_codebook_rows}"
+        )
+    if not rows:
+        raise ValueError("pq_encode: empty codebook")
+    rows = sorted(rows, key=lambda r: r["code"])
+    code_ids = np.array([r["code"] for r in rows], dtype=np.int64)
+    cb = np.floor(
+        np.array([r["v"] for r in rows], dtype=np.float64) * 1e6 + 0.5
+    ).astype(np.int64)  # (k, dims)
+
+    out_schema = (
+        f"{id_col} long, sub_id long, code long, d2_micro2 long"
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * 1e6 + 0.5
+            ).astype(np.int64)  # (n, dims)
+            if V.shape[1] != dims:
+                raise ValueError("pq_encode: ragged vector batch")
+            n = len(ids)
+            for s in range(m):
+                vs = V[:, s * sub : (s + 1) * sub]  # (n, sub)
+                cs = cb[:, s * sub : (s + 1) * sub]  # (k, sub)
+                diff = vs[:, None, :] - cs[None, :, :]  # (n, k, sub)
+                d2 = (diff * diff).sum(axis=2)  # exact int64
+                idx = d2.argmin(axis=1)  # first min = lowest code
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "sub_id": np.full(n, s, dtype=np.int64),
+                        "code": code_ids[idx],
+                        "d2_micro2": d2[np.arange(n), idx],
+                    }
+                )
+
+    return vectors.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)

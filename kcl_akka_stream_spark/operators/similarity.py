@@ -814,3 +814,86 @@ def random_sign_projection(
             )
 
     return df.select(id_col, vec_col).mapInPandas(project, schema=out_schema)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook_vectors: DataFrame,
+    m: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric distance computation (ADC) top-k -- the SERVING half
+    of product quantization (Jegou et al. 2011): the corpus is reduced to
+    its PQ codes (``clustering.pq_assign``), queries stay full-precision,
+    and the approximate distance is a sum of per-subspace LOOKUPS into a
+    precomputed (query, subspace, code) distance table:
+
+        adc_d2(q, v) = sum_s d2(q_s, codebook[s][code_s(v)])
+
+    Scale shape -- why billion-vector ANN serves this way: the corpus
+    side of the scoring join carries only (id, sub_id, code) -- m small
+    ints per vector instead of d floats -- and the distance table is
+    (|queries| x m x codes) rows, broadcast.  The scoring join is
+    map-side; one (query, vector) sum agg and a per-query top-k window
+    follow.  All arithmetic is EXACT int64 micro-units (the PQ family
+    convention, ``clustering._pq_quantize``): sums are
+    order-independent, the ranking is on exact integers with the id as
+    tiebreaker -- bit-reproducible by any engine.
+
+    Output: (q_id, n_id, adc_d2_micro2, rank), rank <= k, self-matches
+    excluded.
+    """
+    from functools import reduce
+
+    from kcl_akka_stream_spark.operators.clustering import (
+        _pq_idist2,
+        _pq_quantize,
+        pq_encode,
+    )
+
+    probe = corpus.select(F.size(vec_col).alias("d")).first()
+    dims = probe["d"] if probe is not None else 0
+    if dims % m != 0:
+        raise ValueError(f"pq_adc_topk: vector length {dims} not divisible by m={m}")
+    sub = dims // m
+    # map-only Arrow encode (pytest-pinned identical to the relational
+    # pq_assign): the corpus-sized code relation costs ZERO exchanges.
+    codes = pq_encode(corpus, codebook_vectors, m=m, id_col=id_col, vec_col=vec_col)
+
+    def sliced(d: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        parts = []
+        for s in range(m):
+            parts.append(
+                d.select(
+                    F.col(id_col).alias(out_id),
+                    F.lit(s).cast("long").alias("sub_id"),
+                    _pq_quantize(
+                        F.slice(F.col(vec_col), s * sub + 1, sub)
+                    ).alias(out_vec),
+                )
+            )
+        return reduce(DataFrame.unionByName, parts)
+
+    qsub = sliced(queries, "q_id", "__qv")
+    csub = sliced(codebook_vectors, "__code_id", "__cv").select(
+        F.col("__code_id").cast("long").alias("code"), "sub_id", "__cv"
+    )
+    dtab = qsub.join(csub, "sub_id").select(
+        "q_id", "sub_id", "code",
+        _pq_idist2(F.col("__qv"), F.col("__cv")).alias("__d2"),
+    )
+    scores = (
+        codes.join(F.broadcast(dtab), ["sub_id", "code"])
+        .filter(F.col("q_id") != F.col(id_col))
+        .groupBy("q_id", F.col(id_col).alias("n_id"))
+        .agg(F.sum("__d2").cast("long").alias("adc_d2_micro2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_d2_micro2", "n_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adc_d2_micro2", "rank")
+    )

@@ -58,6 +58,7 @@ _PRIORITY = [
     "agg_winsorized_stats",
     "j_interval_overlap",
     "emb_pq_assign",
+    "sim_topk_pq_adc",
     "agg_approx_distinct_report",
     "stream_rollup_incremental",
     # -- rotation fill: longest-unsampled previously-green names --

@@ -3796,14 +3796,31 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared SQL fragments of the PQ family's integer micro-unit convention
+# (operators/clustering.py::_pq_quantize / _pq_idist2): quantize floats to
+# int64 micro-units, distances = exact integer sums -- order-independent,
+# so every engine agrees bit-for-bit.
+_PQ_QUANT = (
+    "[CAST(floor({v}[i] * 1000000 + 0.5) AS BIGINT)"
+    " FOR i IN generate_series(1, len({v}))]"
+)
+_PQ_ID2 = (
+    "list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
+    " FOR i IN generate_series(1, len({a}))])"
+)
+
+
 def _pq_assign_oracle(m: int = 4, k: int = 8, dims: int = 64) -> str:
     sub = dims // m
-    d2 = _D2.format(a="sl.sv", b="cs.sc")
+    d2 = _PQ_ID2.format(a="sl.sv", b="cs.sc")
     return f"""
     WITH c AS (
-      SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
+      SELECT vec_id AS code,
+             {_PQ_QUANT.format(v="CAST(embedding AS DOUBLE[])")} AS cv
       FROM embeddings WHERE vec_id < {k}),
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    v AS (SELECT vec_id,
+                 {_PQ_QUANT.format(v="CAST(embedding AS DOUBLE[])")} AS vv
+          FROM embeddings),
     subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub_id),
     sliced AS (
       SELECT v.vec_id, s.sub_id,
@@ -3822,25 +3839,28 @@ def _pq_assign_oracle(m: int = 4, k: int = 8, dims: int = 64) -> str:
                                 ORDER BY d2, code) AS rn
       FROM scored)
     SELECT vec_id, CAST(sub_id AS BIGINT) AS sub_id,
-           CAST(code AS BIGINT) AS code, round(d2, 6) AS dist2
+           CAST(code AS BIGINT) AS code, CAST(d2 AS BIGINT) AS d2_micro2
     FROM ranked WHERE rn = 1
     """
 
 
 @query("emb_pq_assign", _pq_assign_oracle())
 def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Product-quantization encoding (operators/clustering.py::pq_assign):
+    # Product-quantization encoding (operators/clustering.py::pq_encode):
     # each 64-dim embedding splits into 4 x 16-dim subvectors, each
     # assigned to its nearest code in that subspace's deterministic
     # codebook (slices of the 8 lowest-id vectors; a k-means-trained
     # codebook drops into the same shape).  This is the compression half
     # of IVF-PQ -- the index family behind billion-vector ANN serving:
     # a vector becomes m small codes, and query scoring runs on
-    # per-subspace lookup tables instead of raw floats.  Codebooks
-    # broadcast per subspace; the corpus never shuffles.
+    # per-subspace lookup tables instead of raw floats.  The encode is
+    # MAP-ONLY (codebooks are tiny by construction, collected once and
+    # baked into the plan as literals -- zero exchanges); the
+    # compositional broadcast-assign twin `pq_assign` is pytest-pinned
+    # identical.
     emb = tbl(spark, sf_dir, "embeddings")
     codebook = emb.filter(F.col("vec_id") < 8)
-    return CL.pq_assign(emb, codebook, m=4)
+    return CL.pq_encode(emb, codebook, m=4)
 
 
 @query(
@@ -3873,4 +3893,63 @@ def agg_approx_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "event_type", "n_exact", within.cast("int").alias("within_5pct")
+    )
+
+
+def _pq_adc_oracle(m: int = 4, k_codes: int = 8, dims: int = 64) -> str:
+    sub = dims // m
+    codes = _pq_assign_oracle(m=m, k=k_codes, dims=dims)
+    d2 = _PQ_ID2.format(a="qs.qv", b="cs.sc")
+    return f"""
+    WITH codes AS (SELECT vec_id, sub_id, code FROM ({codes})),
+    v2 AS (SELECT vec_id,
+                  {_PQ_QUANT.format(v="CAST(embedding AS DOUBLE[])")} AS vv
+           FROM embeddings),
+    subs2 AS (SELECT unnest(generate_series(0, {m - 1})) AS sub_id),
+    q2 AS (SELECT vec_id AS q_id, vv FROM v2 WHERE vec_id < 5),
+    qs AS (
+      SELECT q_id, s.sub_id,
+             list_slice(vv, s.sub_id * {sub} + 1, (s.sub_id + 1) * {sub}) AS qv
+      FROM q2 CROSS JOIN subs2 s),
+    cb AS (SELECT vec_id AS code, vv AS cv FROM v2 WHERE vec_id < {k_codes}),
+    cs AS (
+      SELECT code, s.sub_id,
+             list_slice(cv, s.sub_id * {sub} + 1, (s.sub_id + 1) * {sub}) AS sc
+      FROM cb CROSS JOIN subs2 s),
+    dtab AS (
+      SELECT qs.q_id, qs.sub_id, cs.code, {d2} AS d2
+      FROM qs JOIN cs ON cs.sub_id = qs.sub_id),
+    scores AS (
+      SELECT d.q_id, c.vec_id AS n_id, CAST(sum(d.d2) AS BIGINT) AS adc_d2_micro2
+      FROM codes c
+      JOIN dtab d ON d.sub_id = c.sub_id AND d.code = c.code
+      WHERE d.q_id <> c.vec_id
+      GROUP BY d.q_id, c.vec_id)
+    SELECT q_id, n_id, adc_d2_micro2, rank FROM (
+      SELECT q_id, n_id, adc_d2_micro2,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc_d2_micro2, n_id) AS rank
+      FROM scores)
+    WHERE rank <= 5
+    """
+
+
+@query("sim_topk_pq_adc", _pq_adc_oracle())
+def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PQ asymmetric-distance top-k (operators/similarity.py::pq_adc_topk)
+    # -- the SERVING half of product quantization, completing the IVF-PQ
+    # pair with emb_pq_assign: the corpus side of the scoring join
+    # carries m small codes per vector instead of d floats, distances
+    # come from a broadcast (query x subspace x code) lookup table, and
+    # the rank is on the 6-dp-rounded ADC distance with id tiebreak so
+    # both engines order identically.  At 100 TB this is why PQ exists:
+    # the scan reads m bytes per vector, the table lookup replaces the
+    # full float dot product.
+    emb = tbl(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") < 8),
+        m=4,
+        k=5,
     )

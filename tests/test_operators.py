@@ -337,7 +337,7 @@ def test_pq_assign_reconstructs_codebook_and_rejects_ragged(spark):
 
     # 4-dim vectors, m=2 subspaces; codebook = vectors 0 and 1.  Vector 2
     # is codebook 0's first half and codebook 1's second half -> its PQ
-    # codes must be (0, 1) with dist2 = 0 in both subspaces.
+    # codes must be (0, 1) with d2_micro2 = 0 in both subspaces.
     rows = [
         (0, [0.0, 0.0, 0.0, 0.0]),
         (1, [1.0, 1.0, 1.0, 1.0]),
@@ -345,13 +345,38 @@ def test_pq_assign_reconstructs_codebook_and_rejects_ragged(spark):
     ]
     vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = pq_assign(vecs, vecs.filter(F.col("vec_id") < 2), m=2)
-    got = {(r.vec_id, r.sub_id): (r.code, r.dist2) for r in out.collect()}
-    assert got[(2, 0)] == (0, 0.0)
-    assert got[(2, 1)] == (1, 0.0)
+    got = {(r.vec_id, r.sub_id): (r.code, r.d2_micro2) for r in out.collect()}
+    assert got[(2, 0)] == (0, 0)
+    assert got[(2, 1)] == (1, 0)
     # every codebook vector encodes to itself exactly
-    assert got[(0, 0)] == (0, 0.0) and got[(1, 1)] == (1, 0.0)
+    assert got[(0, 0)] == (0, 0) and got[(1, 1)] == (1, 0)
     ragged = spark.createDataFrame(
         [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
     )
     with _pytest.raises(ValueError, match="not divisible"):
         pq_assign(ragged, ragged, m=2)
+
+
+def test_pq_encode_map_only_matches_pq_assign(spark, sf_dir):
+    # The map-only literal-codebook encode must reproduce the
+    # compositional broadcast-assign form EXACTLY (same fold order, same
+    # tie-break, same rounding) while planning ZERO exchanges.
+    from pyspark.sql import functions as F
+
+    from kcl_akka_stream_spark.operators.clustering import pq_assign, pq_encode
+    from kcl_akka_stream_spark.plans import count_exchanges
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cb = emb.filter(F.col("vec_id") < 8)
+    a = {(r.vec_id, r.sub_id): (r.code, r.d2_micro2)
+         for r in pq_assign(emb, cb, m=4).collect()}
+    e_df = pq_encode(emb, cb, m=4)
+    e = {(r.vec_id, r.sub_id): (r.code, r.d2_micro2) for r in e_df.collect()}
+    assert a == e and len(e) > 0
+    assert count_exchanges(e_df) == 0
+    # codebook-size guard trips loudly instead of collecting a corpus
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_codebook_rows"):
+        pq_encode(emb, emb, m=4, max_codebook_rows=16)

@@ -151,7 +151,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "udaf_grouped_median": 1,  # one group shuffle; NO partial agg (GROUPED_AGG is non-combinable)
         # round-8 wave
         "j_interval_overlap": 1,  # grain-bucket equi-join (one side broadcast) + pair distinct riding it
-        "emb_pq_assign": 8,  # 4 subspaces x (spread + per-vector argmin agg); codebooks broadcast
+        "emb_pq_assign": 0,  # map-only Arrow encode: codebook literal-shipped, zero exchanges
+        "sim_topk_pq_adc": 2,  # map-only encode + broadcast dist-table join + (q,n) agg + per-q window
         "agg_approx_distinct_report": 2,  # one pass: HLL + exact distinct expand/combine
         "pipeline_rollup_incremental": 2,  # two partial-state aggs (shared scan) + states-sized merge
         "pipeline_dataset_card": 2,  # single agg with distinct expansion
