@@ -59,3 +59,39 @@ def shard_stats(df: DataFrame, shard_col: str, event_col: str, ok_value: str) ->
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(F.col(event_col) == ok_value, 1)).alias("n_matching"),
     )
+
+
+def power_sums(df: DataFrame, group_col: str, value_col: str, scale: int = 10) -> DataFrame:
+    """Exact integer power-sum states through the 3rd moment -- the
+    mergeable basis of mean/variance/skewness (the moment-sketch family's
+    EXACT end of the spectrum; Gan et al., VLDB 2018 use the same state
+    for quantile estimation).  The value is frozen to ``scale`` integer
+    units first (deci-units by default -- fits s3 in int64 up to ~1e6
+    rows per group for values < ~10^4), then n and the first three power
+    sums accumulate as plain int64 -- commutative, associative,
+    order-independent, so partial aggregation (map-side combine),
+    incremental merges, and streaming foldings all produce bit-identical
+    states.  Never store a derived mean/variance: that is the
+    unmergeable-rollup bug (see queries/pipeline.py::
+    pipeline_rollup_incremental).
+    """
+    v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    d = df.select(F.col(group_col), v.alias("__v"))
+    return d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").cast("long").alias("s1"),
+        F.sum(F.col("__v") * F.col("__v")).cast("long").alias("s2"),
+        F.sum(F.col("__v") * F.col("__v") * F.col("__v")).cast("long").alias("s3"),
+    )
+
+
+def merge_power_sums(states: DataFrame, group_col: str) -> DataFrame:
+    """Merge per-batch power-sum states: plain addition per component --
+    the closure property that makes the state streamable and
+    incrementally maintainable (the exact twin of KMV/CMS merge)."""
+    return states.groupBy(group_col).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("s1"),
+        F.sum("s2").cast("long").alias("s2"),
+        F.sum("s3").cast("long").alias("s3"),
+    )

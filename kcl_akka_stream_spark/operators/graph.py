@@ -268,3 +268,31 @@ def personalized_pagerank(
     return ranks.select(
         "node", F.col("r").alias("rank_micro")
     ).localCheckpoint(eager=True)
+
+
+def degree_histogram(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    label: str | None = None,
+) -> DataFrame:
+    """Degree distribution of one side of an edge relation: distinct
+    neighbors per src node, then the (degree, n_nodes) histogram -- the
+    first diagnostic every graph pipeline runs (hub detection, skew
+    sizing for the iteration shuffles, power-law sanity check).
+
+    Scale shape: one distinct (combinable) + one node-keyed count + one
+    degree-keyed count -- the histogram relation is bounded by the max
+    degree, never the node count.  ``label`` tags the output rows so
+    several sides/graphs union into one report.
+    """
+    deg = (
+        edges.select(src_col, dst_col)
+        .distinct()
+        .groupBy(src_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    if label is not None:
+        hist = hist.select(F.lit(label).alias("side"), "degree", "n_nodes")
+    return hist

@@ -816,6 +816,137 @@ def random_sign_projection(
     return df.select(id_col, vec_col).mapInPandas(project, schema=out_schema)
 
 
+def _pq_dtab(
+    queries: DataFrame,
+    codebook_vectors: DataFrame,
+    m: int,
+    sub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The (query, subspace, code) ADC lookup table every PQ serving path
+    broadcasts: slice queries and codebook into their m int64-quantized
+    subvectors and score every (query-slice, code-slice) pair.  Size is
+    |queries| x m x codes -- tiny by construction (both inputs are
+    query-set / codebook sized, never corpus sized)."""
+    from functools import reduce
+
+    from kcl_akka_stream_spark.operators.clustering import _pq_idist2, _pq_quantize
+
+    def sliced(d: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        parts = []
+        for s in range(m):
+            parts.append(
+                d.select(
+                    F.col(id_col).alias(out_id),
+                    F.lit(s).cast("long").alias("sub_id"),
+                    _pq_quantize(
+                        F.slice(F.col(vec_col), s * sub + 1, sub)
+                    ).alias(out_vec),
+                )
+            )
+        return reduce(DataFrame.unionByName, parts)
+
+    qsub = sliced(queries, "q_id", "__qv")
+    csub = sliced(codebook_vectors, "__code_id", "__cv").select(
+        F.col("__code_id").cast("long").alias("code"), "sub_id", "__cv"
+    )
+    return qsub.join(csub, "sub_id").select(
+        "q_id", "sub_id", "code",
+        _pq_idist2(F.col("__qv"), F.col("__cv")).alias("__d2"),
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook_vectors: DataFrame,
+    m: int = 4,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVF-PQ serving (Jegou et al. 2011) -- the coarse quantizer of
+    ``ivf_topk`` composed with the ADC scoring of ``pq_adc_topk``, the
+    index layout behind billion-vector ANN (FAISS ``IVFx,PQy``):
+
+    1. a LEARNED coarse quantizer partitions the corpus into
+       ``n_clusters`` inverted lists (seeds = lowest-id vectors, one
+       deterministic Lloyd step -- identical to ``ivf_topk``'s build);
+    2. every corpus vector is PQ-encoded to m small codes (one map-only
+       Arrow pass, ``clustering.pq_encode``);
+    3. a query ranks the tiny broadcast centroid table by cosine and
+       probes only its ``nprobe`` nearest lists;
+    4. within the probed lists, distances are sums of per-subspace
+       lookups into the broadcast (query, subspace, code) table -- no
+       raw floats touch the scoring join.
+
+    Scale shape: the corpus-sized relations in the serving plan carry
+    (id, cluster, sub_id, code) -- a few ints per vector; the probe
+    filter cuts the scan to ~nprobe/n_clusters of the corpus (partition
+    pruning when the code table is stored partitioned by cluster); both
+    join sides against it are broadcast.  ADC arithmetic is EXACT int64
+    micro-units, so ranks are bit-reproducible cross-engine; only the
+    probe SET depends on float cosine, mirrored exactly by the oracle.
+
+    Output: (q_id, n_id, adc_d2_micro2, rank), rank <= k over the probed
+    lists, self-matches excluded.
+    """
+    from kcl_akka_stream_spark.operators.clustering import pq_encode
+
+    probe = corpus.select(F.size(vec_col).alias("d")).first()
+    dims = probe["d"] if probe is not None else 0
+    if dims % m != 0:
+        raise ValueError(f"ivf_pq_topk: vector length {dims} not divisible by m={m}")
+    sub = dims // m
+
+    assignment, centroids = _learn_quantizer(corpus, id_col, vec_col, n_clusters)
+    codes = pq_encode(corpus, codebook_vectors, m=m, id_col=id_col, vec_col=vec_col)
+    codes = codes.join(
+        assignment.select(id_col, F.col("cluster_id").alias("__cluster")), id_col
+    )
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.join(F.broadcast(centroids)).select(
+        "q_id", "cluster", cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("cluster"))
+    probed = (
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select(F.col("q_id").alias("__probe_q"), F.col("cluster").alias("__cluster"))
+    )
+
+    dtab = _pq_dtab(queries, codebook_vectors, m, sub, id_col, vec_col).select(
+        F.col("q_id").alias("__pq_q"),
+        F.col("sub_id").alias("__dt_sub"),
+        F.col("code").alias("__dt_code"),
+        "__d2",
+    )
+    scores = (
+        codes.join(F.broadcast(probed), "__cluster")
+        .join(
+            F.broadcast(dtab),
+            (F.col("__pq_q") == F.col("__probe_q"))
+            & (F.col("__dt_sub") == F.col("sub_id"))
+            & (F.col("__dt_code") == F.col("code")),
+        )
+        .filter(F.col("__pq_q") != F.col(id_col))
+        .groupBy(
+            F.col("__pq_q").alias("q_id"), F.col(id_col).alias("n_id")
+        )
+        .agg(F.sum("__d2").cast("long").alias("adc_d2_micro2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_d2_micro2", "n_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adc_d2_micro2", "rank")
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -862,29 +993,7 @@ def pq_adc_topk(
     # map-only Arrow encode (pytest-pinned identical to the relational
     # pq_assign): the corpus-sized code relation costs ZERO exchanges.
     codes = pq_encode(corpus, codebook_vectors, m=m, id_col=id_col, vec_col=vec_col)
-
-    def sliced(d: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        parts = []
-        for s in range(m):
-            parts.append(
-                d.select(
-                    F.col(id_col).alias(out_id),
-                    F.lit(s).cast("long").alias("sub_id"),
-                    _pq_quantize(
-                        F.slice(F.col(vec_col), s * sub + 1, sub)
-                    ).alias(out_vec),
-                )
-            )
-        return reduce(DataFrame.unionByName, parts)
-
-    qsub = sliced(queries, "q_id", "__qv")
-    csub = sliced(codebook_vectors, "__code_id", "__cv").select(
-        F.col("__code_id").cast("long").alias("code"), "sub_id", "__cv"
-    )
-    dtab = qsub.join(csub, "sub_id").select(
-        "q_id", "sub_id", "code",
-        _pq_idist2(F.col("__qv"), F.col("__cv")).alias("__d2"),
-    )
+    dtab = _pq_dtab(queries, codebook_vectors, m, sub, id_col, vec_col)
     scores = (
         codes.join(F.broadcast(dtab), ["sub_id", "code"])
         .filter(F.col("q_id") != F.col(id_col))

@@ -52,3 +52,37 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str, gap_seconds: int) -> Da
         "session_id",
         F.sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     ).drop("__new_session")
+
+
+def top_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    depth: int = 3,
+    k: int = 10,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k length-``depth`` transition paths (sequential pattern
+    mining's frequent-path core): per key, order events by (ts,
+    tiebreak), slide a ``depth``-wide window via stacked lead()s, and
+    count each observed path string corpus-wide.
+
+    Scale shape: the lead()s all ride ONE key-partitioned window sort;
+    the path count is a combinable groupBy on the path string; the final
+    top-k is TakeOrderedAndProject (per-partition heads + k-sized driver
+    merge), never a global sort.  Path strings with (path, count
+    DESC)-deterministic tiebreak hash identically cross-engine.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, depth)
+    ]
+    paths = (
+        df.select(F.concat_ws(sep, *steps).alias("path"), steps[-1].alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+    return paths.orderBy(F.col("n_paths").desc(), "path").limit(k)

@@ -61,6 +61,13 @@ _PRIORITY = [
     "sim_topk_pq_adc",
     "agg_approx_distinct_report",
     "stream_rollup_incremental",
+    "sim_topk_ivf_pq",
+    "pipeline_scd2_history",
+    "agg_power_sums",
+    "stream_moments_merge",
+    "graph_degree_stats",
+    "w_top_paths",
+    "scalar_url_funcs",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

@@ -3032,3 +3032,117 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(a, b, grain_days=7).filter(
         F.col("a_id") < F.col("b_id")
     )
+
+
+_POWER_SUMS_ORACLE = """
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 10 + 0.5) AS BIGINT) AS v
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS s1,
+           CAST(sum(v * v) AS BIGINT) AS s2,
+           CAST(sum(v * v * v) AS BIGINT) AS s3,
+           CAST((sum(v) * 100000) // count(*) AS BIGINT) AS mean_micro
+    FROM v GROUP BY event_type
+    """
+
+
+@query("agg_power_sums", _POWER_SUMS_ORACLE)
+def agg_power_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact moment states (operators/aggregations.py::power_sums): n and
+    # the first three integer power sums per event type -- the mergeable
+    # basis every mean/variance/skewness derives from.  Deci-unit
+    # freezing makes all four counters plain int64 adds: commutative and
+    # order-independent, so map-side combine, incremental merges and the
+    # streaming twin (stream_moments_merge) are bit-identical to the
+    # direct build -- proven by sharing this oracle.  One combinable
+    # shuffle; at 100 TB the state is groups x 4 longs, never the data.
+    from kcl_akka_stream_spark.operators.aggregations import power_sums
+
+    st = power_sums(tbl(spark, sf_dir, "events"), "event_type", "value")
+    return st.select(
+        "event_type", "n", "s1", "s2", "s3",
+        F.expr("(s1 * 100000) div n").cast("long").alias("mean_micro"),
+    )
+
+
+@query(
+    "w_top_paths",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t3
+      FROM events),
+    paths AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path
+      FROM o WHERE t3 IS NOT NULL)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_paths
+    FROM paths GROUP BY path
+    ORDER BY n_paths DESC, path LIMIT 10
+    """,
+)
+def w_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frequent 3-step behavior paths (operators/windows.py::top_paths)
+    # -- the sequential-pattern core of journey analytics: stacked
+    # lead()s on ONE user-keyed window sort, a combinable path count,
+    # and a TakeOrderedAndProject top-10 (per-partition heads + k-sized
+    # driver merge, never a global sort).
+    from kcl_akka_stream_spark.operators.windows import top_paths
+
+    return top_paths(
+        tbl(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        type_col="event_type",
+        depth=3,
+        k=10,
+    )
+
+
+@query(
+    "scalar_url_funcs",
+    # The oracle reconstructs every component from the SAME base columns
+    # the URL was assembled from -- ground truth by construction, so this
+    # checks Spark's parse_url against an independent derivation rather
+    # than a second regex of the same flavor.
+    """
+    SELECT doc_id,
+           source || '.example.org' AS host,
+           '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang || '&page=' || CAST(doc_id % 7 AS VARCHAR) AS query,
+           CAST(doc_id % 7 AS VARCHAR) AS page,
+           'https' AS protocol,
+           'example.org' AS domain
+    FROM documents
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL parsing -- the web-corpus staple (domain mixing, per-site
+    # caps, robots filtering all start here).  The URL column is
+    # assembled from fixture columns, then every component is recovered
+    # with parse_url (JVM built-in, codegen'd -- never a Python UDF) and
+    # the registered-domain suffix with substring_index.  Map-only.
+    docs = tbl(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"),
+        F.lit("&page="), (F.col("doc_id") % 7).cast("string"),
+    )
+    d = docs.select("doc_id", url.alias("__url"))
+    return d.select(
+        "doc_id",
+        F.parse_url(F.col("__url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("__url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("__url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("__url"), F.lit("QUERY"), F.lit("page")).alias("page"),
+        F.parse_url(F.col("__url"), F.lit("PROTOCOL")).alias("protocol"),
+        F.substring_index(
+            F.parse_url(F.col("__url"), F.lit("HOST")), ".", -2
+        ).alias("domain"),
+    )

@@ -3953,3 +3953,196 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=4,
         k=5,
     )
+
+
+def _ivf_pq_oracle(
+    m: int = 4, k_codes: int = 8, dims: int = 64, n_clusters: int = 8, nprobe: int = 2
+) -> str:
+    # Composition of the two proven oracle halves: the IVF learned
+    # quantizer + centroid CTEs (shared with _ivf_oracle, so the float
+    # probe-set semantics are the ones sim_topk_ivf already pins) and the
+    # PQ code/ADC CTEs (shared shape with _pq_adc_oracle, exact int64
+    # micro-units), with the scoring join restricted to each query's
+    # nprobe nearest inverted lists.
+    sub = dims // m
+    cos_qc = _COS.format(a="q.q_vec", b="c.centroid")
+    d2c = _PQ_ID2.format(a="sl.sv", b="cs.sc")
+    d2q = _PQ_ID2.format(a="qs.qv", b="cs.sc")
+    return f"""
+    WITH {_ivf_assign_ctes(n_clusters)},
+    dims0 AS (
+      SELECT a.cluster_id,
+             [{{'dim': i, 'val': v_vec[i]}}
+              FOR i IN generate_series(1, len(v_vec))] AS dv
+      FROM assign a JOIN v USING (vec_id)),
+    dimsx AS (
+      SELECT cluster_id, s.dim AS dim, avg(s.val) AS mval
+      FROM (SELECT cluster_id, unnest(dv) AS s FROM dims0)
+      GROUP BY cluster_id, s.dim),
+    cent AS (SELECT cluster_id, list(mval ORDER BY dim) AS centroid
+             FROM dimsx GROUP BY cluster_id),
+    q AS (SELECT vec_id AS q_id, v_vec AS q_vec FROM v WHERE vec_id < 5),
+    qa AS (
+      SELECT q_id, cluster FROM (
+        SELECT q.q_id, c.cluster_id AS cluster,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {cos_qc} DESC, c.cluster_id) AS r
+        FROM q, cent c)
+      WHERE r <= {nprobe}),
+    pv AS (SELECT vec_id, {_PQ_QUANT.format(v="v_vec")} AS vv FROM v),
+    subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub_id),
+    cb AS (SELECT vec_id AS code, vv AS cv FROM pv WHERE vec_id < {k_codes}),
+    cs AS (
+      SELECT code, s.sub_id,
+             list_slice(cv, s.sub_id * {sub} + 1, (s.sub_id + 1) * {sub}) AS sc
+      FROM cb CROSS JOIN subs s),
+    sl AS (
+      SELECT vec_id, s.sub_id,
+             list_slice(vv, s.sub_id * {sub} + 1, (s.sub_id + 1) * {sub}) AS sv
+      FROM pv CROSS JOIN subs s),
+    cscored AS (
+      SELECT sl.vec_id, sl.sub_id, cs.code, {d2c} AS d2
+      FROM sl JOIN cs ON cs.sub_id = sl.sub_id),
+    codes AS (
+      SELECT vec_id, sub_id, code FROM (
+        SELECT vec_id, sub_id, code,
+               row_number() OVER (PARTITION BY vec_id, sub_id
+                                  ORDER BY d2, code) AS rn
+        FROM cscored)
+      WHERE rn = 1),
+    qpv AS (SELECT q_id, {_PQ_QUANT.format(v="q_vec")} AS qq FROM q),
+    qs AS (
+      SELECT q_id, s.sub_id,
+             list_slice(qq, s.sub_id * {sub} + 1, (s.sub_id + 1) * {sub}) AS qv
+      FROM qpv CROSS JOIN subs s),
+    dtab AS (
+      SELECT qs.q_id, qs.sub_id, cs.code, {d2q} AS d2
+      FROM qs JOIN cs ON cs.sub_id = qs.sub_id),
+    scores AS (
+      SELECT d.q_id, cc.vec_id AS n_id, CAST(sum(d.d2) AS BIGINT) AS adc_d2_micro2
+      FROM codes cc
+      JOIN assign a ON a.vec_id = cc.vec_id
+      JOIN qa ON qa.cluster = a.cluster_id
+      JOIN dtab d ON d.q_id = qa.q_id AND d.sub_id = cc.sub_id
+                 AND d.code = cc.code
+      WHERE d.q_id <> cc.vec_id
+      GROUP BY d.q_id, cc.vec_id)
+    SELECT q_id, n_id, adc_d2_micro2, rank FROM (
+      SELECT q_id, n_id, adc_d2_micro2,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc_d2_micro2, n_id) AS rank
+      FROM scores)
+    WHERE rank <= 5
+    """
+
+
+@query("sim_topk_ivf_pq", _ivf_pq_oracle())
+def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FULL IVF-PQ serving (operators/similarity.py::ivf_pq_topk) -- the
+    # index family behind billion-vector ANN (FAISS "IVF8,PQ4" shape):
+    # the learned coarse quantizer of sim_topk_ivf narrows each query to
+    # its 2 nearest inverted lists, and within them scoring runs on PQ
+    # codes via the broadcast ADC lookup table of sim_topk_pq_adc.  The
+    # corpus side of the serving join carries only (id, cluster, sub,
+    # code) ints -- at 100 TB the scan reads m bytes per vector from
+    # nprobe/n_clusters of the corpus, with both small sides broadcast.
+    # ADC distances are exact int64 micro-units, so ranks hash
+    # bit-for-bit; the float cosine only picks the probe set, with the
+    # identical expression mirrored in the oracle.
+    emb = tbl(spark, sf_dir, "embeddings")
+    return S.ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") < 8),
+        m=4,
+        k=5,
+        n_clusters=8,
+        nprobe=2,
+    )
+
+
+@query(
+    "pipeline_scd2_history",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type),
+    v AS (
+      SELECT user_id, event_type AS state,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS version,
+             ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS vt
+      FROM ch)
+    SELECT user_id, state, version,
+           strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM v
+    """,
+)
+def pipeline_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD2 dimension build from a change feed (operators/cdc.py::
+    # scd2_compact): per-user state runs folded into validity ranges --
+    # version ordinal, half-open [valid_from, valid_to), is_current flag.
+    # The warehouse-side twin of stream_cdc_upsert: the streaming path
+    # keeps only the latest state per key; this batch path keeps the
+    # FULL history, the table an as-of join (j_asof) then serves
+    # point-in-time lookups against.  Two stacked windows on one
+    # user-keyed exchange; storage is proportional to CHANGES, not
+    # observations -- the property that makes SCD2 viable at 100 TB.
+    from kcl_akka_stream_spark.operators.cdc import scd2_compact
+
+    out = scd2_compact(tbl(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        "state",
+        "version",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        "is_current",
+    )
+
+
+@query(
+    "graph_degree_stats",
+    """
+    WITH p AS (
+      SELECT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_suppkey),
+    cd AS (SELECT c, count(*) AS deg FROM p GROUP BY c),
+    sd AS (SELECT s, count(*) AS deg FROM p GROUP BY s)
+    SELECT 'customer' AS side, CAST(deg AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM cd GROUP BY deg
+    UNION ALL
+    SELECT 'supplier' AS side, CAST(deg AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM sd GROUP BY deg
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degree distribution of the co-purchase graph (operators/graph.py::
+    # degree_histogram), both sides -- the hub/skew diagnostic run
+    # BEFORE the iterative graph queries to size their shuffles (a
+    # power-law tail here is what the salting/AQE-skew machinery exists
+    # for).  The histogram relation is bounded by max degree, never node
+    # count; each side costs one distinct + two combinable counts.
+    from kcl_akka_stream_spark.operators.graph import degree_histogram
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    )
+    cust = degree_histogram(p, "c", "s", label="customer")
+    supp = degree_histogram(p, "s", "c", label="supplier")
+    return cust.unionByName(supp)

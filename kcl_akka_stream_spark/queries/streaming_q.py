@@ -1346,3 +1346,56 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _power_sums_oracle() -> str:
+    from kcl_akka_stream_spark.queries.core import _POWER_SUMS_ORACLE
+
+    return _POWER_SUMS_ORACLE
+
+
+@query("stream_moments_merge", _power_sums_oracle())
+def stream_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming twin of agg_power_sums, SAME oracle: each micro-batch
+    # folds to per-group exact integer power sums (operators/
+    # aggregations.py::power_sums), the accumulated states merge by
+    # plain addition (merge_power_sums), and the derived mean computes
+    # after the merge.  The sixth mergeable-state streaming family --
+    # int64 adds are order-independent, so 4-batch-fold == direct build
+    # bit-for-bit, which the shared oracle (one pass over all raw rows)
+    # checks.
+    from kcl_akka_stream_spark.operators.aggregations import (
+        merge_power_sums,
+        power_sums,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "value")
+    src = tempfile.mkdtemp(prefix="kcl_moments_src_")
+    states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            states.extend(power_sums(batch_df, "event_type", "value").collect())
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        st = spark.createDataFrame(
+            states, "event_type string, n long, s1 long, s2 long, s3 long"
+        )
+        merged = merge_power_sums(st, "event_type")
+        return merged.select(
+            "event_type", "n", "s1", "s2", "s3",
+            F.expr("(s1 * 100000) div n").cast("long").alias("mean_micro"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

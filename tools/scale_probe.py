@@ -594,6 +594,206 @@ def main() -> None:
     tn = timed(lambda: ewma(ev_full_n))
     print(f"{'w_ewma_time_decay':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
+    # --- round-8 wave-1/2 additions: probe every new-this-round query ----
+    from kcl_akka_stream_spark.operators.joins import interval_overlap_join
+
+    # MinHash calibration: one checkpointed signature pass shared by
+    # banding and both agreement joins; candidate-pair volume is the
+    # scaling driver (replicas are near-disjoint shingle spaces).
+    t1 = timed(lambda: D.minhash_estimate_vs_exact(docs1))
+    tn = timed(lambda: D.minhash_estimate_vs_exact(docs_n))
+    print(f"{'dedup_minhash_calib':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Incremental rollup merge: fixed group count (event_type), 10x raw
+    # rows -- the partial-state fold is combinable so the merge itself
+    # stays states-sized while the scan scales.
+    ev_t1 = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "ts", "value"
+    )
+    ev_t_n = repl_keyed(ev_t1, "user_id", ["user_id", "event_id"]).localCheckpoint()
+
+    def rollup_merge(d: DataFrame) -> DataFrame:
+        v = d.select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        )
+
+        def partial(x: DataFrame) -> DataFrame:
+            return x.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v").cast("long").alias("sum_cents"),
+                F.min("v").cast("long").alias("min_cents"),
+                F.max("v").cast("long").alias("max_cents"),
+            )
+
+        hist = partial(v.filter(F.col("event_id") % 4 != 0))
+        batch = partial(v.filter(F.col("event_id") % 4 == 0))
+        return (
+            hist.unionByName(batch)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_cents").alias("sum_cents"),
+                F.min("min_cents").alias("min_cents"),
+                F.max("max_cents").alias("max_cents"),
+            )
+        )
+
+    t1 = timed(lambda: rollup_merge(ev_t1))
+    tn = timed(lambda: rollup_merge(ev_t_n))
+    print(f"{'pipeline_rollup_incr':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Dataset card: one combinable pass + one digest distinct over the
+    # (doc_id, text) projection -- the exact plan shape of the query.
+    def card(d: DataFrame) -> DataFrame:
+        t = d.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.md5("text").alias("digest"),
+        )
+        return t.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("digest").alias("n_distinct"),
+            F.sum((F.col("n_chars") < 100).cast("long")).alias("n_short"),
+        )
+
+    t1 = timed(lambda: card(docs1))
+    tn = timed(lambda: card(docs_n))
+    print(f"{'pipeline_dataset_card':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Running distinct: two stacked user-keyed windows (second rides the
+    # first's partitioning); replicas carry disjoint user spaces so
+    # window depth stays constant while user count grows.
+    def cum_distinct(d: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        w1 = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        firsts = (
+            d.select("user_id", "event_type", "ts", "event_id")
+            .withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") == 1)
+        )
+        w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return firsts.select(
+            "user_id", "event_type", F.row_number().over(w2).alias("running_distinct")
+        )
+
+    t1 = timed(lambda: cum_distinct(ev_t1))
+    tn = timed(lambda: cum_distinct(ev_t_n))
+    print(f"{'w_cumulative_distinct':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Winsorized stats: the cumulative window runs over the DISTINCT
+    # (group, cents) relation, which is VALUE-bounded -- replicating rows
+    # 10x grows the hist pass but not the window input (the property the
+    # histogram-CDF decomposition exists for).
+    def winsorize(d: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        v = d.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        )
+        hist = v.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+        wc = (
+            W.partitionBy("event_type")
+            .orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cdf = hist.withColumn("cum", F.sum("c").over(wc)).withColumn(
+            "n", F.sum("c").over(W.partitionBy("event_type"))
+        )
+        thr = cdf.groupBy("event_type").agg(
+            F.min(F.when(F.col("cum") >= F.expr("(n + 19) div 20"), F.col("v"))).alias("p05"),
+            F.min(F.when(F.col("cum") >= F.expr("(19 * n + 19) div 20"), F.col("v"))).alias("p95"),
+        )
+        clamped = v.join(F.broadcast(thr), "event_type").withColumn(
+            "w",
+            F.when(F.col("v") < F.col("p05"), F.col("p05"))
+            .when(F.col("v") > F.col("p95"), F.col("p95"))
+            .otherwise(F.col("v")),
+        )
+        return clamped.groupBy("event_type", "p05", "p95").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("w").alias("wsum")
+        )
+
+    t1 = timed(lambda: winsorize(ev_t1))
+    tn = timed(lambda: winsorize(ev_t_n))
+    print(f"{'agg_winsorized_stats':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Interval-overlap join: replicas are shifted 20,000*i days so the
+    # time ranges are DISJOINT -- concurrency per bucket (and thus the
+    # output) grows linearly, isolating plan cost from pair-count
+    # growth.  (Replicating into the SAME range would quadratically grow
+    # the true answer -- real work, not a plan property.)
+    iv1 = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").alias("s"),
+            F.date_add(F.col("o_orderdate"), 14).alias("e"),
+        )
+    )
+    iv_parts = []
+    for i in range(repl):
+        iv_parts.append(
+            iv1.select(
+                (F.col("k") + F.lit(i * 10_000_000)).alias("k"),
+                F.date_add(F.col("s"), i * 20_000).alias("s"),
+                F.date_add(F.col("e"), i * 20_000).alias("e"),
+            )
+        )
+    iv_n = reduce(DataFrame.unionByName, iv_parts).localCheckpoint()
+    iv1 = iv1.localCheckpoint()
+
+    def overlap(d: DataFrame) -> DataFrame:
+        a = d.select(
+            F.col("k").alias("a_id"), F.col("s").alias("a_start"), F.col("e").alias("a_end")
+        )
+        b = d.select(
+            F.col("k").alias("b_id"), F.col("s").alias("b_start"), F.col("e").alias("b_end")
+        )
+        return interval_overlap_join(a, b, grain_days=7).filter(
+            F.col("a_id") < F.col("b_id")
+        )
+
+    t1 = timed(lambda: overlap(iv1))
+    tn = timed(lambda: overlap(iv_n))
+    print(f"{'j_interval_overlap':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # PQ encode: map-only Arrow pass, codebook closure-shipped -- the
+    # corpus-sized side must scale linearly with zero exchanges.
+    pq_cb = emb1.filter(F.col("vec_id") < 8).localCheckpoint()
+
+    t1 = timed(lambda: CL.pq_encode(emb1, pq_cb, m=4))
+    tn = timed(lambda: CL.pq_encode(emb_n, pq_cb, m=4))
+    print(f"{'emb_pq_assign':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # PQ-ADC top-k: corpus side is (id, sub_id, code) smallint rows, the
+    # distance table is broadcast (|q| x m x codes); query set fixed at
+    # 5 while the corpus scales.
+    def adc(e: DataFrame) -> DataFrame:
+        return S.pq_adc_topk(e, e.filter(F.col("vec_id") < 5), pq_cb, m=4, k=5)
+
+    t1 = timed(lambda: adc(emb1))
+    tn = timed(lambda: adc(emb_n))
+    print(f"{'sim_topk_pq_adc':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # HLL acceptance report: replicas carry disjoint user spaces, so the
+    # per-type distinct counts really grow 10x; both aggregates fold
+    # map-side in one pass.
+    def approx_report(d: DataFrame) -> DataFrame:
+        return d.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("n_approx"),
+        )
+
+    t1 = timed(lambda: approx_report(ev_t1))
+    tn = timed(lambda: approx_report(ev_t_n))
+    print(f"{'agg_approx_distinct':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
     # --- streaming sustained-throughput probe (VERDICT r6 #5) -------------
     stream_throughput(spark)
 
