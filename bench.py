@@ -148,6 +148,14 @@ HEADLINE = [
     "emb_pq_assign",
     "sim_topk_pq_adc",
     "agg_approx_distinct_report",
+    # round-8 wave 3: full IVF-PQ serving, SCD2 history, exact moment
+    # states, degree diagnostics, path mining, URL parsing
+    "sim_topk_ivf_pq",
+    "pipeline_scd2_history",
+    "agg_power_sums",
+    "graph_degree_stats",
+    "w_top_paths",
+    "scalar_url_funcs",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -275,22 +275,29 @@ def degree_histogram(
     src_col: str = "src",
     dst_col: str = "dst",
     label: str | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Degree distribution of one side of an edge relation: distinct
     neighbors per src node, then the (degree, n_nodes) histogram -- the
     first diagnostic every graph pipeline runs (hub detection, skew
     sizing for the iteration shuffles, power-law sanity check).
 
-    Scale shape: one distinct (combinable) + one node-keyed count + one
-    degree-keyed count -- the histogram relation is bounded by the max
-    degree, never the node count.  ``label`` tags the output rows so
-    several sides/graphs union into one report.
+    Scale shape: the neighbor dedup fuses into the node-keyed aggregate
+    (partial-distinct map-side, one shuffle), then one degree-keyed
+    count -- the histogram relation is bounded by the max degree, never
+    the node count.  ``label`` tags the output rows so several
+    sides/graphs union into one report.  When BOTH sides of the same
+    edge set are profiled, dedup the pairs once, checkpoint, and pass
+    ``assume_distinct=True`` so each side pays a plain count instead of
+    re-dedup-ing (queries/pipeline.py::graph_degree_stats does this).
     """
+    per_node = (
+        F.count(F.lit(1)) if assume_distinct else F.countDistinct(dst_col)
+    )
     deg = (
         edges.select(src_col, dst_col)
-        .distinct()
         .groupBy(src_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .agg(per_node.cast("long").alias("degree"))
     )
     hist = deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     if label is not None:

@@ -895,6 +895,7 @@ def ivf_pq_topk(
     lists, self-matches excluded.
     """
     from kcl_akka_stream_spark.operators.clustering import pq_encode
+    from kcl_akka_stream_spark.plans.hygiene import spread
 
     probe = corpus.select(F.size(vec_col).alias("d")).first()
     dims = probe["d"] if probe is not None else 0
@@ -902,6 +903,10 @@ def ivf_pq_topk(
         raise ValueError(f"ivf_pq_topk: vector length {dims} not divisible by m={m}")
     sub = dims // m
 
+    # spread: the quantizer learn + PQ encode are CPU-heavy per-row maps;
+    # a 1-partition local input would serialize them (no-op on real
+    # multi-file reads).
+    corpus = spread(corpus)
     assignment, centroids = _learn_quantizer(corpus, id_col, vec_col, n_clusters)
     codes = pq_encode(corpus, codebook_vectors, m=m, id_col=id_col, vec_col=vec_col)
     codes = codes.join(

@@ -4140,9 +4140,15 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    p = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    # Dedup the pair relation ONCE and checkpoint: both side profiles
+    # read it, so without this the join+distinct subtree would execute
+    # twice (once per union branch).
+    p = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    cust = degree_histogram(p, "c", "s", label="customer")
-    supp = degree_histogram(p, "s", "c", label="supplier")
+    cust = degree_histogram(p, "c", "s", label="customer", assume_distinct=True)
+    supp = degree_histogram(p, "s", "c", label="supplier", assume_distinct=True)
     return cust.unionByName(supp)

@@ -1,0 +1,161 @@
+"""Round-8 wave-3 operator semantics: SCD2 compaction, exact power-sum
+states, full IVF-PQ serving, path mining, degree histograms."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_scd2_compact_folds_runs_and_closes_ranges(spark):
+    from kcl_akka_stream_spark.operators.cdc import scd2_compact
+
+    rows = [
+        # user 1: A A B A  -> versions A, B, A (middle A-run compacted)
+        (1, _ts("2024-01-01T00:00:00"), 1, "A"),
+        (1, _ts("2024-01-01T01:00:00"), 2, "A"),
+        (1, _ts("2024-01-01T02:00:00"), 3, "B"),
+        (1, _ts("2024-01-01T03:00:00"), 4, "A"),
+        # user 2: single state -> one current row
+        (2, _ts("2024-01-01T00:30:00"), 5, "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = scd2_compact(df).collect()
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.version)):
+        by_user.setdefault(r.user_id, []).append(r)
+
+    u1 = by_user[1]
+    assert [r.state for r in u1] == ["A", "B", "A"]
+    assert [r.version for r in u1] == [1, 2, 3]
+    # half-open chain: each valid_to equals the next valid_from
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert [r.is_current for r in u1] == [0, 0, 1]
+    assert u1[2].valid_to is None
+    # the compacted run's version opens at its FIRST observation
+    assert u1[0].valid_from == _ts("2024-01-01T00:00:00")
+    assert u1[1].valid_from == _ts("2024-01-01T02:00:00")
+
+    u2 = by_user[2]
+    assert len(u2) == 1 and u2[0].is_current == 1 and u2[0].state == "X"
+
+
+def test_scd2_equal_timestamps_break_on_tiebreak(spark):
+    from kcl_akka_stream_spark.operators.cdc import scd2_compact
+
+    t = _ts("2024-01-01T00:00:00")
+    df = spark.createDataFrame(
+        [(1, t, 2, "B"), (1, t, 1, "A")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    out = sorted(scd2_compact(df).collect(), key=lambda r: r.version)
+    assert [r.state for r in out] == ["A", "B"]
+    assert out[1].is_current == 1
+
+
+def test_power_sums_merge_equals_direct(spark, sf_dir):
+    from kcl_akka_stream_spark.operators.aggregations import (
+        merge_power_sums,
+        power_sums,
+    )
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    ev = tbl(spark, sf_dir, "events")
+    direct = {
+        r.event_type: (r.n, r.s1, r.s2, r.s3)
+        for r in power_sums(ev, "event_type", "value").collect()
+    }
+    # three arbitrary disjoint splits fold independently, then merge
+    parts = [
+        power_sums(ev.filter(F.col("event_id") % 3 == i), "event_type", "value")
+        for i in range(3)
+    ]
+    states = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = {
+        r.event_type: (r.n, r.s1, r.s2, r.s3)
+        for r in merge_power_sums(states, "event_type").collect()
+    }
+    assert merged == direct and len(direct) > 0
+
+
+def test_ivf_pq_full_probe_equals_plain_adc(spark, sf_dir):
+    # Probing EVERY inverted list removes the IVF narrowing entirely --
+    # the result must equal pq_adc_topk over the whole corpus, rank for
+    # rank (same codes, same integer ADC distances, same tiebreak).
+    from kcl_akka_stream_spark.operators.similarity import ivf_pq_topk, pq_adc_topk
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    cb = emb.filter(F.col("vec_id") < 8)
+    full = ivf_pq_topk(emb, qs, cb, m=4, k=5, n_clusters=4, nprobe=4)
+    plain = pq_adc_topk(emb, qs, cb, m=4, k=5)
+    a = {(r.q_id, r.rank): (r.n_id, r.adc_d2_micro2) for r in full.collect()}
+    b = {(r.q_id, r.rank): (r.n_id, r.adc_d2_micro2) for r in plain.collect()}
+    assert a == b and len(a) == 15
+
+
+def test_ivf_pq_narrow_probe_is_subset_of_probed_lists(spark, sf_dir):
+    # nprobe=1 results must come only from each query's nearest list --
+    # every returned neighbor shares the query's coarse cluster.
+    from kcl_akka_stream_spark.operators.similarity import (
+        _learn_quantizer,
+        ivf_pq_topk,
+    )
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    cb = emb.filter(F.col("vec_id") < 8)
+    out = ivf_pq_topk(emb, qs, cb, m=4, k=5, n_clusters=4, nprobe=1).collect()
+    assignment, _ = _learn_quantizer(emb, "vec_id", "embedding", 4)
+    cl = {r.vec_id: r.cluster_id for r in assignment.collect()}
+    assert len(out) > 0
+    for r in out:
+        assert cl[r.n_id] == cl[r.q_id], (r.q_id, r.n_id)
+
+
+def test_top_paths_counts_and_tiebreak(spark):
+    from kcl_akka_stream_spark.operators.windows import top_paths
+
+    rows = []
+    # user 1: A B C D -> paths A>B>C, B>C>D
+    for i, t in enumerate("ABCD"):
+        rows.append((1, _ts(f"2024-01-01T0{i}:00:00"), i, t))
+    # user 2: A B C -> A>B>C (now count 2)
+    for i, t in enumerate("ABC"):
+        rows.append((2, _ts(f"2024-01-01T0{i}:00:00"), 10 + i, t))
+    # user 3: too short for depth 3
+    rows.append((3, _ts("2024-01-01T00:00:00"), 20, "Z"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = top_paths(
+        df, "user_id", "ts", "event_id", "event_type", depth=3, k=10
+    ).collect()
+    got = {r.path: r.n_paths for r in out}
+    assert got == {"A>B>C": 2, "B>C>D": 1}
+    # ordering: count desc then path asc
+    assert [r.path for r in out] == ["A>B>C", "B>C>D"]
+
+
+def test_degree_histogram_counts_distinct_neighbors(spark):
+    from kcl_akka_stream_spark.operators.graph import degree_histogram
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10), (2, 10), (3, 12)], "src long, dst long"
+    )
+    out = {(r.degree): r.n_nodes for r in degree_histogram(edges).collect()}
+    # node 1 has TWO distinct neighbors (duplicate edge collapsed),
+    # nodes 2 and 3 one each
+    assert out == {2: 1, 1: 2}
+    lab = degree_histogram(edges, label="left").collect()
+    assert all(r.side == "left" for r in lab)

@@ -794,8 +794,139 @@ def main() -> None:
     tn = timed(lambda: approx_report(ev_t_n))
     print(f"{'agg_approx_distinct':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
+    # --- round-8 wave-3 additions ----------------------------------------
+    wave3_probes(spark, sf_dir, repl)
+
     # --- streaming sustained-throughput probe (VERDICT r6 #5) -------------
     stream_throughput(spark)
+
+
+def wave3_probes(spark, sf_dir: str, repl: int = 10) -> None:
+    """10x replication rows for the round-8 wave-3 queries.  Callable on
+    its own (``python -c "from tools.scale_probe import *; ..."``) so a
+    new wave can be probed without re-running the full suite."""
+    import shutil
+    import tempfile
+
+    from kcl_akka_stream_spark.operators import similarity as S
+    from kcl_akka_stream_spark.operators.aggregations import power_sums
+    from kcl_akka_stream_spark.operators.cdc import scd2_compact
+    from kcl_akka_stream_spark.operators.graph import degree_histogram
+    from kcl_akka_stream_spark.operators.windows import top_paths
+
+    def timed_df(fn, warm: bool = True) -> float:
+        return timed(fn, warm)
+
+    ev1 = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    parts = []
+    for i in range(repl):
+        parts.append(
+            ev1.select(
+                (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+            )
+        )
+    ev_n = reduce(DataFrame.unionByName, parts).localCheckpoint()
+
+    # SCD2: per-user window depth constant (disjoint user replicas),
+    # user count grows by the factor.
+    t1 = timed_df(lambda: scd2_compact(ev1))
+    tn = timed_df(lambda: scd2_compact(ev_n))
+    print(f"{'pipeline_scd2_history':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # power sums: one combinable shuffle, states-sized output.
+    t1 = timed_df(lambda: power_sums(ev1, "event_type", "value"))
+    tn = timed_df(lambda: power_sums(ev_n, "event_type", "value"))
+    print(f"{'agg_power_sums':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # top paths: one user-keyed window sort + combinable path count +
+    # TakeOrdered top-10.
+    t1 = timed_df(lambda: top_paths(ev1, "user_id", "ts", "event_id", "event_type"))
+    tn = timed_df(lambda: top_paths(ev_n, "user_id", "ts", "event_id", "event_type"))
+    print(f"{'w_top_paths':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # degree histogram over the replicated co-purchase edges (disjoint
+    # id-space replicas: node count grows, degrees constant).
+    li1 = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o1 = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e1 = li1.join(o1, li1.l_orderkey == o1.o_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    ).localCheckpoint()
+    ep = []
+    for i in range(repl):
+        ep.append(
+            e1.select(
+                (F.col("c") + F.lit(i * 10_000_000)).alias("c"),
+                (F.col("s") + F.lit(i * 10_000_000)).alias("s"),
+            )
+        )
+    e_n = reduce(DataFrame.unionByName, ep).localCheckpoint()
+
+    def deg(d: DataFrame) -> DataFrame:
+        p = d.distinct().localCheckpoint(eager=True)
+        return degree_histogram(
+            p, "c", "s", label="customer", assume_distinct=True
+        ).unionByName(
+            degree_histogram(p, "s", "c", label="supplier", assume_distinct=True)
+        )
+
+    t1 = timed_df(lambda: deg(e1))
+    tn = timed_df(lambda: deg(e_n))
+    print(f"{'graph_degree_stats':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # URL parse: map-only JVM built-ins over the replicated doc ids.
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    dp = []
+    for i in range(repl):
+        dp.append(
+            docs1.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                "source",
+                "lang",
+            )
+        )
+    docs_n = reduce(DataFrame.unionByName, dp).localCheckpoint()
+    docs1 = docs1.localCheckpoint()
+
+    def urls(d: DataFrame) -> DataFrame:
+        u = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+            F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+            F.lit("?lang="), F.col("lang"),
+            F.lit("&page="), (F.col("doc_id") % 7).cast("string"),
+        )
+        x = d.select("doc_id", u.alias("__url"))
+        return x.select(
+            "doc_id",
+            F.parse_url(F.col("__url"), F.lit("HOST")).alias("host"),
+            F.parse_url(F.col("__url"), F.lit("PATH")).alias("path"),
+            F.parse_url(F.col("__url"), F.lit("QUERY"), F.lit("page")).alias("page"),
+        )
+
+    t1 = timed_df(lambda: urls(docs1))
+    tn = timed_df(lambda: urls(docs_n))
+    print(f"{'scalar_url_funcs':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # full IVF-PQ serving: corpus scales, query set (5) and codebook (8)
+    # fixed; probe narrows the scored slice to nprobe/n_clusters.
+    emb1 = load_table(spark, sf_dir, "embeddings")
+    emb_n = replicate_embeddings(emb1, repl).localCheckpoint()
+    emb1 = emb1.localCheckpoint()
+    cb = emb1.filter(F.col("vec_id") < 8).localCheckpoint()
+
+    def ivfpq(e: DataFrame) -> DataFrame:
+        return S.ivf_pq_topk(
+            e, e.filter(F.col("vec_id") < 5), cb, m=4, k=5, n_clusters=8, nprobe=2
+        )
+
+    t1 = timed_df(lambda: ivfpq(emb1))
+    tn = timed_df(lambda: ivfpq(emb_n))
+    print(f"{'sim_topk_ivf_pq':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
 
 def stream_throughput(spark, n_shards: int = 8) -> None:
