@@ -159,6 +159,13 @@ def test_shuffle_budgets(spark, sf_dir):
         "w_cumulative_distinct": 2,  # (user,type) window + user window
         "agg_winsorized_stats": 3,  # (type,value) hist agg + tiny CDF window + clamp-agg; thresholds broadcast
         "dedup_minhash_calibration": 3,  # pair gen over checkpointed signatures + shingle joins + report agg
+        # round-8 wave 3
+        "pipeline_scd2_history": 1,  # both windows ride ONE user-keyed exchange
+        "agg_power_sums": 1,  # one combinable shuffle; states-sized output
+        "w_top_paths": 2,  # one window sort + path-count agg; top-k is TakeOrdered
+        "graph_degree_stats": 4,  # pair relation checkpointed once; 2 node aggs + 2 max-degree-sized histogram aggs
+        "scalar_url_funcs": 0,  # map-only JVM parse_url
+        "sim_topk_ivf_pq": 7,  # inline quantizer learn + cluster join; serving side is broadcast probe/dtab + (q,n) agg + per-q window
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
