@@ -156,6 +156,12 @@ HEADLINE = [
     "graph_degree_stats",
     "w_top_paths",
     "scalar_url_funcs",
+    # round-8 wave 4: binary-payload near-dup, SCD2 serving, feature
+    # hashing, URL canonicalization
+    "multimodal_phash_pairs",
+    "j_scd2_point_in_time",
+    "text_hashing_vectorizer",
+    "dedup_url_canonical",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -15,7 +15,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kcl_akka_stream_spark.operators.dedup import shingles
@@ -315,4 +315,33 @@ def chunk_documents(
             .cast("long")
             .alias("n_tokens"),
         )
+    )
+
+
+def canonical_url(url: Column, keep_params: tuple[str, ...] = ("lang",)) -> Column:
+    """URL canonicalization -- the first dedup key of every web corpus
+    (the same page arrives as http/https, cased hosts, default ports,
+    trailing slashes, and tracking-parameter variants): lowercase the
+    host, force the https scheme, drop the port, strip trailing slashes
+    from the path, and keep ONLY the whitelisted query params (tracking
+    params like utm_* are exactly the ones not whitelisted).
+
+    Pure JVM expressions (parse_url + regexp), map-only -- canonicalize
+    then hash-dedup is one combinable shuffle at any scale.
+    """
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/+$", "")
+    kept = [
+        F.when(
+            F.parse_url(url, F.lit("QUERY"), F.lit(p)).isNotNull(),
+            F.concat(F.lit(p + "="), F.parse_url(url, F.lit("QUERY"), F.lit(p))),
+        )
+        for p in keep_params
+    ]
+    q = F.concat_ws("&", *kept)
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )

@@ -504,25 +504,45 @@ def simhash_near_dup_pairs(
     band self-join is keyed by (band, value) -- fan-out bounded by
     bucket sizes, the verify is a row-local bit op, and the pair
     distinct collapses double-banded pairs map-side."""
+    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    return fingerprint_band_pairs(
+        sh, id_col=id_col, fp_col="simhash", bits=bits, bands=bands,
+        max_hamming=max_hamming,
+    )
+
+
+def fingerprint_band_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    bits: int = 16,
+    bands: int = 2,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The banding+verify half of simhash near-dup, factored so ANY
+    bit-fingerprint relation reuses it (text simhash here; byte-gram
+    payload simhash for binary multimodal columns in
+    operators/multimodal.py).  Candidates share a band value; survivors
+    verified by exact hamming (bit_count of xor); pair distinct collapses
+    double-banded pairs map-side."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
     banded = None
     for b in range(bands):
         part = sh.select(
             F.col(id_col),
-            F.col("simhash"),
+            F.col(fp_col),
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(mask).alias(
+            F.shiftright(F.col(fp_col), b * band_bits).bitwiseAND(mask).alias(
                 "bv"
             ),
         )
         banded = part if banded is None else banded.unionByName(part)
     a = banded.select(
-        "band", "bv", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+        "band", "bv", F.col(id_col).alias("id_a"), F.col(fp_col).alias("sh_a")
     )
     b_ = banded.select(
-        "band", "bv", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+        "band", "bv", F.col(id_col).alias("id_b"), F.col(fp_col).alias("sh_b")
     )
     pairs = (
         a.join(b_, ["band", "bv"])

@@ -148,3 +148,60 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
         )
     )
+
+
+def payload_simhash(
+    df: DataFrame,
+    gram: int = 4,
+    stride: int = 4,
+    bits: int = 16,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Byte-gram SimHash over an opaque BINARY payload -- near-duplicate
+    fingerprinting that needs NO codec, so it works on any media column
+    as-is (re-encoded copies, watermarked variants, truncated uploads all
+    land within small hamming distance; a pixel-space pHash slots into
+    the same banding once a decoder exists, ``set_decoder`` style).
+
+    Same bit convention as the text simhash (operators/dedup.py): each
+    ``gram``-byte window (start offsets 0, stride, 2*stride, ...; tail
+    windows shorter than ``gram`` dropped) hashes with md5, bit i of a
+    window = hex digit i+1 >= '8', per-bit sign-sum over the payload,
+    fingerprint bit set iff the sum is positive.  Payloads with no full
+    window produce no row.
+
+    MAP-ONLY: one Arrow pass (mapInPandas) emitting (id, simhash);
+    feed the result to ``dedup.fingerprint_band_pairs`` for the banded
+    candidate join + hamming verify.
+    """
+    src = df.select(id_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        highs = set(b"89abcdef")
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                counts = [0] * bits
+                n = 0
+                for off in range(0, len(data) - gram + 1, stride):
+                    h = hashlib.md5(data[off : off + gram]).hexdigest().encode()
+                    n += 1
+                    for i in range(bits):
+                        if h[i] in highs:
+                            counts[i] += 1
+                if n == 0:
+                    continue
+                fp = 0
+                for i in range(bits):
+                    if 2 * counts[i] - n > 0:
+                        fp |= 1 << i
+                ids.append(mid)
+                fps.append(fp)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(fps, dtype="int64")})
+
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    return spread(src).mapInPandas(run, schema=f"{id_col} long, simhash long")

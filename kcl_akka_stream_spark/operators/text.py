@@ -367,3 +367,41 @@ def bigram_logprob(
             F.expr("(-sum_lp) div n_bigrams").alias("avg_nll_micro"),
         )
     )
+
+
+def hashing_vectorize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    salt: str = "hv",
+) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009): map
+    each token to ``md5(salt|token) mod n_buckets`` and count per
+    (doc, bucket) -- a fixed-width sparse feature vector with NO
+    vocabulary table, the property that matters at 100 TB: no corpus
+    pass to build/broadcast a dictionary, no OOV handling, new shards
+    vectorize independently (embarrassingly parallel, schema fixed
+    forever).  Deterministic md5 bucketing keeps vectors identical
+    across engines, runs and re-shards.
+
+    Plan: tokenize + explode + one combinable (doc, bucket) count --
+    output rows are bounded by docs x n_buckets.
+    """
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    toks = spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col("__tok"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        % n_buckets
+    )
+    return toks.select(F.col(id_col), bucket.alias("bucket")).groupBy(
+        id_col, "bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))

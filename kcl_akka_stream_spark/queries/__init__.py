@@ -68,6 +68,10 @@ _PRIORITY = [
     "graph_degree_stats",
     "w_top_paths",
     "scalar_url_funcs",
+    "multimodal_phash_pairs",
+    "j_scd2_point_in_time",
+    "text_hashing_vectorizer",
+    "dedup_url_canonical",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

@@ -3146,3 +3146,80 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.parse_url(F.col("__url"), F.lit("HOST")), ".", -2
         ).alias("domain"),
     )
+
+
+@query(
+    "j_scd2_point_in_time",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type),
+    scd AS (
+      SELECT user_id, event_type AS state,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS version,
+             ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS vt
+      FROM ch),
+    u AS (SELECT DISTINCT user_id FROM events),
+    t AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                        TIMESTAMP '2024-01-29 00:00:00',
+                                        INTERVAL 7 DAY)) AS pt),
+    probe AS (SELECT user_id, pt FROM u CROSS JOIN t)
+    SELECT p.user_id,
+           strftime(p.pt, '%Y-%m-%d %H:%M:%S') AS at_ts,
+           s.state, s.version
+    FROM probe p LEFT JOIN scd s
+      ON s.user_id = p.user_id AND s.vf <= p.pt
+     AND (s.vt IS NULL OR p.pt < s.vt)
+    """,
+)
+def j_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Point-in-time (as-of) lookup against the SCD2 dimension built by
+    # pipeline_scd2_history -- the serving half of the SCD2 pair: for a
+    # weekly probe grid over every user, recover the state valid AT that
+    # instant via the half-open range predicate [valid_from, valid_to).
+    # The probe grid explodes a literal timestamp sequence per user
+    # (map-side -- no cartesian node), and the join is user-equi with
+    # the range check as join filter, so it hash-partitions on the key
+    # at any scale; the changes-sized SCD2 side is the small build.
+    from kcl_akka_stream_spark.operators.cdc import scd2_compact
+
+    ev = tbl(spark, sf_dir, "events")
+    scd = scd2_compact(ev).select(
+        F.col("user_id").alias("s_user"), "state", "version",
+        "valid_from", "valid_to",
+    )
+    probes = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    "sequence(timestamp'2024-01-02 00:00:00',"
+                    " timestamp'2024-01-29 00:00:00', interval 7 days)"
+                )
+            ).alias("pt"),
+        )
+    )
+    joined = probes.join(
+        scd,
+        (F.col("s_user") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("pt"))
+        & (F.col("valid_to").isNull() | (F.col("pt") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("pt", "yyyy-MM-dd HH:mm:ss").alias("at_ts"),
+        "state",
+        "version",
+    )

@@ -4152,3 +4152,159 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = degree_histogram(p, "c", "s", label="customer", assume_distinct=True)
     supp = degree_histogram(p, "s", "c", label="supplier", assume_distinct=True)
     return cust.unionByName(supp)
+
+
+def _payload_simhash_pairs_oracle(
+    bits: int = 16, gram: int = 4, stride: int = 4, max_hamming: int = 3
+) -> str:
+    highs = "('8','9','a','b','c','d','e','f')"
+    fp = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> substr(x, {i + 1}, 1) IN {highs}))"
+        f" - len(hs) > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    # payload = UTF-8 bytes of text (documents_as_media) and the fixture
+    # text is pure ASCII, so byte windows == character windows and
+    # DuckDB's md5-of-substring hashes the same bytes Python's
+    # hashlib.md5 sees.
+    return f"""
+    WITH t AS (
+      SELECT doc_id AS media_id,
+             [md5(substr(text, i, {gram}))
+              FOR i IN generate_series(1, len(text) - {gram - 1}, {stride})] AS hs
+      FROM documents WHERE len(text) >= {gram}),
+    sh AS (SELECT media_id, CAST({fp} AS BIGINT) AS simhash
+           FROM t WHERE len(hs) > 0),
+    banded AS (
+      SELECT media_id, simhash, 0 AS band, simhash & 255 AS bv FROM sh
+      UNION ALL
+      SELECT media_id, simhash, 1 AS band, (simhash >> 8) & 255 AS bv FROM sh),
+    pairs AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@query("multimodal_phash_pairs", _payload_simhash_pairs_oracle())
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-duplicate detection on the OPAQUE BINARY media column
+    # (operators/multimodal.py::payload_simhash + operators/dedup.py::
+    # fingerprint_band_pairs): byte-gram simhash needs no codec, so
+    # re-encoded/truncated/watermarked uploads cluster without decoding
+    # -- the multimodal twin of dedup_simhash_pairs.  One Arrow pass
+    # fingerprints (map-only), the banded candidate join + exact hamming
+    # verify reuse the text machinery unchanged; a pixel-space pHash
+    # drops into the same banding when a real decoder is installed
+    # (set_decoder seam).
+    from kcl_akka_stream_spark.operators.dedup import fingerprint_band_pairs
+    from kcl_akka_stream_spark.operators.multimodal import (
+        documents_as_media,
+        payload_simhash,
+    )
+
+    media = documents_as_media(tbl(spark, sf_dir, "documents"))
+    sh = payload_simhash(media, gram=4, stride=4, bits=16)
+    return fingerprint_band_pairs(
+        sh, id_col="media_id", bits=16, bands=2, max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "text_hashing_vectorizer",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOK}')) AS tok
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(list_sum([(strpos('0123456789abcdef',
+                                    substr(md5('hv|' || tok), i, 1)) - 1)
+                            * power(16, 8 - i)
+                            FOR i IN generate_series(1, 8)]) AS BIGINT) % 64
+               AS bucket
+      FROM t)
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n_tokens
+    FROM b GROUP BY doc_id, bucket
+    """,
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Feature hashing (operators/text.py::hashing_vectorize): fixed-width
+    # sparse vectors with NO vocabulary -- the featurization that scales
+    # to 100 TB because there is no dictionary to build, broadcast or
+    # version; new shards vectorize independently and the schema never
+    # changes.  Deterministic md5 bucketing (same integer convention as
+    # the CMS sketch) makes the vectors bit-identical cross-engine.
+    from kcl_akka_stream_spark.operators.text import hashing_vectorize
+
+    return hashing_vectorize(tbl(spark, sf_dir, "documents"), n_buckets=64)
+
+
+_MESSY_URL_SQL = """
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+      CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.ORG' ELSE 'www.example.org' END ||
+      CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+      '/docs/' || lang || '/' || CAST(doc_id % 50 AS VARCHAR) ||
+      CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+      '?lang=' || lang ||
+      CASE WHEN doc_id % 11 = 0 THEN '&utm_source=feed' ELSE '' END
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    # Ground truth by construction: the canonical form is derivable from
+    # the base columns directly, so the oracle never re-implements the
+    # parse_url canonicalizer -- it checks it against an independent
+    # derivation (the scalar_url_funcs discipline).
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang, {_MESSY_URL_SQL} AS url,
+             'https://www.example.org/docs/' || lang || '/'
+               || CAST(doc_id % 50 AS VARCHAR) || '?lang=' || lang AS canon
+      FROM documents)
+    SELECT canon AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_forms,
+           CAST(min(doc_id) AS BIGINT) AS keeper
+    FROM m GROUP BY canon
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL-canonicalization dedup (operators/corpus.py::canonical_url):
+    # scheme/case/port/trailing-slash/tracking-param variants of the
+    # same page collapse to one canonical key; per key the report counts
+    # raw URLs, distinct surface forms, and the kept doc.  The messy
+    # forms are assembled deterministically from fixture columns; the
+    # oracle derives the canonical key INDEPENDENTLY, so a canonicalizer
+    # that under- or over-normalizes turns the gate red.  Map-only
+    # canonicalize + one combinable shuffle -- the exact-dedup shape.
+    from kcl_akka_stream_spark.operators.corpus import canonical_url
+
+    docs = tbl(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(d % 3 == 0, F.lit("WWW.Example.ORG")).otherwise(
+            F.lit("www.example.org")
+        ),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"), F.col("lang"), F.lit("/"), (d % 50).cast("string"),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?lang="), F.col("lang"),
+        F.when(d % 11 == 0, F.lit("&utm_source=feed")).otherwise(F.lit("")),
+    )
+    u = docs.select("doc_id", messy.alias("__url"))
+    return (
+        u.select("doc_id", canonical_url(F.col("__url")).alias("canonical_url"),
+                 F.col("__url").alias("url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("url").cast("long").alias("n_forms"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+    )

@@ -166,6 +166,11 @@ def test_shuffle_budgets(spark, sf_dir):
         "graph_degree_stats": 4,  # pair relation checkpointed once; 2 node aggs + 2 max-degree-sized histogram aggs
         "scalar_url_funcs": 0,  # map-only JVM parse_url
         "sim_topk_ivf_pq": 7,  # inline quantizer learn + cluster join; serving side is broadcast probe/dtab + (q,n) agg + per-q window
+        # round-8 wave 4
+        "multimodal_phash_pairs": 5,  # spread + band self-join pair + pair distinct (same shape as dedup_simhash_pairs)
+        "j_scd2_point_in_time": 2,  # scd2's one user exchange + probe join keyed on user
+        "text_hashing_vectorizer": 2,  # spread + one combinable (doc,bucket) count
+        "dedup_url_canonical": 2,  # map-only canonicalize + one count-distinct agg (partial-distinct + final)
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

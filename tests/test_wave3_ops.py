@@ -159,3 +159,88 @@ def test_degree_histogram_counts_distinct_neighbors(spark):
     assert out == {2: 1, 1: 2}
     lab = degree_histogram(edges, label="left").collect()
     assert all(r.side == "left" for r in lab)
+
+
+def test_payload_simhash_matches_char_gram_construction(spark):
+    # ASCII payload: byte windows == char windows, so the fingerprint is
+    # reproducible by hand with the text-simhash bit convention.
+    import hashlib
+
+    from kcl_akka_stream_spark.operators.multimodal import payload_simhash
+
+    text = "abcdefghijklmnop"  # 4 full grams at stride 4
+    df = spark.createDataFrame(
+        [(1, bytearray(text.encode()))], "media_id long, payload binary"
+    )
+    got = payload_simhash(df, gram=4, stride=4, bits=16).collect()
+    grams = [text[i : i + 4] for i in range(0, len(text) - 3, 4)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    fp = 0
+    for i in range(16):
+        cnt = sum(1 for h in hs if h[i] in "89abcdef")
+        if 2 * cnt - len(hs) > 0:
+            fp |= 1 << i
+    assert len(got) == 1 and got[0].simhash == fp
+    # payload shorter than one gram -> no row (mirrors zero-token docs)
+    short = spark.createDataFrame(
+        [(2, bytearray(b"ab"))], "media_id long, payload binary"
+    )
+    assert payload_simhash(short).count() == 0
+
+
+def test_fingerprint_band_pairs_identical_payloads_hamming_zero(spark):
+    from kcl_akka_stream_spark.operators.dedup import fingerprint_band_pairs
+    from kcl_akka_stream_spark.operators.multimodal import payload_simhash
+
+    base = b"the quick brown fox jumps over the lazy dog" * 4
+    near = base[:-4] + b"cat!"  # tail perturbation
+    far = bytes(reversed(base))
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(base)), (3, bytearray(near)),
+         (4, bytearray(far))],
+        "media_id long, payload binary",
+    )
+    sh = payload_simhash(df)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in fingerprint_band_pairs(
+            sh, id_col="media_id", max_hamming=3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical payloads always pair at distance 0
+
+
+def test_canonical_url_normalizes_variants(spark):
+    from kcl_akka_stream_spark.operators.corpus import canonical_url
+    from pyspark.sql import functions as F
+
+    urls = [
+        "https://www.example.org/docs/en/5?lang=en",
+        "HTTPS://WWW.Example.ORG/docs/en/5?lang=en",
+        "https://www.example.org:443/docs/en/5?lang=en",
+        "https://www.example.org/docs/en/5/?lang=en",
+        "https://www.example.org/docs/en/5?lang=en&utm_source=feed",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert len(set(out)) == 1
+    assert out[0] == "https://www.example.org/docs/en/5?lang=en"
+
+
+def test_hashing_vectorize_buckets_bounded_and_deterministic(spark):
+    from kcl_akka_stream_spark.operators.text import hashing_vectorize
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "alpha beta")],
+        "doc_id long, text string",
+    )
+    out = hashing_vectorize(df, n_buckets=8)
+    rows = out.collect()
+    assert all(0 <= r.bucket < 8 for r in rows)
+    # same token -> same bucket in both docs; counts reflect multiplicity
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.n_tokens
+    assert sum(by_doc[1].values()) == 4 and sum(by_doc[2].values()) == 2
+    # doc 2's buckets are a subset of doc 1's (same tokens)
+    assert set(by_doc[2]).issubset(set(by_doc[1]))
