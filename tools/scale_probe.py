@@ -1002,3 +1002,111 @@ def stream_throughput(spark, n_shards: int = 8) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def wave4_probes(spark, sf_dir: str, repl: int = 10) -> None:
+    """10x replication rows for the round-8 wave-4 queries."""
+    from kcl_akka_stream_spark.operators.corpus import canonical_url
+    from kcl_akka_stream_spark.operators.dedup import fingerprint_band_pairs
+    from kcl_akka_stream_spark.operators.multimodal import (
+        documents_as_media,
+        payload_simhash,
+    )
+    from kcl_akka_stream_spark.operators.text import hashing_vectorize
+
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs_n = replicate_docs(
+        docs1.select("doc_id", "text"), repl
+    ).localCheckpoint()
+    docs_n = docs_n.withColumn("lang", F.lit("en"))
+    docs1 = docs1.localCheckpoint()
+
+    # binary-payload simhash near-dup: fingerprint cost scales with
+    # BYTES (one Arrow pass), banding with docs.
+    def phash(d: DataFrame) -> DataFrame:
+        media = d.selectExpr(
+            "doc_id AS media_id", "encode(text, 'UTF-8') AS payload"
+        )
+        sh = payload_simhash(media)
+        return fingerprint_band_pairs(sh, id_col="media_id", max_hamming=3)
+
+    t1 = timed(lambda: phash(docs1))
+    tn = timed(lambda: phash(docs_n))
+    print(f"{'multimodal_phash_pairs':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # feature hashing: tokenize + explode + one combinable count.
+    t1 = timed(lambda: hashing_vectorize(docs1))
+    tn = timed(lambda: hashing_vectorize(docs_n))
+    print(f"{'text_hashing_vector':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # URL canonicalization: map-only parse_url + one agg.
+    def urls(d: DataFrame) -> DataFrame:
+        k = F.col("doc_id")
+        messy = F.concat(
+            F.when(k % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+            F.when(k % 3 == 0, F.lit("WWW.Example.ORG")).otherwise(
+                F.lit("www.example.org")
+            ),
+            F.when(k % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/docs/"), F.col("lang"), F.lit("/"), (k % 50).cast("string"),
+            F.when(k % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?lang="), F.col("lang"),
+            F.when(k % 11 == 0, F.lit("&utm_source=feed")).otherwise(F.lit("")),
+        )
+        u = d.select("doc_id", messy.alias("__url"))
+        return (
+            u.select("doc_id", canonical_url(F.col("__url")).alias("c"),
+                     F.col("__url").alias("url"))
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("url").alias("f"),
+                 F.min("doc_id").alias("keeper"))
+        )
+
+    t1 = timed(lambda: urls(docs1))
+    tn = timed(lambda: urls(docs_n))
+    print(f"{'dedup_url_canonical':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # SCD2 point-in-time: probe grid grows with users, SCD2 side with
+    # changes; join stays user-keyed.
+    from kcl_akka_stream_spark.operators.cdc import scd2_compact
+
+    ev1 = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    parts = []
+    for i in range(repl):
+        parts.append(
+            ev1.select(
+                (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+                "event_type",
+            )
+        )
+    ev_n = reduce(DataFrame.unionByName, parts).localCheckpoint()
+
+    def pit(d: DataFrame) -> DataFrame:
+        scd = scd2_compact(d).select(
+            F.col("user_id").alias("s_user"), "state", "version",
+            "valid_from", "valid_to",
+        )
+        probes = d.select("user_id").distinct().select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    "sequence(timestamp'2024-01-02 00:00:00',"
+                    " timestamp'2024-01-29 00:00:00', interval 7 days)"
+                )
+            ).alias("pt"),
+        )
+        return probes.join(
+            scd,
+            (F.col("s_user") == F.col("user_id"))
+            & (F.col("valid_from") <= F.col("pt"))
+            & (F.col("valid_to").isNull() | (F.col("pt") < F.col("valid_to"))),
+            "left",
+        )
+
+    t1 = timed(lambda: pit(ev1))
+    tn = timed(lambda: pit(ev_n))
+    print(f"{'j_scd2_point_in_time':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
