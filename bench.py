@@ -162,6 +162,7 @@ HEADLINE = [
     "j_scd2_point_in_time",
     "text_hashing_vectorizer",
     "dedup_url_canonical",
+    "sim_topk_ivf_pq_prebuilt",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -1011,3 +1011,109 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "adc_d2_micro2", "rank")
     )
+
+
+def ivf_pq_build(
+    corpus: DataFrame,
+    index_dir: str,
+    codebook_vectors: DataFrame,
+    m: int = 4,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """OFFLINE IVF-PQ index build -- the persisted form of what
+    ``ivf_pq_topk`` computes inline (the same build-once/probe-many split
+    ``ivf_build`` gives plain IVF).  Persists under ``index_dir``:
+
+    - ``centroids``: the learned coarse quantizer (k rows), broadcast at
+      probe time;
+    - ``codes``: (id, sub_id, code) PQ codes + cluster id, parquet
+      PARTITIONED BY cluster -- the probe's equi-join on the partition
+      column prunes the scan to the probed inverted lists, and each list
+      stores m small ints per vector instead of d floats (the on-disk
+      footprint win that makes billion-vector serving affordable);
+    - ``codebook``: the raw codebook vectors, re-read at probe time to
+      build the per-query ADC tables.
+
+    Deterministic: same corpus -> byte-identical index, so the prebuilt
+    probe matches inline ``ivf_pq_topk`` exactly."""
+    from kcl_akka_stream_spark.operators.clustering import pq_encode
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    corpus = spread(corpus)
+    assignment, centroids = _learn_quantizer(corpus, id_col, vec_col, n_clusters)
+    codes = pq_encode(corpus, codebook_vectors, m=m, id_col=id_col, vec_col=vec_col)
+    codes.join(
+        assignment.select(id_col, F.col("cluster_id").alias("cluster")), id_col
+    ).write.mode("overwrite").partitionBy("cluster").parquet(f"{index_dir}/codes")
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    codebook_vectors.select(id_col, vec_col).write.mode("overwrite").parquet(
+        f"{index_dir}/codebook"
+    )
+
+
+def ivf_pq_probe_prebuilt(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    m: int = 4,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index (see ``ivf_pq_build``): centroids
+    broadcast to pick each query's nprobe lists, the codes scan joins the
+    broadcast probe set on the PARTITION column (dynamic partition
+    pruning -- only the probed lists' directories are read), distances
+    come from the broadcast ADC table.  No corpus-sized relation ever
+    shuffles; the scan reads m ints per vector from nprobe/n_clusters of
+    the index."""
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    codebook = spark.read.parquet(f"{index_dir}/codebook")
+
+    probe = codebook.select(F.size(vec_col).alias("d")).first()
+    dims = probe["d"] if probe is not None else 0
+    if dims % m != 0:
+        raise ValueError(
+            f"ivf_pq_probe_prebuilt: vector length {dims} not divisible by m={m}"
+        )
+    sub = dims // m
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.join(F.broadcast(centroids)).select(
+        "q_id", "cluster", cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("cluster"))
+    probed = (
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select(F.col("q_id").alias("__probe_q"), "cluster")
+    )
+
+    dtab = _pq_dtab(queries, codebook, m, sub, id_col, vec_col).select(
+        F.col("q_id").alias("__pq_q"),
+        F.col("sub_id").alias("__dt_sub"),
+        F.col("code").alias("__dt_code"),
+        "__d2",
+    )
+    scores = (
+        codes.join(F.broadcast(probed), "cluster")
+        .join(
+            F.broadcast(dtab),
+            (F.col("__pq_q") == F.col("__probe_q"))
+            & (F.col("__dt_sub") == F.col("sub_id"))
+            & (F.col("__dt_code") == F.col("code")),
+        )
+        .filter(F.col("__pq_q") != F.col(id_col))
+        .groupBy(F.col("__pq_q").alias("q_id"), F.col(id_col).alias("n_id"))
+        .agg(F.sum("__d2").cast("long").alias("adc_d2_micro2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_d2_micro2", "n_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adc_d2_micro2", "rank")
+    )

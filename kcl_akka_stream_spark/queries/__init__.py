@@ -72,6 +72,7 @@ _PRIORITY = [
     "j_scd2_point_in_time",
     "text_hashing_vectorizer",
     "dedup_url_canonical",
+    "sim_topk_ivf_pq_prebuilt",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

@@ -4308,3 +4308,48 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("keeper"),
         )
     )
+
+
+def _ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture) and return the on-disk IVF-PQ index dir
+    (operators/similarity.py::ivf_pq_build): learned centroids + PQ codes
+    partitioned by cluster + codebook.  Keyed by the fixture file's
+    (size, mtime) like the plain-IVF index cache, so a driver-side
+    testdata regeneration invalidates it automatically."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"ivfpq:{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"kcl_ivfpq_index_{key}")
+    marker = os.path.join(index_dir, "_BUILT")
+    if not os.path.exists(marker):
+        emb = tbl(spark, sf_dir, "embeddings")
+        S.ivf_pq_build(
+            emb, index_dir, emb.filter(F.col("vec_id") < 8), m=4, n_clusters=8
+        )
+        with open(marker, "w"):
+            pass
+    return index_dir
+
+
+@query("sim_topk_ivf_pq_prebuilt", _ivf_pq_oracle())
+def sim_topk_ivf_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build-once / probe-many IVF-PQ (the same split sim_topk_ivf_prebuilt
+    # gives plain IVF): first call per fixture persists centroids + PQ
+    # codes (partitioned by inverted list, m ints per vector on disk) +
+    # codebook; every subsequent call runs ONLY the serving plan --
+    # centroid broadcast, partition-pruned codes scan, broadcast ADC
+    # table, (q, n) agg, per-q rank.  The build is deterministic, so the
+    # result is identical to the inline sim_topk_ivf_pq and the oracle is
+    # shared.  This is the shape a 100 TB vector deployment actually
+    # runs: the index amortizes across every query batch.
+    index_dir = _ensure_ivf_pq_index(spark, sf_dir)
+    queries_df = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return S.ivf_pq_probe_prebuilt(
+        spark, index_dir, queries_df, m=4, k=5, nprobe=2
+    )

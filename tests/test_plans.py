@@ -171,6 +171,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "j_scd2_point_in_time": 2,  # scd2's one user exchange + probe join keyed on user
         "text_hashing_vectorizer": 2,  # spread + one combinable (doc,bucket) count
         "dedup_url_canonical": 2,  # map-only canonicalize + one count-distinct agg (partial-distinct + final)
+        "sim_topk_ivf_pq_prebuilt": 4,  # probe-only: query-side windows + broadcasts; the codes scan is partition-pruned, never shuffled
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
@@ -422,3 +423,22 @@ def test_sql_join_hints_control_strategy(spark, sf_dir):
     for hint, op in cases.items():
         df = spark.sql(base.format(hint=hint))
         assert count_operator(df, op) > 0, (hint, op)
+
+
+def test_ivf_pq_prebuilt_probe_prunes_partitions_and_stays_codes_only(spark, sf_dir):
+    # The persisted PQ-codes relation is partitioned by cluster: the
+    # probe's broadcast equi-join on that column must trigger dynamic
+    # partition pruning (only the probed inverted lists' directories are
+    # read), and the codes scan must NOT read any vector column -- the
+    # serving plan touches m small ints per vector plus broadcasts.
+    from kcl_akka_stream_spark.plans import physical_plan
+
+    df = QUERIES["sim_topk_ivf_pq_prebuilt"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "dynamicpruning" in plan, "codes scan lost dynamic partition pruning"
+    # the codes parquet scan projects only (vec_id, sub_id, code[, cluster])
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    codes_scans = [s for s in scans if "sub_id" in s]
+    assert codes_scans and all("embedding" not in s for s in codes_scans)

@@ -244,3 +244,25 @@ def test_hashing_vectorize_buckets_bounded_and_deterministic(spark):
     assert sum(by_doc[1].values()) == 4 and sum(by_doc[2].values()) == 2
     # doc 2's buckets are a subset of doc 1's (same tokens)
     assert set(by_doc[2]).issubset(set(by_doc[1]))
+
+
+def test_ivf_pq_prebuilt_probe_matches_inline(spark, sf_dir, tmp_path):
+    # Deterministic build: the persisted-index probe must reproduce the
+    # inline ivf_pq_topk result exactly (same quantizer, codes, ADC).
+    from kcl_akka_stream_spark.operators.similarity import (
+        ivf_pq_build,
+        ivf_pq_probe_prebuilt,
+        ivf_pq_topk,
+    )
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    cb = emb.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivfpq")
+    ivf_pq_build(emb, idx, cb, m=4, n_clusters=4)
+    pre = ivf_pq_probe_prebuilt(spark, idx, qs, m=4, k=5, nprobe=2)
+    inline = ivf_pq_topk(emb, qs, cb, m=4, k=5, n_clusters=4, nprobe=2)
+    a = {(r.q_id, r.rank): (r.n_id, r.adc_d2_micro2) for r in pre.collect()}
+    b = {(r.q_id, r.rank): (r.n_id, r.adc_d2_micro2) for r in inline.collect()}
+    assert a == b and len(a) == 15
