@@ -163,6 +163,7 @@ HEADLINE = [
     "text_hashing_vectorizer",
     "dedup_url_canonical",
     "sim_topk_ivf_pq_prebuilt",
+    "pipeline_scd2_incremental",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -58,3 +58,111 @@ def scd2_compact(
         F.lead(ts_col).over(w).alias("valid_to"),
         F.lead(ts_col).over(w).isNull().cast("int").alias("is_current"),
     )
+
+
+def scd2_merge(
+    current: DataFrame,
+    new_changes: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Incrementally merge a NEW batch of change records into an existing
+    SCD2 table (the output shape of ``scd2_compact``) WITHOUT re-reading
+    history -- the daily-ETL maintenance step that keeps a 100 TB
+    dimension current (the SCD2 twin of the rollup-state merge in
+    queries/pipeline.py::pipeline_rollup_incremental).
+
+    Requires every new record to be at-or-after the open version's
+    ``valid_from`` per key (the CDC contract: the feed is processed in
+    order).  Semantics, proven by the shared oracle (merge ≡ full
+    recompute from all raw rows):
+
+    - a new run whose state EQUALS the key's open version extends it
+      (absorbed -- no new row, the compaction property);
+    - otherwise the open version closes at the first differing run's
+      start, and each surviving run becomes a version numbered after the
+      key's existing count;
+    - keys with no new changes pass through untouched; brand-new keys
+      build fresh histories.
+
+    Scale shape: the new batch pays one per-key compaction (one window
+    exchange, batch-sized); everything joined against the standing table
+    is keyed on ``key_col`` and changes-sized.  History is never
+    re-scanned -- that is the entire point.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    runs = (
+        new_changes.select(key_col, ts_col, tiebreak_col, attr_col)
+        .withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+        .drop("__prev")
+        .select(
+            F.col(key_col),
+            F.col(attr_col).alias("state"),
+            F.row_number().over(w).cast("long").alias("__run"),
+            F.col(ts_col).alias("valid_from"),
+        )
+    )
+
+    open_rows = current.filter(F.col("is_current") == 1).select(
+        F.col(key_col),
+        F.col("state").alias("__open_state"),
+        F.col("version").alias("__open_version"),
+    )
+    closed_rows = current.filter(F.col("is_current") == 0)
+
+    # Absorb a first run that repeats the open state; shift surviving
+    # run ordinals down when one was absorbed.
+    joined = runs.join(open_rows, key_col, "left")
+    absorbed = (
+        (F.col("__run") == 1)
+        & F.col("__open_state").isNotNull()
+        & (F.col("state") == F.col("__open_state"))
+    )
+    surviving = (
+        joined.withColumn("__absorbed", F.max(absorbed.cast("int")).over(
+            Window.partitionBy(key_col)
+        ))
+        .filter(~absorbed)
+        .withColumn(
+            "version",
+            (
+                F.col("__run")
+                - F.col("__absorbed")
+                + F.coalesce(F.col("__open_version"), F.lit(0))
+            ).cast("long"),
+        )
+    )
+    wv = Window.partitionBy(key_col).orderBy("version")
+    new_rows = surviving.select(
+        F.col(key_col),
+        "state",
+        "version",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().cast("int").alias("is_current"),
+    )
+
+    # Close the previously-open version at the first surviving run's
+    # start; keys with every run absorbed (or no runs) keep it open.
+    first_new = new_rows.groupBy(key_col).agg(
+        F.min("valid_from").alias("__close_at")
+    )
+    prev_open_full = current.filter(F.col("is_current") == 1)
+    closed_or_open = prev_open_full.join(first_new, key_col, "left").select(
+        F.col(key_col),
+        "state",
+        "version",
+        "valid_from",
+        F.coalesce(F.col("__close_at"), F.col("valid_to")).alias("valid_to"),
+        F.when(F.col("__close_at").isNotNull(), F.lit(0))
+        .otherwise(F.col("is_current"))
+        .cast("int")
+        .alias("is_current"),
+    )
+
+    return closed_rows.select(
+        key_col, "state", "version", "valid_from", "valid_to", "is_current"
+    ).unionByName(closed_or_open).unionByName(new_rows)

@@ -73,6 +73,7 @@ _PRIORITY = [
     "text_hashing_vectorizer",
     "dedup_url_canonical",
     "sim_topk_ivf_pq_prebuilt",
+    "pipeline_scd2_incremental",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

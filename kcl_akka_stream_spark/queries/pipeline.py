@@ -4353,3 +4353,58 @@ def sim_topk_ivf_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_probe_prebuilt(
         spark, index_dir, queries_df, m=4, k=5, nprobe=2
     )
+
+
+@query(
+    "pipeline_scd2_incremental",
+    # SAME oracle as pipeline_scd2_history: the merge must equal the
+    # full recompute from all raw rows -- that hash match IS the
+    # incremental-maintenance proof (the SCD2 twin of the rollup-state
+    # merge contract).
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type),
+    v AS (
+      SELECT user_id, event_type AS state,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS version,
+             ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS vt
+      FROM ch)
+    SELECT user_id, state, version,
+           strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM v
+    """,
+)
+def pipeline_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental SCD2 maintenance (operators/cdc.py::scd2_merge): the
+    # standing SCD2 table (history = events before the cutover) absorbs
+    # one new day-batch of changes WITHOUT re-reading history -- runs
+    # repeating a key's open state extend it, differing runs close it
+    # and append versions numbered after the key's existing count.
+    # Oracle = full recompute over ALL raw rows, so the hash match
+    # proves merge == direct, boundary absorption included.
+    from kcl_akka_stream_spark.operators.cdc import scd2_compact, scd2_merge
+
+    ev = tbl(spark, sf_dir, "events")
+    cut = F.lit("2024-01-14 00:00:00").cast("timestamp")
+    history = scd2_compact(ev.filter(F.col("ts") < cut))
+    merged = scd2_merge(history, ev.filter(F.col("ts") >= cut))
+    return merged.select(
+        "user_id",
+        "state",
+        "version",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        "is_current",
+    )

@@ -172,6 +172,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "text_hashing_vectorizer": 2,  # spread + one combinable (doc,bucket) count
         "dedup_url_canonical": 2,  # map-only canonicalize + one count-distinct agg (partial-distinct + final)
         "sim_topk_ivf_pq_prebuilt": 4,  # probe-only: query-side windows + broadcasts; the codes scan is partition-pruned, never shuffled
+        "pipeline_scd2_incremental": 6,  # history build (1 key exchange) + batch compaction windows + key-equi merge joins; all sides keyed on user
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -266,3 +266,47 @@ def test_ivf_pq_prebuilt_probe_matches_inline(spark, sf_dir, tmp_path):
     a = {(r.q_id, r.rank): (r.n_id, r.adc_d2_micro2) for r in pre.collect()}
     b = {(r.q_id, r.rank): (r.n_id, r.adc_d2_micro2) for r in inline.collect()}
     assert a == b and len(a) == 15
+
+
+def test_scd2_merge_absorbs_extends_and_appends(spark):
+    from kcl_akka_stream_spark.operators.cdc import scd2_compact, scd2_merge
+
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    hist_rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "A"),
+        (1, _ts("2024-01-02T00:00:00"), 2, "B"),   # open: B
+        (2, _ts("2024-01-01T00:00:00"), 3, "X"),   # open: X, untouched
+        (3, _ts("2024-01-01T00:00:00"), 4, "P"),   # open: P, all-absorbed batch
+    ]
+    new_rows = [
+        (1, _ts("2024-01-03T00:00:00"), 10, "B"),  # absorbed (extends open B)
+        (1, _ts("2024-01-04T00:00:00"), 11, "C"),  # closes B, appends v3
+        (3, _ts("2024-01-05T00:00:00"), 12, "P"),  # absorbed entirely
+        (4, _ts("2024-01-03T00:00:00"), 13, "N"),  # brand-new key
+    ]
+    hist = scd2_compact(spark.createDataFrame(hist_rows, schema))
+    merged = scd2_merge(hist, spark.createDataFrame(new_rows, schema))
+    full = scd2_compact(
+        spark.createDataFrame(hist_rows + new_rows, schema)
+    )
+
+    def snap(df):
+        return sorted(
+            (r.user_id, r.state, r.version,
+             r.valid_from, r.valid_to, r.is_current)
+            for r in df.collect()
+        )
+
+    assert snap(merged) == snap(full)
+    rows = {(r.user_id, r.version): r for r in merged.collect()}
+    # user 1: B closed at C's start, C current v3
+    assert rows[(1, 2)].is_current == 0
+    assert rows[(1, 2)].valid_to == _ts("2024-01-04T00:00:00")
+    assert rows[(1, 3)].state == "C" and rows[(1, 3)].is_current == 1
+    # user 2 untouched, user 3 fully absorbed -> still 1 open version
+    assert rows[(2, 1)].is_current == 1
+    assert rows[(3, 1)].is_current == 1 and len(
+        [k for k in rows if k[0] == 3]
+    ) == 1
+    # brand-new key 4 builds a fresh history
+    assert rows[(4, 1)].state == "N" and rows[(4, 1)].is_current == 1
