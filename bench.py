@@ -164,6 +164,8 @@ HEADLINE = [
     "dedup_url_canonical",
     "sim_topk_ivf_pq_prebuilt",
     "pipeline_scd2_incremental",
+    "agg_mode_exact",
+    "w_inter_event_gap_stats",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -74,6 +74,9 @@ _PRIORITY = [
     "dedup_url_canonical",
     "sim_topk_ivf_pq_prebuilt",
     "pipeline_scd2_incremental",
+    "stream_scd2_merge",
+    "agg_mode_exact",
+    "w_inter_event_gap_stats",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

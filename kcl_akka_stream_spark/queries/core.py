@@ -3223,3 +3223,94 @@ def j_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state",
         "version",
     )
+
+
+@query(
+    "agg_mode_exact",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events),
+    hist AS (
+      SELECT event_type, v, count(*) AS c FROM v GROUP BY event_type, v),
+    ranked AS (
+      SELECT event_type, v, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, v) AS rn
+      FROM hist)
+    SELECT event_type, CAST(v AS BIGINT) AS mode_cents,
+           CAST(c AS BIGINT) AS n_mode
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact per-group mode with a DETERMINISTIC tie-break (lowest value
+    # among max counts) -- the built-in `mode` aggregate is
+    # fold-order-nondeterministic on ties, the same trap as duplicate-key
+    # max_by (agg_conditional_funcs).  Decomposition: one combinable
+    # (group, value) histogram shuffle, then the rank window runs over
+    # the VALUE-BOUNDED histogram relation, never the data (the
+    # winsorized-stats discipline).
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    hist = ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy(F.col("c").desc(), "v")
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("v").cast("long").alias("mode_cents"),
+            F.col("c").cast("long").alias("n_mode"),
+        )
+    )
+
+
+@query(
+    "w_inter_event_gap_stats",
+    """
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts)
+               - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))) // 1000000
+               AS gap_s
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST((sum(gap_s) * 1000) // count(*) AS BIGINT) AS mean_gap_ms
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def w_inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inter-arrival analytics: per-user consecutive gaps (the gap stamps
+    # the LATER event), aggregated per event type in integer seconds --
+    # the activity-cadence feature behind churn/engagement models and
+    # the empirical basis for choosing sessionize gaps (w_sessionize)
+    # and watermark widths (stream_*).  One user-keyed window sort, one
+    # combinable agg.
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microsecond difference floored to whole seconds -- identical
+    # truncation in both engines (unix_timestamp would truncate BEFORE
+    # the subtraction; epoch() doubles would round)
+    g = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id))) div 1000000"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("sum_gap_s"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.expr("(sum(gap_s) * 1000) div count(1)").cast("long").alias("mean_gap_ms"),
+    )

@@ -1399,3 +1399,78 @@ def stream_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _scd2_oracle() -> str:
+    from kcl_akka_stream_spark.queries.registry import ORACLES
+
+    return ORACLES["pipeline_scd2_history"]
+
+
+@query("stream_scd2_merge", _scd2_oracle())
+def stream_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming SCD2 maintenance, SAME oracle as the batch build: the
+    # change feed arrives as 4 TIME-RANGED micro-batches (range files
+    # given strictly increasing mtimes, so FileStreamSource's
+    # (mtime, path) ordering is deterministic -- the in-order CDC
+    # contract scd2_merge requires); each batch folds into the standing
+    # SCD2 table via operators/cdc.py::scd2_merge inside foreachBatch.
+    # State is the changes-sized dimension itself, never the raw feed;
+    # merged-across-batches == full recompute is checked by the shared
+    # oracle, boundary absorption included -- the seventh
+    # mergeable-state streaming family, and the one whose merge is NOT
+    # commutative (order matters, unlike sketches/rollups).
+    import os as _os
+
+    from kcl_akka_stream_spark.operators.cdc import scd2_compact, scd2_merge
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src = tempfile.mkdtemp(prefix="kcl_scd2_src_")
+    state = {"scd2": None}
+    try:
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+        parts = sorted(
+            f for f in _os.listdir(src) if f.startswith("part-")
+        )
+        for i, f in enumerate(parts):
+            _os.utime(_os.path.join(src, f), (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+
+        def fold(batch_df, epoch_id):
+            batch = batch_df.localCheckpoint(eager=True)
+            if batch.isEmpty():
+                return
+            if state["scd2"] is None:
+                state["scd2"] = scd2_compact(batch).localCheckpoint(eager=True)
+            else:
+                state["scd2"] = scd2_merge(state["scd2"], batch).localCheckpoint(
+                    eager=True
+                )
+
+        q = stream.writeStream.foreachBatch(fold).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        return state["scd2"].select(
+            "user_id",
+            "state",
+            "version",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "valid_from"
+            ),
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "valid_to"
+            ),
+            "is_current",
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

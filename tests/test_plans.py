@@ -173,6 +173,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_url_canonical": 2,  # map-only canonicalize + one count-distinct agg (partial-distinct + final)
         "sim_topk_ivf_pq_prebuilt": 4,  # probe-only: query-side windows + broadcasts; the codes scan is partition-pruned, never shuffled
         "pipeline_scd2_incremental": 6,  # history build (1 key exchange) + batch compaction windows + key-equi merge joins; all sides keyed on user
+        "agg_mode_exact": 2,  # (group,value) hist agg + rank window over the VALUE-bounded hist relation
+        "w_inter_event_gap_stats": 2,  # one user-keyed window sort + one combinable agg
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
