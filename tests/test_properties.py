@@ -699,3 +699,42 @@ def test_ewma_matches_python_reference(spark, events):
     # both sides use floor(v*100+0.5) on an exact-cents grid, so the
     # comparison is integer-exact
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["A", "B", "C"])),
+        min_size=2,
+        max_size=12,
+    ),
+    st.data(),
+)
+@settings(max_examples=15, deadline=None)
+def test_scd2_merge_equals_direct_for_any_feed_and_split(spark, feed, data):
+    # The incremental SCD2 merge (operators/cdc.py::scd2_merge) must equal
+    # the full recompute for ANY ordered change feed split at ANY point --
+    # including splits landing mid-run (boundary absorption), splits
+    # giving a key no new rows, and splits introducing brand-new keys.
+    from datetime import datetime, timedelta
+
+    from kcl_akka_stream_spark.operators.cdc import scd2_compact, scd2_merge
+
+    split = data.draw(st.integers(1, len(feed) - 1))
+    base = datetime(2024, 1, 1)
+    rows = [
+        (user, base + timedelta(minutes=i), i, state)
+        for i, (user, state) in enumerate(feed)
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    hist_df = spark.createDataFrame(rows[:split], schema)
+    new_df = spark.createDataFrame(rows[split:], schema)
+    merged = scd2_merge(scd2_compact(hist_df), new_df)
+    direct = scd2_compact(spark.createDataFrame(rows, schema))
+
+    def snap(df):
+        return sorted(
+            (r.user_id, r.state, r.version, r.valid_from, r.valid_to, r.is_current)
+            for r in df.collect()
+        )
+
+    assert snap(merged) == snap(direct)

@@ -796,6 +796,7 @@ def main() -> None:
 
     # --- round-8 wave-3 additions ----------------------------------------
     wave3_probes(spark, sf_dir, repl)
+    wave4_probes(spark, sf_dir, repl)
 
     # --- streaming sustained-throughput probe (VERDICT r6 #5) -------------
     stream_throughput(spark)
@@ -999,9 +1000,66 @@ def stream_throughput(spark, n_shards: int = 8) -> None:
             f"= {total / wall:9.0f} rows/s"
         )
 
+    # JVM-only ceiling: the same watermark+window pipeline fed by a
+    # parquet FILE stream (no Python source, no Python anywhere) -- what
+    # the micro-batch machinery itself sustains.  The gap between this
+    # and the arrow rows above is the Python-source data-plane cost the
+    # connector rows document.
+    import shutil as _shutil
+    import tempfile as _tempfile
 
-if __name__ == "__main__":
-    main()
+    total = 2_000_000
+    src_dir = _tempfile.mkdtemp(prefix="kcl_tput_jvm_")
+    try:
+        (
+            spark.range(total)
+            .select(
+                (F.col("id") % n_shards).cast("string").alias("shard_id"),
+                F.col("id").alias("sequence_number"),
+                F.timestamp_seconds(
+                    F.lit(1_704_067_200) + (F.col("id") / 1000).cast("long")
+                ).alias("arrival_ts"),
+            )
+            .repartition(20)
+            .write.mode("overwrite")
+            .parquet(src_dir)
+        )
+        stream = (
+            spark.readStream.schema(
+                "shard_id string, sequence_number long, arrival_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        agg = (
+            stream.withWatermark("arrival_ts", "1 minute")
+            .groupBy(F.window("arrival_ts", "1 hour"), "shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("sequence_number").alias("sum_seq"),
+            )
+        )
+        name = f"tp_jvm_{_uuid.uuid4().hex[:8]}"
+        t0 = time.time()
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        wall = time.time() - t0
+        print(
+            f"{'stream_tput_jvm_files':22s} {total} rows in {wall:6.2f}s  "
+            f"= {total / wall:9.0f} rows/s"
+        )
+    finally:
+        _shutil.rmtree(src_dir, ignore_errors=True)
+
+
 
 
 def wave4_probes(spark, sf_dir: str, repl: int = 10) -> None:
@@ -1110,3 +1168,7 @@ def wave4_probes(spark, sf_dir: str, repl: int = 10) -> None:
     t1 = timed(lambda: pit(ev1))
     tn = timed(lambda: pit(ev_n))
     print(f"{'j_scd2_point_in_time':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+
+if __name__ == "__main__":
+    main()
