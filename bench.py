@@ -166,6 +166,12 @@ HEADLINE = [
     "pipeline_scd2_incremental",
     "agg_mode_exact",
     "w_inter_event_gap_stats",
+    # round-8 wave 6: mixture apportionment, diversity entropy,
+    # retention cohorts, inequality
+    "pipeline_mixture_weights",
+    "agg_entropy_report",
+    "w_retention_cohorts",
+    "agg_gini_report",
     # streaming representative
     "stream_tumbling_agg",
 ]

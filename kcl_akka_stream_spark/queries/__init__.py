@@ -77,6 +77,10 @@ _PRIORITY = [
     "stream_scd2_merge",
     "agg_mode_exact",
     "w_inter_event_gap_stats",
+    "pipeline_mixture_weights",
+    "agg_entropy_report",
+    "w_retention_cohorts",
+    "agg_gini_report",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

@@ -3314,3 +3314,85 @@ def w_inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").cast("long").alias("max_gap_s"),
         F.expr("(sum(gap_s) * 1000) div count(1)").cast("long").alias("mean_gap_ms"),
     )
+
+
+@query(
+    "w_retention_cohorts",
+    """
+    WITH w AS (
+      SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+    first_wk AS (
+      SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, wk FROM w)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', f.cohort, a.wk) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM active a JOIN first_wk f ON f.user_id = a.user_id
+    GROUP BY f.cohort, datediff('day', f.cohort, a.wk) // 7
+    """,
+)
+def w_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort retention matrix -- the product-analytics staple: users
+    # grouped by first-seen week, activity counted at each week offset
+    # since the cohort.  The first-seen week attaches as a user-keyed
+    # window min (rides the same partitioning as the distinct), so the
+    # whole matrix is two combinable aggs on one key exchange + one
+    # cohort-sized final agg.
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    active = ev.distinct()
+    cohort = F.min("wk").over(Window.partitionBy("user_id"))
+    return (
+        active.withColumn("cohort", cohort)
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(wk, cohort) div 7").cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+@query(
+    "agg_gini_report",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events),
+    r AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v, event_id) AS i
+      FROM v)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_cents,
+           CAST(sum(i * v) AS BIGINT) AS rank_weighted_cents
+    FROM r GROUP BY event_type
+    """,
+)
+def agg_gini_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gini inequality coefficient per event type, from the sorted-rank
+    # identity G = 2*sum(i*v_i)/(n*sum v) - (n+1)/n: the query emits the
+    # EXACT INTEGER ingredients (n, sum v, sum i*v with a deterministic
+    # (v, event_id) rank) and leaves the one division to the caller --
+    # the same freeze-then-divide discipline as the moment/corr family.
+    # One per-group rank window + one combinable agg.
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    return (
+        ev.withColumn("i", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("sum_cents"),
+            F.sum(F.col("i") * F.col("v")).cast("long").alias("rank_weighted_cents"),
+        )
+    )

@@ -8,7 +8,7 @@ float64-fold + round(6) convention (operators/similarity.py docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kcl_akka_stream_spark.operators import dedup as D
@@ -4407,4 +4407,114 @@ def pipeline_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
         "is_current",
+    )
+
+
+@query(
+    "pipeline_mixture_weights",
+    """
+    WITH c AS (
+      SELECT lang,
+             CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                  AS BIGINT) AS avail
+      FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS k FROM c),
+    q AS (
+      SELECT lang, avail,
+             (1000000 * avail) // t.total AS quota,
+             (1000000 * avail) % t.total AS rem
+      FROM c, t),
+    extra AS (
+      SELECT CAST(1000000 - sum(quota) AS BIGINT) AS n_extra FROM q),
+    ranked AS (
+      SELECT lang, avail, quota,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rr
+      FROM q)
+    SELECT lang, avail,
+           CAST(quota + CASE WHEN rr <= e.n_extra THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked, extra e
+    """,
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-mixture apportionment (Hamilton/largest-remainder method):
+    # split a 1,000,000-unit token budget across languages EXACTLY
+    # proportionally to available tokens -- integer quotas floor-divide,
+    # the leftover units go to the largest remainders (lang tiebreak),
+    # and the allocations sum to the budget EXACTLY (the property float
+    # proportions can't give; training-data mixing needs exact budgets).
+    # The apportionment relation is language-sized: the only data-sized
+    # work is one combinable token count.
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("avail")
+    )
+    t = c.agg(
+        F.sum("avail").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    q = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "avail",
+        F.expr("(1000000 * avail) div total").alias("quota"),
+        F.expr("(1000000 * avail) % total").alias("rem"),
+    )
+    extra = q.agg(
+        (F.lit(1000000) - F.sum("quota")).cast("long").alias("n_extra")
+    )
+    w = Window.orderBy(F.col("rem").desc(), "lang")
+    return (
+        q.withColumn("rr", F.row_number().over(w))
+        .crossJoin(F.broadcast(extra))
+        .select(
+            "lang",
+            "avail",
+            (
+                F.col("quota")
+                + F.when(F.col("rr") <= F.col("n_extra"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
+@query(
+    "agg_entropy_report",
+    """
+    WITH c AS (
+      SELECT source, lang, count(*) AS c
+      FROM documents GROUP BY source, lang),
+    n AS (
+      SELECT source, c, lang,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM c)
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(sum(c * CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000, 0)
+                             AS BIGINT)) AS BIGINT) AS h_num_micro
+    FROM n GROUP BY source
+    """,
+)
+def agg_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source language-diversity entropy -- the dataset-card metric
+    # behind "is this source monolingual?": Shannon H = sum (c/n) ln(n/c),
+    # emitted as the INTEGER numerator sum(c * micro_ln(n/c)) with n
+    # alongside (H = h_num / (n * 1e6)) -- each ln frozen to micro-nats
+    # before any sum, the tfidf/unigram-LM discipline that keeps
+    # cross-engine hashing exact.  Group relation is (source, lang)-sized.
+    docs = tbl(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    n = c.withColumn("n", F.sum("c").over(Window.partitionBy("source")))
+    term = F.round(
+        F.log(F.col("n").cast("double") / F.col("c").cast("double")) * 1e6, 0
+    ).cast("long")
+    return n.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(F.col("c") * term).cast("long").alias("h_num_micro"),
     )

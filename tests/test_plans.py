@@ -175,6 +175,11 @@ def test_shuffle_budgets(spark, sf_dir):
         "pipeline_scd2_incremental": 6,  # history build (1 key exchange) + batch compaction windows + key-equi merge joins; all sides keyed on user
         "agg_mode_exact": 2,  # (group,value) hist agg + rank window over the VALUE-bounded hist relation
         "w_inter_event_gap_stats": 2,  # one user-keyed window sort + one combinable agg
+        # round-8 wave 6
+        "pipeline_mixture_weights": 8,  # ONE data-sized token count; everything after (quota/remainder/rank/extra) is language-cardinality-sized incl. the global rank window (bounded input, the sketches.py:104 benign case)
+        "agg_entropy_report": 2,  # (source,lang) count + source window riding it + final agg
+        "w_retention_cohorts": 3,  # user-keyed distinct + cohort window riding it + cohort-sized final agg
+        "agg_gini_report": 1,  # per-group rank window + agg on the same partitioning
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

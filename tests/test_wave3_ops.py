@@ -310,3 +310,18 @@ def test_scd2_merge_absorbs_extends_and_appends(spark):
     ) == 1
     # brand-new key 4 builds a fresh history
     assert rows[(4, 1)].state == "N" and rows[(4, 1)].is_current == 1
+
+
+def test_mixture_weights_allocations_sum_exactly_to_budget(spark, sf_dir):
+    # The entire point of largest-remainder apportionment: integer
+    # allocations proportional to availability that sum EXACTLY to the
+    # budget, no float drift.
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    out = QUERIES["pipeline_mixture_weights"](spark, sf_dir).collect()
+    assert sum(r.alloc for r in out) == 1_000_000
+    # monotone: a language with more tokens never gets fewer units
+    # than one with fewer tokens, beyond the 1-unit remainder step
+    rows = sorted(out, key=lambda r: r.avail)
+    for a, b in zip(rows, rows[1:]):
+        assert b.alloc >= a.alloc - 1
