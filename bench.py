@@ -172,6 +172,8 @@ HEADLINE = [
     "agg_entropy_report",
     "w_retention_cohorts",
     "agg_gini_report",
+    "text_novelty_report",
+    "pipeline_curriculum_order",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -81,6 +81,8 @@ _PRIORITY = [
     "agg_entropy_report",
     "w_retention_cohorts",
     "agg_gini_report",
+    "text_novelty_report",
+    "pipeline_curriculum_order",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

@@ -4518,3 +4518,97 @@ def agg_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_langs"),
         F.sum(F.col("c") * term).cast("long").alias("h_num_micro"),
     )
+
+
+@query(
+    "text_novelty_report",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+               [array_to_string(list_slice(t, i, i + 2), ' ')
+                FOR i IN generate_series(1, len(t) - 2)]
+               ELSE [array_to_string(t, ' ')] END)) AS shingle
+      FROM toks),
+    firsts AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 1000000) // count(*) AS BIGINT) AS novelty_micro
+    FROM sh s JOIN firsts f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def text_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus novelty scoring -- the "is this document new content or a
+    # remix of what came before" signal a curation sweep orders by: per
+    # doc, the fraction of its distinct 3-shingles whose FIRST corpus
+    # occurrence (min doc_id, the ingestion order) is this doc.
+    # Relational shape: one shingle explode (the dedup family's shared
+    # primitive), a combinable per-shingle min, an equi-join back on the
+    # shingle (hash-partitionable -- both sides arrive pre-partitioned
+    # from the same explode at scale), one per-doc agg.  Integer
+    # micro-units.
+    docs = tbl(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(D.shingles(F.col("text"), 3)).alias("shingle")
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(firsts, "shingle")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+        .cast("long")
+        .alias("n_novel"),
+        F.expr(
+            "(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000)"
+            " div count(1)"
+        )
+        .cast("long")
+        .alias("novelty_micro"),
+    )
+
+
+@query(
+    "pipeline_curriculum_order",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(least(n_chars // 200, 4) AS BIGINT) AS bucket,
+             md5('cur7|' || CAST(doc_id AS VARCHAR)) AS sk
+      FROM documents)
+    SELECT doc_id, bucket,
+           CAST(row_number() OVER (PARTITION BY bucket ORDER BY sk, doc_id)
+                AS BIGINT) AS ordinal
+    FROM b
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic curriculum export: docs bucketed by a difficulty
+    # proxy (length tier), shuffled WITHIN each tier by a seeded md5 key
+    # (reproducible across engines/runs/shards -- never rand()), and
+    # given a per-tier training ordinal.  A trainer walks tiers in order
+    # and rows by ordinal; the whole thing is one bucket-keyed window on
+    # a map-side projection.  Per-bucket ordinals deliberately avoid the
+    # global zipWithIndex shape (a single total order is the one thing
+    # that cannot scale; per-tier order is what curriculum needs).
+    docs = tbl(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.least(F.floor(F.col("n_chars") / 200), F.lit(4))
+        .cast("long")
+        .alias("bucket"),
+        F.md5(F.concat(F.lit("cur7|"), F.col("doc_id").cast("string"))).alias(
+            "sk"
+        ),
+    )
+    w = Window.partitionBy("bucket").orderBy("sk", "doc_id")
+    return b.select(
+        "doc_id", "bucket", F.row_number().over(w).cast("long").alias("ordinal")
+    )

@@ -180,6 +180,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_entropy_report": 2,  # (source,lang) count + source window riding it + final agg
         "w_retention_cohorts": 3,  # user-keyed distinct + cohort window riding it + cohort-sized final agg
         "agg_gini_report": 1,  # per-group rank window + agg on the same partitioning
+        "text_novelty_report": 2,  # shingle-keyed min agg + join back riding it + per-doc agg
+        "pipeline_curriculum_order": 1,  # one bucket-keyed window on a map-side projection
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
