@@ -174,6 +174,14 @@ HEADLINE = [
     "agg_gini_report",
     "text_novelty_report",
     "pipeline_curriculum_order",
+    # round-8 wave 8: robust outliers, link prediction, communities,
+    # perplexity buckets, representative selection, HRW sharding
+    "agg_mad_outliers",
+    "graph_link_prediction",
+    "graph_label_propagation",
+    "pipeline_perplexity_buckets",
+    "pipeline_dedup_keep_best",
+    "pipeline_shard_rendezvous",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -85,6 +85,95 @@ def power_sums(df: DataFrame, group_col: str, value_col: str, scale: int = 10) -
     )
 
 
+def mad_outlier_report(
+    df: DataFrame, group_col: str, value_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Robust per-group outlier report: exact discrete median, median
+    absolute deviation (MAD), and the count of points beyond 3 MADs --
+    the outlier gate that survives what z-scores don't (a single wild
+    point inflates mean AND stddev until nothing looks anomalous; the
+    median/MAD pair is 50%-breakdown robust, Hampel 1974, public).
+
+    Exactness: values freeze to ``scale`` integer units, medians are the
+    LOWER discrete median (the (n+1) div 2-th smallest actual value --
+    never an interpolated float), and the 3-MAD fence is an integer
+    compare, so an SQL oracle matches bit-for-bit.  (The 1.4826 normal
+    consistency factor is deliberately left to the caller: it is a
+    float presentation detail, not part of the exact state.)
+
+    Scale shape: the winsorized-stats discipline -- ONE data-sized
+    (group, value) count, then every median/cumulative/fence step runs
+    on the DISTINCT-VALUE histogram relation (bounded by distinct
+    values per group, never row count).  No data-sized per-group sort
+    anywhere.  Two broadcastable group-sized attach joins (medians,
+    MADs).
+    """
+    from pyspark.sql import Window
+
+    v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    # The histogram feeds THREE consumers (median CDF, deviation
+    # histogram, fence count); without materialization each one re-runs
+    # the data-sized (group, value) count.  Checkpoint the
+    # distinct-value-sized relation once -- the graph-family lineage
+    # discipline (operators/graph.py::_edge_base).
+    h = (
+        df.select(F.col(group_col).alias("g"), v.alias("__v"))
+        .groupBy("g", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hh = h.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("g"))
+    )
+    med = hh.groupBy("g").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("__v"))
+        ).alias("med"),
+    )
+    dh = (
+        h.join(F.broadcast(med), "g")
+        .select("g", "n", F.abs(F.col("__v") - F.col("med")).alias("dev"), "c")
+        .groupBy("g", "n", "dev")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    w_dcum = (
+        Window.partitionBy("g")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dh.withColumn("cum", F.sum("c").over(w_dcum))
+    mad = dcum.groupBy("g").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("dev"))
+        ).alias("mad")
+    )
+    out = (
+        dh.join(F.broadcast(mad), "g")
+        .groupBy("g", "n", "mad")
+        .agg(
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        out.join(F.broadcast(med.select("g", "med")), "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            F.col("med").alias("med_units"),
+            F.col("mad").alias("mad_units"),
+            "n_outliers",
+        )
+    )
+
+
 def merge_power_sums(states: DataFrame, group_col: str) -> DataFrame:
     """Merge per-batch power-sum states: plain addition per component --
     the closure property that makes the state streamable and

@@ -270,6 +270,116 @@ def personalized_pagerank(
     ).localCheckpoint(eager=True)
 
 
+def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007,
+    public) -- the community-detection rung of the graph family next to
+    connected components (min-label, finds *components*) and PageRank
+    (ranks, not partitions).
+
+    Each round, every node adopts the label carrying the LARGEST total
+    incoming edge weight among its neighbors' current labels, ties
+    broken by the SMALLEST label -- fully deterministic, so an unrolled
+    SQL oracle reproduces every round bit-for-bit (the usual LPA
+    random-order/random-tie variants are deliberately rejected: a
+    correctness gate cannot hash a coin flip).  Labels start as the node
+    id.  Input contract matches ``pagerank``: directed (src, dst, w)
+    with every node appearing as a source (symmetrize first).
+
+    Scale shape: the (src, dst, w) base is checkpointed once
+    (src-partitioned); each round is one rank-attach join (node-sized
+    labels, broadcastable), one (dst, label)-keyed combinable sum, and
+    one dst-keyed arg-max window over the *per-label vote* relation --
+    bounded by edges, map-side combined to (node x distinct incoming
+    label), never materializing per-edge state across rounds.
+
+    Returns (node, label) for every node after ``iterations`` rounds.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w_pick = Window.partitionBy("dst").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        votes = (
+            e.join(F.broadcast(labels), e.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.sum("w").cast("long").alias("votes"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+    return labels.localCheckpoint(eager=True)
+
+
+def neighbor_jaccard(edges: DataFrame, min_common: int = 1) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard (Liben-Nowell & Kleinberg
+    2003, public): for every NON-edge pair (u < v) sharing at least
+    ``min_common`` neighbors, |N(u) n N(v)| / |N(u) u N(v)| -- the
+    "you may also like" primitive over a co-occurrence graph.
+
+    Input contract matches ``triangle_count``: canonical undirected
+    simple edges, one row per edge with src < dst.  Common-neighbor
+    counts come from the wedge join on the full (symmetrized) adjacency
+    -- each candidate pair (u < v) is counted once per shared neighbor
+    b via adj(b, u) x adj(b, v) with u < v -- then degrees attach from
+    one node-sized aggregate and existing edges drop via an anti-join.
+    The score is EXACT integer micro-units: common * 1e6 div
+    (deg_u + deg_v - common), so external engines verify bit-for-bit.
+
+    Scale shape: one wedge self-join keyed on the shared neighbor (the
+    triangle_count shuffle), one (u, v)-keyed combinable count, a
+    broadcastable node-sized degree attach, one anti-join against the
+    edge relation.  High-degree hubs dominate wedge volume exactly as
+    in triangle counting -- cap or sample hub adjacency upstream for
+    power-law graphs.
+
+    Returns (u, v, n_common, deg_u, deg_v, jaccard_micro).
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    adj = e.select(F.col("src").alias("n"), F.col("dst").alias("nbr")).union(
+        e.select(F.col("dst").alias("n"), F.col("src").alias("nbr"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a1 = adj.select(F.col("nbr").alias("b"), F.col("n").alias("u"))
+    a2 = adj.select(F.col("nbr").alias("b"), F.col("n").alias("v"))
+    common = (
+        a1.join(a2, "b")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    non_edges = common.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = F.broadcast(deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u")))
+    dv = F.broadcast(deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v")))
+    return (
+        non_edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            "deg_u",
+            "deg_v",
+            F.expr("(n_common * 1000000) div (deg_u + deg_v - n_common)")
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )
+
+
 def degree_histogram(
     edges: DataFrame,
     src_col: str = "src",

@@ -93,3 +93,29 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def rendezvous_shard(id_sql: str, n_shards: int, salt: str) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1996, public; the consistent-placement scheme behind
+    Riak/Ceph-style object placement): row -> argmax over shard s of
+    md5(salt | s | id).
+
+    Why not ``id % n``: growing n_shards by one remaps ~(n-1)/n of ALL
+    rows under modulo, but only ~1/(n+1) under HRW -- on a 100 TB corpus
+    that is the difference between rewriting the whole layout and moving
+    one shard's worth.  Deterministic (seeded md5, never rand()), pure
+    map-side (no shuffle, no coordination state), and reproducible
+    cross-engine: the winner key is the lexicographic max of the
+    fixed-width ``md5hex|s`` strings, which any engine computes
+    identically.
+
+    ``id_sql`` is a SQL expression producing a string id (cast numerics
+    first).  Returns the winning shard id as a long Column.
+    """
+    lst = (
+        f"transform(sequence(0, {n_shards - 1}), s -> "
+        f"concat(md5(concat('{salt}|', cast(s as string), '|', {id_sql})), "
+        f"'|', cast(s as string)))"
+    )
+    return F.expr(f"cast(split(array_max({lst}), '[|]')[1] as long)")

@@ -83,6 +83,13 @@ _PRIORITY = [
     "agg_gini_report",
     "text_novelty_report",
     "pipeline_curriculum_order",
+    "agg_mad_outliers",
+    "graph_link_prediction",
+    "graph_label_propagation",
+    "pipeline_perplexity_buckets",
+    "pipeline_dedup_keep_best",
+    "pipeline_shard_rendezvous",
+    "stream_topk_per_window",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

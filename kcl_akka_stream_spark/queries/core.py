@@ -3396,3 +3396,63 @@ def agg_gini_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("i") * F.col("v")).cast("long").alias("rank_weighted_cents"),
         )
     )
+
+
+@query(
+    "agg_mad_outliers",
+    """
+    WITH h AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+             count(*) AS c
+      FROM events GROUP BY 1, 2),
+    hh AS (
+      SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM h),
+    med AS (
+      SELECT g, max(n) AS n,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+      FROM hh GROUP BY g),
+    dh AS (
+      SELECT h.g, med.n, abs(h.v - med.med) AS dev, sum(h.c) AS c
+      FROM h JOIN med ON med.g = h.g
+      GROUP BY h.g, med.n, abs(h.v - med.med)),
+    dcum AS (
+      SELECT g, n, dev, c,
+             sum(c) OVER (PARTITION BY g ORDER BY dev
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dh),
+    mad AS (
+      SELECT g, min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+      FROM dcum GROUP BY g)
+    SELECT dh.g AS event_type, CAST(max(dh.n) AS BIGINT) AS n,
+           CAST(max(med.med) AS BIGINT) AS med_micro,
+           CAST(max(mad.mad) AS BIGINT) AS mad_micro,
+           CAST(sum(CASE WHEN dh.dev > 3 * mad.mad THEN dh.c ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dh JOIN mad ON mad.g = dh.g JOIN med ON med.g = dh.g
+    GROUP BY dh.g
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust per-type outlier report (operators/aggregations.py::
+    # mad_outlier_report): exact discrete median + MAD + the 3-MAD fence
+    # count -- the anomaly gate z-scores can't give (one wild point
+    # inflates mean AND stddev; median/MAD has 50% breakdown).  The
+    # winsorized-stats scale discipline: ONE data-sized (type, value)
+    # count, then every median/cumulative step rides the DISTINCT-VALUE
+    # histogram relation -- no data-sized per-key sort anywhere.
+    from kcl_akka_stream_spark.operators.aggregations import mad_outlier_report
+
+    ev = tbl(spark, sf_dir, "events")
+    r = mad_outlier_report(ev, "event_type", "value")
+    return r.select(
+        "event_type",
+        "n",
+        F.col("med_units").alias("med_micro"),
+        F.col("mad_units").alias("mad_micro"),
+        "n_outliers",
+    )

@@ -4612,3 +4612,279 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         "doc_id", "bucket", F.row_number().over(w).cast("long").alias("ordinal")
     )
+
+
+@query(
+    "graph_link_prediction",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+    adj AS (SELECT src AS n, dst AS nbr FROM pairs
+            UNION ALL SELECT dst AS n, src AS nbr FROM pairs),
+    deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+    common AS (
+      SELECT a1.n AS u, a2.n AS v, count(*) AS n_common
+      FROM adj a1 JOIN adj a2 ON a1.nbr = a2.nbr AND a1.n < a2.n
+      GROUP BY a1.n, a2.n),
+    cand AS (
+      SELECT c.* FROM common c
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.src = c.u AND p.dst = c.v))
+    SELECT u, v, CAST(n_common AS BIGINT) AS n_common,
+           CAST(du.deg AS BIGINT) AS deg_u, CAST(dv.deg AS BIGINT) AS deg_v,
+           CAST((n_common * 1000000) // (du.deg + dv.deg - n_common)
+                AS BIGINT) AS jaccard_micro
+    FROM cand JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v
+    ORDER BY jaccard_micro DESC, u, v LIMIT 30
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Link prediction by neighbor-set Jaccard (operators/graph.py::
+    # neighbor_jaccard) over the quantity-filtered supplier co-purchase
+    # projection -- "suppliers likely to co-occur next": non-adjacent
+    # pairs ranked by shared-neighbor overlap, score in exact integer
+    # micro-units so the gate hashes bit-for-bit.  Top-30, ties on
+    # (u, v); same wedge-join scale shape as triangle counting.
+    from kcl_akka_stream_spark.operators.graph import neighbor_jaccard
+
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return (
+        neighbor_jaccard(edges)
+        .orderBy(F.col("jaccard_micro").desc(), "u", "v")
+        .limit(30)
+    )
+
+
+@query(
+    "graph_label_propagation",
+    """
+    WITH p AS (
+      SELECT CAST(o_custkey AS BIGINT) AS src,
+             CAST(l_suppkey + 1099511627776 AS BIGINT) AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst, w FROM p
+          UNION ALL SELECT dst AS src, src AS dst, w FROM p),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+    l1 AS (
+      SELECT dst AS node, label FROM (
+        SELECT e.dst, l.label, sum(e.w) AS votes,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY sum(e.w) DESC, l.label) AS rn
+        FROM e JOIN l0 l ON l.node = e.src
+        GROUP BY e.dst, l.label)
+      WHERE rn = 1),
+    l2 AS (
+      SELECT dst AS node, label FROM (
+        SELECT e.dst, l.label, sum(e.w) AS votes,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY sum(e.w) DESC, l.label) AS rn
+        FROM e JOIN l1 l ON l.node = e.src
+        GROUP BY e.dst, l.label)
+      WHERE rn = 1)
+    SELECT CASE WHEN label < 1099511627776
+                THEN 'c' || CAST(label AS VARCHAR)
+                ELSE 's' || CAST(label - 1099511627776 AS VARCHAR)
+           END AS community,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY 1
+    ORDER BY n_members DESC, community LIMIT 20
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Community detection by deterministic weighted label propagation
+    # (operators/graph.py::label_propagation, 2 synchronous rounds,
+    # max-votes/min-label tiebreak) over the same customer<->supplier
+    # co-purchase graph as pagerank, long-encoded through the iterations
+    # and decoded only at the final top-20 community histogram.  The
+    # oracle unrolls both rounds on the identical long encoding, so the
+    # min-label tiebreak orders IDENTICALLY cross-engine (string labels
+    # would not: 'c101' < 'c2' lexicographically).
+    from kcl_akka_stream_spark.operators.graph import label_propagation
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + _GRAPH_OFF).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    labels = label_propagation(edges, iterations=2)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .select(_graph_decode("label").alias("community"), "n_members")
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )
+
+
+_PPL_BUCKETS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t FROM documents),
+    pairs AS (
+      SELECT doc_id, unnest([{{'a': t[i], 'b': t[i + 1]}}
+                             FOR i IN generate_series(1, len(t) - 1)]) AS p
+      FROM toks WHERE len(t) >= 2),
+    pr AS (SELECT doc_id, p.a AS a, p.b AS b FROM pairs),
+    pc AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY a, b),
+    cc AS (SELECT a, sum(n_ab) AS n_a FROM pc GROUP BY a),
+    lp AS (
+      SELECT pr.doc_id,
+             CAST(round(ln(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE)) * 1e6,
+                        0) AS BIGINT) AS lp
+      FROM pr JOIN pc USING (a, b) JOIN cc USING (a)),
+    sc AS (
+      SELECT doc_id, CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_nll_micro
+      FROM lp GROUP BY doc_id),
+    d AS (
+      SELECT s.doc_id, doc.lang, s.avg_nll_micro
+      FROM sc s JOIN documents doc ON doc.doc_id = s.doc_id)
+    SELECT doc_id, lang, avg_nll_micro,
+           CAST(((row_number() OVER (PARTITION BY lang
+                                     ORDER BY avg_nll_micro, doc_id) - 1) * 3)
+                // (count(*) OVER (PARTITION BY lang)) AS BIGINT) AS ppl_bucket
+    FROM d
+"""
+
+
+@query("pipeline_perplexity_buckets", _PPL_BUCKETS_ORACLE)
+def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style perplexity bucketing (Wenzek et al. 2020, public): each
+    # doc scored by the corpus-fit bigram LM (integer micro-nat NLL,
+    # operators/text.py::bigram_logprob), then split per LANGUAGE into
+    # head/middle/tail terciles -- bucket = ((rank-1)*3) div n_lang on the
+    # (nll, doc_id) order, integer arithmetic both engines (NTILE is
+    # deliberately avoided: its remainder-distribution rule is
+    # engine-defined).  The per-lang window rides a doc-sized score
+    # relation partitioned by lang -- the curriculum-order shape; at
+    # 100 TB the thresholds come from a quantile sketch instead and the
+    # bucket assignment stays map-only.
+    docs = tbl(spark, sf_dir, "documents")
+    scored = X.bigram_logprob(docs)
+    d = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "avg_nll_micro",
+        F.expr(
+            "((row_number() OVER (PARTITION BY lang"
+            " ORDER BY avg_nll_micro, doc_id) - 1) * 3)"
+            " div (count(1) OVER (PARTITION BY lang))"
+        )
+        .cast("long")
+        .alias("ppl_bucket"),
+    )
+
+
+@query(
+    "pipeline_dedup_keep_best",
+    None,  # oracle attached below (reuses _clusters_oracle)
+)
+def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The curation step after clustering: every near-dup cluster keeps
+    # exactly ONE representative -- the longest doc (quality proxy), ties
+    # to the smallest doc_id -- and the rest are marked for drop.  Spark
+    # side composes connected components (pointer jumping) with one
+    # cluster-keyed window; the oracle re-derives clusters via the
+    # recursive-CTE transitive closure and applies the same rule.
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    pairs = D.minhash_candidate_pairs(buckets)
+    clusters = D.connected_components_fast(pairs, docs.select("doc_id"))
+    j = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).cast("long").alias("kept"),
+    )
+
+
+ORACLES["pipeline_dedup_keep_best"] = f"""
+    WITH cl AS (SELECT * FROM ({_clusters_oracle()}))
+    SELECT c.doc_id, c.cluster_id, d.n_chars,
+           CAST(row_number() OVER (PARTITION BY c.cluster_id
+                                   ORDER BY d.n_chars DESC, c.doc_id) = 1
+                AS BIGINT) AS kept
+    FROM cl c JOIN documents d ON d.doc_id = c.doc_id
+"""
+
+
+@query(
+    "pipeline_shard_rendezvous",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             CAST(split_part(list_max(
+               [md5('hrw8|' || CAST(s AS VARCHAR) || '|'
+                    || CAST(doc_id AS VARCHAR)) || '|' || CAST(s AS VARCHAR)
+                FOR s IN generate_series(0, 7)]), '|', 2) AS BIGINT) AS shard,
+             CAST(split_part(list_max(
+               [md5('hrw8|' || CAST(s AS VARCHAR) || '|'
+                    || CAST(doc_id AS VARCHAR)) || '|' || CAST(s AS VARCHAR)
+                FOR s IN generate_series(0, 8)]), '|', 2) AS BIGINT) AS shard9
+      FROM documents)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard <> shard9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST((sum(CASE WHEN shard <> shard9 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS moved_micro
+    FROM a GROUP BY shard
+    """,
+)
+def pipeline_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rendezvous-hash shard layout (operators/layout.py::rendezvous_shard)
+    # plus the capacity-change stability report: assign every doc to 8
+    # shards AND to 9, count per-shard how many rows would MOVE when a
+    # shard is added.  HRW's contract -- only ~1/(n+1) of rows move, all
+    # INTO the new shard -- is what makes growing a 100 TB layout an
+    # incremental copy instead of a full rewrite (modulo sharding remaps
+    # ~8/9 of everything).  Pure map-side md5 arithmetic + one
+    # shard-sized agg; the oracle reproduces every assignment
+    # bit-for-bit from the same lexicographic-max rule.
+    from kcl_akka_stream_spark.operators.layout import rendezvous_shard
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    id_sql = "cast(doc_id as string)"
+    d = docs.select(
+        "doc_id",
+        rendezvous_shard(id_sql, 8, "hrw8").alias("shard"),
+        rendezvous_shard(id_sql, 9, "hrw8").alias("shard9"),
+    )
+    moved = (F.col("shard") != F.col("shard9")).cast("long")
+    return d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(moved).cast("long").alias("n_moved"),
+        F.expr(
+            "(sum(CASE WHEN shard <> shard9 THEN 1 ELSE 0 END) * 1000000)"
+            " div count(1)"
+        )
+        .cast("long")
+        .alias("moved_micro"),
+    )

@@ -1474,3 +1474,61 @@ def stream_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@query(
+    "stream_topk_per_window",
+    """
+    WITH c AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT window_start, event_type, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM c)
+    SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-window heavy hitters on a stream: the tumbling event-time count
+    # (watermarkable, combinable -- the streaming engine's work) lands in
+    # the memory sink, and the top-3-per-window rank runs as batch
+    # post-processing on the WINDOW-COUNT-sized sink relation (bounded by
+    # windows x event types, never rows).  The split is deliberate:
+    # ranking inside the stream would force a non-combinable global state
+    # per window, while rank-after-drain costs one tiny window sort --
+    # the dashboard "top talkers per hour" shape at any volume.
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.sources.batch import stream_events
+
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        sink.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )

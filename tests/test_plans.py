@@ -182,6 +182,13 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_gini_report": 1,  # per-group rank window + agg on the same partitioning
         "text_novelty_report": 2,  # shingle-keyed min agg + join back riding it + per-doc agg
         "pipeline_curriculum_order": 1,  # one bucket-keyed window on a map-side projection
+        # round-8 wave 8
+        "agg_mad_outliers": 7,  # ONE data-sized (g,v) count (checkpointed); all CDF/fence steps ride the distinct-value histogram
+        "graph_link_prediction": 6,  # checkpointed edges; wedge join pair + pair count + degree agg; degree/edge sides broadcast
+        "graph_label_propagation": 1,  # labels checkpointed node-sized; plan is decode + community agg (iteration shuffles ran once inside)
+        "pipeline_perplexity_buckets": 5,  # bigram budget (4) + one lang-keyed bucket window
+        "pipeline_dedup_keep_best": 1,  # clusters checkpointed node-sized; one cluster-keyed window
+        "pipeline_shard_rendezvous": 1,  # map-only HRW argmax + one shard-sized agg
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -1172,3 +1172,138 @@ def wave4_probes(spark, sf_dir: str, repl: int = 10) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def wave8_probes(spark, sf_dir: str, repl: int = 10) -> None:
+    """10x replication rows for the round-8 wave-8 queries."""
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.operators.aggregations import mad_outlier_report
+    from kcl_akka_stream_spark.operators.graph import (
+        label_propagation,
+        neighbor_jaccard,
+    )
+    from kcl_akka_stream_spark.operators.layout import rendezvous_shard
+    from kcl_akka_stream_spark.operators.text import bigram_logprob
+
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_n = replicate_docs(docs1, repl).localCheckpoint()
+    docs1 = docs1.localCheckpoint()
+
+    # MAD outliers: events-valued; replicas perturb values so the
+    # distinct-value histogram really grows with the factor.
+    ev1 = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev_parts = [
+        ev1.select("event_type", (F.col("value") + F.lit(i) * F.lit(0.000001)).alias("value"))
+        for i in range(repl)
+    ]
+    from functools import reduce as _red
+
+    ev_n = _red(DataFrame.unionByName, ev_parts).localCheckpoint()
+    ev1 = ev1.localCheckpoint()
+    t1 = timed(lambda: mad_outlier_report(ev1, "event_type", "value"))
+    tn = timed(lambda: mad_outlier_report(ev_n, "event_type", "value"))
+    print(f"{'agg_mad_outliers':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Graph probes: the quantity-filtered supplier pair relation,
+    # replicated as DISJOINT subgraphs (node-id offsets) -- the honest
+    # scale-up for graph ops (components don't merge, work is additive).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 48
+    ).select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    pairs1 = (
+        a.join(b, "k").filter(F.col("src") < F.col("dst"))
+        .select("src", "dst").distinct().localCheckpoint()
+    )
+    off = 10_000_000
+    pairs_n = _red(
+        DataFrame.unionByName,
+        [
+            pairs1.select(
+                (F.col("src") + F.lit(i * off)).alias("src"),
+                (F.col("dst") + F.lit(i * off)).alias("dst"),
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+    t1 = timed(lambda: neighbor_jaccard(pairs1))
+    tn = timed(lambda: neighbor_jaccard(pairs_n))
+    print(f"{'graph_link_prediction':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    sym1 = pairs1.withColumn("w", F.lit(1).cast("long"))
+    sym1 = sym1.unionByName(
+        sym1.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint()
+    sym_n = pairs_n.withColumn("w", F.lit(1).cast("long"))
+    sym_n = sym_n.unionByName(
+        sym_n.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint()
+    t1 = timed(lambda: label_propagation(sym1, 2))
+    tn = timed(lambda: label_propagation(sym_n, 2))
+    print(f"{'graph_label_prop':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Perplexity buckets: replicas spread over 8 pseudo-langs so the
+    # per-lang window keeps realistic partitioning (a single-lang corpus
+    # would serialize the tercile sort -- the multi-lang case is the
+    # real workload).
+    def ppl(d: DataFrame) -> DataFrame:
+        scored = bigram_logprob(d)
+        j = scored.join(
+            d.select("doc_id", (F.col("doc_id") % 8).alias("lang")), "doc_id"
+        )
+        return j.select(
+            "doc_id",
+            "lang",
+            "avg_nll_micro",
+            F.expr(
+                "((row_number() OVER (PARTITION BY lang"
+                " ORDER BY avg_nll_micro, doc_id) - 1) * 3)"
+                " div (count(1) OVER (PARTITION BY lang))"
+            ).alias("b"),
+        )
+
+    t1 = timed(lambda: ppl(docs1))
+    tn = timed(lambda: ppl(docs_n))
+    print(f"{'pipeline_ppl_buckets':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Keep-best: LSH clusters + one cluster-keyed window.
+    from kcl_akka_stream_spark.operators.dedup import (
+        connected_components_fast,
+        minhash_candidate_pairs,
+        minhash_lsh_buckets,
+    )
+
+    def keep_best(d: DataFrame) -> DataFrame:
+        buckets = minhash_lsh_buckets(d, num_hashes=8, bands=4, k=3)
+        cand = minhash_candidate_pairs(buckets, max_bucket_size=10)
+        cl = connected_components_fast(cand, d.select("doc_id"))
+        j = cl.join(d.select("doc_id", F.length("text").alias("n_chars")), "doc_id")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("n_chars").desc(), "doc_id"
+        )
+        return j.select(
+            "doc_id", "cluster_id",
+            (F.row_number().over(w) == 1).cast("long").alias("kept"),
+        )
+
+    t1 = timed(lambda: keep_best(docs1))
+    tn = timed(lambda: keep_best(docs_n))
+    print(f"{'pipeline_keep_best':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # HRW sharding: pure map-side argmax + shard-sized agg.
+    def hrw(d: DataFrame) -> DataFrame:
+        x = d.select(
+            "doc_id",
+            rendezvous_shard("cast(doc_id as string)", 8, "hrw8").alias("s8"),
+            rendezvous_shard("cast(doc_id as string)", 9, "hrw8").alias("s9"),
+        )
+        return x.groupBy("s8").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("s8") != F.col("s9")).cast("long")).alias("m"),
+        )
+
+    t1 = timed(lambda: hrw(docs1))
+    tn = timed(lambda: hrw(docs_n))
+    print(f"{'pipeline_shard_hrw':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
