@@ -182,6 +182,13 @@ HEADLINE = [
     "pipeline_perplexity_buckets",
     "pipeline_dedup_keep_best",
     "pipeline_shard_rendezvous",
+    # round-8 wave 9: exact mergeable bitmap distinct, k-core, matryoshka
+    # retrieval audit, forward as-of, bitwise scalars
+    "agg_bitmap_distinct",
+    "graph_kcore",
+    "sim_matryoshka_report",
+    "j_asof_forward",
+    "scalar_bitwise_funcs",
     # streaming representative
     "stream_tumbling_agg",
 ]

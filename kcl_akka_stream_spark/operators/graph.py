@@ -413,3 +413,47 @@ def degree_histogram(
     if label is not None:
         hist = hist.select(F.lit(label).alias("side"), "degree", "n_nodes")
     return hist
+
+
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """Iterative k-core peeling (Seidman 1983, public): each round drops
+    every node whose current undirected degree is below ``k`` and every
+    edge touching one -- after enough rounds the survivors are the
+    k-core, the standard dense-subgraph / spam-farm / nucleus filter a
+    graph pipeline runs before expensive per-node work.
+
+    Fixed ``rounds`` (not run-to-convergence) keeps the computation a
+    finite unrollable relation -- an external SQL engine reproduces it
+    exactly -- and bounds worst-case cost; callers wanting the true core
+    raise ``rounds`` until the edge count stops changing (each round's
+    relation is checkpointed, so the incremental cost is one round, and
+    peeling is monotone -- extra rounds past convergence are no-ops).
+
+    Input contract matches ``triangle_count``: canonical undirected
+    simple edges (src < dst).  Each round: one node-sized degree
+    aggregate + two semi-joins against the (broadcastable, shrinking)
+    surviving-node set; the edge relation is eagerly checkpointed per
+    round so the next round's plan stays shallow.  Returns the
+    surviving (node, degree) after the last round.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("src").alias("n"))
+            .union(e.select(F.col("dst").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        keep = F.broadcast(deg.filter(F.col("d") >= k).select("n"))
+        e = (
+            e.join(keep.select(F.col("n").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("n").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

@@ -111,6 +111,63 @@ def asof_join(
     return out
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row with
+    right_ts >= left_ts for the same key -- the "next event after"
+    lookup (next price tick, next maintenance window, time-to-next-X),
+    the mirror of ``asof_join``'s lookback.
+
+    Same union-and-window formulation and scale shape (one key shuffle,
+    no Python): both sides tagged, sorted per key by time with LEFT
+    rows before RIGHT at equal timestamps (so an equal-ts right row is
+    inside the following frame => ">=" semantics), and the next right
+    value pulled back with ``first(..., ignorenulls)`` over the
+    unbounded FOLLOWING frame.  Deduplicate right per (key, ts) upstream
+    if multiple right rows can share a timestamp -- which of them wins
+    is otherwise tie-ambiguous in any engine.
+    """
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        F.col(key_col).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    tagged_right = right.select(
+        F.col(key_col).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(tagged_left.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    # Left rows sort before right rows at equal timestamps => ">=" semantics.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__is_left").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    carried = unioned.select(
+        "__is_left",
+        "__l",
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        "__l.*", *[F.col(f"__r_{c}").alias(c) for c in right_value_cols]
+    )
+
+
 def cogrouped_interval_counts(
     events: DataFrame,
     intervals: DataFrame,

@@ -90,6 +90,12 @@ _PRIORITY = [
     "pipeline_dedup_keep_best",
     "pipeline_shard_rendezvous",
     "stream_topk_per_window",
+    "agg_bitmap_distinct",
+    "stream_bitmap_merge",
+    "graph_kcore",
+    "sim_matryoshka_report",
+    "j_asof_forward",
+    "scalar_bitwise_funcs",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

@@ -3456,3 +3456,105 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad_units").alias("mad_micro"),
         "n_outliers",
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    # The oracle is GROUND TRUTH, not the same arithmetic: COUNT(DISTINCT)
+    # directly, plus the touched-word count as COUNT(DISTINCT id div 63).
+    # If the bitmap shift/OR/popcount logic miscounts ANYTHING, the gate
+    # goes red -- the acceptance-contract pattern (agg_approx_distinct_report),
+    # here for an exact mergeable state.
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id // 63) AS BIGINT) AS n_words,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact distinct users per event type via 63-bit bitmap words
+    # (operators/sketches.py::bitmap_state): the MERGEABLE exact distinct
+    # -- bitwise OR is commutative/associative/IDEMPOTENT, so per-batch /
+    # per-day states combine without re-reading data and replays absorb
+    # for free, which COUNT(DISTINCT) can never do incrementally.  One
+    # (type, word)-keyed combinable agg (map-side OR), then a popcount
+    # rollup on the words-sized state.
+    from kcl_akka_stream_spark.operators.sketches import (
+        bitmap_counts,
+        bitmap_state,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    state = bitmap_state(ev, "event_type", "user_id")
+    return bitmap_counts(state, "event_type").select(
+        "event_type", "n_words", "n_distinct"
+    )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    """
+    SELECT event_id,
+           CAST(event_id & 255 AS BIGINT) AS b_and,
+           CAST(event_id | 4096 AS BIGINT) AS b_or,
+           CAST(xor(event_id, 1365) AS BIGINT) AS b_xor,
+           CAST((event_id & 1023) << 3 AS BIGINT) AS b_shl,
+           CAST(event_id >> 4 AS BIGINT) AS b_shr,
+           CAST(bit_count(event_id) AS BIGINT) AS b_cnt
+    FROM events
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 bitwise scalar surface: AND/OR/XOR masks, bounded shifts,
+    # popcount -- the flag-field / bucket-arithmetic idioms (and the
+    # primitives under bitmap_state/simhash).  Map-only, whole-stage
+    # codegen; engines diverge only at shift overflow (Spark wraps,
+    # DuckDB raises), so the shifted operand is masked to 10 bits first
+    # -- the portable discipline bitmap_state's 63-bit words follow.
+    ev = tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").cast("long").alias("b_and"),
+        F.expr("event_id | 4096").cast("long").alias("b_or"),
+        F.expr("event_id ^ 1365").cast("long").alias("b_xor"),
+        F.shiftleft(F.expr("event_id & 1023"), 3).cast("long").alias("b_shl"),
+        F.shiftright(F.col("event_id"), 4).cast("long").alias("b_shr"),
+        F.bit_count("event_id").cast("long").alias("b_cnt"),
+    )
+
+
+@query(
+    "j_asof_forward",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, c.click_id
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Forward as-of join (operators/joins.py::asof_join_forward): for
+    # each purchase, the user's NEXT click at-or-after it -- the
+    # time-to-next-event lookup mirroring j_asof's lookback.  Same one
+    # key shuffle, no Python; matches DuckDB's native forward ASOF
+    # (`l.ts <= r.ts`).  Right side pre-aggregated per (user, ts) so
+    # equal-timestamp winners are deterministic in both engines.
+    ev = tbl(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return J.asof_join_forward(
+        purchases, clicks, "user_id", "ts", "ts", ["click_id"]
+    ).select("purchase_id", "user_id", "click_id")

@@ -4888,3 +4888,133 @@ def pipeline_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("moved_micro"),
     )
+
+
+@query(
+    "graph_kcore",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+    d1 AS (SELECT n, count(*) AS d FROM (
+      SELECT src AS n FROM pairs UNION ALL SELECT dst AS n FROM pairs)
+      GROUP BY n),
+    k1 AS (SELECT n FROM d1 WHERE d >= 3),
+    e1 AS (SELECT p.src, p.dst FROM pairs p
+           JOIN k1 a ON a.n = p.src JOIN k1 b ON b.n = p.dst),
+    d2 AS (SELECT n, count(*) AS d FROM (
+      SELECT src AS n FROM e1 UNION ALL SELECT dst AS n FROM e1)
+      GROUP BY n),
+    k2 AS (SELECT n FROM d2 WHERE d >= 3),
+    e2 AS (SELECT p.src, p.dst FROM e1 p
+           JOIN k2 a ON a.n = p.src JOIN k2 b ON b.n = p.dst),
+    d3 AS (SELECT n, count(*) AS d FROM (
+      SELECT src AS n FROM e2 UNION ALL SELECT dst AS n FROM e2)
+      GROUP BY n),
+    k3 AS (SELECT n FROM d3 WHERE d >= 3),
+    e3 AS (SELECT p.src, p.dst FROM e2 p
+           JOIN k3 a ON a.n = p.src JOIN k3 b ON b.n = p.dst)
+    SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+      SELECT src AS n FROM e3 UNION ALL SELECT dst AS n FROM e3)
+    GROUP BY n
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-core peeling (operators/graph.py::kcore_peel, k=3, 3 rounds)
+    # over the quantity-filtered supplier co-purchase projection -- the
+    # dense-subgraph filter run before expensive per-node work (spam
+    # farms, nucleus detection).  Fixed rounds keep the relation
+    # unrollable, so the oracle replays the identical peels; each
+    # round's shrinking edge set is checkpointed, the surviving-node
+    # set broadcasts into both semi-joins.
+    from kcl_akka_stream_spark.operators.graph import kcore_peel
+
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return kcore_peel(edges, k=3, rounds=3)
+
+
+def _matryoshka_oracle(dims: int = 16) -> str:
+    # Compose the proven exact top-5 with a truncated-dimension twin:
+    # identical brute-force arithmetic on list_slice(vec, 1, dims).
+    exact = ORACLES["sim_topk_bruteforce"]
+    cos = _COS.format(a="q_vec", b="n_vec")
+    truncated = f"""
+    WITH q AS (SELECT vec_id AS q_id,
+                      list_slice(CAST(embedding AS DOUBLE[]), 1, {dims}) AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS n_id,
+                      list_slice(CAST(embedding AS DOUBLE[]), 1, {dims}) AS n_vec
+               FROM embeddings),
+         scored AS (
+           SELECT q_id, n_id, round({cos}, 6) AS cos_sim
+           FROM c, q WHERE q_id <> n_id)
+    SELECT q_id, n_id FROM (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """
+    return f"""
+    WITH exact AS (SELECT * FROM ({exact})),
+    approx AS (SELECT * FROM ({truncated}))
+    SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.n_id) AS BIGINT) AS n_hits,
+           CAST((count(a.n_id) * 100) // count(*) AS BIGINT) AS overlap_pct
+    FROM exact e LEFT JOIN approx a
+      ON a.q_id = e.q_id AND a.n_id = e.n_id
+    GROUP BY e.q_id
+    """
+
+
+@query("sim_matryoshka_report", _matryoshka_oracle())
+def sim_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Matryoshka / truncated-dimension retrieval audit (Kusupati 2022,
+    # public): rank with only the FIRST 16 of 64 dims and measure
+    # top-5 overlap against full-dimension exact retrieval, per query.
+    # This is the cost-lever modern embedding deployments tune -- a
+    # prefix that preserves overlap serves at 1/4 the memory/bandwidth,
+    # and this report IS the acceptance gate for choosing the prefix
+    # length (the sim_ivf_recall_report pattern, third ANN contract).
+    # Truncation composes upstream of ANY serving path here (slice, then
+    # brute force / IVF / PQ unchanged); integer overlap percentages.
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries_df, k=5).select("q_id", "n_id")
+    sl = F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    emb16 = emb.select("vec_id", sl)
+    q16 = queries_df.select("vec_id", sl)
+    approx = S.brute_force_topk(emb16, q16, k=5).select(
+        F.col("q_id").alias("a_q"), F.col("n_id").alias("a_n")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("q_id") == F.col("a_q")) & (F.col("n_id") == F.col("a_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("a_n").cast("long").alias("n_hits"),
+        )
+        .select(
+            "q_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(n_hits * 100) div n_exact").cast("long").alias("overlap_pct"),
+        )
+    )

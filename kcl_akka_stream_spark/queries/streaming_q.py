@@ -1532,3 +1532,60 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "stream_bitmap_merge",
+    # Same ground-truth oracle as agg_bitmap_distinct: the OR-merge of
+    # per-batch bitmap states must equal the direct exact distinct.
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id // 63) AS BIGINT) AS n_words,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming EXACT distinct rollup -- the eighth mergeable-state
+    # streaming family, and the first exact AND idempotent one: the
+    # event stream splits into 4 micro-batches, each folds to its own
+    # (type, word, bits) bitmap state in foreachBatch, and the states
+    # OR-merge into the global exact count.  Idempotence is the
+    # operational point: an at-least-once replay of a whole batch
+    # changes NOTHING (OR absorbs it), where every counting scheme
+    # needs dedup state.  State per batch is words-sized, never rows.
+    from kcl_akka_stream_spark.operators.sketches import (
+        bitmap_counts,
+        bitmap_merge,
+        bitmap_state,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "user_id")
+    src = tempfile.mkdtemp(prefix="kcl_bitmap_src_")
+    state_rows = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            st = bitmap_state(batch_df, "event_type", "user_id")
+            state_rows.extend(st.collect())
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        states = spark.createDataFrame(
+            state_rows, "event_type string, wrd long, bits long"
+        )
+        merged = bitmap_merge(states, "event_type")
+        return bitmap_counts(merged, "event_type").select(
+            "event_type", "n_words", "n_distinct"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

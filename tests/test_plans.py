@@ -189,6 +189,12 @@ def test_shuffle_budgets(spark, sf_dir):
         "pipeline_perplexity_buckets": 5,  # bigram budget (4) + one lang-keyed bucket window
         "pipeline_dedup_keep_best": 1,  # clusters checkpointed node-sized; one cluster-keyed window
         "pipeline_shard_rendezvous": 1,  # map-only HRW argmax + one shard-sized agg
+        # round-8 wave 9
+        "agg_bitmap_distinct": 2,  # one (type,word) combinable OR agg + popcount rollup riding it
+        "scalar_bitwise_funcs": 0,  # map-only whole-stage-codegen bit ops
+        "graph_kcore": 1,  # per-round edge relations checkpointed; survivors broadcast into semi-joins
+        "sim_matryoshka_report": 7,  # two brute-force branches (broadcast queries + per-q window each) + overlap agg
+        "j_asof_forward": 2,  # right pre-agg + ONE key shuffle for the union window
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

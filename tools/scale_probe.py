@@ -1307,3 +1307,97 @@ def wave8_probes(spark, sf_dir: str, repl: int = 10) -> None:
     t1 = timed(lambda: hrw(docs1))
     tn = timed(lambda: hrw(docs_n))
     print(f"{'pipeline_shard_hrw':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+
+def wave9_probes(spark, sf_dir: str, repl: int = 10) -> None:
+    """10x replication rows for the round-8 wave-9 queries."""
+    from functools import reduce as _red
+
+    from kcl_akka_stream_spark.operators.graph import kcore_peel
+    from kcl_akka_stream_spark.operators.joins import asof_join_forward
+    from kcl_akka_stream_spark.operators.sketches import (
+        bitmap_counts,
+        bitmap_state,
+    )
+
+    # Bitmap distinct: replicas get DISJOINT id spaces, so the distinct
+    # count (and the word-state size) really grows by the factor.
+    ev1 = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    ev_n = _red(
+        DataFrame.unionByName,
+        [
+            ev1.select(
+                "event_type",
+                (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+    ev1 = ev1.localCheckpoint()
+
+    def bmp(d: DataFrame) -> DataFrame:
+        return bitmap_counts(bitmap_state(d, "event_type", "user_id"), "event_type")
+
+    t1 = timed(lambda: bmp(ev1))
+    tn = timed(lambda: bmp(ev_n))
+    print(f"{'agg_bitmap_distinct':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # k-core: disjoint replica subgraphs (additive peeling work).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 48
+    ).select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    pairs1 = (
+        a.join(b, "k").filter(F.col("src") < F.col("dst"))
+        .select("src", "dst").distinct().localCheckpoint()
+    )
+    off = 10_000_000
+    pairs_n = _red(
+        DataFrame.unionByName,
+        [
+            pairs1.select(
+                (F.col("src") + F.lit(i * off)).alias("src"),
+                (F.col("dst") + F.lit(i * off)).alias("dst"),
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+    t1 = timed(lambda: kcore_peel(pairs1, k=3, rounds=3))
+    tn = timed(lambda: kcore_peel(pairs_n, k=3, rounds=3))
+    print(f"{'graph_kcore':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Forward as-of: event volume scales, per-key window rides ONE shuffle.
+    evt1 = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    evt_n = _red(
+        DataFrame.unionByName,
+        [
+            evt1.select(
+                (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+                "ts",
+                "event_type",
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+    evt1 = evt1.localCheckpoint()
+
+    def fwd(d: DataFrame) -> DataFrame:
+        clicks = (
+            d.filter(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("click_id"))
+        )
+        purchases = d.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        )
+        return asof_join_forward(
+            purchases, clicks, "user_id", "ts", "ts", ["click_id"]
+        )
+
+    t1 = timed(lambda: fwd(evt1))
+    tn = timed(lambda: fwd(evt_n))
+    print(f"{'j_asof_forward':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
