@@ -189,6 +189,10 @@ HEADLINE = [
     "sim_matryoshka_report",
     "j_asof_forward",
     "scalar_bitwise_funcs",
+    # round-8 wave 10: BFS blast radius, Zipf vocab card, curation funnel
+    "graph_bfs_distance",
+    "text_vocab_stats",
+    "pipeline_quality_funnel",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -457,3 +457,44 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+
+
+def bfs_distance(edges: DataFrame, seeds: list, rounds: int = 3) -> DataFrame:
+    """Multi-source BFS distance, ``rounds`` hops: the proximity label
+    behind "within k hops of a trusted/flagged set" (fraud rings,
+    moderation blast radius, recommendation seeds).  Fixed rounds keep
+    the relation unrollable for an external oracle and bound the cost;
+    distances are exact hop counts for every node reached within
+    ``rounds``, unreached nodes are absent.
+
+    Input: directed (src, dst) with the symmetrized contract of
+    ``pagerank`` for undirected graphs.  Each round is one edge-keyed
+    join against the (node-sized, checkpointed) frontier relation plus
+    a min-combine -- distance labels stay node-sized, the edge relation
+    is checkpointed once; monotone (min of a growing set), so extra
+    rounds past the diameter are no-ops.
+
+    Returns (node, dist) with dist in [0, rounds].
+    """
+    if not seeds:
+        raise ValueError("bfs_distance requires at least one seed")
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    spark = e.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in seeds], "node long, dist long"
+    )
+    for _ in range(rounds):
+        reached = (
+            e.join(F.broadcast(dist), e.src == dist.node)
+            .select("dst", (F.col("dist") + 1).alias("d"))
+            .groupBy("dst")
+            .agg(F.min("d").alias("dist"))
+            .select(F.col("dst").alias("node"), "dist")
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

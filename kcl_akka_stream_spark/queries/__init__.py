@@ -96,6 +96,9 @@ _PRIORITY = [
     "sim_matryoshka_report",
     "j_asof_forward",
     "scalar_bitwise_funcs",
+    "graph_bfs_distance",
+    "text_vocab_stats",
+    "pipeline_quality_funnel",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

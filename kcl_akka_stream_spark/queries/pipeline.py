@@ -5018,3 +5018,247 @@ def sim_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_hits * 100) div n_exact").cast("long").alias("overlap_pct"),
         )
     )
+
+
+@query(
+    "graph_bfs_distance",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+    e AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    seeds AS (SELECT n FROM (SELECT DISTINCT src AS n FROM e) ORDER BY n LIMIT 2),
+    d0 AS (SELECT n AS node, 0 AS dist FROM seeds),
+    r1 AS (SELECT e.dst AS node, min(d.dist + 1) AS dist
+           FROM e JOIN d0 d ON d.node = e.src GROUP BY e.dst),
+    d1 AS (SELECT node, min(dist) AS dist FROM (
+      SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY node),
+    r2 AS (SELECT e.dst AS node, min(d.dist + 1) AS dist
+           FROM e JOIN d1 d ON d.node = e.src GROUP BY e.dst),
+    d2 AS (SELECT node, min(dist) AS dist FROM (
+      SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY node),
+    r3 AS (SELECT e.dst AS node, min(d.dist + 1) AS dist
+           FROM e JOIN d2 d ON d.node = e.src GROUP BY e.dst),
+    d3 AS (SELECT node, min(dist) AS dist FROM (
+      SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY node)
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-source BFS (operators/graph.py::bfs_distance, 3 hops) from
+    # the two lowest-id suppliers over the symmetrized co-purchase
+    # projection -- "blast radius of a flagged set", the proximity label
+    # a moderation/fraud sweep joins against.  The 2-row seed collect is
+    # a bounded probe (the quantizer-learn precedent); the oracle derives
+    # the same seeds and unrolls the same three monotone min-combines.
+    from kcl_akka_stream_spark.operators.graph import bfs_distance
+
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = [
+        r.n
+        for r in edges.select(F.col("src").alias("n"))
+        .distinct()
+        .orderBy("n")
+        .limit(2)
+        .collect()
+    ]
+    return bfs_distance(edges, seeds, rounds=3)
+
+
+@query(
+    "text_vocab_stats",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '{TOK}')) AS term
+      FROM documents),
+    tc AS (SELECT lang, term, count(*) AS c FROM toks GROUP BY lang, term),
+    tot AS (
+      SELECT lang, sum(c) AS n_tokens, count(*) AS n_vocab,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+      FROM tc GROUP BY lang),
+    top AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, term) AS rn
+      FROM tc),
+    t100 AS (SELECT lang, sum(c) AS mass FROM top WHERE rn <= 100 GROUP BY lang)
+    SELECT t.lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_vocab AS BIGINT) AS n_vocab,
+           CAST(n_hapax AS BIGINT) AS n_hapax,
+           CAST((mass * 1000000) // n_tokens AS BIGINT) AS top100_mass_micro
+    FROM tot t JOIN t100 ON t100.lang = t.lang
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zipf/vocabulary corpus card per language: token mass, vocab size,
+    # hapax-legomena count (the productive-tail indicator), and the
+    # top-100-term mass share in integer micro-units -- the head-vs-tail
+    # diagnostic behind tokenizer sizing and stopword policy.  One
+    # data-sized token explode + (lang, term) count; everything after
+    # (totals, rank window, top-100 mass) rides the VOCAB-sized relation.
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    tc = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = tc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "term")
+    t100 = (
+        tc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .groupBy("lang")
+        .agg(F.sum("c").alias("mass"))
+    )
+    return tot.join(t100, "lang").select(
+        "lang",
+        "n_tokens",
+        "n_vocab",
+        "n_hapax",
+        F.expr("(mass * 1000000) div n_tokens")
+        .cast("long")
+        .alias("top100_mass_micro"),
+    )
+
+
+def _quality_funnel_oracle() -> str:
+    qual = _quality_oracle()
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, len(regexp_extract_all(lower(text), '{TOK}')) AS n_tok,
+             n_chars, text
+      FROM documents),
+    g AS (SELECT doc_id, gopher_pass FROM ({qual})),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    flags AS (
+      SELECT t.doc_id, t.n_tok,
+             CAST(t.n_chars >= 200 AS INT) AS len_ok,
+             g.gopher_pass,
+             CAST(k.doc_id IS NOT NULL AS INT) AS keeper
+      FROM toks t
+      JOIN g ON g.doc_id = t.doc_id
+      LEFT JOIN keepers k ON k.doc_id = t.doc_id)
+    SELECT 1 AS stage, 'ingest' AS stage_name,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM flags
+    UNION ALL
+    SELECT 2, 'length', CAST(sum(len_ok) AS BIGINT),
+           CAST(sum(len_ok * n_tok) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 3, 'gopher', CAST(sum(len_ok * gopher_pass) AS BIGINT),
+           CAST(sum(len_ok * gopher_pass * n_tok) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 4, 'exact_dedup',
+           CAST(sum(len_ok * gopher_pass * keeper) AS BIGINT),
+           CAST(sum(len_ok * gopher_pass * keeper * n_tok) AS BIGINT)
+    FROM flags
+    """
+
+
+@query("pipeline_quality_funnel", _quality_funnel_oracle())
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The curation funnel report every pipeline publishes: docs and
+    # token mass surviving each filter stage (ingest -> length gate ->
+    # Gopher quality flags -> exact-dup keeper), stages as conjunction
+    # PREFIXES so the report is monotone by construction.  Per-doc flags
+    # come from one Arrow quality pass + one digest-keyed keeper agg;
+    # the funnel itself is ONE combinable aggregate unpivoted to 4 rows
+    # -- never four scans.  The ablation numbers (stage N vs N+1) are
+    # what decides which gate to tune at 100 TB.
+    from kcl_akka_stream_spark.operators.quality import gopher_quality_flags
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        (F.col("n_chars") >= 200).cast("int").alias("len_ok"),
+        F.md5("text").alias("__digest"),
+    )
+    g = gopher_quality_flags(docs).select("doc_id", "gopher_pass")
+    keepers = (
+        docs.groupBy(F.md5("text").alias("__digest"))
+        .agg(F.min("doc_id").alias("__keep_id"))
+    )
+    flags = (
+        base.join(g, "doc_id")
+        .join(F.broadcast(keepers), "__digest")
+        .select(
+            "n_tok",
+            "len_ok",
+            "gopher_pass",
+            (F.col("doc_id") == F.col("__keep_id")).cast("int").alias("keeper"),
+        )
+    )
+    one = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("n_tok").cast("long").alias("t1"),
+        F.sum("len_ok").cast("long").alias("n2"),
+        F.sum(F.col("len_ok") * F.col("n_tok")).cast("long").alias("t2"),
+        F.sum(F.col("len_ok") * F.col("gopher_pass")).cast("long").alias("n3"),
+        F.sum(F.col("len_ok") * F.col("gopher_pass") * F.col("n_tok"))
+        .cast("long")
+        .alias("t3"),
+        F.sum(F.col("len_ok") * F.col("gopher_pass") * F.col("keeper"))
+        .cast("long")
+        .alias("n4"),
+        F.sum(
+            F.col("len_ok") * F.col("gopher_pass") * F.col("keeper") * F.col("n_tok")
+        )
+        .cast("long")
+        .alias("t4"),
+    )
+    return one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage"),
+                    F.lit("ingest").alias("stage_name"),
+                    F.col("n1").alias("n_docs"),
+                    F.col("t1").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage"),
+                    F.lit("length").alias("stage_name"),
+                    F.col("n2").alias("n_docs"),
+                    F.col("t2").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage"),
+                    F.lit("gopher").alias("stage_name"),
+                    F.col("n3").alias("n_docs"),
+                    F.col("t3").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit(4).alias("stage"),
+                    F.lit("exact_dedup").alias("stage_name"),
+                    F.col("n4").alias("n_docs"),
+                    F.col("t4").alias("n_tokens"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.stage_name", "s.n_docs", "s.n_tokens")

@@ -195,6 +195,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "graph_kcore": 1,  # per-round edge relations checkpointed; survivors broadcast into semi-joins
         "sim_matryoshka_report": 7,  # two brute-force branches (broadcast queries + per-q window each) + overlap agg
         "j_asof_forward": 2,  # right pre-agg + ONE key shuffle for the union window
+        # round-8 wave 10
+        "graph_bfs_distance": 0,  # per-round frontier checkpointed node-sized; plan is the last checkpoint readback
+        "text_vocab_stats": 4,  # one (lang,term) count; totals/rank/top-100 ride the vocab-sized relation
+        "pipeline_quality_funnel": 3,  # Arrow quality pass + digest keeper agg (broadcast back) + ONE funnel agg
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -1401,3 +1401,110 @@ def wave9_probes(spark, sf_dir: str, repl: int = 10) -> None:
     t1 = timed(lambda: fwd(evt1))
     tn = timed(lambda: fwd(evt_n))
     print(f"{'j_asof_forward':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+
+def wave10_probes(spark, sf_dir: str, repl: int = 10) -> None:
+    """10x replication rows for the round-8 wave-10 queries."""
+    from functools import reduce as _red
+
+    from kcl_akka_stream_spark.operators.graph import bfs_distance
+    from kcl_akka_stream_spark.operators.quality import gopher_quality_flags
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_n = replicate_docs(docs1, repl).localCheckpoint()
+    docs1 = docs1.localCheckpoint()
+
+    # BFS: disjoint replica subgraphs; seeds pinned to the base replica so
+    # reach stays comparable while the edge relation grows 10x.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 48
+    ).select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    pairs1 = (
+        a.join(b, "k").filter(F.col("src") < F.col("dst"))
+        .select("src", "dst").distinct()
+    )
+    sym1 = pairs1.unionByName(
+        pairs1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    off = 10_000_000
+    sym_n = _red(
+        DataFrame.unionByName,
+        [
+            sym1.select(
+                (F.col("src") + F.lit(i * off)).alias("src"),
+                (F.col("dst") + F.lit(i * off)).alias("dst"),
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+    seeds = [
+        r.n
+        for r in sym1.select(F.col("src").alias("n")).distinct()
+        .orderBy("n").limit(2).collect()
+    ]
+    t1 = timed(lambda: bfs_distance(sym1, seeds, 3))
+    tn = timed(lambda: bfs_distance(sym_n, seeds, 3))
+    print(f"{'graph_bfs_distance':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Vocab stats: replicas spread across 8 pseudo-langs (as in the
+    # perplexity probe) so the vocab-sized windows keep realistic keys.
+    def vocab(d: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        tc = (
+            d.select(
+                (F.col("doc_id") % 8).alias("lang"),
+                F.explode(tokens(F.col("text"))).alias("term"),
+            )
+            .groupBy("lang", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        tot = tc.groupBy("lang").agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        )
+        w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "term")
+        t100 = (
+            tc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 100)
+            .groupBy("lang")
+            .agg(F.sum("c").alias("mass"))
+        )
+        return tot.join(t100, "lang")
+
+    t1 = timed(lambda: vocab(docs1))
+    tn = timed(lambda: vocab(docs_n))
+    print(f"{'text_vocab_stats':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Quality funnel: Arrow flags + digest keeper + ONE combinable agg.
+    def funnel(d: DataFrame) -> DataFrame:
+        base = d.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+            (F.length("text") >= 200).cast("int").alias("len_ok"),
+            F.md5("text").alias("__digest"),
+        )
+        g = gopher_quality_flags(d).select("doc_id", "gopher_pass")
+        keepers = d.groupBy(F.md5("text").alias("__digest")).agg(
+            F.min("doc_id").alias("__keep_id")
+        )
+        flags = (
+            base.join(g, "doc_id")
+            .join(keepers, "__digest")
+            .select(
+                "n_tok", "len_ok", "gopher_pass",
+                (F.col("doc_id") == F.col("__keep_id")).cast("int").alias("keeper"),
+            )
+        )
+        return flags.agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum(F.col("len_ok") * F.col("gopher_pass") * F.col("keeper") * F.col("n_tok")).alias("t4"),
+        )
+
+    t1 = timed(lambda: funnel(docs1))
+    tn = timed(lambda: funnel(docs_n))
+    print(f"{'pipeline_quality_funnel':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
