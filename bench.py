@@ -193,6 +193,7 @@ HEADLINE = [
     "graph_bfs_distance",
     "text_vocab_stats",
     "pipeline_quality_funnel",
+    "scalar_array_funcs",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -99,6 +99,7 @@ _PRIORITY = [
     "graph_bfs_distance",
     "text_vocab_stats",
     "pipeline_quality_funnel",
+    "scalar_array_funcs",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

@@ -3558,3 +3558,56 @@ def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.asof_join_forward(
         purchases, clicks, "user_id", "ts", "ts", ["click_id"]
     ).select("purchase_id", "user_id", "click_id")
+
+
+@query(
+    "scalar_array_funcs",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           array_to_string(list_slice(list_sort(toks), 1, 3), ' ') AS first3_sorted,
+           array_to_string(list_transform(list_slice(toks, 1, 3), x -> upper(x)), ' ')
+             AS upper3,
+           CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+                AS BIGINT) AS total_len,
+           CAST(list_contains(toks, 'the') AS INT) AS has_the,
+           CAST(len(list_filter(toks, x -> len(x) > 5)) AS BIGINT) AS n_long
+    FROM t
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 array/higher-order-function surface: sort/slice/distinct,
+    # transform, filter, aggregate (fold), contains -- the collection
+    # idioms under every token pipeline, exercised as scalars with the
+    # joined-string convention for array outputs.  The token array
+    # materializes ONCE in a child projection (the dedup_segments
+    # lesson: an inlined array expression re-tokenizes per reference);
+    # everything after is map-only whole-stage codegen.
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.concat_ws(" ", F.slice(F.sort_array("toks"), 1, 3)).alias(
+            "first3_sorted"
+        ),
+        F.concat_ws(
+            " ", F.transform(F.slice("toks", 1, 3), lambda x: F.upper(x))
+        ).alias("upper3"),
+        F.aggregate(
+            "toks", F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        .cast("long")
+        .alias("total_len"),
+        F.array_contains("toks", "the").cast("int").alias("has_the"),
+        F.size(F.filter("toks", lambda x: F.length(x) > 5))
+        .cast("long")
+        .alias("n_long"),
+    )

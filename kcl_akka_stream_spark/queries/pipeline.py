@@ -3868,7 +3868,7 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
-           CAST(1 AS INT) AS within_5pct
+           CAST(1 AS INT) AS within_3rsd
     FROM events GROUP BY event_type
     """,
 )
@@ -3876,23 +3876,28 @@ def agg_approx_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The HLL acceptance contract (the distinct-count twin of
     # agg_approx_quantile_report): approx_count_distinct's estimate is
     # engine-specific and must never enter the hashed output -- what IS
-    # checked is the CONTRACT: the estimate lands within 5% of the exact
-    # distinct count (the sketch's documented rsd is 5%).  The oracle
-    # asserts within_5pct = 1 by construction, so a Spark sketch that
-    # drifts out of its error contract turns the gate red.  Both
-    # aggregates fold map-side in ONE pass (HLL registers merge; exact
-    # distinct expands then combines).
+    # checked is the CONTRACT: the estimate lands within THREE of the
+    # sketch's documented 5% relative standard deviations (15%) of the
+    # exact distinct count.  One rsd was the round-8 lesson: rsd is a
+    # STANDARD DEVIATION, so ~1/3 of (type, sf) cells legitimately land
+    # outside 1 sigma -- and did at sf0.1 (3 of 5 types, estimates off
+    # by 5.9-7.4%) while sf0.01 happened to pass.  3 sigma is the
+    # conventional near-certain envelope; a sketch beyond it is broken,
+    # not unlucky.  The oracle asserts within_3rsd = 1 by construction,
+    # so an out-of-contract sketch turns the gate red.  Both aggregates
+    # fold map-side in ONE pass (HLL registers merge; exact distinct
+    # expands then combines).
     ev = tbl(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("n_exact"),
         F.approx_count_distinct("user_id", rsd=0.05).alias("__approx"),
     )
     within = (
-        (F.col("__approx") * 100 >= F.col("n_exact") * 95)
-        & (F.col("__approx") * 100 <= F.col("n_exact") * 105)
+        (F.col("__approx") * 100 >= F.col("n_exact") * 85)
+        & (F.col("__approx") * 100 <= F.col("n_exact") * 115)
     )
     return agg.select(
-        "event_type", "n_exact", within.cast("int").alias("within_5pct")
+        "event_type", "n_exact", within.cast("int").alias("within_3rsd")
     )
 
 

@@ -199,6 +199,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "graph_bfs_distance": 0,  # per-round frontier checkpointed node-sized; plan is the last checkpoint readback
         "text_vocab_stats": 4,  # one (lang,term) count; totals/rank/top-100 ride the vocab-sized relation
         "pipeline_quality_funnel": 3,  # Arrow quality pass + digest keeper agg (broadcast back) + ONE funnel agg
+        "scalar_array_funcs": 0,  # token array materialized once in a child projection; map-only HOFs
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
