@@ -738,3 +738,69 @@ def test_scd2_merge_equals_direct_for_any_feed_and_split(spark, feed, data):
         )
 
     assert snap(merged) == snap(direct)
+
+
+# --- round-8 wave-9/10 properties ------------------------------------------
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=15, deadline=None)
+def test_bitmap_any_batch_split_merges_to_direct(spark, ids, n_batches):
+    # The mergeable-state law, generatively: ANY partition of the rows
+    # into batches, state-folded then OR-merged, equals the direct state
+    # (and the exact distinct count).
+    from kcl_akka_stream_spark.operators.sketches import (
+        bitmap_counts,
+        bitmap_merge,
+        bitmap_state,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("g", i) for i in ids], ["k", "id"])
+    direct = bitmap_counts(bitmap_state(df, "k", "id"), "k").collect()[0]
+    parts = [
+        df.filter((F.col("id") % n_batches) == b) for b in range(n_batches)
+    ]
+    states = None
+    for p in parts:
+        s = bitmap_state(p, "k", "id")
+        states = s if states is None else states.unionByName(s)
+    merged = bitmap_counts(bitmap_merge(states, "k"), "k").collect()
+    assert merged[0].n_distinct == direct.n_distinct == len(set(ids))
+    assert merged[0].n_words == direct.n_words
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-500_000, max_value=500_000),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_mad_report_matches_bruteforce_generatively(spark, units):
+    # mad_outlier_report's histogram-CDF decomposition vs the direct
+    # sorted-list definition, on arbitrary integer-micro inputs
+    # (negatives included -- the CDF path must not assume positives).
+    from kcl_akka_stream_spark.operators.aggregations import mad_outlier_report
+
+    df = spark.createDataFrame(
+        [("g", u / 1_000_000.0) for u in units], ["k", "v"]
+    )
+    r = mad_outlier_report(df, "k", "v").collect()[0]
+    # freeze through the same floor(x*scale + 0.5) both engines use
+    vs = sorted(
+        __import__("math").floor((u / 1_000_000.0) * 1_000_000 + 0.5)
+        for u in units
+    )
+    n = len(vs)
+    med = vs[(n + 1) // 2 - 1]
+    devs = sorted(abs(v - med) for v in vs)
+    mad = devs[(n + 1) // 2 - 1]
+    assert r.n == n
+    assert r.med_units == med
+    assert r.mad_units == mad
+    assert r.n_outliers == sum(1 for v in vs if abs(v - med) > 3 * mad)
