@@ -194,6 +194,8 @@ HEADLINE = [
     "text_vocab_stats",
     "pipeline_quality_funnel",
     "scalar_array_funcs",
+    "w_login_streaks",
+    "j_asof_tolerance",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -100,6 +100,8 @@ _PRIORITY = [
     "text_vocab_stats",
     "pipeline_quality_funnel",
     "scalar_array_funcs",
+    "w_login_streaks",
+    "j_asof_tolerance",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

@@ -3611,3 +3611,107 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_long"),
     )
+
+
+@query(
+    "w_login_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS island
+      FROM days),
+    runs AS (
+      SELECT user_id, island, count(*) AS len,
+             min(d) AS streak_start
+      FROM isl GROUP BY user_id, island),
+    best AS (
+      SELECT user_id, len, streak_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rn
+      FROM runs)
+    SELECT user_id, CAST(len AS BIGINT) AS longest_streak,
+           strftime(streak_start, '%Y-%m-%d') AS streak_start
+    FROM best WHERE rn = 1
+    """,
+)
+def w_login_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gaps-and-islands: longest run of CONSECUTIVE active days per user
+    # (the retention/engagement streak metric).  The classic relational
+    # trick -- day minus its per-user ordinal is CONSTANT within a
+    # consecutive run -- turns streak detection into one distinct + two
+    # stacked windows + a run-sized agg, all riding a single user-keyed
+    # exchange; no self-join, no iteration.  Earliest streak wins ties.
+    ev = tbl(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    isl = days.withColumn(
+        "island", F.expr("date_sub(d, row_number() OVER (PARTITION BY user_id ORDER BY d))")
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "streak_start"
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            F.date_format("streak_start", "yyyy-MM-dd").alias("streak_start"),
+        )
+    )
+
+
+@query(
+    "j_asof_tolerance",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id END
+             AS click_id
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-staleness as-of join (pandas merge_asof's `tolerance`):
+    # the latest click at-or-before each purchase counts only if it is
+    # at most 1 hour stale -- the freshness contract every feature-store
+    # lookup carries (a day-old price must NOT silently join as
+    # "latest").  Implemented by carrying the matched timestamp through
+    # the same one-shuffle union+window as j_asof and nulling matches
+    # beyond the window -- tolerance is a post-filter, the join cost is
+    # unchanged.
+    ev = tbl(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.col("ts").alias("click_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    j = J.asof_join(
+        purchases, clicks, "user_id", "ts", "ts", ["click_id", "click_ts"]
+    )
+    within = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.when(within, F.col("click_id")).alias("click_id"),
+    )

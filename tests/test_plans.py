@@ -200,6 +200,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "text_vocab_stats": 4,  # one (lang,term) count; totals/rank/top-100 ride the vocab-sized relation
         "pipeline_quality_funnel": 3,  # Arrow quality pass + digest keeper agg (broadcast back) + ONE funnel agg
         "scalar_array_funcs": 0,  # token array materialized once in a child projection; map-only HOFs
+        # round-8 wave 12
+        "w_login_streaks": 2,  # distinct + islands window ride one user exchange; runs agg + best window on the run-sized relation
+        "j_asof_tolerance": 2,  # same shape as j_asof; tolerance is a post-filter
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
