@@ -196,6 +196,14 @@ HEADLINE = [
     "scalar_array_funcs",
     "w_login_streaks",
     "j_asof_tolerance",
+    # round-8 wave 13: mergeable reservoir sample, TWA, nearest as-of,
+    # brand co-occurrence, centroid drift, padding audit
+    "sample_reservoir_merge",
+    "w_time_weighted_avg",
+    "j_asof_nearest",
+    "agg_itemset_pairs",
+    "pipeline_embedding_drift",
+    "pipeline_padding_efficiency",
     # streaming representative
     "stream_tumbling_agg",
 ]

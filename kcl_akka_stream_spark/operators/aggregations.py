@@ -184,3 +184,30 @@ def merge_power_sums(states: DataFrame, group_col: str) -> DataFrame:
         F.sum("s2").cast("long").alias("s2"),
         F.sum("s3").cast("long").alias("s3"),
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """Market-basket co-occurrence: support counts for unordered item
+    pairs appearing in the same basket (frequent-itemset mining's k=2
+    core, and the doc-level co-occurrence behind PMI / association
+    features).
+
+    Pair generation is basket-local -- a self equi-join on the basket
+    key with ``item1 < item2`` -- so the blow-up is
+    ``sum_b C(m_b, 2)``, governed by the BASKET-SIZE distribution, not
+    corpus size (fixture max basket = 11 distinct items).  At 100 TB the
+    knob is the same as the dedup df-cap: cap or drop pathological
+    baskets upstream before the join; the join itself shuffles on the
+    basket key and the support agg is map-side combinable.
+    """
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    a = items.select("__b", F.col("__i").alias("item1"))
+    b = items.select("__b", F.col("__i").alias("item2"))
+    pairs = a.join(b, "__b").filter(F.col("item1") < F.col("item2"))
+    return pairs.groupBy("item1", "item2").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )

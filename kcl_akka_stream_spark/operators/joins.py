@@ -291,3 +291,106 @@ def interval_overlap_join(
         )
         .distinct()
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Nearest as-of join: for each left row, the right row minimizing
+    ``|right_ts - left_ts|`` within the key -- the "closest reading"
+    lookup (sensor alignment, nearest quote).  Equidistant before/after
+    candidates resolve to the EARLIER (backward) match, pandas
+    ``merge_asof(direction='nearest')`` semantics.
+
+    Both directions are read from ONE union + ONE exchange/sort (key,
+    ts, right-before-left at equal ts): the backward candidate is
+    ``last(..., ignorenulls)`` over the preceding frame (equal-ts right
+    rows visible => "<=" lookback), the forward candidate is
+    ``first(..., ignorenulls)`` over the following frame (equal-ts right
+    rows sort BEFORE the left row, so the forward frame is strictly
+    after -- harmless, because an equal-ts backward match has distance 0
+    and wins the tie by rule).  Spark plans both frames over the same
+    Sort: one shuffle total, no Python.
+
+    Appends ``asof_dist_us`` (microsecond distance to the chosen match,
+    NULL when the key has no right rows).  Deduplicate right per
+    (key, ts) upstream so which same-timestamp row wins is not
+    tie-ambiguous.
+    """
+    lcols = list(left.columns)
+    rcols = list(right_value_cols)
+    tagged_left = left.select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(left_ts)).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__l"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in rcols
+        ],
+    )
+    tagged_right = right.select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(right_ts)).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(tagged_left.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+    )
+    order = [F.col("__t"), F.col("__is_left")]
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    both = unioned.select(
+        "__is_left",
+        "__l",
+        "__t",
+        F.last(
+            F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
+        )
+        .over(wb)
+        .alias("__pt"),
+        F.first(
+            F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
+        )
+        .over(wf)
+        .alias("__nt"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__p_{c}")
+            for c in rcols
+        ],
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__n_{c}")
+            for c in rcols
+        ],
+    )
+    db = F.col("__t") - F.col("__pt")
+    df_ = F.col("__nt") - F.col("__t")
+    take_prev = F.col("__pt").isNotNull() & (
+        F.col("__nt").isNull() | (db <= df_)
+    )
+    return both.filter(F.col("__is_left") == 1).select(
+        "__l.*",
+        *[
+            F.when(take_prev, F.col(f"__p_{c}"))
+            .otherwise(F.col(f"__n_{c}"))
+            .alias(c)
+            for c in rcols
+        ],
+        F.when(take_prev, db)
+        .otherwise(df_)
+        .cast("long")
+        .alias("asof_dist_us"),
+    )

@@ -175,3 +175,40 @@ def weighted_sample_topk(
         F.array_min(keys).alias("sel_key"),
     )
     return scored.orderBy("sel_key", id_col).limit(k)
+
+
+def hash_bottom_k(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "rsv",
+    part_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic mergeable uniform k-sample per stratum ("bottom-k by
+    hash" reservoir): keep the ``k`` rows whose seeded ``md5(id)`` ranks
+    lowest within the stratum.  Because hash order is a fixed uniform
+    permutation, the k survivors ARE a uniform sample -- and the state
+    (the k rows themselves) forms a commutative, associative and
+    IDEMPOTENT monoid: bottom-k of a union of bottom-ks equals bottom-k
+    of the union, and a replayed row changes nothing.  Per-partition /
+    per-micro-batch samples therefore merge without re-reading data, and
+    at-least-once delivery is absorbed for free (the same algebra KMV
+    exploits for distinct-counting; here the sampled ROWS survive).
+
+    With ``part_cols`` the selection runs per (stratum, part) -- the
+    fold step; a second call without ``part_cols`` finishes the merge on
+    the k*parts-sized survivor set.
+
+    Scale shape: ONE exchange keyed on (stratum, *part_cols); the
+    window's top-k filter keeps k rows per group, so downstream sees a
+    sketch-sized relation, never the corpus.
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    parts = [stratum_col] + list(part_cols or [])
+    w = Window.partitionBy(*parts).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

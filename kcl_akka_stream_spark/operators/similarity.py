@@ -1117,3 +1117,37 @@ def ivf_pq_probe_prebuilt(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "adc_d2_micro2", "rank")
     )
+
+
+def integer_centroids(
+    emb: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group, per-dimension INTEGER centroids: each component is
+    quantized to micro-units (``floor(x*scale + 0.5)``, float->double is
+    exact so the quantization is engine-independent), summed as int64
+    (order-independent -- the random_sign_projection discipline), and
+    divided once via a double floor (sums stay far below 2^53, so the
+    double path is exact).  The result hashes identically across
+    engines and partitionings, unlike a float ``avg`` whose partial-agg
+    order leaks into the low bits.
+
+    Output: ``(*group_cols, pos, n, sq, cq)`` -- count, quantized sum,
+    quantized centroid component.  Scale shape: the dim explode
+    aggregates map-side to groups x dims rows; one combinable exchange.
+    """
+    e = emb.select(*group_cols, F.posexplode(vec_col).alias("pos", "x"))
+    q = e.withColumn(
+        "q",
+        F.floor(F.col("x").cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    agg = q.groupBy(*group_cols, "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+    )
+    return agg.withColumn(
+        "cq",
+        F.floor(F.col("sq").cast("double") / F.col("n")).cast("long"),
+    )

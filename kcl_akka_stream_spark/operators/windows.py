@@ -86,3 +86,46 @@ def top_paths(
         .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
     )
     return paths.orderBy(F.col("n_paths").desc(), "path").limit(k)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cents_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Exact time-weighted average per key (the timeseries/feature-store
+    TWA: each observation's value holds until the next observation --
+    last-observation-carried-forward weighting).
+
+    Integer discipline end-to-end: durations are ``unix_micros`` deltas
+    (timezone-interpretation cancels in the subtraction; microsecond
+    exact), values arrive as integer cents, and the weighted numerator
+    ``sum(cents * dur_us)`` is an order-independent int64 sum, so the
+    result hashes identically cross-engine and across partitionings.
+    Keys with a zero observation span (single event, or all events
+    simultaneous) return NULL rather than a divide-by-zero.
+
+    Scale shape: ONE exchange on the key carries both the lead() window
+    and the final agg (the agg rides the window's partitioning); no
+    self-join, no Python.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(order_col))
+    stepped = df.select(
+        key_col,
+        F.col(cents_col).alias("__c"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.lead(F.unix_micros(F.col(ts_col))).over(w).alias("__next_us"),
+    )
+    segs = stepped.withColumn("__dur", F.col("__next_us") - F.col("__us"))
+    return segs.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__dur").cast("long").alias("span_us"),
+        F.when(
+            F.sum("__dur") > 0,
+            F.expr("sum(__c * __dur) div sum(__dur)"),
+        )
+        .cast("long")
+        .alias("twa_cents"),
+    )

@@ -102,6 +102,13 @@ _PRIORITY = [
     "scalar_array_funcs",
     "w_login_streaks",
     "j_asof_tolerance",
+    "sample_reservoir_merge",
+    "stream_reservoir_merge",
+    "w_time_weighted_avg",
+    "j_asof_nearest",
+    "agg_itemset_pairs",
+    "pipeline_embedding_drift",
+    "pipeline_padding_efficiency",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

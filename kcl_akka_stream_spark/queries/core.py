@@ -3715,3 +3715,138 @@ def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.when(within, F.col("click_id")).alias("click_id"),
     )
+
+
+@query(
+    "w_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events),
+    seg AS (SELECT user_id, c, next_us - us AS dur FROM seq)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(dur) AS BIGINT) AS span_us,
+           CAST(CASE WHEN sum(dur) > 0 THEN sum(c * dur) // sum(dur) END
+                AS BIGINT) AS twa_cents
+    FROM seg GROUP BY user_id
+    """,
+)
+def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-weighted average per user (the timeseries / feature-store TWA:
+    # each value holds until the next observation -- LOCF weighting), the
+    # metric behind "average balance", "mean gauge reading", duty-cycle.
+    # Exact integer discipline end-to-end: unix_micros deltas (timezone
+    # interpretation cancels in the subtraction), integer-cent values,
+    # int64 weighted numerator, one integer division at the end -- both
+    # engines agree bit-for-bit.  One user-keyed exchange carries the
+    # lead() window AND the final agg (operators/windows.py).
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents(F.col("value")).alias("cents")
+    )
+    return W.time_weighted_avg(ev, "user_id", "ts", "cents", "event_id")
+
+
+@query(
+    "j_asof_nearest",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    back AS (
+      SELECT p.purchase_id, p.user_id, p.ts, c.click_id AS b_id, c.ts AS b_ts
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts),
+    fwd AS (
+      SELECT p.purchase_id, c.click_id AS f_id, c.ts AS f_ts
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts <= c.ts)
+    SELECT b.purchase_id, b.user_id,
+           CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                      OR epoch_us(b.ts) - epoch_us(b.b_ts)
+                         <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                THEN b.b_id ELSE f.f_id END AS click_id,
+           CAST(CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                      OR epoch_us(b.ts) - epoch_us(b.b_ts)
+                         <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                THEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                WHEN f.f_ts IS NOT NULL
+                THEN epoch_us(f.f_ts) - epoch_us(b.ts) END
+                AS BIGINT) AS asof_dist_us
+    FROM back b JOIN fwd f ON b.purchase_id = f.purchase_id
+    """,
+)
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nearest as-of join (pandas merge_asof direction='nearest'): each
+    # purchase pairs with its CLOSEST click in time, before or after,
+    # equidistant ties to the earlier -- sensor alignment / nearest-quote
+    # semantics, completing the as-of family (backward j_asof, forward
+    # j_asof_forward, bounded j_asof_tolerance).  Spark reads BOTH
+    # directions from one union + one exchange/sort with mirrored window
+    # frames (operators/joins.py::asof_join_nearest); the oracle
+    # composes DuckDB's native backward + forward ASOF joins and applies
+    # the same tie rule.
+    ev = tbl(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    j = J.asof_join_nearest(
+        purchases, clicks, "user_id", "ts", "ts", ["click_id"]
+    )
+    return j.select("purchase_id", "user_id", "click_id", "asof_dist_us")
+
+
+@query(
+    "agg_itemset_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    pairs AS (
+      SELECT a.i AS brand1, b2.i AS brand2, count(*) AS support
+      FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY a.i, b2.i)
+    SELECT brand1, brand2, CAST(support AS BIGINT) AS support
+    FROM pairs ORDER BY support DESC, brand1, brand2 LIMIT 40
+    """,
+)
+def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frequent-itemset core (k=2): which part BRANDS co-occur in the same
+    # order, by support -- market-basket association counts.  The brand
+    # dimension attaches by broadcast; pair generation is basket-local
+    # (self equi-join on the order key, item1 < item2), so the blow-up is
+    # sum over baskets of C(m,2) -- governed by basket size (fixture max
+    # 11), never corpus size (operators/aggregations.py::
+    # cooccurrence_pairs documents the heavy-basket cap knob).  Top-40 is
+    # TakeOrderedAndProject with full tiebreak.
+    from kcl_akka_stream_spark.operators.aggregations import (
+        cooccurrence_pairs,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    pairs = cooccurrence_pairs(baskets, "l_orderkey", "p_brand")
+    return (
+        pairs.select(
+            F.col("item1").alias("brand1"),
+            F.col("item2").alias("brand2"),
+            "support",
+        )
+        .orderBy(F.col("support").desc(), "brand1", "brand2")
+        .limit(40)
+    )

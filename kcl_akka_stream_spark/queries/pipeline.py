@@ -5267,3 +5267,177 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.stage", "s.stage_name", "s.n_docs", "s.n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Wave 13: mergeable reservoir sample, centroid drift, padding efficiency
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_ORACLE = """
+    SELECT event_type,
+           CAST(row_number() OVER (
+                  PARTITION BY event_type
+                  ORDER BY md5('rsv|' || CAST(event_id AS VARCHAR)), event_id)
+                AS INT) AS sample_rank,
+           event_id
+    FROM events
+    QUALIFY sample_rank <= 8
+"""
+
+
+@query("sample_reservoir_merge", _RESERVOIR_ORACLE)
+def sample_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic mergeable uniform sample ("bottom-k by hash"
+    # reservoir, operators/sampling.py::hash_bottom_k): the k rows with
+    # the lowest seeded md5(id) per stratum ARE a uniform k-sample, and
+    # the sample is a commutative/associative/IDEMPOTENT monoid -- so
+    # this query builds it the DISTRIBUTED way (fold per part, merge the
+    # k*parts survivors) while the oracle builds it directly from all
+    # rows in one pass: the hash match IS the merge law.  Replayed rows
+    # are absorbed for free (idempotence), which is what makes this the
+    # at-least-once-safe way to keep a uniform inspection sample of a
+    # 100 TB stream.
+    from kcl_akka_stream_spark.operators.sampling import hash_bottom_k
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "event_id")
+    parted = ev.withColumn("part", F.pmod(F.col("event_id"), F.lit(4)))
+    states = hash_bottom_k(
+        parted, "event_type", "event_id", 8, seed="rsv", part_cols=["part"]
+    ).drop("part")
+    merged = hash_bottom_k(states, "event_type", "event_id", 8, seed="rsv")
+    key = F.md5(F.concat(F.lit("rsv|"), F.col("event_id").cast("string")))
+    w = Window.partitionBy("event_type").orderBy(key, F.col("event_id"))
+    return merged.select(
+        "event_type",
+        F.row_number().over(w).alias("sample_rank"),
+        "event_id",
+    )
+
+
+_EMB_DRIFT_ORACLE = """
+    WITH q AS (
+      SELECT label, vec_id % 2 AS half, s.i AS pos,
+             CAST(floor(s.val * 1000000 + 0.5) AS BIGINT) AS qv
+      FROM (SELECT label, vec_id,
+                   unnest([{'i': i, 'val': CAST(embedding[i] AS DOUBLE)}
+                           FOR i IN generate_series(1, len(embedding))]) AS s
+            FROM embeddings)),
+    cent AS (
+      SELECT label, half, pos, count(*) AS n,
+             CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+      FROM q GROUP BY label, half, pos),
+    j AS (
+      SELECT a.label, a.cq AS ca, b.cq AS cb, a.n AS na, b.n AS nb
+      FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+      WHERE a.half = 0 AND b.half = 1)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(sum(ca * cb) AS BIGINT) AS dot_q,
+           round(CAST(sum(ca * cb) AS DOUBLE)
+                 / sqrt(CAST(sum(ca * ca) AS DOUBLE)
+                        * CAST(sum(cb * cb) AS DOUBLE)), 6) AS cos_sim
+    FROM j GROUP BY label
+"""
+
+
+@query("pipeline_embedding_drift", _EMB_DRIFT_ORACLE)
+def pipeline_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-drift monitor: split the corpus into two snapshots
+    # (vec_id parity = "last week vs this week"), compute per-label
+    # INTEGER centroids for each (operators/similarity.py::
+    # integer_centroids -- micro-unit quantization + int64 sums, so the
+    # centroid is partitioning-independent), and report the cosine
+    # between the two snapshots' centroids per label -- the "did my
+    # embedding distribution move?" gate before re-fitting IVF/PQ
+    # indexes.  All-integer until the single final cosine (round 6).
+    # Scale: dim explode aggregates map-side to labels x dims rows; the
+    # drift join is labels x dims-sized -- sketch-sized, never
+    # corpus-sized.
+    from kcl_akka_stream_spark.operators.similarity import integer_centroids
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cent = integer_centroids(
+        emb.withColumn("half", F.pmod(F.col("vec_id"), F.lit(2))),
+        ["label", "half"],
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("cq").alias("ca"), F.col("n").alias("na")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("cq").alias("cb"), F.col("n").alias("nb")
+    )
+    j = a.join(b, ["label", "pos"])
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot_q"),
+        F.round(
+            F.sum(F.col("ca") * F.col("cb")).cast("double")
+            / F.sqrt(
+                F.sum(F.col("ca") * F.col("ca")).cast("double")
+                * F.sum(F.col("cb") * F.col("cb")).cast("double")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+
+
+_PADDING_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{TOK}')) AS n
+      FROM documents),
+    b AS (
+      SELECT ((n + 63) // 64) * 64 AS bucket_cap, n
+      FROM t WHERE n > 0)
+    SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(bucket_cap * count(*) AS BIGINT) AS padded_tokens,
+           CAST(((bucket_cap * count(*) - sum(n)) * 1000000)
+                // (bucket_cap * count(*)) AS BIGINT) AS waste_ppm
+    FROM b GROUP BY bucket_cap
+"""
+
+
+@query("pipeline_padding_efficiency", _PADDING_ORACLE)
+def pipeline_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Length-bucketed batching audit: assign each doc to a 64-token
+    # bucket (cap = next multiple of 64 -- pure integer arithmetic,
+    # portable, unlike a float log2 power-of-two) and report per-bucket
+    # padding waste in ppm -- the "how much compute does my batch
+    # padding burn" report that decides bucketed batching / sequence
+    # packing for training (pipeline_pack_tokens is the packing twin).
+    # One map-only tokenize pass + one combinable agg; the token array
+    # materializes once in a child projection.
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select(F.size(tokens(F.col("text"))).alias("n")).filter(
+        F.col("n") > 0
+    )
+    b = t.select(
+        (F.floor((F.col("n") + 63) / 64) * 64).cast("long").alias("bucket_cap"),
+        "n",
+    )
+    g = b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("sum_tokens"),
+    )
+    return g.select(
+        "bucket_cap",
+        "n_docs",
+        "sum_tokens",
+        (F.col("bucket_cap") * F.col("n_docs")).cast("long").alias(
+            "padded_tokens"
+        ),
+        F.expr(
+            "((bucket_cap * n_docs - sum_tokens) * 1000000)"
+            " div (bucket_cap * n_docs)"
+        )
+        .cast("long")
+        .alias("waste_ppm"),
+    )

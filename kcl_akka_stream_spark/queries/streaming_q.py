@@ -1589,3 +1589,65 @@ def stream_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _reservoir_oracle() -> str:
+    from kcl_akka_stream_spark.queries.registry import ORACLES
+
+    return ORACLES["sample_reservoir_merge"]
+
+
+@query("stream_reservoir_merge", _reservoir_oracle())
+def stream_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming twin of sample_reservoir_merge, SAME oracle: each
+    # micro-batch folds to its bottom-k-by-hash survivors
+    # (operators/sampling.py::hash_bottom_k), the accumulated k-row
+    # states merge by re-applying the same selection, and the oracle
+    # rebuilds the sample directly from all raw rows -- merged == direct
+    # is the hash match.  The ninth mergeable-state streaming family,
+    # and (with the bitmap) the second IDEMPOTENT one: a replayed batch
+    # re-offers rows whose hashes are already in (or above) the bottom-k,
+    # so at-least-once delivery cannot change the sample -- the
+    # always-fresh uniform inspection panel over an unbounded stream at
+    # k-rows state cost.
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.operators.sampling import hash_bottom_k
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "event_id")
+    src = tempfile.mkdtemp(prefix="kcl_rsv_src_")
+    states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            states.extend(
+                hash_bottom_k(
+                    batch_df, "event_type", "event_id", 8, seed="rsv"
+                ).collect()
+            )
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        st = spark.createDataFrame(states, "event_type string, event_id long")
+        merged = hash_bottom_k(st, "event_type", "event_id", 8, seed="rsv")
+        key = F.md5(
+            F.concat(F.lit("rsv|"), F.col("event_id").cast("string"))
+        )
+        w = Window.partitionBy("event_type").orderBy(key, F.col("event_id"))
+        return merged.select(
+            "event_type",
+            F.row_number().over(w).alias("sample_rank"),
+            "event_id",
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -203,6 +203,13 @@ def test_shuffle_budgets(spark, sf_dir):
         # round-8 wave 12
         "w_login_streaks": 2,  # distinct + islands window ride one user exchange; runs agg + best window on the run-sized relation
         "j_asof_tolerance": 2,  # same shape as j_asof; tolerance is a post-filter
+        # round-8 wave 13
+        "sample_reservoir_merge": 2,  # fold window on (type,part) + merge/rank windows sharing the type exchange
+        "w_time_weighted_avg": 1,  # lead() window AND final agg ride ONE user exchange
+        "j_asof_nearest": 2,  # right pre-agg + ONE union exchange/sort feeding BOTH direction frames
+        "agg_itemset_pairs": 3,  # basket distinct + basket-key self-join + combinable support agg (broadcast dim free)
+        "pipeline_embedding_drift": 3,  # dim-explode combinable agg + (label,pos) drift join + label agg
+        "pipeline_padding_efficiency": 1,  # map-only tokenize + one combinable bucket agg
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
