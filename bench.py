@@ -204,6 +204,21 @@ HEADLINE = [
     "agg_itemset_pairs",
     "pipeline_embedding_drift",
     "pipeline_padding_efficiency",
+    # round-8 wave 14: attribution matrix, A/B readout, WoW trend, CMS
+    # acceptance contract, kNN classify
+    "w_session_attribution",
+    "agg_ab_test_report",
+    "w_wow_change",
+    "agg_cms_error_report",
+    "sim_knn_classify",
+    # round-8 wave 15: Gopher repetition gate, rolling distinct actives,
+    # Markov transition matrix
+    "pipeline_repeated_ngram_ratio",
+    "w_rolling_distinct_users",
+    "agg_markov_transitions",
+    # round-8 wave 16: bounded Bellman-Ford, incremental LSH dedup
+    "graph_weighted_paths",
+    "dedup_minhash_incremental",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -790,3 +790,33 @@ def bloom_prune_known(
             F.coalesce(F.col("__is_known"), F.lit(0)).cast("int").alias("is_known"),
         )
     )
+
+
+def minhash_incremental_pairs(
+    buckets: DataFrame, new_col: str = "is_new", id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental LSH candidate generation: given banded buckets where
+    each row carries an ``is_new`` flag (this batch vs the standing
+    store), emit only the candidate pairs that INVOLVE a new doc --
+    new x store and new x new.  Store x store pairs were found when
+    those docs arrived, so they never materialize again: per-batch pair
+    work is |new signatures| x bucket-hit fan-out, independent of
+    corpus history size -- the property that makes LSH dedup runnable
+    as a daily delta job over a 100 TB corpus (the minhash twin of
+    ``bloom_prune_known``'s exact-dup increment).
+
+    Scale shape: the new side of the (band, bucket) join is
+    batch-sized; the store side is the bucket index the batch probes.
+    Pairs normalize to (id_a < id_b) and dedup map-side.
+    """
+    new_b = buckets.filter(F.col(new_col)).select(
+        "band", "bucket", F.col(id_col).alias("__n")
+    )
+    all_b = buckets.select("band", "bucket", F.col(id_col).alias("__o"))
+    pairs = new_b.join(all_b, ["band", "bucket"]).filter(
+        F.col("__n") != F.col("__o")
+    )
+    return pairs.select(
+        F.least("__n", "__o").alias("id_a"),
+        F.greatest("__n", "__o").alias("id_b"),
+    ).distinct()

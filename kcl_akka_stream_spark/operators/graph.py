@@ -498,3 +498,46 @@ def bfs_distance(edges: DataFrame, seeds: list, rounds: int = 3) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def weighted_distance(edges: DataFrame, seeds: list, rounds: int = 3) -> DataFrame:
+    """Bounded Bellman-Ford: min-cost distance from a seed set over a
+    weighted edge list (src, dst, cost), ``rounds`` relaxation rounds --
+    i.e. the exact cheapest cost over paths of at most ``rounds`` edges
+    (public min-plus relaxation; Bellman 1958).  The weighted twin of
+    ``bfs_distance``: hop counts become additive integer costs, the
+    "how strongly connected is this node to the trusted set" signal.
+
+    Same scale discipline: the edge relation is checkpointed ONCE, the
+    distance relation stays node-sized and checkpoints each round (a
+    cache miss costs one round, not the whole derivation), each round is
+    one broadcast join + one min-combine.  Monotone in rounds (longer
+    paths can only add alternatives to the min).  Integer costs ->
+    deterministic, oracle-unrollable.
+
+    Returns (node, dist) for every node reachable within ``rounds``.
+    """
+    if not seeds:
+        raise ValueError("weighted_distance requires at least one seed")
+    e = edges.select(
+        "src", "dst", F.col("cost").cast("long").alias("cost")
+    ).localCheckpoint(eager=True)
+    spark = e.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in seeds], "node long, dist long"
+    )
+    for _ in range(rounds):
+        relaxed = (
+            e.join(F.broadcast(dist), e.src == dist.node)
+            .select("dst", (F.col("dist") + F.col("cost")).alias("d"))
+            .groupBy("dst")
+            .agg(F.min("d").alias("dist"))
+            .select(F.col("dst").alias("node"), "dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -109,6 +109,16 @@ _PRIORITY = [
     "agg_itemset_pairs",
     "pipeline_embedding_drift",
     "pipeline_padding_efficiency",
+    "w_session_attribution",
+    "agg_ab_test_report",
+    "w_wow_change",
+    "agg_cms_error_report",
+    "sim_knn_classify",
+    "pipeline_repeated_ngram_ratio",
+    "w_rolling_distinct_users",
+    "agg_markov_transitions",
+    "graph_weighted_paths",
+    "dedup_minhash_incremental",
     # -- rotation fill: longest-unsampled previously-green names --
     "q3_shipping_priority",
     "q4_order_priority",

@@ -3850,3 +3850,218 @@ def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "brand1", "brand2")
         .limit(40)
     )
+
+
+@query(
+    "w_session_attribution",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    rn AS (
+      SELECT user_id, session_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM sess),
+    per_sess AS (
+      SELECT user_id, session_id,
+             max(CASE WHEN rn = 1 THEN event_type END) AS first_touch,
+             max(CASE WHEN rnd = 1 THEN event_type END) AS last_touch,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS purchase_cents
+      FROM rn GROUP BY user_id, session_id)
+    SELECT first_touch, last_touch,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN purchase_cents > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converting,
+           CAST(sum(purchase_cents) AS BIGINT) AS purchase_cents
+    FROM per_sess GROUP BY first_touch, last_touch
+    """,
+)
+def w_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Marketing-style attribution matrix: sessionize (30-min gap, the
+    # proven w_sessionize machinery), then credit each session's purchase
+    # revenue to its (first-touch, last-touch) event-type pair -- the
+    # "which entry channel converts" report.  Session boundaries are
+    # tie-order-stable (equal-ts rows always share a session); first/last
+    # picks carry a full (ts, event_id) tiebreak.  Scale shape: ONE
+    # user exchange carries sessionize AND both rank windows
+    # (hash(user) satisfies the (user, session) clustering), and the
+    # session/matrix aggs are combinable.
+    ev = tbl(spark, sf_dir, "events")
+    sess = W.sessionize(ev, "user_id", "ts", 1800)
+    wf = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = sess.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(wf).alias("rn"),
+        F.row_number().over(wl).alias("rnd"),
+        F.when(F.col("event_type") == "purchase", _cents(F.col("value")))
+        .otherwise(F.lit(0))
+        .alias("p_cents"),
+    )
+    per_sess = rn.groupBy("user_id", "session_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+            "first_touch"
+        ),
+        F.max(F.when(F.col("rnd") == 1, F.col("event_type"))).alias(
+            "last_touch"
+        ),
+        F.sum("p_cents").alias("purchase_cents"),
+    )
+    return per_sess.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("purchase_cents") > 0).cast("int"))
+        .cast("long")
+        .alias("n_converting"),
+        F.sum("purchase_cents").cast("long").alias("purchase_cents"),
+    )
+
+
+@query(
+    "agg_ab_test_report",
+    """
+    WITH s AS (
+      SELECT event_type AS variant, count(*) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s1,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s2
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type),
+    w AS (
+      SELECT a.n AS n_a, a.s1 AS s1_a, a.s2 AS s2_a,
+             b.n AS n_b, b.s1 AS s1_b, b.s2 AS s2_b
+      FROM s a, s b WHERE a.variant = 'click' AND b.variant = 'view')
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(s1_a AS BIGINT) AS s1_a,
+           CAST(s2_a AS BIGINT) AS s2_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(s1_b AS BIGINT) AS s1_b,
+           CAST(s2_b AS BIGINT) AS s2_b,
+           CAST((s1_a * 1000000) // n_a - (s1_b * 1000000) // n_b
+                AS BIGINT) AS mean_diff_micro,
+           round((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(s2_a AS DOUBLE)
+                         - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+                        / (n_a - 1) / n_a
+                        + (CAST(s2_b AS DOUBLE)
+                           - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+                        / (n_b - 1) / n_b), 6) AS welch_t
+    FROM w
+    """,
+)
+def agg_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-sample experiment readout (A/B test): exact integer sufficient
+    # statistics (n, sum, sum-of-squares in cents -- order-independent
+    # int64 adds, the power-sums discipline) for the click-vs-view value
+    # distributions, the integer mean gap, and the Welch t statistic
+    # derived from those identical integers in one shared expression
+    # shape (round 6).  The sufficient statistics are combinable states
+    # -- this readout can be maintained incrementally / on a stream
+    # exactly like stream_moments_merge.
+    ev = tbl(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = (
+        ev.select("event_type", _cents(F.col("value")).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        )
+    )
+    a = s.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("s1").alias("s1_a"), F.col("s2").alias("s2_a")
+    )
+    b = s.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"), F.col("s1").alias("s1_b"), F.col("s2").alias("s2_b")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    va = (
+        F.col("s2_a").cast("double")
+        - F.col("s1_a").cast("double") * F.col("s1_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1) / F.col("n_a")
+    vb = (
+        F.col("s2_b").cast("double")
+        - F.col("s1_b").cast("double") * F.col("s1_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1) / F.col("n_b")
+    return w.select(
+        "n_a", "s1_a", "s2_a", "n_b", "s1_b", "s2_b",
+        (
+            F.expr("(s1_a * 1000000) div n_a")
+            - F.expr("(s1_b * 1000000) div n_b")
+        )
+        .cast("long")
+        .alias("mean_diff_micro"),
+        F.round(
+            (
+                F.col("s1_a").cast("double") / F.col("n_a")
+                - F.col("s1_b").cast("double") / F.col("n_b")
+            )
+            / F.sqrt(va + vb),
+            6,
+        ).alias("welch_t"),
+    )
+
+
+@query(
+    "w_wow_change",
+    """
+    WITH wk AS (
+      SELECT event_type,
+             strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, date_trunc('week', ts))
+    SELECT event_type, week_start, CAST(cents AS BIGINT) AS cents,
+           CAST(lag(cents) OVER w AS BIGINT) AS prev_cents,
+           CAST(((cents - lag(cents) OVER w) * 10000) // lag(cents) OVER w
+                AS BIGINT) AS delta_bps
+    FROM wk
+    WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+    """,
+)
+def w_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Week-over-week trend: weekly value mass per event type (exact
+    # integer cents) with the previous week and the basis-point delta via
+    # integer division -- the ops-dashboard "is this metric moving"
+    # query.  The weekly rollup is combinable and weeks-sized; the lag
+    # window rides the tiny rollup relation (both engines truncate weeks
+    # to Monday).
+    ev = tbl(spark, sf_dir, "events")
+    wk = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+            .alias("week_start"),
+            _cents(F.col("value")).alias("c"),
+        )
+        .groupBy("event_type", "week_start")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    return wk.select(
+        "event_type",
+        "week_start",
+        "cents",
+        F.lag("cents").over(w).cast("long").alias("prev_cents"),
+        F.expr(
+            "((cents - lag(cents) OVER (PARTITION BY event_type ORDER BY week_start)) * 10000)"
+            " div lag(cents) OVER (PARTITION BY event_type ORDER BY week_start)"
+        )
+        .cast("long")
+        .alias("delta_bps"),
+    )

@@ -5441,3 +5441,436 @@ def pipeline_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("waste_ppm"),
     )
+
+
+def _cms_error_oracle(depth: int = 4, width: int = 64) -> str:
+    h = (
+        "CAST(list_sum([(strpos('0123456789abcdef', "
+        "substr(md5(CAST({r} AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), i, 1)) - 1)"
+        " * power(16, 8 - i) FOR i IN generate_series(1, 8)]) AS BIGINT)"
+        f" % {width}"
+    )
+    rows = ",".join(str(d) for d in range(depth))
+    return f"""
+    WITH d AS (SELECT unnest([{rows}]) AS row),
+    state AS (
+      SELECT row, bucket, count(*) AS cnt
+      FROM (SELECT row, {h.format(r='row')} AS bucket FROM events, d)
+      GROUP BY row, bucket),
+    probes AS (
+      SELECT DISTINCT user_id, row, {h.format(r='row')} AS bucket FROM events, d),
+    est AS (
+      SELECT user_id, min(coalesce(cnt, 0)) AS cms_count
+      FROM probes LEFT JOIN state USING (row, bucket) GROUP BY user_id),
+    ex AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id),
+    tot AS (SELECT count(*) AS n_total FROM events),
+    per_key AS (
+      SELECT est.user_id, cms_count - exact_count AS overcount, n_total
+      FROM est JOIN ex USING (user_id) CROSS JOIN tot)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN overcount = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN overcount * {width} <= 3 * n_total
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_3w,
+           CAST(sum(CASE WHEN overcount < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_underestimates,
+           CAST(max(overcount) AS BIGINT) AS max_overcount,
+           CAST(max(n_total) AS BIGINT) AS n_total
+    FROM per_key
+    """
+
+
+@query("agg_cms_error_report", _cms_error_oracle())
+def agg_cms_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CMS acceptance contract, completing the sketch-contract family
+    # (KMV: agg_kmv_error_report, HLL: agg_approx_distinct_report,
+    # ANN: sim_ivf_recall_report): over EVERY key, compare the one-sided
+    # Count-Min estimate to the exact count and report (a) keys estimated
+    # exactly, (b) keys within the 3N/width envelope (the e*N/w Markov
+    # bound holds per ROW with e~2.72<3; taking the min over depth=4
+    # independent rows makes a beyond-3N/w key a broken sketch, not an
+    # unlucky one -- the HLL 3-sigma lesson applied to CMS), and
+    # (c) underestimates, which CMS can NEVER produce -- a nonzero
+    # n_underestimates turns the gate red by construction.  All counters
+    # integer-exact; the oracle rebuilds the identical sketch in SQL.
+    from kcl_akka_stream_spark.operators.sketches import cms_estimate, cms_state
+
+    ev = tbl(spark, sf_dir, "events")
+    state = cms_state(ev, "user_id", depth=4, width=64)
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(state, keys, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    per_key = (
+        est.join(exact, "user_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("cms_count") - F.col("exact_count")).alias("overcount"),
+            "n_total",
+        )
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum((F.col("overcount") == 0).cast("int"))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum((F.col("overcount") * 64 <= 3 * F.col("n_total")).cast("int"))
+        .cast("long")
+        .alias("n_within_3w"),
+        F.sum((F.col("overcount") < 0).cast("int"))
+        .cast("long")
+        .alias("n_underestimates"),
+        F.max("overcount").cast("long").alias("max_overcount"),
+        F.max("n_total").cast("long").alias("n_total"),
+    )
+
+
+@query(
+    "sim_knn_classify",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+                      label AS true_label
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec,
+                      label AS n_label FROM embeddings),
+         scored AS (
+           SELECT q_id, true_label, n_id, n_label,
+                  round({_COS.format(a="q_vec", b="n_vec")}, 6) AS cos_sim
+           FROM c, q WHERE q_id <> n_id),
+         topk AS (
+           SELECT q_id, true_label, n_label FROM (
+             SELECT q_id, true_label, n_label,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, n_id) AS rank
+             FROM scored) WHERE rank <= 5),
+         votes AS (
+           SELECT q_id, true_label, n_label, count(*) AS votes
+           FROM topk GROUP BY q_id, true_label, n_label)
+    SELECT q_id, CAST(n_label AS BIGINT) AS pred_label,
+           CAST(votes AS BIGINT) AS votes,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS INT)
+             AS correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY votes DESC, n_label) AS rn
+          FROM votes)
+    WHERE rn = 1
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-NN classification readout: majority vote over the exact top-5
+    # cosine neighbors' labels (vote ties to the smallest label),
+    # compared to the query's true label -- the eval-harness shape
+    # (retrieval-based classification / label-propagation sanity check)
+    # composed from the proven brute-force top-k.  The vote and argmax
+    # ride the k*queries-sized top-k relation; labels attach by
+    # broadcast.
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    tk = S.brute_force_topk(emb, queries_df, k=5)
+    lab = emb.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"))
+    truth = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        tk.join(F.broadcast(lab), "n_id")
+        .join(F.broadcast(truth), "q_id")
+        .groupBy("q_id", "true_label", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), "n_label")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("n_label").cast("long").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+            F.col("true_label").cast("long").alias("true_label"),
+            (F.col("n_label") == F.col("true_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+@query(
+    "pipeline_repeated_ngram_ratio",
+    f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, unnest([array_to_string(list_slice(t, i, i + 2), ' ')
+                             FOR i IN generate_series(1, len(t) - 2)]) AS g
+      FROM t WHERE len(t) >= 3),
+    gc AS (
+      SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(((sum(cnt) - count(*)) * 1000000) // sum(cnt) AS BIGINT)
+             AS rep_ppm,
+           CAST(max(cnt) AS BIGINT) AS max_gram_count
+    FROM gc GROUP BY doc_id
+    """,
+)
+def pipeline_repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style INTRA-document repetition gate: the fraction of token
+    # 3-grams that are repeats within the same doc (rep_ppm) plus the
+    # hottest gram's count -- the boilerplate/spam signal the Gopher
+    # rules apply per document, complementary to text_novelty_report's
+    # CROSS-document first-seen measure.  One (doc, gram) combinable
+    # count + one doc-keyed fold, all integer; the gram explode is
+    # map-side from a single child-projected token array.
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 3
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', slice(t, i, 3)))"
+            )
+        ).alias("g"),
+    )
+    gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return gc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.expr("((sum(cnt) - count(1)) * 1000000) div sum(cnt)")
+        .cast("long")
+        .alias("rep_ppm"),
+        F.max("cnt").cast("long").alias("max_gram_count"),
+    )
+
+
+@query(
+    "w_rolling_distinct_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events),
+    grid AS (SELECT DISTINCT d FROM du),
+    cover AS (
+      SELECT DISTINCT unnest([d + CAST(i AS INTEGER) FOR i IN generate_series(0, 6)]) AS g,
+             user_id
+      FROM du),
+    wau AS (
+      SELECT grid.d AS d, count(DISTINCT c.user_id) AS wau7
+      FROM grid JOIN cover c ON c.g = grid.d GROUP BY grid.d),
+    dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM du GROUP BY d)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           CAST(dau AS BIGINT) AS dau, CAST(wau7 AS BIGINT) AS wau7
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def w_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling distinct actives (DAU / trailing-7-day WAU): COUNT(DISTINCT)
+    # over a sliding window does not decompose, so the scale-right shape
+    # is COVERAGE EXPLODE -- each (day, user) presence covers the 7 grid
+    # days it contributes to, dedup, then a plain per-day distinct count.
+    # Cost is 7x the presence relation (days x users, already distinct),
+    # never data-sized; the grid join is broadcast.  This is the
+    # engagement metric every dashboard needs and naive windowing gets
+    # wrong (sum of daily distincts != distinct over window).
+    ev = tbl(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"), "user_id"
+    ).distinct()
+    # three consumers (grid, cover, dau) -- checkpoint the days x users
+    # presence relation so the DATA-SIZED distinct over events runs once,
+    # not three times (the graph-family discipline)
+    du = du.localCheckpoint(eager=True)
+    grid = du.select(F.col("d").alias("gd")).distinct()
+    cover = du.select(
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("g"),
+        "user_id",
+    ).distinct()
+    wau = (
+        cover.join(F.broadcast(grid), cover.g == grid.gd)
+        .groupBy("gd")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau7"))
+        .withColumnRenamed("gd", "d")
+    )
+    dau = du.groupBy("d").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    return dau.join(wau, "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "dau", "wau7"
+    )
+
+
+@query(
+    "agg_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    pairs AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    tot AS (SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+           CAST((p.n * 1000000) // t.n_from AS BIGINT) AS prob_ppm
+    FROM pairs p JOIN tot t ON p.from_type = t.from_type
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-order Markov transition matrix over per-user event sequences:
+    # transition counts and row-normalized probabilities in integer ppm
+    # -- the behavioral model behind w_top_paths' raw path counts and
+    # w_funnel_conversion's fixed funnel.  ONE user exchange carries the
+    # lead(); the pair agg is combinable and the row totals derive from
+    # the PAIR relation (types^2-sized), never a second corpus pass --
+    # the text_bigram_logprob discipline.
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # row totals as a window over the types^2-sized pair relation: no
+    # second corpus pass AND no duplicated pair subtree (a totals
+    # groupBy + join re-derives the pairs agg twice in the plan)
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "(n * 1000000) div sum(n) OVER (PARTITION BY from_type)"
+        )
+        .cast("long")
+        .alias("prob_ppm"),
+    )
+
+
+@query(
+    "graph_weighted_paths",
+    """
+    WITH p AS (
+      SELECT CAST(o_custkey AS BIGINT) AS src,
+             CAST(l_suppkey AS BIGINT) + 1099511627776 AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst, 1000000 // w AS cost FROM p
+          UNION ALL SELECT dst AS src, src AS dst, 1000000 // w AS cost FROM p),
+    d0 AS (SELECT CAST(node AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+           FROM (VALUES (1), (2), (3)) AS s(node)),
+    d1 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d0
+             UNION ALL
+             SELECT e.dst AS node, d0.dist + e.cost AS dist
+             FROM e JOIN d0 ON d0.node = e.src)
+           GROUP BY node),
+    d2 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d1
+             UNION ALL
+             SELECT e.dst AS node, d1.dist + e.cost AS dist
+             FROM e JOIN d1 ON d1.node = e.src)
+           GROUP BY node),
+    d3 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d2
+             UNION ALL
+             SELECT e.dst AS node, d2.dist + e.cost AS dist
+             FROM e JOIN d2 ON d2.node = e.src)
+           GROUP BY node)
+    SELECT CASE WHEN node < 1099511627776
+                THEN 'c' || CAST(node AS VARCHAR)
+                ELSE 's' || CAST(node - 1099511627776 AS VARCHAR) END AS node,
+           CAST(dist AS BIGINT) AS dist_cost
+    FROM d3
+    """,
+)
+def graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded Bellman-Ford over the co-purchase graph: cheapest <=3-edge
+    # path cost from a 3-customer seed set, with edge cost inversely
+    # proportional to tie strength (cost = 1e6 div w) -- "how strongly
+    # is this node connected to the trusted set", the weighted
+    # completion of graph_bfs_distance's hop counts.  Same iteration
+    # discipline as pagerank/BFS (operators/graph.py::weighted_distance):
+    # edge base checkpointed once, node-sized distance relation
+    # checkpointed per round, one broadcast join + min-combine per
+    # round; all-integer min-plus arithmetic, so the oracle unrolls the
+    # same three relaxations bit-for-bit.
+    from kcl_akka_stream_spark.operators.graph import weighted_distance
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + _GRAPH_OFF).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    sym = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    edges = sym.select("src", "dst", F.expr("1000000 div w").alias("cost"))
+    dist = weighted_distance(edges, [1, 2, 3], rounds=3)
+    return dist.select(
+        _graph_decode("node").alias("node"),
+        F.col("dist").cast("long").alias("dist_cost"),
+    )
+
+
+def _minhash_incremental_oracle() -> str:
+    return f"""
+    WITH base AS ({_minhash_oracle()})
+    SELECT id_a, id_b,
+           CASE WHEN id_a % 5 = 0 AND id_b % 5 = 0 THEN 'new_new'
+                ELSE 'new_store' END AS pair_kind
+    FROM base
+    WHERE id_a % 5 = 0 OR id_b % 5 = 0
+    """
+
+
+@query("dedup_minhash_incremental", _minhash_incremental_oracle())
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental LSH dedup: treat doc_id % 5 == 0 as today's batch and
+    # the rest as the standing signature store; candidate pairs are
+    # generated ONLY where a new doc is involved (new x store probes the
+    # bucket index, new x new covers the batch itself) -- store x store
+    # pairs were emitted when those docs arrived and never materialize
+    # again (operators/dedup.py::minhash_incremental_pairs).  Per-batch
+    # cost is batch-sized x bucket fan-out, independent of corpus
+    # history: the minhash twin of pipeline_bloom_dedup's exact-dup
+    # increment, and the missing piece that turns dedup_minhash_lsh
+    # into a daily delta job at 100 TB.  The oracle derives the same
+    # pair set by filtering the full LSH join -- equality proves the
+    # incremental split loses nothing involving the batch.
+    from kcl_akka_stream_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_buckets,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = minhash_lsh_buckets(docs).withColumn(
+        "is_new", F.pmod(F.col("doc_id"), F.lit(5)) == 0
+    )
+    pairs = minhash_incremental_pairs(buckets)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.when(
+            (F.pmod(F.col("id_a"), F.lit(5)) == 0)
+            & (F.pmod(F.col("id_b"), F.lit(5)) == 0),
+            F.lit("new_new"),
+        )
+        .otherwise(F.lit("new_store"))
+        .alias("pair_kind"),
+    )

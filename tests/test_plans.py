@@ -210,6 +210,19 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_itemset_pairs": 3,  # basket distinct + basket-key self-join + combinable support agg (broadcast dim free)
         "pipeline_embedding_drift": 3,  # dim-explode combinable agg + (label,pos) drift join + label agg
         "pipeline_padding_efficiency": 1,  # map-only tokenize + one combinable bucket agg
+        # round-8 wave 14
+        "w_session_attribution": 2,  # ONE user exchange carries sessionize + both rank windows; aggs combinable
+        "agg_ab_test_report": 2,  # two-variant integer moments + broadcast cross of two 1-row sides
+        "w_wow_change": 2,  # combinable weekly rollup + lag window on the weeks-sized relation
+        "agg_cms_error_report": 5,  # sketch build + broadcast probe + exact counts + 1-row total broadcast + final fold
+        "sim_knn_classify": 2,  # brute-force topk (broadcast queries) + vote/argmax on the k*queries relation
+        # round-8 wave 15
+        "pipeline_repeated_ngram_ratio": 2,  # (doc,gram) combinable count + doc fold
+        "w_rolling_distinct_users": 5,  # presence relation checkpointed once; coverage-explode distinct + two day aggs + day join (plan counts the post-checkpoint side)
+        "agg_markov_transitions": 3,  # ONE user lead window + pair agg + from-keyed total window on the types^2 relation
+        # round-8 wave 16
+        "graph_weighted_paths": 0,  # per-round distances checkpointed node-sized; plan is the last checkpoint readback (bfs discipline)
+        "dedup_minhash_incremental": 5,  # signature agg + band explode + (band,bucket) probe join + pair distinct
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

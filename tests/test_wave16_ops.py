@@ -1,0 +1,85 @@
+"""Round-8 wave-16 operators: bounded Bellman-Ford, incremental LSH pairs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _wd(spark, edges, seeds, rounds):
+    from kcl_akka_stream_spark.operators.graph import weighted_distance
+
+    e = spark.createDataFrame(edges, ["src", "dst", "cost"])
+    return {r.node: r.dist for r in weighted_distance(e, seeds, rounds).collect()}
+
+
+def test_weighted_distance_picks_cheaper_multi_hop(spark):
+    # 1 -> 3 direct costs 10; 1 -> 2 -> 3 costs 2 + 3 = 5.
+    edges = [(1, 3, 10), (1, 2, 2), (2, 3, 3)]
+    assert _wd(spark, edges, [1], 1) == {1: 0, 2: 2, 3: 10}
+    out2 = _wd(spark, edges, [1], 2)
+    assert out2[3] == 5
+    # monotone: extra rounds cannot worsen distances
+    out3 = _wd(spark, edges, [1], 3)
+    assert out3 == out2
+
+
+def test_weighted_distance_multi_seed_min(spark):
+    edges = [(1, 2, 5), (9, 2, 1)]
+    out = _wd(spark, edges, [1, 9], 1)
+    assert out[2] == 1 and out[1] == 0 and out[9] == 0
+
+
+def test_weighted_distance_requires_seeds(spark):
+    from kcl_akka_stream_spark.operators.graph import weighted_distance
+
+    e = spark.createDataFrame([(1, 2, 1)], ["src", "dst", "cost"])
+    with pytest.raises(ValueError):
+        weighted_distance(e, [], 2)
+
+
+def test_minhash_incremental_pairs_excludes_store_store(spark):
+    from kcl_akka_stream_spark.operators.dedup import minhash_incremental_pairs
+
+    # bucket layout: b0/x holds store docs 1,2 and new doc 5;
+    # b0/y holds new docs 10, 15; b1/z holds store docs 1, 2 only.
+    rows = [
+        (1, 0, "x", False),
+        (2, 0, "x", False),
+        (5, 0, "x", True),
+        (10, 0, "y", True),
+        (15, 0, "y", True),
+        (1, 1, "z", False),
+        (2, 1, "z", False),
+    ]
+    b = spark.createDataFrame(rows, ["doc_id", "band", "bucket", "is_new"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_incremental_pairs(b).collect()
+    }
+    # (1,2) shares two buckets but is store x store -> absent
+    assert got == {(1, 5), (2, 5), (10, 15)}
+
+
+def test_minhash_incremental_is_filtered_full_lsh(spark, sf_dir):
+    # The incremental pair set must equal the full LSH pair set filtered
+    # to pairs involving a new doc -- the "loses nothing" property.
+    from kcl_akka_stream_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_incremental_pairs,
+        minhash_lsh_buckets,
+    )
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = minhash_lsh_buckets(docs).withColumn(
+        "is_new", F.pmod(F.col("doc_id"), F.lit(5)) == 0
+    )
+    inc = {
+        (r.id_a, r.id_b)
+        for r in minhash_incremental_pairs(buckets).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(buckets.drop("is_new")).collect()
+    }
+    expect = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
+    assert inc == expect
