@@ -212,3 +212,59 @@ def hash_bottom_k(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+#: P(Poisson(1) <= j) scaled to 2^32, frozen as integer literals so both
+#: engines classify the md5-uniform draw with pure int comparisons
+#: (math.floor(cdf * 2**32) for j = 0..3; weights cap at 4, which covers
+#: 99.63% of the mass -- documented truncation, identical in the oracle).
+POISSON1_CDF_U32 = (1580030168, 3160060337, 3950075421, 4213413783)
+
+
+def poisson_bootstrap_weights(
+    df: DataFrame, id_col: str, b: int = 32, seed: str = "boot"
+) -> DataFrame:
+    """Deterministic Poisson bootstrap (Chamandy 2012, public): replicate
+    each row into ``b`` resamples with an integer weight drawn as
+    Poisson(1) from a seeded md5 of (replica, id) -- the
+    single-pass, partitioning-independent way to bootstrap a dataset
+    too large to resample by index.  Every engine that can md5 derives
+    the SAME weights, so resample statistics are exactly reproducible
+    (no RNG state, no order dependence).
+
+    Output: the input columns plus ``b`` (replica index) and ``w``
+    (int weight 0..4, truncated Poisson(1)).
+
+    Scale shape: map-only explode x b; downstream per-replica aggregates
+    combine map-side, so the b-fold blow-up never survives past the
+    first partial agg.  b rides in a literal array -- no join, no
+    shuffle.
+    """
+    reps = df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("b")
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}|"),
+                    F.col("b").cast("string"),
+                    F.lit("|"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    t0, t1, t2, t3 = POISSON1_CDF_U32
+    w = (
+        F.when(u32 < t0, F.lit(0))
+        .when(u32 < t1, F.lit(1))
+        .when(u32 < t2, F.lit(2))
+        .when(u32 < t3, F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    return reps.withColumn("w", w.cast("long"))

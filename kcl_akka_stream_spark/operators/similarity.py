@@ -1151,3 +1151,66 @@ def integer_centroids(
         "cq",
         F.floor(F.col("sq").cast("double") / F.col("n")).cast("long"),
     )
+
+
+def nearest_centroid_classify(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: assign each test
+    vector to the training label whose INTEGER centroid has the highest
+    cosine.  The production-scale counterpart of kNN (``sim_knn_classify``):
+    the model is labels x dims rows (broadcastable forever), so
+    classification is one broadcast join + one combinable agg + one
+    per-vector argmax -- no test x train pair relation at any point.
+
+    Determinism: centroids come from ``integer_centroids`` (micro-unit
+    int64 sums -- partitioning-independent); the per-(vector, label)
+    dot product and the label's norm are exact int64 sums; the score
+    divides once (dot / sqrt(norm)) -- a single IEEE op from exact
+    integers, identical cross-engine.  Ties break on smallest label.
+
+    Output: ``(id_col, true_label, pred_label, score)`` per test vector.
+    """
+    cent = integer_centroids(train, [label_col], vec_col=vec_col, scale=scale)
+    c = cent.select(
+        F.col(label_col).alias("cand_label"), "pos", "cq"
+    )
+    t = test.select(
+        F.col(id_col),
+        F.col(label_col).alias("true_label"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    ).withColumn(
+        "qa",
+        F.floor(F.col("x").cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    scored = (
+        t.join(F.broadcast(c), "pos")
+        .groupBy(id_col, "true_label", "cand_label")
+        .agg(
+            F.sum(F.col("qa") * F.col("cq")).cast("long").alias("dot_q"),
+            F.sum(F.col("cq") * F.col("cq")).cast("long").alias("norm_c"),
+        )
+        .withColumn(
+            "score",
+            F.col("dot_q").cast("double")
+            / F.sqrt(F.col("norm_c").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("cand_label").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            id_col,
+            "true_label",
+            F.col("cand_label").alias("pred_label"),
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -289,7 +289,9 @@ def kmv_set_estimates(
     )
 
 
-def bitmap_state(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
+def bitmap_state(
+    df: DataFrame, group_col: str | None, id_col: str
+) -> DataFrame:
     """EXACT distinct-count state as 63-bit bitmap words -- the
     roaring-bitmap idea (Chambi 2016, public) in relational form: id ->
     (word = id div 63, bit = id mod 63), one row per (group, word) with
@@ -307,11 +309,22 @@ def bitmap_state(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
     63-bit words, not 64: DuckDB raises on 1::BIGINT << 63 (overflow)
     while Spark wraps negative -- bits 0..62 keep every mask positive
     and portable.  ``id_col`` must be non-negative.
+
+    ``group_col=None`` builds ONE set's state keyed on the word alone --
+    the form ``bitmap_set_ops`` wants, so both input states arrive
+    already hash-partitioned on the join key and the word-aligned set
+    algebra adds no exchange of its own.
     """
     wrd = F.expr(f"{id_col} div 63").cast("long")
     # expr form: the DataFrame-API shiftleft only takes a literal bit
     # count; the SQL function accepts a column.
     msk = F.expr(f"shiftleft(1L, cast({id_col} % 63 as int))")
+    if group_col is None:
+        return (
+            df.select(wrd.alias("wrd"), msk.alias("msk"))
+            .groupBy("wrd")
+            .agg(F.bit_or("msk").alias("bits"))
+        )
     return (
         df.select(F.col(group_col), wrd.alias("wrd"), msk.alias("msk"))
         .groupBy(group_col, "wrd")
@@ -332,4 +345,45 @@ def bitmap_counts(state: DataFrame, group_col: str) -> DataFrame:
     return state.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.sum(F.bit_count("bits")).cast("long").alias("n_distinct"),
+    )
+
+
+def bitmap_set_ops(a_state: DataFrame, b_state: DataFrame) -> DataFrame:
+    """EXACT set algebra on two bitmap states (each ``(wrd, bits)``,
+    already reduced to one row per word): intersection, union and both
+    differences computed by WORD-ALIGNED bitwise AND/OR on the bounded
+    word relations -- never by joining or even materializing the
+    underlying member sets.  The exact counterpart of the KMV theta
+    route (``kmv_set_estimates``): use bitmaps when ids are dense and
+    exactness is required, KMV when the id space is sparse/huge.
+
+    Scale shape: a full-outer equi-join of two word relations (each
+    bounded by id-range/63 rows -- state-sized, not data-sized) followed
+    by a single-row popcount rollup.  At 100 TB the two input states are
+    each the product of one combinable map-side OR over their corpus;
+    the set algebra itself touches only the states.
+
+    Returns one row: ``n_a, n_b, n_and, n_or, n_a_only, n_b_only``
+    (exact longs) and ``jaccard_ppm`` (integer parts-per-million).
+    """
+    a = a_state.select("wrd", F.col("bits").alias("ba"))
+    b = b_state.select("wrd", F.col("bits").alias("bb"))
+    j = a.join(b, "wrd", "full_outer").select(
+        F.coalesce("ba", F.lit(0)).alias("ba"),
+        F.coalesce("bb", F.lit(0)).alias("bb"),
+    )
+    agg = j.agg(
+        F.sum(F.bit_count("ba")).cast("long").alias("n_a"),
+        F.sum(F.bit_count("bb")).cast("long").alias("n_b"),
+        F.sum(F.bit_count(F.expr("ba & bb"))).cast("long").alias("n_and"),
+        F.sum(F.bit_count(F.expr("ba | bb"))).cast("long").alias("n_or"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_and",
+        "n_or",
+        (F.col("n_a") - F.col("n_and")).cast("long").alias("n_a_only"),
+        (F.col("n_b") - F.col("n_and")).cast("long").alias("n_b_only"),
+        F.expr("n_and * 1000000 div n_or").cast("long").alias("jaccard_ppm"),
     )

@@ -4065,3 +4065,181 @@ def w_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("delta_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 17: bitmap set algebra, trailing-window anomaly gate, regex surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bitmap_set_ops",
+    # GROUND-TRUTH oracle: DuckDB computes the set sizes directly from the
+    # member sets (COUNT DISTINCT + intersection via equi-join of the two
+    # distinct sets) -- if any word-aligned AND/OR/popcount is wrong, the
+    # gate goes red.  The acceptance-contract pattern for exact set algebra.
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value >= 50),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'click' AND value >= 50),
+    i AS (SELECT count(*) AS n_and FROM a JOIN b USING (user_id)),
+    sa AS (SELECT count(*) AS n_a FROM a),
+    sb AS (SELECT count(*) AS n_b FROM b)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_and AS BIGINT) AS n_and,
+           CAST(n_a + n_b - n_and AS BIGINT) AS n_or,
+           CAST(n_a - n_and AS BIGINT) AS n_a_only,
+           CAST(n_b - n_and AS BIGINT) AS n_b_only,
+           CAST(n_and * 1000000 // (n_a + n_b - n_and) AS BIGINT)
+             AS jaccard_ppm
+    FROM i, sa, sb
+    """,
+)
+def agg_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT audience set algebra on bitmap states (operators/sketches.py::
+    # bitmap_set_ops): intersection / union / difference sizes of the
+    # high-value purchaser and clicker user sets by word-aligned bitwise
+    # AND/OR -- the exact twin of agg_kmv_set_ops (same audience-overlap
+    # question, sketch route) for DENSE id spaces, where a bitmap state is
+    # both exact and smaller than the KMV error would justify.  Two
+    # combinable map-side ORs, one word-keyed join of two bounded state
+    # relations, one single-row popcount rollup; the member sets are never
+    # joined.  Bitwise OR's idempotence makes the same states the
+    # streaming/incremental form (stream_bitmap_merge).
+    from kcl_akka_stream_spark.operators.sketches import (
+        bitmap_set_ops,
+        bitmap_state,
+    )
+
+    ev = tbl(spark, sf_dir, "events").filter(F.col("value") >= 50)
+    a = ev.filter(F.col("event_type") == "purchase")
+    b = ev.filter(F.col("event_type") == "click")
+    sa = bitmap_state(a, None, "user_id")
+    sb = bitmap_state(b, None, "user_id")
+    return bitmap_set_ops(sa, sb)
+
+
+@query(
+    "w_anomaly_trailing_zscore",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    t AS (
+      SELECT event_type, day, x,
+             count(*)   OVER tw AS n_trail,
+             sum(x)     OVER tw AS s1,
+             sum(x * x) OVER tw AS s2
+      FROM daily
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(x AS BIGINT) AS n_events,
+           CAST(n_trail AS BIGINT) AS n_trail,
+           CAST(CASE WHEN n_trail >= 4
+                      AND (n_trail * x - s1) * (n_trail * x - s1)
+                          > 9 * (n_trail * s2 - s1 * s1)
+                     THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM t
+    """,
+)
+def w_anomaly_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing-window anomaly gate (SPC control chart over the daily
+    # series): flag days whose event count sits more than 3 trailing
+    # standard deviations from the trailing-7-day mean.  The |z| > 3 test
+    # is evaluated WITHOUT sqrt or division: (n*x - s1)^2 > 9*(n*s2 - s1^2)
+    # is the same inequality cleared of denominators, pure int64 -- exact
+    # cross-engine, no epsilon.  Complementary to agg_mad_outliers (global
+    # robust fence) -- this is the LOCAL drift-aware gate a monitoring
+    # pipeline runs on arrival.  Scale: the daily rollup is one combinable
+    # agg; every window rides ONE exchange keyed by event_type over the
+    # days-sized relation.
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    t = (
+        daily.withColumn("n_trail", F.count(F.lit(1)).over(tw))
+        .withColumn("s1", F.sum("x").over(tw))
+        .withColumn("s2", F.sum(F.col("x") * F.col("x")).over(tw))
+    )
+    dev = F.col("n_trail") * F.col("x") - F.col("s1")
+    var9 = 9 * (F.col("n_trail") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return t.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("long").alias("n_events"),
+        F.col("n_trail").cast("long").alias("n_trail"),
+        F.when((F.col("n_trail") >= 4) & (dev * dev > var9), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_anomaly"),
+    )
+
+
+@query(
+    "scalar_regex_funcs",
+    """
+    WITH m AS (
+      SELECT event_id,
+             'user=' || CAST(user_id AS VARCHAR) || ' saw https://ex'
+               || CAST(event_id % 7 AS VARCHAR) || '.com/p/'
+               || CAST(event_id AS VARCHAR) || ' rating '
+               || CAST(CAST(floor(value) AS BIGINT) % 10 AS VARCHAR) || ' of 10 '
+               || props AS msg
+      FROM events)
+    SELECT event_id,
+           regexp_extract(msg, '[0-9]+') AS first_num,
+           CAST(len(regexp_extract_all(msg, '[0-9]+')) AS BIGINT) AS n_nums,
+           regexp_extract(msg, 'https?://[a-z0-9./]+') AS url,
+           CAST(regexp_matches(msg, 'rating [5-9]') AS INT) AS high_rating,
+           substring(regexp_replace(msg, '[0-9]+', '#', 'g'), 1, 48)
+             AS masked_prefix,
+           CAST(len(regexp_extract_all(msg, '[a-z]+')) AS BIGINT) AS n_words
+    FROM m
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 regex scalar surface: extract / extract-all count / match-test
+    # / global replace over a deterministic messy string assembled from
+    # base columns (the dedup_url_canonical fixture discipline -- the raw
+    # fixture text is lowercase-only, so the message is built to make
+    # every function non-vacuous).  Patterns stay in the character-class
+    # subset where Java and RE2 dialects agree; Spark's regexp_replace is
+    # global by default, so the oracle passes 'g'.  Map-only,
+    # whole-stage codegen.
+    ev = tbl(spark, sf_dir, "events")
+    msg = F.concat(
+        F.lit("user="),
+        F.col("user_id").cast("string"),
+        F.lit(" saw https://ex"),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(".com/p/"),
+        F.col("event_id").cast("string"),
+        F.lit(" rating "),
+        (F.floor("value").cast("long") % 10).cast("string"),
+        F.lit(" of 10 "),
+        F.col("props"),
+    )
+    m = ev.select("event_id", msg.alias("msg"))
+    return m.select(
+        "event_id",
+        F.regexp_extract("msg", "[0-9]+", 0).alias("first_num"),
+        F.expr("size(regexp_extract_all(msg, '[0-9]+', 0))")
+        .cast("long")
+        .alias("n_nums"),
+        F.regexp_extract("msg", "https?://[a-z0-9./]+", 0).alias("url"),
+        F.col("msg").rlike("rating [5-9]").cast("int").alias("high_rating"),
+        F.substring(
+            F.regexp_replace("msg", "[0-9]+", "#"), 1, 48
+        ).alias("masked_prefix"),
+        F.expr("size(regexp_extract_all(msg, '[a-z]+', 0))")
+        .cast("long")
+        .alias("n_words"),
+    )

@@ -5874,3 +5874,152 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("new_store"))
         .alias("pair_kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 17: nearest-centroid classification + deterministic bootstrap CI
+# ---------------------------------------------------------------------------
+
+_CENTROID_CLASSIFY_ORACLE = """
+    WITH q AS (
+      SELECT label, vec_id, vec_id % 2 AS half, s.i AS pos,
+             CAST(floor(s.val * 1000000 + 0.5) AS BIGINT) AS qv
+      FROM (SELECT label, vec_id,
+                   unnest([{'i': i, 'val': CAST(embedding[i] AS DOUBLE)}
+                           FOR i IN generate_series(1, len(embedding))]) AS s
+            FROM embeddings)),
+    cent AS (
+      SELECT label AS cand_label, pos,
+             CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+      FROM q WHERE half = 0 GROUP BY label, pos),
+    scored AS (
+      SELECT t.vec_id, t.label AS true_label, c.cand_label,
+             CAST(sum(t.qv * c.cq) AS DOUBLE)
+               / sqrt(CAST(sum(c.cq * c.cq) AS DOUBLE)) AS score
+      FROM q t JOIN cent c ON c.pos = t.pos
+      WHERE t.half = 1
+      GROUP BY t.vec_id, t.label, c.cand_label),
+    pred AS (
+      SELECT true_label, cand_label AS pred_label
+      FROM (SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cand_label ASC) AS r
+            FROM scored)
+      WHERE r = 1)
+    SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM pred GROUP BY true_label, pred_label
+"""
+
+
+@query("sim_centroid_classify", _CENTROID_CLASSIFY_ORACLE)
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nearest-centroid (Rocchio) classification readout (operators/
+    # similarity.py::nearest_centroid_classify): train on even vec_ids,
+    # classify odd ones, report the confusion matrix.  The
+    # production-scale counterpart of sim_knn_classify: the model is a
+    # labels x dims table that broadcasts forever, so classification is
+    # one broadcast join + combinable agg + per-vector argmax -- no
+    # test x train pair relation, ever.  Integer centroids + exact int64
+    # dot/norm sums; the score is ONE IEEE div/sqrt from exact ints, so
+    # argmax (ties to smallest label) matches DuckDB bit-for-bit.
+    from kcl_akka_stream_spark.operators.similarity import (
+        nearest_centroid_classify,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    train = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    test = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    pred = nearest_centroid_classify(train, test)
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+
+
+def _bootstrap_oracle(b: int = 32) -> str:
+    from kcl_akka_stream_spark.operators.sampling import POISSON1_CDF_U32
+
+    t0, t1, t2, t3 = POISSON1_CDF_U32
+    u32 = (
+        "CAST(('0x' || substring(md5('boot|' || CAST(b AS VARCHAR) || '|' "
+        "|| CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    WITH reps AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, b,
+             CASE WHEN {u32} < {t0} THEN 0
+                  WHEN {u32} < {t1} THEN 1
+                  WHEN {u32} < {t2} THEN 2
+                  WHEN {u32} < {t3} THEN 3
+                  ELSE 4 END AS w
+      FROM events CROSS JOIN (SELECT unnest(range({b})) AS b)),
+    rep_means AS (
+      SELECT event_type, b,
+             (sum(w * cents) * 100) // greatest(sum(w), 1) AS mean_cc
+      FROM reps GROUP BY event_type, b),
+    ranked AS (
+      SELECT event_type, mean_cc,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_cc, b) AS r
+      FROM rep_means),
+    ci AS (
+      SELECT event_type,
+             max(CASE WHEN r = 2 THEN mean_cc END) AS ci_lo_cc,
+             max(CASE WHEN r = {b - 1} THEN mean_cc END) AS ci_hi_cc
+      FROM ranked GROUP BY event_type),
+    pt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100)
+               // count(*) AS mean_cc
+      FROM events GROUP BY event_type)
+    SELECT pt.event_type, pt.n_events,
+           CAST(pt.mean_cc AS BIGINT) AS mean_cc,
+           CAST(ci.ci_lo_cc AS BIGINT) AS ci_lo_cc,
+           CAST(ci.ci_hi_cc AS BIGINT) AS ci_hi_cc
+    FROM pt JOIN ci ON ci.event_type = pt.event_type
+    """
+
+
+@query("agg_bootstrap_ci", _bootstrap_oracle())
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic Poisson bootstrap (operators/sampling.py::
+    # poisson_bootstrap_weights, Chamandy 2012): 32 resample replicas of
+    # mean event value per type, each row's replica weight a truncated
+    # Poisson(1) drawn from seeded md5 -- no RNG state, no resample
+    # index, partitioning-independent, so a second engine reproduces
+    # every replicate EXACTLY.  The CI is the (2nd, 31st) of the 32
+    # ranked replicate means (~94% coverage), in integer centi-cents
+    # throughout (div -- no float drift).  Scale: map-only explode x32
+    # collapses into the (type, b) partial agg map-side; the rank window
+    # rides a types x 32 relation.  This is the eval-pipeline primitive:
+    # error bars on any corpus statistic in one pass.
+    from kcl_akka_stream_spark.operators.sampling import (
+        poisson_bootstrap_weights,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    reps = poisson_bootstrap_weights(ev, "event_id", b=32).withColumn(
+        "cents", cents
+    )
+    rep_means = reps.groupBy("event_type", "b").agg(
+        F.expr("sum(w * cents) * 100 div greatest(sum(w), 1)").alias("mean_cc")
+    )
+    w = Window.partitionBy("event_type").orderBy("mean_cc", "b")
+    ranked = rep_means.withColumn("r", F.row_number().over(w))
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("r") == 2, F.col("mean_cc"))).alias("ci_lo_cc"),
+        F.max(F.when(F.col("r") == 31, F.col("mean_cc"))).alias("ci_hi_cc"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr(
+            "sum(cast(floor(value * 100 + 0.5) as bigint)) * 100 div count(*)"
+        ).alias("mean_cc"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type",
+        "n_events",
+        F.col("mean_cc").cast("long").alias("mean_cc"),
+        F.col("ci_lo_cc").cast("long").alias("ci_lo_cc"),
+        F.col("ci_hi_cc").cast("long").alias("ci_hi_cc"),
+    )
