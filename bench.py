@@ -6,7 +6,10 @@ per-query breakdown ({name: steady_sec}, {name: cold_sec}, anti-pattern
 baseline timings, fixture byte fingerprints) goes to a stderr
 "# detail" line -- the stdout object is fixed-size scalars only, so the
 driver's bounded tail capture can never truncate it (rounds 5 and 6 both
-lost their official perf record to an oversized stdout line).
+lost their official perf record to an oversized stdout line).  The same
+detail record is also APPENDED as one JSON line to BENCH_DETAIL.jsonl
+next to this file (VERDICT r8 #5), so per-query history survives in-repo
+and round-over-round diffs never depend on re-runs.
 
 Two timing columns per query (VERDICT r4: a 48s->2.4s "win" and a
 0.8s->6.8s regression were both invisible to a single post-warmup
@@ -219,6 +222,20 @@ HEADLINE = [
     # round-8 wave 16: bounded Bellman-Ford, incremental LSH dedup
     "graph_weighted_paths",
     "dedup_minhash_incremental",
+    # round-8 wave 17: exact bitmap set algebra, SPC anomaly gate, regex
+    # surface, Rocchio classification, Poisson bootstrap CI
+    "agg_bitmap_set_ops",
+    "w_anomaly_trailing_zscore",
+    "scalar_regex_funcs",
+    "sim_centroid_classify",
+    "agg_bootstrap_ci",
+    # round-9 wave 18: weighted median, Pearson stats, DP counts, cosine
+    # range search, RAKE keywords
+    "agg_weighted_median",
+    "agg_pearson_corr",
+    "agg_dp_noised_counts",
+    "sim_range_search",
+    "text_rake_keywords",
     # streaming representative
     "stream_tumbling_agg",
 ]
@@ -318,6 +335,7 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    cal_end = _calibrate(spark, sf_dir)
     # Detail record (per-query steady + cold times, anti-pattern baseline
     # timings, fixture byte sizes) goes to stderr.  stdout carries ONLY
     # the tiny summary object (VERDICT r6 #1: rounds 5 AND 6 both came
@@ -340,7 +358,29 @@ def main() -> None:
         file=sys.stderr,
     )
     headline_cold = {k: v for k, v in cold.items() if k not in BASELINES}
-    cal_end = _calibrate(spark, sf_dir)
+    # Persist the full per-query detail IN-REPO (VERDICT r8 #5): the
+    # driver's 2 KB stdout tail capture truncates the 140+-query dict, so
+    # round-over-round per-query comparison previously required judge
+    # re-runs.  One JSON line appended per bench invocation -- the file is
+    # the durable per-query history; the stderr detail line stays for
+    # humans watching the run.
+    detail_record = {
+        "sf": float(sf) if sf else None,
+        "n_queries": len(per_query),
+        "total_steady_sec": total,
+        "cold_total_sec": round(sum(headline_cold.values()), 3),
+        "calibration_start_sec": cal_start,
+        "calibration_end_sec": cal_end,
+        "queries": per_query,
+        "cold": cold,
+        "baselines": baselines,
+        "data_bytes": data_bytes,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.jsonl"
+    )
+    with open(detail_path, "a") as fh:
+        fh.write(json.dumps(detail_record, sort_keys=True) + "\n")
     print(summary_line(per_query, headline_cold, sf, cal_start, cal_end))
 
 

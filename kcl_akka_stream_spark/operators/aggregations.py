@@ -10,7 +10,7 @@ executors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -174,6 +174,92 @@ def mad_outlier_report(
     )
 
 
+def weighted_median(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Exact weighted (lower) median per group via the histogram-CDF
+    decomposition (the winsorized-stats / MAD shape): ONE data-sized
+    (group, value) weight rollup, then the cumulative window rides the
+    DISTINCT-VALUE histogram -- never a data-sized per-group sort.  The
+    weighted median is the smallest value whose cumulative weight
+    reaches half the total (2*cw >= tw in pure int64 -- no division, no
+    float, exact cross-engine).
+
+    ``value_col`` and ``weight_col`` must be integral (cents / counts);
+    returns ``(group_col, total_w, wmedian)``.
+    """
+    hist = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+    cum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("g")
+    h = hist.withColumn("cw", F.sum("w").over(cum)).withColumn(
+        "tw", F.sum("w").over(tot)
+    )
+    return (
+        h.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("g")
+        .agg(
+            F.max("tw").cast("long").alias("total_w"),
+            F.min("v").cast("long").alias("wmedian"),
+        )
+        .withColumnRenamed("g", group_col)
+    )
+
+
+def pearson_stats(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact integer sufficient statistics for Pearson correlation and
+    the OLS slope: n, sx, sy, sxy, sx2, sy2 as plain int64 sums
+    (order-independent -- the power-sums discipline), with r derived as
+    ONE float expression from the exact integers and the slope in
+    integer micro-units.  ``x_col`` / ``y_col`` must be integral.
+
+    Scale shape: one combinable map-side agg; the output is
+    groups-sized.  The same six integers are the mergeable state for
+    streaming / incremental maintenance (plain addition).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * x).cast("long").alias("sx2"),
+        F.sum(y * y).cast("long").alias("sy2"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return agg.select(
+        group_col,
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sx2",
+        "sy2",
+        F.when(
+            (varx_n > 0) & (vary_n > 0),
+            F.round(
+                cov_n.cast("double")
+                / (
+                    F.sqrt(varx_n.cast("double"))
+                    * F.sqrt(vary_n.cast("double"))
+                ),
+                6,
+            ),
+        ).alias("corr_r"),
+        F.when(varx_n > 0, F.expr(
+            "(n * sxy - sx * sy) * 1000000 div (n * sx2 - sx * sx)"
+        )).cast("long").alias("beta_micro"),
+    )
+
+
 def merge_power_sums(states: DataFrame, group_col: str) -> DataFrame:
     """Merge per-batch power-sum states: plain addition per component --
     the closure property that makes the state streamable and
@@ -187,7 +273,10 @@ def merge_power_sums(states: DataFrame, group_col: str) -> DataFrame:
 
 
 def cooccurrence_pairs(
-    df: DataFrame, basket_col: str, item_col: str
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """Market-basket co-occurrence: support counts for unordered item
     pairs appearing in the same basket (frequent-itemset mining's k=2
@@ -197,14 +286,28 @@ def cooccurrence_pairs(
     Pair generation is basket-local -- a self equi-join on the basket
     key with ``item1 < item2`` -- so the blow-up is
     ``sum_b C(m_b, 2)``, governed by the BASKET-SIZE distribution, not
-    corpus size (fixture max basket = 11 distinct items).  At 100 TB the
-    knob is the same as the dedup df-cap: cap or drop pathological
-    baskets upstream before the join; the join itself shuffles on the
-    basket key and the support agg is map-side combinable.
+    corpus size (fixture max basket = 11 distinct items).
+
+    ``max_basket_size`` is the 100 TB knob (VERDICT r8 #4 -- the same
+    guard as ``minhash_candidate_pairs(max_bucket_size=)``): baskets
+    with MORE distinct items than the cap are dropped ENTIRELY before
+    the self-join, so one pathological basket (retailer catalog order,
+    bot cart) cannot contribute C(m, 2) pairs.  Whole-basket drop, not
+    truncation: a truncated basket would emit an arbitrary pair subset
+    and bias supports; a dropped one is an explicit, auditable exclusion
+    (capped == uncapped minus oversized baskets, pytest-pinned).  The
+    size count rides the same basket-keyed exchange as the join.
     """
     items = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
+    if max_basket_size is not None:
+        sz = Window.partitionBy("__b")
+        items = (
+            items.withColumn("__m", F.count(F.lit(1)).over(sz))
+            .filter(F.col("__m") <= max_basket_size)
+            .drop("__m")
+        )
     a = items.select("__b", F.col("__i").alias("item1"))
     b = items.select("__b", F.col("__i").alias("item2"))
     pairs = a.join(b, "__b").filter(F.col("item1") < F.col("item2"))

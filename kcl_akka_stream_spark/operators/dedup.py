@@ -17,7 +17,7 @@ reproduce every value bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kcl_akka_stream_spark.functions.hashing import md5_seeded
@@ -333,6 +333,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def _mirrored_edge_base(pairs: DataFrame) -> DataFrame:
+    """Checkpointed bidirectional edge base shared by both CC variants
+    (VERDICT r8 #6 -- the graph.py:28 ``_edge_base`` discipline): the
+    candidate-pair subtree (often a whole LSH pipeline) is materialized
+    ONCE via an eager localCheckpoint, and the reverse direction is a
+    cheap re-read of the checkpointed blocks -- previously the union's
+    two branches each recomputed the pair pipeline, and the plain
+    variant re-derived it in EVERY propagation round.  The distinct
+    rides the checkpointed relation (callers may feed non-normalized
+    pairs)."""
+    base = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()
+    return (
+        base.union(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _cc_run(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    step,
+    max_iterations: int,
+    op_name: str,
+) -> DataFrame:
+    """Shared CC driver: iterate ONLY over edge-touched nodes, then
+    attach singletons by construction (VERDICT r8 #6's real lever).  A
+    node with no candidate pair can never change label, so carrying the
+    whole corpus through every propagation round is pure waste: the
+    iteration state is EDGE-sized (dup-involved docs), not corpus-sized
+    -- at 100 TB with a few-percent dup rate that is orders of
+    magnitude, and at any scale it turns the per-round joins into
+    broadcast-sized work.  Singletons get ``cluster_id = id`` in one
+    map-only projection at the end."""
+    touched = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    labels = touched.select("id", F.col("id").alias("label"))
+    labels, _ = _cc_loop(lambda ls: step(edges, ls), labels, max_iterations, op_name)
+    out = nodes.select(F.col(id_col)).join(
+        labels.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -358,39 +409,35 @@ def connected_components(
     cluster ids in a dedup pipeline mean silently dropping the wrong
     documents downstream.
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
+    edges = _mirrored_edge_base(pairs)
+    return _cc_run(
+        edges, nodes, id_col, _cc_step_plain, max_iterations,
+        "connected_components",
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
 
-    def step(labels):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        return new_labels, changed
 
-    labels, changed = _cc_loop(step, labels, max_iterations, "connected_components")
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+def _cc_step_plain(edges, labels):
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.id)
+        .groupBy("src")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    staged = (
+        labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+        .select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "label"
+            ),
+            (F.col("label")).alias("__old"),
+        )
+        .localCheckpoint()
+    )
+    # convergence witness without a self-join: the old label rode the
+    # projection into the checkpoint, so counting movers is a map-only
+    # scan of the materialized blocks
+    changed = staged.filter(F.col("label") != F.col("__old")).count()
+    return staged.drop("__old"), changed
 
 
 def _cc_loop(step, labels, max_iterations: int, op_name: str):
@@ -435,54 +482,48 @@ def connected_components_fast(
     produces, the plain operator is cheaper -- use this one when
     components can be deep (reply chains, co-citation paths, web graphs).
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    edges = _mirrored_edge_base(pairs)
+    return _cc_run(
+        edges, nodes, id_col, _cc_step_jump, max_iterations,
+        "connected_components_fast",
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
 
-    def step(labels):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        hopped = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
+
+def _cc_step_jump(edges, labels):
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.id)
+        .groupBy("src")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    hopped = labels.join(
+        neighbor_min, labels.id == neighbor_min.src, "left"
+    ).select(
+        "id",
+        F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        ).alias("label"),
+        F.col("label").alias("__old"),
+    )
+    # pointer jump: follow the label's own label (labels only ever
+    # DECREASE toward the component min, so L(L(u)) <= L(u) and the
+    # jump is always safe)
+    parent = hopped.select(
+        F.col("id").alias("p_id"), F.col("label").alias("p_label")
+    )
+    staged = (
+        hopped.join(parent, hopped.label == parent.p_id, "left")
+        .select(
             "id",
             F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
             ).alias("label"),
+            F.col("__old"),
         )
-        # pointer jump: follow the label's own label (labels only ever
-        # DECREASE toward the component min, so L(L(u)) <= L(u) and the
-        # jump is always safe)
-        parent = hopped.select(
-            F.col("id").alias("p_id"), F.col("label").alias("p_label")
-        )
-        new_labels = (
-            hopped.join(parent, hopped.label == parent.p_id, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        return new_labels, changed
-
-    labels, _ = _cc_loop(step, labels, max_iterations, "connected_components_fast")
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    # map-only convergence count over the checkpointed blocks (no join)
+    changed = staged.filter(F.col("label") != F.col("__old")).count()
+    return staged.drop("__old"), changed
 
 
 def simhash_near_dup_pairs(
@@ -793,7 +834,10 @@ def bloom_prune_known(
 
 
 def minhash_incremental_pairs(
-    buckets: DataFrame, new_col: str = "is_new", id_col: str = "doc_id"
+    buckets: DataFrame,
+    new_col: str = "is_new",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental LSH candidate generation: given banded buckets where
     each row carries an ``is_new`` flag (this batch vs the standing
@@ -805,10 +849,28 @@ def minhash_incremental_pairs(
     as a daily delta job over a 100 TB corpus (the minhash twin of
     ``bloom_prune_known``'s exact-dup increment).
 
+    ``max_bucket_size`` is the hot-bucket guard on the PROBE join
+    (VERDICT r8 #7 -- the batch path's ``minhash_candidate_pairs`` cap
+    applied to the incremental shape): a (band, bucket) whose TOTAL
+    membership (store + batch) exceeds the cap is boilerplate-driven
+    and its per-batch fan-out is |new-in-bucket| x |bucket|, so the
+    bucket is dropped whole before the join.  Same loss contract as the
+    batch cap: near-identical docs collide in every band, so only
+    pairs whose EVERY shared band is oversized are lost.  The
+    membership count rides the same (band, bucket) exchange the probe
+    join needs.
+
     Scale shape: the new side of the (band, bucket) join is
     batch-sized; the store side is the bucket index the batch probes.
     Pairs normalize to (id_a < id_b) and dedup map-side.
     """
+    if max_bucket_size is not None:
+        sz = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(sz))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     new_b = buckets.filter(F.col(new_col)).select(
         "band", "bucket", F.col(id_col).alias("__n")
     )

@@ -18,6 +18,8 @@ rounding is involved anywhere.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -112,7 +114,17 @@ def rendezvous_shard(id_sql: str, n_shards: int, salt: str) -> Column:
 
     ``id_sql`` is a SQL expression producing a string id (cast numerics
     first).  Returns the winning shard id as a long Column.
+
+    ``salt`` and ``n_shards`` are interpolated into a SQL string, so they
+    are validated here (ADVICE r8): a quote/backslash in the salt would
+    otherwise produce a malformed -- or injectable -- expression.
     """
+    if not re.fullmatch(r"[A-Za-z0-9_.|-]+", salt):
+        raise ValueError(
+            f"rendezvous_shard salt must match [A-Za-z0-9_.|-]+, got {salt!r}"
+        )
+    if not isinstance(n_shards, int) or n_shards < 1:
+        raise ValueError(f"n_shards must be a positive int, got {n_shards!r}")
     lst = (
         f"transform(sequence(0, {n_shards - 1}), s -> "
         f"concat(md5(concat('{salt}|', cast(s as string), '|', {id_sql})), "

@@ -196,6 +196,19 @@ def hash_bottom_k(
     at-least-once delivery is absorbed for free (the same algebra KMV
     exploits for distinct-counting; here the sampled ROWS survive).
 
+    Idempotence is enforced INSIDE the operator (ADVICE r8): duplicate
+    ``(stratum, *part_cols, id)`` rows are collapsed before the bottom-k
+    rank, so a replayed copy cannot occupy a second slot and evict a
+    distinct id during a state merge.  The dedup costs NO extra
+    exchange: within the window's own (parts, order-by-key) sort,
+    duplicate ids are ADJACENT (equal id => equal hash key), so a
+    ``lag(id)`` comparison on the same window spec drops them before the
+    ``row_number`` rank -- both window operators ride ONE exchange/sort.
+    Replayed rows are exact copies by definition; if callers feed
+    genuinely different payloads under one id, the id is the identity
+    and one payload survives (pre-aggregate upstream if payloads must be
+    reconciled).
+
     With ``part_cols`` the selection runs per (stratum, part) -- the
     fold step; a second call without ``part_cols`` finishes the merge on
     the k*parts-sized survivor set.
@@ -207,10 +220,13 @@ def hash_bottom_k(
     key = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
     parts = [stratum_col] + list(part_cols or [])
     w = Window.partitionBy(*parts).orderBy(key, F.col(id_col))
+    dup = F.lag(F.col(id_col)).over(w) == F.col(id_col)
     return (
-        df.withColumn("__rk", F.row_number().over(w))
+        df.withColumn("__dup", F.coalesce(dup, F.lit(False)))
+        .filter(~F.col("__dup"))
+        .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
-        .drop("__rk")
+        .drop("__dup", "__rk")
     )
 
 
@@ -219,6 +235,59 @@ def hash_bottom_k(
 #: (math.floor(cdf * 2**32) for j = 0..3; weights cap at 4, which covers
 #: 99.63% of the mass -- documented truncation, identical in the oracle).
 POISSON1_CDF_U32 = (1580030168, 3160060337, 3950075421, 4213413783)
+
+#: P(Geometric(p = 1 - e^-0.5) <= j) scaled to 2^32 for j = 0..7 (frozen:
+#: math.floor((1 - alpha**(j+1)) * 2**32), alpha = exp(-0.5)); draws cap
+#: at 8 -- documented truncation covering 98.9% of the mass per side.
+#: Two such draws differenced give the DISCRETE LAPLACE (two-sided
+#: geometric) noise of the eps = 0.5 geometric mechanism.
+GEOM_HALF_CDF_U32 = (
+    1689937948,
+    2714937127,
+    3336630555,
+    3713706680,
+    3942414911,
+    4081133465,
+    4165270521,
+    4216302225,
+)
+
+
+def _geometric_draw(u32: Column) -> Column:
+    """Truncated Geometric(1 - e^-0.5) draw from a uniform u32 via the
+    frozen integer CDF -- pure int comparisons, exact cross-engine."""
+    out = F.lit(8)
+    for j in reversed(range(8)):
+        out = F.when(u32 < F.lit(GEOM_HALF_CDF_U32[j]), F.lit(j)).otherwise(out)
+    return out
+
+
+def dp_noised_counts(
+    df: DataFrame, group_col: str, seed: str = "dp"
+) -> DataFrame:
+    """Differentially-private group counts via the DETERMINISTIC geometric
+    mechanism (Ghosh, Roughgarden & Sundararajan 2009, public): noise =
+    G1 - G2 where each G is a truncated Geometric(1 - e^-eps) draw, eps =
+    0.5 -- the discrete analogue of Laplace noise, integer end-to-end.
+    The draws come from seeded md5 of the group key (two independent
+    8-hex slices of one digest), so a second engine reproduces the noise
+    EXACTLY -- reproducible-DP for pipeline testing; production rotates
+    the seed per release, which is the privacy/ reproducibility trade
+    documented here rather than hidden.
+
+    Output: ``(group_col, n_noised)`` -- the true count never leaves the
+    operator.  Scale shape: ONE combinable count agg; the noise attaches
+    map-side to the groups-sized relation.
+    """
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    digest = F.md5(F.concat(F.lit(f"{seed}|"), F.col(group_col).cast("string")))
+    u_a = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    u_b = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    noise = _geometric_draw(u_a) - _geometric_draw(u_b)
+    return cnt.select(
+        group_col,
+        F.greatest(F.col("__n") + noise, F.lit(0)).cast("long").alias("n_noised"),
+    )
 
 
 def poisson_bootstrap_weights(

@@ -1214,3 +1214,37 @@ def nearest_centroid_classify(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine RANGE search (radius query): every corpus vector
+    whose cosine with a query meets the threshold -- the retrieval
+    primitive behind near-duplicate audits and recall-oriented RAG
+    filters, where top-k's fixed k either truncates dense neighborhoods
+    or pads sparse ones.
+
+    Same scale shape as ``brute_force_topk``: the bounded query set is
+    broadcast, each corpus partition scores map-side, and the threshold
+    filter replaces the rank window -- so there is NO shuffle at all on
+    the corpus side (output is filter-sized).  The cosine is rounded to
+    6 dp BEFORE the comparison (the registry float convention), so the
+    boundary set is identical cross-engine.  For corpus x corpus radius
+    search at 100 TB, block with sign-LSH first (``emb_near_dup_lsh``'s
+    machinery) and verify with this exact score.
+    """
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = spread(corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")))
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+        "q_id",
+        "n_id",
+        F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= F.lit(threshold))

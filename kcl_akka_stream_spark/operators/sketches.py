@@ -365,6 +365,9 @@ def bitmap_set_ops(a_state: DataFrame, b_state: DataFrame) -> DataFrame:
 
     Returns one row: ``n_a, n_b, n_and, n_or, n_a_only, n_b_only``
     (exact longs) and ``jaccard_ppm`` (integer parts-per-million).
+    Empty inputs: all counts come back 0 (not NULL -- the sums are
+    coalesced so two empty states produce an all-zero row) and
+    ``jaccard_ppm`` is NULL (0/0 has no defined Jaccard).
     """
     a = a_state.select("wrd", F.col("bits").alias("ba"))
     b = b_state.select("wrd", F.col("bits").alias("bb"))
@@ -373,10 +376,14 @@ def bitmap_set_ops(a_state: DataFrame, b_state: DataFrame) -> DataFrame:
         F.coalesce("bb", F.lit(0)).alias("bb"),
     )
     agg = j.agg(
-        F.sum(F.bit_count("ba")).cast("long").alias("n_a"),
-        F.sum(F.bit_count("bb")).cast("long").alias("n_b"),
-        F.sum(F.bit_count(F.expr("ba & bb"))).cast("long").alias("n_and"),
-        F.sum(F.bit_count(F.expr("ba | bb"))).cast("long").alias("n_or"),
+        F.coalesce(F.sum(F.bit_count("ba")), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(F.bit_count("bb")), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.bit_count(F.expr("ba & bb"))), F.lit(0))
+        .cast("long")
+        .alias("n_and"),
+        F.coalesce(F.sum(F.bit_count(F.expr("ba | bb"))), F.lit(0))
+        .cast("long")
+        .alias("n_or"),
     )
     return agg.select(
         "n_a",
@@ -385,5 +392,9 @@ def bitmap_set_ops(a_state: DataFrame, b_state: DataFrame) -> DataFrame:
         "n_or",
         (F.col("n_a") - F.col("n_and")).cast("long").alias("n_a_only"),
         (F.col("n_b") - F.col("n_and")).cast("long").alias("n_b_only"),
-        F.expr("n_and * 1000000 div n_or").cast("long").alias("jaccard_ppm"),
+        F.when(
+            F.col("n_or") > 0, F.expr("n_and * 1000000 div n_or")
+        )
+        .cast("long")
+        .alias("jaccard_ppm"),
     )

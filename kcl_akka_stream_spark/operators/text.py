@@ -405,3 +405,90 @@ def hashing_vectorize(
     return toks.select(F.col(id_col), bucket.alias("bucket")).groupBy(
         id_col, "bucket"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+
+
+#: RAKE stopword boundary set (frozen; Rose et al. 2010, public).  Kept
+#: small and alphabetic-only so the boundary regex behaves identically
+#: in Java (Spark) and RE2 (DuckDB) dialects.
+RAKE_STOPWORDS = (
+    "the of and to in is a for on with as by an be at from that this "
+    "are it or was were which has have had not but their its"
+).split()
+
+#: Word-boundary alternation of the stopwords -- both engines support \b.
+RAKE_STOP_RE = r"\b(" + "|".join(RAKE_STOPWORDS) + r")\b"
+
+
+def rake_phrases(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 max_words: int = 3) -> DataFrame:
+    """Candidate phrases for RAKE keyword extraction (Rose et al. 2010,
+    public): lowercase, break the text at stopwords AND at any
+    non-letter run, keep the contiguous content-word runs of 1..max_words
+    words.  Output: one row per phrase OCCURRENCE with ``phrase`` (the
+    space-joined normal form) and ``words`` (its word array).
+
+    Scale shape: map-only -- two regexp passes + a split + an explode per
+    document; no vocabulary, no broadcast, nothing keyed until the caller
+    aggregates.
+    """
+    segs = F.split(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), RAKE_STOP_RE, "|"),
+            "[^a-z|]+",
+            " ",
+        ),
+        r"\|",
+    )
+    ex = df.select(F.col(id_col), F.explode(segs).alias("seg"))
+    words = F.regexp_extract_all(F.col("seg"), F.lit("[a-z]+"), 0)
+    return (
+        ex.select(F.col(id_col), words.alias("words"))
+        .filter((F.size("words") >= 1) & (F.size("words") <= max_words))
+        .withColumn("phrase", F.array_join("words", " "))
+    )
+
+
+def rake_keywords(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    top_k: int = 20, max_words: int = 3,
+) -> DataFrame:
+    """RAKE keyword scores: each content word scores degree/frequency
+    (degree = sum of the lengths of the phrases it appears in, frequency
+    = its occurrence count), a phrase scores the sum of its words'
+    scores, and the report is the corpus top-k phrases.  Scores ride in
+    integer micro-units (``deg * 1e6 div freq`` per word, summed) so both
+    engines rank identically with zero float drift.
+
+    Scale shape: phrase generation is map-only; word stats are ONE
+    combinable (word) agg; phrase stats are ONE combinable (phrase) agg;
+    the scoring join explodes the DISTINCT-phrase relation (vocab-sized)
+    against the word-score relation on the word key; top-k is
+    TakeOrdered.  No quadratic anywhere -- cost tracks token volume.
+    """
+    occ = rake_phrases(df, text_col, id_col, max_words)
+    wstat = (
+        occ.select(F.size("words").alias("plen"), F.explode("words").alias("w"))
+        .groupBy("w")
+        .agg(
+            F.sum("plen").cast("long").alias("deg"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+        )
+        .withColumn("wscore_micro", F.expr("deg * 1000000 div freq"))
+    )
+    pstat = occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    pwords = pstat.select(
+        "phrase",
+        "n_occurrences",
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    scored = (
+        pwords.join(wstat.select("w", "wscore_micro"), "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("wscore_micro").cast("long").alias("score_micro"))
+    )
+    return (
+        scored.orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(top_k)
+    )

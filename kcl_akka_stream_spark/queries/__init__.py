@@ -22,66 +22,18 @@ from kcl_akka_stream_spark.queries import streaming_q  # noqa: E402,F401
 #: Samplers that take the first N registry entries (the driver's
 #: correctness gate records 50) must see a REPRESENTATIVE slice, not just
 #: whichever module imported first.  The sample ROTATES each round
-#: (VERDICT r5 #2, r6 #2, r7 #3): after round 7, exactly 18 of the 201
-#: registry names had never appeared in a driver CORRECTNESS sample --
-#: the 11 round-7 additions plus 7 older entries that sat past the 50-row
-#: cutoff (set difference over CORRECTNESS_r01..r07).  Round 8
-#: front-loads all 18 after the flagship, then round-8 NEW queries (so
-#: they are driver-verified the round they land), then rotation fill from
-#: the longest-unsampled previously-green names.
+#: (VERDICT r5 #2, r6 #2, r7 #3, r8 #1): after round 8, exactly 42 of the
+#: 274 registry names had never appeared in a driver CORRECTNESS sample
+#: (set difference over CORRECTNESS_r01..r08) -- the late wave-8..17
+#: additions that outran the 50-row window.  Round 9 closes the debt
+#: completely: flagship + all 42 never-sampled + 7 rotation fill from the
+#: longest-unsampled previously-green names (last sampled in r2) = exactly
+#: 50.  New round-9 queries append AFTER this block (they rotate into the
+#: sample next round; each is judge-gated via tools/check_correctness.py
+#: the session it lands).
 _PRIORITY = [
     "q1_pricing_summary",
-    # -- the final 18 never driver-sampled in CORRECTNESS_r01..r07 --
-    "pipeline_bloom_dedup",
-    "stream_bloom_dedup",
-    "sink_orc_roundtrip",
-    "w_ewma_time_decay",
-    "text_bigram_logprob",
-    "agg_kmv_set_ops",
-    "stream_kmv_set_ops",
-    "graph_triangle_count",
-    "graph_clustering_coeff",
-    "graph_ppr_topk",
-    "sim_ivf_recall_report",
-    "arrow_lang_stats",
-    "sink_pyds_manifest_roundtrip",
-    "stream_chained_window_agg",
-    "stream_pyds_pipeline_manifest",
-    "stream_python_datasource",
-    "stream_session_dynamic_gap",
-    "udaf_grouped_median",
-    # -- new in round 8 (driver-verified the round they land) --
-    "dedup_minhash_calibration",
-    "pipeline_rollup_incremental",
-    "pipeline_dataset_card",
-    "w_cumulative_distinct",
-    "agg_winsorized_stats",
-    "j_interval_overlap",
-    "emb_pq_assign",
-    "sim_topk_pq_adc",
-    "agg_approx_distinct_report",
-    "stream_rollup_incremental",
-    "sim_topk_ivf_pq",
-    "pipeline_scd2_history",
-    "agg_power_sums",
-    "stream_moments_merge",
-    "graph_degree_stats",
-    "w_top_paths",
-    "scalar_url_funcs",
-    "multimodal_phash_pairs",
-    "j_scd2_point_in_time",
-    "text_hashing_vectorizer",
-    "dedup_url_canonical",
-    "sim_topk_ivf_pq_prebuilt",
-    "pipeline_scd2_incremental",
-    "stream_scd2_merge",
-    "agg_mode_exact",
-    "w_inter_event_gap_stats",
-    "pipeline_mixture_weights",
-    "agg_entropy_report",
-    "w_retention_cohorts",
-    "agg_gini_report",
-    "text_novelty_report",
+    # -- the 42 never driver-sampled in CORRECTNESS_r01..r08 --
     "pipeline_curriculum_order",
     "agg_mad_outliers",
     "graph_link_prediction",
@@ -119,38 +71,25 @@ _PRIORITY = [
     "agg_markov_transitions",
     "graph_weighted_paths",
     "dedup_minhash_incremental",
-    # -- rotation fill: longest-unsampled previously-green names --
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q12_priority_shipping",
-    "q18_large_volume_customers",
-    "j_orders_customer",
-    "j_broadcast_star",
-    "j_semi",
-    "j_anti",
-    "j_full_outer",
-    "j_asof",
-    "j_range_bucket",
-    "j_salted_skew",
-    "j_null_safe",
-    "j_null_skew_bypass",
-    "agg_group_by_key",
-    "agg_dedup_group_by_key",
-    "agg_counts",
-    "agg_shard_stats",
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_pivot_event_types",
-    "w1_shard_order",
-    "w_global_topn",
-    "w_rank_funcs",
-    "w_sessionize",
-    "w_funnel_conversion",
-    "w_gap_fill_hourly",
+    "agg_bitmap_set_ops",
+    "w_anomaly_trailing_zscore",
+    "scalar_regex_funcs",
+    "sim_centroid_classify",
+    "agg_bootstrap_ci",
+    # -- rotation fill: longest-unsampled previously-green (last seen r2) --
     "checkpoint_frontier",
     "remove_reprocessed",
-    "u_union_merge",
+    "envelope_decode",
+    "envelope_normalize",
+    "envelope_seq_order",
+    "dedup_minhash_lsh",
+    "text_token_count",
+    # -- new in round 9 (rotate into the r10 sample) --
+    "agg_weighted_median",
+    "agg_pearson_corr",
+    "agg_dp_noised_counts",
+    "sim_range_search",
+    "text_rake_keywords",
 ]
 
 

@@ -3828,9 +3828,12 @@ def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dimension attaches by broadcast; pair generation is basket-local
     # (self equi-join on the order key, item1 < item2), so the blow-up is
     # sum over baskets of C(m,2) -- governed by basket size (fixture max
-    # 11), never corpus size (operators/aggregations.py::
-    # cooccurrence_pairs documents the heavy-basket cap knob).  Top-40 is
-    # TakeOrderedAndProject with full tiebreak.
+    # 11), never corpus size.  The 100 TB guard is the max_basket_size
+    # argument (VERDICT r8 #4): one hot basket cannot contribute C(m,2)
+    # pairs.  64 drops nothing at any fixture SF (max basket 11), so the
+    # uncapped oracle still matches bit-for-bit; production sets it to
+    # its basket-size p99.9.  Top-40 is TakeOrderedAndProject with full
+    # tiebreak.
     from kcl_akka_stream_spark.operators.aggregations import (
         cooccurrence_pairs,
     )
@@ -3840,7 +3843,9 @@ def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.join(
         F.broadcast(part), li.l_partkey == part.p_partkey
     ).select("l_orderkey", "p_brand")
-    pairs = cooccurrence_pairs(baskets, "l_orderkey", "p_brand")
+    pairs = cooccurrence_pairs(
+        baskets, "l_orderkey", "p_brand", max_basket_size=64
+    )
     return (
         pairs.select(
             F.col("item1").alias("brand1"),
@@ -4243,3 +4248,138 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 18 (round 9): exact weighted median, Pearson sufficient statistics,
+# deterministic DP-noised counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_median",
+    """
+    WITH hist AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             sum(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY l_returnflag,
+                             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)),
+    c AS (
+      SELECT g, v, w,
+             sum(w) OVER (PARTITION BY g ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY g) AS tw
+      FROM hist)
+    SELECT g AS l_returnflag,
+           CAST(max(tw) AS BIGINT) AS total_w,
+           CAST(min(v) AS BIGINT) AS wmedian
+    FROM c WHERE 2 * cw >= tw GROUP BY g
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact QUANTITY-weighted median price per return flag (operators/
+    # aggregations.py::weighted_median): the robust price-level statistic a
+    # mixture-reweighting pipeline needs (weighted quantiles decide where
+    # token budgets land).  Histogram-CDF decomposition: ONE data-sized
+    # (group, value) weight rollup; the cumulative window rides the
+    # distinct-value histogram; the pick is pure int64 (2*cw >= tw), no
+    # division -- exact cross-engine.
+    from kcl_akka_stream_spark.operators.aggregations import weighted_median
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _cents(F.col("l_extendedprice")).alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_median(li, "l_returnflag", "price_cents", "qty")
+
+
+@query(
+    "agg_pearson_corr",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+             CAST(extract(hour FROM ts) AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sx2,
+             CAST(sum(y * y) AS BIGINT) AS sy2
+      FROM b GROUP BY event_type)
+    SELECT event_type, n, sx, sy, sxy, sx2, sy2,
+           CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6)
+           END AS corr_r,
+           CASE WHEN n * sx2 - sx * sx > 0
+                THEN CAST((n * sxy - sx * sy) * 1000000
+                          // (n * sx2 - sx * sx) AS BIGINT)
+           END AS beta_micro
+    FROM s
+    """,
+)
+def agg_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson correlation + OLS slope between event value (cents) and
+    # hour-of-day, per event type, from EXACT integer sufficient
+    # statistics (operators/aggregations.py::pearson_stats) -- the
+    # quality-calibration primitive (does a curation signal correlate
+    # with an outcome?).  n/sx/sy/sxy/sx2/sy2 are plain int64 sums
+    # (order-independent, mergeable -- the power-sums discipline); r is
+    # ONE float expression from those identical integers rounded 6 dp;
+    # the slope stays integer (micro-units, div).  One combinable agg.
+    from kcl_akka_stream_spark.operators.aggregations import pearson_stats
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        _cents(F.col("value")).alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    return pearson_stats(ev, "event_type", "x", "y")
+
+
+def _dp_noised_oracle() -> str:
+    from kcl_akka_stream_spark.operators.sampling import GEOM_HALF_CDF_U32
+
+    def draw(u: str) -> str:
+        expr = "8"
+        for j in reversed(range(8)):
+            expr = f"CASE WHEN {u} < {GEOM_HALF_CDF_U32[j]} THEN {j} ELSE {expr} END"
+        return expr
+
+    ua = (
+        "CAST(('0x' || substring(md5('dp|' || event_type), 1, 8)) AS BIGINT)"
+    )
+    ub = (
+        "CAST(('0x' || substring(md5('dp|' || event_type), 9, 8)) AS BIGINT)"
+    )
+    return f"""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type)
+    SELECT event_type,
+           CAST(greatest(n + ({draw(ua)}) - ({draw(ub)}), 0) AS BIGINT)
+             AS n_noised
+    FROM c
+    """
+
+
+@query("agg_dp_noised_counts", _dp_noised_oracle())
+def agg_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Differentially-private event-type counts via the DETERMINISTIC
+    # geometric mechanism (operators/sampling.py::dp_noised_counts; Ghosh
+    # et al. 2009): discrete-Laplace noise = difference of two truncated
+    # Geometric(1 - e^-0.5) draws, each classified from a seeded-md5
+    # uniform by the frozen integer CDF (the POISSON1_CDF_U32
+    # discipline) -- both engines derive the SAME noise, so the privacy
+    # mechanism itself is hash-testable.  One combinable count agg;
+    # noise attaches map-side to the groups-sized relation; the true
+    # count never leaves the operator.
+    from kcl_akka_stream_spark.operators.sampling import dp_noised_counts
+
+    ev = tbl(spark, sf_dir, "events").select("event_type")
+    return dp_noised_counts(ev, "event_type", seed="dp")

@@ -6023,3 +6023,81 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ci_lo_cc").cast("long").alias("ci_lo_cc"),
         F.col("ci_hi_cc").cast("long").alias("ci_hi_cc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 18 (round 9): cosine range search + RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_range_search",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec
+               FROM embeddings)
+    SELECT q_id, n_id,
+           round({_COS.format(a="q_vec", b="n_vec")}, 6) AS cos_sim
+    FROM c, q
+    WHERE q_id <> n_id
+      AND round({_COS.format(a="q_vec", b="n_vec")}, 6) >= 0.2
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact cosine RANGE search (operators/similarity.py::range_search):
+    # every neighbor within the radius, not a fixed k -- the audit /
+    # recall-filter retrieval mode (dense neighborhoods keep all members,
+    # sparse ones return none, where top-k would truncate or pad).  Same
+    # broadcast-queries shape as sim_topk_bruteforce with the rank window
+    # replaced by a map-side threshold filter: ZERO corpus-side shuffles.
+    # The cosine rounds to 6 dp BEFORE the comparison, so the boundary
+    # set is identical cross-engine.
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.range_search(emb, queries_df, threshold=0.2)
+
+
+def _rake_oracle(top_k: int = 20) -> str:
+    from kcl_akka_stream_spark.operators.text import RAKE_STOP_RE
+
+    return f"""
+    WITH segs AS (
+      SELECT unnest(string_split(
+               regexp_replace(regexp_replace(lower(text),
+                 '{RAKE_STOP_RE}', '|', 'g'), '[^a-z|]+', ' ', 'g'),
+               '|')) AS seg
+      FROM documents),
+    occ AS (
+      SELECT regexp_extract_all(seg, '[a-z]+') AS words FROM segs
+      WHERE len(regexp_extract_all(seg, '[a-z]+')) BETWEEN 1 AND 3),
+    wst AS (
+      SELECT w, sum(plen) * 1000000 // count(*) AS wscore_micro
+      FROM (SELECT len(words) AS plen, unnest(words) AS w FROM occ)
+      GROUP BY w),
+    pst AS (
+      SELECT array_to_string(words, ' ') AS phrase, count(*) AS n_occurrences
+      FROM occ GROUP BY array_to_string(words, ' ')),
+    pw AS (SELECT phrase, n_occurrences,
+                  unnest(string_split(phrase, ' ')) AS w
+           FROM pst),
+    sc AS (SELECT phrase, n_occurrences, sum(wscore_micro) AS score_micro
+           FROM pw JOIN wst USING (w) GROUP BY phrase, n_occurrences)
+    SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(score_micro AS BIGINT) AS score_micro
+    FROM sc ORDER BY score_micro DESC, phrase LIMIT {top_k}
+    """
+
+
+@query("text_rake_keywords", _rake_oracle())
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RAKE keyword extraction (operators/text.py::rake_keywords; Rose et
+    # al. 2010, public): stopword/punctuation boundaries carve content-
+    # word runs into candidate phrases; words score degree/frequency in
+    # integer micro-units; a phrase scores the sum of its words.  The
+    # vocabulary-free complement of pipeline_tfidf_topk (no IDF table to
+    # build or broadcast).  Map-only phrase generation, ONE combinable
+    # word agg + ONE combinable phrase agg, scoring join on the
+    # vocab-sized distinct-phrase relation, TakeOrdered top-20.
+    docs = tbl(spark, sf_dir, "documents")
+    return X.rake_keywords(docs, top_k=20)

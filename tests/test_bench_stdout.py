@@ -102,9 +102,10 @@ def test_priority_rotation_names_all_registered():
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     # and the rotation really front-loads: the first 50 sampled entries
-    # must include ALL 18 never-driver-sampled names (VERDICT r7 #3's
-    # acceptance bar -- closes the registry-evidence gap for good)
+    # must include ALL 42 never-driver-sampled names from r1..r8 (VERDICT
+    # r8 #1's acceptance bar -- closes the rotation debt for good: 1
+    # flagship + 42 never-sampled + 7 rotation fill == exactly 50)
     first50 = set(list(QUERIES)[:50])
-    never_sampled = set(_PRIORITY[1:19])
-    assert len(never_sampled) == 18
+    never_sampled = set(_PRIORITY[1:43])
+    assert len(never_sampled) == 42
     assert never_sampled <= first50, sorted(never_sampled - first50)

@@ -187,7 +187,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "graph_link_prediction": 6,  # checkpointed edges; wedge join pair + pair count + degree agg; degree/edge sides broadcast
         "graph_label_propagation": 1,  # labels checkpointed node-sized; plan is decode + community agg (iteration shuffles ran once inside)
         "pipeline_perplexity_buckets": 5,  # bigram budget (4) + one lang-keyed bucket window
-        "pipeline_dedup_keep_best": 1,  # clusters checkpointed node-sized; one cluster-keyed window
+        "pipeline_dedup_keep_best": 3,  # CC iteration state is now EDGE-sized (r9: singletons never ride the rounds); the price is the final singleton-attach left join (docs x edge-touched labels -- AQE broadcasts the tiny side at runtime) + the cluster-keyed keeper window
         "pipeline_shard_rendezvous": 1,  # map-only HRW argmax + one shard-sized agg
         # round-8 wave 9
         "agg_bitmap_distinct": 2,  # one (type,word) combinable OR agg + popcount rollup riding it
@@ -207,7 +207,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "sample_reservoir_merge": 2,  # fold window on (type,part) + merge/rank windows sharing the type exchange
         "w_time_weighted_avg": 1,  # lead() window AND final agg ride ONE user exchange
         "j_asof_nearest": 2,  # right pre-agg + ONE union exchange/sort feeding BOTH direction frames
-        "agg_itemset_pairs": 3,  # basket distinct + basket-key self-join + combinable support agg (broadcast dim free)
+        "agg_itemset_pairs": 5,  # basket distinct + basket-size cap window (ONE extra data-sized shuffle -- the 100 TB guard, VERDICT r8 #4) + combinable support agg; the broadcast self-join duplicates the shared distinct+window subtree in plan text, so both appear twice
         "pipeline_embedding_drift": 3,  # dim-explode combinable agg + (label,pos) drift join + label agg
         "pipeline_padding_efficiency": 1,  # map-only tokenize + one combinable bucket agg
         # round-8 wave 14
@@ -223,10 +223,44 @@ def test_shuffle_budgets(spark, sf_dir):
         # round-8 wave 16
         "graph_weighted_paths": 0,  # per-round distances checkpointed node-sized; plan is the last checkpoint readback (bfs discipline)
         "dedup_minhash_incremental": 5,  # signature agg + band explode + (band,bucket) probe join + pair distinct
+        # round-8 wave 17 (evidence pack: VERDICT r8 #2)
+        "agg_bitmap_set_ops": 3,  # two combinable word-OR aggs + word-keyed full-outer join; popcount rollup is single-row
+        "w_anomaly_trailing_zscore": 2,  # daily combinable rollup + ONE event_type window carrying all three trailing frames
+        "scalar_regex_funcs": 0,  # map-only whole-stage-codegen regex ops
+        "sim_centroid_classify": 4,  # centroid (label,pos) agg + broadcast model join + per-vector agg + argmax window + confusion rollup
+        "agg_bootstrap_ci": 3,  # (type,b) replicate agg (map-side combine absorbs the x32 explode) + rank window + point-estimate agg; join on type rides
+        # round-9 wave 18
+        "agg_weighted_median": 2,  # ONE data-sized (group,value) weight rollup + CDF window/pick riding the distinct-value histogram
+        "agg_pearson_corr": 1,  # one combinable integer-moments agg; r/beta derive map-side on the groups-sized relation
+        "agg_dp_noised_counts": 1,  # one combinable count agg; seeded noise attaches map-side
+        "sim_range_search": 1,  # spread only -- broadcast queries + map-side threshold filter, NO rank window
+        "text_rake_keywords": 2,  # combinable word agg + combinable phrase agg; scoring join rides the vocab-sized relations; top-k TakeOrdered
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
         assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+
+
+def test_explain_audit_covers_headline():
+    # VERDICT r8 #3: EXPLAIN.md went stale twice (19 unaudited entries in
+    # r8).  Pin SET EQUALITY between the audited names and bench.py's
+    # HEADLINE so adding a headline query without regenerating the audit
+    # (tools/explain_audit.py) fails CI.
+    import os
+    import re
+
+    from bench import HEADLINE
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "EXPLAIN.md")
+    audited = set()
+    for line in open(path):
+        m = re.match(r"^([a-z0-9_]+)\s+(exchanges=|\(streaming)", line)
+        if m:
+            audited.add(m.group(1))
+    assert audited == set(HEADLINE), (
+        f"missing from EXPLAIN.md: {sorted(set(HEADLINE) - audited)}; "
+        f"stale in EXPLAIN.md: {sorted(audited - set(HEADLINE))}"
+    )
 
 
 def test_kmv_set_ops_kmin_is_take_ordered(spark, sf_dir):

@@ -36,13 +36,14 @@ def test_hash_bottom_k_idempotent_under_replay(spark):
     rows = [("a", i) for i in range(30)]
     df = spark.createDataFrame(rows, ["g", "i"])
     direct = _sample_set(hash_bottom_k(df, "g", "i", 4, seed="t"))
-    # replay half the rows twice (at-least-once delivery)
+    # replay half the rows twice (at-least-once delivery) -- the operator
+    # itself absorbs the duplicates (ADVICE r8: no caller-side .distinct())
     replayed = df.unionAll(df.filter(F.col("i") < 15))
-    again = _sample_set(hash_bottom_k(replayed.distinct(), "g", "i", 4, seed="t"))
+    again = _sample_set(hash_bottom_k(replayed, "g", "i", 4, seed="t"))
     assert again == direct
     # and merging a stale state with itself changes nothing
     s = hash_bottom_k(df, "g", "i", 4, seed="t")
-    twice = _sample_set(hash_bottom_k(s.unionAll(s).distinct(), "g", "i", 4, seed="t"))
+    twice = _sample_set(hash_bottom_k(s.unionAll(s), "g", "i", 4, seed="t"))
     assert twice == direct
 
 

@@ -83,3 +83,42 @@ def test_minhash_incremental_is_filtered_full_lsh(spark, sf_dir):
     }
     expect = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
     assert inc == expect
+
+
+def test_minhash_incremental_bucket_cap_drops_only_hot_buckets(spark):
+    # VERDICT r8 #7: the incremental probe join carries the same
+    # hot-bucket guard as the batch path.  Capped == uncapped minus
+    # pairs whose EVERY shared bucket is oversized.
+    from kcl_akka_stream_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    # hot bucket b0/h: 30 store docs + 2 new; small bucket b1/s: one
+    # store doc + one of the same new docs (pair survives via b1).
+    rows = (
+        [(i, 0, "h", False) for i in range(100, 130)]
+        + [(1, 0, "h", True), (2, 0, "h", True)]
+        + [(100, 1, "s", False), (1, 1, "s", True)]
+    )
+    b = spark.createDataFrame(rows, ["doc_id", "band", "bucket", "is_new"])
+    uncapped = {
+        (r.id_a, r.id_b) for r in minhash_incremental_pairs(b).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_incremental_pairs(b, max_bucket_size=10).collect()
+    }
+    # hot-bucket-only pairs gone; the b1-shared pair survives
+    assert (1, 100) in capped
+    assert capped == {(1, 100)}
+    assert (1, 2) in uncapped and (2, 100) in uncapped
+    # and the loss is exactly the pairs all of whose buckets were hot
+    assert uncapped - capped == {
+        p for p in uncapped if p != (1, 100)
+    }
+    # cap above every bucket size is a no-op
+    nocap = {
+        (r.id_a, r.id_b)
+        for r in minhash_incremental_pairs(b, max_bucket_size=64).collect()
+    }
+    assert nocap == uncapped

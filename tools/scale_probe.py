@@ -1508,3 +1508,103 @@ def wave10_probes(spark, sf_dir: str, repl: int = 10) -> None:
     t1 = timed(lambda: funnel(docs1))
     tn = timed(lambda: funnel(docs_n))
     print(f"{'pipeline_quality_funnel':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+
+def wave17_probes(spark, sf_dir: str, repl: int = 10) -> None:
+    """10x replication rows for the round-8 wave-17 queries (VERDICT r8
+    #2) plus the capped incremental-dedup demonstration (VERDICT r8 #7)."""
+    from functools import reduce as _red
+
+    from kcl_akka_stream_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_buckets,
+    )
+    from kcl_akka_stream_spark.operators.sampling import (
+        poisson_bootstrap_weights,
+    )
+    from kcl_akka_stream_spark.operators.sketches import (
+        bitmap_set_ops,
+        bitmap_state,
+    )
+
+    # Bitmap set algebra: disjoint replica id spaces, so both states (and
+    # the word relations the set algebra joins) really grow 10x.
+    ev1 = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    ev_n = _red(
+        DataFrame.unionByName,
+        [
+            ev1.select(
+                "event_type",
+                (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+                "value",
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+    ev1 = ev1.localCheckpoint()
+
+    def bso(d: DataFrame) -> DataFrame:
+        hv = d.filter(F.col("value") >= 50)
+        a = hv.filter(F.col("event_type") == "purchase")
+        b = hv.filter(F.col("event_type") == "click")
+        return bitmap_set_ops(
+            bitmap_state(a, None, "user_id"), bitmap_state(b, None, "user_id")
+        )
+
+    t1 = timed(lambda: bso(ev1))
+    tn = timed(lambda: bso(ev_n))
+    print(f"{'agg_bitmap_set_ops':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Poisson bootstrap CI: the x32 replicate explode is the data-sized
+    # term; per-(type, b) partials combine map-side.
+    ev_id1 = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).localCheckpoint()
+    ev_id_n = _red(
+        DataFrame.unionByName,
+        [
+            ev_id1.select(
+                "event_type",
+                (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                "value",
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+
+    def boot(d: DataFrame) -> DataFrame:
+        cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        reps = poisson_bootstrap_weights(d, "event_id", b=32).withColumn(
+            "cents", cents
+        )
+        return reps.groupBy("event_type", "b").agg(
+            F.expr("sum(w * cents) * 100 div greatest(sum(w), 1)").alias(
+                "mean_cc"
+            )
+        )
+
+    t1 = timed(lambda: boot(ev_id1))
+    tn = timed(lambda: boot(ev_id_n))
+    print(f"{'agg_bootstrap_ci':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Capped incremental LSH dedup (VERDICT r8 #7): same probe shape as
+    # the wave-16 uncapped row, with max_bucket_size bounding the probe
+    # join's per-bucket fan-out.  Also prints the pair-loss accounting.
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_n = replicate_docs(docs1, repl).localCheckpoint()
+    docs1 = docs1.localCheckpoint()
+
+    def inc(d: DataFrame, cap) -> DataFrame:
+        b = minhash_lsh_buckets(d).withColumn(
+            "is_new", F.pmod(F.col("doc_id"), F.lit(5)) == 0
+        )
+        return minhash_incremental_pairs(b, max_bucket_size=cap)
+
+    t1 = timed(lambda: inc(docs1, 10))
+    tn = timed(lambda: inc(docs_n, 10))
+    print(f"{'dedup_minhash_inc_cap':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+    n_unc = inc(docs_n, None).count()
+    n_cap = inc(docs_n, 10).count()
+    print(f"# incremental pairs at {repl}x: uncapped={n_unc} capped(10)={n_cap} dropped={n_unc - n_cap}")
