@@ -236,6 +236,10 @@ HEADLINE = [
     "agg_dp_noised_counts",
     "sim_range_search",
     "text_rake_keywords",
+    # round-9 wave 19: HITS, seasonality matrix, calendar lag features
+    "graph_hits_topk",
+    "w_seasonality_profile",
+    "w_lag_features",
     # streaming representative
     "stream_tumbling_agg",
 ]

@@ -221,6 +221,15 @@ def pearson_stats(
     Scale shape: one combinable map-side agg; the output is
     groups-sized.  The same six integers are the mergeable state for
     streaming / incremental maintenance (plain addition).
+
+    The DERIVED stats (cov, var, r, slope) compute in DOUBLE from the
+    exact int64 sums: the n*sxy-style cross products overflow int64 long
+    before the sums themselves do (the 10x probe caught exactly this --
+    an all-integer `(n*sxy - sx*sy) * 1e6 div ...` slope blew up at 10x
+    sf0.1), and both engines evaluate the IDENTICAL double expression on
+    identical integer inputs, so the results still hash-match.  The
+    int64 SUMS are the binding scale limit (sx2 ~ n * x^2): quantize x/y
+    so x^2 * n stays under 2^63 at the target corpus size.
     """
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
@@ -232,9 +241,10 @@ def pearson_stats(
         F.sum(x * x).cast("long").alias("sx2"),
         F.sum(y * y).cast("long").alias("sy2"),
     )
-    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx_n = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
-    vary_n = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov_n = d("n") * d("sxy") - d("sx") * d("sy")
+    varx_n = d("n") * d("sx2") - d("sx") * d("sx")
+    vary_n = d("n") * d("sy2") - d("sy") * d("sy")
     return agg.select(
         group_col,
         "n",
@@ -245,18 +255,11 @@ def pearson_stats(
         "sy2",
         F.when(
             (varx_n > 0) & (vary_n > 0),
-            F.round(
-                cov_n.cast("double")
-                / (
-                    F.sqrt(varx_n.cast("double"))
-                    * F.sqrt(vary_n.cast("double"))
-                ),
-                6,
-            ),
+            F.round(cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n)), 6),
         ).alias("corr_r"),
-        F.when(varx_n > 0, F.expr(
-            "(n * sxy - sx * sy) * 1000000 div (n * sx2 - sx * sx)"
-        )).cast("long").alias("beta_micro"),
+        F.when(varx_n > 0, F.floor(cov_n * F.lit(1000000.0) / varx_n))
+        .cast("long")
+        .alias("beta_micro"),
     )
 
 

@@ -541,3 +541,46 @@ def weighted_distance(edges: DataFrame, seeds: list, rounds: int = 3) -> DataFra
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def hits(edges: DataFrame, iterations: int = 2) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs & authorities (Kleinberg 1999, public) over a weighted
+    directed edge list (src, dst, w), in EXACT int64 arithmetic: hub
+    scores start at 1, ``auth(v) = sum_{u->v} w * hub(u)`` and
+    ``hub(u) = sum_{u->v} w * auth(v)`` alternate for ``iterations``
+    rounds with NO normalization -- over a bounded round count the raw
+    integer scores rank identically to the normalized ones (positive
+    scale factors per round), and integer sums are partial-agg-order
+    independent, so an unrolled SQL oracle matches bit-for-bit.  The
+    unnormalized magnitude grows by ~(mean weighted degree)^2 per round:
+    int64-safe for small ``iterations`` (the bounded-relaxation
+    discipline of bfs/bellman-ford); raise SCALE-aware normalization
+    before going past ~4 rounds on dense graphs.
+
+    Returns ``(hubs, auths)``: node-sized (node, hub) / (node, auth)
+    relations, both eagerly checkpointed.  Scale shape: the edge base is
+    checkpointed ONCE; each half-round is one broadcast attach of a
+    node-sized score table + one combinable sum keyed by the opposite
+    endpoint.
+    """
+    ew = edges.select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    hubs = ew.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1).cast("long").alias("hub")
+    )
+    auths = None
+    for _ in range(iterations):
+        auths = (
+            ew.join(F.broadcast(hubs), ew.src == hubs.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("hub")).cast("long").alias("auth"))
+            .select(F.col("dst").alias("node"), "auth")
+        )
+        hubs = (
+            ew.join(F.broadcast(auths), ew.dst == auths.node)
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("auth")).cast("long").alias("hub"))
+            .select(F.col("src").alias("node"), "hub")
+        )
+    return hubs.localCheckpoint(eager=True), auths.localCheckpoint(eager=True)

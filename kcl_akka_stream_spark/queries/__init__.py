@@ -90,6 +90,10 @@ _PRIORITY = [
     "agg_dp_noised_counts",
     "sim_range_search",
     "text_rake_keywords",
+    "graph_hits_topk",
+    "w_seasonality_profile",
+    "w_lag_features",
+    "stream_bootstrap_merge",
 ]
 
 

@@ -4311,14 +4311,19 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(y * y) AS BIGINT) AS sy2
       FROM b GROUP BY event_type)
     SELECT event_type, n, sx, sy, sxy, sx2, sy2,
-           CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
-                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
-                           / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
-                              * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6)
+           CASE WHEN CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx > 0
+                 AND CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy > 0
+                THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / (sqrt(CAST(n AS DOUBLE) * sx2
+                                   - CAST(sx AS DOUBLE) * sx)
+                              * sqrt(CAST(n AS DOUBLE) * sy2
+                                     - CAST(sy AS DOUBLE) * sy)), 6)
            END AS corr_r,
-           CASE WHEN n * sx2 - sx * sx > 0
-                THEN CAST((n * sxy - sx * sy) * 1000000
-                          // (n * sx2 - sx * sx) AS BIGINT)
+           CASE WHEN CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx > 0
+                THEN CAST(floor((CAST(n AS DOUBLE) * sxy
+                                 - CAST(sx AS DOUBLE) * sy) * 1000000.0
+                                / (CAST(n AS DOUBLE) * sx2
+                                   - CAST(sx AS DOUBLE) * sx)) AS BIGINT)
            END AS beta_micro
     FROM s
     """,
@@ -4383,3 +4388,115 @@ def agg_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tbl(spark, sf_dir, "events").select("event_type")
     return dp_noised_counts(ev, "event_type", seed="dp")
+
+
+@query(
+    "w_seasonality_profile",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3)
+    SELECT event_type, dow, hr, n,
+           CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type)
+                AS BIGINT) AS share_ppm
+    FROM g
+    """,
+)
+def w_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Traffic seasonality profile: per event type, the (day-of-week x
+    # hour-of-day) activity matrix with each cell's integer-ppm share of
+    # the type's total -- the shape a scheduler consults before picking
+    # batch windows, and the empirical basis for anomaly baselines
+    # (w_anomaly_trailing_zscore assumes roughly stationary days; this
+    # report is how you check).  dow follows DuckDB's 0=Sunday
+    # convention (Spark's dayofweek is 1=Sunday, so minus one).  One
+    # combinable agg; the share window rides the bounded 7x24-per-type
+    # profile relation.
+    ev = tbl(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = Window.partitionBy("event_type")
+    return g.select(
+        "event_type",
+        "dow",
+        "hr",
+        "n",
+        F.expr(
+            "n * 1000000 div sum(n) OVER (PARTITION BY event_type)"
+        )
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+@query(
+    "w_lag_features",
+    """
+    WITH daily AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rev_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)),
+    f AS (
+      SELECT user_id, d, rev_cents,
+             max(rev_cents) OVER (PARTITION BY user_id ORDER BY d
+               RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag1_cents,
+             max(rev_cents) OVER (PARTITION BY user_id ORDER BY d
+               RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag7_cents,
+             sum(rev_cents) OVER (PARTITION BY user_id ORDER BY d
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll7_cents,
+             count(*) OVER (PARTITION BY user_id ORDER BY d
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll7_days
+      FROM daily)
+    SELECT user_id, d, rev_cents,
+           CAST(lag1_cents AS BIGINT) AS lag1_cents,
+           CAST(lag7_cents AS BIGINT) AS lag7_cents,
+           CAST(roll7_cents AS BIGINT) AS roll7_cents,
+           CAST(roll7_days AS BIGINT) AS roll7_days
+    FROM f
+    """,
+)
+def w_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Feature-store lag/rolling export: per (user, day) purchase revenue
+    # with CALENDAR-aware lag-1d / lag-7d and a rolling-7d sum -- RANGE
+    # frames over the integer epoch-day key, so a user who skipped
+    # yesterday gets NULL lag1 (row-offset lag() would silently serve a
+    # stale value; that bug class is the reason this op exists).  All
+    # values integer cents.  One combinable daily rollup, then every
+    # frame rides ONE user-keyed exchange over the days-sized relation.
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum(_cents(F.col("value"))).cast("long").alias("rev_cents"))
+    base = Window.partitionBy("user_id").orderBy("d")
+    return daily.select(
+        "user_id",
+        "d",
+        "rev_cents",
+        F.max("rev_cents")
+        .over(base.rangeBetween(-1, -1))
+        .cast("long")
+        .alias("lag1_cents"),
+        F.max("rev_cents")
+        .over(base.rangeBetween(-7, -7))
+        .cast("long")
+        .alias("lag7_cents"),
+        F.sum("rev_cents")
+        .over(base.rangeBetween(-6, 0))
+        .cast("long")
+        .alias("roll7_cents"),
+        F.count(F.lit(1))
+        .over(base.rangeBetween(-6, 0))
+        .cast("long")
+        .alias("roll7_days"),
+    )

@@ -6101,3 +6101,72 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab-sized distinct-phrase relation, TakeOrdered top-20.
     docs = tbl(spark, sf_dir, "documents")
     return X.rake_keywords(docs, top_k=20)
+
+
+@query(
+    "graph_hits_topk",
+    """
+    WITH p AS (
+      SELECT CAST(o_custkey AS BIGINT) AS src,
+             CAST(l_suppkey AS BIGINT) AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    a1 AS (SELECT dst, sum(w) AS a FROM p GROUP BY dst),
+    h1 AS (SELECT p.src, sum(p.w * a1.a) AS h
+           FROM p JOIN a1 ON a1.dst = p.dst GROUP BY p.src),
+    a2 AS (SELECT p.dst, sum(p.w * h1.h) AS a
+           FROM p JOIN h1 ON h1.src = p.src GROUP BY p.dst),
+    h2 AS (SELECT p.src, sum(p.w * a2.a) AS h
+           FROM p JOIN a2 ON a2.dst = p.dst GROUP BY p.src),
+    th AS (SELECT 'hub' AS role, 'c' || CAST(src AS VARCHAR) AS node,
+                  CAST(h AS BIGINT) AS score
+           FROM h2 ORDER BY h DESC, src LIMIT 10),
+    ta AS (SELECT 'auth' AS role, 's' || CAST(dst AS VARCHAR) AS node,
+                  CAST(a AS BIGINT) AS score
+           FROM a2 ORDER BY a DESC, dst LIMIT 10)
+    SELECT role, node, score FROM th UNION ALL SELECT role, node, score FROM ta
+    """,
+)
+def graph_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HITS hubs & authorities (operators/graph.py::hits, Kleinberg 1999)
+    # over the DIRECTED customer->supplier co-purchase graph: the
+    # bipartite ranking pagerank cannot give (pagerank needs the
+    # symmetrized graph; HITS scores the two sides separately -- "which
+    # customers concentrate buying power" x "which suppliers attract
+    # it").  Two exact int64 rounds, no normalization (positive per-round
+    # scale factors preserve ranking); the oracle unrolls the same four
+    # half-steps.  Node ids iterate as longs; decode + top-10 per role
+    # happen on the node-sized checkpointed outputs.
+    from kcl_akka_stream_spark.operators.graph import hits
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            F.col("l_suppkey").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    hubs, auths = hits(p, iterations=2)
+    th = (
+        hubs.orderBy(F.col("hub").desc(), "node")
+        .limit(10)
+        .select(
+            F.lit("hub").alias("role"),
+            F.concat(F.lit("c"), F.col("node").cast("string")).alias("node"),
+            F.col("hub").alias("score"),
+        )
+    )
+    ta = (
+        auths.orderBy(F.col("auth").desc(), "node")
+        .limit(10)
+        .select(
+            F.lit("auth").alias("role"),
+            F.concat(F.lit("s"), F.col("node").cast("string")).alias("node"),
+            F.col("auth").alias("score"),
+        )
+    )
+    return th.unionByName(ta)

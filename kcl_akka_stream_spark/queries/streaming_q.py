@@ -1651,3 +1651,111 @@ def stream_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _bootstrap_ci_oracle() -> str:
+    from kcl_akka_stream_spark.queries.pipeline import _bootstrap_oracle
+
+    return _bootstrap_oracle()
+
+
+@query("stream_bootstrap_merge", _bootstrap_ci_oracle())
+def stream_bootstrap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming twin of agg_bootstrap_ci, SAME oracle -- the TENTH
+    # mergeable-state streaming family: each micro-batch folds to
+    # per-(type, replica) partial weighted sums (sum(w*cents), sum(w))
+    # plus the point-estimate moments (n, sum cents); both states merge
+    # by plain int64 addition, and the replicate means / rank / CI
+    # derive ONLY after the merge (a mean is not mergeable; its
+    # numerator and denominator are -- the rollup_incremental lesson).
+    # Deterministic md5 weights make every replicate independent of
+    # batch boundaries, so 4-batch-fold == direct build bit-for-bit.
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.operators.sampling import (
+        poisson_bootstrap_weights,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    src = tempfile.mkdtemp(prefix="kcl_boot_src_")
+    rep_states: list = []
+    pt_states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            reps = poisson_bootstrap_weights(
+                batch_df, "event_id", b=32
+            ).withColumn("cents", cents)
+            rep_states.extend(
+                reps.groupBy("event_type", "b")
+                .agg(
+                    F.sum(F.col("w") * F.col("cents")).cast("long").alias("swc"),
+                    F.sum("w").cast("long").alias("sw"),
+                )
+                .collect()
+            )
+            pt_states.extend(
+                batch_df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum(cents).cast("long").alias("s1"),
+                )
+                .collect()
+            )
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rs = spark.createDataFrame(
+            rep_states, "event_type string, b long, swc long, sw long"
+        )
+        rep_means = (
+            rs.groupBy("event_type", "b")
+            .agg(
+                F.sum("swc").cast("long").alias("swc"),
+                F.sum("sw").cast("long").alias("sw"),
+            )
+            .select(
+                "event_type",
+                "b",
+                F.expr("swc * 100 div greatest(sw, 1)").alias("mean_cc"),
+            )
+        )
+        w = Window.partitionBy("event_type").orderBy("mean_cc", "b")
+        ranked = rep_means.withColumn("r", F.row_number().over(w))
+        ci = ranked.groupBy("event_type").agg(
+            F.max(F.when(F.col("r") == 2, F.col("mean_cc"))).alias("ci_lo_cc"),
+            F.max(F.when(F.col("r") == 31, F.col("mean_cc"))).alias("ci_hi_cc"),
+        )
+        ps = spark.createDataFrame(pt_states, "event_type string, n long, s1 long")
+        pt = (
+            ps.groupBy("event_type")
+            .agg(
+                F.sum("n").cast("long").alias("n_events"),
+                F.sum("s1").cast("long").alias("s1"),
+            )
+            .select(
+                "event_type",
+                "n_events",
+                F.expr("s1 * 100 div n_events").cast("long").alias("mean_cc"),
+            )
+        )
+        return pt.join(ci, "event_type").select(
+            "event_type",
+            "n_events",
+            F.col("mean_cc").cast("long").alias("mean_cc"),
+            F.col("ci_lo_cc").cast("long").alias("ci_lo_cc"),
+            F.col("ci_hi_cc").cast("long").alias("ci_hi_cc"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -235,6 +235,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_dp_noised_counts": 1,  # one combinable count agg; seeded noise attaches map-side
         "sim_range_search": 1,  # spread only -- broadcast queries + map-side threshold filter, NO rank window
         "text_rake_keywords": 2,  # combinable word agg + combinable phrase agg; scoring join rides the vocab-sized relations; top-k TakeOrdered
+        # round-9 wave 19
+        "graph_hits_topk": 0,  # hub/auth tables checkpointed node-sized (edge-base discipline); plan is two TakeOrdered readbacks
+        "w_seasonality_profile": 2,  # one combinable (type,dow,hr) agg + share window on the bounded 7x24-per-type profile
+        "w_lag_features": 2,  # combinable daily rollup + ALL range frames ride ONE user exchange
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

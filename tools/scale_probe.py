@@ -1608,3 +1608,183 @@ def wave17_probes(spark, sf_dir: str, repl: int = 10) -> None:
     n_unc = inc(docs_n, None).count()
     n_cap = inc(docs_n, 10).count()
     print(f"# incremental pairs at {repl}x: uncapped={n_unc} capped(10)={n_cap} dropped={n_unc - n_cap}")
+
+
+def arrow_batch_sweep(spark, n_shards: int = 8, per_shard: int = 250_000) -> None:
+    """VERDICT r8 #8: sweep spark.sql.execution.arrow.maxRecordsPerBatch
+    on the Python-DataSource streaming read path (arrow mode, RocksDB
+    state store, 2M rows) and report rows/s per setting.  The knob
+    bounds each Arrow RecordBatch the Python source worker ships to the
+    JVM: too small re-pays per-batch overhead (flush, IPC frame, task
+    dispatch), too large delays pipelining and grows worker memory.  The
+    winner is recorded in session.py as the default."""
+    import uuid as _uuid
+
+    from kcl_akka_stream_spark.sources.python_source import register
+
+    register(spark)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    default_provider = spark.conf.get(provider_key)
+    default_batch = spark.conf.get(batch_key)
+    total = per_shard * n_shards
+    try:
+        spark.conf.set(provider_key, rocksdb)
+        for batch in (2_000, 10_000, 25_000, 50_000, 100_000):
+            spark.conf.set(batch_key, str(batch))
+            name = f"ab_{_uuid.uuid4().hex[:8]}"
+            stream = (
+                spark.readStream.format("envelope_sim")
+                .option("n_shards", str(n_shards))
+                .option("records_per_shard", str(per_shard))
+                .option("seqs_per_batch", str(100_000 // n_shards))
+                .option("arrow", "true")
+                .load()
+            )
+            agg = (
+                stream.withWatermark("arrival_ts", "1 minute")
+                .groupBy(F.window("arrival_ts", "1 hour"), "shard_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("sequence_number").alias("sum_seq"),
+                )
+            )
+            t0 = time.time()
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            wall = time.time() - t0
+            print(
+                f"{'arrow_batch_' + str(batch):22s} {total} rows in "
+                f"{wall:6.2f}s  = {total / wall:9.0f} rows/s"
+            )
+    finally:
+        spark.conf.set(provider_key, default_provider)
+        spark.conf.set(batch_key, default_batch)
+
+
+def wave18_19_probes(spark, sf_dir: str, repl: int = 10) -> None:
+    """10x replication rows for the round-9 wave-18/19 queries."""
+    from functools import reduce as _red
+
+    from kcl_akka_stream_spark.operators.aggregations import (
+        pearson_stats,
+        weighted_median,
+    )
+    from kcl_akka_stream_spark.operators.graph import hits
+    from kcl_akka_stream_spark.operators.sampling import dp_noised_counts
+    from kcl_akka_stream_spark.operators.similarity import range_search
+    from kcl_akka_stream_spark.operators.text import rake_keywords
+
+    li1 = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias("v"),
+        F.col("l_quantity").cast("long").alias("q"),
+    ).localCheckpoint()
+    li_n = _red(
+        DataFrame.unionByName,
+        [li1.select("l_returnflag", (F.col("v") + F.lit(i)).alias("v"), "q")
+         for i in range(repl)],
+    ).localCheckpoint()
+
+    t1 = timed(lambda: weighted_median(li1, "l_returnflag", "v", "q"))
+    tn = timed(lambda: weighted_median(li_n, "l_returnflag", "v", "q"))
+    print(f"{'agg_weighted_median':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    ev1 = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    ).localCheckpoint()
+    ev_n = _red(
+        DataFrame.unionByName, [ev1 for _ in range(repl)]
+    ).localCheckpoint()
+    t1 = timed(lambda: pearson_stats(ev1, "event_type", "x", "y"))
+    tn = timed(lambda: pearson_stats(ev_n, "event_type", "x", "y"))
+    print(f"{'agg_pearson_corr':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    t1 = timed(lambda: dp_noised_counts(ev1, "event_type"))
+    tn = timed(lambda: dp_noised_counts(ev_n, "event_type"))
+    print(f"{'agg_dp_noised_counts':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    emb1 = load_table(spark, sf_dir, "embeddings")
+    emb_n = replicate_embeddings(emb1, repl).localCheckpoint()
+    emb1 = emb1.localCheckpoint()
+    q1 = emb1.filter(F.col("vec_id") < 5)
+    t1 = timed(lambda: range_search(emb1, q1, 0.2))
+    tn = timed(lambda: range_search(emb_n, q1, 0.2))
+    print(f"{'sim_range_search':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_n = replicate_docs(docs1, repl).localCheckpoint()
+    docs1 = docs1.localCheckpoint()
+    t1 = timed(lambda: rake_keywords(docs1))
+    tn = timed(lambda: rake_keywords(docs_n))
+    print(f"{'text_rake_keywords':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # HITS over the co-purchase graph with disjoint replica subgraphs.
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            F.col("l_suppkey").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    off = 10_000_000
+    p_n = _red(
+        DataFrame.unionByName,
+        [p1.select((F.col("src") + F.lit(i * off)).alias("src"),
+                   (F.col("dst") + F.lit(i * off)).alias("dst"), "w")
+         for i in range(repl)],
+    ).localCheckpoint()
+
+    def hits_total(p):
+        hubs, auths = hits(p, iterations=2)
+        return hubs.agg(F.sum("hub").alias("s"))
+
+    t1 = timed(lambda: hits_total(p1))
+    tn = timed(lambda: hits_total(p_n))
+    print(f"{'graph_hits_topk':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Lag features: disjoint user spaces, same per-user depth.
+    evd1 = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "value").localCheckpoint()
+    evd_n = _red(
+        DataFrame.unionByName,
+        [evd1.select((F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+                     "ts", "value") for i in range(repl)],
+    ).localCheckpoint()
+
+    def lagf(d):
+        from pyspark.sql import Window
+        daily = d.groupBy(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long").alias("d"),
+        ).agg(F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("rev"))
+        base = Window.partitionBy("user_id").orderBy("d")
+        return daily.select(
+            "user_id", "d", "rev",
+            F.max("rev").over(base.rangeBetween(-1, -1)).alias("l1"),
+            F.sum("rev").over(base.rangeBetween(-6, 0)).alias("r7"),
+        )
+
+    t1 = timed(lambda: lagf(evd1))
+    tn = timed(lambda: lagf(evd_n))
+    print(f"{'w_lag_features':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
