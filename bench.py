@@ -240,6 +240,10 @@ HEADLINE = [
     "graph_hits_topk",
     "w_seasonality_profile",
     "w_lag_features",
+    # round-9 wave 20: mergeable quantile contract, assortativity, T5 spans
+    "agg_bucket_quantile_contract",
+    "graph_degree_assortativity",
+    "pipeline_span_corruption",
     # streaming representative
     "stream_tumbling_agg",
 ]

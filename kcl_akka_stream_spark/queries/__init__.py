@@ -94,6 +94,10 @@ _PRIORITY = [
     "w_seasonality_profile",
     "w_lag_features",
     "stream_bootstrap_merge",
+    "agg_bucket_quantile_contract",
+    "graph_degree_assortativity",
+    "pipeline_span_corruption",
+    "stream_pearson_merge",
 ]
 
 

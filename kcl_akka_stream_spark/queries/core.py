@@ -4500,3 +4500,117 @@ def w_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("roll7_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 20 (round 9): mergeable bucket-quantile contract, degree
+# assortativity, T5 span-corruption plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bucket_quantile_contract",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    hist AS (
+      SELECT event_type, cents // 100 AS bin, count(*) AS n
+      FROM b GROUP BY event_type, cents // 100),
+    hc AS (
+      SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(n) OVER (PARTITION BY event_type) AS tw
+      FROM hist),
+    approx AS (
+      SELECT event_type, max(tw) AS n_events,
+             min(CASE WHEN 2 * cw >= tw THEN bin * 100 END) AS p50_bucket_cc,
+             min(CASE WHEN 10 * cw >= 9 * tw THEN bin * 100 END)
+               AS p90_bucket_cc
+      FROM hc GROUP BY event_type),
+    vh AS (
+      SELECT event_type, cents, count(*) AS n FROM b
+      GROUP BY event_type, cents),
+    vc AS (
+      SELECT event_type, cents, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(n) OVER (PARTITION BY event_type) AS tw
+      FROM vh),
+    exact AS (
+      SELECT event_type,
+             min(CASE WHEN 2 * cw >= tw THEN cents END) AS p50_exact_cc,
+             min(CASE WHEN 10 * cw >= 9 * tw THEN cents END) AS p90_exact_cc
+      FROM vc GROUP BY event_type)
+    SELECT a.event_type, CAST(a.n_events AS BIGINT) AS n_events,
+           CAST(e.p50_exact_cc AS BIGINT) AS p50_exact_cc,
+           CAST(a.p50_bucket_cc AS BIGINT) AS p50_bucket_cc,
+           CAST(e.p90_exact_cc AS BIGINT) AS p90_exact_cc,
+           CAST(a.p90_bucket_cc AS BIGINT) AS p90_bucket_cc,
+           CAST(CASE WHEN e.p50_exact_cc - a.p50_bucket_cc BETWEEN 0 AND 99
+                      AND e.p90_exact_cc - a.p90_bucket_cc BETWEEN 0 AND 99
+                     THEN 1 ELSE 0 END AS INT) AS within_width
+    FROM approx a JOIN exact e ON e.event_type = a.event_type
+    """,
+)
+def agg_bucket_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGEABLE quantiles with an acceptance contract (the KMV/HLL/CMS
+    # family pattern): an equi-width histogram state ((type, bin) counts,
+    # plain-addition mergeable -- the streamable form approx_quantile
+    # lacks) answers p50/p90 as the lower edge of the CDF-crossing
+    # bucket, and the contract column asserts the approx sits within one
+    # bucket width BELOW the exact discrete quantile -- by construction
+    # (lower edge <= exact < next edge), so a binning/CDF bug turns the
+    # gate red in both engines.  Both CDFs ride bounded relations (bins,
+    # distinct values); the data-sized work is two combinable aggs.
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type", _cents(F.col("value")).alias("cents")
+    )
+    hist = ev.groupBy(
+        "event_type", F.expr("cents div 100").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cw = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tw = Window.partitionBy("event_type")
+    hc = hist.withColumn("cw", F.sum("n").over(cw)).withColumn(
+        "tw", F.sum("n").over(tw)
+    )
+    approx = hc.groupBy("event_type").agg(
+        F.max("tw").cast("long").alias("n_events"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("bin") * 100)
+        ).alias("p50_bucket_cc"),
+        F.min(
+            F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("bin") * 100)
+        ).alias("p90_bucket_cc"),
+    )
+    vh = ev.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("n"))
+    vcw = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    vc = vh.withColumn("cw", F.sum("n").over(vcw)).withColumn(
+        "tw", F.sum("n").over(tw)
+    )
+    exact = vc.groupBy("event_type").agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents"))
+        ).alias("p50_exact_cc"),
+        F.min(
+            F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("cents"))
+        ).alias("p90_exact_cc"),
+    )
+    j = approx.join(exact, "event_type")
+    ok50 = (F.col("p50_exact_cc") - F.col("p50_bucket_cc")).between(0, 99)
+    ok90 = (F.col("p90_exact_cc") - F.col("p90_bucket_cc")).between(0, 99)
+    return j.select(
+        "event_type",
+        "n_events",
+        F.col("p50_exact_cc").cast("long").alias("p50_exact_cc"),
+        F.col("p50_bucket_cc").cast("long").alias("p50_bucket_cc"),
+        F.col("p90_exact_cc").cast("long").alias("p90_exact_cc"),
+        F.col("p90_bucket_cc").cast("long").alias("p90_bucket_cc"),
+        F.when(ok50 & ok90, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("within_width"),
+    )

@@ -6170,3 +6170,173 @@ def graph_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return th.unionByName(ta)
+
+
+@query(
+    "graph_degree_assortativity",
+    """
+    WITH p AS (
+      SELECT CAST(o_custkey AS BIGINT) AS src,
+             CAST(l_suppkey + 1099511627776 AS BIGINT) AS dst
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+    deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+    xy AS (
+      SELECT ds.d AS x, dd.d AS y
+      FROM e JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sx2,
+             CAST(sum(y * y) AS BIGINT) AS sy2
+      FROM xy)
+    SELECT n, sx, sy, sxy, sx2, sy2,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * sy2
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS assortativity_r
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degree assortativity (Newman 2002, public): Pearson correlation of
+    # endpoint degrees across the symmetrized co-purchase edges -- do
+    # hubs attach to hubs (r > 0, social-style) or to leaves (r < 0,
+    # bipartite/hub-spoke style)?  A one-number graph-shape diagnostic
+    # that decides skew strategy before running the iterative
+    # algorithms.  Composition: degree agg + two broadcast degree
+    # attaches + the exact integer-moments fold (operators/
+    # aggregations.py::pearson_stats discipline); r is one double
+    # expression from exact int64 sums.  Bipartite co-purchase graphs
+    # are strongly disassortative by construction -- the pytest pins
+    # r < 0.
+    from kcl_akka_stream_spark.operators.aggregations import pearson_stats
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + (1 << 40)).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .select("src", "dst")
+    )
+    e = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    xy = (
+        e.join(
+            F.broadcast(deg.select(F.col("node").alias("__s"), F.col("d").alias("x"))),
+            e.src == F.col("__s"),
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("__d"), F.col("d").alias("y"))),
+            e.dst == F.col("__d"),
+        )
+        .select(F.lit("all").alias("g"), "x", "y")
+    )
+    r = pearson_stats(xy, "g", "x", "y")
+    return r.select(
+        "n", "sx", "sy", "sxy", "sx2", "sy2",
+        F.col("corr_r").alias("assortativity_r"),
+    )
+
+
+#: floor(0.15 * 2^32) -- the frozen span-corruption mask rate threshold
+#: (15% of token positions), classified from a seeded-md5 uniform by pure
+#: int comparison in both engines.
+_MASK_RATE_U32 = 644245094
+
+
+@query(
+    "pipeline_span_corruption",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n_tokens, unnest(generate_series(1, n_tokens)) AS i
+      FROM toks WHERE n_tokens > 0),
+    m AS (
+      SELECT doc_id, n_tokens, i
+      FROM pos
+      WHERE CAST(('0x' || substring(md5('t5|' || CAST(doc_id AS VARCHAR)
+                  || '|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+            < {_MASK_RATE_U32}),
+    sp AS (
+      SELECT doc_id, n_tokens,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+               AS island
+      FROM m),
+    agg AS (
+      SELECT doc_id, max(n_tokens) AS n_tokens,
+             count(*) AS n_masked,
+             count(DISTINCT island) AS n_spans
+      FROM sp GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_masked AS BIGINT) AS n_masked,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_masked * 1000000 // n_tokens AS BIGINT) AS mask_ppm
+    FROM agg
+    """,
+)
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T5-style span-corruption PLAN (Raffel et al. 2020, public): each
+    # token position masks iff its seeded-md5 uniform clears the frozen
+    # 15% threshold (_MASK_RATE_U32 -- pure int comparison, identical
+    # cross-engine), and consecutive masked positions merge into spans
+    # via the islands trick (i - row_number is constant within a run).
+    # Per doc: token count, masked count, span count, integer-ppm mask
+    # rate -- the denoising-objective statistics a pretraining pipeline
+    # audits before committing a corruption seed.  Deterministic: no RNG
+    # state, any engine or partitioning reproduces the same mask.  Scale
+    # shape: map-only position explode, one doc-keyed window over the
+    # masked subset (15% of tokens), one combinable doc agg.
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(X.tokens(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    pos = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("i"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("t5|"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    m = pos.filter(u32 < F.lit(_MASK_RATE_U32))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    sp = m.withColumn("island", F.col("i") - F.row_number().over(w))
+    agg = sp.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_masked"),
+        F.countDistinct("island").cast("long").alias("n_spans"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        F.expr("n_masked * 1000000 div n_tokens").cast("long").alias("mask_ppm"),
+    )

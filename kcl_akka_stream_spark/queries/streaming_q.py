@@ -1759,3 +1759,84 @@ def stream_bootstrap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _pearson_oracle() -> str:
+    from kcl_akka_stream_spark.queries.registry import ORACLES
+
+    return ORACLES["agg_pearson_corr"]
+
+
+@query("stream_pearson_merge", _pearson_oracle())
+def stream_pearson_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming twin of agg_pearson_corr, SAME oracle -- the ELEVENTH
+    # mergeable-state streaming family: the six-integer sufficient
+    # statistic (n, sx, sy, sxy, sx2, sy2) folds per micro-batch and
+    # merges by plain int64 addition; r and the slope derive ONLY after
+    # the merge (correlation is not mergeable; its moments are).
+    # Int64 sums are order-independent, so 4-batch-fold == direct build
+    # bit-for-bit.
+    ev = tbl(spark, sf_dir, "events").select("event_type", "ts", "value")
+    src = tempfile.mkdtemp(prefix="kcl_pearson_src_")
+    states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            x = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            y = F.hour("ts").cast("long")
+            states.extend(
+                batch_df.select("event_type", x.alias("x"), y.alias("y"))
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("x").cast("long").alias("sx"),
+                    F.sum("y").cast("long").alias("sy"),
+                    F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                    F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+                    F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+                )
+                .collect()
+            )
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        st = spark.createDataFrame(
+            states,
+            "event_type string, n long, sx long, sy long, sxy long, "
+            "sx2 long, sy2 long",
+        )
+        merged = st.groupBy("event_type").agg(
+            *[F.sum(c).cast("long").alias(c) for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")]
+        )
+        d = lambda c: F.col(c).cast("double")  # noqa: E731
+        cov_n = d("n") * d("sxy") - d("sx") * d("sy")
+        varx_n = d("n") * d("sx2") - d("sx") * d("sx")
+        vary_n = d("n") * d("sy2") - d("sy") * d("sy")
+        return merged.select(
+            "event_type",
+            "n",
+            "sx",
+            "sy",
+            "sxy",
+            "sx2",
+            "sy2",
+            F.when(
+                (varx_n > 0) & (vary_n > 0),
+                F.round(cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n)), 6),
+            ).alias("corr_r"),
+            F.when(varx_n > 0, F.floor(cov_n * F.lit(1000000.0) / varx_n))
+            .cast("long")
+            .alias("beta_micro"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -239,6 +239,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "graph_hits_topk": 0,  # hub/auth tables checkpointed node-sized (edge-base discipline); plan is two TakeOrdered readbacks
         "w_seasonality_profile": 2,  # one combinable (type,dow,hr) agg + share window on the bounded 7x24-per-type profile
         "w_lag_features": 2,  # combinable daily rollup + ALL range frames ride ONE user exchange
+        # round-9 wave 20
+        "agg_bucket_quantile_contract": 4,  # two combinable hist aggs (bins + distinct values) + CDF windows riding each + type-keyed contract join (one side broadcast)
+        "graph_degree_assortativity": 3,  # edge base checkpointed; degree agg + two broadcast degree attaches + ONE combinable moments agg
+        "pipeline_span_corruption": 1,  # map-only position explode + doc window over the masked 15% subset; doc agg rides it
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -1788,3 +1788,112 @@ def wave18_19_probes(spark, sf_dir: str, repl: int = 10) -> None:
     t1 = timed(lambda: lagf(evd1))
     tn = timed(lambda: lagf(evd_n))
     print(f"{'w_lag_features':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+
+def wave20_probes(spark, sf_dir: str, repl: int = 10) -> None:
+    """10x replication rows for the round-9 wave-20 queries."""
+    from functools import reduce as _red
+
+    from pyspark.sql import Window
+
+    # Bucket-quantile: disjoint value offsets grow the distinct-value
+    # relation; the bin relation stays bounded by the value range.
+    ev1 = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    ).localCheckpoint()
+    ev_n = _red(
+        DataFrame.unionByName, [ev1 for _ in range(repl)]
+    ).localCheckpoint()
+
+    def bq(d):
+        hist = d.groupBy("event_type", F.expr("cents div 100").alias("bin")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        cw = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        tw = Window.partitionBy("event_type")
+        hc = hist.withColumn("cw", F.sum("n").over(cw)).withColumn(
+            "tw", F.sum("n").over(tw)
+        )
+        return hc.groupBy("event_type").agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("bin") * 100)).alias("p50")
+        )
+
+    t1 = timed(lambda: bq(ev1))
+    tn = timed(lambda: bq(ev_n))
+    print(f"{'agg_bucket_quantile':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Assortativity: disjoint replica subgraphs.
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + (1 << 40)).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    off = 10_000_000
+    p_n = _red(
+        DataFrame.unionByName,
+        [p1.select((F.col("src") + F.lit(i * off)).alias("src"),
+                   (F.col("dst") + F.lit(i * off)).alias("dst"))
+         for i in range(repl)],
+    ).localCheckpoint()
+
+    def assort(p):
+        from kcl_akka_stream_spark.operators.aggregations import pearson_stats
+
+        e = p.unionByName(
+            p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+        xy = (
+            e.join(F.broadcast(deg.select(F.col("node").alias("s"), F.col("d").alias("x"))), e.src == F.col("s"))
+            .join(F.broadcast(deg.select(F.col("node").alias("t"), F.col("d").alias("y"))), e.dst == F.col("t"))
+            .select(F.lit("g").alias("g"), "x", "y")
+        )
+        return pearson_stats(xy, "g", "x", "y")
+
+    t1 = timed(lambda: assort(p1))
+    tn = timed(lambda: assort(p_n))
+    print(f"{'graph_assortativity':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # Span corruption: token volume grows 10x; the masked subset too.
+    from kcl_akka_stream_spark.operators.text import tokens as _tokens
+
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_n = replicate_docs(docs1, repl).localCheckpoint()
+    docs1 = docs1.localCheckpoint()
+
+    def spans(d):
+        toks = d.select("doc_id", F.size(_tokens(F.col("text"))).alias("n")).filter(
+            F.col("n") > 0
+        )
+        pos = toks.select(
+            "doc_id", "n", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i")
+        )
+        u32 = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("t5|"), F.col("doc_id").cast("string"),
+                               F.lit("|"), F.col("i").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long")
+        m = pos.filter(u32 < F.lit(644245094))
+        w = Window.partitionBy("doc_id").orderBy("i")
+        sp = m.withColumn("island", F.col("i") - F.row_number().over(w))
+        return sp.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_masked"),
+            F.countDistinct("island").alias("n_spans"),
+        )
+
+    t1 = timed(lambda: spans(docs1))
+    tn = timed(lambda: spans(docs_n))
+    print(f"{'pipeline_span_corrupt':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
