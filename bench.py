@@ -244,6 +244,14 @@ HEADLINE = [
     "agg_bucket_quantile_contract",
     "graph_degree_assortativity",
     "pipeline_span_corruption",
+    # round-9 wave 21: KL drift monitor, hard negatives, percent-rank norm
+    "agg_histogram_kl_drift",
+    "pipeline_hard_negatives",
+    "w_percent_rank_normalize",
+    # the remaining TPC-H trio -- all 22 decision-support queries headline
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
     # streaming representative
     "stream_tumbling_agg",
 ]

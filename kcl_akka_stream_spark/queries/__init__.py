@@ -98,6 +98,9 @@ _PRIORITY = [
     "graph_degree_assortativity",
     "pipeline_span_corruption",
     "stream_pearson_merge",
+    "agg_histogram_kl_drift",
+    "pipeline_hard_negatives",
+    "w_percent_rank_normalize",
 ]
 
 

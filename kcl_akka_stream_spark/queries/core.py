@@ -4614,3 +4614,51 @@ def agg_bucket_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p90_bucket_cc").cast("long").alias("p90_bucket_cc"),
         F.when(ok50 & ok90, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("within_width"),
     )
+
+
+@query(
+    "w_percent_rank_normalize",
+    """
+    WITH b AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT event_id, event_type, cents,
+             rank() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM b)
+    SELECT event_id, event_type, cents,
+           CAST((rk - 1) * 1000000 // greatest(n - 1, 1) AS BIGINT)
+             AS pr_micro
+    FROM r
+    """,
+)
+def w_percent_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Percent-rank feature normalization in integer ppm: each event's
+    # value mapped to its within-type rank position ((rank-1)*1e6 div
+    # (n-1)) -- the distribution-free scaling that survives outliers
+    # where min-max scaling collapses (the quantile-normalization step
+    # before mixing heterogeneous quality signals).  rank() (not
+    # row_number) keeps ties identical, so the output is deterministic
+    # without a tiebreak; integer div avoids percent_rank()'s float.
+    # One type-keyed window over the data-sized relation -- the exact
+    # per-row-normalization cost, same class as agg_gini_report's
+    # documented window.
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "event_type", _cents(F.col("value")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    tw = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.expr(
+            "(rank() OVER (PARTITION BY event_type ORDER BY cents) - 1)"
+            " * 1000000 div greatest(count(1) OVER (PARTITION BY event_type)"
+            " - 1, 1)"
+        )
+        .cast("long")
+        .alias("pr_micro"),
+    )

@@ -6340,3 +6340,144 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spans",
         F.expr("n_masked * 1000000 div n_tokens").cast("long").alias("mask_ppm"),
     )
+
+
+@query(
+    "agg_histogram_kl_drift",
+    """
+    WITH b AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS bin
+      FROM events),
+    ha AS (SELECT event_type, bin, count(*) AS a FROM b
+           WHERE event_id % 2 = 0 GROUP BY event_type, bin),
+    hb AS (SELECT event_type, bin, count(*) AS bc FROM b
+           WHERE event_id % 2 = 1 GROUP BY event_type, bin),
+    j AS (
+      SELECT coalesce(ha.event_type, hb.event_type) AS event_type,
+             coalesce(ha.bin, hb.bin) AS bin,
+             coalesce(a, 0) + 1 AS a1, coalesce(bc, 0) + 1 AS b1
+      FROM ha FULL OUTER JOIN hb
+        ON ha.event_type = hb.event_type AND ha.bin = hb.bin),
+    t AS (
+      SELECT event_type, bin, a1, b1,
+             sum(a1) OVER (PARTITION BY event_type) AS na,
+             sum(b1) OVER (PARTITION BY event_type) AS nb
+      FROM j)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(max(na) AS BIGINT) AS n_a_smoothed,
+           CAST(max(nb) AS BIGINT) AS n_b_smoothed,
+           CAST(sum(a1 * CAST(round(ln((CAST(a1 AS DOUBLE) * nb)
+                                       / (CAST(b1 AS DOUBLE) * na)) * 1000000,
+                              0) AS BIGINT)) AS BIGINT) AS kl_num_micro
+    FROM t GROUP BY event_type
+    """,
+)
+def agg_histogram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distribution-drift monitor: KL(P||Q) between two snapshot halves'
+    # value histograms (parity split on event_id -- the
+    # pipeline_embedding_drift fixture discipline), Laplace-smoothed
+    # (+1 per observed bin) so no bin divides by zero, emitted as the
+    # INTEGER numerator sum(a_i * micro_ln(a_i * Nb / (b_i * Na))) with
+    # the smoothed totals alongside (KL = num / (Na * 1e6)) -- each ln
+    # frozen to micro-nats before any sum, the entropy-report discipline
+    # that keeps cross-engine hashing exact.  The alert a curation
+    # pipeline fires when a new crawl slice stops looking like the
+    # corpus.  Two combinable hist aggs; the join and windows ride the
+    # bounded bin relation.
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint) div 100").alias("bin"),
+    )
+    ha = ev.filter(F.col("event_id") % 2 == 0).groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    hb = ev.filter(F.col("event_id") % 2 == 1).groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    j = ha.join(hb, ["event_type", "bin"], "full_outer").select(
+        "event_type",
+        "bin",
+        (F.coalesce("a", F.lit(0)) + 1).alias("a1"),
+        (F.coalesce("bc", F.lit(0)) + 1).alias("b1"),
+    )
+    tw = Window.partitionBy("event_type")
+    t = j.withColumn("na", F.sum("a1").over(tw)).withColumn(
+        "nb", F.sum("b1").over(tw)
+    )
+    term = F.round(
+        F.log(
+            (F.col("a1").cast("double") * F.col("nb"))
+            / (F.col("b1").cast("double") * F.col("na"))
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.max("na").cast("long").alias("n_a_smoothed"),
+        F.max("nb").cast("long").alias("n_b_smoothed"),
+        F.sum(F.col("a1") * term).cast("long").alias("kl_num_micro"),
+    )
+
+
+@query(
+    "pipeline_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS n_id, label AS n_label,
+                      CAST(embedding AS DOUBLE[]) AS n_vec FROM embeddings),
+         scored AS (
+           SELECT q_id, n_id,
+                  round({_COS.format(a="q_vec", b="n_vec")}, 6) AS cos_sim
+           FROM c, q WHERE q_id <> n_id AND q_label <> n_label)
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT q_id, n_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hard-negative mining for contrastive embedding training: per query
+    # vector, the top-5 most-similar vectors with a DIFFERENT label --
+    # the negatives that actually teach the model (random negatives are
+    # trivially far; the hard ones sit just across the boundary).  Same
+    # broadcast-queries brute-force shape as sim_topk_bruteforce with
+    # the label-inequality predicate fused into the scoring join, so
+    # mismatched labels never score.  At 100 TB the candidate generator
+    # swaps to the IVF/LSH machinery; the label filter stays fused.
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    c = spread(
+        emb.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("label").alias("n_label"),
+            F.col("embedding").alias("n_vec"),
+        )
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("n_id")) & (F.col("q_label") != F.col("n_label")),
+    ).select(
+        "q_id",
+        "n_id",
+        F.round(S.cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "cos_sim", "rank")
+    )

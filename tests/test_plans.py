@@ -243,6 +243,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_bucket_quantile_contract": 4,  # two combinable hist aggs (bins + distinct values) + CDF windows riding each + type-keyed contract join (one side broadcast)
         "graph_degree_assortativity": 3,  # edge base checkpointed; degree agg + two broadcast degree attaches + ONE combinable moments agg
         "pipeline_span_corruption": 1,  # map-only position explode + doc window over the masked 15% subset; doc agg rides it
+        # round-9 wave 21
+        "agg_histogram_kl_drift": 3,  # two combinable hist aggs + bin-keyed full-outer join; totals window + KL fold ride the bounded bin relation
+        "pipeline_hard_negatives": 2,  # spread + broadcast queries with the label predicate fused into the scoring join + per-q rank window
+        "w_percent_rank_normalize": 1,  # ONE type-keyed window over the data-sized relation (documented per-row-normalization cost)
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
