@@ -248,6 +248,8 @@ HEADLINE = [
     "agg_histogram_kl_drift",
     "pipeline_hard_negatives",
     "w_percent_rank_normalize",
+    # round-9 wave 22: map-function scalar surface
+    "scalar_map_funcs",
     # the remaining TPC-H trio -- all 22 decision-support queries headline
     "q5_local_supplier_volume",
     "q10_returned_items",

@@ -101,6 +101,8 @@ _PRIORITY = [
     "agg_histogram_kl_drift",
     "pipeline_hard_negatives",
     "w_percent_rank_normalize",
+    "scalar_map_funcs",
+    "stream_kl_drift_merge",
 ]
 
 

@@ -4654,11 +4654,73 @@ def w_percent_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "cents",
+        # rank() is INT in Spark: cast to bigint BEFORE the * 1e6, or the
+        # product overflows 32 bits past rank ~2147 (the sf0.1 gate
+        # caught exactly this -- sf0.01 ranks were too small to trip it)
         F.expr(
-            "(rank() OVER (PARTITION BY event_type ORDER BY cents) - 1)"
+            "(cast(rank() OVER (PARTITION BY event_type ORDER BY cents)"
+            " as bigint) - 1)"
             " * 1000000 div greatest(count(1) OVER (PARTITION BY event_type)"
             " - 1, 1)"
         )
         .cast("long")
         .alias("pr_micro"),
+    )
+
+
+@query(
+    "scalar_map_funcs",
+    """
+    SELECT event_id,
+           CAST(3 AS INT) AS n_keys,
+           't,u,v' AS keys_sorted,
+           event_type AS t_val,
+           CAST(1 AS INT) AS has_u,
+           CAST(0 AS INT) AS has_z,
+           't:' || event_type || ',u:' || CAST(user_id AS VARCHAR)
+             AS entries_no_v,
+           upper(event_type) AS t_upper,
+           CAST(user_id AS VARCHAR) || '|' ||
+             CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS picked
+    FROM events
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 map-function surface: build a real MapType column from base
+    # columns (str_to_map over a constructed 'k:v' string -- the
+    # dedup_url_canonical fixture discipline), then exercise size /
+    # map_keys / element_at / map_contains_key / map_filter /
+    # transform_values / map_entries.  The oracle derives every output
+    # DIRECTLY from the base columns, so it is ground truth by
+    # construction: any bug in the map round-trip (parse, lookup,
+    # filter, transform) diverges from it.  Map-only, whole-stage
+    # codegen; map_keys is sorted before joining because map iteration
+    # order is an implementation detail, never a contract.
+    ev = tbl(spark, sf_dir, "events")
+    m = F.expr(
+        "str_to_map(concat('t:', event_type, ',u:', cast(user_id as string),"
+        " ',v:', cast(cast(floor(value) as bigint) as string)), ',', ':')"
+    )
+    ev2 = ev.select("event_id", "event_type", "user_id", "value", m.alias("m"))
+    entries_no_v = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(F.map_filter("m", lambda k, v: k != F.lit("v")))),
+            lambda e: F.concat(e.getField("key"), F.lit(":"), e.getField("value")),
+        ),
+        ",",
+    )
+    return ev2.select(
+        "event_id",
+        F.size("m").cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+        F.element_at("m", "t").alias("t_val"),
+        F.expr("map_contains_key(m, 'u')").cast("int").alias("has_u"),
+        F.expr("map_contains_key(m, 'z')").cast("int").alias("has_z"),
+        entries_no_v.alias("entries_no_v"),
+        F.element_at(F.transform_values("m", lambda k, v: F.upper(v)), "t").alias(
+            "t_upper"
+        ),
+        F.concat(
+            F.element_at("m", "u"), F.lit("|"), F.element_at("m", "v")
+        ).alias("picked"),
     )

@@ -1840,3 +1840,92 @@ def stream_pearson_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _kl_drift_oracle() -> str:
+    from kcl_akka_stream_spark.queries.registry import ORACLES
+
+    return ORACLES["agg_histogram_kl_drift"]
+
+
+@query("stream_kl_drift_merge", _kl_drift_oracle())
+def stream_kl_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming twin of agg_histogram_kl_drift, SAME oracle -- the
+    # TWELFTH mergeable-state streaming family, and the cleanest
+    # demonstration of the fold/merge/FINALIZE split: the state is the
+    # raw (type, half, bin) count histogram (plain-addition mergeable);
+    # the +1 Laplace smoothing, the full-outer bin alignment and the
+    # frozen-ln KL fold are all FINALIZE steps that run only after the
+    # merge -- smoothing per batch would double-count the prior and
+    # break merge == direct.
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    src = tempfile.mkdtemp(prefix="kcl_kl_src_")
+    states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            states.extend(
+                batch_df.select(
+                    "event_type",
+                    (F.col("event_id") % 2).cast("int").alias("half"),
+                    F.expr(
+                        "cast(floor(value * 100 + 0.5) as bigint) div 100"
+                    ).alias("bin"),
+                )
+                .groupBy("event_type", "half", "bin")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .collect()
+            )
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        st = spark.createDataFrame(
+            states, "event_type string, half int, bin long, c long"
+        )
+        merged = st.groupBy("event_type", "half", "bin").agg(
+            F.sum("c").cast("long").alias("c")
+        )
+        ha = merged.filter(F.col("half") == 0).select(
+            "event_type", "bin", F.col("c").alias("a")
+        )
+        hb = merged.filter(F.col("half") == 1).select(
+            "event_type", "bin", F.col("c").alias("bc")
+        )
+        j = ha.join(hb, ["event_type", "bin"], "full_outer").select(
+            "event_type",
+            "bin",
+            (F.coalesce("a", F.lit(0)) + 1).alias("a1"),
+            (F.coalesce("bc", F.lit(0)) + 1).alias("b1"),
+        )
+        tw = Window.partitionBy("event_type")
+        t = j.withColumn("na", F.sum("a1").over(tw)).withColumn(
+            "nb", F.sum("b1").over(tw)
+        )
+        term = F.round(
+            F.log(
+                (F.col("a1").cast("double") * F.col("nb"))
+                / (F.col("b1").cast("double") * F.col("na"))
+            )
+            * 1e6,
+            0,
+        ).cast("long")
+        return t.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.max("na").cast("long").alias("n_a_smoothed"),
+            F.max("nb").cast("long").alias("n_b_smoothed"),
+            F.sum(F.col("a1") * term).cast("long").alias("kl_num_micro"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -247,6 +247,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_histogram_kl_drift": 3,  # two combinable hist aggs + bin-keyed full-outer join; totals window + KL fold ride the bounded bin relation
         "pipeline_hard_negatives": 2,  # spread + broadcast queries with the label predicate fused into the scoring join + per-q rank window
         "w_percent_rank_normalize": 1,  # ONE type-keyed window over the data-sized relation (documented per-row-normalization cost)
+        # round-9 wave 22
+        "scalar_map_funcs": 0,  # map-only str_to_map round-trip, whole-stage codegen
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -110,3 +110,67 @@ def test_percent_rank_bounds_and_ties(spark):
     assert out[1] == 0
     assert out[2] == out[3] == 1_000_000 // 3  # ties share a rank
     assert out[4] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# wave 22: map surface + KL histogram state merge law
+# ---------------------------------------------------------------------------
+
+
+def test_map_funcs_round_trip(spark):
+    df = spark.createDataFrame([(1, "click", 42, 7.9)],
+                               "event_id long, event_type string, user_id long, value double")
+    m = F.expr(
+        "str_to_map(concat('t:', event_type, ',u:', cast(user_id as string),"
+        " ',v:', cast(cast(floor(value) as bigint) as string)), ',', ':')"
+    )
+    r = df.select(
+        F.size(m).alias("n"),
+        F.element_at(m, "t").alias("t"),
+        F.expr(
+            "map_contains_key(str_to_map(concat('t:', event_type, ',u:',"
+            " cast(user_id as string), ',v:', cast(cast(floor(value) as"
+            " bigint) as string)), ',', ':'), 'z')"
+        ).alias("z"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("ks"),
+    ).collect()[0]
+    assert (r.n, r.t, r.z, r.ks) == (3, "click", False, "t,u,v")
+
+
+def test_kl_histogram_state_merges_before_smoothing(spark):
+    # the streamable state is the RAW (half, bin) count; smoothing must
+    # happen after the merge.  Fold two splits, merge by addition, and
+    # check it equals the direct histogram -- then check that smoothing
+    # per-split would NOT (the +1 prior would double-count).
+    df = spark.createDataFrame(
+        [("t", i % 2, (i * 3) % 5, i) for i in range(100)],
+        "g string, half int, bin long, i long",
+    )
+
+    def hist(d):
+        return {
+            (r.g, r.half, r.bin): r.c
+            for r in d.groupBy("g", "half", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    direct = hist(df)
+    # split by ROW RANGE so the same (half, bin) keys appear in BOTH
+    # splits (a bin-disjoint split would trivially hide the
+    # double-smoothing bug this test exists to pin)
+    h1 = hist(df.filter(F.col("i") < 50))
+    h2 = hist(df.filter(F.col("i") >= 50))
+    merged: dict = {}
+    for h in (h1, h2):
+        for k, v in h.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == direct
+    smoothed_split = {k: v + 1 for k, v in merged.items()}
+    smoothed_direct = {k: v + 1 for k, v in direct.items()}
+    double_smoothed = {}
+    for h in (h1, h2):
+        for k, v in h.items():
+            double_smoothed[k] = double_smoothed.get(k, 0) + v + 1
+    assert smoothed_split == smoothed_direct
+    assert double_smoothed != smoothed_direct  # the bug the split avoids
