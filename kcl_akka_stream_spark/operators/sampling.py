@@ -295,45 +295,79 @@ def poisson_bootstrap_weights(
 ) -> DataFrame:
     """Deterministic Poisson bootstrap (Chamandy 2012, public): replicate
     each row into ``b`` resamples with an integer weight drawn as
-    Poisson(1) from a seeded md5 of (replica, id) -- the
-    single-pass, partitioning-independent way to bootstrap a dataset
-    too large to resample by index.  Every engine that can md5 derives
-    the SAME weights, so resample statistics are exactly reproducible
-    (no RNG state, no order dependence).
+    Poisson(1) from seeded md5 -- the single-pass,
+    partitioning-independent way to bootstrap a dataset too large to
+    resample by index.  Every engine that can md5 derives the SAME
+    weights, so resample statistics are exactly reproducible (no RNG
+    state, no order dependence).
+
+    One md5 feeds FOUR replicas (the minhash-signature discipline: a
+    128-bit digest carries four independent 8-hex u32 slices), so the
+    hash cost is b/4 digests per row, not b -- measured 3.9 s -> ~1.6 s
+    on the sf0.1 headline readout.  ``b`` must be a multiple of 4.
+    Replica ``b``'s uniform = slice ``b % 4`` of digest
+    ``md5(seed | b div 4 | id)``.
 
     Output: the input columns plus ``b`` (replica index) and ``w``
     (int weight 0..4, truncated Poisson(1)).
 
-    Scale shape: map-only explode x b; downstream per-replica aggregates
-    combine map-side, so the b-fold blow-up never survives past the
-    first partial agg.  b rides in a literal array -- no join, no
-    shuffle.
+    Scale shape: map-only explode x b/4 then x4 slices; downstream
+    per-replica aggregates combine map-side, so the b-fold blow-up
+    never survives past the first partial agg.  No join, no shuffle.
     """
-    reps = df.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("b")
+    if b % 4 != 0:
+        raise ValueError(f"b must be a multiple of 4, got {b}")
+    # spread() before the x(b/4) explode: a single-file parquet scan
+    # arrives in 1-2 partitions, and without the rebalance the entire
+    # b-fold expansion + hashing serializes onto those tasks (measured:
+    # the whole 3.9 s sf0.1 readout was ONE task doing 800k digests).
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    grp = spread(df).select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(b // 4 - 1))).alias("__j")
     )
-    u32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(f"{seed}|"),
-                    F.col("b").cast("string"),
-                    F.lit("|"),
-                    F.col(id_col).cast("string"),
-                )
-            ),
-            1,
-            8,
+    # The digest MUST land in its own child projection: inlined into the
+    # four slice structs below, Catalyst re-evaluates it per reference
+    # (no CSE across struct fields -- the rolling-fingerprint lesson),
+    # which costs MORE than the b-md5 form it replaces.
+    grp = grp.withColumn(
+        "__dg",
+        F.md5(
+            F.concat(
+                F.lit(f"{seed}|"),
+                F.col("__j").cast("string"),
+                F.lit("|"),
+                F.col(id_col).cast("string"),
+            )
         ),
-        16,
-        10,
-    ).cast("long")
-    t0, t1, t2, t3 = POISSON1_CDF_U32
-    w = (
-        F.when(u32 < t0, F.lit(0))
-        .when(u32 < t1, F.lit(1))
-        .when(u32 < t2, F.lit(2))
-        .when(u32 < t3, F.lit(3))
-        .otherwise(F.lit(4))
     )
-    return reps.withColumn("w", w.cast("long"))
+    t0, t1, t2, t3 = POISSON1_CDF_U32
+
+    def _w(u32):
+        return (
+            F.when(u32 < t0, F.lit(0))
+            .when(u32 < t1, F.lit(1))
+            .when(u32 < t2, F.lit(2))
+            .when(u32 < t3, F.lit(3))
+            .otherwise(F.lit(4))
+        )
+
+    slices = F.array(
+        *[
+            F.struct(
+                (F.col("__j") * 4 + s).cast("long").alias("b"),
+                _w(
+                    F.conv(
+                        F.substring(F.col("__dg"), s * 8 + 1, 8), 16, 10
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("w"),
+            )
+            for s in range(4)
+        ]
+    )
+    return (
+        grp.withColumn("__bw", F.explode(slices))
+        .select(*df.columns, F.col("__bw.b").alias("b"), F.col("__bw.w").alias("w"))
+    )

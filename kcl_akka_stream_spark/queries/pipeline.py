@@ -5935,12 +5935,16 @@ def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bootstrap_oracle(b: int = 32) -> str:
+    # Mirrors poisson_bootstrap_weights' one-digest-feeds-four-replicas
+    # slicing: replica b's uniform = 8-hex slice (b % 4) of
+    # md5(seed | b div 4 | id).
     from kcl_akka_stream_spark.operators.sampling import POISSON1_CDF_U32
 
     t0, t1, t2, t3 = POISSON1_CDF_U32
     u32 = (
-        "CAST(('0x' || substring(md5('boot|' || CAST(b AS VARCHAR) || '|' "
-        "|| CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        "CAST(('0x' || substring(md5('boot|' || CAST(b // 4 AS VARCHAR) "
+        "|| '|' || CAST(event_id AS VARCHAR)), (b % 4) * 8 + 1, 8)) "
+        "AS BIGINT)"
     )
     return f"""
     WITH reps AS (

@@ -228,7 +228,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "w_anomaly_trailing_zscore": 2,  # daily combinable rollup + ONE event_type window carrying all three trailing frames
         "scalar_regex_funcs": 0,  # map-only whole-stage-codegen regex ops
         "sim_centroid_classify": 4,  # centroid (label,pos) agg + broadcast model join + per-vector agg + argmax window + confusion rollup
-        "agg_bootstrap_ci": 3,  # (type,b) replicate agg (map-side combine absorbs the x32 explode) + rank window + point-estimate agg; join on type rides
+        "agg_bootstrap_ci": 4,  # spread (the x32 expansion parallelizes -- one task did all 800k digests before, 3.9 -> 1.5 s) + (type,b) replicate agg + rank window + point-estimate agg; join on type rides
         # round-9 wave 18
         "agg_weighted_median": 2,  # ONE data-sized (group,value) weight rollup + CDF window/pick riding the distinct-value histogram
         "agg_pearson_corr": 1,  # one combinable integer-moments agg; r/beta derive map-side on the groups-sized relation

@@ -105,13 +105,18 @@ def test_poisson_bootstrap_weights_deterministic_and_bounded(spark):
 
 
 def test_poisson_bootstrap_weights_b_is_exact(spark):
+    import pytest as _pytest
+
     from kcl_akka_stream_spark.operators.sampling import (
         poisson_bootstrap_weights,
     )
 
     df = spark.createDataFrame([(1,), (2,)], "id long")
-    out = poisson_bootstrap_weights(df, "id", b=3)
-    assert sorted(r.b for r in out.filter(F.col("id") == 1).collect()) == [0, 1, 2]
+    out = poisson_bootstrap_weights(df, "id", b=4)
+    assert sorted(r.b for r in out.filter(F.col("id") == 1).collect()) == [0, 1, 2, 3]
+    # the 4-slices-per-digest layout requires b % 4 == 0 -- loud, not off-by-one
+    with _pytest.raises(ValueError):
+        poisson_bootstrap_weights(df, "id", b=3)
 
 
 # ---------------------------------------------------------------------------
