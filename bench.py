@@ -250,6 +250,9 @@ HEADLINE = [
     "w_percent_rank_normalize",
     # round-9 wave 22: map-function scalar surface
     "scalar_map_funcs",
+    # round-9 wave 23: tokenizer fertility, Benford data-quality audit
+    "text_tokenizer_fertility",
+    "agg_benford_deviation",
     # the remaining TPC-H trio -- all 22 decision-support queries headline
     "q5_local_supplier_volume",
     "q10_returned_items",

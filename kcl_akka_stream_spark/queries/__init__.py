@@ -103,6 +103,8 @@ _PRIORITY = [
     "w_percent_rank_normalize",
     "scalar_map_funcs",
     "stream_kl_drift_merge",
+    "text_tokenizer_fertility",
+    "agg_benford_deviation",
 ]
 
 

@@ -6485,3 +6485,111 @@ def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "n_id", "cos_sim", "rank")
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text),
+                 '{X.BPE_PATTERN.replace(chr(39), chr(39) * 2)}')) AS n_bpe,
+             len(string_split_regex(trim(text), '\\s+')) AS n_ws
+      FROM documents WHERE len(trim(text)) > 0)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(n_bpe) * 1000000 // sum(n_ws) AS BIGINT)
+             AS fertility_ppm
+    FROM t GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer fertility per language: BPE-ish tokens per whitespace
+    # word in integer ppm -- THE cross-lingual tokenizer-efficiency
+    # diagnostic (a language whose fertility runs 2x pays 2x the compute
+    # per word and fills context windows twice as fast; it drives both
+    # vocab sizing and per-language token budgets in mixture design).
+    # Map-only tokenize passes + one combinable lang agg.
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    t = docs.select(
+        "lang",
+        F.size(X.bpe_tokens(F.col("text"))).alias("n_bpe"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("n_words"),
+        F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.expr("sum(n_bpe) * 1000000 div sum(n_ws)")
+        .cast("long")
+        .alias("fertility_ppm"),
+    )
+
+
+@query(
+    "agg_benford_deviation",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(substring(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM events WHERE value >= 0.01),
+    c AS (
+      SELECT event_type, digit, count(*) AS n FROM d
+      GROUP BY event_type, digit),
+    t AS (
+      SELECT event_type, digit, n,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM c)
+    SELECT event_type, digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // tot AS BIGINT) AS obs_ppm,
+           CAST(round(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000, 0)
+                AS BIGINT) AS benford_ppm,
+           CAST(abs(n * 1000000 // tot
+                    - CAST(round(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000,
+                                 0) AS BIGINT)) AS BIGINT) AS abs_dev_ppm
+    FROM t
+    """,
+)
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-digit audit (Newcomb 1881 / Benford 1938, public):
+    # observed leading-digit shares vs the log10(1 + 1/d) law, per event
+    # type, everything in integer ppm (the expected share is ONE frozen
+    # ln-derived constant per digit -- round before any comparison, the
+    # entropy-report discipline).  The classic fabricated-data /
+    # unit-mixing tripwire a data-quality pipeline runs on monetary
+    # columns; a synthetic uniform fixture shows large abs_dev_ppm on
+    # digit 1 by construction (uniform value ranges are NOT Benford --
+    # the report detects that honestly).  One combinable (type, digit)
+    # count; shares ride the <= 9-rows-per-type relation.
+    ev = tbl(spark, sf_dir, "events").filter(F.col("value") >= 0.01)
+    d = ev.select(
+        "event_type",
+        F.substring(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit"),
+    )
+    c = d.groupBy("event_type", "digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.withColumn("tot", F.sum("n").over(Window.partitionBy("event_type")))
+    benford = F.round(
+        F.log(1.0 + 1.0 / F.col("digit").cast("double")) / F.log(F.lit(10.0)) * 1e6,
+        0,
+    ).cast("long")
+    obs = F.expr("n * 1000000 div tot").cast("long")
+    return t.select(
+        "event_type",
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        obs.alias("obs_ppm"),
+        benford.alias("benford_ppm"),
+        F.abs(obs - benford).cast("long").alias("abs_dev_ppm"),
+    )

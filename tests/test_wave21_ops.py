@@ -174,3 +174,53 @@ def test_kl_histogram_state_merges_before_smoothing(spark):
             double_smoothed[k] = double_smoothed.get(k, 0) + v + 1
     assert smoothed_split == smoothed_direct
     assert double_smoothed != smoothed_direct  # the bug the split avoids
+
+
+# ---------------------------------------------------------------------------
+# wave 23: fertility arithmetic + Benford law constants
+# ---------------------------------------------------------------------------
+
+
+def test_fertility_hand_checked(spark):
+    from kcl_akka_stream_spark.operators.text import bpe_tokens
+
+    df = spark.createDataFrame(
+        [("en", "hello world it's fine")], "lang string, text string"
+    )
+    r = df.select(
+        F.size(bpe_tokens(F.col("text"))).alias("n_bpe"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws"),
+    ).collect()[0]
+    # 4 whitespace words; BPE splits the apostrophe clitic: it + 's
+    assert r.n_ws == 4
+    assert r.n_bpe == 5
+
+
+def test_benford_expected_shares_sum_to_million(spark):
+    import math
+
+    ppm = [round(math.log10(1 + 1 / d) * 1e6) for d in range(1, 10)]
+    assert sum(ppm) == 1_000_000  # the law is a complete distribution
+    assert ppm[0] == 301030  # digit 1 ~ 30.1%
+
+
+def test_benford_digit_extraction(spark):
+    df = spark.createDataFrame(
+        [(1, 0.01), (2, 93.47), (3, 7.0)], "id long, value double"
+    )
+    out = {
+        r.id: r.d
+        for r in df.select(
+            "id",
+            F.substring(
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("d"),
+        ).collect()
+    }
+    assert out == {1: 1, 2: 9, 3: 7}
