@@ -47,6 +47,19 @@ def _edge_base(edges: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
+def _maybe_bcast(node_sized: DataFrame, broadcast_scores: bool) -> DataFrame:
+    """Broadcast hint on a NODE-sized score/label/frontier relation, opt-in
+    only.  Default False everywhere (matching ``pagerank``): a node
+    relation grows with the graph, and a hard-coded ``F.broadcast`` on it
+    is an executor/driver OOM at billion-node scale, not a slowdown.
+    Callers that can PROVE the node set fits an executor (bounded
+    dimension graphs, fixture-scale benchmarks) pass
+    ``broadcast_scores=True`` and skip the node-sized exchange; everyone
+    else gets the shuffled join, which AQE still localizes at runtime
+    sizes (including a runtime broadcast when statistics allow)."""
+    return F.broadcast(node_sized) if broadcast_scores else node_sized
+
+
 def _attach_ranks(ew: DataFrame, ranks: DataFrame, broadcast_ranks: bool):
     """One iteration's rank-attach join.  ``broadcast_ranks=True`` maps
     the node-sized ranks to every edge partition without shuffling or
@@ -55,8 +68,7 @@ def _attach_ranks(ew: DataFrame, ranks: DataFrame, broadcast_ranks: bool):
     orders of magnitude fewer than edges).  False keeps the shuffled
     join for billion-node graphs whose rank table outgrows broadcast
     range; AQE still localizes the node-sized exchange."""
-    r = F.broadcast(ranks) if broadcast_ranks else ranks
-    return ew.join(r, ew.src == F.col("node"))
+    return ew.join(_maybe_bcast(ranks, broadcast_ranks), ew.src == F.col("node"))
 
 
 def pagerank(
@@ -270,7 +282,9 @@ def personalized_pagerank(
     ).localCheckpoint(eager=True)
 
 
-def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iterations: int = 2, broadcast_scores: bool = False
+) -> DataFrame:
     """Synchronous weighted label propagation (Raghavan et al. 2007,
     public) -- the community-detection rung of the graph family next to
     connected components (min-label, finds *components*) and PageRank
@@ -287,7 +301,9 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
 
     Scale shape: the (src, dst, w) base is checkpointed once
     (src-partitioned); each round is one rank-attach join (node-sized
-    labels, broadcastable), one (dst, label)-keyed combinable sum, and
+    labels -- shuffled by default, ``broadcast_scores=True`` opts into the
+    broadcast when the node set provably fits, see ``_maybe_bcast``),
+    one (dst, label)-keyed combinable sum, and
     one dst-keyed arg-max window over the *per-label vote* relation --
     bounded by edges, map-side combined to (node x distinct incoming
     label), never materializing per-edge state across rounds.
@@ -307,7 +323,7 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
     )
     for _ in range(iterations):
         votes = (
-            e.join(F.broadcast(labels), e.src == labels.node)
+            e.join(_maybe_bcast(labels, broadcast_scores), e.src == labels.node)
             .groupBy("dst", "label")
             .agg(F.sum("w").cast("long").alias("votes"))
         )
@@ -319,7 +335,9 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
     return labels.localCheckpoint(eager=True)
 
 
-def neighbor_jaccard(edges: DataFrame, min_common: int = 1) -> DataFrame:
+def neighbor_jaccard(
+    edges: DataFrame, min_common: int = 1, broadcast_scores: bool = False
+) -> DataFrame:
     """Link prediction by neighbor-set Jaccard (Liben-Nowell & Kleinberg
     2003, public): for every NON-edge pair (u < v) sharing at least
     ``min_common`` neighbors, |N(u) n N(v)| / |N(u) u N(v)| -- the
@@ -336,8 +354,9 @@ def neighbor_jaccard(edges: DataFrame, min_common: int = 1) -> DataFrame:
 
     Scale shape: one wedge self-join keyed on the shared neighbor (the
     triangle_count shuffle), one (u, v)-keyed combinable count, a
-    broadcastable node-sized degree attach, one anti-join against the
-    edge relation.  High-degree hubs dominate wedge volume exactly as
+    node-sized degree attach (shuffled by default; ``broadcast_scores=
+    True`` opts into the broadcast when the node set provably fits --
+    see ``_maybe_bcast``), one anti-join against the edge relation.  High-degree hubs dominate wedge volume exactly as
     in triangle counting -- cap or sample hub adjacency upstream for
     power-law graphs.
 
@@ -362,8 +381,14 @@ def neighbor_jaccard(edges: DataFrame, min_common: int = 1) -> DataFrame:
         ["u", "v"],
         "left_anti",
     )
-    du = F.broadcast(deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u")))
-    dv = F.broadcast(deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v")))
+    du = _maybe_bcast(
+        deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u")),
+        broadcast_scores,
+    )
+    dv = _maybe_bcast(
+        deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v")),
+        broadcast_scores,
+    )
     return (
         non_edges.join(du, "u")
         .join(dv, "v")
@@ -415,7 +440,9 @@ def degree_histogram(
     return hist
 
 
-def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+def kcore_peel(
+    edges: DataFrame, k: int = 2, rounds: int = 3, broadcast_scores: bool = False
+) -> DataFrame:
     """Iterative k-core peeling (Seidman 1983, public): each round drops
     every node whose current undirected degree is below ``k`` and every
     edge touching one -- after enough rounds the survivors are the
@@ -432,8 +459,11 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     Input contract matches ``triangle_count``: canonical undirected
     simple edges (src < dst).  Each round: one node-sized degree
     aggregate + two semi-joins against the (broadcastable, shrinking)
-    surviving-node set; the edge relation is eagerly checkpointed per
-    round so the next round's plan stays shallow.  Returns the
+    surviving-node set (shuffled semi-joins by default;
+    ``broadcast_scores=True`` opts into broadcasting the survivor set
+    when it provably fits -- see ``_maybe_bcast``); the edge relation is
+    eagerly checkpointed per round so the next round's plan stays
+    shallow.  Returns the
     surviving (node, degree) after the last round.
     """
     e = edges.select("src", "dst").localCheckpoint(eager=True)
@@ -444,7 +474,9 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
             .groupBy("n")
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
         )
-        keep = F.broadcast(deg.filter(F.col("d") >= k).select("n"))
+        keep = _maybe_bcast(
+            deg.filter(F.col("d") >= k).select("n"), broadcast_scores
+        )
         e = (
             e.join(keep.select(F.col("n").alias("src")), "src", "left_semi")
             .join(keep.select(F.col("n").alias("dst")), "dst", "left_semi")
@@ -459,7 +491,12 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     )
 
 
-def bfs_distance(edges: DataFrame, seeds: list, rounds: int = 3) -> DataFrame:
+def bfs_distance(
+    edges: DataFrame,
+    seeds: list,
+    rounds: int = 3,
+    broadcast_scores: bool = False,
+) -> DataFrame:
     """Multi-source BFS distance, ``rounds`` hops: the proximity label
     behind "within k hops of a trusted/flagged set" (fraud rings,
     moderation blast radius, recommendation seeds).  Fixed rounds keep
@@ -469,8 +506,10 @@ def bfs_distance(edges: DataFrame, seeds: list, rounds: int = 3) -> DataFrame:
 
     Input: directed (src, dst) with the symmetrized contract of
     ``pagerank`` for undirected graphs.  Each round is one edge-keyed
-    join against the (node-sized, checkpointed) frontier relation plus
-    a min-combine -- distance labels stay node-sized, the edge relation
+    join against the (node-sized, checkpointed) frontier relation
+    (shuffled by default; ``broadcast_scores=True`` opts into the
+    broadcast when the reached set provably fits -- see
+    ``_maybe_bcast``) plus a min-combine -- distance labels stay node-sized, the edge relation
     is checkpointed once; monotone (min of a growing set), so extra
     rounds past the diameter are no-ops.
 
@@ -485,7 +524,7 @@ def bfs_distance(edges: DataFrame, seeds: list, rounds: int = 3) -> DataFrame:
     )
     for _ in range(rounds):
         reached = (
-            e.join(F.broadcast(dist), e.src == dist.node)
+            e.join(_maybe_bcast(dist, broadcast_scores), e.src == dist.node)
             .select("dst", (F.col("dist") + 1).alias("d"))
             .groupBy("dst")
             .agg(F.min("d").alias("dist"))
@@ -500,7 +539,12 @@ def bfs_distance(edges: DataFrame, seeds: list, rounds: int = 3) -> DataFrame:
     return dist
 
 
-def weighted_distance(edges: DataFrame, seeds: list, rounds: int = 3) -> DataFrame:
+def weighted_distance(
+    edges: DataFrame,
+    seeds: list,
+    rounds: int = 3,
+    broadcast_scores: bool = False,
+) -> DataFrame:
     """Bounded Bellman-Ford: min-cost distance from a seed set over a
     weighted edge list (src, dst, cost), ``rounds`` relaxation rounds --
     i.e. the exact cheapest cost over paths of at most ``rounds`` edges
@@ -511,7 +555,9 @@ def weighted_distance(edges: DataFrame, seeds: list, rounds: int = 3) -> DataFra
     Same scale discipline: the edge relation is checkpointed ONCE, the
     distance relation stays node-sized and checkpoints each round (a
     cache miss costs one round, not the whole derivation), each round is
-    one broadcast join + one min-combine.  Monotone in rounds (longer
+    one distance-attach join (shuffled by default; ``broadcast_scores=
+    True`` opts into the broadcast when the reached set provably fits --
+    see ``_maybe_bcast``) + one min-combine.  Monotone in rounds (longer
     paths can only add alternatives to the min).  Integer costs ->
     deterministic, oracle-unrollable.
 
@@ -528,7 +574,7 @@ def weighted_distance(edges: DataFrame, seeds: list, rounds: int = 3) -> DataFra
     )
     for _ in range(rounds):
         relaxed = (
-            e.join(F.broadcast(dist), e.src == dist.node)
+            e.join(_maybe_bcast(dist, broadcast_scores), e.src == dist.node)
             .select("dst", (F.col("dist") + F.col("cost")).alias("d"))
             .groupBy("dst")
             .agg(F.min("d").alias("dist"))
@@ -543,7 +589,16 @@ def weighted_distance(edges: DataFrame, seeds: list, rounds: int = 3) -> DataFra
     return dist
 
 
-def hits(edges: DataFrame, iterations: int = 2) -> tuple[DataFrame, DataFrame]:
+#: hits() hard bound: unnormalized int64 scores grow ~(mean weighted
+#: degree)^2 per round -- past this many rounds a dense graph can silently
+#: overflow, so the operator RAISES instead of returning garbage (the same
+#: guard style connected_components uses for max_iterations).
+HITS_MAX_ITERATIONS = 4
+
+
+def hits(
+    edges: DataFrame, iterations: int = 2, broadcast_scores: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """HITS hubs & authorities (Kleinberg 1999, public) over a weighted
     directed edge list (src, dst, w), in EXACT int64 arithmetic: hub
     scores start at 1, ``auth(v) = sum_{u->v} w * hub(u)`` and
@@ -553,16 +608,25 @@ def hits(edges: DataFrame, iterations: int = 2) -> tuple[DataFrame, DataFrame]:
     scale factors per round), and integer sums are partial-agg-order
     independent, so an unrolled SQL oracle matches bit-for-bit.  The
     unnormalized magnitude grows by ~(mean weighted degree)^2 per round:
-    int64-safe for small ``iterations`` (the bounded-relaxation
-    discipline of bfs/bellman-ford); raise SCALE-aware normalization
-    before going past ~4 rounds on dense graphs.
+    int64-safe for small ``iterations`` only, so ``iterations`` is
+    HARD-BOUNDED to [1, HITS_MAX_ITERATIONS] -- out of range raises
+    ValueError (never garbage; implement SCALE-aware normalization
+    before lifting the bound on dense graphs).
 
     Returns ``(hubs, auths)``: node-sized (node, hub) / (node, auth)
     relations, both eagerly checkpointed.  Scale shape: the edge base is
-    checkpointed ONCE; each half-round is one broadcast attach of a
-    node-sized score table + one combinable sum keyed by the opposite
+    checkpointed ONCE; each half-round is one attach of a node-sized
+    score table (shuffled by default; ``broadcast_scores=True`` opts
+    into the broadcast when the node set provably fits -- see
+    ``_maybe_bcast``) + one combinable sum keyed by the opposite
     endpoint.
     """
+    if not 1 <= iterations <= HITS_MAX_ITERATIONS:
+        raise ValueError(
+            f"hits(iterations={iterations}): must be in "
+            f"[1, {HITS_MAX_ITERATIONS}] -- unnormalized int64 scores grow "
+            "~(mean weighted degree)^2 per round and overflow past the bound"
+        )
     ew = edges.select(
         "src", "dst", F.col("w").cast("long").alias("w")
     ).localCheckpoint(eager=True)
@@ -572,13 +636,13 @@ def hits(edges: DataFrame, iterations: int = 2) -> tuple[DataFrame, DataFrame]:
     auths = None
     for _ in range(iterations):
         auths = (
-            ew.join(F.broadcast(hubs), ew.src == hubs.node)
+            ew.join(_maybe_bcast(hubs, broadcast_scores), ew.src == hubs.node)
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("hub")).cast("long").alias("auth"))
             .select(F.col("dst").alias("node"), "auth")
         )
         hubs = (
-            ew.join(F.broadcast(auths), ew.dst == auths.node)
+            ew.join(_maybe_bcast(auths, broadcast_scores), ew.dst == auths.node)
             .groupBy("src")
             .agg(F.sum(F.col("w") * F.col("auth")).cast("long").alias("hub"))
             .select(F.col("src").alias("node"), "hub")

@@ -4668,8 +4668,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    # broadcast_scores=True: fixture node set provably fits an executor (default False for billion-node graphs).
     return (
-        neighbor_jaccard(edges)
+        neighbor_jaccard(edges, broadcast_scores=True)
         .orderBy(F.col("jaccard_micro").desc(), "u", "v")
         .limit(30)
     )
@@ -4736,7 +4737,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = p.unionByName(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
-    labels = label_propagation(edges, iterations=2)
+    # broadcast_scores=True: fixture node set provably fits an executor.
+    labels = label_propagation(edges, iterations=2, broadcast_scores=True)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
@@ -4949,7 +4951,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    return kcore_peel(edges, k=3, rounds=3)
+    # broadcast_scores=True: fixture node set provably fits an executor.
+    return kcore_peel(edges, k=3, rounds=3, broadcast_scores=True)
 
 
 def _matryoshka_oracle(dims: int = 16) -> str:
@@ -5084,7 +5087,8 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2)
         .collect()
     ]
-    return bfs_distance(edges, seeds, rounds=3)
+    # broadcast_scores=True: fixture node set provably fits an executor.
+    return bfs_distance(edges, seeds, rounds=3, broadcast_scores=True)
 
 
 @query(
@@ -5821,7 +5825,8 @@ def graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     edges = sym.select("src", "dst", F.expr("1000000 div w").alias("cost"))
-    dist = weighted_distance(edges, [1, 2, 3], rounds=3)
+    # broadcast_scores=True: fixture node set provably fits an executor.
+    dist = weighted_distance(edges, [1, 2, 3], rounds=3, broadcast_scores=True)
     return dist.select(
         _graph_decode("node").alias("node"),
         F.col("dist").cast("long").alias("dist_cost"),
@@ -6154,7 +6159,8 @@ def graph_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    hubs, auths = hits(p, iterations=2)
+    # broadcast_scores=True: fixture node set provably fits an executor.
+    hubs, auths = hits(p, iterations=2, broadcast_scores=True)
     th = (
         hubs.orderBy(F.col("hub").desc(), "node")
         .limit(10)

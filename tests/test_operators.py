@@ -380,3 +380,86 @@ def test_pq_encode_map_only_matches_pq_assign(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="max_codebook_rows"):
         pq_encode(emb, emb, m=4, max_codebook_rows=16)
+
+
+def test_graph_broadcast_scores_default_never_hints(spark, monkeypatch):
+    # VERDICT r9 #1: every iterative graph operator must default to the
+    # SHUFFLED score/label/frontier join (a node-sized relation grows
+    # with the graph; a forced broadcast is an OOM at billion-node
+    # scale).  Spy on the module's F.broadcast: with the default
+    # broadcast_scores=False NONE of the six operators may hint, and the
+    # opt-in True path must produce IDENTICAL results (it is a plan
+    # knob, not semantics).
+    from kcl_akka_stream_spark.operators import graph
+
+    calls = []
+    real_broadcast = graph.F.broadcast
+
+    def spy(df):
+        calls.append(1)
+        return real_broadcast(df)
+
+    raw = [(1, 2, 2), (2, 3, 1), (3, 4, 1), (4, 1, 3), (1, 3, 1)]
+    sym = raw + [(d, s, w) for (s, d, w) in raw]
+    ew = spark.createDataFrame(sym, "src long, dst long, w long")
+    canon = spark.createDataFrame(
+        sorted({(min(s, d), max(s, d)) for (s, d, _) in sym}),
+        "src long, dst long",
+    )
+
+    def run(flag):
+        return (
+            sorted(map(tuple, graph.label_propagation(ew, 2, broadcast_scores=flag).collect())),
+            sorted(map(tuple, graph.neighbor_jaccard(canon, broadcast_scores=flag).collect())),
+            sorted(map(tuple, graph.kcore_peel(canon, k=2, rounds=2, broadcast_scores=flag).collect())),
+            sorted(map(tuple, graph.bfs_distance(ew, [1], rounds=2, broadcast_scores=flag).collect())),
+            sorted(map(tuple, graph.weighted_distance(
+                ew.withColumnRenamed("w", "cost"), [1], rounds=2, broadcast_scores=flag
+            ).collect())),
+            tuple(
+                sorted(map(tuple, part.collect()))
+                for part in graph.hits(ew, 2, broadcast_scores=flag)
+            ),
+        )
+
+    monkeypatch.setattr(graph.F, "broadcast", spy)
+    default_results = run(False)
+    assert not calls, "default broadcast_scores=False must never hint"
+    hinted_results = run(True)
+    assert calls, "broadcast_scores=True must hint"
+    assert default_results == hinted_results
+
+
+def test_graph_default_plan_has_no_broadcast_exchange(spark):
+    # Direct physical-plan pin (the lazy operator in the family):
+    # with auto-broadcast disabled, the default neighbor_jaccard plan
+    # contains NO BroadcastExchange; the opt-in plan does.
+    from kcl_akka_stream_spark.operators.graph import neighbor_jaccard
+    from kcl_akka_stream_spark.plans import physical_plan
+
+    canon = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], "src long, dst long"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "BroadcastExchange" not in physical_plan(neighbor_jaccard(canon))
+        assert "BroadcastExchange" in physical_plan(
+            neighbor_jaccard(canon, broadcast_scores=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_hits_iterations_hard_bound(spark):
+    # VERDICT r9 #4 / ADVICE: hits(iterations=0) used to crash with
+    # AttributeError on auths=None, and past 4 rounds unnormalized int64
+    # scores can silently overflow.  Both must RAISE, never garbage.
+    import pytest as _pytest
+
+    from kcl_akka_stream_spark.operators.graph import hits
+
+    ew = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    for bad in (0, -1, 5):
+        with _pytest.raises(ValueError, match="hits"):
+            hits(ew, iterations=bad)
