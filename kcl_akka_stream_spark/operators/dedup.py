@@ -355,6 +355,23 @@ def _mirrored_edge_base(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _restrict_edges_to_nodes(
+    edges: DataFrame, nodes: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every mirrored edge touching an endpoint absent from
+    ``nodes`` (both directions go together: the semi-joins check src AND
+    dst).  The opt-in guard behind ``validate_pairs`` -- costs one
+    nodes-sized semi-join pass per CC call, so it is OFF by default for
+    pipelines whose pairs derive from the node set by construction."""
+    n = nodes.select(F.col(id_col)).distinct()
+    return (
+        edges.join(n.withColumnRenamed(id_col, "src"), "src", "left_semi")
+        .join(n.withColumnRenamed(id_col, "dst"), "dst", "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+
+
 def _cc_run(
     edges: DataFrame,
     nodes: DataFrame,
@@ -389,6 +406,7 @@ def connected_components(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    validate_pairs: bool = False,
 ) -> DataFrame:
     """Near-dup cluster assignment: connected components over the candidate
     -pair graph by iterative min-label propagation.  Returns
@@ -408,8 +426,21 @@ def connected_components(
     raises rather than silently returning HALF-MERGED clusters -- wrong
     cluster ids in a dedup pipeline mean silently dropping the wrong
     documents downstream.
+
+    PRECONDITION (pairs subset of nodes): every pair endpoint must be
+    drawn from ``nodes``'s id space.  By default a stray endpoint (stale
+    or cross-batch candidate pair) PARTICIPATES in propagation and can
+    become a component's min label, so ``cluster_id`` may then reference
+    an id absent from ``nodes`` (output ROWS are always exactly
+    ``nodes``).  LSH pipelines generate pairs from the node set, so the
+    precondition holds by construction; callers that cannot prove it
+    pass ``validate_pairs=True`` to semi-join stray edges out (both
+    directions together) at the cost of one nodes-sized semi-join pass.
+    Pinned by ``test_cc_stray_endpoint_contract``.
     """
     edges = _mirrored_edge_base(pairs)
+    if validate_pairs:
+        edges = _restrict_edges_to_nodes(edges, nodes, id_col)
     return _cc_run(
         edges, nodes, id_col, _cc_step_plain, max_iterations,
         "connected_components",
@@ -469,6 +500,7 @@ def connected_components_fast(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 25,
+    validate_pairs: bool = False,
 ) -> DataFrame:
     """Connected components with POINTER JUMPING: each round does one
     min-label propagation hop (as ``connected_components``) and then a
@@ -481,8 +513,12 @@ def connected_components_fast(
     (id, label) table, so for the shallow near-dup cliques LSH banding
     produces, the plain operator is cheaper -- use this one when
     components can be deep (reply chains, co-citation paths, web graphs).
+    Same pairs-subset-of-nodes precondition and ``validate_pairs`` guard
+    as ``connected_components``.
     """
     edges = _mirrored_edge_base(pairs)
+    if validate_pairs:
+        edges = _restrict_edges_to_nodes(edges, nodes, id_col)
     return _cc_run(
         edges, nodes, id_col, _cc_step_jump, max_iterations,
         "connected_components_fast",

@@ -262,18 +262,26 @@ def _geometric_draw(u32: Column) -> Column:
     return out
 
 
-def dp_noised_counts(
-    df: DataFrame, group_col: str, seed: str = "dp"
+def pseudo_dp_noised_counts(
+    df: DataFrame, group_col: str, seed: str
 ) -> DataFrame:
-    """Differentially-private group counts via the DETERMINISTIC geometric
-    mechanism (Ghosh, Roughgarden & Sundararajan 2009, public): noise =
-    G1 - G2 where each G is a truncated Geometric(1 - e^-eps) draw, eps =
-    0.5 -- the discrete analogue of Laplace noise, integer end-to-end.
-    The draws come from seeded md5 of the group key (two independent
-    8-hex slices of one digest), so a second engine reproduces the noise
-    EXACTLY -- reproducible-DP for pipeline testing; production rotates
-    the seed per release, which is the privacy/ reproducibility trade
-    documented here rather than hidden.
+    """REPRODUCIBLE PSEUDO-DP FOR PIPELINE TESTING ONLY -- NOT A PRIVACY
+    GUARANTEE (output contract; ADVICE r9).  The noise is a DETERMINISTIC
+    function of (seed, group key): anyone holding the seed inverts it and
+    recovers exact counts, and even with a secret seed the fixed-per-key,
+    truncated (+/-8), zero-clamped noise carries no formal epsilon.  Use
+    this to test that a pipeline PLUMBS noised counts correctly and that
+    two engines reproduce the same noised output; for real privacy,
+    swap in a cryptographic RNG mechanism with an accounted budget.
+
+    Shape of the noise: the geometric mechanism (Ghosh, Roughgarden &
+    Sundararajan 2009, public) at eps = 0.5 -- noise = G1 - G2, each a
+    truncated Geometric(1 - e^-eps) draw, the discrete analogue of
+    Laplace noise, integer end-to-end.  Draws come from seeded md5 of
+    the group key (two independent 8-hex slices of one digest), so a
+    second engine reproduces the noise EXACTLY.  ``seed`` is REQUIRED
+    (no default): a hardcoded public seed would invite treating the
+    output as private.
 
     Output: ``(group_col, n_noised)`` -- the true count never leaves the
     operator.  Scale shape: ONE combinable count agg; the noise attaches

@@ -1222,6 +1222,7 @@ def range_search(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_self: bool = False,
 ) -> DataFrame:
     """Exact cosine RANGE search (radius query): every corpus vector
     whose cosine with a query meets the threshold -- the retrieval
@@ -1237,12 +1238,22 @@ def range_search(
     boundary set is identical cross-engine.  For corpus x corpus radius
     search at 100 TB, block with sign-LSH first (``emb_near_dup_lsh``'s
     machinery) and verify with this exact score.
+
+    ID-SPACE CONTRACT (ADVICE r9): with the default
+    ``include_self=False`` a match is excluded purely on ``q_id != n_id``
+    across the two INDEPENDENT relations -- correct when ``queries`` is
+    drawn from the corpus's id space (the audit/near-dup case), but a
+    distinct corpus vector that merely shares an id with a query would be
+    silently dropped.  When the query table's ids are NOT corpus ids (or
+    self-matches are wanted for audit), pass ``include_self=True`` and
+    filter downstream if needed.
     """
     from kcl_akka_stream_spark.plans.hygiene import spread
 
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     c = spread(corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")))
-    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+    pair_cond = F.lit(True) if include_self else F.col("q_id") != F.col("n_id")
+    scored = c.join(F.broadcast(q), pair_cond).select(
         "q_id",
         "n_id",
         F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),

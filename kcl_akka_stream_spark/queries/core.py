@@ -4375,19 +4375,24 @@ def _dp_noised_oracle() -> str:
 
 @query("agg_dp_noised_counts", _dp_noised_oracle())
 def agg_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Differentially-private event-type counts via the DETERMINISTIC
-    # geometric mechanism (operators/sampling.py::dp_noised_counts; Ghosh
-    # et al. 2009): discrete-Laplace noise = difference of two truncated
+    # PSEUDO-DP event-type counts -- reproducible noise for pipeline
+    # testing, NOT a privacy guarantee (the operator's output contract;
+    # ADVICE r9): the DETERMINISTIC geometric mechanism (operators/
+    # sampling.py::pseudo_dp_noised_counts; Ghosh et al. 2009 shape) --
+    # discrete-Laplace noise = difference of two truncated
     # Geometric(1 - e^-0.5) draws, each classified from a seeded-md5
     # uniform by the frozen integer CDF (the POISSON1_CDF_U32
-    # discipline) -- both engines derive the SAME noise, so the privacy
-    # mechanism itself is hash-testable.  One combinable count agg;
-    # noise attaches map-side to the groups-sized relation; the true
-    # count never leaves the operator.
-    from kcl_akka_stream_spark.operators.sampling import dp_noised_counts
+    # discipline) -- both engines derive the SAME noise, so the noising
+    # PLUMBING itself is hash-testable (which is exactly why it is not
+    # private: the seed inverts it).  One combinable count agg; noise
+    # attaches map-side to the groups-sized relation; the true count
+    # never leaves the operator.
+    from kcl_akka_stream_spark.operators.sampling import (
+        pseudo_dp_noised_counts,
+    )
 
     ev = tbl(spark, sf_dir, "events").select("event_type")
-    return dp_noised_counts(ev, "event_type", seed="dp")
+    return pseudo_dp_noised_counts(ev, "event_type", seed="dp")
 
 
 @query(

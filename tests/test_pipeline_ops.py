@@ -925,3 +925,57 @@ def test_bloom_prune_known_preserves_duplicate_rows(spark):
     rows = [(r.digest, r.is_known) for r in out.collect()]
     assert sorted(rows) == [("dup", 1)] * 3 + [("miss", 0)] * 2
     assert out.columns == ["digest", "bloom_candidate", "is_known"]
+
+
+def test_cc_stray_endpoint_contract(spark):
+    # ADVICE r9: a pair endpoint absent from `nodes` participates in
+    # propagation by default (and can become the component's min label
+    # -- a cluster_id referencing an id not in nodes), while output ROWS
+    # are always exactly `nodes`.  validate_pairs=True semi-joins stray
+    # edges out, so every cluster_id is then drawn from nodes.
+    from kcl_akka_stream_spark.operators.dedup import (
+        connected_components,
+        connected_components_fast,
+    )
+
+    nodes = spark.createDataFrame([(2,), (3,), (4,)], "doc_id long")
+    # pair (1, 2): endpoint 1 is NOT a node; pair (3, 4) is clean
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+
+    for cc in (connected_components, connected_components_fast):
+        default = {r.doc_id: r.cluster_id for r in cc(pairs, nodes).collect()}
+        # documented default: the stray min label 1 leaks into node 2's
+        # cluster_id; rows are still exactly the node set
+        assert default == {2: 1, 3: 3, 4: 3}
+        strict = {
+            r.doc_id: r.cluster_id
+            for r in cc(pairs, nodes, validate_pairs=True).collect()
+        }
+        # validated: the stray edge drops entirely (both directions),
+        # node 2 is a singleton, every cluster_id is a node id
+        assert strict == {2: 2, 3: 3, 4: 3}
+        assert set(strict.values()) <= {2, 3, 4}
+
+
+def test_range_search_include_self_contract(spark):
+    # ADVICE r9: by default q_id != n_id across two INDEPENDENT
+    # relations -- a corpus vector merely sharing an id with a query is
+    # dropped.  include_self=True keeps it (external-id query tables /
+    # self-match audits).
+    from kcl_akka_stream_spark.operators.similarity import range_search
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    # query id 1 collides with a DIFFERENT corpus vector's id
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.05])], "vec_id long, embedding array<double>"
+    )
+    dflt = {(r.q_id, r.n_id) for r in range_search(corpus, queries, 0.9).collect()}
+    assert (1, 1) not in dflt and (1, 3) in dflt
+    incl = {
+        (r.q_id, r.n_id)
+        for r in range_search(corpus, queries, 0.9, include_self=True).collect()
+    }
+    assert (1, 1) in incl and (1, 3) in incl

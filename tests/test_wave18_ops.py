@@ -64,33 +64,33 @@ def test_pearson_constant_y_is_null(spark):
 
 
 # ---------------------------------------------------------------------------
-# dp_noised_counts: determinism + bounded noise + nonnegativity
+# pseudo_dp_noised_counts: determinism + bounded noise + nonnegativity + required seed
 # ---------------------------------------------------------------------------
 
 
-def test_dp_noised_counts_deterministic_and_bounded(spark):
-    from kcl_akka_stream_spark.operators.sampling import dp_noised_counts
+def test_pseudo_dp_noised_counts_deterministic_and_bounded(spark):
+    from kcl_akka_stream_spark.operators.sampling import pseudo_dp_noised_counts
 
     rows = [(f"t{i % 4}",) for i in range(400)]
     df = spark.createDataFrame(rows, "g string")
-    a = {r.g: r.n_noised for r in dp_noised_counts(df, "g").collect()}
-    b = {r.g: r.n_noised for r in dp_noised_counts(df, "g").collect()}
+    a = {r.g: r.n_noised for r in pseudo_dp_noised_counts(df, "g", seed="dp").collect()}
+    b = {r.g: r.n_noised for r in pseudo_dp_noised_counts(df, "g", seed="dp").collect()}
     assert a == b  # seeded noise: same answer every run
     # truncated geometric noise is within [-8, 8] and counts stay >= 0
     for g, n in a.items():
         assert abs(n - 100) <= 8
         assert n >= 0
     # a different seed moves at least one group (noise really applied)
-    c = {r.g: r.n_noised for r in dp_noised_counts(df, "g", seed="dp2").collect()}
+    c = {r.g: r.n_noised for r in pseudo_dp_noised_counts(df, "g", seed="dp2").collect()}
     assert c != a or any(v != 100 for v in a.values())
 
 
-def test_dp_noised_counts_clamps_small_groups(spark):
-    from kcl_akka_stream_spark.operators.sampling import dp_noised_counts
+def test_pseudo_dp_noised_counts_clamps_small_groups(spark):
+    from kcl_akka_stream_spark.operators.sampling import pseudo_dp_noised_counts
 
     # single-row groups: noise could push below zero; the clamp holds
     df = spark.createDataFrame([(f"g{i}",) for i in range(50)], "g string")
-    assert all(r.n_noised >= 0 for r in dp_noised_counts(df, "g").collect())
+    assert all(r.n_noised >= 0 for r in pseudo_dp_noised_counts(df, "g", seed="dp").collect())
 
 
 # ---------------------------------------------------------------------------
@@ -165,3 +165,17 @@ def test_rake_phrases_bounded_by_max_words(spark):
     # a 5-word content run exceeds max_words=3 -> no phrases at all
     assert rake_phrases(df, max_words=3).count() == 0
     assert rake_phrases(df, max_words=5).count() == 1
+
+
+def test_pseudo_dp_seed_is_required():
+    # ADVICE r9 (medium): a hardcoded public default seed invites
+    # treating the output as private.  The seed is now a REQUIRED
+    # argument -- calling without one is a TypeError at bind time.
+    import inspect
+
+    from kcl_akka_stream_spark.operators.sampling import (
+        pseudo_dp_noised_counts,
+    )
+
+    sig = inspect.signature(pseudo_dp_noised_counts)
+    assert sig.parameters["seed"].default is inspect.Parameter.empty
