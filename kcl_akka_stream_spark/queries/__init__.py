@@ -22,69 +22,19 @@ from kcl_akka_stream_spark.queries import streaming_q  # noqa: E402,F401
 #: Samplers that take the first N registry entries (the driver's
 #: correctness gate records 50) must see a REPRESENTATIVE slice, not just
 #: whichever module imported first.  The sample ROTATES each round
-#: (VERDICT r5 #2, r6 #2, r7 #3, r8 #1): after round 8, exactly 42 of the
-#: 274 registry names had never appeared in a driver CORRECTNESS sample
-#: (set difference over CORRECTNESS_r01..r08) -- the late wave-8..17
-#: additions that outran the 50-row window.  Round 9 closes the debt
-#: completely: flagship + all 42 never-sampled + 7 rotation fill from the
-#: longest-unsampled previously-green names (last sampled in r2) = exactly
-#: 50.  New round-9 queries append AFTER this block (they rotate into the
-#: sample next round; each is judge-gated via tools/check_correctness.py
-#: the session it lands).
+#: (VERDICT r5 #2, r6 #2, r7 #3, r8 #1, r9 #2).  Round-10 rebuild:
+#: flagship + ALL 20 round-9 names that have never appeared in a driver
+#: CORRECTNESS sample (they sat at positions 51-70 last round -- the
+#: file's own r9 comment promised they rotate in now) + 29 rotation fill
+#: from the longest-unsampled previously-green names (dedup_ngram_jaccard,
+#: last sampled r2, then 28 of the 29 names last sampled r4; the 29th,
+#: w_topk_per_group, leads the next round's fill) = exactly 50.  New
+#: round-10 queries append AFTER this block (they rotate into the r11
+#: sample; each is judge-gated via tools/check_correctness.py the session
+#: it lands).
 _PRIORITY = [
     "q1_pricing_summary",
-    # -- the 42 never driver-sampled in CORRECTNESS_r01..r08 --
-    "pipeline_curriculum_order",
-    "agg_mad_outliers",
-    "graph_link_prediction",
-    "graph_label_propagation",
-    "pipeline_perplexity_buckets",
-    "pipeline_dedup_keep_best",
-    "pipeline_shard_rendezvous",
-    "stream_topk_per_window",
-    "agg_bitmap_distinct",
-    "stream_bitmap_merge",
-    "graph_kcore",
-    "sim_matryoshka_report",
-    "j_asof_forward",
-    "scalar_bitwise_funcs",
-    "graph_bfs_distance",
-    "text_vocab_stats",
-    "pipeline_quality_funnel",
-    "scalar_array_funcs",
-    "w_login_streaks",
-    "j_asof_tolerance",
-    "sample_reservoir_merge",
-    "stream_reservoir_merge",
-    "w_time_weighted_avg",
-    "j_asof_nearest",
-    "agg_itemset_pairs",
-    "pipeline_embedding_drift",
-    "pipeline_padding_efficiency",
-    "w_session_attribution",
-    "agg_ab_test_report",
-    "w_wow_change",
-    "agg_cms_error_report",
-    "sim_knn_classify",
-    "pipeline_repeated_ngram_ratio",
-    "w_rolling_distinct_users",
-    "agg_markov_transitions",
-    "graph_weighted_paths",
-    "dedup_minhash_incremental",
-    "agg_bitmap_set_ops",
-    "w_anomaly_trailing_zscore",
-    "scalar_regex_funcs",
-    "sim_centroid_classify",
-    "agg_bootstrap_ci",
-    # -- rotation fill: longest-unsampled previously-green (last seen r2) --
-    "checkpoint_frontier",
-    "remove_reprocessed",
-    "envelope_decode",
-    "envelope_normalize",
-    "envelope_seq_order",
-    "dedup_minhash_lsh",
-    "text_token_count",
-    # -- new in round 9 (rotate into the r10 sample) --
+    # -- the 20 round-9 names never driver-sampled in CORRECTNESS_r01..r09 --
     "agg_weighted_median",
     "agg_pearson_corr",
     "agg_dp_noised_counts",
@@ -105,6 +55,37 @@ _PRIORITY = [
     "stream_kl_drift_merge",
     "text_tokenizer_fertility",
     "agg_benford_deviation",
+    # -- rotation fill: longest-unsampled previously-green --
+    "dedup_ngram_jaccard",  # last sampled r2
+    # last sampled r4:
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_percentiles",
+    "agg_pivot_event_types",
+    "agg_salted_skew",
+    "j_asof",
+    "j_full_outer",
+    "j_range_bucket",
+    "j_salted_skew",
+    "j_semi",
+    "j_supplier_geo",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "scalar_conversion",
+    "scalar_json_schema",
+    "scalar_null_semantics",
+    "source_schema_evolution",
+    "sql_api_pricing",
+    "u_demux",
+    "w1_shard_order",
+    "w_funnel_conversion",
+    "w_gap_fill_hourly",
+    "w_global_topn",
+    "w_rank_funcs",
+    "w_running_sum",
 ]
 
 

@@ -102,10 +102,11 @@ def test_priority_rotation_names_all_registered():
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     # and the rotation really front-loads: the first 50 sampled entries
-    # must include ALL 42 never-driver-sampled names from r1..r8 (VERDICT
-    # r8 #1's acceptance bar -- closes the rotation debt for good: 1
-    # flagship + 42 never-sampled + 7 rotation fill == exactly 50)
+    # must include ALL 20 round-9 names never driver-sampled in
+    # CORRECTNESS_r01..r09 (VERDICT r9 #2's acceptance bar), plus exactly
+    # 29 rotation-fill names -- 1 flagship + 20 + 29 == 50
+    assert len(_PRIORITY) == 50
     first50 = set(list(QUERIES)[:50])
-    never_sampled = set(_PRIORITY[1:43])
-    assert len(never_sampled) == 42
+    never_sampled = set(_PRIORITY[1:21])
+    assert len(never_sampled) == 20
     assert never_sampled <= first50, sorted(never_sampled - first50)
