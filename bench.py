@@ -259,6 +259,19 @@ HEADLINE = [
     "q14_promo_revenue",
     # streaming representative
     "stream_tumbling_agg",
+    # round-10 wave 24: KS drift (+streaming twin), Gini, CUSUM changepoint,
+    # entropy profile, MIPS serving, corpus density/charset cards, prefix
+    # dedup blocker, cross-language vocab overlap
+    "agg_ks_drift",
+    "stream_ks_merge",
+    "agg_gini_concentration",
+    "w_cusum_changepoint",
+    "agg_entropy_profile",
+    "sim_mips_topk",
+    "pipeline_tokens_per_byte",
+    "text_charset_profile",
+    "dedup_prefix_digest",
+    "text_lang_vocab_jaccard",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as
@@ -298,6 +311,46 @@ def _calibrate(spark, sf_dir: str) -> float:
         ).collect()
         times.append(time.time() - t0)
     return round(sorted(times)[1], 3)
+
+
+#: Calibration threshold separating idle from contended runs on this
+#: host: measured history has idle runs at <= ~0.23 s and contended ones
+#: at >= ~0.46 s (r8/r9 driver records + judge re-runs), so the midpoint
+#: cleanly splits the two observed regimes.
+CONTENDED_CAL_SEC = 0.35
+
+
+def record_identity(repo_dir: str, cal_start: float, cal_end: float) -> dict:
+    """Self-describing BENCH_DETAIL record identity (VERDICT r9 #3): git
+    sha, UTC wall timestamp, a round hint (SPARK_GRAFT_ROUND env when the
+    driver sets it, else inferred as 1 + the highest BENCH_r{N}.json
+    already committed -- bench runs before the driver writes the new
+    record), and an idle/contended flag from the calibration tripwire."""
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        sha = None
+    round_hint = os.environ.get("SPARK_GRAFT_ROUND")
+    if round_hint is None:
+        import re as _re
+
+        seen = [
+            int(m.group(1))
+            for f in os.listdir(repo_dir)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        round_hint = str(max(seen) + 1) if seen else None
+    return {
+        "sha": sha,
+        "round": int(round_hint) if round_hint else None,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "contended": max(cal_start, cal_end) > CONTENDED_CAL_SEC,
+    }
 
 
 def main() -> None:
@@ -386,6 +439,9 @@ def main() -> None:
     # the durable per-query history; the stderr detail line stays for
     # humans watching the run.
     detail_record = {
+        **record_identity(
+            os.path.dirname(os.path.abspath(__file__)), cal_start, cal_end
+        ),
         "sf": float(sf) if sf else None,
         "n_queries": len(per_query),
         "total_steady_sec": total,

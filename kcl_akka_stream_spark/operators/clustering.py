@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kcl_akka_stream_spark.operators.similarity import dot
+from kcl_akka_stream_spark.plans.hygiene import spread
 
 
 def _dist2(a, b):
@@ -70,6 +71,9 @@ def kmeans_update(
     vectors.  posexplode → avg keyed by (cluster, dim) combines map-side;
     the rebuilt centroid arrays are k × d rows total."""
     joined = vectors.join(assignment.select(id_col, "cluster_id"), id_col)
+    # NO spread (r10 measured): 2.4x regression -- the k*d posexplode over
+    # the tiny vectors relation is cheaper than an extra shuffle + 32-task
+    # stage (sf0.1 minibench); see SPREAD_AUDIT_ALLOW.
     dims = joined.select(
         "cluster_id", F.posexplode(vec_col).alias("dim", "val")
     )
@@ -287,4 +291,6 @@ def pq_encode(
                     }
                 )
 
+    # NO spread (r10 measured): 1.8x regression on the tiny embeddings
+    # input (sf0.1 minibench); see SPREAD_AUDIT_ALLOW.
     return vectors.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kcl_akka_stream_spark.plans.hygiene import spread
+
 
 def equi_join(left: DataFrame, right: DataFrame, on, how: str = "inner", *, broadcast_right: bool = False) -> DataFrame:
     right_side = F.broadcast(right) if broadcast_right else right
@@ -263,6 +265,9 @@ def interval_overlap_join(
     def bucketed(d: DataFrame, i: str, s: str, e: str) -> DataFrame:
         lo = F.floor(F.datediff(F.col(s), epoch) / grain_days).cast("long")
         hi = F.floor(F.datediff(F.col(e), epoch) / grain_days).cast("long")
+        # NO spread (r10 measured): interval inputs are pre-filtered small
+        # relations and the O(1)-bucket explode is cheap -- spreading both
+        # sides cost 1.4x (sf0.1 minibench); see SPREAD_AUDIT_ALLOW.
         return d.select(
             F.col(i), F.col(s), F.col(e),
             F.explode(F.sequence(lo, hi)).alias("__bucket"),

@@ -67,10 +67,48 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact MAXIMUM-INNER-PRODUCT top-k (MIPS) -- the retrieval ranking
+    recommender and reward models actually serve: score = <q, n> with NO
+    norm division, so a long vector can outrank a better-aligned short
+    one.  Deliberately a separate operator from ``brute_force_topk``:
+    cosine and MIPS disagree whenever corpus norms vary, and silently
+    substituting one for the other is a classic ranking bug (public:
+    Shrivastava & Li 2014 on MIPS-to-NN reductions).
+
+    Same scale shape as ``brute_force_topk``: bounded query set
+    broadcast, corpus scores map-side (zero corpus-side shuffle before
+    the per-query top-k window), dot in float64 sequential fold rounded
+    to 6 dp, rank ties on neighbor id.
+    """
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = spread(corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")))
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+        "q_id",
+        "n_id",
+        F.round(dot(F.col("q_vec"), F.col("n_vec")), 6).alias("ip"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("ip").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_centroids(corpus: DataFrame, cluster_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Per-cluster mean vector (the IVF coarse quantizer).  Element-wise mean
     via posexplode + groupBy(cluster, pos) -- partial aggregation map-side,
     one shuffle keyed by (cluster, dim)."""
+    # NO spread (r10 measured): the embeddings relation is tiny at every
+    # fixture SF and the posexplode is cheap -- spreading it cost 1.2-1.6x
+    # in task overhead (sf0.1 minibench).  SPREAD_AUDIT_ALLOW documents it.
     ex = corpus.select(
         F.col(cluster_col).alias("cluster"),
         F.posexplode(F.col(vec_col)).alias("pos", "val"),
@@ -813,6 +851,8 @@ def random_sign_projection(
                 }
             )
 
+    # NO spread (r10 measured): spreading the tiny embeddings input cost
+    # ~2x in task overhead (sf0.1 minibench); see SPREAD_AUDIT_ALLOW.
     return df.select(id_col, vec_col).mapInPandas(project, schema=out_schema)
 
 
@@ -1138,6 +1178,8 @@ def integer_centroids(
     quantized centroid component.  Scale shape: the dim explode
     aggregates map-side to groups x dims rows; one combinable exchange.
     """
+    # NO spread (r10 measured): tiny input, cheap explode -- spread cost
+    # 1.8-2x task overhead (sf0.1 minibench); see SPREAD_AUDIT_ALLOW.
     e = emb.select(*group_cols, F.posexplode(vec_col).alias("pos", "x"))
     q = e.withColumn(
         "q",
@@ -1180,6 +1222,8 @@ def nearest_centroid_classify(
     c = cent.select(
         F.col(label_col).alias("cand_label"), "pos", "cq"
     )
+    # NO spread (r10 measured): 1.8x regression from task overhead on the
+    # tiny test relation (sf0.1 minibench); see SPREAD_AUDIT_ALLOW.
     t = test.select(
         F.col(id_col),
         F.col(label_col).alias("true_label"),

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kcl_akka_stream_spark.plans.hygiene import spread
+
 
 def _hash01(col: Column) -> Column:
     """md5 -> uniform fraction in (0,1): first 8 hex chars / 2^32.
@@ -163,6 +165,9 @@ def cms_state(
             ]
         )
     ).alias("e")
+    # NO spread (r10 measured): the depth-way struct explode is cheap and
+    # the agg combines map-side -- spreading cost 1.2-1.4x in task overhead
+    # (sf0.1 minibench); see SPREAD_AUDIT_ALLOW.
     ex = df.select(*keys, probes).select(*keys, "e.row", "e.bucket")
     return ex.groupBy(*keys, "row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kcl_akka_stream_spark.plans.hygiene import spread
+
 _SALT = "__salt"
 
 
@@ -76,7 +78,9 @@ def salted_join(
     # than broadcasting the original (n_salts x the bytes) -- if the dim fits
     # in memory, plain broadcast needs no salt at all.  The salted shape only
     # makes sense as a shuffled join on (key, salt).
-    replicated_dim = dim.withColumn(_SALT, F.explode(salts)).hint("shuffle_hash")
+    # spread(): the n_salts-way replicate explode (and its shuffle write)
+    # must not serialize onto a 1-partition dim scan (r9 #5 tripwire)
+    replicated_dim = spread(dim).withColumn(_SALT, F.explode(salts)).hint("shuffle_hash")
     out = salted_fact.join(replicated_dim, on=[on, _SALT], how=how)
     return out.drop(_SALT)
 

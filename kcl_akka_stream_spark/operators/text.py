@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kcl_akka_stream_spark.plans.hygiene import spread
+
 #: Tiny per-language stopword marker lists for the n-gram/stopword heuristic.
 #: Chosen to be disjoint-ish and high-frequency.
 LANG_MARKERS = {
@@ -223,6 +225,9 @@ def tfidf_topk(
     arithmetic -- a sub-ulp ln() difference between libm and the JVM
     cannot flip a rank or a hash.  Ties break on the term itself.
     """
+    # NO spread (r10 measured, 1.6x): the plan duplicates the toks subtree
+    # (tf + dfreq), so the spread exchange pays twice while the tokenize
+    # is cheap at fixture doc counts; see SPREAD_AUDIT_ALLOW.
     toks = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -286,6 +291,8 @@ def unigram_logprob(
     vocabularies too large for executor memory) -> per-doc sum agg.
     Two data-sized shuffles, like tfidf_topk.
     """
+    # NO spread (r10 measured, 1.4x): triplicated subtree pays the spread
+    # exchange three times; see SPREAD_AUDIT_ALLOW.
     toks = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
     if broadcast_vocab:
@@ -342,7 +349,7 @@ def bigram_logprob(
         F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
-    pairs = df.select("doc_id", F.explode(pair_struct).alias("p")).select(
+    pairs = spread(df).select("doc_id", F.explode(pair_struct).alias("p")).select(
         "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
     pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
@@ -439,6 +446,8 @@ def rake_phrases(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         ),
         r"\|",
     )
+    # NO spread (r10 measured, 1.4x): two regexp passes + split are cheap
+    # at fixture doc counts; see SPREAD_AUDIT_ALLOW.
     ex = df.select(F.col(id_col), F.explode(segs).alias("seg"))
     words = F.regexp_extract_all(F.col("seg"), F.lit("[a-z]+"), 0)
     return (

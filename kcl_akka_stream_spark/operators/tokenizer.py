@@ -39,8 +39,10 @@ def pair_counts(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
         F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
+    # spread(): the pair explode must not serialize onto a 1-partition
+    # scan (VERDICT r9 #5 tripwire)
     return (
-        df.select(F.explode(pairs).alias("pair"))
+        spread(df).select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair"))

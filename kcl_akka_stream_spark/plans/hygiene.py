@@ -70,3 +70,105 @@ def pushed_filters(df: DataFrame) -> list[str]:
         if entry:
             out.extend(p.strip() for p in entry.split(","))
     return out
+
+
+#: Physical nodes whose per-row cost dominates a narrow input: row
+#: multiplication (Generate = explode) and every Python-worker seam.
+EXPENSIVE_MAP_NODES = (
+    "Generate",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "FlatMapGroupsInPandas",
+    "FlatMapGroupsInArrow",
+    "MapInPandas",
+    "PythonMapInArrow",
+)
+
+#: Nodes that re-distribute rows -- reaching one of these on the way down
+#: means the expensive map's parallelism is NOT pinned to the scan layout.
+_EXCHANGE_NODES = ("Exchange", "ShuffleQueryStage", "AQEShuffleRead", "ReusedExchange")
+
+
+def _parse_plan_tree(plan: str):
+    """Parse formatted-explain header lines into (depth, name, node_id)
+    triples.  Each tree line looks like ``   +- * Generate (3)`` -- depth
+    is the marker offset / 3, codegen stars and branch glyphs stripped."""
+    nodes = []
+    for line in plan.splitlines():
+        m = re.match(
+            r"^([ :]*)([+:]- )?(?:\* )?([A-Za-z][\w ]*?) \((\d+)\)\s*$", line
+        )
+        if not m:
+            if nodes and not line.strip():
+                break  # end of the tree header section
+            continue
+        prefix, marker, name, nid = m.groups()
+        depth = len(prefix) // 3 + (1 if marker else 0)
+        nodes.append((depth, name.strip(), int(nid)))
+    return nodes
+
+
+def narrow_expensive_maps(df: DataFrame, max_parts: int = 2) -> list[dict]:
+    """The under-partitioned-scan tripwire (VERDICT r9 #5): find every
+    expensive-map node (explode / Python seam) whose input chain reaches
+    a parquet scan WITHOUT crossing an exchange, where that scan would
+    read in <= ``max_parts`` partitions at the current fixture -- the
+    shape that cost agg_bootstrap_ci 2.4 s (and the IVF-PQ corpus and the
+    r8 quantize probe before it): the expensive work serializes onto the
+    scan's 1-2 tasks while 30 cores idle.  The fix is ``spread()`` (or a
+    maxPartitionBytes tune) between scan and map.
+
+    Returns one dict per flagged (map node, scan) pair:
+    ``{node, node_id, scan_id, path, scan_partitions}``.  Partition
+    counts are measured by re-reading the scan's Location with the
+    session's own split settings, so the audit reflects THIS fixture
+    scale -- run it at the bench SF, not sf0.001.
+    """
+    plan = physical_plan(df)
+    tree = _parse_plan_tree(plan)
+    # node-id -> Location path from the detail section
+    locs = {}
+    for m in re.finditer(
+        r"\((\d+)\) Scan parquet[\s\S]*?Location: \w+ \[([^\]]*)\]", plan
+    ):
+        locs[int(m.group(1))] = m.group(2)
+    spark = df.sparkSession
+    part_cache: dict[str, int] = {}
+    flagged = []
+    for i, (depth, name, nid) in enumerate(tree):
+        if not any(name.startswith(em) for em in EXPENSIVE_MAP_NODES):
+            continue
+        # walk the subtree (nodes deeper than `depth` until depth <= depth)
+        blocked_at: set[int] = set()  # depths below which an exchange shields
+        for d2, n2, id2 in tree[i + 1:]:
+            if d2 <= depth:
+                break
+            if blocked_at and d2 > min(blocked_at):
+                continue  # shielded by an exchange higher up this branch
+            blocked_at = {b for b in blocked_at if b < d2}
+            if any(n2.startswith(x) for x in _EXCHANGE_NODES):
+                blocked_at.add(d2)
+                continue
+            if n2.startswith("Scan parquet") and id2 in locs:
+                path = locs[id2].split(",")[0].strip()
+                if path.startswith("file:"):
+                    path = path[5:]
+                if path not in part_cache:
+                    try:
+                        part_cache[path] = (
+                            spark.read.parquet(path).rdd.getNumPartitions()
+                        )
+                    except Exception:
+                        part_cache[path] = -1
+                nparts = part_cache[path]
+                if 0 < nparts <= max_parts:
+                    flagged.append(
+                        {
+                            "node": name,
+                            "node_id": nid,
+                            "scan_id": id2,
+                            "path": path,
+                            "scan_partitions": nparts,
+                        }
+                    )
+    return flagged

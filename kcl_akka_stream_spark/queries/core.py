@@ -2576,6 +2576,9 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_udtfs(spark)
     register_views(spark, sf_dir, ["documents"])
+    # NO spread (r10 measured, 1.56x regression): the run-length UDTF is
+    # cheap at fixture doc counts and the extra exchange + 32-task stage
+    # dominates; see tools/explain_audit.py::SPREAD_AUDIT_ALLOW.
     return spark.sql(
         """
         SELECT doc_id, r.run_idx, r.token, r.run_len
@@ -4728,4 +4731,273 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.element_at("m", "u"), F.lit("|"), F.element_at("m", "v")
         ).alias("picked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 24: distribution-drift, inequality, changepoint, entropy
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_ks_drift",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(event_id % 2 AS INT) AS half,
+             CAST(floor(value * 10 + 0.5) AS BIGINT) AS bin
+      FROM events),
+    h AS (SELECT event_type, half, bin, count(*) AS c
+          FROM v GROUP BY 1, 2, 3),
+    a AS (SELECT event_type, bin, c FROM h WHERE half = 0),
+    b AS (SELECT event_type, bin, c FROM h WHERE half = 1),
+    j AS (
+      SELECT coalesce(a.event_type, b.event_type) AS event_type,
+             coalesce(a.bin, b.bin) AS bin,
+             coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+      FROM a FULL OUTER JOIN b
+        ON a.event_type = b.event_type AND a.bin = b.bin),
+    cum AS (
+      SELECT event_type, bin,
+             sum(ca) OVER (PARTITION BY event_type ORDER BY bin) AS cum_a,
+             sum(cb) OVER (PARTITION BY event_type ORDER BY bin) AS cum_b,
+             sum(ca) OVER (PARTITION BY event_type) AS na,
+             sum(cb) OVER (PARTITION BY event_type) AS nb
+      FROM j)
+    SELECT event_type,
+           CAST(max(na) AS BIGINT) AS na,
+           CAST(max(nb) AS BIGINT) AS nb,
+           CAST(max(abs(cum_a * nb - cum_b * na)) * 1000000
+                // (max(na) * max(nb)) AS BIGINT) AS ks_ppm
+    FROM cum GROUP BY event_type
+    """,
+)
+def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-sample Kolmogorov-Smirnov drift statistic per event type
+    # (Kolmogorov 1933, public): the max CDF gap between the two halves
+    # of the stream (event_id parity -- the same split every two-sample
+    # query here uses), in EXACT INTEGER ppm: values freeze to deci-unit
+    # bins, per-(type, half, bin) counts full-outer align, the CDF gap
+    # rides as |cum_a*nb - cum_b*na| (common-denominator form -- no
+    # per-row division), and one ppm division happens at the end.  The
+    # distribution-SHAPE drift gate next to agg_histogram_kl_drift's
+    # mass-ratio view: KS is threshold-free and metric-free, the
+    # standard "did the feature distribution move" test before a
+    # training run.  Int64 bound: |cum*n| <= na*nb -- safe below ~3e9
+    # rows per (type, half); shard upstream past that.
+    # Scale shape: ONE combinable (type, half, bin) count agg; the
+    # alignment join, windows and max all ride the BIN-sized relation.
+    ev = tbl(spark, sf_dir, "events")
+    # PIVOTED build: the two halves are conditional counters inside ONE
+    # combinable (type, bin) agg -- no per-half relation, no full-outer
+    # alignment join (the streaming twin keeps the (type, half, bin)
+    # state shape because per-batch halves must merge by addition; here
+    # the batch plan can fuse them).
+    j = ev.groupBy(
+        F.col("event_type"),
+        F.expr("cast(floor(value * 10 + 0.5) as bigint)").alias("bin"),
+    ).agg(
+        F.sum((F.col("event_id") % 2 == 0).cast("long")).cast("long").alias("ca"),
+        F.sum((F.col("event_id") % 2 == 1).cast("long")).cast("long").alias("cb"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = j.select(
+        "event_type",
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+        F.expr(
+            "cast(max(abs(cum_a * nb - cum_b * na)) * 1000000"
+            " div (max(na) * max(nb)) as bigint)"
+        ).alias("ks_ppm"),
+    )
+
+
+@query(
+    "agg_gini_concentration",
+    """
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_suppkey),
+    o AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, l_suppkey) AS i,
+             count(*) OVER () AS n,
+             sum(rev) OVER () AS s
+      FROM r)
+    SELECT CAST(max(n) AS BIGINT) AS n_suppliers,
+           CAST(max(s) AS BIGINT) AS total_cents,
+           CAST(floor((2.0 * sum(i * rev) - (max(n) + 1.0) * max(s))
+                      * 1000000.0 / (CAST(max(n) AS DOUBLE) * max(s)))
+                AS BIGINT) AS gini_ppm
+    FROM o
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gini coefficient of per-supplier revenue (Gini 1912, public) --
+    # the concentration diagnostic a marketplace / corpus-source mix
+    # audits (is 1% of suppliers taking 90% of revenue?).  Exact
+    # integer sufficient statistics: revenue freezes to cents, the rank
+    # formula G = (2*sum(i*x_i) - (n+1)*S) / (n*S) uses int64 sums and
+    # ONE double division floored to ppm (identical IEEE ops from
+    # identical int64s cross-engine).  The unpartitioned rank window
+    # rides the SUPPLIER-sized relation (bounded dimension), never the
+    # lineitem fact -- the one-reducer sort is model-sized by design.
+    li = tbl(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.orderBy("rev", "l_suppkey")
+    o = r.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("rev").over(Window.partitionBy()).alias("s"),
+    )
+    return o.agg(
+        F.max("n").cast("long").alias("n_suppliers"),
+        F.max("s").cast("long").alias("total_cents"),
+        F.expr(
+            "cast(floor((2.0 * sum(i * rev) - (max(n) + 1.0) * max(s))"
+            " * 1000000.0 / (cast(max(n) as double) * max(s))) as bigint)"
+        ).alias("gini_ppm"),
+    )
+
+
+@query(
+    "w_cusum_changepoint",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 10 + 0.5) AS BIGINT) AS x
+      FROM events),
+    t AS (
+      SELECT event_type, event_id, x,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(x) OVER (PARTITION BY event_type) AS s,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+               AS k,
+             sum(x) OVER (PARTITION BY event_type ORDER BY event_id) AS cx
+      FROM v),
+    c AS (
+      SELECT event_type, event_id, n,
+             n * cx - k * s AS cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(n * cx - k * s) DESC, event_id)
+               AS rn
+      FROM t)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(abs(cusum) AS BIGINT) AS peak_cusum_nscaled,
+           CAST(event_id AS BIGINT) AS peak_event_id
+    FROM c WHERE rn = 1
+    """,
+)
+def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUSUM changepoint locator per event type (Page 1954, public): the
+    # cumulative deviation from the series mean peaks AT the change
+    # point -- the standard "when did this metric shift" primitive.
+    # Exact integers end-to-end: deci-unit values, and the mean never
+    # divides -- the cusum rides n-SCALED as n*cum_x(k) - k*S (multiply
+    # both sides by n), so the peak position and magnitude are int64
+    # comparisons, bit-identical cross-engine.  Int64 bound: n * sum(x)
+    # -- safe below ~1e9 rows x 1e3 deci-units per type.
+    # Scale shape: ONE event_type-keyed sort exchange; all four windows
+    # share it (same partition + compatible order); the argmax window
+    # rides the same sort.  Output is type-sized.
+    ev = tbl(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("cast(floor(value * 10 + 0.5) as bigint)").alias("x"),
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("event_id")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    t = v.select(
+        "event_type",
+        "event_id",
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("x").over(wt).alias("s"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("x").over(wcum).alias("cx"),
+    )
+    c = t.select(
+        "event_type",
+        "event_id",
+        "n",
+        (F.col("n") * F.col("cx") - F.col("k") * F.col("s")).alias("cusum"),
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "event_id"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(wpk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.abs(F.col("cusum")).cast("long").alias("peak_cusum_nscaled"),
+            F.col("event_id").cast("long").alias("peak_event_id"),
+        )
+    )
+
+
+@query(
+    "agg_entropy_profile",
+    """
+    WITH h AS (
+      SELECT event_type, date_part('hour', ts) AS hr, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, hr, c,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM h)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(c * CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000)
+                             AS BIGINT)) // max(n) AS BIGINT)
+             AS entropy_micronats
+    FROM t GROUP BY event_type
+    """,
+)
+def agg_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shannon entropy of the hour-of-day mix per event type, in integer
+    # micro-nats: H = sum_h (c_h/n) ln(n/c_h) -- computed as
+    # sum(c_h * round(ln(n/c_h)*1e6)) div n, the frozen-ln discipline of
+    # tfidf/unigram_logprob (per-bin ln is rounded to micro BEFORE the
+    # sum, so partial-agg order and libm sub-ulp drift cannot move the
+    # hash).  The diurnal-concentration diagnostic: H near ln(24) means
+    # flat usage, near 0 means one-hour spikes (bot traffic).  Scale
+    # shape: ONE combinable (type, hour) count agg; entropy folds on the
+    # 24-bin relation.  Counts are plain-addition mergeable -- the
+    # stream twin would reuse this oracle unchanged.
+    ev = tbl(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    t = h.withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
+    term = F.expr(
+        "cast(round(ln(cast(n as double) / c) * 1000000) as bigint)"
+    )
+    return t.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.expr(
+            "cast(sum(c * cast(round(ln(cast(n as double) / c) * 1000000)"
+            " as bigint)) div max(n) as bigint)"
+        ).alias("entropy_micronats"),
     )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from kcl_akka_stream_spark.operators import dedup as D
 from kcl_akka_stream_spark.operators import similarity as S
 from kcl_akka_stream_spark.operators import text as X
+from kcl_akka_stream_spark.plans.hygiene import spread
 from kcl_akka_stream_spark.queries.registry import ORACLES, query, tbl
 
 TOK = X.TOKEN_PATTERN  # '[a-z0-9]+'
@@ -4561,7 +4562,8 @@ def text_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the same explode at scale), one per-doc agg.  Integer
     # micro-units.
     docs = tbl(spark, sf_dir, "documents")
-    sh = docs.select(
+    # spread(): shingle explode parallelism floor (r9 #5 tripwire)
+    sh = spread(docs).select(
         "doc_id", F.explode(D.shingles(F.col("text"), 3)).alias("shingle")
     )
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
@@ -5124,6 +5126,7 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcl_akka_stream_spark.operators.text import tokens
 
     docs = tbl(spark, sf_dir, "documents")
+    # NO spread (r10 measured, 1.5x): see SPREAD_AUDIT_ALLOW
     tc = (
         docs.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("lang", "term")
@@ -5632,7 +5635,8 @@ def pipeline_repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
     from kcl_akka_stream_spark.operators.text import tokens
 
     docs = tbl(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+    # spread(): gram explode parallelism floor (r9 #5 tripwire)
+    t = spread(docs).select("doc_id", tokens(F.col("text")).alias("t")).filter(
         F.size("t") >= 3
     )
     grams = t.select(
@@ -6311,7 +6315,9 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape: map-only position explode, one doc-keyed window over the
     # masked subset (15% of tokens), one combinable doc agg.
     docs = tbl(spark, sf_dir, "documents")
-    toks = docs.select(
+    # spread(): the per-position explode + md5 must not serialize onto a
+    # 1-partition scan (r9 #5 tripwire)
+    toks = spread(docs).select(
         "doc_id", F.size(X.tokens(F.col("text"))).alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
     pos = toks.select(
@@ -6598,4 +6604,245 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs.alias("obs_ppm"),
         benford.alias("benford_ppm"),
         F.abs(obs - benford).cast("long").alias("abs_dev_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 24: MIPS serving, corpus density/charset cards, prefix dedup,
+# cross-language vocabulary overlap
+# ---------------------------------------------------------------------------
+
+_IP = "list_dot_product({a}, {b})"
+
+
+@query(
+    "sim_mips_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec
+               FROM embeddings),
+         scored AS (
+           SELECT q_id, n_id,
+                  round({_IP.format(a="q_vec", b="n_vec")}, 6) AS ip
+           FROM c, q WHERE q_id <> n_id)
+    SELECT q_id, n_id, ip, rank FROM (
+      SELECT q_id, n_id, ip,
+             row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id)
+               AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact maximum-inner-product top-k (operators/similarity.py::
+    # mips_topk; Shrivastava & Li 2014 frame the MIPS-vs-NN gap): the
+    # ranking recommenders and reward models serve -- NO norm division,
+    # so it deliberately diverges from sim_topk_bruteforce's cosine
+    # whenever corpus norms vary (the pytest pins a divergence case).
+    # Same serving shape: broadcast queries, map-side corpus scoring,
+    # per-query rank window.
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.mips_topk(emb, queries_df, k=5).select("q_id", "n_id", "ip", "rank")
+
+
+@query(
+    "pipeline_tokens_per_byte",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{TOK}')) AS BIGINT)
+             AS n_tokens,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(len(regexp_extract_all(lower(text), '{TOK}')) * 1000000
+                // strlen(text) AS BIGINT) AS density_ppm
+    FROM documents WHERE strlen(text) > 0
+    """,
+)
+def pipeline_tokens_per_byte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token density per byte (integer ppm) -- the compression-ratio
+    # proxy quality filters use (Gopher/C4 lineage): too FEW tokens per
+    # byte means binary junk / encoding damage, too MANY means
+    # boilerplate-ish short-token soup.  Map-only (one regexp pass +
+    # octet_length), whole-stage codegen, zero shuffle -- the cheapest
+    # corpus card column there is.
+    docs = tbl(spark, sf_dir, "documents")
+    n_tok = F.size(X.tokens(F.col("text"))).cast("long")
+    n_bytes = F.octet_length("text").cast("long")
+    return docs.filter(F.octet_length("text") > 0).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_bytes.alias("n_bytes"),
+        F.expr(
+            f"cast(size(regexp_extract_all(lower(text), '{TOK}', 0))"
+            " * 1000000 div octet_length(text) as bigint)"
+        ).alias("density_ppm"),
+    )
+
+
+@query(
+    "text_charset_profile",
+    """
+    WITH c AS (
+      SELECT lang,
+             CAST(sum(strlen(text)) AS BIGINT) AS n_chars,
+             CAST(sum(strlen(text) - strlen(regexp_replace(text, '[a-z]', '', 'g')))
+                  AS BIGINT) AS n_lower,
+             CAST(sum(strlen(text) - strlen(regexp_replace(text, '[A-Z]', '', 'g')))
+                  AS BIGINT) AS n_upper,
+             CAST(sum(strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g')))
+                  AS BIGINT) AS n_digit,
+             CAST(sum(strlen(text) - strlen(regexp_replace(text, ' ', '', 'g')))
+                  AS BIGINT) AS n_space
+      FROM documents GROUP BY lang)
+    SELECT lang, n_chars,
+           CAST(n_lower * 1000000 // n_chars AS BIGINT) AS lower_ppm,
+           CAST(n_upper * 1000000 // n_chars AS BIGINT) AS upper_ppm,
+           CAST(n_digit * 1000000 // n_chars AS BIGINT) AS digit_ppm,
+           CAST(n_space * 1000000 // n_chars AS BIGINT) AS space_ppm,
+           CAST((n_chars - n_lower - n_upper - n_digit - n_space) * 1000000
+                // n_chars AS BIGINT) AS other_ppm
+    FROM c
+    """,
+)
+def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-language character-class profile in integer ppm (lower /
+    # upper / digit / space / other shares of all characters) -- the
+    # encoding-damage and wrong-language-tag tripwire a corpus card
+    # carries: a "de" slice that is 30% digits is scraped tables, an
+    # "en" slice heavy in 'other' is mojibake.  Class counts come from
+    # length-difference after class-stripping regexp_replace (one pass
+    # per class, map-only, zero joins); ONE combinable lang agg.
+    docs = tbl(spark, sf_dir, "documents")
+    ln = F.length("text").cast("long")
+    strip = lambda pat: (  # noqa: E731
+        ln - F.length(F.regexp_replace("text", pat, "")).cast("long")
+    )
+    c = docs.groupBy("lang").agg(
+        F.sum(ln).cast("long").alias("n_chars"),
+        F.sum(strip("[a-z]")).cast("long").alias("n_lower"),
+        F.sum(strip("[A-Z]")).cast("long").alias("n_upper"),
+        F.sum(strip("[0-9]")).cast("long").alias("n_digit"),
+        F.sum(strip(" ")).cast("long").alias("n_space"),
+    )
+    ppm = lambda col: F.expr(f"cast({col} * 1000000 div n_chars as bigint)")  # noqa: E731
+    return c.select(
+        "lang",
+        "n_chars",
+        ppm("n_lower").alias("lower_ppm"),
+        ppm("n_upper").alias("upper_ppm"),
+        ppm("n_digit").alias("digit_ppm"),
+        ppm("n_space").alias("space_ppm"),
+        F.expr(
+            "cast((n_chars - n_lower - n_upper - n_digit - n_space)"
+            " * 1000000 div n_chars as bigint)"
+        ).alias("other_ppm"),
+    )
+
+
+@query(
+    "dedup_prefix_digest",
+    """
+    SELECT md5(lower(substring(text, 1, 16))) AS prefix_digest,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_full
+    FROM documents
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_prefix_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Prefix-digest dedup report: crawl re-ingests and templated spam
+    # share their opening characters long before whole-document hashes
+    # collide, so grouping on md5 of the lowercased 16-char prefix is
+    # the cheap FIRST-pass blocker a dedup cascade runs before MinHash
+    # (one digest per doc vs shingles x hashes).  n_distinct_full
+    # counts how many distinct FULL texts hide behind each shared
+    # prefix -- the false-positive measure that tells you whether the
+    # prefix block needs exact or near-dup verification downstream.
+    # One combinable digest agg (partial-distinct map-side for the full
+    # digest count); report rows only for colliding groups.
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.md5(F.lower(F.substring("text", 1, 16))).alias("prefix_digest")
+        )
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_full"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "text_lang_vocab_jaccard",
+    f"""
+    WITH lt AS (
+      SELECT DISTINCT lang, unnest(regexp_extract_all(lower(text), '{TOK}'))
+               AS term
+      FROM documents),
+    sz AS (SELECT lang, count(*) AS v FROM lt GROUP BY lang),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_common
+      FROM lt a JOIN lt b ON a.term = b.term AND a.lang < b.lang
+      GROUP BY 1, 2)
+    SELECT lang_a, lang_b,
+           CAST(sa.v AS BIGINT) AS n_vocab_a,
+           CAST(sb.v AS BIGINT) AS n_vocab_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common * 1000000 // (sa.v + sb.v - n_common) AS BIGINT)
+             AS jaccard_ppm
+    FROM pairs
+    JOIN sz sa ON sa.lang = lang_a
+    JOIN sz sb ON sb.lang = lang_b
+    """,
+)
+def text_lang_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-language vocabulary overlap: Jaccard of the distinct-token
+    # sets for every language pair, in integer ppm -- the
+    # contamination/mislabeling diagnostic for a multilingual corpus
+    # (two "different" languages sharing 60% of their vocabulary are
+    # one language with bad tags, or share a boilerplate injection).
+    # Scale shape: token explode -> (lang, term) DISTINCT (one
+    # combinable exchange, vocab-sized output); the pair join runs on
+    # the VOCAB-sized relation keyed by term (never doc-sized), sizes
+    # attach broadcast; output is lang-pair-sized.
+    docs = tbl(spark, sf_dir, "documents")
+    # the distinct vocab relation feeds THREE consumers (sizes + both join
+    # sides); localCheckpoint materializes the tokenize+distinct once --
+    # without it the plan re-runs the whole subtree per consumer (11
+    # exchanges vs 4, measured at sf0.001)
+    lt = (
+        spread(docs)
+        .select("lang", F.explode(X.tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sz = lt.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a = lt.select(F.col("lang").alias("lang_a"), "term")
+    b = lt.select(F.col("lang").alias("lang_b"), "term")
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = F.broadcast(sz.select(F.col("lang").alias("lang_a"), F.col("v").alias("n_vocab_a")))
+    sb = F.broadcast(sz.select(F.col("lang").alias("lang_b"), F.col("v").alias("n_vocab_b")))
+    return (
+        pairs.join(sa, "lang_a")
+        .join(sb, "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_vocab_a",
+            "n_vocab_b",
+            "n_common",
+            F.expr(
+                "cast(n_common * 1000000 div (n_vocab_a + n_vocab_b - n_common)"
+                " as bigint)"
+            ).alias("jaccard_ppm"),
+        )
     )

@@ -1929,3 +1929,91 @@ def stream_kl_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _ks_drift_oracle() -> str:
+    from kcl_akka_stream_spark.queries.registry import ORACLES
+
+    return ORACLES["agg_ks_drift"]
+
+
+@query("stream_ks_merge", _ks_drift_oracle())
+def stream_ks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming twin of agg_ks_drift, SAME oracle -- the THIRTEENTH
+    # mergeable-state streaming family.  The state is the raw
+    # (type, half, deci-bin) count histogram (plain-addition mergeable,
+    # the same state shape as the KL twin); the full-outer bin
+    # alignment, the cumulative-CDF windows and the common-denominator
+    # max-gap fold are all FINALIZE steps that run only after the merge
+    # -- a per-batch CDF would be meaningless (cumulative sums do not
+    # merge; counts do).
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    src = tempfile.mkdtemp(prefix="kcl_ks_src_")
+    states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            states.extend(
+                batch_df.select(
+                    "event_type",
+                    (F.col("event_id") % 2).cast("int").alias("half"),
+                    F.expr("cast(floor(value * 10 + 0.5) as bigint)").alias(
+                        "bin"
+                    ),
+                )
+                .groupBy("event_type", "half", "bin")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .collect()
+            )
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        st = spark.createDataFrame(
+            states, "event_type string, half int, bin long, c long"
+        )
+        # merge (plain addition on the state key) and pivot the halves in
+        # the SAME agg -- the finalize needs no per-half relation or
+        # alignment join
+        j = st.groupBy("event_type", "bin").agg(
+            F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+        wcum = (
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wall = Window.partitionBy("event_type")
+        cum = j.select(
+            "event_type",
+            F.sum("ca").over(wcum).alias("cum_a"),
+            F.sum("cb").over(wcum).alias("cum_b"),
+            F.sum("ca").over(wall).alias("na"),
+            F.sum("cb").over(wall).alias("nb"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.max("na").cast("long").alias("na"),
+            F.max("nb").cast("long").alias("nb"),
+            F.expr(
+                "cast(max(abs(cum_a * nb - cum_b * na)) * 1000000"
+                " div (max(na) * max(nb)) as bigint)"
+            ).alias("ks_ppm"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -79,6 +79,7 @@ class _BatchReader(DataSourceReader):
     def __init__(self, options):
         self._n_shards, self._per_shard, _ = _opts(options)
         self._arrow = options.get("arrow", "false").lower() == "true"
+        self._chunk = int(options.get("arrow_chunk", str(ARROW_CHUNK_DEFAULT)))
         self._shard_eq: set[str] | None = None  # intersection of EqualTo values
         self._seq_lo = 0  # exclusive
         self._seq_hi = self._per_shard  # inclusive
@@ -141,13 +142,23 @@ class _BatchReader(DataSourceReader):
         if partition is None:  # Spark runs one empty task when partitions()==[]
             return
         if self._arrow:
-            yield from _arrow_batches(partition)
+            yield from _arrow_batches(partition, self._chunk)
             return
         for seq in range(partition.start + 1, partition.end + 1):
             yield _row(partition.shard, seq)
 
 
-def _arrow_batches(partition: _ShardRange, chunk: int = 4096):
+#: Generator-side RecordBatch size for the Arrow fast path ("arrow_chunk"
+#: source option).  Swept r10 (tools/scale_probe.py::arrow_chunk_sweep) at
+#: the r9-tuned maxRecordsPerBatch=100k on the 2M-row RocksDB streaming
+#: pipeline: 1k/4k chunks lose ~8-10% to per-batch build overhead
+#: (python-list -> pa.array per column per chunk); 16k-64k is a flat
+#: plateau within noise.  16384 is the default -- on the plateau while
+#: keeping per-batch worker memory (5 cols x 16k values) small.
+ARROW_CHUNK_DEFAULT = 16_384
+
+
+def _arrow_batches(partition: _ShardRange, chunk: int = ARROW_CHUNK_DEFAULT):
     """The data-plane fast path of the Python connector API: ``read`` may
     yield ``pyarrow.RecordBatch`` objects instead of tuples -- rows then
     cross the Python/JVM boundary as columnar Arrow buffers (no per-row
@@ -197,6 +208,7 @@ class _StreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self._n_shards, self._per_shard, self._step = _opts(options)
         self._arrow = options.get("arrow", "false").lower() == "true"
+        self._chunk = int(options.get("arrow_chunk", str(ARROW_CHUNK_DEFAULT)))
         self._current = 0
 
     def initialOffset(self):
@@ -240,7 +252,7 @@ class _StreamReader(DataSourceStreamReader):
         # (45k vs 27k rows/s incl. windowed agg; the source-only gain is
         # larger but the stateful stages cap the pipeline).
         if self._arrow:
-            yield from _arrow_batches(partition)
+            yield from _arrow_batches(partition, self._chunk)
             return
         for seq in range(partition.start + 1, partition.end + 1):
             yield _row(partition.shard, seq)

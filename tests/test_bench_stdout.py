@@ -9,6 +9,7 @@ only, under 1,000 bytes REGARDLESS of how many queries feed it.
 from __future__ import annotations
 
 import json
+import os
 
 import bench
 
@@ -110,3 +111,40 @@ def test_priority_rotation_names_all_registered():
     never_sampled = set(_PRIORITY[1:21])
     assert len(never_sampled) == 20
     assert never_sampled <= first50, sorted(never_sampled - first50)
+
+
+def test_bench_record_identity_fields():
+    # VERDICT r9 #3: BENCH_DETAIL.jsonl records must be self-describing
+    # (round, sha, contended flag) -- four r9 records were
+    # distinguishable only by order.
+    import bench
+
+    ident = bench.record_identity(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        0.15, 0.20,
+    )
+    assert ident["sha"] and len(ident["sha"]) >= 7
+    # this repo carries BENCH_r01..r09, so the inferred round is >= 10
+    assert ident["round"] >= 10
+    assert ident["contended"] is False
+    assert ident["ts"].endswith("Z")
+    contended = bench.record_identity("/", 0.50, 0.18)
+    assert contended["contended"] is True
+
+
+def test_parse_plan_tree_and_narrow_map_flagging(spark, sf_dir):
+    # The spread tripwire (VERDICT r9 #5): a raw explode over a
+    # single-file scan flags; the same explode behind spread() passes.
+    from pyspark.sql import functions as F
+
+    from kcl_akka_stream_spark.plans.hygiene import (
+        narrow_expensive_maps,
+        spread,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = F.explode(F.split("text", " ")).alias("tok")
+    flags = narrow_expensive_maps(docs.select("doc_id", toks))
+    assert flags and flags[0]["node"] == "Generate"
+    assert flags[0]["scan_partitions"] <= 2
+    assert narrow_expensive_maps(spread(docs).select("doc_id", toks)) == []

@@ -68,7 +68,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_minhash_verified": 4,  # candidate gen only; verify joins broadcast
         "agg_salted_skew": 2,  # salted partial + final combine
         "q1_pricing_summary": 1,  # single agg shuffle
-        "checkpoint_frontier": 2,  # window by shard + final agg
+        "checkpoint_frontier": 1,  # window by shard + final agg
         "text_quality_flags": 1,  # spread only -- one Arrow pass, ZERO joins/aggs
         "dedup_boilerplate_segments": 5,  # spread + seg-df agg + join + doc agg
         "agg_cms_heavy_hitters": 3,  # state agg + key distinct + exact agg
@@ -128,7 +128,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "j_lateral_topk": 1,  # decorrelated: one window shuffle; customer broadcast
         "scalar_variant_extract": 1,  # parse_json/variant_get map-side + one agg
         "text_unigram_logprob": 3,  # term agg (vocab broadcast back) + single-row N + doc agg
-        "pipeline_bpe_top_pairs": 1,  # zip-with-tail is map-only; one pair-count shuffle
+        "pipeline_bpe_top_pairs": 2,  # zip-with-tail is map-only; one pair-count shuffle [r10: +1 spread, r9 #5 tripwire]
         # PageRank eagerly checkpoints the edge base AND the final ranks
         # (VERDICT r7 #1): the returned plan is decode + TakeOrdered over
         # a node-sized LogicalRDD -- zero exchanges visible (the bounded
@@ -140,7 +140,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "u_except_all": 1,  # count-agg + replicate, not a row-pairing join
         "pipeline_bloom_dedup": 4,  # existing-distinct x2 (bits + known, both bounded/broadcast) + bit distinct + candidate agg; single-pass verify join
         "w_ewma_time_decay": 1,  # one user-keyed window shuffle; final agg rides its partitioning
-        "text_bigram_logprob": 4,  # pair agg + context rollup (pair-table-sized) + broadcasts + doc agg
+        "text_bigram_logprob": 7,  # pair agg + context rollup (pair-table-sized) + broadcasts + doc agg [r10: +3 spread, r9 #5 tripwire]
         "sim_ivf_recall_report": 9,  # composes brute-force (1) + inline IVF build/probe (8); sampled-quality report, not a hot path
         "agg_kmv_set_ops": 6,  # 2 per-set distinct+rank chains + union rank + single-row size broadcasts; all sketch-sized after the distincts
         "graph_triangle_count": 8,  # edges checkpointed once (was 13 re-derived); wedge join pair + close semi-join + node/edge counts
@@ -180,13 +180,13 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_entropy_report": 2,  # (source,lang) count + source window riding it + final agg
         "w_retention_cohorts": 3,  # user-keyed distinct + cohort window riding it + cohort-sized final agg
         "agg_gini_report": 1,  # per-group rank window + agg on the same partitioning
-        "text_novelty_report": 2,  # shingle-keyed min agg + join back riding it + per-doc agg
+        "text_novelty_report": 4,  # shingle-keyed min agg + join back riding it + per-doc agg [r10: +2 spread, r9 #5 tripwire]
         "pipeline_curriculum_order": 1,  # one bucket-keyed window on a map-side projection
         # round-8 wave 8
         "agg_mad_outliers": 7,  # ONE data-sized (g,v) count (checkpointed); all CDF/fence steps ride the distinct-value histogram
         "graph_link_prediction": 6,  # checkpointed edges; wedge join pair + pair count + degree agg; degree/edge sides broadcast
         "graph_label_propagation": 1,  # labels checkpointed node-sized; plan is decode + community agg (iteration shuffles ran once inside)
-        "pipeline_perplexity_buckets": 5,  # bigram budget (4) + one lang-keyed bucket window
+        "pipeline_perplexity_buckets": 8,  # bigram budget (4) + one lang-keyed bucket window [r10: +3 spread, r9 #5 tripwire]
         "pipeline_dedup_keep_best": 3,  # CC iteration state is now EDGE-sized (r9: singletons never ride the rounds); the price is the final singleton-attach left join (docs x edge-touched labels -- AQE broadcasts the tiny side at runtime) + the cluster-keyed keeper window
         "pipeline_shard_rendezvous": 1,  # map-only HRW argmax + one shard-sized agg
         # round-8 wave 9
@@ -217,7 +217,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_cms_error_report": 5,  # sketch build + broadcast probe + exact counts + 1-row total broadcast + final fold
         "sim_knn_classify": 2,  # brute-force topk (broadcast queries) + vote/argmax on the k*queries relation
         # round-8 wave 15
-        "pipeline_repeated_ngram_ratio": 2,  # (doc,gram) combinable count + doc fold
+        "pipeline_repeated_ngram_ratio": 3,  # (doc,gram) combinable count + doc fold [r10: +1 spread, r9 #5 tripwire]
         "w_rolling_distinct_users": 5,  # presence relation checkpointed once; coverage-explode distinct + two day aggs + day join (plan counts the post-checkpoint side)
         "agg_markov_transitions": 3,  # ONE user lead window + pair agg + from-keyed total window on the types^2 relation
         # round-8 wave 16
@@ -242,13 +242,23 @@ def test_shuffle_budgets(spark, sf_dir):
         # round-9 wave 20
         "agg_bucket_quantile_contract": 4,  # two combinable hist aggs (bins + distinct values) + CDF windows riding each + type-keyed contract join (one side broadcast)
         "graph_degree_assortativity": 3,  # edge base checkpointed; degree agg + two broadcast degree attaches + ONE combinable moments agg
-        "pipeline_span_corruption": 1,  # map-only position explode + doc window over the masked 15% subset; doc agg rides it
+        "pipeline_span_corruption": 2,  # map-only position explode + doc window over the masked 15% subset; doc agg rides it [r10: +1 spread, r9 #5 tripwire]
         # round-9 wave 21
         "agg_histogram_kl_drift": 3,  # two combinable hist aggs + bin-keyed full-outer join; totals window + KL fold ride the bounded bin relation
         "pipeline_hard_negatives": 2,  # spread + broadcast queries with the label predicate fused into the scoring join + per-q rank window
         "w_percent_rank_normalize": 1,  # ONE type-keyed window over the data-sized relation (documented per-row-normalization cost)
         # round-9 wave 22
         "scalar_map_funcs": 0,  # map-only str_to_map round-trip, whole-stage codegen
+        # round-10 wave 24
+        "agg_ks_drift": 2,  # ONE pivoted (type,bin) agg (halves are conditional counters -- no alignment join) + type-keyed CDF window
+        "agg_gini_concentration": 2,  # supplier rev agg + supplier-sized global rank window
+        "w_cusum_changepoint": 1,  # all four windows + argmax share the one type-keyed sort
+        "agg_entropy_profile": 2,  # (type,hour) combinable agg + type window over the 24-bin relation
+        "sim_mips_topk": 2,  # spread + per-query rank window; corpus never shuffles for scoring
+        "pipeline_tokens_per_byte": 0,  # map-only regexp + octet_length, whole-stage codegen
+        "text_charset_profile": 1,  # ONE combinable lang agg; class strips are map-only
+        "dedup_prefix_digest": 2,  # digest agg with partial-distinct full-hash counter
+        "text_lang_vocab_jaccard": 3,  # vocab checkpointed once (was 11 re-derived); term-keyed pair join + pair agg
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -2,7 +2,14 @@
 query (shuffle count, join strategies, scan pushdown) plus the full
 formatted plan with --full.
 
-Usage: python tools/explain_audit.py [sf_dir] [--full] [query ...]
+--spread adds the under-partitioned-scan tripwire (VERDICT r9 #5): flag
+any explode / Python-seam node whose input reaches a <=2-partition
+parquet scan without an intervening exchange (the shape that serialized
+agg_bootstrap_ci, the IVF-PQ corpus, and the r8 quantize probe onto 1-2
+tasks).  Partition counts depend on fixture bytes, so run the spread
+audit at the BENCH SF (sf0.1), not sf0.001.
+
+Usage: python tools/explain_audit.py [sf_dir] [--full] [--spread] [query ...]
 """
 
 from __future__ import annotations
@@ -15,15 +22,52 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from kcl_akka_stream_spark.plans.hygiene import (
     count_exchanges,
     count_operator,
+    narrow_expensive_maps,
     physical_plan,
     pushed_filters,
 )
 from kcl_akka_stream_spark.session import get_session
 
+#: Measured spread-audit allowlist (round 10): these headline queries carry
+#: an explode / Python seam over a narrow scan ON PURPOSE -- adding spread()
+#: was MEASURED at sf0.1 (median-of-3, same session, /tmp minibench; ratios
+#: recorded per name) to REGRESS because the mapped relation is tiny and the
+#: extra exchange + 32-task stage costs more than the serialized map.  The
+#: tripwire cannot distinguish "narrow because the data is tiny" (harmless)
+#: from "narrow because of file layout under big data" (the
+#: agg_bootstrap_ci failure class) statically, so acceptance is recorded
+#: here with the measurement.  A name may sit here ONLY with a measured
+#: ratio; re-measure when fixture sizes change.
+SPREAD_AUDIT_ALLOW = {
+    "sim_topk_ivf": "spread 1.19x (kmeans_update over 2k-row embeddings)",
+    "sim_ivf_recall_report": "spread 1.60x (same learn path, twice)",
+    "cluster_kmeans_step": "spread 2.42x (k*d posexplode over 2k rows)",
+    "emb_pq_assign": "spread 1.77x (encode matmul over 2k rows)",
+    "sim_topk_pq_adc": "spread 1.15x (same encode path)",
+    "sim_topk_ivf_pq": "rides pq_encode/kmeans (allowed above)",
+    "emb_random_projection": "spread ~2x (matmul over 2k rows)",
+    "sim_centroid_classify": "spread 1.81x (posexplode over tiny test set)",
+    "pipeline_embedding_drift": "spread 2.04x (integer_centroids, tiny input)",
+    "agg_cms_heavy_hitters": "spread 1.21x (depth-4 struct explode, map-side combine)",
+    "agg_cms_error_report": "spread 1.42x (same cms_state seam)",
+    "agg_cms_merged": "rides cms_state (allowed above)",
+    "pipeline_decontaminate": "spread 1.17x on the eval side (benchmark-sized by contract)",
+    "pipeline_bloom_dedup": "spread 1.06x (3 md5/row over the daily slice)",
+    "j_interval_overlap": "spread 1.40x (pre-filtered tail, O(1)-bucket explode)",
+    "pipeline_tfidf_topk": "spread 1.59x (duplicated toks subtree pays twice)",
+    "text_unigram_logprob": "spread 1.44x (triplicated toks subtree)",
+    "text_bigram_logprob": "bigram pairs seam KEPT (0.74x win); remaining flags are the unigram-style toks copies",
+    "pipeline_perplexity_buckets": "rides the kept bigram seam; remaining flags are toks copies",
+    "text_vocab_stats": "spread 1.50x ((lang, term) agg combines map-side)",
+    "text_rake_keywords": "spread 1.37x (two cheap regexp passes)",
+    "udtf_token_runs": "spread 1.56x (run-length UDTF cheap at fixture doc counts)",
+}
+
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--full"]
+    args = [a for a in sys.argv[1:] if a not in ("--full", "--spread")]
     full = "--full" in sys.argv
+    spread_audit = "--spread" in sys.argv
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     names = args[1:] if args and os.path.isdir(args[0]) else args
 
@@ -31,6 +75,7 @@ def main() -> None:
     from kcl_akka_stream_spark.queries import QUERIES
 
     spark = get_session("explain_audit")
+    n_flagged = 0
     for name in names or HEADLINE:
         if name.startswith("stream_"):
             print(f"{name:28s} (streaming -- plan decided per micro-batch)")
@@ -43,9 +88,25 @@ def main() -> None:
             f"shj={count_operator(df, 'ShuffledHashJoin')}",
             f"pushed={len(pushed_filters(df))}",
         ]
+        if spread_audit:
+            flags = narrow_expensive_maps(df)
+            if flags and name in SPREAD_AUDIT_ALLOW:
+                parts.append(f"spread=allowed ({SPREAD_AUDIT_ALLOW[name]})")
+            else:
+                parts.append(f"spread={'FLAG' if flags else 'ok'}")
+                n_flagged += bool(flags)
+                for fl in flags:
+                    parts.append(
+                        f"[{fl['node']}({fl['node_id']})<-scan({fl['scan_id']})"
+                        f" {os.path.basename(fl['path'])}"
+                        f" parts={fl['scan_partitions']}]"
+                    )
         print(f"{name:28s} {' '.join(parts)}")
         if full:
             print(physical_plan(df))
+    if spread_audit:
+        print(f"# spread audit: {n_flagged} flagged")
+        sys.exit(1 if n_flagged else 0)
 
 
 if __name__ == "__main__":
