@@ -151,10 +151,13 @@ class _BatchReader(DataSourceReader):
 #: Generator-side RecordBatch size for the Arrow fast path ("arrow_chunk"
 #: source option).  Swept r10 (tools/scale_probe.py::arrow_chunk_sweep) at
 #: the r9-tuned maxRecordsPerBatch=100k on the 2M-row RocksDB streaming
-#: pipeline: 1k/4k chunks lose ~8-10% to per-batch build overhead
-#: (python-list -> pa.array per column per chunk); 16k-64k is a flat
-#: plateau within noise.  16384 is the default -- on the plateau while
-#: keeping per-batch worker memory (5 cols x 16k values) small.
+#: pipeline: 1,024 collapses to ~25k rows/s (per-batch build overhead:
+#: one python-list -> pa.array pass per column per chunk); everything
+#: from 4,096 to 250,000 is ONE flat plateau (~96-105k rows/s, repeated
+#: head-to-head runs swing 64-102k on host noise with no stable winner).
+#: 16,384 is the default: mid-plateau with margin against the 1k cliff,
+#: while keeping per-batch worker memory (5 cols x 16k values) small.
+#: The remaining ~1.15x gap to the all-JVM ceiling is NOT chunk-bound.
 ARROW_CHUNK_DEFAULT = 16_384
 
 

@@ -1897,3 +1897,73 @@ def wave20_probes(spark, sf_dir: str, repl: int = 10) -> None:
     t1 = timed(lambda: spans(docs1))
     tn = timed(lambda: spans(docs_n))
     print(f"{'pipeline_span_corrupt':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+
+def arrow_chunk_sweep(spark, n_shards: int = 8, per_shard: int = 250_000) -> None:
+    """VERDICT r9 #6: sweep the GENERATOR-side RecordBatch size of the
+    Python-DataSource Arrow fast path (the ``arrow_chunk`` source option,
+    sources/python_source.py::_arrow_batches -- previously fixed 4096)
+    at the r9-tuned maxRecordsPerBatch=100k, same 2M-row RocksDB
+    streaming pipeline as arrow_batch_sweep.  The two knobs are
+    different layers: arrow_chunk bounds what the GENERATOR builds per
+    pa.record_batch call (python-list -> pa.array cost amortization);
+    maxRecordsPerBatch bounds what the worker SHIPS per IPC frame.
+    spark.sql.execution.pythonUDF.arrow.enabled is orthogonal to this
+    path (no Python UDF in the pipeline; the source protocol always
+    ships Arrow when read() yields RecordBatches)."""
+    import time as _time
+    import uuid as _uuid
+
+    from kcl_akka_stream_spark.sources.python_source import register
+
+    register(spark)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    default_provider = spark.conf.get(provider_key)
+    default_batch = spark.conf.get(batch_key)
+    total = per_shard * n_shards
+    try:
+        spark.conf.set(provider_key, rocksdb)
+        spark.conf.set(batch_key, "100000")
+        for chunk in (1_024, 4_096, 16_384, 65_536, 250_000):
+            name = f"ac_{_uuid.uuid4().hex[:8]}"
+            stream = (
+                spark.readStream.format("envelope_sim")
+                .option("n_shards", str(n_shards))
+                .option("records_per_shard", str(per_shard))
+                .option("seqs_per_batch", str(100_000 // n_shards))
+                .option("arrow", "true")
+                .option("arrow_chunk", str(chunk))
+                .load()
+            )
+            agg = (
+                stream.withWatermark("arrival_ts", "1 minute")
+                .groupBy(F.window("arrival_ts", "1 hour"), "shard_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("sequence_number").alias("sum_seq"),
+                )
+            )
+            t0 = _time.time()
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            wall = _time.time() - t0
+            print(
+                f"{'arrow_chunk_' + str(chunk):22s} {total} rows in "
+                f"{wall:6.2f}s  = {total / wall:9.0f} rows/s"
+            )
+    finally:
+        spark.conf.set(provider_key, default_provider)
+        spark.conf.set(batch_key, default_batch)
