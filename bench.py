@@ -272,6 +272,14 @@ HEADLINE = [
     "text_charset_profile",
     "dedup_prefix_digest",
     "text_lang_vocab_jaccard",
+    # round-10 wave 25: association tests, rank fusion, order-aware ANN
+    # acceptance, reciprocity (+ streaming entropy twin)
+    "agg_mutual_information",
+    "agg_chi_square_independence",
+    "sim_rrf_fusion",
+    "sim_ndcg_eval",
+    "graph_reciprocity",
+    "stream_entropy_merge",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -5001,3 +5001,156 @@ def agg_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)) div max(n) as bigint)"
         ).alias("entropy_micronats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 25: association tests (MI, chi-square) over the
+# (event_type, hour) contingency cells
+# ---------------------------------------------------------------------------
+
+_CELLS_SQL = """
+    cells AS (
+      SELECT event_type, date_part('hour', ts) AS hr, count(*) AS o
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, hr, o,
+             sum(o) OVER (PARTITION BY event_type) AS r,
+             sum(o) OVER (PARTITION BY hr) AS c,
+             sum(o) OVER () AS n
+      FROM cells)
+    """
+
+
+@query(
+    "agg_mutual_information",
+    f"""
+    WITH {_CELLS_SQL},
+    mi AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(o * CAST(round(ln(CAST(o AS DOUBLE) * n
+                                        / (CAST(r AS DOUBLE) * c)) * 1000000)
+                               AS BIGINT)) // max(n) AS BIGINT)
+               AS mi_micronats
+      FROM m),
+    hx AS (
+      SELECT CAST(sum(r1 * CAST(round(ln(CAST(n1 AS DOUBLE) / r1) * 1000000)
+                                AS BIGINT)) // max(n1) AS BIGINT) AS h
+      FROM (SELECT event_type, sum(o) AS r1, sum(sum(o)) OVER () AS n1
+            FROM cells GROUP BY event_type)),
+    hy AS (
+      SELECT CAST(sum(c1 * CAST(round(ln(CAST(n1 AS DOUBLE) / c1) * 1000000)
+                                AS BIGINT)) // max(n1) AS BIGINT) AS h
+      FROM (SELECT hr, sum(o) AS c1, sum(sum(o)) OVER () AS n1
+            FROM cells GROUP BY hr))
+    SELECT n, mi_micronats,
+           CAST(hx.h AS BIGINT) AS h_type_micronats,
+           CAST(hy.h AS BIGINT) AS h_hour_micronats
+    FROM mi, hx, hy
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mutual information between event type and hour-of-day in integer
+    # micro-nats (Shannon 1948): MI = sum_xy p_xy ln(p_xy / (p_x p_y)),
+    # computed as sum(o * round(ln(o*n / (r*c)) * 1e6)) div n -- the
+    # frozen-ln-per-cell discipline (agg_entropy_profile / tfidf), so
+    # partial-agg order and libm sub-ulp drift cannot move the hash.
+    # Marginal entropies ride along for normalized-MI downstream.  The
+    # association strength between two categoricals -- the feature-
+    # leakage / redundancy diagnostic run before adding a feature.
+    # Int64 bound: o*n <= 2^63 -- safe below ~3e9 events.
+    # Scale shape: ONE combinable (type, hour) cell agg; margins and MI
+    # fold ride the CELL-sized relation (types x 24).
+    ev = tbl(spark, sf_dir, "events")
+    # cells feeds THREE consumers (MI fold + both margin entropies):
+    # localCheckpoint materializes the data-sized agg once -- the
+    # downstream windows all ride the (types x 24)-sized relation
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o")).localCheckpoint(eager=True)
+    m = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("hr")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    mi = m.agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(
+            "cast(sum(o * cast(round(ln(cast(o as double) * n"
+            " / (cast(r as double) * c)) * 1000000) as bigint))"
+            " div max(n) as bigint)"
+        ).alias("mi_micronats"),
+    )
+
+    def _margin_entropy(key: str, alias: str):
+        mg = cells.groupBy(key).agg(F.sum("o").cast("long").alias("cnt"))
+        mg = mg.withColumn("n1", F.sum("cnt").over(Window.partitionBy()))
+        return mg.agg(
+            F.expr(
+                "cast(sum(cnt * cast(round(ln(cast(n1 as double) / cnt)"
+                " * 1000000) as bigint)) div max(n1) as bigint)"
+            ).alias(alias)
+        )
+
+    hx = _margin_entropy("event_type", "h_type_micronats")
+    hy = _margin_entropy("hr", "h_hour_micronats")
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select("n", "mi_micronats", "h_type_micronats", "h_hour_micronats")
+    )
+
+
+@query(
+    "agg_chi_square_independence",
+    f"""
+    WITH {_CELLS_SQL}
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT hr) - 1) AS BIGINT) AS dof,
+           CAST(sum(CAST(floor(
+                 (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+                 * (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+                 * 1000000.0 / (CAST(n AS DOUBLE) * r * c)) AS BIGINT))
+             AS BIGINT) AS chi2_micro
+    FROM m
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson chi-square independence statistic for the (event_type,
+    # hour) contingency table (Pearson 1900): per cell
+    # (o*n - r*c)^2 / (n*r*c), FLOORED to integer micro BEFORE the sum
+    # so the total is an order-independent int64 (the products are exact
+    # int64s rendered as identical doubles on both engines; the one
+    # double multiply/divide sequence is the same IEEE ops).  The
+    # formal-test companion of agg_mutual_information -- chi2 >> dof
+    # rejects independence.  Scale shape: ONE combinable cell agg; the
+    # fold rides the cell-sized relation.
+    ev = tbl(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    m = cells.select(
+        "event_type",
+        "hr",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("hr")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    return m.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("hr") - 1)
+        ).cast("long").alias("dof"),
+        F.expr(
+            "cast(sum(cast(floor("
+            "(cast(o as double) * n - cast(r as double) * c)"
+            " * (cast(o as double) * n - cast(r as double) * c)"
+            " * 1000000.0 / (cast(n as double) * r * c)) as bigint))"
+            " as bigint)"
+        ).alias("chi2_micro"),
+    )

@@ -6846,3 +6846,234 @@ def text_lang_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 25: rank fusion, order-aware ANN acceptance, reciprocity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_rrf_fusion",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec
+               FROM embeddings),
+         s AS (SELECT q_id, n_id,
+                      round({_COS.format(a="q_vec", b="n_vec")}, 6) AS cos_sim,
+                      round({_IP.format(a="q_vec", b="n_vec")}, 6) AS ip
+               FROM c, q WHERE q_id <> n_id),
+         rc AS (SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cos_sim DESC, n_id) AS r
+                FROM s),
+         ri AS (SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY ip DESC, n_id) AS r
+                FROM s),
+         fused AS (
+           SELECT coalesce(a.q_id, b.q_id) AS q_id,
+                  coalesce(a.n_id, b.n_id) AS n_id,
+                  CAST(coalesce(1000000000 // (60 + a.r), 0)
+                       + coalesce(1000000000 // (60 + b.r), 0) AS BIGINT)
+                    AS rrf_score
+           FROM (SELECT * FROM rc WHERE r <= 10) a
+           FULL OUTER JOIN (SELECT * FROM ri WHERE r <= 10) b
+             ON a.q_id = b.q_id AND a.n_id = b.n_id)
+    SELECT q_id, n_id, rrf_score, fused_rank FROM (
+      SELECT q_id, n_id, rrf_score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY rrf_score DESC, n_id) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= 5
+    """,
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, public)
+    # of the two retrieval rankings this engine serves -- cosine
+    # (semantic direction) and inner product (magnitude-aware) -- with
+    # the standard k=60 damping: score = sum over lists of
+    # 1e9 div (60 + rank), integer end-to-end (missing from a list
+    # contributes 0), fused top-5 with ties on neighbor id.  RRF is the
+    # production way to combine heterogeneous rankers without score
+    # calibration (ranks, not scores, fuse).  Scale shape: both
+    # rankings are the broadcast-query serving shape; fusion is a
+    # (q, n)-keyed full-outer join of two k-bounded relations + one
+    # rank window -- everything after the scoring is query-set-sized.
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    cos = S.brute_force_topk(emb, queries_df, k=10).select(
+        "q_id", "n_id", F.col("rank").alias("r_cos")
+    )
+    ip = S.mips_topk(emb, queries_df, k=10).select(
+        F.col("q_id").alias("qi"), F.col("n_id").alias("ni"),
+        F.col("rank").alias("r_ip"),
+    )
+    fused = (
+        cos.join(
+            ip,
+            (F.col("q_id") == F.col("qi")) & (F.col("n_id") == F.col("ni")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("q_id", "qi").alias("q_id"),
+            F.coalesce("n_id", "ni").alias("n_id"),
+            (
+                F.coalesce(
+                    F.expr("1000000000 div (60 + r_cos)"), F.lit(0)
+                )
+                + F.coalesce(F.expr("1000000000 div (60 + r_ip)"), F.lit(0))
+            ).cast("long").alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rrf_score").desc(), "n_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 5)
+        .select("q_id", "n_id", "rrf_score", "fused_rank")
+    )
+
+
+def _ndcg_oracle() -> str:
+    # Compose the exact and IVF rankings (both independently verified);
+    # relevance = 6 - exact_rank, frozen integer position discounts
+    # W[p] = round(1e6 / log2(p + 1)).
+    exact = ORACLES["sim_topk_bruteforce"]
+    approx = _ivf_oracle()
+    return f"""
+    WITH exact AS (SELECT * FROM ({exact})),
+    approx AS (SELECT * FROM ({approx})),
+    w(p, wt) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+                        (4, 430677), (5, 386853)),
+    dcg AS (
+      SELECT a.q_id,
+             CAST(sum(coalesce(6 - e.rank, 0) * w.wt) AS BIGINT) AS dcg_micro
+      FROM approx a
+      JOIN w ON w.p = a.rank
+      LEFT JOIN exact e ON e.q_id = a.q_id AND e.n_id = a.n_id
+      GROUP BY a.q_id)
+    SELECT q_id, dcg_micro,
+           CAST(10271927 AS BIGINT) AS idcg_micro,
+           CAST(dcg_micro * 1000000 // 10271927 AS BIGINT) AS ndcg_ppm
+    FROM dcg
+    """
+
+
+@query("sim_ndcg_eval", _ndcg_oracle())
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-aware ANN acceptance contract: nDCG@5 of the IVF nprobe=1
+    # ranking against the exact ranking (Jarvelin & Kekalainen 2002,
+    # public) -- recall@k (sim_ivf_recall_report) treats positions as a
+    # set; nDCG charges the index for returning the right neighbors in
+    # the WRONG order, which is what serving quality actually is.
+    # Integer end-to-end: relevance = 6 - exact_rank (0 if outside the
+    # exact top-5), position discounts frozen as round(1e6/log2(p+1))
+    # literals, ideal DCG = the constant 10,271,927 (rels 5..1 in
+    # order), ndcg in ppm by integer division.  Both rankings break
+    # ties on n_id, so the measurement is deterministic cross-engine.
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries_df, k=5).select(
+        F.col("q_id").alias("eq"), F.col("n_id").alias("en"),
+        F.col("rank").alias("e_rank"),
+    )
+    approx = S.ivf_topk(emb, queries_df, k=5, nprobe=1).select(
+        "q_id", "n_id", F.col("rank").alias("a_rank")
+    )
+    wts = F.element_at(
+        F.array(*[F.lit(w) for w in (1000000, 630930, 500000, 430677, 386853)]),
+        F.col("a_rank").cast("int"),
+    )
+    idcg = 5 * 1000000 + 4 * 630930 + 3 * 500000 + 2 * 430677 + 1 * 386853
+    dcg = (
+        approx.join(
+            exact,
+            (F.col("q_id") == F.col("eq")) & (F.col("n_id") == F.col("en")),
+            "left",
+        )
+        .select(
+            "q_id",
+            (
+                F.coalesce(F.lit(6) - F.col("e_rank"), F.lit(0)) * wts
+            ).cast("long").alias("g"),
+        )
+        .groupBy("q_id")
+        .agg(F.sum("g").cast("long").alias("dcg_micro"))
+    )
+    return dcg.select(
+        "q_id",
+        "dcg_micro",
+        F.lit(idcg).cast("long").alias("idcg_micro"),
+        F.expr(f"dcg_micro * 1000000 div {idcg}").cast("long").alias("ndcg_ppm"),
+    )
+
+
+@query(
+    "graph_reciprocity",
+    """
+    WITH sd AS (
+      SELECT l_orderkey AS k, l_suppkey AS s, min(l_shipdate) AS d
+      FROM lineitem GROUP BY 1, 2),
+    e AS (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM sd a JOIN sd b ON a.k = b.k
+       AND (a.d < b.d OR (a.d = b.d AND a.s < b.s))),
+    mutual AS (
+      SELECT e.src, e.dst FROM e
+      WHERE EXISTS (SELECT 1 FROM e r
+                    WHERE r.src = e.dst AND r.dst = e.src))
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM mutual) AS BIGINT) AS n_mutual,
+           CAST((SELECT count(*) FROM mutual) * 1000000
+                // (SELECT count(*) FROM e) AS BIGINT) AS reciprocity_ppm
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Directed-graph reciprocity (Newman 2002 family): the fraction of
+    # directed edges whose reverse edge also exists, over the
+    # ships-earlier supplier precedence graph (a -> b iff a's first
+    # shipment in some shared order precedes b's; date ties break by
+    # suppkey, so the relation is deterministic).  Reciprocity near 1
+    # means precedence is incidental (pairs alternate across orders);
+    # near 0 means a stable shipping hierarchy -- the
+    # hierarchy-vs-exchange diagnostic for any interaction graph, and
+    # the third one-number graph-shape probe next to assortativity and
+    # clustering coefficient.  Scale shape: one (order, supplier) agg,
+    # one per-order wedge join (bounded by order width), edge distinct,
+    # and a self-semi-join on the reversed key -- all hash-partitioned;
+    # output is one row.
+    li = tbl(spark, sf_dir, "lineitem")
+    sd = li.groupBy(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")
+    ).agg(F.min("l_shipdate").alias("d"))
+    a = sd.select(F.col("k"), F.col("s").alias("sa"), F.col("d").alias("da"))
+    b = sd.select(F.col("k"), F.col("s").alias("sb"), F.col("d").alias("db"))
+    e = (
+        a.join(b, "k")
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("sa") < F.col("sb")))
+        )
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds 3 consumers (counts + both semi sides)
+    )
+    mutual = e.join(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    )
+    n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_m = mutual.agg(F.count(F.lit(1)).cast("long").alias("n_mutual"))
+    return (
+        F.broadcast(n_e)
+        .crossJoin(F.broadcast(n_m))
+        .select(
+            "n_edges",
+            "n_mutual",
+            F.expr("n_mutual * 1000000 div n_edges").cast("long").alias(
+                "reciprocity_ppm"
+            ),
+        )
+    )

@@ -2017,3 +2017,63 @@ def stream_ks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _entropy_oracle() -> str:
+    from kcl_akka_stream_spark.queries.registry import ORACLES
+
+    return ORACLES["agg_entropy_profile"]
+
+
+@query("stream_entropy_merge", _entropy_oracle())
+def stream_entropy_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming twin of agg_entropy_profile, SAME oracle -- the
+    # FOURTEENTH mergeable-state streaming family.  State = (type, hour)
+    # counts (plain-addition mergeable); the frozen-ln entropy fold is a
+    # FINALIZE step strictly after the merge (a per-batch entropy would
+    # average entropies, which is not the entropy of the union).
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "ts")
+    src = tempfile.mkdtemp(prefix="kcl_ent_src_")
+    states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            states.extend(
+                batch_df.groupBy(
+                    "event_type", F.hour("ts").cast("long").alias("hr")
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .collect()
+            )
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        st = spark.createDataFrame(states, "event_type string, hr long, c long")
+        merged = st.groupBy("event_type", "hr").agg(
+            F.sum("c").cast("long").alias("c")
+        )
+        t = merged.withColumn(
+            "n", F.sum("c").over(Window.partitionBy("event_type"))
+        )
+        return t.groupBy("event_type").agg(
+            F.max("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.expr(
+                "cast(sum(c * cast(round(ln(cast(n as double) / c) * 1000000)"
+                " as bigint)) div max(n) as bigint)"
+            ).alias("entropy_micronats"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -259,6 +259,12 @@ def test_shuffle_budgets(spark, sf_dir):
         "text_charset_profile": 1,  # ONE combinable lang agg; class strips are map-only
         "dedup_prefix_digest": 2,  # digest agg with partial-distinct full-hash counter
         "text_lang_vocab_jaccard": 3,  # vocab checkpointed once (was 11 re-derived); term-keyed pair join + pair agg
+        # round-10 wave 25
+        "agg_mutual_information": 5,  # cells checkpointed once (3 consumers); MI windows + 2 margin aggs all ride the (types x 24) relation
+        "agg_chi_square_independence": 4,  # ONE cell agg + 3 margin windows (type / hour / global) over the cell-sized relation
+        "sim_rrf_fusion": 7,  # two broadcast-query scoring branches (spread + rank window each) + k-bounded full-outer fuse + fused rank window
+        "sim_ndcg_eval": 9,  # brute-force branch (2) + inline IVF learn/probe (the recall-report budget); the DCG join is k-bounded
+        "graph_reciprocity": 4,  # (order, supplier) agg + per-order wedge join + edge distinct (checkpointed once; reverse semi-join re-reads it)
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -1,0 +1,148 @@
+"""Wave-25 evidence pack: association tests (MI, chi-square), rank fusion,
+order-aware ANN acceptance, reciprocity -- hand-checked values and
+python-recomputed cross-checks, never just row counts."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _mi_micronats(spark, cells):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(cells, "x string, y long, o long")
+    m = df.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("x")).alias("r"),
+        F.sum("o").over(Window.partitionBy("y")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    return m.agg(
+        F.expr(
+            "cast(sum(o * cast(round(ln(cast(o as double) * n"
+            " / (cast(r as double) * c)) * 1000000) as bigint))"
+            " div max(n) as bigint)"
+        ).alias("mi")
+    ).collect()[0].mi
+
+
+def test_mutual_information_extremes(spark):
+    # independent 2x2 uniform: MI = 0 exactly (every cell has o*n == r*c)
+    indep = [("a", 0, 5), ("a", 1, 5), ("b", 0, 5), ("b", 1, 5)]
+    assert _mi_micronats(spark, indep) == 0
+    # perfectly dependent (diagonal): MI = H(X) = ln(2)
+    dep = [("a", 0, 10), ("b", 1, 10)]
+    assert abs(_mi_micronats(spark, dep) - round(math.log(2) * 1e6)) <= 2
+
+
+def test_chi_square_zero_under_independence(spark, sf_dir):
+    # exact proportional table -> every (o*n - r*c) == 0 -> chi2 == 0
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("a", 0, 4), ("a", 1, 8), ("b", 0, 2), ("b", 1, 4)],
+        "x string, y long, o long",
+    )
+    m = df.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("x")).alias("r"),
+        F.sum("o").over(Window.partitionBy("y")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    chi2 = m.agg(
+        F.expr(
+            "cast(sum(cast(floor("
+            "(cast(o as double) * n - cast(r as double) * c)"
+            " * (cast(o as double) * n - cast(r as double) * c)"
+            " * 1000000.0 / (cast(n as double) * r * c)) as bigint)) as bigint)"
+        ).alias("chi2")
+    ).collect()[0].chi2
+    assert chi2 == 0
+    # and the fixture query carries consistent metadata
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    row = QUERIES["agg_chi_square_independence"](spark, sf_dir).collect()[0]
+    assert row.dof >= 1 and row.chi2_micro >= 0 and row.n_cells > row.dof
+
+
+def test_rrf_scores_recompute_from_both_rankings(spark, sf_dir):
+    # the fused score must equal 1e9//(60+r_cos) + 1e9//(60+r_ip)
+    # recomputed in python from the two operator rankings.
+    from kcl_akka_stream_spark.operators.similarity import (
+        brute_force_topk,
+        mips_topk,
+    )
+    from kcl_akka_stream_spark.queries import QUERIES
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    rc = {(r.q_id, r.n_id): r.rank for r in brute_force_topk(emb, q, k=10).collect()}
+    ri = {(r.q_id, r.n_id): r.rank for r in mips_topk(emb, q, k=10).collect()}
+    keys = set(rc) | set(ri)
+    expect = {
+        k: (1_000_000_000 // (60 + rc[k]) if k in rc else 0)
+        + (1_000_000_000 // (60 + ri[k]) if k in ri else 0)
+        for k in keys
+    }
+    out = QUERIES["sim_rrf_fusion"](spark, sf_dir).collect()
+    assert len(out) == 25  # 5 queries x top-5
+    for r in out:
+        assert expect[(r.q_id, r.n_id)] == r.rrf_score
+        # fused top-5 really are the 5 best fused scores for that query
+        better = [
+            k for k, v in expect.items()
+            if k[0] == r.q_id and (v, -k[1]) > (r.rrf_score, -r.n_id)
+        ]
+        assert len(better) < 5
+
+
+def test_ndcg_recomputes_and_bounds(spark, sf_dir):
+    from kcl_akka_stream_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from kcl_akka_stream_spark.queries import QUERIES
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    W = [1000000, 630930, 500000, 430677, 386853]
+    idcg = sum((5 - i) * w for i, w in enumerate(W))
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    erank = {(r.q_id, r.n_id): r.rank for r in brute_force_topk(emb, q, k=5).collect()}
+    expected = {}
+    for r in ivf_topk(emb, q, k=5, nprobe=1).collect():
+        rel = 6 - erank.get((r.q_id, r.n_id), 6)
+        expected[r.q_id] = expected.get(r.q_id, 0) + rel * W[r.rank - 1]
+    for row in QUERIES["sim_ndcg_eval"](spark, sf_dir).collect():
+        assert row.dcg_micro == expected[row.q_id]
+        assert row.idcg_micro == idcg
+        assert 0 <= row.ndcg_ppm <= 1_000_000
+        assert row.ndcg_ppm == row.dcg_micro * 1_000_000 // idcg
+
+
+def test_reciprocity_recomputed_from_edge_set(spark, sf_dir):
+    from kcl_akka_stream_spark.queries import QUERIES
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    li = tbl(spark, sf_dir, "lineitem")
+    sd = li.groupBy(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")
+    ).agg(F.min("l_shipdate").alias("d"))
+    rows = sd.collect()
+    by_order: dict = {}
+    for r in rows:
+        by_order.setdefault(r.k, []).append((r.d, r.s))
+    edges = set()
+    for members in by_order.values():
+        for da, sa in members:
+            for db, sb in members:
+                if (da, sa) < (db, sb):
+                    edges.add((sa, sb))
+    mutual = sum(1 for (a, b) in edges if (b, a) in edges)
+    out = QUERIES["graph_reciprocity"](spark, sf_dir).collect()[0]
+    assert out.n_edges == len(edges)
+    assert out.n_mutual == mutual
+    assert out.reciprocity_ppm == mutual * 1_000_000 // len(edges)

@@ -41,6 +41,7 @@ from kcl_akka_stream_spark.session import get_session
 SPREAD_AUDIT_ALLOW = {
     "sim_topk_ivf": "spread 1.19x (kmeans_update over 2k-row embeddings)",
     "sim_ivf_recall_report": "spread 1.60x (same learn path, twice)",
+    "sim_ndcg_eval": "rides the same inline IVF learn path (kmeans_update over 2k-row embeddings, allowed above)",
     "cluster_kmeans_step": "spread 2.42x (k*d posexplode over 2k rows)",
     "emb_pq_assign": "spread 1.77x (encode matmul over 2k rows)",
     "sim_topk_pq_adc": "spread 1.15x (same encode path)",
