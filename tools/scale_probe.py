@@ -1967,3 +1967,185 @@ def arrow_chunk_sweep(spark, n_shards: int = 8, per_shard: int = 250_000) -> Non
     finally:
         spark.conf.set(provider_key, default_provider)
         spark.conf.set(batch_key, default_batch)
+
+
+def wave24_25_probes(spark, sf_dir: str, repl: int = 10) -> None:
+    """Round-10 probe rows: 10x replication for the wave-24/25 heavy
+    shapes.  Events replicate with shifted event_ids (disjoint id space,
+    same type/hour mix); docs via replicate_docs.  Linear ratios expected
+    for the combinable aggs; the wedge join (reciprocity) scales with
+    pair volume."""
+    ev1 = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    n_ev = ev1.count()
+    ev_n = reduce(
+        DataFrame.unionByName,
+        [
+            ev1.select(
+                (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+                "event_type",
+                "ts",
+                "value",
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+
+    from pyspark.sql import Window
+
+    def ks(ev):
+        j = ev.groupBy(
+            "event_type",
+            F.expr("cast(floor(value * 10 + 0.5) as bigint)").alias("bin"),
+        ).agg(
+            F.sum((F.col("event_id") % 2 == 0).cast("long")).alias("ca"),
+            F.sum((F.col("event_id") % 2 == 1).cast("long")).alias("cb"),
+        )
+        wcum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wall = Window.partitionBy("event_type")
+        cum = j.select(
+            "event_type",
+            F.sum("ca").over(wcum).alias("cum_a"),
+            F.sum("cb").over(wcum).alias("cum_b"),
+            F.sum("ca").over(wall).alias("na"),
+            F.sum("cb").over(wall).alias("nb"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.expr(
+                "cast(max(abs(cum_a * nb - cum_b * na)) * 1000000"
+                " div (max(na) * max(nb)) as bigint)"
+            ).alias("ks_ppm")
+        )
+
+    def cusum(ev):
+        wt = Window.partitionBy("event_type")
+        wo = Window.partitionBy("event_type").orderBy("event_id")
+        t = ev.select(
+            "event_type",
+            "event_id",
+            F.count(F.lit(1)).over(wt).alias("n"),
+            F.sum(F.expr("cast(floor(value * 10 + 0.5) as bigint)"))
+            .over(wt)
+            .alias("s"),
+            F.row_number().over(wo).alias("k"),
+            F.sum(F.expr("cast(floor(value * 10 + 0.5) as bigint)"))
+            .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cx"),
+        )
+        c = t.select(
+            "event_type",
+            "event_id",
+            (F.col("n") * F.col("cx") - F.col("k") * F.col("s")).alias("cusum"),
+        )
+        wpk = Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("cusum")).desc(), "event_id"
+        )
+        return c.withColumn("rn", F.row_number().over(wpk)).filter(
+            F.col("rn") == 1
+        )
+
+    def mi(ev):
+        cells = ev.groupBy(
+            "event_type", F.hour("ts").cast("long").alias("hr")
+        ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+        m = cells.select(
+            "o",
+            F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+            F.sum("o").over(Window.partitionBy("hr")).alias("c"),
+            F.sum("o").over(Window.partitionBy()).alias("n"),
+        )
+        return m.agg(
+            F.expr(
+                "cast(sum(o * cast(round(ln(cast(o as double) * n"
+                " / (cast(r as double) * c)) * 1000000) as bigint))"
+                " div max(n) as bigint)"
+            ).alias("mi")
+        )
+
+    for name, op in (("agg_ks_drift", ks), ("w_cusum_changepoint", cusum),
+                     ("agg_mutual_info", mi)):
+        t1 = timed(lambda: op(ev1))
+        tn = timed(lambda: op(ev_n))
+        print(f"{name:22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # docs-based: charset profile (map-only agg) + lang vocab jaccard
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs_n = replicate_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), repl
+    ).join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        .withColumnRenamed("doc_id", "__src"),
+        F.pmod(F.col("doc_id"), F.lit(1_000_000)) == F.col("__src"),
+    ).drop("__src").localCheckpoint()
+
+    def charset(d):
+        ln = F.length("text").cast("long")
+        strip = lambda pat: ln - F.length(F.regexp_replace("text", pat, "")).cast("long")  # noqa: E731
+        return d.groupBy("lang").agg(
+            F.sum(ln).alias("n_chars"),
+            F.sum(strip("[a-z]")).alias("n_lower"),
+            F.sum(strip("[0-9]")).alias("n_digit"),
+        )
+
+    def vocab_jac(d):
+        from kcl_akka_stream_spark.plans.hygiene import spread as _spread
+
+        lt = (
+            _spread(d)
+            .select("lang", F.explode(X.tokens(F.col("text"))).alias("term"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        a = lt.select(F.col("lang").alias("la"), "term")
+        b = lt.select(F.col("lang").alias("lb"), "term")
+        return (
+            a.join(b, "term")
+            .filter(F.col("la") < F.col("lb"))
+            .groupBy("la", "lb")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+
+    for name, op in (("text_charset", charset), ("lang_vocab_jaccard", vocab_jac)):
+        t1 = timed(lambda: op(docs1))
+        tn = timed(lambda: op(docs_n))
+        print(f"{name:22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # reciprocity wedge join: scale lineitem-shaped (order, supplier, date)
+    li1 = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    li_n = reduce(
+        DataFrame.unionByName,
+        [
+            li1.select(
+                (F.col("l_orderkey") + F.lit(i * 100_000_000)).alias("l_orderkey"),
+                "l_suppkey",
+                "l_shipdate",
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+
+    def recip(li):
+        sd = li.groupBy(
+            F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")
+        ).agg(F.min("l_shipdate").alias("d"))
+        a = sd.select("k", F.col("s").alias("sa"), F.col("d").alias("da"))
+        b = sd.select("k", F.col("s").alias("sb"), F.col("d").alias("db"))
+        e = (
+            a.join(b, "k")
+            .filter(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("sa") < F.col("sb")))
+            )
+            .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+            .distinct()
+        )
+        return e.agg(F.count(F.lit(1)).alias("n_edges"))
+
+    t1 = timed(lambda: recip(li1))
+    tn = timed(lambda: recip(li_n))
+    print(f"{'graph_reciprocity':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
