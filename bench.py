@@ -280,6 +280,12 @@ HEADLINE = [
     "sim_ndcg_eval",
     "graph_reciprocity",
     "stream_entropy_merge",
+    # round-10 wave 26: heavy-tail index, conditional recency, sorted-
+    # neighborhood blocking, streaming MI twin
+    "agg_hill_tail_index",
+    "w_time_since_event",
+    "dedup_sorted_neighborhood",
+    "stream_mi_merge",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -5154,3 +5154,111 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("chi2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 26: heavy-tail index, conditional recency windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hill_tail_index",
+    """
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_suppkey),
+    o AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev DESC, l_suppkey) AS rk
+      FROM r),
+    top AS (SELECT rev, rk FROM o WHERE rk <= 20),
+    xk AS (SELECT rev AS x20 FROM top WHERE rk = 20)
+    SELECT CAST(20 AS BIGINT) AS k,
+           CAST(max(x20) AS BIGINT) AS xk_cents,
+           CAST(sum(CASE WHEN rk < 20 THEN
+                 CAST(round(ln(CAST(rev AS DOUBLE) / x20) * 1000000)
+                      AS BIGINT) ELSE 0 END) // 19 AS BIGINT)
+             AS hill_inv_micro
+    FROM top, xk
+    """,
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hill tail-index estimator (Hill 1975, public) over per-supplier
+    # revenue: 1/alpha = mean of ln(x_(i) / x_(k)) across the top k-1
+    # order statistics -- the heavy-tail diagnostic that tells a
+    # pipeline whether its key distribution is power-law (small alpha ->
+    # aggressive skew handling: salting, hot-key caps) or light-tailed.
+    # Frozen-ln integer discipline: each term rounds to micro BEFORE the
+    # sum, so the result is an order-independent int64.  Scale shape:
+    # one combinable supplier agg; the rank window rides the bounded
+    # supplier relation; the fold touches k rows.
+    li = tbl(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), "l_suppkey")
+    top = r.select("rev", F.row_number().over(w).alias("rk")).filter(
+        F.col("rk") <= 20
+    )
+    xk = top.filter(F.col("rk") == 20).select(F.col("rev").alias("x20"))
+    return (
+        top.crossJoin(F.broadcast(xk))
+        .agg(
+            F.lit(20).cast("long").alias("k"),
+            F.max("x20").cast("long").alias("xk_cents"),
+            F.expr(
+                "cast(sum(case when rk < 20 then"
+                " cast(round(ln(cast(rev as double) / x20) * 1000000)"
+                " as bigint) else 0 end) div 19 as bigint)"
+            ).alias("hill_inv_micro"),
+        )
+    )
+
+
+@query(
+    "w_time_since_event",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, ts,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(date_diff('second', last_click, ts) AS BIGINT)
+             AS since_click_s
+    FROM t
+    """,
+)
+def w_time_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Conditional recency feature: per event, seconds since the user's
+    # most recent click AT OR BEFORE it (NULL before the first click) --
+    # the "time since last X" feature every behavioral model consumes,
+    # and the window idiom that computes it WITHOUT a self-join:
+    # last_value(CASE ... END IGNORE NULLS) over the user's own ordered
+    # frame.  A naive as-of self-join of events x clicks shuffles twice
+    # and re-sorts; this is ONE user-keyed sort shared with any other
+    # per-user features.  Ties ordered by (ts, event_id) -> fully
+    # deterministic.
+    ev = tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(last_click)
+        ).cast("long").alias("since_click_s"),
+    )

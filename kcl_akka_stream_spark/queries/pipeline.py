@@ -7077,3 +7077,75 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _sorted_neighborhood_oracle(w: int = 3, threshold: float = 0.2) -> str:
+    # Window-w sorted-neighborhood candidates + the exact-Jaccard verify
+    # stage shared with _minhash_verified_oracle.
+    return f"""
+    WITH {_SH_CTE},
+    keyed AS (
+      SELECT doc_id, lang, lower(substring(text, 1, 24)) AS k
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+      FROM keyed),
+    cands AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                      greatest(a.doc_id, b.doc_id) AS id_b
+      FROM ranked a JOIN ranked b
+        ON a.lang = b.lang AND b.rn BETWEEN a.rn + 1 AND a.rn + {w}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common), 6)
+          >= {threshold}
+    """
+
+
+@query("dedup_sorted_neighborhood", _sorted_neighborhood_oracle())
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sorted-neighborhood blocking (Hernandez & Stolfo 1995, public) --
+    # the THIRD candidate-generation family next to LSH banding
+    # (probabilistic) and prefix digests (exact head): sort each
+    # language's docs by a canonical key (lowercased 24-char prefix) and
+    # pair every doc with its w=3 successors in sort order, then verify
+    # candidates with exact shingle Jaccard (the shared two-stage
+    # recipe).  Catches near-dups whose edits fall OUTSIDE the hashed
+    # prefix but keep the sort locality LSH can miss on short docs.
+    # Scale shape: ONE (lang)-keyed sort window; pair generation is
+    # lead() -- map-only on the sorted frame, NO self-join; verification
+    # cost is |candidates| = w x docs.  The per-lang sort is the
+    # documented SN trade: partition by a blocking attribute so no
+    # global sort exists.
+    docs = tbl(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.lower(F.substring("text", 1, 24)).alias("k"),
+    )
+    w = Window.partitionBy("lang").orderBy("k", "doc_id")
+    leads = keyed.select(
+        "doc_id",
+        *[F.lead("doc_id", i).over(w).alias(f"__n{i}") for i in (1, 2, 3)],
+    )
+    cands = None
+    for i in (1, 2, 3):
+        p = leads.filter(F.col(f"__n{i}").isNotNull()).select(
+            F.least("doc_id", f"__n{i}").alias("id_a"),
+            F.greatest("doc_id", f"__n{i}").alias("id_b"),
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    return D.verify_candidate_jaccard(docs, cands, k=3, threshold=0.2)

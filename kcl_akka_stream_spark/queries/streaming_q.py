@@ -2077,3 +2077,86 @@ def stream_entropy_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _mi_oracle() -> str:
+    from kcl_akka_stream_spark.queries.registry import ORACLES
+
+    return ORACLES["agg_mutual_information"]
+
+
+@query("stream_mi_merge", _mi_oracle())
+def stream_mi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming twin of agg_mutual_information, SAME oracle -- the
+    # FIFTEENTH mergeable-state streaming family, sharing the
+    # (type, hour) count state shape with stream_entropy_merge: counts
+    # merge by addition; margins, the frozen-ln MI fold and both
+    # marginal entropies are FINALIZE steps strictly after the merge
+    # (per-batch MI would need per-batch margins -- meaningless for the
+    # union).
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "ts")
+    src = tempfile.mkdtemp(prefix="kcl_mi_src_")
+    states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            states.extend(
+                batch_df.groupBy(
+                    "event_type", F.hour("ts").cast("long").alias("hr")
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .collect()
+            )
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        st = spark.createDataFrame(states, "event_type string, hr long, c long")
+        cells = st.groupBy("event_type", "hr").agg(
+            F.sum("c").cast("long").alias("o")
+        ).localCheckpoint(eager=True)
+        m = cells.select(
+            "o",
+            F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+            F.sum("o").over(Window.partitionBy("hr")).alias("c"),
+            F.sum("o").over(Window.partitionBy()).alias("n"),
+        )
+        mi = m.agg(
+            F.max("n").cast("long").alias("n"),
+            F.expr(
+                "cast(sum(o * cast(round(ln(cast(o as double) * n"
+                " / (cast(r as double) * c)) * 1000000) as bigint))"
+                " div max(n) as bigint)"
+            ).alias("mi_micronats"),
+        )
+
+        def _margin_entropy(key: str, alias: str):
+            mg = cells.groupBy(key).agg(F.sum("o").cast("long").alias("cnt"))
+            mg = mg.withColumn("n1", F.sum("cnt").over(Window.partitionBy()))
+            return mg.agg(
+                F.expr(
+                    "cast(sum(cnt * cast(round(ln(cast(n1 as double) / cnt)"
+                    " * 1000000) as bigint)) div max(n1) as bigint)"
+                ).alias(alias)
+            )
+
+        hx = _margin_entropy("event_type", "h_type_micronats")
+        hy = _margin_entropy("hr", "h_hour_micronats")
+        return (
+            mi.crossJoin(F.broadcast(hx))
+            .crossJoin(F.broadcast(hy))
+            .select("n", "mi_micronats", "h_type_micronats", "h_hour_micronats")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

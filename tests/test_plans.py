@@ -265,6 +265,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "sim_rrf_fusion": 7,  # two broadcast-query scoring branches (spread + rank window each) + k-bounded full-outer fuse + fused rank window
         "sim_ndcg_eval": 9,  # brute-force branch (2) + inline IVF learn/probe (the recall-report budget); the DCG join is k-bounded
         "graph_reciprocity": 4,  # (order, supplier) agg + per-order wedge join + edge distinct (checkpointed once; reverse semi-join re-reads it)
+        # round-10 wave 26
+        "agg_hill_tail_index": 2,  # supplier rev agg + supplier-sized rank window; fold touches k rows
+        "w_time_since_event": 1,  # ONE user-keyed sort; the conditional last_value rides it (no self-join)
+        "dedup_sorted_neighborhood": 4,  # lang-keyed sort window + lead pairs (map-only) + shingle verify joins
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -1,0 +1,118 @@
+"""Wave-26 evidence pack: Hill tail index, conditional recency window,
+sorted-neighborhood blocking, streaming MI twin."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_hill_index_on_exact_pareto_ranks(spark):
+    # construct revenues x_i = C * i^(-1/alpha) for ranks i=1..20 with
+    # alpha=2: hill_inv = mean(ln(x_i/x_20)) = mean((1/alpha) ln(20/i)).
+    from pyspark.sql import Window
+
+    alpha = 2.0
+    revs = [
+        (i, int(round(1_000_000 * (i ** (-1.0 / alpha)))))
+        for i in range(1, 21)
+    ]
+    expect = round(
+        sum(round(math.log(r / revs[19][1]) * 1e6) for _, r in revs[:19]) // 19
+    )
+    r = spark.createDataFrame(revs, "l_suppkey long, rev long")
+    w = Window.orderBy(F.col("rev").desc(), "l_suppkey")
+    top = r.select("rev", F.row_number().over(w).alias("rk")).filter(
+        F.col("rk") <= 20
+    )
+    xk = top.filter(F.col("rk") == 20).select(F.col("rev").alias("x20"))
+    got = (
+        top.crossJoin(F.broadcast(xk))
+        .agg(
+            F.expr(
+                "cast(sum(case when rk < 20 then"
+                " cast(round(ln(cast(rev as double) / x20) * 1000000)"
+                " as bigint) else 0 end) div 19 as bigint)"
+            ).alias("h")
+        )
+        .collect()[0].h
+    )
+    assert got == expect
+    # and the estimate recovers ~ 1/alpha = 0.5 (integer-rounding slack)
+    assert abs(got - 500_000) < 40_000
+
+
+def test_time_since_event_hand_case(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, base, "view"),
+        (2, 7, base + dt.timedelta(seconds=10), "click"),
+        (3, 7, base + dt.timedelta(seconds=25), "view"),
+        (4, 7, base + dt.timedelta(seconds=40), "click"),
+        (5, 7, base + dt.timedelta(seconds=41), "error"),
+        (6, 8, base + dt.timedelta(seconds=5), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    got = {
+        r.event_id: r.s
+        for r in ev.select(
+            "event_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp(last_click))
+            .cast("long")
+            .alias("s"),
+        ).collect()
+    }
+    # before first click -> NULL; click itself -> 0; then elapsed
+    assert got == {1: None, 2: 0, 3: 15, 4: 0, 5: 1, 6: None}
+
+
+def test_sorted_neighborhood_candidates_shape(spark, sf_dir):
+    # every emitted pair must be within w=3 ranks in its language's
+    # canonical sort order -- recomputed in python.
+    from kcl_akka_stream_spark.queries import QUERIES
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    rank = {}
+    by_lang: dict = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append((r.text[:24].lower(), r.doc_id))
+    for lang, members in by_lang.items():
+        for i, (_, d) in enumerate(sorted(members)):
+            rank[d] = (lang, i)
+    out = QUERIES["dedup_sorted_neighborhood"](spark, sf_dir).collect()
+    assert out, "fixture prefixes collide -> expected non-vacuous pairs"
+    for r in out:
+        la, ra = rank[r.id_a]
+        lb, rb = rank[r.id_b]
+        assert la == lb and 1 <= abs(ra - rb) <= 3
+        assert r.jaccard >= 0.2
+
+
+def test_mi_twin_shares_state_shape_with_entropy_twin():
+    # both twins fold the identical (type, hour) count state -- pin the
+    # fold expressions so the families cannot silently diverge.
+    import inspect
+
+    from kcl_akka_stream_spark.queries import streaming_q as sq
+
+    mi_src = inspect.getsource(sq.stream_mi_merge)
+    ent_src = inspect.getsource(sq.stream_entropy_merge)
+    for s in (mi_src, ent_src):
+        assert 'F.hour("ts").cast("long").alias("hr")' in s
+        assert '.agg(F.count(F.lit(1)).cast("long").alias("c"))' in s
