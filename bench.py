@@ -286,6 +286,9 @@ HEADLINE = [
     "w_time_since_event",
     "dedup_sorted_neighborhood",
     "stream_mi_merge",
+    # round-10 wave 27: LSH recall contract, error-safe scalar surface
+    "sim_lsh_recall_report",
+    "scalar_try_funcs",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -5262,3 +5262,51 @@ def w_time_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts") - F.unix_timestamp(last_click)
         ).cast("long").alias("since_click_s"),
     )
+
+
+@query(
+    "scalar_try_funcs",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.v') AS BIGINT) AS v_long,
+           CASE WHEN CAST(event_id % 5 AS BIGINT) = 0 THEN NULL
+                ELSE CAST(floor(value * 100 + 0.5) AS BIGINT)
+                     // (event_id % 5) END AS safe_div,
+           TRY_CAST(substring(event_type, 1, 1) AS BIGINT) AS not_a_number,
+           CASE WHEN len(regexp_extract_all(lower(event_type), '[a-z]+')) >= 2
+                THEN regexp_extract_all(lower(event_type), '[a-z]+')[2]
+                ELSE NULL END AS second_token
+    FROM events
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The error-safe scalar surface (SQL2016 TRY semantics): try_cast on
+    # a JSON-extracted field (malformed -> NULL, never an exception),
+    # try_divide by a sometimes-zero denominator (NULL, not
+    # DivideByZero), try_cast on a non-numeric string, and
+    # try_element_at past the array end.  At 100 TB a single dirty row
+    # must NEVER kill a 10-hour job -- the TRY family is how a pipeline
+    # encodes "quarantine, don't crash" declaratively, keeping the whole
+    # expression in codegen instead of a Python guard.  Map-only, zero
+    # shuffle; the oracle derives every NULL from the same base columns
+    # with explicit CASE guards (ground truth by construction).
+    ev = tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.v') as bigint)").alias(
+            "v_long"
+        ),
+        F.floor(
+            F.expr(
+                "try_divide(cast(floor(value * 100 + 0.5) as bigint),"
+                " event_id % 5)"
+            )
+        ).cast("long").alias("safe_div"),
+        F.expr("try_cast(substring(event_type, 1, 1) as bigint)").alias(
+            "not_a_number"
+        ),
+        F.expr(
+            "try_element_at(regexp_extract_all(lower(event_type),"
+            " '[a-z]+', 0), 2)"
+        ).alias("second_token"),
+    )

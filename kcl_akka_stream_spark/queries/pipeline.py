@@ -7149,3 +7149,63 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.distinct()
     return D.verify_candidate_jaccard(docs, cands, k=3, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 27: LSH recall acceptance contract
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    # Compose the two independently-verified oracles: exact top-5 and the
+    # sign-LSH bucketed top-5, count the per-query overlap -- the
+    # recall-contract shape shared with _ivf_recall_oracle.
+    exact = ORACLES["sim_topk_bruteforce"]
+    approx = _lsh_topk_oracle()
+    return f"""
+    WITH exact AS (SELECT * FROM ({exact})),
+    approx AS (SELECT * FROM ({approx}))
+    SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.n_id) AS BIGINT) AS n_hits,
+           CAST((count(a.n_id) * 100) // count(*) AS BIGINT) AS recall_pct
+    FROM exact e LEFT JOIN approx a
+      ON a.q_id = e.q_id AND a.n_id = e.n_id
+    GROUP BY e.q_id
+    """
+
+
+@query("sim_lsh_recall_report", _lsh_recall_oracle())
+def sim_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The LSH acceptance contract, completing the per-index recall
+    # family: IVF has sim_ivf_recall_report, matryoshka has its overlap
+    # report -- sign-LSH (the remaining serving tier) now carries the
+    # same in-query recall@5 vs exact brute force.  Different indices
+    # lose recall in DIFFERENT ways (IVF at cluster boundaries; sign-LSH
+    # on near-orthant-boundary vectors), so each tier needs its own
+    # measured gate -- a deployment picks the tier by these reports, not
+    # by faith.  Integer-exact hits*100 div k; both branches tie-break
+    # on n_id.
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries_df, k=5).select("q_id", "n_id")
+    approx = S.lsh_topk(emb, queries_df, k=5, bucket_dims=4).select(
+        F.col("q_id").alias("a_q"), F.col("n_id").alias("a_n")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("q_id") == F.col("a_q")) & (F.col("n_id") == F.col("a_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("a_n").cast("long").alias("n_hits"),
+        )
+        .select(
+            "q_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(n_hits * 100) div n_exact").cast("long").alias("recall_pct"),
+        )
+    )

@@ -269,6 +269,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_hill_tail_index": 2,  # supplier rev agg + supplier-sized rank window; fold touches k rows
         "w_time_since_event": 1,  # ONE user-keyed sort; the conditional last_value rides it (no self-join)
         "dedup_sorted_neighborhood": 4,  # lang-keyed sort window + lead pairs (map-only) + shingle verify joins
+        # round-10 wave 27
+        "sim_lsh_recall_report": 5,  # brute branch (spread + window) + bucketed branch (bucket join + window); k-bounded overlap join
+        "scalar_try_funcs": 0,  # map-only TRY family, whole-stage codegen
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -221,3 +221,19 @@ def test_lang_vocab_jaccard_bounds_and_pairing(spark, sf_dir):
         assert r.lang_a < r.lang_b
         assert 0 <= r.n_common <= min(r.n_vocab_a, r.n_vocab_b)
         assert 0 <= r.jaccard_ppm <= 1_000_000
+
+
+def test_lsh_recall_contract_and_try_funcs(spark, sf_dir):
+    # wave 27: the LSH recall report is k-consistent and the TRY family
+    # really quarantines instead of raising.
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["sim_lsh_recall_report"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_exact == 5 and 0 <= r.n_hits <= 5
+        assert r.recall_pct == r.n_hits * 100 // 5
+    t = QUERIES["scalar_try_funcs"](spark, sf_dir)
+    out = t.collect()  # would raise without TRY on dirty rows
+    assert any(r.safe_div is None for r in out)  # event_id % 5 == 0 rows
+    assert all(r.not_a_number is None for r in out)  # letters never cast

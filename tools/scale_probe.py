@@ -2149,3 +2149,53 @@ def wave24_25_probes(spark, sf_dir: str, repl: int = 10) -> None:
     t1 = timed(lambda: recip(li1))
     tn = timed(lambda: recip(li_n))
     print(f"{'graph_reciprocity':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+
+def graph_broadcast_flag_probe(spark, sf_dir: str, repl: int = 10) -> None:
+    """Round-10 evidence for the broadcast_scores fix (VERDICT r9 #1):
+    run label_propagation (2 rounds) on the co-purchase graph at 1x and
+    Nx with BOTH flag settings.  The default (False = shuffled
+    score-attach join) must hold its ratio at 10x -- that is the
+    billion-node posture; the opt-in broadcast is the fixture-scale
+    accelerator.  Nx replicas shift both node-id spaces so the graphs
+    are disjoint (no artificial mega-communities)."""
+    from kcl_akka_stream_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(1 << 40)).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    e1 = p1.unionByName(
+        p1.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint()
+    e_n = reduce(
+        DataFrame.unionByName,
+        [
+            e1.select(
+                (F.col("src") + F.lit(i * (1 << 50))).alias("src"),
+                (F.col("dst") + F.lit(i * (1 << 50))).alias("dst"),
+                "w",
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+
+    import time as _time
+
+    for flag in (False, True):
+        times = []
+        for e in (e1, e_n):
+            t0 = _time.time()
+            label_propagation(e, iterations=2, broadcast_scores=flag).count()
+            times.append(_time.time() - t0)
+        name = f"lpa_bcast_{str(flag).lower()}"
+        print(
+            f"{name:22s} 1x={times[0]:6.2f}s  {repl}x={times[1]:6.2f}s"
+            f"  ratio={times[1] / times[0]:5.2f}"
+        )
