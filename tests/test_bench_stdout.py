@@ -119,16 +119,18 @@ def test_bench_record_identity_fields():
     # distinguishable only by order.
     import bench
 
+    # start value deliberately above threshold: START rides JVM warmup
+    # and must NOT trip the flag; only the END calibration counts
     ident = bench.record_identity(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        0.15, 0.20,
+        0.55, 0.20,
     )
     assert ident["sha"] and len(ident["sha"]) >= 7
     # this repo carries BENCH_r01..r09, so the inferred round is >= 10
     assert ident["round"] >= 10
     assert ident["contended"] is False
     assert ident["ts"].endswith("Z")
-    contended = bench.record_identity("/", 0.50, 0.18)
+    contended = bench.record_identity("/", 0.50, 0.48)
     assert contended["contended"] is True
 
 

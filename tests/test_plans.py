@@ -270,7 +270,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "w_time_since_event": 1,  # ONE user-keyed sort; the conditional last_value rides it (no self-join)
         "dedup_sorted_neighborhood": 4,  # lang-keyed sort window + lead pairs (map-only) + shingle verify joins
         # round-10 wave 27
-        "sim_lsh_recall_report": 5,  # brute branch (spread + window) + bucketed branch (bucket join + window); k-bounded overlap join
+        "sim_lsh_recall_report": 7,  # brute branch (spread + per-q window) + bucketed branch (bucket join both sides + per-q window) + k-bounded overlap join
         "scalar_try_funcs": 0,  # map-only TRY family, whole-stage codegen
     }
     for name, budget in budgets.items():
