@@ -20,6 +20,7 @@ from kcl_akka_stream_spark.operators import joins as J
 from kcl_akka_stream_spark.operators import windows as W
 from kcl_akka_stream_spark.operators.aggregations import counts, shard_stats
 from kcl_akka_stream_spark.operators.merges import merge
+from kcl_akka_stream_spark.plans.hygiene import spread
 from kcl_akka_stream_spark.queries.registry import query, tbl
 
 
@@ -1023,7 +1024,9 @@ def scalar_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode time via from_json (the Kafka/Kinesis-connector pattern), plus
     # schema introspection (json_object_keys) and null semantics for absent
     # fields.
-    ev = tbl(spark, sf_dir, "events")
+    # spread(): per-row JSON parse work -- parallelism floor (r10,
+    # same measured lesson as scalar_try_funcs)
+    ev = spread(tbl(spark, sf_dir, "events"))
     parsed = F.from_json("props", "k BIGINT, missing STRING")
     return ev.select(
         "event_id",
@@ -2642,7 +2645,9 @@ def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from_json struct schema.  Unlike get_json_object (string re-parse
     # per access), the variant value parses once and every extraction
     # is a binary probe.  One combinable agg on top.
-    ev = tbl(spark, sf_dir, "events")
+    # spread(): per-row JSON parse work -- parallelism floor (r10,
+    # same measured lesson as scalar_try_funcs)
+    ev = spread(tbl(spark, sf_dir, "events"))
     k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))
@@ -4222,7 +4227,10 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subset where Java and RE2 dialects agree; Spark's regexp_replace is
     # global by default, so the oracle passes 'g'.  Map-only,
     # whole-stage codegen.
-    ev = tbl(spark, sf_dir, "events")
+    # spread(): heavy per-row regex/JSON/map expressions must not
+    # serialize onto a 1-partition scan (the r9 #5 lesson extended to
+    # plain expensive projections -- measured r10, see NOTES_r10)
+    ev = spread(tbl(spark, sf_dir, "events"))
     msg = F.concat(
         F.lit("user="),
         F.col("user_id").cast("string"),
@@ -4704,7 +4712,10 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter, transform) diverges from it.  Map-only, whole-stage
     # codegen; map_keys is sorted before joining because map iteration
     # order is an implementation detail, never a contract.
-    ev = tbl(spark, sf_dir, "events")
+    # spread(): heavy per-row regex/JSON/map expressions must not
+    # serialize onto a 1-partition scan (the r9 #5 lesson extended to
+    # plain expensive projections -- measured r10, see NOTES_r10)
+    ev = spread(tbl(spark, sf_dir, "events"))
     m = F.expr(
         "str_to_map(concat('t:', event_type, ',u:', cast(user_id as string),"
         " ',v:', cast(cast(floor(value) as bigint) as string)), ',', ':')"
@@ -5290,7 +5301,10 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression in codegen instead of a Python guard.  Map-only, zero
     # shuffle; the oracle derives every NULL from the same base columns
     # with explicit CASE guards (ground truth by construction).
-    ev = tbl(spark, sf_dir, "events")
+    # spread(): heavy per-row regex/JSON/map expressions must not
+    # serialize onto a 1-partition scan (the r9 #5 lesson extended to
+    # plain expensive projections -- measured r10, see NOTES_r10)
+    ev = spread(tbl(spark, sf_dir, "events"))
     return ev.select(
         "event_id",
         F.expr("try_cast(get_json_object(props, '$.v') as bigint)").alias(

@@ -1115,7 +1115,9 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text carries no PII, so the query injects a deterministic email +
     # account number on every 7th doc (oracle mirrors the injection) --
     # the redaction path is genuinely exercised, not a no-op.
-    docs = tbl(spark, sf_dir, "documents").select(
+    # spread(): three regexp passes per row -- parallelism floor (r10,
+    # same measured lesson as scalar_try_funcs)
+    docs = spread(tbl(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.col("text"),

@@ -62,7 +62,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_minhash_lsh": 4,  # spread + sig-agg + bucket-group + distinct
         "dedup_minhash_lsh_capped": 4,  # bucket cap is a map-side filter: same budget
         "emb_near_dup_lsh": 2,  # spread + one side of the bucket-blocked self-join
-        "text_redact_pii": 0,  # map-only regexp rewrite
+        "text_redact_pii": 1,  # map-only regexp rewrite [r10: +1 spread, r9 #5 tripwire]
         "pipeline_pack_tokens": 1,  # one window shuffle keyed by stratum
         "pipeline_decontaminate": 3,  # spread + gram-explode side + final per-doc agg
         "dedup_minhash_verified": 4,  # candidate gen only; verify joins broadcast
@@ -126,7 +126,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "arrow_doc_stats": 1,  # spread only -- pyarrow kernels are map-side
         "udtf_token_runs": 0,  # LATERAL expansion is map-side (BatchEvalPythonUDTF)
         "j_lateral_topk": 1,  # decorrelated: one window shuffle; customer broadcast
-        "scalar_variant_extract": 1,  # parse_json/variant_get map-side + one agg
+        "scalar_variant_extract": 2,  # parse_json/variant_get map-side + one agg [r10: +1 spread, r9 #5 tripwire]
         "text_unigram_logprob": 3,  # term agg (vocab broadcast back) + single-row N + doc agg
         "pipeline_bpe_top_pairs": 2,  # zip-with-tail is map-only; one pair-count shuffle [r10: +1 spread, r9 #5 tripwire]
         # PageRank eagerly checkpoints the edge base AND the final ranks
@@ -226,7 +226,7 @@ def test_shuffle_budgets(spark, sf_dir):
         # round-8 wave 17 (evidence pack: VERDICT r8 #2)
         "agg_bitmap_set_ops": 3,  # two combinable word-OR aggs + word-keyed full-outer join; popcount rollup is single-row
         "w_anomaly_trailing_zscore": 2,  # daily combinable rollup + ONE event_type window carrying all three trailing frames
-        "scalar_regex_funcs": 0,  # map-only whole-stage-codegen regex ops
+        "scalar_regex_funcs": 1,  # map-only whole-stage-codegen regex ops [r10: +1 spread, r9 #5 tripwire]
         "sim_centroid_classify": 4,  # centroid (label,pos) agg + broadcast model join + per-vector agg + argmax window + confusion rollup
         "agg_bootstrap_ci": 4,  # spread (the x32 expansion parallelizes -- one task did all 800k digests before, 3.9 -> 1.5 s) + (type,b) replicate agg + rank window + point-estimate agg; join on type rides
         # round-9 wave 18
@@ -248,7 +248,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "pipeline_hard_negatives": 2,  # spread + broadcast queries with the label predicate fused into the scoring join + per-q rank window
         "w_percent_rank_normalize": 1,  # ONE type-keyed window over the data-sized relation (documented per-row-normalization cost)
         # round-9 wave 22
-        "scalar_map_funcs": 0,  # map-only str_to_map round-trip, whole-stage codegen
+        "scalar_map_funcs": 1,  # map-only str_to_map round-trip, whole-stage codegen [r10: +1 spread, r9 #5 tripwire]
         # round-10 wave 24
         "agg_ks_drift": 2,  # ONE pivoted (type,bin) agg (halves are conditional counters -- no alignment join) + type-keyed CDF window
         "agg_gini_concentration": 2,  # supplier rev agg + supplier-sized global rank window
@@ -271,7 +271,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_sorted_neighborhood": 4,  # lang-keyed sort window + lead pairs (map-only) + shingle verify joins
         # round-10 wave 27
         "sim_lsh_recall_report": 7,  # brute branch (spread + per-q window) + bucketed branch (bucket join both sides + per-q window) + k-bounded overlap join
-        "scalar_try_funcs": 0,  # map-only TRY family, whole-stage codegen
+        "scalar_try_funcs": 1,  # map-only TRY family, whole-stage codegen [r10: +1 spread, r9 #5 tripwire]
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
