@@ -289,6 +289,9 @@ HEADLINE = [
     # round-10 wave 27: LSH recall contract, error-safe scalar surface
     "sim_lsh_recall_report",
     "scalar_try_funcs",
+    # round-10 wave 28: OHLC bars, regression-residual outliers
+    "w_ohlc_bars",
+    "agg_ols_residual_outliers",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -5324,3 +5324,151 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " '[a-z]+', 0), 2)"
         ).alias("second_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 28: OHLC bars, regression-residual outliers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_ohlc_bars",
+    """
+    WITH v AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar, ts, event_id,
+             CAST(floor(value * 10 + 0.5) AS BIGINT) AS x
+      FROM events),
+    r AS (
+      SELECT event_type, bar, x,
+             row_number() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM v)
+    SELECT event_type,
+           strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(CASE WHEN rn_open = 1 THEN x END) AS BIGINT) AS open_deci,
+           CAST(max(x) AS BIGINT) AS high_deci,
+           CAST(min(x) AS BIGINT) AS low_deci,
+           CAST(max(CASE WHEN rn_close = 1 THEN x END) AS BIGINT) AS close_deci
+    FROM r GROUP BY event_type, bar
+    """,
+)
+def w_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OHLC candle bars per (event type, hour): open/close by the
+    # deterministic (ts, event_id) order, high/low as plain min/max --
+    # the time-series downsampling primitive every metrics store serves.
+    # Open/close ride as rank-1 flags folded into the SAME combinable
+    # agg as high/low (CASE WHEN rn = 1), so the whole bar is ONE
+    # (type, bar)-keyed window sort + ONE agg riding its partitioning;
+    # values deci-frozen so the hash is exact cross-engine.
+    ev = tbl(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        "ts",
+        "event_id",
+        F.expr("cast(floor(value * 10 + 0.5) as bigint)").alias("x"),
+    )
+    wo = Window.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    wc = Window.partitionBy("event_type", "bar").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = v.select(
+        "event_type",
+        "bar",
+        "x",
+        F.row_number().over(wo).alias("rn_open"),
+        F.row_number().over(wc).alias("rn_close"),
+    )
+    return r.groupBy("event_type", "bar").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.when(F.col("rn_open") == 1, F.col("x"))).cast("long").alias("open_deci"),
+        F.max("x").cast("long").alias("high_deci"),
+        F.min("x").cast("long").alias("low_deci"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("x"))).cast("long").alias("close_deci"),
+    ).select(
+        "event_type",
+        F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        "n",
+        "open_deci",
+        "high_deci",
+        "low_deci",
+        "close_deci",
+    )
+
+
+@query(
+    "agg_ols_residual_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(date_part('hour', ts) AS BIGINT) AS x,
+             CAST(floor(value * 10 + 0.5) AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT event_type,
+             count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sx2
+      FROM v GROUP BY event_type),
+    fit AS (
+      SELECT event_type,
+             (n * sxy - sx * sy) * 1000000 // (n * sx2 - sx * sx) AS b_micro,
+             (sy * 1000000 - ((n * sxy - sx * sy) * 1000000
+                              // (n * sx2 - sx * sx)) * sx) // n AS a_micro
+      FROM s),
+    resid AS (
+      SELECT v.event_type, v.event_id,
+             v.y * 1000000 - (f.a_micro + f.b_micro * v.x) AS resid_micro
+      FROM v JOIN fit f ON f.event_type = v.event_type)
+    SELECT event_type, event_id, CAST(resid_micro AS BIGINT) AS resid_micro
+    FROM resid
+    ORDER BY abs(resid_micro) DESC, event_id LIMIT 10
+    """,
+)
+def agg_ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Regression-residual outliers: fit value ~ hour-of-day per event
+    # type by exact-integer OLS (the pearson_stats sufficient-statistic
+    # discipline: slope and intercept are FLOOR DIVISIONS of int64 sums
+    # in micro-units), then rank the top-10 |residual| -- "the events
+    # most inconsistent with their type's diurnal trend", the
+    # model-based complement of z-score/MAD outliers (which ignore
+    # covariates).  Residuals are EXACT integers (y*1e6 - a - b*x), so
+    # ranking is deterministic cross-engine.  Scale shape: ONE
+    # combinable moments agg, broadcast fit join-back, map-side
+    # residual, TakeOrdered top-10.  Int64 bound: n*sxy -- safe below
+    # ~4e8 rows per type at deci-values x hour<24.
+    ev = tbl(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.hour("ts").cast("long").alias("x"),
+        F.expr("cast(floor(value * 10 + 0.5) as bigint)").alias("y"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    fit = s.select(
+        "event_type",
+        F.expr(
+            "(n * sxy - sx * sy) * 1000000 div (n * sx2 - sx * sx)"
+        ).alias("b_micro"),
+        F.expr(
+            "(sy * 1000000 - ((n * sxy - sx * sy) * 1000000"
+            " div (n * sx2 - sx * sx)) * sx) div n"
+        ).alias("a_micro"),
+    )
+    resid = v.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "event_id",
+        (
+            F.col("y") * F.lit(1_000_000)
+            - (F.col("a_micro") + F.col("b_micro") * F.col("x"))
+        ).cast("long").alias("resid_micro"),
+    )
+    return resid.orderBy(F.abs("resid_micro").desc(), "event_id").limit(10)

@@ -270,6 +270,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "w_time_since_event": 1,  # ONE user-keyed sort; the conditional last_value rides it (no self-join)
         "dedup_sorted_neighborhood": 4,  # lang-keyed sort window + lead pairs (map-only) + shingle verify joins
         # round-10 wave 27
+        # round-10 wave 28
+        "w_ohlc_bars": 1,  # ONE (type, bar) sort shared by both rank windows; the bar agg rides its partitioning
+        "agg_ols_residual_outliers": 1,  # one combinable moments agg; fit broadcast back, residual map-side, TakeOrdered
         "sim_lsh_recall_report": 7,  # brute branch (spread + per-q window) + bucketed branch (bucket join both sides + per-q window) + k-bounded overlap join
         "scalar_try_funcs": 1,  # map-only TRY family, whole-stage codegen [r10: +1 spread, r9 #5 tripwire]
     }

@@ -116,3 +116,67 @@ def test_mi_twin_shares_state_shape_with_entropy_twin():
     for s in (mi_src, ent_src):
         assert 'F.hour("ts").cast("long").alias("hr")' in s
         assert '.agg(F.count(F.lit(1)).cast("long").alias("c"))' in s
+
+
+def test_ohlc_bar_hand_case(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (1, base + dt.timedelta(minutes=1), "t", 5.0),    # open
+        (2, base + dt.timedelta(minutes=10), "t", 9.0),   # high
+        (3, base + dt.timedelta(minutes=20), "t", 1.0),   # low
+        (4, base + dt.timedelta(minutes=50), "t", 7.0),   # close
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    from pyspark.sql import Window
+
+    v = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        "ts", "event_id",
+        F.expr("cast(floor(value * 10 + 0.5) as bigint)").alias("x"),
+    )
+    wo = Window.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    wc = Window.partitionBy("event_type", "bar").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = v.select(
+        "event_type", "bar", "x",
+        F.row_number().over(wo).alias("ro"),
+        F.row_number().over(wc).alias("rc"),
+    ).groupBy("event_type", "bar").agg(
+        F.max(F.when(F.col("ro") == 1, F.col("x"))).alias("o"),
+        F.max("x").alias("h"),
+        F.min("x").alias("l"),
+        F.max(F.when(F.col("rc") == 1, F.col("x"))).alias("c"),
+    ).collect()[0]
+    assert (r.o, r.h, r.l, r.c) == (50, 90, 10, 70)
+
+
+def test_ols_residuals_zero_on_perfect_line(spark):
+    # y = 3 + 2x exactly -> every residual is 0 (integer OLS recovers
+    # the line bit-for-bit when it fits exactly in micro units)
+    rows = [("t", i, i % 24, 30 + 20 * (i % 24)) for i in range(100)]
+    v = spark.createDataFrame(rows, "event_type string, event_id long, x long, y long")
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    fit = s.select(
+        "event_type",
+        F.expr("(n * sxy - sx * sy) * 1000000 div (n * sx2 - sx * sx)").alias("b_micro"),
+        F.expr(
+            "(sy * 1000000 - ((n * sxy - sx * sy) * 1000000"
+            " div (n * sx2 - sx * sx)) * sx) div n"
+        ).alias("a_micro"),
+    )
+    resid = v.join(F.broadcast(fit), "event_type").select(
+        (F.col("y") * F.lit(1_000_000)
+         - (F.col("a_micro") + F.col("b_micro") * F.col("x"))).alias("r")
+    )
+    vals = {r.r for r in resid.collect()}
+    assert vals == {0}
