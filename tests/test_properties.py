@@ -804,3 +804,192 @@ def test_mad_report_matches_bruteforce_generatively(spark, units):
     assert r.med_units == med
     assert r.mad_units == mad
     assert r.n_outliers == sum(1 for v in vs if abs(v - med) > 3 * mad)
+
+
+# --- round-10 wave-24/25/26 operators vs pure-python references -------------
+
+
+def _py_ks_ppm(cells):
+    """Pure-python KS in the common-denominator integer form."""
+    bins = sorted({b for _, b in cells})
+    ca = cb = 0
+    na = sum(1 for h, _ in cells if h == 0)
+    nb = sum(1 for h, _ in cells if h == 1)
+    best = 0
+    for b in bins:
+        ca += sum(1 for h, x in cells if h == 0 and x == b)
+        cb += sum(1 for h, x in cells if h == 1 and x == b)
+        best = max(best, abs(ca * nb - cb * na))
+    return best * 1_000_000 // (na * nb)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 6)),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda c: any(h == 0 for h, _ in c) and any(h == 1 for h, _ in c))
+)
+@settings(max_examples=15, deadline=None)
+def test_ks_drift_matches_python_reference(spark, cells):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("t", h, b) for h, b in cells], "event_type string, half int, bin long"
+    )
+    j = df.groupBy("event_type", "bin").agg(
+        F.sum((F.col("half") == 0).cast("long")).alias("ca"),
+        F.sum((F.col("half") == 1).cast("long")).alias("cb"),
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
+    cum = j.select(
+        "event_type",
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    got = cum.groupBy("event_type").agg(
+        F.expr(
+            "cast(max(abs(cum_a * nb - cum_b * na)) * 1000000"
+            " div (max(na) * max(nb)) as bigint)"
+        ).alias("ks")
+    ).collect()[0].ks
+    assert got == _py_ks_ppm(cells)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 3),
+                  st.integers(1, 50)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_mi_and_chi2_match_python_reference(spark, cells):
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(cells, "x string, y long, o long")
+    m = df.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("x")).alias("r"),
+        F.sum("o").over(Window.partitionBy("y")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    got = m.agg(
+        F.expr(
+            "cast(sum(o * cast(round(ln(cast(o as double) * n"
+            " / (cast(r as double) * c)) * 1000000) as bigint))"
+            " div max(n) as bigint)"
+        ).alias("mi"),
+        F.expr(
+            "cast(sum(cast(floor("
+            "(cast(o as double) * n - cast(r as double) * c)"
+            " * (cast(o as double) * n - cast(r as double) * c)"
+            " * 1000000.0 / (cast(n as double) * r * c)) as bigint)) as bigint)"
+        ).alias("chi2"),
+    ).collect()[0]
+
+    n = sum(o for _, _, o in cells)
+    rm = {}
+    cm = {}
+    for x, y, o in cells:
+        rm[x] = rm.get(x, 0) + o
+        cm[y] = cm.get(y, 0) + o
+    mi = sum(
+        o * round(math.log(o * n / (rm[x] * cm[y])) * 1e6) for x, y, o in cells
+    )
+    # python // floors toward -inf; Spark div truncates toward zero --
+    # match Spark by dividing magnitudes (mi sums can be negative on
+    # rounding even though true MI >= 0)
+    py_mi = (abs(mi) // n) * (1 if mi >= 0 else -1)
+    py_chi2 = sum(
+        math.floor(
+            (o * n - rm[x] * cm[y]) * (o * n - rm[x] * cm[y]) * 1e6
+            / (n * rm[x] * cm[y])
+        )
+        for x, y, o in cells
+    )
+    assert got.mi == py_mi
+    assert got.chi2 == py_chi2
+
+
+@given(
+    st.lists(st.integers(1, 10**9), min_size=20, max_size=40, unique=True)
+)
+@settings(max_examples=15, deadline=None)
+def test_hill_matches_python_reference(spark, revs):
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    r = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(revs)], "l_suppkey long, rev long"
+    )
+    w = Window.orderBy(F.col("rev").desc(), "l_suppkey")
+    top = r.select("rev", F.row_number().over(w).alias("rk")).filter(
+        F.col("rk") <= 20
+    )
+    xk = top.filter(F.col("rk") == 20).select(F.col("rev").alias("x20"))
+    got = (
+        top.crossJoin(F.broadcast(xk))
+        .agg(
+            F.expr(
+                "cast(sum(case when rk < 20 then"
+                " cast(round(ln(cast(rev as double) / x20) * 1000000)"
+                " as bigint) else 0 end) div 19 as bigint)"
+            ).alias("h")
+        )
+        .collect()[0].h
+    )
+    top20 = sorted(revs, reverse=True)[:20]
+    x20 = top20[19]
+    py = sum(round(math.log(v / x20) * 1e6) for v in top20[:19]) // 19
+    assert got == py
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=2, max_size=60)
+)
+@settings(max_examples=15, deadline=None)
+def test_cusum_peak_matches_python_reference(spark, xs):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [("t", i, x) for i, x in enumerate(xs)]
+    v = spark.createDataFrame(rows, "event_type string, event_id long, x long")
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("event_id")
+    t = v.select(
+        "event_id",
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("x").over(wt).alias("s"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cx"),
+    )
+    c = t.select(
+        "event_id",
+        (F.col("n") * F.col("cx") - F.col("k") * F.col("s")).alias("cusum"),
+    )
+    got = c.orderBy(F.abs("cusum").desc(), "event_id").first()
+
+    n, s = len(xs), sum(xs)
+    best = None
+    cx = 0
+    for k, x in enumerate(xs, start=1):
+        cx += x
+        cand = (abs(n * cx - k * s), k - 1)
+        if best is None or cand[0] > best[0] or (cand[0] == best[0] and cand[1] < best[1]):
+            if best is None or cand[0] > best[0]:
+                best = cand
+    assert (abs(got.cusum), got.event_id) == best
