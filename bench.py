@@ -292,6 +292,9 @@ HEADLINE = [
     # round-10 wave 28: OHLC bars, regression-residual outliers
     "w_ohlc_bars",
     "agg_ols_residual_outliers",
+    # round-10 wave 29: lag-1 autocorrelation, lattice-merge OHLC twin
+    "agg_autocorr_lag1",
+    "stream_ohlc_merge",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -5472,3 +5472,65 @@ def agg_ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("resid_micro"),
     )
     return resid.orderBy(F.abs("resid_micro").desc(), "event_id").limit(10)
+
+
+@query(
+    "agg_autocorr_lag1",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 10 + 0.5) AS BIGINT) AS v
+      FROM events),
+    p AS (
+      SELECT event_type,
+             lag(v) OVER (PARTITION BY event_type ORDER BY event_id) AS x,
+             v AS y
+      FROM v),
+    b AS (SELECT event_type, x, y FROM p WHERE x IS NOT NULL),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sx2,
+             CAST(sum(y * y) AS BIGINT) AS sy2
+      FROM b GROUP BY event_type)
+    SELECT event_type, n, sx, sy, sxy, sx2, sy2,
+           CASE WHEN CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx > 0
+                 AND CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy > 0
+                THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / (sqrt(CAST(n AS DOUBLE) * sx2
+                                   - CAST(sx AS DOUBLE) * sx)
+                              * sqrt(CAST(n AS DOUBLE) * sy2
+                                     - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS autocorr_r
+    FROM s
+    """,
+)
+def agg_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lag-1 autocorrelation per event type: Pearson r of (x_{t-1}, x_t)
+    # over the event_id-ordered deci-values -- the momentum /
+    # mean-reversion / white-noise diagnostic for a metric stream
+    # (positive: trending; near 0: independent; negative: oscillating).
+    # Composition: one lag window over the type-keyed sort + the
+    # pearson_stats exact-integer moment fold (operators/aggregations);
+    # r is a single double expression from exact int64 sums.  Scale
+    # shape: ONE type-keyed sort exchange; the moment agg rides its
+    # partitioning.
+    from kcl_akka_stream_spark.operators.aggregations import pearson_stats
+
+    ev = tbl(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("cast(floor(value * 10 + 0.5) as bigint)").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    p = v.select(
+        "event_type",
+        F.lag("v").over(w).alias("x"),
+        F.col("v").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    return pearson_stats(p, "event_type", "x", "y").select(
+        "event_type", "n", "sx", "sy", "sxy", "sx2", "sy2",
+        F.col("corr_r").alias("autocorr_r"),
+    )

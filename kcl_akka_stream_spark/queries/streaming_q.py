@@ -2160,3 +2160,95 @@ def stream_mi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _ohlc_oracle() -> str:
+    from kcl_akka_stream_spark.queries.registry import ORACLES
+
+    return ORACLES["w_ohlc_bars"]
+
+
+@query("stream_ohlc_merge", _ohlc_oracle())
+def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming twin of w_ohlc_bars, SAME oracle -- the SIXTEENTH
+    # mergeable family and the first NON-ADDITIVE one: the per-(type,
+    # bar) state is a LATTICE element (earliest-keyed open, max, min,
+    # latest-keyed close, count) and merge is component-wise
+    # min/max/min/max/sum -- open/close carry their (ts, event_id)
+    # ordering key THROUGH the merge as a struct, so merging any batch
+    # split reproduces the direct bar exactly (struct min/max orders
+    # lexicographically; (ts, event_id) is unique).  Counts merge by
+    # addition like every other family; the lattice components are why
+    # "mergeable state" means commutative-associative-idempotent-capable
+    # combination, not just sums.
+    ev = tbl(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    src = tempfile.mkdtemp(prefix="kcl_ohlc_src_")
+    states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            x = F.expr("cast(floor(value * 10 + 0.5) as bigint)")
+            st = (
+                batch_df.select(
+                    "event_type",
+                    F.date_trunc("hour", "ts").alias("bar"),
+                    F.struct("ts", "event_id", x.alias("x")).alias("okey"),
+                    x.alias("x"),
+                )
+                .groupBy("event_type", "bar")
+                .agg(
+                    F.min("okey").alias("o"),
+                    F.max("x").alias("h"),
+                    F.min("x").alias("l"),
+                    F.max("okey").alias("c"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            for r in st:
+                states.append(
+                    (
+                        r.event_type, r.bar,
+                        r.o.ts, r.o.event_id, r.o.x,
+                        r.h, r.l,
+                        r.c.ts, r.c.event_id, r.c.x,
+                        r.n,
+                    )
+                )
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        st = spark.createDataFrame(
+            states,
+            "event_type string, bar timestamp, o_ts timestamp, o_id long,"
+            " o_x long, h long, l long, c_ts timestamp, c_id long, c_x long,"
+            " n long",
+        )
+        merged = st.groupBy("event_type", "bar").agg(
+            F.min(F.struct("o_ts", "o_id", "o_x")).alias("o"),
+            F.max("h").alias("h"),
+            F.min("l").alias("l"),
+            F.max(F.struct("c_ts", "c_id", "c_x")).alias("c"),
+            F.sum("n").cast("long").alias("n"),
+        )
+        return merged.select(
+            "event_type",
+            F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "n",
+            F.col("o.o_x").cast("long").alias("open_deci"),
+            F.col("h").cast("long").alias("high_deci"),
+            F.col("l").cast("long").alias("low_deci"),
+            F.col("c.c_x").cast("long").alias("close_deci"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

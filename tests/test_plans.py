@@ -270,6 +270,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "w_time_since_event": 1,  # ONE user-keyed sort; the conditional last_value rides it (no self-join)
         "dedup_sorted_neighborhood": 4,  # lang-keyed sort window + lead pairs (map-only) + shingle verify joins
         # round-10 wave 27
+        # round-10 wave 29
+        "agg_autocorr_lag1": 1,  # ONE type-keyed lag sort; the moment agg rides its partitioning
         # round-10 wave 28
         "w_ohlc_bars": 1,  # ONE (type, bar) sort shared by both rank windows; the bar agg rides its partitioning
         "agg_ols_residual_outliers": 1,  # one combinable moments agg; fit broadcast back, residual map-side, TakeOrdered

@@ -180,3 +180,81 @@ def test_ols_residuals_zero_on_perfect_line(spark):
     )
     vals = {r.r for r in resid.collect()}
     assert vals == {0}
+
+
+def test_ohlc_lattice_merge_equals_direct_for_any_split(spark):
+    # the sixteenth-family contract, proven generatively enough: split a
+    # bar's events into EVERY 2-way partition of 5 rows (31 splits);
+    # merging the two partial lattice states must equal the direct bar.
+    import datetime as dt
+    from itertools import combinations
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=3 * i), "t", float(v))
+        for i, v in enumerate([5.0, 9.0, 1.0, 4.0, 7.0], start=1)
+    ]
+
+    def state(sub):
+        ts = [r[1] for r in sub]
+        xs = [int(round(r[3] * 10)) for r in sub]
+        keyed = sorted(zip(ts, (r[0] for r in sub), xs))
+        return (keyed[0], max(xs), min(xs), keyed[-1], len(sub))
+
+    def merge(a, b):
+        return (
+            min(a[0], b[0]), max(a[1], b[1]), min(a[2], b[2]),
+            max(a[3], b[3]), a[4] + b[4],
+        )
+
+    direct = state(rows)
+    ids = list(range(5))
+    for k in range(1, 5):
+        for left in combinations(ids, k):
+            sa = state([rows[i] for i in left])
+            sb = state([rows[i] for i in ids if i not in left])
+            assert merge(sa, sb) == direct
+    # and the Spark struct-min/max agg implements exactly this lattice
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    x = F.expr("cast(floor(value * 10 + 0.5) as bigint)")
+    got = (
+        ev.select(
+            "event_type",
+            F.struct("ts", "event_id", x.alias("x")).alias("okey"),
+            x.alias("x"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("okey").alias("o"), F.max("x").alias("h"),
+            F.min("x").alias("l"), F.max("okey").alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert (got.o.x, got.h, got.l, got.c.x, got.n) == (
+        direct[0][2], direct[1], direct[2], direct[3][2], direct[4]
+    )
+
+
+def test_autocorr_sign_on_constructed_series(spark):
+    # strictly alternating series -> strongly negative lag-1 autocorr;
+    # monotone ramp -> strongly positive.
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.operators.aggregations import pearson_stats
+
+    def r_of(vals):
+        v = spark.createDataFrame(
+            [("t", i, x) for i, x in enumerate(vals)],
+            "event_type string, event_id long, v long",
+        )
+        w = Window.partitionBy("event_type").orderBy("event_id")
+        p = v.select(
+            "event_type", F.lag("v").over(w).alias("x"), F.col("v").alias("y")
+        ).filter(F.col("x").isNotNull())
+        return pearson_stats(p, "event_type", "x", "y").collect()[0].corr_r
+
+    assert r_of([0, 10, 0, 10, 0, 10, 0, 10]) == -1.0
+    assert r_of(list(range(0, 100, 7))) == 1.0
