@@ -295,6 +295,9 @@ HEADLINE = [
     # round-10 wave 29: lag-1 autocorrelation, lattice-merge OHLC twin
     "agg_autocorr_lag1",
     "stream_ohlc_merge",
+    # round-10 wave 30: PMI collocations, day-of-week decomposition
+    "text_pmi_collocations",
+    "w_seasonal_decompose",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

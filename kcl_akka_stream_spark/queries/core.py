@@ -5534,3 +5534,72 @@ def agg_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "sx", "sy", "sxy", "sx2", "sy2",
         F.col("corr_r").alias("autocorr_r"),
     )
+
+
+@query(
+    "w_seasonal_decompose",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(date_part('dow', ts) AS BIGINT) AS dow,
+             CAST(floor(value * 10 + 0.5) AS BIGINT) AS x
+      FROM events),
+    g AS (
+      SELECT event_type, dow,
+             count(*) AS n_d, sum(x) AS s_d,
+             sum(sum(x)) OVER (PARTITION BY event_type) AS s,
+             sum(count(*)) OVER (PARTITION BY event_type) AS n
+      FROM v GROUP BY event_type, dow)
+    SELECT event_type, dow,
+           CAST(n_d AS BIGINT) AS n_d,
+           CAST(s_d * 1000000 // n_d AS BIGINT) AS dow_mean_micro,
+           CAST(s * 1000000 // n AS BIGINT) AS grand_mean_micro,
+           CAST(s_d * 1000000 // n_d - s * 1000000 // n AS BIGINT)
+             AS dow_effect_micro
+    FROM g
+    """,
+)
+def w_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Additive day-of-week decomposition per event type: grand mean +
+    # per-dow effect (both in integer micro-units via floor division of
+    # exact int64 sums) -- the classical-decomposition seasonal
+    # component, and the deseasonalization table a forecaster or anomaly
+    # detector subtracts before CUSUM/z-scoring (w_cusum_changepoint's
+    # natural upstream).  Distinct from w_seasonality_profile (which
+    # profiles hour-of-day volume): this decomposes the VALUE into
+    # level + weekday effect.  ONE combinable (type, dow) agg; the
+    # grand-mean window rides the 7-row-per-type relation.
+    ev = tbl(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dw_spark"),
+        F.expr("cast(floor(value * 10 + 0.5) as bigint)").alias("x"),
+    ).select(
+        "event_type",
+        # DuckDB dow: 0=Sunday..6=Saturday; Spark dayofweek: 1=Sunday..7
+        (F.col("dw_spark") - 1).alias("dow"),
+        "x",
+    )
+    g = v.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("x").cast("long").alias("s_d"),
+    )
+    wt = Window.partitionBy("event_type")
+    g2 = g.select(
+        "event_type",
+        "dow",
+        "n_d",
+        "s_d",
+        F.sum("s_d").over(wt).alias("s"),
+        F.sum("n_d").over(wt).alias("n"),
+    )
+    return g2.select(
+        "event_type",
+        "dow",
+        "n_d",
+        F.expr("s_d * 1000000 div n_d").cast("long").alias("dow_mean_micro"),
+        F.expr("s * 1000000 div n").cast("long").alias("grand_mean_micro"),
+        F.expr("s_d * 1000000 div n_d - s * 1000000 div n")
+        .cast("long")
+        .alias("dow_effect_micro"),
+    )

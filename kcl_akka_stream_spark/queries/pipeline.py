@@ -7211,3 +7211,89 @@ def sim_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_hits * 100) div n_exact").cast("long").alias("recall_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 30: collocation mining (PMI)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, unnest([{{'a': t[i], 'b': t[i + 1]}}
+                             FOR i IN generate_series(1, len(t) - 1)]) AS p
+      FROM toks WHERE len(t) >= 2),
+    pr AS (SELECT p.a AS a, p.b AS b FROM pairs),
+    pc AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY a, b
+           HAVING count(*) >= 5),
+    la AS (SELECT a, count(*) AS n_a FROM pr GROUP BY a),
+    lb AS (SELECT b, count(*) AS n_b FROM pr GROUP BY b),
+    tot AS (SELECT count(*) AS n FROM pr),
+    scored AS (
+      SELECT pc.a, pc.b, CAST(pc.n_ab AS BIGINT) AS n_ab,
+             CAST(round(ln(CAST(pc.n_ab AS DOUBLE) * n
+                           / (CAST(n_a AS DOUBLE) * n_b)) * 1000000)
+                  AS BIGINT) AS pmi_micro
+      FROM pc JOIN la USING (a) JOIN lb USING (b) CROSS JOIN tot)
+    SELECT a, b, n_ab, pmi_micro FROM scored
+    ORDER BY pmi_micro DESC, a, b LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Collocation mining by pointwise mutual information (Church & Hanks
+    # 1990, public): adjacent token pairs scoring
+    # ln(P(a,b) / (P(a)P(b))) in frozen integer micro-nats, min support
+    # 5, top-20 -- the multiword-expression detector ("new york",
+    # "machine learning") a tokenizer/phrase pipeline runs before
+    # merging phrases into units.  Distinct from the bigram LM
+    # (conditional P(b|a) for scoring) and BPE pairs (raw frequency):
+    # PMI normalizes BOTH margins, surfacing rare-but-exclusive pairs.
+    # Scale shape: the kept bigram-pair spread seam feeds ONE combinable
+    # (a, b) count; margins are word-sized aggs broadcast back; support
+    # filter bounds the scored relation; TakeOrdered top-20.
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    pair_struct = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    # the pair relation feeds FOUR consumers (pair counts, both margins,
+    # the total); localCheckpoint materializes the tokenize+explode once
+    # (8 -> 4 exchanges measured at sf0.001)
+    pr = (
+        spread(docs)
+        .select(F.explode(pair_struct).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    pc = (
+        pr.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    la = pr.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    lb = pr.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    tot = pr.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        pc.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.expr(
+                "cast(round(ln(cast(n_ab as double) * n"
+                " / (cast(n_a as double) * n_b)) * 1000000) as bigint)"
+            ).alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_micro").desc(), "a", "b").limit(20)

@@ -270,6 +270,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "w_time_since_event": 1,  # ONE user-keyed sort; the conditional last_value rides it (no self-join)
         "dedup_sorted_neighborhood": 4,  # lang-keyed sort window + lead pairs (map-only) + shingle verify joins
         # round-10 wave 27
+        # round-10 wave 30
+        "text_pmi_collocations": 4,  # pair relation checkpointed once (was 8 re-derived); (a,b) count + 2 word-margin aggs broadcast back; TakeOrdered
+        "w_seasonal_decompose": 2,  # ONE (type, dow) combinable agg + type window over the 7-row-per-type relation
         # round-10 wave 29
         "agg_autocorr_lag1": 1,  # ONE type-keyed lag sort; the moment agg rides its partitioning
         # round-10 wave 28

@@ -258,3 +258,65 @@ def test_autocorr_sign_on_constructed_series(spark):
 
     assert r_of([0, 10, 0, 10, 0, 10, 0, 10]) == -1.0
     assert r_of(list(range(0, 100, 7))) == 1.0
+
+
+def test_pmi_hand_case(spark):
+    # corpus where pair (x, y) is exclusive (always together) and (a, b)
+    # is frequent but independent-ish: PMI must rank (x, y) above (a, b)
+    # even though (a, b) has higher raw count.
+    import math
+
+    from pyspark.sql import functions as FF
+
+    from kcl_akka_stream_spark.queries.registry import tbl  # noqa: F401
+
+    docs = []
+    for i in range(10):
+        docs.append((i, "x y"))                 # exclusive pair, n_ab=10
+    for i in range(10, 30):
+        docs.append((i, "a b a c b a"))         # frequent mixed a/b
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    t = tokens(FF.col("text"))
+    pair_struct = FF.zip_with(
+        FF.slice(t, 1, FF.greatest(FF.size(t) - 1, FF.lit(0))),
+        FF.slice(t, 2, FF.greatest(FF.size(t) - 1, FF.lit(0))),
+        lambda a, b: FF.struct(a.alias("a"), b.alias("b")),
+    )
+    pr = df.select(FF.explode(pair_struct).alias("p")).select(
+        FF.col("p.a").alias("a"), FF.col("p.b").alias("b")
+    )
+    rows = pr.collect()
+    n = len(rows)
+    from collections import Counter
+
+    pc = Counter((r.a, r.b) for r in rows)
+    la = Counter(r.a for r in rows)
+    lb = Counter(r.b for r in rows)
+    pmi = {
+        k: round(math.log(c * n / (la[k[0]] * lb[k[1]])) * 1e6)
+        for k, c in pc.items()
+        if c >= 5
+    }
+    assert pmi[("x", "y")] > pmi[("a", "b")]
+    # and exclusive-pair PMI equals ln(n / n_ab) since margins == n_ab
+    assert pmi[("x", "y")] == round(math.log(n / pc[("x", "y")]) * 1e6)
+
+
+def test_seasonal_decompose_effects_sum_consistency(spark, sf_dir):
+    # weighted dow effects must sum to ~0 (floor-division slack bounded
+    # by the number of dow cells) and each row's identity holds exactly.
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["w_seasonal_decompose"](spark, sf_dir).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        assert r.dow_effect_micro == r.dow_mean_micro - r.grand_mean_micro
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        n = sum(r.n_d for r in rs)
+        weighted = sum(r.dow_effect_micro * r.n_d for r in rs)
+        # exact-sum identity up to per-cell floor slack (< 1 micro each)
+        assert abs(weighted) <= n * len(rs)
