@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kcl_akka_stream_spark.plans.hygiene import spread
 
 
 def equi_join(left: DataFrame, right: DataFrame, on, how: str = "inner", *, broadcast_right: bool = False) -> DataFrame:

@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kcl_akka_stream_spark.plans.hygiene import spread
 
 
 def _hash01(col: Column) -> Column:

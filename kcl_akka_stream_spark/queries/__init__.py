@@ -22,70 +22,69 @@ from kcl_akka_stream_spark.queries import streaming_q  # noqa: E402,F401
 #: Samplers that take the first N registry entries (the driver's
 #: correctness gate records 50) must see a REPRESENTATIVE slice, not just
 #: whichever module imported first.  The sample ROTATES each round
-#: (VERDICT r5 #2, r6 #2, r7 #3, r8 #1, r9 #2).  Round-10 rebuild:
-#: flagship + ALL 20 round-9 names that have never appeared in a driver
-#: CORRECTNESS sample (they sat at positions 51-70 last round -- the
-#: file's own r9 comment promised they rotate in now) + 29 rotation fill
-#: from the longest-unsampled previously-green names (dedup_ngram_jaccard,
-#: last sampled r2, then 28 of the 29 names last sampled r4; the 29th,
-#: w_topk_per_group, leads the next round's fill) = exactly 50.  New
-#: round-10 queries append AFTER this block (they rotate into the r11
+#: (VERDICT r5 #2 .. r10 #2).  Round-11 rebuild: flagship + w_lag_features
+#: (KEPT from r10 -- the driver hash-red row; its oracle's uncast-HUGEINT
+#: rev_cents is fixed this round and the driver must re-sample it green,
+#: VERDICT r10 #1c) + ALL 28 round-10 names never driver-sampled (waves
+#: 24-30, promised by this file's own r10 comment) + w_topk_per_group
+#: (the promised fill leader, last sampled r4) + 19 fill from the oldest
+#: remaining cohort (last sampled r5, alphabetical) = exactly 50.  New
+#: round-11 queries append AFTER this block and rotate into the r12
 #: sample; each is judge-gated via tools/check_correctness.py the session
-#: it lands).
+#: it lands.
 _PRIORITY = [
     "q1_pricing_summary",
-    # -- the 20 round-9 names never driver-sampled in CORRECTNESS_r01..r09 --
-    "agg_weighted_median",
-    "agg_pearson_corr",
-    "agg_dp_noised_counts",
-    "sim_range_search",
-    "text_rake_keywords",
-    "graph_hits_topk",
-    "w_seasonality_profile",
-    "w_lag_features",
-    "stream_bootstrap_merge",
-    "agg_bucket_quantile_contract",
-    "graph_degree_assortativity",
-    "pipeline_span_corruption",
-    "stream_pearson_merge",
-    "agg_histogram_kl_drift",
-    "pipeline_hard_negatives",
-    "w_percent_rank_normalize",
-    "scalar_map_funcs",
-    "stream_kl_drift_merge",
-    "text_tokenizer_fertility",
-    "agg_benford_deviation",
-    # -- rotation fill: longest-unsampled previously-green --
-    "dedup_ngram_jaccard",  # last sampled r2
-    # last sampled r4:
-    "agg_grouping_sets",
-    "agg_histogram",
-    "agg_percentiles",
-    "agg_pivot_event_types",
-    "agg_salted_skew",
-    "j_asof",
-    "j_full_outer",
-    "j_range_bucket",
-    "j_salted_skew",
-    "j_semi",
-    "j_supplier_geo",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "scalar_conversion",
-    "scalar_json_schema",
-    "scalar_null_semantics",
-    "source_schema_evolution",
-    "sql_api_pricing",
-    "u_demux",
-    "w1_shard_order",
-    "w_funnel_conversion",
-    "w_gap_fill_hourly",
-    "w_global_topn",
-    "w_rank_funcs",
-    "w_running_sum",
+    "w_lag_features",  # r10 driver-red, fixed: re-sample is the done-bar
+    # -- the 28 round-10 names never driver-sampled (waves 24-30) --
+    "agg_ks_drift",
+    "agg_gini_concentration",
+    "w_cusum_changepoint",
+    "agg_entropy_profile",
+    "agg_mutual_information",
+    "agg_chi_square_independence",
+    "agg_hill_tail_index",
+    "w_time_since_event",
+    "scalar_try_funcs",
+    "w_ohlc_bars",
+    "agg_ols_residual_outliers",
+    "agg_autocorr_lag1",
+    "w_seasonal_decompose",
+    "sim_mips_topk",
+    "pipeline_tokens_per_byte",
+    "text_charset_profile",
+    "dedup_prefix_digest",
+    "text_lang_vocab_jaccard",
+    "sim_rrf_fusion",
+    "sim_ndcg_eval",
+    "graph_reciprocity",
+    "dedup_sorted_neighborhood",
+    "sim_lsh_recall_report",
+    "text_pmi_collocations",
+    "stream_ks_merge",
+    "stream_entropy_merge",
+    "stream_mi_merge",
+    "stream_ohlc_merge",
+    # -- rotation fill: w_topk_per_group (last r4), then last-sampled-r5 --
+    "w_topk_per_group",
+    "agg_cms_heavy_hitters",
+    "agg_counts",
+    "agg_cube",
+    "agg_dedup_group_by_key",
+    "agg_group_by_key",
+    "agg_kmv_distinct",
+    "agg_kmv_merged",
+    "agg_rollup",
+    "agg_shard_stats",
+    "cluster_kmeans_step",
+    "dedup_clusters",
+    "dedup_clusters_fast",
+    "dedup_exact",
+    "dedup_minhash_lsh_capped",
+    "dedup_minhash_verified",
+    "dedup_simhash",
+    "emb_near_dup_lsh_capped",
+    "emb_quantize_int8",
+    "j_broadcast_star",
 ]
 
 

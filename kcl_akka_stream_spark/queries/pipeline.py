@@ -6687,14 +6687,14 @@ def pipeline_tokens_per_byte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
       SELECT lang,
-             CAST(sum(strlen(text)) AS BIGINT) AS n_chars,
-             CAST(sum(strlen(text) - strlen(regexp_replace(text, '[a-z]', '', 'g')))
+             CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             CAST(sum(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))
                   AS BIGINT) AS n_lower,
-             CAST(sum(strlen(text) - strlen(regexp_replace(text, '[A-Z]', '', 'g')))
+             CAST(sum(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
                   AS BIGINT) AS n_upper,
-             CAST(sum(strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g')))
+             CAST(sum(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
                   AS BIGINT) AS n_digit,
-             CAST(sum(strlen(text) - strlen(regexp_replace(text, ' ', '', 'g')))
+             CAST(sum(length(text) - length(regexp_replace(text, ' ', '', 'g')))
                   AS BIGINT) AS n_space
       FROM documents GROUP BY lang)
     SELECT lang, n_chars,
@@ -6715,6 +6715,11 @@ def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "en" slice heavy in 'other' is mojibake.  Class counts come from
     # length-difference after class-stripping regexp_replace (one pass
     # per class, map-only, zero joins); ONE combinable lang agg.
+    # Both engines count CHARACTERS (Spark F.length == DuckDB length();
+    # the oracle previously used strlen=BYTES, which agreed only on
+    # ASCII fixtures and diverged on exactly the multibyte text this
+    # profile exists to catch -- ADVICE r10, multibyte case now
+    # pytest-pinned in tests/test_wave24_ops.py).
     docs = tbl(spark, sf_dir, "documents")
     ln = F.length("text").cast("long")
     strip = lambda pat: (  # noqa: E731

@@ -23,6 +23,33 @@ def _cents(col):
     return F.floor(col * 100 + F.lit(0.5)).cast("long")
 
 
+#: VERDICT r10 #3: every mergeable-family twin folds per-batch state on
+#: the driver via collect() -- sound ONLY because the collected relation
+#: is a bounded AGGREGATE (bars x types, digests x replicas: group
+#: cardinality, never data size).  Nothing used to enforce that contract;
+#: re-key the same fold by user_id and it silently becomes a driver OOM
+#: at 100x.  _collect_state is the loud guard (the similarity family's
+#: max_queries / max_codebook_rows pattern): the fetch itself is LIMIT
+#: (cap+1)-bounded, so an unbounded state raises instead of OOMing.
+MAX_STATE_ROWS = 100_000
+
+
+class StateCardinalityExceeded(RuntimeError):
+    """A streaming twin's per-batch state relation exceeded max_state_rows."""
+
+
+def _collect_state(df: DataFrame, what: str, max_state_rows: int = MAX_STATE_ROWS):
+    rows = df.limit(max_state_rows + 1).collect()
+    if len(rows) > max_state_rows:
+        raise StateCardinalityExceeded(
+            f"{what}: per-batch state relation exceeded max_state_rows="
+            f"{max_state_rows}; fold state must be group-bounded "
+            "(bars x types, digests x replicas), never data-sized -- "
+            "re-key the state or raise the cap explicitly at the call site"
+        )
+    return rows
+
+
 @query(
     "stream_tumbling_agg",
     """
@@ -510,7 +537,7 @@ def stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             st = kmv_sketch(
                 batch_df.withColumn("g", F.lit(int(epoch_id))), "g", "user_id", k=64
             )
-            state_rows.extend(st.collect())
+            state_rows.extend(_collect_state(st, "stream_kmv_merge"))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -572,7 +599,7 @@ def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 width=64,
                 group_col="g",
             )
-            state_rows.extend(st.collect())
+            state_rows.extend(_collect_state(st, "stream_cms_merge"))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -685,7 +712,7 @@ def stream_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(n_bins - 1),
                 ).alias("bin"),
             ).agg(F.count(F.lit(1)).alias("cnt"))
-            state_rows.extend(st.collect())
+            state_rows.extend(_collect_state(st, "stream_hist_merge"))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -1250,7 +1277,7 @@ def stream_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "user_id",
                     k=64,
                 )
-                states[tag].extend(st.collect())
+                states[tag].extend(_collect_state(st, "stream_kmv_set_ops"))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -1317,7 +1344,7 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.max("v").cast("long").alias("max_cents"),
                 )
             )
-            states.extend(part.collect())
+            states.extend(_collect_state(part, "stream_rollup_incremental"))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -1381,7 +1408,12 @@ def stream_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def fold_state(batch_df, epoch_id):
-            states.extend(power_sums(batch_df, "event_type", "value").collect())
+            states.extend(
+                _collect_state(
+                    power_sums(batch_df, "event_type", "value"),
+                    "stream_moments_merge",
+                )
+            )
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -1573,7 +1605,7 @@ def stream_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def fold_state(batch_df, epoch_id):
             st = bitmap_state(batch_df, "event_type", "user_id")
-            state_rows.extend(st.collect())
+            state_rows.extend(_collect_state(st, "stream_bitmap_merge"))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -1627,9 +1659,10 @@ def stream_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def fold_state(batch_df, epoch_id):
             states.extend(
-                hash_bottom_k(
-                    batch_df, "event_type", "event_id", 8, seed="rsv"
-                ).collect()
+                _collect_state(
+                    hash_bottom_k(batch_df, "event_type", "event_id", 8, seed="rsv"),
+                    "stream_reservoir_merge",
+                )
             )
 
         q = stream.writeStream.foreachBatch(fold_state).start()
@@ -1694,20 +1727,24 @@ def stream_bootstrap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 batch_df, "event_id", b=32
             ).withColumn("cents", cents)
             rep_states.extend(
-                reps.groupBy("event_type", "b")
-                .agg(
-                    F.sum(F.col("w") * F.col("cents")).cast("long").alias("swc"),
-                    F.sum("w").cast("long").alias("sw"),
+                _collect_state(
+                    reps.groupBy("event_type", "b").agg(
+                        F.sum(F.col("w") * F.col("cents"))
+                        .cast("long")
+                        .alias("swc"),
+                        F.sum("w").cast("long").alias("sw"),
+                    ),
+                    "stream_bootstrap_merge:replicates",
                 )
-                .collect()
             )
             pt_states.extend(
-                batch_df.groupBy("event_type")
-                .agg(
-                    F.count(F.lit(1)).cast("long").alias("n"),
-                    F.sum(cents).cast("long").alias("s1"),
+                _collect_state(
+                    batch_df.groupBy("event_type").agg(
+                        F.count(F.lit(1)).cast("long").alias("n"),
+                        F.sum(cents).cast("long").alias("s1"),
+                    ),
+                    "stream_bootstrap_merge:point",
                 )
-                .collect()
             )
 
         q = stream.writeStream.foreachBatch(fold_state).start()
@@ -1791,17 +1828,19 @@ def stream_pearson_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             x = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
             y = F.hour("ts").cast("long")
             states.extend(
-                batch_df.select("event_type", x.alias("x"), y.alias("y"))
-                .groupBy("event_type")
-                .agg(
-                    F.count(F.lit(1)).cast("long").alias("n"),
-                    F.sum("x").cast("long").alias("sx"),
-                    F.sum("y").cast("long").alias("sy"),
-                    F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-                    F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
-                    F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+                _collect_state(
+                    batch_df.select("event_type", x.alias("x"), y.alias("y"))
+                    .groupBy("event_type")
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("n"),
+                        F.sum("x").cast("long").alias("sx"),
+                        F.sum("y").cast("long").alias("sy"),
+                        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+                        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+                    ),
+                    "stream_pearson_merge",
                 )
-                .collect()
             )
 
         q = stream.writeStream.foreachBatch(fold_state).start()
@@ -1873,16 +1912,18 @@ def stream_kl_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def fold_state(batch_df, epoch_id):
             states.extend(
-                batch_df.select(
-                    "event_type",
-                    (F.col("event_id") % 2).cast("int").alias("half"),
-                    F.expr(
-                        "cast(floor(value * 100 + 0.5) as bigint) div 100"
-                    ).alias("bin"),
+                _collect_state(
+                    batch_df.select(
+                        "event_type",
+                        (F.col("event_id") % 2).cast("int").alias("half"),
+                        F.expr(
+                            "cast(floor(value * 100 + 0.5) as bigint) div 100"
+                        ).alias("bin"),
+                    )
+                    .groupBy("event_type", "half", "bin")
+                    .agg(F.count(F.lit(1)).cast("long").alias("c")),
+                    "stream_kl_drift_merge",
                 )
-                .groupBy("event_type", "half", "bin")
-                .agg(F.count(F.lit(1)).cast("long").alias("c"))
-                .collect()
             )
 
         q = stream.writeStream.foreachBatch(fold_state).start()
@@ -1962,16 +2003,18 @@ def stream_ks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def fold_state(batch_df, epoch_id):
             states.extend(
-                batch_df.select(
-                    "event_type",
-                    (F.col("event_id") % 2).cast("int").alias("half"),
-                    F.expr("cast(floor(value * 10 + 0.5) as bigint)").alias(
-                        "bin"
-                    ),
+                _collect_state(
+                    batch_df.select(
+                        "event_type",
+                        (F.col("event_id") % 2).cast("int").alias("half"),
+                        F.expr(
+                            "cast(floor(value * 10 + 0.5) as bigint)"
+                        ).alias("bin"),
+                    )
+                    .groupBy("event_type", "half", "bin")
+                    .agg(F.count(F.lit(1)).cast("long").alias("c")),
+                    "stream_ks_merge",
                 )
-                .groupBy("event_type", "half", "bin")
-                .agg(F.count(F.lit(1)).cast("long").alias("c"))
-                .collect()
             )
 
         q = stream.writeStream.foreachBatch(fold_state).start()
@@ -2010,9 +2053,12 @@ def stream_ks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cum.groupBy("event_type").agg(
             F.max("na").cast("long").alias("na"),
             F.max("nb").cast("long").alias("nb"),
+            # ppm scaling is ONE shared IEEE double op (gini_ppm pattern;
+            # the old *1_000_000 int64 form overflowed past ~3e6 rows per
+            # half -- ADVICE r10, fixed in lockstep with agg_ks_drift)
             F.expr(
-                "cast(max(abs(cum_a * nb - cum_b * na)) * 1000000"
-                " div (max(na) * max(nb)) as bigint)"
+                "cast(floor(cast(max(abs(cum_a * nb - cum_b * na)) as double)"
+                " * 1000000.0 / (cast(max(na) as double) * max(nb))) as bigint)"
             ).alias("ks_ppm"),
         )
     finally:
@@ -2047,11 +2093,12 @@ def stream_entropy_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def fold_state(batch_df, epoch_id):
             states.extend(
-                batch_df.groupBy(
-                    "event_type", F.hour("ts").cast("long").alias("hr")
+                _collect_state(
+                    batch_df.groupBy(
+                        "event_type", F.hour("ts").cast("long").alias("hr")
+                    ).agg(F.count(F.lit(1)).cast("long").alias("c")),
+                    "stream_entropy_merge",
                 )
-                .agg(F.count(F.lit(1)).cast("long").alias("c"))
-                .collect()
             )
 
         q = stream.writeStream.foreachBatch(fold_state).start()
@@ -2109,11 +2156,12 @@ def stream_mi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def fold_state(batch_df, epoch_id):
             states.extend(
-                batch_df.groupBy(
-                    "event_type", F.hour("ts").cast("long").alias("hr")
+                _collect_state(
+                    batch_df.groupBy(
+                        "event_type", F.hour("ts").cast("long").alias("hr")
+                    ).agg(F.count(F.lit(1)).cast("long").alias("c")),
+                    "stream_mi_merge",
                 )
-                .agg(F.count(F.lit(1)).cast("long").alias("c"))
-                .collect()
             )
 
         q = stream.writeStream.foreachBatch(fold_state).start()
@@ -2194,7 +2242,7 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def fold_state(batch_df, epoch_id):
             x = F.expr("cast(floor(value * 10 + 0.5) as bigint)")
-            st = (
+            st = _collect_state(
                 batch_df.select(
                     "event_type",
                     F.date_trunc("hour", "ts").alias("bar"),
@@ -2208,8 +2256,8 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.min("x").alias("l"),
                     F.max("okey").alias("c"),
                     F.count(F.lit(1)).alias("n"),
-                )
-                .collect()
+                ),
+                "stream_ohlc_merge",
             )
             for r in st:
                 states.append(

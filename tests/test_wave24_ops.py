@@ -212,6 +212,40 @@ def test_charset_ppm_sums_to_million(spark, sf_dir):
         assert r.n_chars > 0
 
 
+def test_charset_multibyte_counts_characters_both_engines(spark):
+    # ADVICE r10: the oracle used strlen (BYTES) while Spark used
+    # F.length (CHARACTERS) -- agreeing only on ASCII.  Pin the
+    # multibyte case: both engines must count CHARACTERS, so the
+    # 2-char string 'aé' has n=2 on both sides, not 2-vs-3.
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    s = "aéü z9"  # a, e-acute, u-umlaut, space, z, 9 = 6 chars / 8 bytes
+    spark_n = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(F.length("text").cast("long").alias("n"))
+        .collect()[0].n
+    )
+    duck_n = duckdb.sql(f"SELECT length('{s}') AS n").fetchone()[0]
+    duck_bytes = duckdb.sql(f"SELECT strlen('{s}') AS n").fetchone()[0]
+    assert spark_n == duck_n == 6
+    assert duck_bytes == 8  # the old oracle's unit -- proves the trap is real
+    # and the class-strip difference counts characters symmetrically too
+    spark_lower = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(
+            (F.length("text") - F.length(F.regexp_replace("text", "[a-z]", "")))
+            .cast("long").alias("n")
+        )
+        .collect()[0].n
+    )
+    duck_lower = duckdb.sql(
+        f"SELECT length('{s}') - length(regexp_replace('{s}', '[a-z]', '', 'g')) AS n"
+    ).fetchone()[0]
+    assert spark_lower == duck_lower == 2  # 'a', 'z' (accented chars are not [a-z])
+
+
 def test_lang_vocab_jaccard_bounds_and_pairing(spark, sf_dir):
     from kcl_akka_stream_spark.queries import QUERIES
 

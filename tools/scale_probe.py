@@ -1683,7 +1683,7 @@ def wave18_19_probes(spark, sf_dir: str, repl: int = 10) -> None:
         weighted_median,
     )
     from kcl_akka_stream_spark.operators.graph import hits
-    from kcl_akka_stream_spark.operators.sampling import dp_noised_counts
+    from kcl_akka_stream_spark.operators.sampling import pseudo_dp_noised_counts
     from kcl_akka_stream_spark.operators.similarity import range_search
     from kcl_akka_stream_spark.operators.text import rake_keywords
 
@@ -1714,8 +1714,8 @@ def wave18_19_probes(spark, sf_dir: str, repl: int = 10) -> None:
     tn = timed(lambda: pearson_stats(ev_n, "event_type", "x", "y"))
     print(f"{'agg_pearson_corr':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
-    t1 = timed(lambda: dp_noised_counts(ev1, "event_type"))
-    tn = timed(lambda: dp_noised_counts(ev_n, "event_type"))
+    t1 = timed(lambda: pseudo_dp_noised_counts(ev1, "event_type", seed="dp"))
+    tn = timed(lambda: pseudo_dp_noised_counts(ev_n, "event_type", seed="dp"))
     print(f"{'agg_dp_noised_counts':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
     emb1 = load_table(spark, sf_dir, "embeddings")
