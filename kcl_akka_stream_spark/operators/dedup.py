@@ -920,3 +920,124 @@ def minhash_incremental_pairs(
         F.least("__n", "__o").alias("id_a"),
         F.greatest("__n", "__o").alias("id_b"),
     ).distinct()
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    w: int = 3,
+    band_expr: Column | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995,
+    public) with BANDED sort partitioning -- VERDICT r10 #4's de-skew.
+
+    Semantics: every unordered id pair whose rows sit within ``w``
+    positions of each other in the per-``block_col`` sort order on
+    ``(key_col, id_col)`` -- EXACTLY the candidate set one global
+    per-block sort produces.  The r10 implementation ran that sort as
+    ``Window.partitionBy(block_col)``, which on a monolingual 100 TB
+    corpus is a single-partition global sort (the classic SN trade).
+
+    De-skewed plan: the sort partitions on ``(block, band)`` where the
+    band is a PREFIX of the sort key (default: first character), so
+    band ranges are contiguous in sort order and in-band ``lead()``
+    pairs are exactly the in-band subset of the global pairs.  Pairs
+    that cross band boundaries are stitched from an edge relation --
+    the first/last ``w`` rows of every band (<= 2w x bands x blocks
+    rows, bounded) -- carrying each row's EXACT global rank
+    (band-offset + in-band rank; offsets come from a broadcast
+    (block, band) size rollup).  Edge rows are re-paired within
+    ``block`` and kept iff their global-rank gap is <= w, which makes
+    the stitched set provably identical to the global-sort set:
+
+    - a cross-band pair with global gap <= w has both endpoints in the
+      edge set (the left row is within w of its band's end, the right
+      within w of a band's start), and every intermediate row is an
+      edge row too, so its edge-order distance EQUALS its global gap;
+    - any same-band or far pair the edge window over-generates fails
+      the exact global-rank filter (or dedups against the in-band set).
+
+    tests/test_pipeline_ops.py pins set equality against the naive
+    global-sort plan, boundary pairs included.  Parallelism becomes
+    #blocks x #bands instead of #blocks; band_expr widens it (e.g.
+    2-char prefix) when one band dominates."""
+    blk = F.col(block_col) if block_col else F.lit("")
+    band = (
+        band_expr
+        if band_expr is not None
+        else F.coalesce(F.substring(F.col(key_col), 1, 1), F.lit(""))
+    )
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        blk.alias("__blk"),
+        F.col(key_col).alias("__k"),
+        band.alias("__band"),
+    )
+    wb = Window.partitionBy("__blk", "__band").orderBy("__k", "__id")
+    ranked = keyed.select(
+        "__id",
+        "__blk",
+        "__band",
+        "__k",
+        F.row_number().over(wb).alias("__rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("__blk", "__band"))
+        .alias("__cnt"),
+        *[F.lead("__id", i).over(wb).alias(f"__n{i}") for i in range(1, w + 1)],
+    )
+    in_band = None
+    for i in range(1, w + 1):
+        p = ranked.filter(F.col(f"__n{i}").isNotNull()).select(
+            F.least("__id", f"__n{i}").alias("id_a"),
+            F.greatest("__id", f"__n{i}").alias("id_b"),
+        )
+        in_band = p if in_band is None else in_band.unionByName(p)
+
+    sizes = keyed.groupBy("__blk", "__band").agg(F.count(F.lit(1)).alias("__sz"))
+    woff = (
+        Window.partitionBy("__blk")
+        .orderBy("__band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "__blk",
+        "__band",
+        F.coalesce(F.sum("__sz").over(woff), F.lit(0)).alias("__off"),
+    )
+    edges = (
+        ranked.filter((F.col("__rn") <= w) | (F.col("__rn") > F.col("__cnt") - w))
+        .join(F.broadcast(offsets), ["__blk", "__band"])
+        .select(
+            "__id",
+            "__blk",
+            "__k",
+            "__band",
+            (F.col("__off") + F.col("__rn")).alias("__grank"),
+        )
+    )
+    we = Window.partitionBy("__blk").orderBy("__k", "__id")
+    eleads = edges.select(
+        "__id",
+        "__band",
+        "__grank",
+        *[
+            F.lead(F.struct("__id", "__band", "__grank"), i)
+            .over(we)
+            .alias(f"__e{i}")
+            for i in range(1, w + 1)
+        ],
+    )
+    cross = None
+    for i in range(1, w + 1):
+        p = eleads.filter(
+            F.col(f"__e{i}").isNotNull()
+            & (F.col(f"__e{i}.__band") != F.col("__band"))
+            & (F.col(f"__e{i}.__grank") - F.col("__grank") <= w)
+        ).select(
+            F.least("__id", F.col(f"__e{i}.__id")).alias("id_a"),
+            F.greatest("__id", F.col(f"__e{i}.__id")).alias("id_b"),
+        )
+        cross = p if cross is None else cross.unionByName(p)
+    return in_band.unionByName(cross).distinct()

@@ -979,3 +979,74 @@ def test_range_search_include_self_contract(spark):
         for r in range_search(corpus, queries, 0.9, include_self=True).collect()
     }
     assert (1, 1) in incl and (1, 3) in incl
+
+
+def _naive_sn_pairs(spark, keyed, w=3):
+    # The reference plan the banded operator must reproduce EXACTLY:
+    # one global per-block sort, lead(1..w) pairs.
+    from pyspark.sql import Window
+
+    import pyspark.sql.functions as F
+
+    win = Window.partitionBy("lang").orderBy("k", "doc_id")
+    leads = keyed.select(
+        "doc_id",
+        *[F.lead("doc_id", i).over(win).alias(f"n{i}") for i in range(1, w + 1)],
+    )
+    out = set()
+    for r in leads.collect():
+        for i in range(1, w + 1):
+            n = getattr(r, f"n{i}")
+            if n is not None:
+                out.add((min(r.doc_id, n), max(r.doc_id, n)))
+    return out
+
+
+def test_sorted_neighborhood_banded_equals_global_sort(spark, sf_dir):
+    # VERDICT r10 #4: the (lang, band)-partitioned sort + boundary
+    # stitching must produce EXACTLY the global per-lang sort's pairs.
+    import pyspark.sql.functions as F
+
+    from kcl_akka_stream_spark.operators.dedup import sorted_neighborhood_pairs
+    from kcl_akka_stream_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "lang", F.lower(F.substring("text", 1, 24)).alias("k")
+    )
+    banded = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(keyed, key_col="k", w=3).collect()
+    }
+    naive = _naive_sn_pairs(spark, keyed, w=3)
+    assert banded == naive and len(naive) > 0
+
+
+def test_sorted_neighborhood_boundary_pairs_not_lost(spark):
+    # Synthetic monolingual corpus engineered so pairs CROSS first-char
+    # band boundaries (keys a9->b0, b9->c0 are adjacent in the global
+    # sort but in different bands), including a 1-row band ('q5') whose
+    # neighbors span TWO boundaries, and an in-band pair in a band
+    # larger than 2w whose distant rows must NOT pair.
+    rows = []
+    for i, key in enumerate(
+        ["a1", "a5", "a9", "b0", "b9", "c0", "c1", "q5", "r2"]
+        + [f"z{j}" for j in range(10)]
+    ):
+        rows.append((i, "en", key))
+    keyed = spark.createDataFrame(rows, "doc_id long, lang string, k string")
+
+    from kcl_akka_stream_spark.operators.dedup import sorted_neighborhood_pairs
+
+    banded = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(keyed, key_col="k", w=3).collect()
+    }
+    naive = _naive_sn_pairs(spark, keyed, w=3)
+    assert banded == naive
+    # spot-pin the cross-band pairs the skew fix must keep:
+    assert (2, 3) in banded  # a9-b0 crosses the a|b boundary
+    assert (4, 5) in banded  # b9-c0 crosses the b|c boundary
+    assert (7, 8) in banded  # q5-r2: the 1-row band pairs across it
+    # and the far ends of the 10-row 'z' band must NOT pair (gap 9 > w)
+    assert (9, 18) not in banded

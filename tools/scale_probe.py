@@ -2199,3 +2199,62 @@ def graph_broadcast_flag_probe(spark, sf_dir: str, repl: int = 10) -> None:
             f"{name:22s} 1x={times[0]:6.2f}s  {repl}x={times[1]:6.2f}s"
             f"  ratio={times[1] / times[0]:5.2f}"
         )
+
+
+def sorted_neighborhood_skew_probe(spark, sf_dir: str, repl: int = 10) -> None:
+    """Round-11 evidence for the banded SN de-skew (VERDICT r10 #4):
+    build a MONOLINGUAL corpus (every doc forced to lang='xx' -- the
+    exact skew case the r10 plan degraded on: one lang = one-partition
+    global sort) at 1x and Nx, and time candidate generation under
+
+    - the r10 plan: Window.partitionBy(lang) global sort + lead(1..3);
+    - the banded plan: sorted_neighborhood_pairs (per-(lang, first-char
+      band) sort + exact-global-rank boundary stitching).
+
+    Both are counted to completion.  The banded plan's ratio should
+    track data growth; the single-partition plan concentrates the Nx
+    sort on one task."""
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_n = replicate_docs(docs1, repl)
+
+    def keyed_of(d):
+        return d.select(
+            "doc_id",
+            F.lit("xx").alias("lang"),
+            F.lower(F.substring("text", 1, 24)).alias("k"),
+        ).localCheckpoint()
+
+    k1, kn = keyed_of(docs1), keyed_of(docs_n)
+
+    def naive(keyed):
+        win = Window.partitionBy("lang").orderBy("k", "doc_id")
+        leads = keyed.select(
+            "doc_id",
+            *[F.lead("doc_id", i).over(win).alias(f"n{i}") for i in (1, 2, 3)],
+        )
+        parts = [
+            leads.filter(F.col(f"n{i}").isNotNull()).select(
+                F.least("doc_id", f"n{i}").alias("id_a"),
+                F.greatest("doc_id", f"n{i}").alias("id_b"),
+            )
+            for i in (1, 2, 3)
+        ]
+        return reduce(DataFrame.unionByName, parts).distinct()
+
+    def banded(keyed):
+        return sorted_neighborhood_pairs(keyed, key_col="k", w=3)
+
+    for name, op in (("sn_global_sort", naive), ("sn_banded", banded)):
+        t1 = timed(lambda: op(k1))
+        tn = timed(lambda: op(kn))
+        print(
+            f"{name:22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}"
+        )
+    # sanity: identical candidate sets on the monolingual 1x corpus
+    a = {(r.id_a, r.id_b) for r in naive(k1).collect()}
+    b = {(r.id_a, r.id_b) for r in banded(k1).collect()}
+    print(f"# candidate-set equality (monolingual 1x): {a == b} ({len(a)} pairs)")
