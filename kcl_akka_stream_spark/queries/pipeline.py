@@ -7047,13 +7047,37 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hierarchy-vs-exchange diagnostic for any interaction graph, and
     # the third one-number graph-shape probe next to assortativity and
     # clustering coefficient.  Scale shape: one (order, supplier) agg,
-    # one per-order wedge join (bounded by order width), edge distinct,
-    # and a self-semi-join on the reversed key -- all hash-partitioned;
-    # output is one row.
+    # one per-order wedge join, edge distinct, and a self-semi-join on
+    # the reversed key -- all hash-partitioned; output is one row.
+    # The wedge blow-up is sum_k C(m_k, 2), governed by ORDER WIDTH
+    # (distinct suppliers per order), and the r10 probe measured it
+    # super-linear (3.80x wall at 10x) when widths grow with replication
+    # -- so the 100 TB knob is max_order_width (VERDICT r10 #5, the
+    # cooccurrence_pairs(max_basket_size=) pattern): orders wider than
+    # the cap are dropped ENTIRELY before the self-join (whole-order
+    # drop, not truncation -- a truncated order would emit an arbitrary
+    # edge subset and bias reciprocity; a dropped one is an explicit,
+    # auditable exclusion).  64 drops nothing at any fixture SF (TPC-H
+    # max order width 7), so the uncapped oracle matches bit-for-bit;
+    # production sets it to the order-width p99.9.  Cap behavior
+    # pytest-pinned (test_wave25_ops.py).
+    return _reciprocity_plan(spark, sf_dir, max_order_width=64)
+
+
+def _reciprocity_plan(
+    spark: SparkSession, sf_dir: str, max_order_width: int | None
+) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     sd = li.groupBy(
         F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")
     ).agg(F.min("l_shipdate").alias("d"))
+    if max_order_width is not None:
+        wsz = Window.partitionBy("k")
+        sd = (
+            sd.withColumn("__m", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("__m") <= max_order_width)
+            .drop("__m")
+        )
     a = sd.select(F.col("k"), F.col("s").alias("sa"), F.col("d").alias("da"))
     b = sd.select(F.col("k"), F.col("s").alias("sb"), F.col("d").alias("db"))
     e = (

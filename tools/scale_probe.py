@@ -2258,3 +2258,42 @@ def sorted_neighborhood_skew_probe(spark, sf_dir: str, repl: int = 10) -> None:
     a = {(r.id_a, r.id_b) for r in naive(k1).collect()}
     b = {(r.id_a, r.id_b) for r in banded(k1).collect()}
     print(f"# candidate-set equality (monolingual 1x): {a == b} ({len(a)} pairs)")
+
+
+def reciprocity_cap_probe(spark, sf_dir: str, repl: int = 10) -> None:
+    """Round-11 evidence for max_order_width (VERDICT r10 #5): replicate
+    lineitem SHARING order keys but with disjoint supplier ids, so every
+    order's distinct-supplier width grows ~repl x -- the wedge join's
+    C(m,2) blow-up becomes (repl^2)x while row count grows repl x.  The
+    capped plan (max_order_width=64: the base fixture's p100 width times
+    headroom; the replicated corpus exceeds it on wide orders) drops the
+    oversized orders and must scale ~linearly; the uncapped plan carries
+    the quadratic wedge."""
+    from kcl_akka_stream_spark.queries.pipeline import _reciprocity_plan
+    import kcl_akka_stream_spark.queries.pipeline as P
+
+    li1 = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    li_n = reduce(
+        DataFrame.unionByName,
+        [
+            li1.select(
+                "l_orderkey",
+                (F.col("l_suppkey") + F.lit(i * 10_000_000)).alias("l_suppkey"),
+                F.date_add("l_shipdate", i).alias("l_shipdate"),
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+    li1 = li1.localCheckpoint()
+
+    orig_tbl = P.tbl
+    try:
+        for name, frame in (("1x", li1), (f"{repl}x", li_n)):
+            P.tbl = lambda s, sfd, t, _f=frame: _f if t == "lineitem" else orig_tbl(s, sfd, t)
+            for label, cap in (("uncapped", None), ("cap=64", 64), ("cap=16", 16)):
+                t = timed(lambda: _reciprocity_plan(spark, sf_dir, cap))
+                print(f"reciprocity {label:9s} {name:4s} {t:6.2f}s")
+    finally:
+        P.tbl = orig_tbl
