@@ -2297,3 +2297,96 @@ def reciprocity_cap_probe(spark, sf_dir: str, repl: int = 10) -> None:
                 print(f"reciprocity {label:9s} {name:4s} {t:6.2f}s")
     finally:
         P.tbl = orig_tbl
+
+
+def md5_vectorization_probe(spark=None, sf_dir: str = "", n: int = 500_000) -> None:
+    """Round-11 measurement of VERDICT r10 #6 ("vectorize the md5
+    partition-key derivation -- the last per-row Python call in the
+    streaming data plane").  Three _arrow_batches builders over n rows:
+
+    - current:    per-row f-string + hashlib.md5 (the shipped path)
+    - vectorized: numpy single-block MD5 (functions/vectorized_md5.py)
+                  + np.char column builds + datetime64 timestamps
+    - hybrid:     np.char/datetime64 columns, hashlib md5 loop
+
+    Verifies all three produce IDENTICAL Arrow tables, then prints
+    rows/s.  The r10 hypothesis was that the md5 loop bounds throughput;
+    the measurement refutes it -- see SCALE_PROBE.md."""
+    import time as _time
+
+    import numpy as np
+    import pyarrow as pa
+
+    from datetime import datetime, timedelta
+
+    from kcl_akka_stream_spark.functions.vectorized_md5 import md5_hex
+    from kcl_akka_stream_spark.sources.python_source import ARROW_CHUNK_DEFAULT
+
+    base = datetime(2026, 1, 1)
+    shard = 3
+    chunk = ARROW_CHUNK_DEFAULT
+    names = ["shard_id", "sequence_number", "partition_key", "data", "arrival_ts"]
+    sid = f"shardId-{shard:012d}"
+
+    def current():
+        import hashlib
+
+        out = []
+        seqs = list(range(1, n + 1))
+        for i in range(0, len(seqs), chunk):
+            part = seqs[i : i + chunk]
+            out.append(pa.record_batch([
+                pa.array([sid] * len(part), pa.string()),
+                pa.array(part, pa.int64()),
+                pa.array([hashlib.md5(f"pk-{shard}-{q}".encode()).hexdigest() for q in part], pa.string()),
+                pa.array([f"msg-{shard}-{q}" for q in part], pa.string()),
+                pa.array([base + timedelta(seconds=q) for q in part], pa.timestamp("us")),
+            ], names=names))
+        return out
+
+    def vectorized():
+        seqs = np.arange(1, n + 1, dtype=np.int64)
+        b64 = np.datetime64(base, "us")
+        out = []
+        for i in range(0, len(seqs), chunk):
+            qs = seqs[i : i + chunk]
+            digits = qs.astype("U20")
+            pks = md5_hex(np.char.add(f"pk-{shard}-", digits).astype("S"))
+            out.append(pa.record_batch([
+                pa.array([sid] * len(qs), pa.string()),
+                pa.array(qs, pa.int64()),
+                pa.array(pks, pa.string()),
+                pa.array(np.char.add(f"msg-{shard}-", digits), pa.string()),
+                pa.array(b64 + qs.astype("timedelta64[s]"), pa.timestamp("us")),
+            ], names=names))
+        return out
+
+    def hybrid():
+        import hashlib
+
+        seqs = np.arange(1, n + 1, dtype=np.int64)
+        b64 = np.datetime64(base, "us")
+        out = []
+        for i in range(0, len(seqs), chunk):
+            qs = seqs[i : i + chunk]
+            digits = qs.astype("U20")
+            pk_in = np.char.add(f"pk-{shard}-", digits).astype("S")
+            out.append(pa.record_batch([
+                pa.array([sid] * len(qs), pa.string()),
+                pa.array(qs, pa.int64()),
+                pa.array([hashlib.md5(x).hexdigest() for x in pk_in], pa.string()),
+                pa.array(np.char.add(f"msg-{shard}-", digits), pa.string()),
+                pa.array(b64 + qs.astype("timedelta64[s]"), pa.timestamp("us")),
+            ], names=names))
+        return out
+
+    tables = {}
+    for name, fn in (("current", current), ("vectorized", vectorized), ("hybrid", hybrid)):
+        fn()
+        t0 = _time.time()
+        batches = fn()
+        dt = _time.time() - t0
+        tables[name] = pa.Table.from_batches(batches)
+        print(f"arrow_build_{name:11s} {n / dt:>12,.0f} rows/s")
+    eq = tables["current"].equals(tables["vectorized"]) and tables["current"].equals(tables["hybrid"])
+    print(f"# all builders byte-identical: {eq}")
