@@ -298,6 +298,14 @@ HEADLINE = [
     # round-10 wave 30: PMI collocations, day-of-week decomposition
     "text_pmi_collocations",
     "w_seasonal_decompose",
+    # round-11 wave 31: containment dedup, rank drift, Welch A/B,
+    # temperature mixture, epoch shuffle, readability
+    "dedup_containment_verified",
+    "agg_mann_whitney",
+    "agg_welch_ttest",
+    "pipeline_mixture_temperature",
+    "corpus_epoch_shuffle",
+    "text_readability",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -1041,3 +1041,41 @@ def sorted_neighborhood_pairs(
         )
         cross = p if cross is None else cross.unionByName(p)
     return in_band.unionByName(cross).distinct()
+
+
+def verify_candidate_containment(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Stage-2 verification by CONTAINMENT (Broder 1997's second
+    resemblance measure, public): ``|A ∩ B| / min(|A|, |B|)`` -- the
+    asymmetric complement of Jaccard verification.  A short document
+    quoted wholesale inside a long one scores containment ~1.0 but
+    Jaccard ~|A|/|B| (arbitrarily low), so Jaccard-gated dedup keeps
+    exactly the quote-inclusion / boilerplate-wrapper dups a training
+    corpus most wants gone; containment catches them from the SAME LSH
+    candidate stream.
+
+    Same scale shape as verify_candidate_jaccard: shingle sets ride as
+    array columns, two id-keyed hash joins, map-side array_intersect;
+    cost is |candidates| x shingle-set size, never corpus x corpus.
+    Output keeps both set sizes so the caller can tell subset direction
+    (n_a == n_common -> A inside B)."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__shs"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    cont = inter / F.least(F.size("__sh_a"), F.size("__sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.size("__sh_a").cast("long").alias("n_a"),
+        F.size("__sh_b").cast("long").alias("n_b"),
+        inter.cast("long").alias("n_common"),
+        F.round(cont, 6).alias("containment"),
+    ).filter(F.col("containment") >= threshold)

@@ -5621,3 +5621,153 @@ def w_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dow_effect_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave 31: rank-based drift (Mann-Whitney) and Welch A/B t-test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mann_whitney",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(event_id % 2 AS INT) AS half,
+             CAST(floor(value * 10 + 0.5) AS BIGINT) AS bin
+      FROM events),
+    h AS (
+      SELECT event_type, bin,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+      FROM v GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bin, ca, cb,
+             coalesce(sum(cb) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_cb,
+             sum(ca) OVER (PARTITION BY event_type) AS na,
+             sum(cb) OVER (PARTITION BY event_type) AS nb
+      FROM h)
+    SELECT event_type,
+           CAST(max(na) AS BIGINT) AS na,
+           CAST(max(nb) AS BIGINT) AS nb,
+           CAST(sum(2 * ca * cum_cb + ca * cb) AS BIGINT) AS u2,
+           CAST(floor(CAST(sum(2 * ca * cum_cb + ca * cb) AS DOUBLE)
+                      * 1000000.0
+                      / (2.0 * max(na) * max(nb))) AS BIGINT) AS auc_ppm
+    FROM c GROUP BY event_type
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-sample Mann-Whitney U (Mann & Whitney 1947, public) between
+    # the stream's event_id-parity halves -- the RANK-based drift gate
+    # next to KS (max CDF gap) and KL (mass ratio): U/(na*nb) is the
+    # probability that a random half-A value exceeds a random half-B
+    # value (the AUC), so it reads location shift where KS reads shape.
+    # EXACT integers end-to-end: values freeze to deci-unit bins, and
+    # U2 = 2*U = sum over bins of (2*ca*cum_cb_below + ca*cb) counts
+    # every cross pair twice with ties counting once each way -- no
+    # midrank halves, no floats until the single shared IEEE ppm
+    # division (the gini/ks pattern).  Int64 bound: U2 <= 2*na*nb --
+    # safe below ~2e9 rows per (type, half); shard upstream past that.
+    # Scale shape: ONE pivoted combinable (type, bin) agg; the
+    # cumulative window and finalize ride the BIN-sized relation.
+    ev = tbl(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.col("event_type"),
+        F.expr("cast(floor(value * 10 + 0.5) as bigint)").alias("bin"),
+    ).agg(
+        F.sum((F.col("event_id") % 2 == 0).cast("long")).cast("long").alias("ca"),
+        F.sum((F.col("event_id") % 2 == 1).cast("long")).cast("long").alias("cb"),
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("event_type")
+    c = h.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(wprev), F.lit(0)).alias("cum_cb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    return c.groupBy("event_type").agg(
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+        F.sum(F.expr("2 * ca * cum_cb + ca * cb")).cast("long").alias("u2"),
+        F.expr(
+            "cast(floor(cast(sum(2 * ca * cum_cb + ca * cb) as double)"
+            " * 1000000.0 / (2.0 * max(na) * max(nb))) as bigint)"
+        ).alias("auc_ppm"),
+    )
+
+
+@query(
+    "agg_welch_ttest",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(event_id % 2 AS INT) AS half,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events),
+    m AS (
+      SELECT event_type,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN half = 0 THEN x ELSE 0 END) AS s1,
+             sum(CASE WHEN half = 0 THEN x * x ELSE 0 END) AS q1,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN half = 1 THEN x ELSE 0 END) AS s2,
+             sum(CASE WHEN half = 1 THEN x * x ELSE 0 END) AS q2
+      FROM v GROUP BY event_type)
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(s1 AS BIGINT) AS s1_cents, CAST(s2 AS BIGINT) AS s2_cents,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                           / (n1 - 1) / n1)
+                        + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                           / (n2 - 1) / n2)), 6) AS t_stat
+    FROM m
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Welch's two-sample t statistic (Welch 1947, public) between the
+    # event_id-parity halves per type -- the A/B experiment readout a
+    # training-data pipeline runs on guardrail metrics.  Sufficient
+    # statistics are EXACT int64 (count, sum, sum-of-squares in cents;
+    # q = sum(x^2) <= 1e10 * n, safe below ~9e8 rows per half at
+    # fixture value range); the t finalize is ONE shared IEEE double
+    # expression from identical ints, rounded to 6 dp (the pearson
+    # pattern -- same moment-fold state shape, so the streaming moments
+    # family covers its merge).  ONE combinable agg, output type-sized.
+    ev = tbl(spark, sf_dir, "events")
+    x = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    h0 = (F.col("event_id") % 2 == 0).cast("long")
+    h1 = (F.col("event_id") % 2 == 1).cast("long")
+    m = ev.select(
+        "event_type", x.alias("x"), h0.alias("h0"), h1.alias("h1")
+    ).groupBy("event_type").agg(
+        F.sum("h0").alias("n1"),
+        F.sum(F.col("x") * F.col("h0")).alias("s1"),
+        F.sum(F.col("x") * F.col("x") * F.col("h0")).alias("q1"),
+        F.sum("h1").alias("n2"),
+        F.sum(F.col("x") * F.col("h1")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("h1")).alias("q2"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("s1").cast("long").alias("s1_cents"),
+        F.col("s2").cast("long").alias("s2_cents"),
+        F.expr(
+            "round((cast(s1 as double) / n1 - cast(s2 as double) / n2)"
+            " / sqrt(((cast(q1 as double) - cast(s1 as double) * s1 / n1)"
+            " / (n1 - 1) / n1)"
+            " + ((cast(q2 as double) - cast(s2 as double) * s2 / n2)"
+            " / (n2 - 1) / n2)), 6)"
+        ).alias("t_stat"),
+    )

@@ -7318,3 +7318,226 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi_micro").desc(), "a", "b").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave 31: containment dedup, temperature mixture, epoch shuffle,
+# readability
+# ---------------------------------------------------------------------------
+
+
+def _containment_oracle(threshold: float = 0.8) -> str:
+    mh = _minhash_oracle()
+    return f"""
+    WITH {_SH_CTE},
+    cands AS (SELECT * FROM ({mh})),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(sa.n_sh AS BIGINT) AS n_a,
+           CAST(sb.n_sh AS BIGINT) AS n_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           round(CAST(i.n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+             AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(CAST(i.n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+          >= {threshold}
+    """
+
+
+@query("dedup_containment_verified", _containment_oracle())
+def dedup_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Containment verification (Broder 1997's second resemblance
+    # measure) on the SAME LSH candidate stream as
+    # dedup_minhash_verified: |A∩B| / min(|A|,|B|) instead of Jaccard.
+    # The asymmetric measure is the quote-inclusion / boilerplate-
+    # wrapper detector -- a short doc pasted inside a long one scores
+    # containment ~1.0 but Jaccard ~|A|/|B|, so the Jaccard gate alone
+    # ships exactly the wrapped dups a training corpus most wants gone.
+    # Same 100 TB shape as the Jaccard verify: candidate-bounded, two
+    # id-keyed joins, map-side array_intersect
+    # (operators/dedup.py::verify_candidate_containment).
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    cands = D.minhash_candidate_pairs(buckets)
+    return D.verify_candidate_containment(docs, cands, k=3, threshold=0.8)
+
+
+@query(
+    "pipeline_mixture_temperature",
+    """
+    WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_micro
+      FROM n),
+    t AS (SELECT sum(w_micro) AS tw, sum(n_docs) AS tn FROM w)
+    SELECT w.lang, CAST(w.n_docs AS BIGINT) AS n_docs,
+           CAST(w.n_docs * 1000000 // t.tn AS BIGINT) AS raw_share_ppm,
+           CAST(w.w_micro * 1000000 // t.tw AS BIGINT) AS sampled_share_ppm,
+           CAST(w.w_micro * 1000000 // t.tw
+                - w.n_docs * 1000000 // t.tn AS BIGINT) AS boost_ppm
+    FROM w, t
+    """,
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature-scaled source mixture (the multilingual sampling rule
+    # from public mBERT/mT5/PaLM recipes: sample source i with
+    # probability proportional to n_i^tau, tau < 1, so low-resource
+    # slices are up-sampled).  tau is pinned to 0.5 because sqrt is an
+    # IEEE CORRECTLY-ROUNDED op (identical in Spark and DuckDB from
+    # identical int64 counts) while pow(x, tau) is not -- the weights
+    # freeze to integer micro-units immediately after the sqrt, so the
+    # shares and the boost deltas are exact integer arithmetic
+    # cross-engine.  Scale shape: one combinable lang count, everything
+    # after rides the LANG-sized relation with a broadcast total.
+    docs = tbl(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = n.select(
+        "lang",
+        "n_docs",
+        F.expr("cast(floor(sqrt(cast(n_docs as double)) * 1000000) as bigint)")
+        .alias("w_micro"),
+    )
+    t = w.agg(
+        F.sum("w_micro").alias("tw"), F.sum("n_docs").alias("tn")
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr("n_docs * 1000000 div tn").cast("long").alias("raw_share_ppm"),
+        F.expr("w_micro * 1000000 div tw").cast("long").alias("sampled_share_ppm"),
+        F.expr(
+            "w_micro * 1000000 div tw - n_docs * 1000000 div tn"
+        ).cast("long").alias("boost_ppm"),
+    )
+
+
+@query(
+    "corpus_epoch_shuffle",
+    """
+    WITH e AS (SELECT unnest([0, 1]) AS epoch),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5('epoch-' || e.epoch || ':' || d.doc_id) AS k
+      FROM documents d, e),
+    ranked AS (
+      SELECT epoch, doc_id, k,
+             row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS pos
+      FROM keyed)
+    SELECT epoch, CAST(pos % 8 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor(doc_id * 1048573 + pos) AS BIGINT) AS perm_checksum,
+           min(k) AS first_key, max(k) AS last_key
+    FROM ranked GROUP BY epoch, pos % 8
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic epoch shuffle + shard assignment -- the data-loader
+    # contract a multi-epoch training run needs: every epoch is a
+    # DIFFERENT but REPRODUCIBLE permutation (md5 of epoch:doc_id; no
+    # RNG state, so any worker can recompute any shard), and docs land
+    # on 8 round-robin shards in permuted order.  The report pins the
+    # FULL permutation per (epoch, shard): count, an order-sensitive
+    # xor checksum of doc_id*P + position (P = 1048573; exact for
+    # doc_id < ~8.8e12), and the first/last sort keys -- a wrong
+    # position anywhere flips the checksum in both engines.  Scale
+    # shape: the permutation sort is ONE epoch-partitioned exchange
+    # (production shards the sort by key prefix like the banded SN);
+    # the report is a bounded (epoch x shard) rollup.
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.crossJoin(
+        F.broadcast(
+            tbl(spark, sf_dir, "documents")
+            .sparkSession.range(2)
+            .select(F.col("id").cast("int").alias("epoch"))
+        )
+    ).select(
+        "epoch",
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch-"), F.col("epoch"), F.lit(":"), F.col("doc_id")))
+        .alias("k"),
+    )
+    wp = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    ranked = keyed.select(
+        "epoch", "doc_id", "k", F.row_number().over(wp).alias("pos")
+    )
+    return ranked.groupBy(
+        "epoch", (F.col("pos") % 8).cast("long").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("bit_xor(doc_id * 1048573 + pos)").cast("long").alias("perm_checksum"),
+        F.min("k").alias("first_key"),
+        F.max("k").alias("last_key"),
+    )
+
+
+@query(
+    "text_readability",
+    """
+    WITH d AS (
+      SELECT lang,
+             greatest(1, len(regexp_extract_all(text, '\\S+'))) AS words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sents,
+             greatest(1, len(regexp_extract_all(lower(text), '[aeiou]+')))
+               AS sylls
+      FROM documents),
+    g AS (
+      SELECT lang, count(*) AS n_docs,
+             sum(words) AS words, sum(sents) AS sents, sum(sylls) AS sylls
+      FROM d GROUP BY lang)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(words AS BIGINT) AS words,
+           CAST(sents AS BIGINT) AS sents,
+           CAST(sylls AS BIGINT) AS sylls,
+           CAST(floor((206.835
+                       - 1.015 * (CAST(words AS DOUBLE) / sents)
+                       - 84.6 * (CAST(sylls AS DOUBLE) / words)) * 1000000)
+                AS BIGINT) AS flesch_micro
+    FROM g
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flesch reading-ease per language slice (Flesch 1948, public
+    # formula) with a deterministic vowel-run syllable heuristic -- the
+    # quality-mix readability gate a corpus card reports next to the
+    # Gopher rules.  Counts are exact integers (whitespace tokens,
+    # [.!?]+ sentence runs, [aeiou]+ vowel runs, each floored at 1 per
+    # doc so empty/fragment docs cannot zero a denominator); the formula
+    # is ONE shared double expression from identical int64s, floored to
+    # micro-units.  Map-only per-doc counts + ONE combinable lang agg.
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.greatest(F.lit(1), F.expr(r"regexp_count(text, '\\S+')")).alias("words"),
+        F.greatest(F.lit(1), F.expr("regexp_count(text, '[.!?]+')")).alias("sents"),
+        F.greatest(
+            F.lit(1), F.expr("regexp_count(lower(text), '[aeiou]+')")
+        ).alias("sylls"),
+    )
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("sents").cast("long").alias("sents"),
+        F.sum("sylls").cast("long").alias("sylls"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "words",
+        "sents",
+        "sylls",
+        F.expr(
+            "cast(floor((206.835 - 1.015 * (cast(words as double) / sents)"
+            " - 84.6 * (cast(sylls as double) / words)) * 1000000) as bigint)"
+        ).alias("flesch_micro"),
+    )
