@@ -306,6 +306,12 @@ HEADLINE = [
     "pipeline_mixture_temperature",
     "corpus_epoch_shuffle",
     "text_readability",
+    # round-11 wave 32: rule attribution, binary magic sniff, robust
+    # trimmed mean, gaps-and-islands streaks
+    "pipeline_filter_attribution",
+    "multimodal_magic_sniff",
+    "agg_trimmed_mean",
+    "w_streaks",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -5771,3 +5771,141 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (n2 - 1) / n2)), 6)"
         ).alias("t_stat"),
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    h AS (SELECT event_type, cents, count(*) AS c FROM v GROUP BY 1, 2),
+    cumt AS (
+      SELECT event_type, cents, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n,
+             sum(c * cents) OVER (PARTITION BY event_type) AS s
+      FROM h),
+    k AS (SELECT *, n // 10 AS trim FROM cumt),
+    kept AS (
+      SELECT event_type, n, s, trim,
+             greatest(0, least(cum, n - trim)
+                         - greatest(cum - c, trim)) * cents AS contrib
+      FROM k)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(trim) AS BIGINT) AS n_trimmed_each_end,
+           CAST(floor(CAST(max(s) AS DOUBLE) * 1000000 / max(n))
+                AS BIGINT) AS mean_micro,
+           CAST(floor(CAST(sum(contrib) AS DOUBLE) * 1000000
+                      / (max(n) - 2 * max(trim))) AS BIGINT)
+             AS trimmed_mean_micro
+    FROM kept GROUP BY event_type
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 10% trimmed mean per event type (Tukey's robust-location family,
+    # public) -- completes the robust-statistics set next to the exact
+    # median and MAD: the mean after discarding the lowest and highest
+    # n/10 values, EXACTLY, from the (type, cents) histogram: each bin
+    # contributes max(0, min(cum, n-k) - max(cum_prev, k)) of its
+    # copies, so the boundary bins contribute partially and everything
+    # stays int64 until the single shared IEEE micro-unit division.
+    # The untrimmed mean rides along as the contrast column (their gap
+    # is the tail-mass diagnostic).  Scale shape: ONE combinable
+    # (type, cents) count agg; windows and finalize ride the
+    # distinct-value relation.
+    ev = tbl(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    k = h.select(
+        "event_type",
+        "cents",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum(F.col("c") * F.col("cents")).over(wall).alias("s"),
+    ).withColumn("trim", F.expr("n div 10"))
+    kept = k.select(
+        "event_type",
+        "n",
+        "s",
+        "trim",
+        F.expr(
+            "greatest(0, least(cum, n - trim) - greatest(cum - c, trim)) * cents"
+        ).alias("contrib"),
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("trim").cast("long").alias("n_trimmed_each_end"),
+        F.expr(
+            "cast(floor(cast(max(s) as double) * 1000000 / max(n)) as bigint)"
+        ).alias("mean_micro"),
+        F.expr(
+            "cast(floor(cast(sum(contrib) as double) * 1000000"
+            " / (max(n) - 2 * max(trim))) as bigint)"
+        ).alias("trimmed_mean_micro"),
+    )
+
+
+@query(
+    "w_streaks",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rt
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, rn - rt AS grp, count(*) AS len
+      FROM o GROUP BY user_id, event_type, rn - rt)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS max_len,
+           CAST(sum(CAST(len >= 3 AS INT)) AS BIGINT) AS n_streaks_ge3,
+           CAST(sum(len) AS BIGINT) AS n_events
+    FROM runs GROUP BY event_type
+    """,
+)
+def w_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gaps-and-islands (the classic rn-difference decomposition): maximal
+    # runs of CONSECUTIVE same-type events per user in (ts, event_id)
+    # order.  Long single-type streaks are the bot/retry signature a
+    # behavioral pipeline screens (a user emitting 50 consecutive
+    # purchases is not a user), and the islands pattern itself is the
+    # missing member of the window family -- sessionize cuts on TIME
+    # gaps, streaks cut on VALUE changes.  Two window functions share
+    # ONE user-keyed sort (the per-(user,type) rank orders consistently
+    # within the same exchange); runs and the report are combinable
+    # aggs.  n_events doubles as the conservation check: per-type event
+    # totals must match the raw table.
+    ev = tbl(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wut = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.row_number().over(wut).alias("rt"),
+    )
+    runs = o.groupBy(
+        "user_id", "event_type", (F.col("rn") - F.col("rt")).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("max_len"),
+        F.sum((F.col("len") >= 3).cast("int")).cast("long").alias("n_streaks_ge3"),
+        F.sum("len").cast("long").alias("n_events"),
+    )

@@ -7541,3 +7541,177 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 84.6 * (cast(sylls as double) / words)) * 1000000) as bigint)"
         ).alias("flesch_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave 32: filter-rule attribution, binary magic sniff
+# ---------------------------------------------------------------------------
+
+
+def _attribution_oracle() -> str:
+    # Reuse the quality oracle's metric computation, then score the five
+    # Gopher rules independently (rule-level fail + unique-kill ablation).
+    qual = _quality_oracle()
+    return f"""
+    WITH m AS (SELECT * FROM ({qual})),
+    f AS (
+      SELECT doc_id,
+             CAST(NOT (n_words BETWEEN {Q.MIN_WORDS} AND {Q.MAX_WORDS}) AS INT) AS f_words,
+             CAST(NOT (mean_word_len BETWEEN {Q.MIN_MEAN_WORD_LEN}
+                       AND {Q.MAX_MEAN_WORD_LEN}) AS INT) AS f_wordlen,
+             CAST(frac_alpha_words < {Q.MIN_ALPHA_FRAC} AS INT) AS f_alpha,
+             CAST(top_bigram_frac > {Q.MAX_TOP_BIGRAM_FRAC} AS INT) AS f_bigram,
+             CAST(dup_trigram_frac > {Q.MAX_DUP_TRIGRAM_FRAC} AS INT) AS f_trigram
+      FROM m),
+    t AS (
+      SELECT *, f_words + f_wordlen + f_alpha + f_bigram + f_trigram AS n_f
+      FROM f),
+    g AS (
+      SELECT count(*) AS n_docs,
+             sum(CAST(n_f = 0 AS INT)) AS n_pass,
+             sum(f_words) AS fw, sum(CAST(f_words = 1 AND n_f = 1 AS INT)) AS uw,
+             sum(f_wordlen) AS fl, sum(CAST(f_wordlen = 1 AND n_f = 1 AS INT)) AS ul,
+             sum(f_alpha) AS fa, sum(CAST(f_alpha = 1 AND n_f = 1 AS INT)) AS ua,
+             sum(f_bigram) AS fb, sum(CAST(f_bigram = 1 AND n_f = 1 AS INT)) AS ub,
+             sum(f_trigram) AS ft, sum(CAST(f_trigram = 1 AND n_f = 1 AS INT)) AS ut
+      FROM t)
+    SELECT r.rule,
+           CAST(r.n_fail AS BIGINT) AS n_fail,
+           CAST(r.n_unique_kill AS BIGINT) AS n_unique_kill,
+           CAST(g.n_docs AS BIGINT) AS n_docs,
+           CAST(g.n_pass AS BIGINT) AS n_pass_all,
+           CAST(r.n_fail * 1000000 // g.n_docs AS BIGINT) AS fail_ppm
+    FROM g, LATERAL (VALUES
+      ('word_count', g.fw, g.uw),
+      ('mean_word_len', g.fl, g.ul),
+      ('alpha_frac', g.fa, g.ua),
+      ('top_bigram', g.fb, g.ub),
+      ('dup_trigram', g.ft, g.ut)) AS r(rule, n_fail, n_unique_kill)
+    """
+
+
+@query("pipeline_filter_attribution", _attribution_oracle())
+def pipeline_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-rule attribution for the Gopher/C4 quality gate -- the
+    # ablation a data-curation team runs before tightening a filter:
+    # n_fail is each rule's gross kill count, n_unique_kill the docs
+    # ONLY that rule catches (its marginal value: a rule with zero
+    # unique kills is redundant at current thresholds).  The five rule
+    # flags come from the same one-Arrow-pass metrics as gopher_pass
+    # (operators/quality.py), the rollup is ONE combinable agg, and the
+    # 5-row report unpivots JVM-side with stack() -- no joins, bounded
+    # output.
+    flags = Q.gopher_quality_flags(tbl(spark, sf_dir, "documents"))
+    f = flags.select(
+        (~F.col("n_words").between(Q.MIN_WORDS, Q.MAX_WORDS)).cast("int").alias("f_words"),
+        (~F.col("mean_word_len").between(Q.MIN_MEAN_WORD_LEN, Q.MAX_MEAN_WORD_LEN))
+        .cast("int").alias("f_wordlen"),
+        (F.col("frac_alpha_words") < Q.MIN_ALPHA_FRAC).cast("int").alias("f_alpha"),
+        (F.col("top_bigram_frac") > Q.MAX_TOP_BIGRAM_FRAC).cast("int").alias("f_bigram"),
+        (F.col("dup_trigram_frac") > Q.MAX_DUP_TRIGRAM_FRAC).cast("int").alias("f_trigram"),
+    ).withColumn(
+        "n_f",
+        F.expr("f_words + f_wordlen + f_alpha + f_bigram + f_trigram"),
+    )
+    g = f.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_f") == 0).cast("int")).alias("n_pass"),
+        F.sum("f_words").alias("fw"),
+        F.sum(F.expr("cast(f_words = 1 and n_f = 1 as int)")).alias("uw"),
+        F.sum("f_wordlen").alias("fl"),
+        F.sum(F.expr("cast(f_wordlen = 1 and n_f = 1 as int)")).alias("ul"),
+        F.sum("f_alpha").alias("fa"),
+        F.sum(F.expr("cast(f_alpha = 1 and n_f = 1 as int)")).alias("ua"),
+        F.sum("f_bigram").alias("fb"),
+        F.sum(F.expr("cast(f_bigram = 1 and n_f = 1 as int)")).alias("ub"),
+        F.sum("f_trigram").alias("ft"),
+        F.sum(F.expr("cast(f_trigram = 1 and n_f = 1 as int)")).alias("ut"),
+    )
+    return g.select(
+        F.expr(
+            "stack(5,"
+            " 'word_count', fw, uw,"
+            " 'mean_word_len', fl, ul,"
+            " 'alpha_frac', fa, ua,"
+            " 'top_bigram', fb, ub,"
+            " 'dup_trigram', ft, ut) as (rule, n_fail, n_unique_kill)"
+        ),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_pass").cast("long").alias("n_pass_all"),
+    ).select(
+        "rule",
+        F.col("n_fail").cast("long").alias("n_fail"),
+        F.col("n_unique_kill").cast("long").alias("n_unique_kill"),
+        "n_docs",
+        "n_pass_all",
+        F.expr("n_fail * 1000000 div n_docs").cast("long").alias("fail_ppm"),
+    )
+
+
+@query(
+    "multimodal_magic_sniff",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'text' END AS claimed,
+             CASE WHEN doc_id % 3 = 0
+                   THEN '\\x89PNG'::BLOB || encode(text)
+                  WHEN doc_id % 3 = 1
+                   THEN 'RIFF'::BLOB || encode(text)
+                  ELSE encode(text) END AS payload
+      FROM documents),
+    sniffed AS (
+      SELECT media_id, claimed,
+             octet_length(payload) AS n_bytes,
+             CASE WHEN substr(hex(payload), 1, 8) = '89504E47' THEN 'image'
+                  WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'audio'
+                  ELSE 'text' END AS sniffed
+      FROM media)
+    SELECT claimed, sniffed,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(CAST(claimed != sniffed AS INT)) AS BIGINT) AS n_mismatch
+    FROM sniffed GROUP BY claimed, sniffed
+    """,
+)
+def multimodal_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Magic-byte validation for opaque binary media columns -- the
+    # corrupt-blob / mislabeled-metadata tripwire a multimodal ingest
+    # runs BEFORE wasting decode cycles: sniff the payload's leading
+    # bytes (PNG / RIFF signatures, public file-format magic) and
+    # cross-tab claimed kind vs sniffed kind.  The fixture synthesizes
+    # the three cases deterministically from doc_id so both engines see
+    # identical payloads (documents-as-media, the multimodal stand-in
+    # convention).  All byte-level: substring on BINARY + exact byte
+    # compare, map-only + ONE bounded (claimed x sniffed) agg -- the
+    # production shape for a 100 TB blob scan (no decode, no Python).
+    docs = tbl(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 THEN 'image'"
+            " WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'text' END"
+        ).alias("claimed"),
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 THEN concat(X'89504E47', encode(text, 'UTF-8'))"
+            " WHEN doc_id % 3 = 1 THEN concat(encode('RIFF', 'UTF-8'), encode(text, 'UTF-8'))"
+            " ELSE encode(text, 'UTF-8') END"
+        ).alias("payload"),
+    )
+    sniffed = media.select(
+        "claimed",
+        F.expr("octet_length(payload)").alias("n_bytes"),
+        F.expr(
+            "CASE WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'image'"
+            " WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'audio'"
+            " ELSE 'text' END"
+        ).alias("sniffed"),
+    )
+    return sniffed.groupBy("claimed", "sniffed").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum((F.col("claimed") != F.col("sniffed")).cast("int"))
+        .cast("long")
+        .alias("n_mismatch"),
+    )
