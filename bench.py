@@ -312,6 +312,10 @@ HEADLINE = [
     "multimodal_magic_sniff",
     "agg_trimmed_mean",
     "w_streaks",
+    # round-11 wave 33: PSI drift, Hamilton apportionment, top-k lattice twin
+    "agg_psi_drift",
+    "pipeline_token_apportionment",
+    "stream_topk_merge",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -5909,3 +5909,133 @@ def w_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("len") >= 3).cast("int")).cast("long").alias("n_streaks_ge3"),
         F.sum("len").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "agg_psi_drift",
+    """
+    WITH vh AS (
+      SELECT event_type,
+             CAST(event_id % 2 AS INT) AS half,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             count(*) AS c
+      FROM events GROUP BY 1, 2, 3),
+    refc AS (
+      SELECT event_type, cents, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM (SELECT event_type, cents, sum(c) AS c FROM vh
+            WHERE half = 0 GROUP BY 1, 2)),
+    edges AS (
+      SELECT event_type, d,
+             min(CASE WHEN 10 * cum >= d * n THEN cents END) AS hi
+      FROM refc, (SELECT unnest(generate_series(1, 9)) AS d)
+      GROUP BY event_type, d),
+    binned AS (
+      SELECT h.event_type, h.half, h.cents, h.c,
+             coalesce(min(e.d), 10) AS decile
+      FROM vh h LEFT JOIN edges e
+        ON e.event_type = h.event_type AND h.cents <= e.hi
+      GROUP BY h.event_type, h.half, h.cents, h.c),
+    cells AS (
+      SELECT event_type, decile,
+             sum(CASE WHEN half = 0 THEN c ELSE 0 END) + 1 AS ca,
+             sum(CASE WHEN half = 1 THEN c ELSE 0 END) + 1 AS cb
+      FROM binned GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, sum(ca) AS na, sum(cb) AS nb FROM cells GROUP BY 1)
+    SELECT c.event_type,
+           CAST(max(t.na) AS BIGINT) AS na,
+           CAST(max(t.nb) AS BIGINT) AS nb,
+           CAST(sum((c.ca * 1000000 // t.na - c.cb * 1000000 // t.nb)
+                    * CAST(round(ln((CAST(c.ca AS DOUBLE) * t.nb)
+                                    / (CAST(c.cb AS DOUBLE) * t.na))
+                                 * 1000000) AS BIGINT))
+                // 1000000 AS BIGINT) AS psi_micro
+    FROM cells c JOIN tot t ON t.event_type = c.event_type
+    GROUP BY c.event_type
+    """,
+)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Population Stability Index (the credit-scoring / ML-monitoring
+    # standard, public) between the event_id-parity halves: decile bin
+    # edges come from the REFERENCE half's exact discrete CDF (the
+    # bucket-quantile machinery), both halves' masses land in those 10
+    # bins with +1 Laplace smoothing (PSI's log explodes on empty
+    # cells; smoothing is the documented convention), and
+    # PSI = sum (p_i - q_i) * ln(p_i / q_i) evaluates in frozen integer
+    # micro-units: ppm mass shares x micro-nat frozen logs, one ln per
+    # BIN (bounded), rounded identically in both engines (the KL-drift
+    # recipe).  Next to KS (max CDF gap), MW (rank shift) and KL
+    # (mass ratio), PSI is the binned-share industry readout with its
+    # 0.1/0.25 action thresholds.  Scale shape: ONE combinable
+    # (type, half, cents) count agg; edges, binning and the PSI fold
+    # ride the distinct-value/bin relations (the bin assign joins the
+    # VALUE histogram to 9 broadcast edges, never the raw rows).
+    ev = tbl(spark, sf_dir, "events")
+    v = ev.groupBy(
+        "event_type",
+        (F.col("event_id") % 2).cast("int").alias("half"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    refc = (
+        v.filter(F.col("half") == 0)
+        .groupBy("event_type", "cents")
+        .agg(F.sum("c").alias("c"))
+        .select(
+            "event_type",
+            "cents",
+            "c",
+            F.sum("c")
+            .over(
+                Window.partitionBy("event_type")
+                .orderBy("cents")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("cum"),
+            F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+        )
+    )
+    deciles = tbl(spark, sf_dir, "events").sparkSession.range(1, 10).select(
+        F.col("id").cast("long").alias("d")
+    )
+    edges = (
+        refc.crossJoin(F.broadcast(deciles))
+        .groupBy("event_type", "d")
+        .agg(
+            F.min(
+                F.when(10 * F.col("cum") >= F.col("d") * F.col("n"), F.col("cents"))
+            ).alias("hi")
+        )
+    )
+    binned = (
+        v.join(
+            F.broadcast(edges.withColumnRenamed("event_type", "et")),
+            (F.col("et") == F.col("event_type")) & (F.col("cents") <= F.col("hi")),
+            "left",
+        )
+        .groupBy("event_type", "half", "cents", "c")
+        .agg(F.coalesce(F.min("d"), F.lit(10)).alias("decile"))
+    )
+    cells = binned.groupBy("event_type", "decile").agg(
+        (F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)) + 1).alias("ca"),
+        (F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)) + 1).alias("cb"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    return (
+        cells.join(tot.withColumnRenamed("event_type", "et2"), F.col("et2") == F.col("event_type"))
+        .groupBy("event_type")
+        .agg(
+            F.max("na").cast("long").alias("na"),
+            F.max("nb").cast("long").alias("nb"),
+            F.expr(
+                "cast(sum((ca * 1000000 div na - cb * 1000000 div nb)"
+                " * cast(round(ln((cast(ca as double) * nb)"
+                " / (cast(cb as double) * na)) * 1000000) as bigint))"
+                " div 1000000 as bigint)"
+            ).alias("psi_micro"),
+        )
+    )

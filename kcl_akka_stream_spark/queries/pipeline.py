@@ -7715,3 +7715,76 @@ def multimodal_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_mismatch"),
     )
+
+
+@query(
+    "pipeline_token_apportionment",
+    """
+    WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_micro
+      FROM n),
+    t AS (SELECT sum(w_micro) AS tw FROM w),
+    base AS (
+      SELECT w.lang, w.n_docs, w.w_micro,
+             1000000 * w.w_micro // t.tw AS base_alloc,
+             1000000 * w.w_micro % t.tw AS rem
+      FROM w, t),
+    lv AS (SELECT 1000000 - sum(base_alloc) AS leftover FROM base),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM base)
+    SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.w_micro AS BIGINT) AS w_micro,
+           CAST(r.base_alloc AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN r.rk <= lv.leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(r.base_alloc
+                + CASE WHEN r.rk <= lv.leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS final_alloc
+    FROM ranked r, lv
+    """,
+)
+def pipeline_token_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-budget apportionment by the largest-remainder (Hamilton)
+    # method, public: given a 1M-token budget and temperature weights
+    # (the sqrt shares from pipeline_mixture_temperature), every source
+    # gets floor(B * w / Σw) tokens and the leftover units go to the
+    # largest fractional remainders (deterministic lang tiebreak) -- so
+    # the allocations are INTEGERS that sum EXACTLY to the budget, the
+    # property a training-data mixer needs (probabilistic rounding
+    # drifts; plain flooring under-fills).  All int64: B*w ~ 1e6 * 1e9
+    # stays well inside range for any real source count.  Scale shape:
+    # one combinable lang count; apportionment rides the LANG-sized
+    # relation with broadcast totals and one bounded rank window.
+    docs = tbl(spark, sf_dir, "documents")
+    w = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).select(
+        "lang",
+        "n_docs",
+        F.expr("cast(floor(sqrt(cast(n_docs as double)) * 1000000) as bigint)")
+        .alias("w_micro"),
+    )
+    t = w.agg(F.sum("w_micro").alias("tw"))
+    base = w.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "w_micro",
+        F.expr("1000000 * w_micro div tw").alias("base_alloc"),
+        F.expr("1000000 * w_micro % tw").alias("rem"),
+    )
+    lv = base.agg((F.lit(1_000_000) - F.sum("base_alloc")).alias("leftover"))
+    ranked = base.select(
+        "*", F.row_number().over(Window.orderBy(F.col("rem").desc(), "lang")).alias("rk")
+    )
+    return ranked.crossJoin(F.broadcast(lv)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("w_micro").cast("long").alias("w_micro"),
+        F.col("base_alloc").cast("long").alias("base_alloc"),
+        F.expr("cast(case when rk <= leftover then 1 else 0 end as bigint)").alias("extra"),
+        F.expr(
+            "cast(base_alloc + case when rk <= leftover then 1 else 0 end as bigint)"
+        ).alias("final_alloc"),
+    )

@@ -2300,3 +2300,89 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@query(
+    "stream_topk_merge",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT event_type, event_id, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents DESC, event_id) AS rk
+      FROM v)
+    SELECT event_type, CAST(rk AS BIGINT) AS rk,
+           CAST(event_id AS BIGINT) AS event_id, cents
+    FROM r WHERE rk <= 8
+    """,
+)
+def stream_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SEVENTEENTH mergeable-state streaming family, and the second
+    # NON-additive one (after the OHLC lattice): bounded ORDER-STATISTIC
+    # state.  Each micro-batch folds to its own per-type top-8 events by
+    # value (k rows per type, k-bounded regardless of batch size); the
+    # merge is identity-DEDUP then re-top-k over the UNION of batch
+    # states -- associative, commutative and IDEMPOTENT: a replayed
+    # batch re-offers rows the distinct() absorbs, so at-least-once
+    # delivery changes nothing.  The dedup is the load-bearing half of
+    # the idempotence claim (bare multiset concat + re-top-k would rank
+    # a replayed element twice -- caught by this wave's lattice pytest
+    # while writing it).  Merge == direct is the lattice law
+    # top_k(A ∪ B) = top_k(top_k(A) ∪ top_k(B)) over SET union --
+    # proven over every 2-way split in pytest (the OHLC proof pattern).
+    # The deterministic (cents DESC, event_id) tiebreak makes the state
+    # and the oracle bit-equal.
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    src = tempfile.mkdtemp(prefix="kcl_topk_src_")
+    state_rows = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        wk = Window.partitionBy("event_type").orderBy(
+            F.col("cents").desc(), "event_id"
+        )
+
+        def fold_state(batch_df, epoch_id):
+            st = (
+                batch_df.select(
+                    "event_type",
+                    "event_id",
+                    F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias(
+                        "cents"
+                    ),
+                )
+                .withColumn("rk", F.row_number().over(wk))
+                .filter(F.col("rk") <= 8)
+                .drop("rk")
+            )
+            state_rows.extend(_collect_state(st, "stream_topk_merge"))
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        states = spark.createDataFrame(
+            state_rows, "event_type string, event_id long, cents long"
+        ).distinct()  # identity dedup: absorbs at-least-once batch replays
+        return (
+            states.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= 8)
+            .select(
+                "event_type",
+                F.col("rk").cast("long").alias("rk"),
+                F.col("event_id").cast("long").alias("event_id"),
+                "cents",
+            )
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
