@@ -316,6 +316,11 @@ HEADLINE = [
     "agg_psi_drift",
     "pipeline_token_apportionment",
     "stream_topk_merge",
+    # round-11 wave 34: Markov transitions, posting-list boolean
+    # retrieval, clustering inertia acceptance
+    "w_markov_transitions",
+    "text_boolean_retrieval",
+    "cluster_inertia_report",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -38,9 +38,15 @@ def kmeans_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "cluster_id",
     centroid_vec_col: str = "centroid",
+    keep_distance: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2, ties broken on
-    the lower cluster id).  Centroids broadcast; one agg keyed by vector."""
+    the lower cluster id).  Centroids broadcast; one agg keyed by vector.
+
+    ``keep_distance`` adds the RAW (unrounded) squared distance as ``d2``
+    next to the 6-dp ``dist2`` -- the inertia report freezes it to
+    integer micro-units and needs the exact IEEE value, not the decimal
+    rounding (double-rounding can flip the micro-unit on .5 boundaries)."""
     from kcl_akka_stream_spark.plans.hygiene import spread
 
     c = centroids.select(
@@ -54,11 +60,13 @@ def kmeans_assign(
     best = scored.groupBy(id_col).agg(
         F.min(F.struct(F.col("__d2"), F.col("__cid"))).alias("__best")
     )
-    return best.select(
+    out = best.select(
         id_col,
         F.col("__best.__cid").alias("cluster_id"),
         F.round(F.col("__best.__d2"), 6).alias("dist2"),
+        F.col("__best.__d2").alias("d2"),
     )
+    return out if keep_distance else out.drop("d2")
 
 
 def kmeans_update(

@@ -6039,3 +6039,47 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi_micro"),
         )
     )
+
+
+@query(
+    "w_markov_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    p AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    t AS (
+      SELECT from_type, sum(n) AS row_total FROM p GROUP BY from_type)
+    SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+           CAST(p.n * 1000000 // t.row_total AS BIGINT) AS prob_ppm
+    FROM p JOIN t ON t.from_type = p.from_type
+    """,
+)
+def w_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-order Markov transition matrix over per-user event
+    # sequences -- the behavioral-model baseline (what follows a click?)
+    # and the input to next-event prediction features.  One user-keyed
+    # lead() (the same exchange shape every sequence op here rides),
+    # then the matrix and its row-normalized ppm probabilities live on
+    # the bounded (type x type) relation.  Exact integers end-to-end;
+    # row sums of prob_ppm land in (1e6 - n_cols, 1e6] by flooring
+    # (pinned).
+    ev = tbl(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(wu).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    p = o.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = p.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return p.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("n * 1000000 div row_total").cast("long").alias("prob_ppm"),
+    )

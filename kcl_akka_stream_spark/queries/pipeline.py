@@ -7788,3 +7788,121 @@ def pipeline_token_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(base_alloc + case when rk <= leftover then 1 else 0 end as bigint)"
         ).alias("final_alloc"),
     )
+
+
+@query(
+    "text_boolean_retrieval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(list_contains(t, 'merge') AND list_contains(t, 'sort')
+                  AND NOT list_contains(t, 'dup') AS INT) AS branch_a,
+             CAST(list_contains(t, 'window') AND list_contains(t, 'scan')
+                  AS INT) AS branch_b
+      FROM toks)
+    SELECT doc_id, branch_a, branch_b
+    FROM m WHERE branch_a = 1 OR branch_b = 1
+    """,
+)
+def text_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Boolean retrieval over an inverted index -- the posting-list
+    # algebra every search/dedup-lookup service runs: the query
+    # ("merge" AND "sort" AND NOT "dup") OR ("window" AND "scan")
+    # evaluates as posting-set intersections (left_semi), difference
+    # (left_anti) and union, NEVER a per-doc full-text rescan.  The
+    # postings relation materializes ONLY the five query terms (the
+    # explode filters to the term set map-side, so its size is the
+    # selectivity of the terms, not the corpus token count) -- on
+    # 100 TB this is the index-probe plan, while the oracle's per-doc
+    # list_contains scan is the honest contrast it must equal.
+    docs = tbl(spark, sf_dir, "documents")
+    terms = ("merge", "sort", "dup", "window", "scan")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOK}', 0)")
+            ).alias("t"),
+        )
+        .filter(F.col("t").isin(*terms))
+        .distinct()
+    )
+
+    def posting(term):
+        return postings.filter(F.col("t") == term).select("doc_id")
+
+    branch_a = (
+        posting("merge")
+        .join(posting("sort"), "doc_id", "left_semi")
+        .join(posting("dup"), "doc_id", "left_anti")
+    )
+    branch_b = posting("window").join(posting("scan"), "doc_id", "left_semi")
+    hits = (
+        branch_a.select("doc_id", F.lit(1).alias("ba"))
+        .unionByName(branch_b.select("doc_id", F.lit(0).alias("ba")))
+        .groupBy("doc_id")
+        .agg(F.max("ba").alias("branch_a_hit"), F.count(F.lit(1)).alias("k"))
+    )
+    # branch_b holds iff the doc appeared with ba=0, or with both rows
+    return hits.select(
+        "doc_id",
+        F.col("branch_a_hit").cast("int").alias("branch_a"),
+        F.expr(
+            "cast(k = 2 or branch_a_hit = 0 as int)"
+        ).alias("branch_b"),
+    )
+
+
+def _inertia_oracle(k: int = 8) -> str:
+    d2 = _D2.format(a="v_vec", b="c_vec")
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS c_vec
+      FROM embeddings WHERE vec_id < {k}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v_vec FROM embeddings),
+    scored AS (
+      SELECT vec_id, cluster_id,
+             CAST(round({d2} * 1000000) AS BIGINT) AS d2_micro,
+             row_number() OVER (PARTITION BY vec_id ORDER BY {d2}, cluster_id) AS rn
+      FROM v CROSS JOIN c),
+    assign AS (SELECT vec_id, cluster_id, d2_micro FROM scored WHERE rn = 1)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(d2_micro) AS BIGINT) AS inertia_micro,
+           CAST(sum(d2_micro) // count(*) AS BIGINT) AS mean_d2_micro,
+           CAST(max(d2_micro) AS BIGINT) AS max_d2_micro
+    FROM assign GROUP BY cluster_id
+    """
+
+
+@query("cluster_inertia_report", _inertia_oracle())
+def cluster_inertia_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Clustering-quality acceptance report (the k-means analogue of the
+    # ANN recall contracts): per-cluster member count, total/mean/max
+    # within-cluster squared distance -- the inertia readout that gates
+    # a centroid set before it serves as an IVF index or a SemDeDup
+    # partition.  Distances freeze to integer micro-units per VECTOR
+    # (the d2 doubles are bit-identical cross-engine -- same
+    # left-to-right fold the assign step already relies on -- and the
+    # per-vector round happens before any data-sized summation), so the
+    # aggregate inertia is exact int64 in both engines regardless of
+    # partial-agg order.  Centroids broadcast; one member-keyed agg.
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("long").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = CL.kmeans_assign(emb, centroids, keep_distance=True)
+    d2m = assigned.select(
+        "cluster_id",
+        F.expr("cast(round(d2 * 1000000) as bigint)").alias("d2_micro"),
+    )
+    return d2m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("d2_micro").cast("long").alias("inertia_micro"),
+        F.expr("sum(d2_micro) div count(1)").cast("long").alias("mean_d2_micro"),
+        F.max("d2_micro").cast("long").alias("max_d2_micro"),
+    )
