@@ -321,6 +321,10 @@ HEADLINE = [
     "w_markov_transitions",
     "text_boolean_retrieval",
     "cluster_inertia_report",
+    # round-11 wave 35: cascade accounting, embedding dim QA, user capping
+    "pipeline_dedup_cascade_report",
+    "emb_dim_stats",
+    "sample_user_cap",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -7906,3 +7906,188 @@ def cluster_inertia_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(d2_micro) div count(1)").cast("long").alias("mean_d2_micro"),
         F.max("d2_micro").cast("long").alias("max_d2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave 35: dedup cascade accounting, embedding dimension QA,
+# per-user frequency capping
+# ---------------------------------------------------------------------------
+
+
+def _cascade_oracle(threshold: float = 0.5) -> str:
+    # Stage pairs come from the UNCAPPED minhash-verified oracle over all
+    # docs, then restrict both endpoints to stage-2 survivors -- exact,
+    # because an uncapped band bucket shared by two survivors is shared
+    # regardless of what other docs sit in it.
+    mhv = _minhash_verified_oracle(threshold)
+    return f"""
+    WITH RECURSIVE s1k AS (
+      SELECT md5(text) AS dg, min(doc_id) AS keeper
+      FROM documents GROUP BY md5(text)),
+    s1 AS (SELECT d.doc_id, d.text FROM documents d
+           JOIN s1k ON s1k.keeper = d.doc_id),
+    s2k AS (
+      SELECT md5(lower(substring(text, 1, 16))) AS dg, min(doc_id) AS keeper
+      FROM s1 GROUP BY 1),
+    s2 AS (SELECT s1.doc_id FROM s1 JOIN s2k ON s2k.keeper = s1.doc_id),
+    pairs AS (
+      SELECT p.id_a, p.id_b FROM ({mhv}) p
+      JOIN s2 a ON a.doc_id = p.id_a
+      JOIN s2 b ON b.doc_id = p.id_b),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM s2
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    s3lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
+              FROM reach GROUP BY src),
+    counts AS (
+      SELECT (SELECT count(*) FROM documents) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3lab WHERE doc_id = cluster_id) AS n3)
+    SELECT s.stage, s.n_in, s.n_removed, s.n_in - s.n_removed AS n_out
+    FROM counts, LATERAL (VALUES
+      (CAST(1 AS BIGINT), CAST(n0 AS BIGINT), CAST(n0 - n1 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(n1 AS BIGINT), CAST(n1 - n2 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(n2 AS BIGINT), CAST(n2 - n3 AS BIGINT))
+    ) AS s(stage, n_in, n_removed)
+    """
+
+
+@query("pipeline_dedup_cascade_report", _cascade_oracle())
+def pipeline_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The dedup CASCADE as production runs it -- cheap exact pass, then
+    # prefix blocking, then MinHash+verify+connected-components on what
+    # survives -- with per-stage kill accounting (the report a corpus
+    # card publishes: which stage removes how much, and is the expensive
+    # stage still earning its cost after the cheap ones ran).  Stage
+    # ordering matters for COST, not results: every stage sees only the
+    # prior stage's survivors, so the near-dup stage's candidate volume
+    # is already exact-dup-free.  Spark side reuses the operator
+    # library end-to-end (exact digest keep-min, prefix keep-min,
+    # LSH -> verify -> CC keep-min); the oracle replays the same
+    # cascade with a recursive-CTE closure.  Output: 3 bounded rows.
+    docs = tbl(spark, sf_dir, "documents")
+    n0 = docs.count()
+    s1 = (
+        docs.groupBy(F.md5("text").alias("dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(docs, "doc_id")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)  # feeds stage 2 + the pair filter
+    )
+    n1 = s1.count()
+    s2 = (
+        s1.groupBy(F.md5(F.lower(F.substring("text", 1, 16))).alias("dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n2 = s2.count()
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    cands = D.minhash_candidate_pairs(buckets)
+    verified = D.verify_candidate_jaccard(docs, cands, k=3, threshold=0.5)
+    pairs = (
+        verified.join(s2.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(s2.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
+    labels = D.connected_components(pairs, s2, id_col="doc_id")
+    n3 = labels.filter(F.col("doc_id") == F.col("cluster_id")).count()
+    rows = [
+        (1, n0, n0 - n1, n1),
+        (2, n1, n1 - n2, n2),
+        (3, n2, n2 - n3, n3),
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows, "stage long, n_in long, n_removed long, n_out long"
+    )
+
+
+@query(
+    "emb_dim_stats",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    v AS (
+      SELECT vec_id,
+             unnest([{'dim': i, 'x': CAST(round(emb[i] * 1000000.0)
+                                         AS BIGINT)}
+                     FOR i IN generate_series(1, len(emb))]) AS s
+      FROM e),
+    d AS (SELECT s.dim AS dim, s.x AS x FROM v)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_micro,
+           CAST(min(x) AS BIGINT) AS min_micro,
+           CAST(max(x) AS BIGINT) AS max_micro,
+           CAST(sum(CAST(x = 0 AS INT)) AS BIGINT) AS n_zero
+    FROM d GROUP BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-DIMENSION embedding QA -- the dead-dimension / scale-outlier
+    # screen run before quantization or whitening: a dim whose n_zero
+    # is the corpus (dead output unit), or whose min/max dwarf the
+    # others (scale blow-up), corrupts int8 quantization and distance
+    # geometry.  Values freeze to micro-units per CELL before any
+    # aggregation (exact int64 cross-engine); posexplode keeps the
+    # per-(dim) agg combinable; output is DIM-sized (16 rows).
+    emb = tbl(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.posexplode("embedding").alias("dim0", "xf")
+    ).select(
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.expr("cast(round(cast(xf as double) * 1000000.0) as bigint)").alias("x"),
+    )
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sum_micro"),
+        F.min("x").cast("long").alias("min_micro"),
+        F.max("x").cast("long").alias("max_micro"),
+        F.sum((F.col("x") == 0).cast("int")).cast("long").alias("n_zero"),
+    )
+
+
+@query(
+    "sample_user_cap",
+    """
+    WITH r AS (
+      SELECT event_type, user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY md5('cap:' || event_id), event_id)
+               AS rk
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(rk <= 20 AS INT)) AS BIGINT) AS n_kept,
+           CAST(sum(CAST(rk > 20 AS INT)) AS BIGINT) AS n_dropped,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM r GROUP BY event_type
+    """,
+)
+def sample_user_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic per-user frequency cap (at most 20 events per user,
+    # chosen by seeded-md5 rank, not recency) -- the contribution
+    # bounding every user-generated corpus applies so power users can't
+    # dominate training data, and the preprocessing step that makes the
+    # pseudo-DP noising's sensitivity-1 assumption meaningful.  The
+    # md5 rank makes the KEPT SET reproducible across engines and runs
+    # (recency-based caps drift with late data).  ONE user-keyed
+    # window; the report is a bounded per-type rollup.
+    ev = tbl(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(
+        F.md5(F.concat(F.lit("cap:"), F.col("event_id"))), "event_id"
+    )
+    r = ev.select(
+        "event_type", "user_id", F.row_number().over(wu).alias("rk")
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("rk") <= 20).cast("int")).cast("long").alias("n_kept"),
+        F.sum((F.col("rk") > 20).cast("int")).cast("long").alias("n_dropped"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
