@@ -325,6 +325,9 @@ HEADLINE = [
     "pipeline_dedup_cascade_report",
     "emb_dim_stats",
     "sample_user_cap",
+    # round-11 wave 36: session-interval lattice twin, null-safe join
+    "stream_session_merge",
+    "j_null_safe_eq",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

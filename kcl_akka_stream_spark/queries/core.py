@@ -6083,3 +6083,55 @@ def w_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.expr("n * 1000000 div row_total").cast("long").alias("prob_ppm"),
     )
+
+
+@query(
+    "j_null_safe_eq",
+    """
+    WITH a AS (
+      SELECT event_id, nullif(user_id % 7, 0) AS k FROM events
+      WHERE event_type = 'purchase'),
+    b AS (
+      SELECT event_id, nullif(user_id % 7, 0) AS k FROM events
+      WHERE event_type = 'click')
+    SELECT
+      CAST((SELECT count(*) FROM a JOIN b ON a.k = b.k) AS BIGINT)
+        AS n_plain,
+      CAST((SELECT count(*) FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k)
+        AS BIGINT) AS n_null_safe,
+      CAST((SELECT count(*) FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+            WHERE a.k IS NULL) AS BIGINT) AS n_null_matches
+    """,
+)
+def j_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Null-safe equality join semantics (Spark `<=>` == SQL IS NOT
+    # DISTINCT FROM): plain `=` silently DROPS every NULL-keyed row
+    # from a join -- the classic data-loss bug when a "key" column is
+    # nullable -- while the null-safe operator matches NULL to NULL.
+    # This contract query counts the same join under both operators
+    # plus the NULL-only match volume, so the gap (n_null_safe -
+    # n_plain == n_null_matches) is the audited difference.  Plan note:
+    # Spark executes `<=>` as a hash join (null-safe keys hash like
+    # values); it does NOT fall back to a cartesian.
+    ev = tbl(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"),
+        F.nullif(F.col("user_id") % 7, F.lit(0)).alias("ka"),
+    )
+    b = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("b_id"),
+        F.nullif(F.col("user_id") % 7, F.lit(0)).alias("kb"),
+    )
+    n_plain = a.join(b, F.col("ka") == F.col("kb")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_plain")
+    )
+    ns = a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+    n_null_safe = ns.agg(F.count(F.lit(1)).cast("long").alias("n_null_safe"))
+    n_null_matches = ns.filter(F.col("ka").isNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_null_matches")
+    )
+    return (
+        F.broadcast(n_plain)
+        .crossJoin(F.broadcast(n_null_safe))
+        .crossJoin(F.broadcast(n_null_matches))
+    )

@@ -2386,3 +2386,79 @@ def stream_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _sessionize_oracle() -> str:
+    from kcl_akka_stream_spark.queries.registry import ORACLES
+
+    return ORACLES["w_sessionize"]
+
+
+@query("stream_session_merge", _sessionize_oracle())
+def stream_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The EIGHTEENTH mergeable-state streaming family and the third
+    # non-additive one: SESSION-INTERVAL state (the merge that makes
+    # session windows work in Spark/Flink/Beam, public).  Each
+    # micro-batch sessionizes ITS OWN events (gap 1800 s) and keeps one
+    # (user, start_us, end_us) interval per batch-local session; the
+    # merge is gap-closing interval union -- a closure operator, so
+    # closure(closure(A) ∪ closure(B)) == closure(A ∪ B) and batch
+    # boundaries cannot split or double-count a session even though
+    # maxFilesPerTrigger slices the stream in arbitrary event order.
+    # The endpoint rule equals the event rule: if any earlier event
+    # lies within the gap of a new interval's start, the covering
+    # interval's END does too.  SAME oracle as w_sessionize (per-user
+    # session counts).  State is (user x batch-local sessions)-sized --
+    # the largest state of the 18 families, which is exactly why it
+    # goes through the _collect_state guard.
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.operators.windows import sessionize
+
+    ev = tbl(spark, sf_dir, "events").select("user_id", "ts")
+    src = tempfile.mkdtemp(prefix="kcl_sess_src_")
+    state_rows = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            sess = sessionize(batch_df, "user_id", "ts", 1800)
+            st = sess.groupBy("user_id", "session_id").agg(
+                F.min(F.unix_micros("ts")).alias("s_us"),
+                F.max(F.unix_micros("ts")).alias("e_us"),
+            ).drop("session_id")
+            state_rows.extend(_collect_state(st, "stream_session_merge"))
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        states = spark.createDataFrame(
+            state_rows, "user_id long, s_us long, e_us long"
+        )
+        w = Window.partitionBy("user_id").orderBy("s_us", "e_us")
+        prev_max_e = F.max("e_us").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        merged = states.select(
+            "user_id",
+            F.when(
+                prev_max_e.isNull()
+                | (F.col("s_us") - prev_max_e > 1800 * 1_000_000),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        return merged.groupBy("user_id").agg(
+            F.sum("new_session").cast("long").alias("n_sessions")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
