@@ -328,6 +328,9 @@ HEADLINE = [
     # round-11 wave 36: session-interval lattice twin, null-safe join
     "stream_session_merge",
     "j_null_safe_eq",
+    # round-11 wave 37: BM25 ranking, dedup threshold calibration
+    "text_bm25_topk",
+    "dedup_threshold_sweep",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

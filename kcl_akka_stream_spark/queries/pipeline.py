@@ -8091,3 +8091,158 @@ def sample_user_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("rk") > 20).cast("int")).cast("long").alias("n_dropped"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave 37: BM25 retrieval scoring, dedup threshold calibration
+# ---------------------------------------------------------------------------
+
+
+def _bm25_oracle() -> str:
+    # k1 = 1.2, b = 0.75 (the Robertson defaults); query terms frozen.
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             len(t) AS dl,
+             len(list_filter(t, x -> x = 'merge')) AS tf_merge,
+             len(list_filter(t, x -> x = 'sort')) AS tf_sort,
+             len(list_filter(t, x -> x = 'scan')) AS tf_scan
+      FROM toks),
+    g AS (
+      SELECT count(*) AS n,
+             sum(dl) AS sum_dl,
+             sum(CAST(tf_merge > 0 AS INT)) AS df_merge,
+             sum(CAST(tf_sort > 0 AS INT)) AS df_sort,
+             sum(CAST(tf_scan > 0 AS INT)) AS df_scan
+      FROM d),
+    idf AS (
+      SELECT n, CAST(sum_dl AS DOUBLE) / n AS avgdl,
+             CAST(round(ln((n - df_merge + 0.5) / (df_merge + 0.5) + 1.0)
+                        * 1000000) AS BIGINT) AS idf_merge,
+             CAST(round(ln((n - df_sort + 0.5) / (df_sort + 0.5) + 1.0)
+                        * 1000000) AS BIGINT) AS idf_sort,
+             CAST(round(ln((n - df_scan + 0.5) / (df_scan + 0.5) + 1.0)
+                        * 1000000) AS BIGINT) AS idf_scan
+      FROM g),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(round(
+               idf_merge * (tf_merge * 2.2
+                 / (tf_merge + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+             + idf_sort * (tf_sort * 2.2
+                 / (tf_sort + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+             + idf_scan * (tf_scan * 2.2
+                 / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+             ) AS BIGINT) AS score_micro
+      FROM d, idf)
+    SELECT doc_id, score_micro
+    FROM scored WHERE score_micro > 0
+    ORDER BY score_micro DESC, doc_id LIMIT 20
+    """
+
+
+@query("text_bm25_topk", _bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 ranking (Robertson & Walker 1994, public; k1=1.2, b=0.75)
+    # for the frozen query {merge, sort, scan} -- the retrieval scorer
+    # TF-IDF doesn't cover: per-term saturation (tf/(tf+k1...)) and
+    # doc-length normalization (b*dl/avgdl).  Exactness recipe: tf/dl/df
+    # are exact ints; idf freezes to micro-nats (one ln per TERM, from
+    # identical ints); the per-doc score is ONE shared IEEE expression
+    # with a FIXED three-term addition order, rounded to micro-units
+    # identically in both engines.  Scale shape: tf/dl come from
+    # map-side higher-order array ops (filter/size -- no explode, no
+    # per-token shuffle); the corpus stats are ONE combinable agg
+    # broadcast back; top-20 is TakeOrderedAndProject.
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower(text), '{TOK}', 0)").alias("t"),
+    ).select(
+        "doc_id",
+        F.expr("size(t)").alias("dl"),
+        F.expr("size(filter(t, x -> x = 'merge'))").alias("tf_merge"),
+        F.expr("size(filter(t, x -> x = 'sort'))").alias("tf_sort"),
+        F.expr("size(filter(t, x -> x = 'scan'))").alias("tf_scan"),
+    )
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        F.sum((F.col("tf_merge") > 0).cast("int")).alias("df_merge"),
+        F.sum((F.col("tf_sort") > 0).cast("int")).alias("df_sort"),
+        F.sum((F.col("tf_scan") > 0).cast("int")).alias("df_scan"),
+    ).select(
+        F.col("n"),
+        F.expr("cast(sum_dl as double) / n").alias("avgdl"),
+        F.expr(
+            "cast(round(ln((n - df_merge + 0.5) / (df_merge + 0.5) + 1.0)"
+            " * 1000000) as bigint)"
+        ).alias("idf_merge"),
+        F.expr(
+            "cast(round(ln((n - df_sort + 0.5) / (df_sort + 0.5) + 1.0)"
+            " * 1000000) as bigint)"
+        ).alias("idf_sort"),
+        F.expr(
+            "cast(round(ln((n - df_scan + 0.5) / (df_scan + 0.5) + 1.0)"
+            " * 1000000) as bigint)"
+        ).alias("idf_scan"),
+    )
+    scored = d.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        F.expr(
+            "cast(round("
+            "  idf_merge * (tf_merge * 2.2"
+            "    / (tf_merge + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+            "+ idf_sort * (tf_sort * 2.2"
+            "    / (tf_sort + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+            "+ idf_scan * (tf_scan * 2.2"
+            "    / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+            ") as bigint)"
+        ).alias("score_micro"),
+    )
+    return (
+        scored.filter(F.col("score_micro") > 0)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _threshold_sweep_oracle() -> str:
+    mhv = _minhash_verified_oracle(0.5)
+    return f"""
+    WITH pairs AS (SELECT * FROM ({mhv})),
+    t AS (SELECT unnest([500000, 600000, 700000, 800000, 900000])
+            AS threshold_ppm)
+    SELECT t.threshold_ppm,
+           CAST(count(CASE WHEN p.jaccard * 1000000 >= t.threshold_ppm
+                           THEN 1 END) AS BIGINT) AS n_pairs
+    FROM t LEFT JOIN pairs p ON true
+    GROUP BY t.threshold_ppm
+    """
+
+
+@query("dedup_threshold_sweep", _threshold_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold calibration curve: how many verified near-dup pairs
+    # survive at jaccard >= 0.5 .. 0.9 -- computed from ONE verified
+    # pair relation (verify once, sweep in-memory), the curve a dedup
+    # team reads before committing a threshold (a cliff between 0.6 and
+    # 0.7 means the corpus has a distinct template-dup population).
+    # The sweep is a broadcast 5-row threshold relation joined to the
+    # candidate-bounded pair set -- no re-verification per threshold.
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    cands = D.minhash_candidate_pairs(buckets)
+    pairs = D.verify_candidate_jaccard(docs, cands, k=3, threshold=0.5)
+    th = docs.sparkSession.range(5, 10).select(
+        (F.col("id") * 100_000).cast("long").alias("threshold_ppm")
+    )
+    return (
+        F.broadcast(th)
+        .join(pairs, F.expr("jaccard * 1000000 >= threshold_ppm"), "left")
+        .groupBy("threshold_ppm")
+        .agg(F.count("jaccard").cast("long").alias("n_pairs"))
+    )
