@@ -331,6 +331,8 @@ HEADLINE = [
     # round-11 wave 37: BM25 ranking, dedup threshold calibration
     "text_bm25_topk",
     "dedup_threshold_sweep",
+    # round-11 wave 38: quantile normalization
+    "agg_quantile_normalize",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

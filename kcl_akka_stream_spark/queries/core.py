@@ -6142,3 +6142,132 @@ def j_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_null_safe))
         .crossJoin(F.broadcast(n_null_matches))
     )
+
+
+@query(
+    "agg_quantile_normalize",
+    """
+    WITH vh AS (
+      SELECT event_type,
+             CAST(event_id % 2 AS INT) AS half,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             count(*) AS c
+      FROM events GROUP BY 1, 2, 3),
+    a AS (
+      SELECT event_type, cents, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM vh WHERE half = 0),
+    b AS (
+      SELECT event_type, cents, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM vh WHERE half = 1),
+    u AS (
+      SELECT a.event_type, TRUE AS is_a, cents, 0 AS c,
+             cum * (SELECT max(n) FROM b b2
+                    WHERE b2.event_type = a.event_type) AS r
+      FROM a
+      UNION ALL
+      SELECT b.event_type, FALSE AS is_a, cents, c,
+             cum * (SELECT max(n) FROM a a2
+                    WHERE a2.event_type = b.event_type) AS r
+      FROM b),
+    mapped AS (
+      SELECT event_type, is_a, cents, c,
+             min(CASE WHEN is_a THEN cents END)
+               OVER (PARTITION BY event_type ORDER BY r, is_a
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS mapped_cents
+      FROM u)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_target_values,
+           CAST(sum(c) AS BIGINT) AS n_target_rows,
+           CAST(sum(c * mapped_cents) AS BIGINT) AS sum_mapped_cents,
+           CAST(min(mapped_cents) AS BIGINT) AS min_mapped,
+           CAST(max(mapped_cents) AS BIGINT) AS max_mapped
+    FROM mapped WHERE NOT is_a
+    GROUP BY event_type
+    """,
+)
+def agg_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantile normalization (the batch-effect correction standard from
+    # bioinformatics / feature alignment, public): map every value of
+    # the TARGET half (event_id odd) onto the REFERENCE half's (even)
+    # empirical quantile -- mapped(v) = the smallest reference value
+    # whose CDF reaches v's target-CDF rank.  Exactness: the rank
+    # comparison cross-multiplies (cum_a * nb >= cum_b * na -- no
+    # division), and the mapping evaluates as ONE per-type sorted union
+    # of both CDFs with a forward-looking min window (b-rows sort
+    # before a-rows on rank ties, so an exactly-tied reference value is
+    # visible in its own frame) -- NO value x value join, which would
+    # be quadratic in distinct values.  Output: per-type row/value
+    # counts + weighted mapped-sum checksum (pins the full mapping).
+    # Int64 bound: cum * n <= na * nb, ~3e9 rows per half.
+    ev = tbl(spark, sf_dir, "events")
+    vh = ev.groupBy(
+        "event_type",
+        (F.col("event_id") % 2).cast("int").alias("half"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+
+    def cdf(half):
+        return (
+            vh.filter(F.col("half") == half)
+            .select(
+                "event_type",
+                "cents",
+                "c",
+                F.sum("c").over(wcum).alias("cum"),
+                F.sum("c").over(wall).alias("n"),
+            )
+        )
+
+    a, b = cdf(0), cdf(1)
+    na = a.groupBy("event_type").agg(F.max("n").alias("na"))
+    nb = b.groupBy("event_type").agg(F.max("n").alias("nb"))
+    u = (
+        a.join(F.broadcast(nb), "event_type")
+        .select(
+            "event_type",
+            F.lit(True).alias("is_a"),
+            "cents",
+            F.lit(0).alias("c"),
+            (F.col("cum") * F.col("nb")).alias("r"),
+        )
+        .unionByName(
+            b.join(F.broadcast(na), "event_type").select(
+                "event_type",
+                F.lit(False).alias("is_a"),
+                "cents",
+                "c",
+                (F.col("cum") * F.col("na")).alias("r"),
+            )
+        )
+    )
+    wmap = (
+        Window.partitionBy("event_type")
+        .orderBy("r", "is_a")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    mapped = u.select(
+        "event_type",
+        "is_a",
+        "c",
+        F.min(F.when(F.col("is_a"), F.col("cents"))).over(wmap).alias("mapped_cents"),
+    ).filter(~F.col("is_a"))
+    return mapped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_target_values"),
+        F.sum("c").cast("long").alias("n_target_rows"),
+        F.sum(F.col("c") * F.col("mapped_cents")).cast("long").alias("sum_mapped_cents"),
+        F.min("mapped_cents").cast("long").alias("min_mapped"),
+        F.max("mapped_cents").cast("long").alias("max_mapped"),
+    )

@@ -79,3 +79,52 @@ def test_threshold_sweep_is_monotone_and_anchored(spark, sf_dir):
         threshold=0.5,
     ).count()
     assert rows[500_000] == pairs > 0
+
+
+def test_quantile_normalize_hand_checked(spark):
+    # reference half (even ids): values 10, 20, 30, 40 cents;
+    # target half (odd ids): 100, 200, 300, 400 -- each target value
+    # sits at rank i/4, so it maps EXACTLY onto the reference's i-th
+    # value: 100->10, 200->20, 300->30, 400->40.
+    import kcl_akka_stream_spark.queries.core as C
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = []
+    for i, v in enumerate([10, 20, 30, 40]):
+        rows.append((2 * i, "t", v / 100.0))       # reference (even)
+    for i, v in enumerate([100, 200, 300, 400]):
+        rows.append((2 * i + 1, "t", v / 100.0))   # target (odd)
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    orig = C.tbl
+    C.tbl = lambda s, sfd, name: ev if name == "events" else orig(s, sfd, name)
+    try:
+        r = QUERIES["agg_quantile_normalize"](spark, "unused").collect()[0]
+    finally:
+        C.tbl = orig
+    assert (r.n_target_values, r.n_target_rows) == (4, 4)
+    assert r.sum_mapped_cents == 10 + 20 + 30 + 40
+    assert (r.min_mapped, r.max_mapped) == (10, 40)
+
+
+def test_quantile_normalize_mapped_range_inside_reference(spark, sf_dir):
+    # every mapped value must be drawn from the reference half's value
+    # set -- so the mapped min/max sit inside the reference min/max.
+    import pyspark.sql.functions as F
+
+    from kcl_akka_stream_spark.queries import QUERIES
+    from kcl_akka_stream_spark.sources.batch import load_table
+
+    out = {r.event_type: r for r in QUERIES["agg_quantile_normalize"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    ref = {
+        r.event_type: r
+        for r in ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.min(F.expr("cast(floor(value*100+0.5) as bigint)")).alias("lo"),
+            F.max(F.expr("cast(floor(value*100+0.5) as bigint)")).alias("hi"),
+        )
+        .collect()
+    }
+    for et, r in out.items():
+        assert ref[et].lo <= r.min_mapped <= r.max_mapped <= ref[et].hi
