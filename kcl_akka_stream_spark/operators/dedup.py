@@ -985,15 +985,22 @@ def sorted_neighborhood_pairs(
         F.count(F.lit(1))
         .over(Window.partitionBy("__blk", "__band"))
         .alias("__cnt"),
-        *[F.lead("__id", i).over(wb).alias(f"__n{i}") for i in range(1, w + 1)],
+        # all w successors in ONE array so the pair fan-out is a single
+        # explode consumer of this window -- a per-i filtered-union re-ran
+        # the whole window subtree per branch (16 exchanges, caught by
+        # test_shuffle_budgets when the banded rewrite landed)
+        F.array(
+            *[F.lead("__id", i).over(wb) for i in range(1, w + 1)]
+        ).alias("__ns"),
     )
-    in_band = None
-    for i in range(1, w + 1):
-        p = ranked.filter(F.col(f"__n{i}").isNotNull()).select(
-            F.least("__id", f"__n{i}").alias("id_a"),
-            F.greatest("__id", f"__n{i}").alias("id_b"),
+    in_band = (
+        ranked.select("__id", F.explode("__ns").alias("__n"))
+        .filter(F.col("__n").isNotNull())
+        .select(
+            F.least("__id", "__n").alias("id_a"),
+            F.greatest("__id", "__n").alias("id_b"),
         )
-        in_band = p if in_band is None else in_band.unionByName(p)
+    )
 
     sizes = keyed.groupBy("__blk", "__band").agg(F.count(F.lit(1)).alias("__sz"))
     woff = (
@@ -1022,24 +1029,25 @@ def sorted_neighborhood_pairs(
         "__id",
         "__band",
         "__grank",
-        *[
-            F.lead(F.struct("__id", "__band", "__grank"), i)
-            .over(we)
-            .alias(f"__e{i}")
-            for i in range(1, w + 1)
-        ],
+        F.array(
+            *[
+                F.lead(F.struct("__id", "__band", "__grank"), i).over(we)
+                for i in range(1, w + 1)
+            ]
+        ).alias("__es"),
     )
-    cross = None
-    for i in range(1, w + 1):
-        p = eleads.filter(
-            F.col(f"__e{i}").isNotNull()
-            & (F.col(f"__e{i}.__band") != F.col("__band"))
-            & (F.col(f"__e{i}.__grank") - F.col("__grank") <= w)
-        ).select(
-            F.least("__id", F.col(f"__e{i}.__id")).alias("id_a"),
-            F.greatest("__id", F.col(f"__e{i}.__id")).alias("id_b"),
+    cross = (
+        eleads.select("__id", "__band", "__grank", F.explode("__es").alias("__e"))
+        .filter(
+            F.col("__e").isNotNull()
+            & (F.col("__e.__band") != F.col("__band"))
+            & (F.col("__e.__grank") - F.col("__grank") <= w)
         )
-        cross = p if cross is None else cross.unionByName(p)
+        .select(
+            F.least("__id", F.col("__e.__id")).alias("id_a"),
+            F.greatest("__id", F.col("__e.__id")).alias("id_b"),
+        )
+    )
     return in_band.unionByName(cross).distinct()
 
 

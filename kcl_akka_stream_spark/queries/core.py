@@ -6253,10 +6253,17 @@ def agg_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Forward-looking min == running min over the REVERSED sort.  The
+    # direct form (orderBy asc + rowsBetween(0, unboundedFollowing))
+    # re-aggregates the remaining frame per row in Spark -- O(n^2) per
+    # partition, measured 12.0s vs 0.35s on the sf0.1 distinct-value
+    # relation under full materialization.  Descending order keeps the
+    # tie rule (b before a ascending == a before b descending), so an
+    # exactly-tied reference value is still visible in its own frame.
     wmap = (
         Window.partitionBy("event_type")
-        .orderBy("r", "is_a")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("r").desc(), F.col("is_a").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     mapped = u.select(
         "event_type",

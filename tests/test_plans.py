@@ -238,7 +238,7 @@ def test_shuffle_budgets(spark, sf_dir):
         # round-9 wave 19
         "graph_hits_topk": 0,  # hub/auth tables checkpointed node-sized (edge-base discipline); plan is two TakeOrdered readbacks
         "w_seasonality_profile": 2,  # one combinable (type,dow,hr) agg + share window on the bounded 7x24-per-type profile
-        "w_lag_features": 2,  # combinable daily rollup + ALL range frames ride ONE user exchange
+        "w_lag_features": 3,  # combinable daily rollup + ALL range frames ride ONE user exchange + the r11 deterministic ORDER BY (VERDICT r10 #1a insurance sort on the bounded days relation)
         # round-9 wave 20
         "agg_bucket_quantile_contract": 4,  # two combinable hist aggs (bins + distinct values) + CDF windows riding each + type-keyed contract join (one side broadcast)
         "graph_degree_assortativity": 3,  # edge base checkpointed; degree agg + two broadcast degree attaches + ONE combinable moments agg
@@ -268,7 +268,7 @@ def test_shuffle_budgets(spark, sf_dir):
         # round-10 wave 26
         "agg_hill_tail_index": 2,  # supplier rev agg + supplier-sized rank window; fold touches k rows
         "w_time_since_event": 1,  # ONE user-keyed sort; the conditional last_value rides it (no self-join)
-        "dedup_sorted_neighborhood": 4,  # lang-keyed sort window + lead pairs (map-only) + shingle verify joins
+        "dedup_sorted_neighborhood": 9,  # r11 banded de-skew (VERDICT r10 #4): (lang,band) sort window feeding array-explode pairs + bounded offsets/edge windows + broadcast size rollup + distinct + shingle verify joins; the first banded cut hit 16 via per-lead filtered unions re-running the window subtree -- rewritten to ONE explode consumer per window
         # round-10 wave 27
         # round-10 wave 30
         "text_pmi_collocations": 4,  # pair relation checkpointed once (was 8 re-derived); (a,b) count + 2 word-margin aggs broadcast back; TakeOrdered

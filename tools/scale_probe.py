@@ -2390,3 +2390,69 @@ def md5_vectorization_probe(spark=None, sf_dir: str = "", n: int = 500_000) -> N
         print(f"arrow_build_{name:11s} {n / dt:>12,.0f} rows/s")
     eq = tables["current"].equals(tables["vectorized"]) and tables["current"].equals(tables["hybrid"])
     print(f"# all builders byte-identical: {eq}")
+
+
+def wave31_38_probes(spark, sf_dir: str, repl: int = 10) -> None:
+    """Round-11 probe rows: 10x replication for the wave-31..38 heavy
+    shapes.  Events replicate with shifted event_ids AND user_ids
+    (disjoint id spaces -- user-keyed windows must not widen per user);
+    docs via replicate_docs (injective perturbation).  Expected: ~linear
+    for the combinable aggs and user-keyed windows; the cascade scales
+    with candidate volume (bucketed, df-capped upstream)."""
+    import kcl_akka_stream_spark.queries.core as C
+    import kcl_akka_stream_spark.queries.pipeline as P
+
+    ev1 = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).localCheckpoint()
+    ev_n = reduce(
+        DataFrame.unionByName,
+        [
+            ev1.select(
+                (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+                (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+                "event_type",
+                "ts",
+                "value",
+            )
+            for i in range(repl)
+        ],
+    ).localCheckpoint()
+    docs1 = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    ).localCheckpoint()
+    docs_n = replicate_docs(
+        docs1.select("doc_id", "text"), repl
+    ).join(
+        docs1.select(F.col("doc_id").alias("__base"), "lang"),
+        F.expr("doc_id % 10000000 = __base"),
+    ).select("doc_id", "text", "lang").localCheckpoint()
+
+    orig_c, orig_p = C.tbl, P.tbl
+
+    def run(qname, module, table, frames):
+        from kcl_akka_stream_spark.queries import QUERIES
+
+        times = []
+        for frame in frames:
+            module.tbl = (
+                lambda s, sfd, name, _f=frame, _t=table, _o=(orig_c if module is C else orig_p):
+                _f if name == _t else _o(s, sfd, name)
+            )
+            try:
+                times.append(timed(lambda: QUERIES[qname](spark, sf_dir)))
+            finally:
+                module.tbl = orig_c if module is C else orig_p
+        print(
+            f"{qname:28s} 1x={times[0]:6.2f}s  {repl}x={times[1]:6.2f}s"
+            f"  ratio={times[1] / times[0]:5.2f}"
+        )
+
+    for q in ("agg_mann_whitney", "agg_welch_ttest", "agg_trimmed_mean",
+              "agg_psi_drift", "agg_quantile_normalize", "w_streaks",
+              "w_markov_transitions"):
+        run(q, C, "events", (ev1, ev_n))
+    for q in ("text_readability", "text_bm25_topk",
+              "pipeline_filter_attribution", "dedup_containment_verified",
+              "pipeline_dedup_cascade_report"):
+        run(q, P, "documents", (docs1, docs_n))
