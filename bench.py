@@ -333,6 +333,9 @@ HEADLINE = [
     "dedup_threshold_sweep",
     # round-11 wave 38: quantile normalization
     "agg_quantile_normalize",
+    # round-11 wave 39: Neyman allocation, Jensen-Shannon divergence
+    "sample_neyman_allocation",
+    "text_js_divergence",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -6278,3 +6278,89 @@ def agg_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mapped_cents").cast("long").alias("min_mapped"),
         F.max("mapped_cents").cast("long").alias("max_mapped"),
     )
+
+
+@query(
+    "sample_neyman_allocation",
+    """
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s1,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s2
+      FROM events GROUP BY event_type),
+    w AS (
+      SELECT event_type, n,
+             CAST(floor(n * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                                  * s1 / n) / (n - 1)) ) AS BIGINT) AS w_int
+      FROM m),
+    t AS (SELECT sum(w_int) AS tw FROM w),
+    base AS (
+      SELECT w.event_type, w.n, w.w_int,
+             10000 * w.w_int // t.tw AS base_alloc,
+             10000 * w.w_int % t.tw AS rem
+      FROM w, t),
+    lv AS (SELECT 10000 - sum(base_alloc) AS leftover FROM base),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, event_type) AS rk
+      FROM base)
+    SELECT r.event_type, CAST(r.n AS BIGINT) AS n,
+           CAST(r.w_int AS BIGINT) AS neyman_weight,
+           CAST(r.base_alloc
+                + CASE WHEN r.rk <= lv.leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS sample_alloc
+    FROM ranked r, lv
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Neyman optimal allocation (Neyman 1934, public): distribute a
+    # 10,000-row sample budget across strata proportionally to
+    # N_h * S_h (stratum size x standard deviation) -- the
+    # survey-sampling rule that beats proportional allocation whenever
+    # strata variances differ, and the principled way to budget a
+    # labeling / eval sample over heterogeneous event types.  The
+    # weight freezes floor(n * sd) to int64 (sd via one shared sqrt
+    # from exact integer moments); the integerization reuses the
+    # Hamilton largest-remainder machinery (allocations sum EXACTLY to
+    # the budget, deterministic tiebreak).  ONE combinable moments agg;
+    # everything after rides the strata relation.
+    ev = tbl(spark, sf_dir, "events")
+    x = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    m = ev.select("event_type", x.alias("x")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    w = m.select(
+        "event_type",
+        "n",
+        F.expr(
+            "cast(floor(n * sqrt((cast(s2 as double) - cast(s1 as double)"
+            " * s1 / n) / (n - 1))) as bigint)"
+        ).alias("w_int"),
+    )
+    t = w.agg(F.sum("w_int").alias("tw"))
+    base = w.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n",
+        "w_int",
+        F.expr("10000 * w_int div tw").alias("base_alloc"),
+        F.expr("10000 * w_int % tw").alias("rem"),
+    )
+    lv = base.agg((F.lit(10_000) - F.sum("base_alloc")).alias("leftover"))
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "event_type"))
+        .alias("rk"),
+    )
+    return ranked.crossJoin(F.broadcast(lv)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("w_int").cast("long").alias("neyman_weight"),
+        F.expr(
+            "cast(base_alloc + case when rk <= leftover then 1 else 0 end"
+            " as bigint)"
+        ).alias("sample_alloc"),
+    )

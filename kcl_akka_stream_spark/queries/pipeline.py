@@ -8246,3 +8246,89 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("threshold_ppm")
         .agg(F.count("jaccard").cast("long").alias("n_pairs"))
     )
+
+
+@query(
+    "text_js_divergence",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '{{T}}')) AS t
+      FROM documents WHERE lang IN ('en', 'de')),
+    c AS (SELECT lang, t, count(*) AS c FROM toks GROUP BY 1, 2),
+    p AS (
+      SELECT t,
+             sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ca,
+             sum(CASE WHEN lang = 'de' THEN c ELSE 0 END) AS cb
+      FROM c GROUP BY t),
+    n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM p),
+    terms AS (
+      SELECT
+        CASE WHEN ca > 0 THEN
+          (ca * 1000000 // na)
+          * CAST(round(ln(2.0 * (CAST(ca AS DOUBLE) / na)
+                          / (CAST(ca AS DOUBLE) / na
+                             + CAST(cb AS DOUBLE) / nb)) * 1000000) AS BIGINT)
+        ELSE 0 END AS ta,
+        CASE WHEN cb > 0 THEN
+          (cb * 1000000 // nb)
+          * CAST(round(ln(2.0 * (CAST(cb AS DOUBLE) / nb)
+                          / (CAST(ca AS DOUBLE) / na
+                             + CAST(cb AS DOUBLE) / nb)) * 1000000) AS BIGINT)
+        ELSE 0 END AS tb
+      FROM p, n)
+    SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_vocab,
+           CAST(sum(ta) // 2000000 AS BIGINT) AS kl_a_micro_half,
+           CAST(sum(tb) // 2000000 AS BIGINT) AS kl_b_micro_half,
+           CAST((sum(ta) // 2000000 + sum(tb) // 2000000) AS BIGINT)
+             AS jsd_micronats
+    FROM terms
+    """.replace("{T}", TOK),
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Jensen-Shannon divergence between the en and de unigram
+    # DISTRIBUTIONS (Lin 1991, public) -- the symmetric, always-finite
+    # corpus-comparison metric that reads how differently two slices
+    # USE a shared vocabulary, where text_lang_vocab_jaccard only reads
+    # which words exist.  JSD = (KL(P||M) + KL(Q||M)) / 2 with
+    # M = (P+Q)/2; zero-count terms contribute 0 to their own KL (the
+    # 0*log0 convention), so no smoothing is needed and the value is
+    # bounded by ln 2.  Frozen-integer recipe: ppm masses x micro-nat
+    # frozen logs (one ln per VOCAB term, bounded relation), halves by
+    # integer division.  ONE combinable (lang, term) count agg;
+    # everything after rides the vocabulary.
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "de"))
+    toks = docs.select(
+        "lang",
+        F.explode(F.expr(f"regexp_extract_all(lower(text), '{TOK}', 0)")).alias("t"),
+    )
+    p = toks.groupBy("t").agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("ca"),
+        F.sum((F.col("lang") == "de").cast("long")).alias("cb"),
+    )
+    n = p.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    terms = p.crossJoin(F.broadcast(n)).select(
+        F.expr(
+            "CASE WHEN ca > 0 THEN (ca * 1000000 div na)"
+            " * cast(round(ln(2.0 * (cast(ca as double) / na)"
+            " / (cast(ca as double) / na + cast(cb as double) / nb))"
+            " * 1000000) as bigint) ELSE 0 END"
+        ).alias("ta"),
+        F.expr(
+            "CASE WHEN cb > 0 THEN (cb * 1000000 div nb)"
+            " * cast(round(ln(2.0 * (cast(cb as double) / nb)"
+            " / (cast(ca as double) / na + cast(cb as double) / nb))"
+            " * 1000000) as bigint) ELSE 0 END"
+        ).alias("tb"),
+    )
+    nv = p.agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    return (
+        terms.agg(
+            F.expr("cast(sum(ta) div 2000000 as bigint)").alias("kl_a_micro_half"),
+            F.expr("cast(sum(tb) div 2000000 as bigint)").alias("kl_b_micro_half"),
+            F.expr(
+                "cast(sum(ta) div 2000000 + sum(tb) div 2000000 as bigint)"
+            ).alias("jsd_micronats"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select("n_vocab", "kl_a_micro_half", "kl_b_micro_half", "jsd_micronats")
+    )
