@@ -336,6 +336,10 @@ HEADLINE = [
     # round-11 wave 39: Neyman allocation, Jensen-Shannon divergence
     "sample_neyman_allocation",
     "text_js_divergence",
+    # round-11 wave 40: LSH band sweep, modularity acceptance, Simpson
+    "dedup_band_config_sweep",
+    "graph_modularity_report",
+    "agg_simpson_diversity",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -6364,3 +6364,62 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("sample_alloc"),
     )
+
+
+@query(
+    "agg_simpson_diversity",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type,
+             sum(c) AS n,
+             count(*) AS n_users,
+             sum(c * (c - 1)) AS coll
+      FROM c GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(floor(CAST(coll AS DOUBLE) * 1000000.0
+                      / (CAST(n AS DOUBLE) * (n - 1))) AS BIGINT)
+             AS simpson_ppm,
+           CAST(1000000 - floor(CAST(coll AS DOUBLE) * 1000000.0
+                                / (CAST(n AS DOUBLE) * (n - 1))) AS BIGINT)
+             AS diversity_ppm
+    FROM g
+    """,
+)
+def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Simpson concentration / Gini-Simpson diversity per event type
+    # (Simpson 1949, public): the EXACT probability that two randomly
+    # drawn events (without replacement) come from the SAME user --
+    # sum c_i(c_i-1) / (n(n-1)), pure int64, no logs at all, which is
+    # what distinguishes it from the Shannon entropy report (frozen-ln)
+    # next door: Simpson weights dominant users quadratically, so it is
+    # the sharper bot/power-user concentration alarm.  The ppm scaling
+    # is ONE shared IEEE double multiply+divide+floor (the gini/ks
+    # pattern -- an int64 *1e6 would silently overflow past ~3e6 events
+    # per type, the exact headroom bug ADVICE r10 caught in agg_ks_drift);
+    # the exact part (coll <= n^2) holds to ~3e9 events per type.  ONE
+    # combinable (type, user) count agg; the fold rides the user relation.
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    g = c.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.expr(
+            "cast(floor(cast(coll as double) * 1000000.0"
+            " / (cast(n as double) * (n - 1))) as bigint)"
+        ).alias("simpson_ppm"),
+        F.expr(
+            "cast(1000000 - floor(cast(coll as double) * 1000000.0"
+            " / (cast(n as double) * (n - 1))) as bigint)"
+        ).alias("diversity_ppm"),
+    )

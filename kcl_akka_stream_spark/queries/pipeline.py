@@ -8332,3 +8332,158 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nv))
         .select("n_vocab", "kl_a_micro_half", "kl_b_micro_half", "jsd_micronats")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave 40: LSH band-config sweep, modularity acceptance
+# ---------------------------------------------------------------------------
+
+
+def _band_sweep_oracle() -> str:
+    parts = []
+    for bands in (8, 4, 2):
+        mh = _minhash_oracle(num_hashes=8, bands=bands)
+        parts.append(
+            f"SELECT {bands} AS bands, {8 // bands} AS rows_per_band,"
+            f" CAST(count(*) AS BIGINT) AS n_candidate_pairs"
+            f" FROM ({mh})"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dedup_band_config_sweep", _band_sweep_oracle())
+def dedup_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH band-configuration tuning table (the S-curve knob from Broder/
+    # Indyk-Motwani LSH theory, public): the SAME 8 min-hashes bucketed
+    # as 8x1 / 4x2 / 2x4 bands -- more rows per band sharpens the
+    # candidate threshold (P(cand) = 1-(1-s^r)^b), so the pair counts
+    # fall monotonically.  This is the table a dedup team reads next to
+    # dedup_threshold_sweep: config picks the RECALL/COST point,
+    # threshold picks the verify cut.  Signatures compute ONCE per
+    # config from the same two md5s (shared scan; the banding is the
+    # only difference); candidate generation stays bucket-bounded.
+    docs = tbl(spark, sf_dir, "documents")
+    out = None
+    for bands in (8, 4, 2):
+        buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=bands, k=3)
+        cands = D.minhash_candidate_pairs(buckets)
+        row = cands.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+        ).select(
+            F.lit(bands).cast("int").alias("bands"),
+            F.lit(8 // bands).cast("int").alias("rows_per_band"),
+            "n_candidate_pairs",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _modularity_oracle() -> str:
+    # Reuse the LPA oracle's unrolled two rounds, then Newman modularity
+    # over the final labels on the same mirrored weighted edge relation.
+    return """
+    WITH p AS (
+      SELECT CAST(o_custkey AS BIGINT) AS src,
+             CAST(l_suppkey + 1099511627776 AS BIGINT) AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst, w FROM p
+          UNION ALL SELECT dst AS src, src AS dst, w FROM p),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+    l1 AS (
+      SELECT dst AS node, label FROM (
+        SELECT e.dst, l.label, sum(e.w) AS votes,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY sum(e.w) DESC, l.label) AS rn
+        FROM e JOIN l0 l ON l.node = e.src
+        GROUP BY e.dst, l.label)
+      WHERE rn = 1),
+    l2 AS (
+      SELECT dst AS node, label FROM (
+        SELECT e.dst, l.label, sum(e.w) AS votes,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY sum(e.w) DESC, l.label) AS rn
+        FROM e JOIN l1 l ON l.node = e.src
+        GROUP BY e.dst, l.label)
+      WHERE rn = 1),
+    tot AS (SELECT sum(w) AS w2 FROM e),
+    intra AS (
+      SELECT ls.label, sum(e.w) AS intra2
+      FROM e JOIN l2 ls ON ls.node = e.src
+             JOIN l2 ld ON ld.node = e.dst AND ld.label = ls.label
+      GROUP BY ls.label),
+    deg AS (
+      SELECT l2.label, sum(e.w) AS d
+      FROM e JOIN l2 ON l2.node = e.src
+      GROUP BY l2.label),
+    terms AS (
+      SELECT deg.label,
+             CAST(round((CAST(coalesce(intra.intra2, 0) AS DOUBLE) * tot.w2
+                         - CAST(deg.d AS DOUBLE) * deg.d)
+                        / (CAST(tot.w2 AS DOUBLE) * tot.w2)
+                        * 1000000) AS BIGINT) AS t_micro
+      FROM deg LEFT JOIN intra ON intra.label = deg.label, tot)
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST((SELECT max(w2) FROM tot) / 2 AS BIGINT) AS total_weight,
+           CAST(sum(t_micro) AS BIGINT) AS q_modularity_micro
+    FROM terms
+    """
+
+
+@query("graph_modularity_report", _modularity_oracle())
+def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newman modularity (Newman & Girvan 2004, public) of the LPA
+    # communities -- the community-quality ACCEPTANCE contract, the
+    # graph analogue of cluster_inertia_report and the ANN recall gates:
+    # Q near 0 means the partition is no better than random (don't ship
+    # those communities into features), Q > ~0.3 means real structure.
+    # Q = sum_c [intra_c/m - (deg_c/2m)^2] evaluates per community as
+    # ONE shared double expression from exact int64 edge weights,
+    # frozen to micro BEFORE the community sum (order-independent).
+    # Scale shape: labels from the operator (2 rounds, shuffled-attach
+    # default posture); intra/deg are two label-keyed joins + combinable
+    # sums; terms ride the COMMUNITY-sized relation.
+    from kcl_akka_stream_spark.operators.graph import label_propagation
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + _GRAPH_OFF).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    e = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)  # feeds labels + intra + deg + total
+    labels = label_propagation(e, iterations=2, broadcast_scores=True)
+    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    ej = e.join(ls, "src").join(ld, "dst")
+    intra = (
+        ej.filter(F.col("lsrc") == F.col("ldst"))
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(F.sum("w").alias("intra2"))
+    )
+    deg = ej.groupBy(F.col("lsrc").alias("label")).agg(F.sum("w").alias("d"))
+    tot = e.agg(F.sum("w").alias("w2"))
+    terms = (
+        deg.join(intra, "label", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "cast(round((cast(coalesce(intra2, 0) as double) * w2"
+                " - cast(d as double) * d)"
+                " / (cast(w2 as double) * w2) * 1000000) as bigint)"
+            ).alias("t_micro"),
+            "w2",
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.expr("cast(max(w2) / 2 as bigint)").alias("total_weight"),
+        F.sum("t_micro").cast("long").alias("q_modularity_micro"),
+    )
