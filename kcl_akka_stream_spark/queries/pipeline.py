@@ -7829,6 +7829,11 @@ def text_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("t").isin(*terms))
         .distinct()
+        # materialized ONCE: five posting() consumers would otherwise
+        # replay the corpus explode per term (5 scans + 5 Generate
+        # seams, flagged by the r9 spread tripwire); the postings
+        # relation is term-selectivity-sized, the textbook thing to pin
+        .localCheckpoint(eager=True)
     )
 
     def posting(term):
@@ -8304,7 +8309,7 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = toks.groupBy("t").agg(
         F.sum((F.col("lang") == "en").cast("long")).alias("ca"),
         F.sum((F.col("lang") == "de").cast("long")).alias("cb"),
-    )
+    ).localCheckpoint(eager=True)  # vocab-bounded; 3 consumers (terms, totals, n_vocab) -- one corpus explode instead of three
     n = p.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     terms = p.crossJoin(F.broadcast(n)).select(
         F.expr(
