@@ -8464,7 +8464,9 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = p.unionByName(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     ).localCheckpoint(eager=True)  # feeds labels + intra + deg + total
-    labels = label_propagation(e, iterations=2, broadcast_scores=True)
+    labels = label_propagation(
+        e, iterations=2, broadcast_scores=True
+    ).localCheckpoint(eager=True)  # node-sized; 2 consumers (src+dst attach)
     ls = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
     ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
     ej = e.join(ls, "src").join(ld, "dst")
