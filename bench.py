@@ -340,6 +340,10 @@ HEADLINE = [
     "dedup_band_config_sweep",
     "graph_modularity_report",
     "agg_simpson_diversity",
+    # round-11 wave 41: Bloom FPR acceptance, edit scalars, outage gaps
+    "dedup_bloom_fpr_report",
+    "scalar_edit_funcs",
+    "w_max_silence",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -6423,3 +6423,98 @@ def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (cast(n as double) * (n - 1))) as bigint)"
         ).alias("diversity_ppm"),
     )
+
+
+@query(
+    "scalar_edit_funcs",
+    """
+    WITH d AS (
+      SELECT lang,
+             substring(text, 1, 12) AS head
+      FROM documents),
+    m AS (
+      SELECT lang,
+             levenshtein(head, reverse(head)) AS lev_rev,
+             levenshtein(head, translate(head, 'aeiou', 'AEIOU')) AS lev_tr,
+             length(lpad(head, 20, '.')) + length(rpad(head, 24, '-'))
+               AS pad_len,
+             length(repeat(head, 2)) AS rep_len
+      FROM d)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(lev_rev) AS BIGINT) AS sum_lev_reverse,
+           CAST(sum(lev_tr) AS BIGINT) AS sum_lev_translate,
+           CAST(sum(pad_len) AS BIGINT) AS sum_pad_len,
+           CAST(sum(rep_len) AS BIGINT) AS sum_repeat_len
+    FROM m GROUP BY lang
+    """,
+)
+def scalar_edit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # String edit / construction scalar family (§2.8 widening):
+    # levenshtein (the fuzzy-match primitive dedup_edit_verified builds
+    # on), reverse, translate, lpad/rpad, repeat -- each exercised
+    # through a per-doc computation whose per-lang integer checksums
+    # pin BOTH engines' semantics (a levenshtein off-by-one or a pad
+    # that truncates differently flips the sums).  The 12-char head
+    # keeps levenshtein's O(len^2) bounded per row.  Map-only + ONE
+    # combinable lang agg.
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select("lang", F.expr("substring(text, 1, 12)").alias("head"))
+    m = d.select(
+        "lang",
+        F.expr("levenshtein(head, reverse(head))").alias("lev_rev"),
+        F.expr("levenshtein(head, translate(head, 'aeiou', 'AEIOU'))").alias("lev_tr"),
+        F.expr("length(lpad(head, 20, '.')) + length(rpad(head, 24, '-'))").alias("pad_len"),
+        F.expr("length(repeat(head, 2))").alias("rep_len"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("lev_rev").cast("long").alias("sum_lev_reverse"),
+        F.sum("lev_tr").cast("long").alias("sum_lev_translate"),
+        F.sum("pad_len").cast("long").alias("sum_pad_len"),
+        F.sum("rep_len").cast("long").alias("sum_repeat_len"),
+    )
+
+
+@query(
+    "w_max_silence",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(gap_us) AS BIGINT) AS span_us,
+           CAST(max(gap_us) * 1000000 // sum(gap_us) AS BIGINT)
+             AS max_gap_share_ppm
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def w_max_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Longest silent gap per event type -- the pipeline-outage detector
+    # a streaming SLO dashboard alarms on: a max inter-arrival gap far
+    # above its typical share of the total span means the source went
+    # quiet (upstream outage, resharding stall).  ONE type-keyed sort;
+    # the gap fold is combinable; sum(gap) telescopes to last-first so
+    # the share is scale-free.  Exact integer microseconds; int64 ppm
+    # headroom: max_gap * 1e6 is safe below ~292k YEARS of span.
+    ev = tbl(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wt)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.sum("gap_us").cast("long").alias("span_us"),
+        F.expr("max(gap_us) * 1000000 div sum(gap_us)")
+        .cast("long")
+        .alias("max_gap_share_ppm"),
+    )

@@ -8494,3 +8494,80 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(max(w2) / 2 as bigint)").alias("total_weight"),
         F.sum("t_micro").cast("long").alias("q_modularity_micro"),
     )
+
+
+def _bloom_fpr_oracle() -> str:
+    inner = _bloom_dedup_oracle()
+    return f"""
+    WITH r AS (SELECT * FROM ({inner})),
+    hist AS (SELECT count(DISTINCT md5(text)) AS n_hist FROM documents
+             WHERE doc_id % 3 != 0),
+    g AS (
+      SELECT count(*) AS n_incoming,
+             sum(bloom_candidate) AS n_candidates,
+             sum(is_known) AS n_known,
+             sum(CASE WHEN bloom_candidate = 1 AND is_known = 0
+                      THEN 1 ELSE 0 END) AS n_false_pos
+      FROM r)
+    SELECT CAST(g.n_incoming AS BIGINT) AS n_incoming,
+           CAST(g.n_candidates AS BIGINT) AS n_candidates,
+           CAST(g.n_known AS BIGINT) AS n_known,
+           CAST(g.n_false_pos AS BIGINT) AS n_false_pos,
+           CAST(floor(CAST(g.n_false_pos AS DOUBLE) * 1000000
+                      / (g.n_incoming - g.n_known)) AS BIGINT)
+             AS fpr_measured_ppm,
+           CAST(round(pow(1.0 - exp(-{_BLOOM_K}.0 * h.n_hist / {_BLOOM_M}),
+                          {_BLOOM_K}) * 1000000) AS BIGINT)
+             AS fpr_theory_ppm
+    FROM g, hist h
+    """
+
+
+@query("dedup_bloom_fpr_report", _bloom_fpr_oracle())
+def dedup_bloom_fpr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom-filter acceptance contract (the sketch-family pattern: KMV,
+    # CMS and the recall reports all carry one): measured false-positive
+    # rate of the SAME m=1024/k=3 filter pipeline_bloom_dedup ships,
+    # next to the textbook prediction (1 - e^(-kn/m))^k from the exact
+    # history cardinality -- a broken position hash or a mis-sized m
+    # turns the comparison red in both engines.  Measured FPR divides
+    # false positives by the TRUE-NEGATIVE opportunity set
+    # (incoming - known), the quantity the formula predicts.  All
+    # counts exact ints; both rates are single shared IEEE expressions.
+    from kcl_akka_stream_spark.operators.dedup import bloom_prune_known
+
+    docs = tbl(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.md5("text").alias("digest")
+    )
+    flagged = bloom_prune_known(
+        incoming, existing, m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+    )
+    g = flagged.agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum("bloom_candidate").alias("n_candidates"),
+        F.sum("is_known").alias("n_known"),
+        F.sum(
+            ((F.col("bloom_candidate") == 1) & (F.col("is_known") == 0)).cast("int")
+        ).alias("n_false_pos"),
+    )
+    hist = existing.agg(F.count(F.lit(1)).alias("n_hist"))
+    return g.crossJoin(F.broadcast(hist)).select(
+        F.col("n_incoming").cast("long").alias("n_incoming"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_known").cast("long").alias("n_known"),
+        F.col("n_false_pos").cast("long").alias("n_false_pos"),
+        F.expr(
+            "cast(floor(cast(n_false_pos as double) * 1000000"
+            " / (n_incoming - n_known)) as bigint)"
+        ).alias("fpr_measured_ppm"),
+        F.expr(
+            f"cast(round(pow(1.0 - exp(-{_BLOOM_K}.0 * n_hist / {_BLOOM_M}),"
+            f" {_BLOOM_K}) * 1000000) as bigint)"
+        ).alias("fpr_theory_ppm"),
+    )
