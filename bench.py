@@ -344,6 +344,9 @@ HEADLINE = [
     "dedup_bloom_fpr_report",
     "scalar_edit_funcs",
     "w_max_silence",
+    # round-11 wave 42: hourly volume anomaly, Zipf slope fit
+    "w_volume_anomaly",
+    "text_zipf_slope",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -6518,3 +6518,92 @@ def w_max_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_gap_share_ppm"),
     )
+
+
+@query(
+    "w_volume_anomaly",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c, hr) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM h),
+    med AS (
+      SELECT event_type, min(CASE WHEN 2 * rn >= n + 1 THEN c END) AS med
+      FROM r GROUP BY event_type),
+    d AS (
+      SELECT h.event_type, h.c, abs(h.c - m.med) AS dev, m.med
+      FROM h JOIN med m ON m.event_type = h.event_type),
+    dr AS (
+      SELECT event_type, med, c, dev,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev, c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
+    mad AS (
+      SELECT event_type, min(CASE WHEN 2 * rn >= n + 1 THEN dev END) AS mad
+      FROM dr GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(max(d.med) AS BIGINT) AS median_hourly,
+           CAST(max(mad.mad) AS BIGINT) AS mad_hourly,
+           CAST(sum(CAST(d.dev > 3 * mad.mad AS INT)) AS BIGINT)
+             AS n_anomalous_hours,
+           CAST(max(d.c) AS BIGINT) AS max_hourly
+    FROM d JOIN mad ON mad.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+)
+def w_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hourly-volume anomaly screen per event type -- the robust
+    # (median/MAD) version of the ops dashboard's volume alarm: hours
+    # whose event count deviates from the per-type median by more than
+    # 3 MADs (exact integer lower-medians via the rank pick, the same
+    # machinery as agg_mad_outliers but over the TIME axis instead of
+    # the value axis -- traffic spikes/drops, not price outliers).
+    # ONE combinable (type, hour) count; medians/deviations ride the
+    # bounded hourly relation.  MAD = 0 (flat traffic) makes ANY
+    # deviation anomalous -- the strictest, still deterministic, rule.
+    ev = tbl(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("event_type").orderBy("c", "hr")
+    wn = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("rn") >= F.col("n") + 1, F.col("c"))).alias("med")
+    )
+    d = h.join(F.broadcast(med), "event_type").select(
+        "event_type", "c", "med", F.abs(F.col("c") - F.col("med")).alias("dev")
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "c")
+    dr = d.select(
+        "event_type",
+        "dev",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = dr.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("rn") >= F.col("n") + 1, F.col("dev"))).alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.max("med").cast("long").alias("median_hourly"),
+            F.max("mad").cast("long").alias("mad_hourly"),
+            F.sum((F.col("dev") > 3 * F.col("mad")).cast("int"))
+            .cast("long")
+            .alias("n_anomalous_hours"),
+            F.max("c").cast("long").alias("max_hourly"),
+        )
+    )

@@ -8571,3 +8571,81 @@ def dedup_bloom_fpr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" {_BLOOM_K}) * 1000000) as bigint)"
         ).alias("fpr_theory_ppm"),
     )
+
+
+@query(
+    "text_zipf_slope",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '{TOK}')) AS t
+      FROM documents),
+    tc AS (SELECT lang, t, count(*) AS c FROM toks GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, t) AS rn
+      FROM tc),
+    xy AS (
+      SELECT lang,
+             CAST(round(ln(CAST(rn AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE rn <= 100),
+    m AS (
+      SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy GROUP BY lang)
+    SELECT lang, CAST(n AS BIGINT) AS n_terms,
+           CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * 1000000) AS BIGINT) AS zipf_slope_micro
+    FROM m
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zipf-law slope fit per language (Zipf 1949, public): OLS of
+    # log(count) on log(rank) over the top-100 terms -- natural text
+    # sits near slope -1, and a slope far from it flags synthetic /
+    # templated / tokenizer-mismatched corpora; this completes the
+    # text_vocab_stats card (which reports the head MASS but not the
+    # decay EXPONENT).  Frozen-integer recipe: x/y freeze to micro-nat
+    # logs per (rank, count) pair (bounded: 100 per lang), the OLS
+    # moments are exact int64 (|xy| <= (ln 1e9 * 1e6)^2 * 100 ~ 4e17),
+    # and the slope is ONE shared IEEE expression rounded to micro.
+    # One data-sized (lang, term) count; everything after rides the
+    # vocab / top-100 relations.
+    docs = tbl(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOK}', 0)")
+            ).alias("t"),
+        )
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy("lang").orderBy(F.col("c").desc(), "t")
+    xy = (
+        tc.select("lang", "c", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") <= 100)
+        .select(
+            "lang",
+            F.expr("cast(round(ln(cast(rn as double)) * 1000000) as bigint)").alias("x"),
+            F.expr("cast(round(ln(cast(c as double)) * 1000000) as bigint)").alias("y"),
+        )
+    )
+    m = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        "lang",
+        F.col("n").cast("long").alias("n_terms"),
+        F.expr(
+            "cast(round((cast(n as double) * sxy - cast(sx as double) * sy)"
+            " / (cast(n as double) * sxx - cast(sx as double) * sx)"
+            " * 1000000) as bigint)"
+        ).alias("zipf_slope_micro"),
+    )

@@ -95,3 +95,63 @@ def test_max_silence_hand_checked(spark):
         C.tbl = orig
     assert (r.n_gaps, r.max_gap_us, r.span_us) == (3, 100_000_000, 120_000_000)
     assert r.max_gap_share_ppm == 100_000_000 * 1_000_000 // 120_000_000
+
+
+def test_volume_anomaly_hand_checked(spark):
+    # hourly counts [10,10,10,10,100]: median 10, deviations
+    # [0,0,0,0,90], MAD 0 -> the 100-hour is anomalous (dev > 0).
+    import datetime
+
+    import kcl_akka_stream_spark.queries.core as C
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(5):
+        n = 100 if h == 4 else 10
+        for _ in range(n):
+            rows.append((eid, "t", 1.0, t0 + datetime.timedelta(hours=h, seconds=eid % 60)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts timestamp"
+    )
+    orig = C.tbl
+    C.tbl = lambda s, sfd, name: ev if name == "events" else orig(s, sfd, name)
+    try:
+        r = QUERIES["w_volume_anomaly"](spark, "unused").collect()[0]
+    finally:
+        C.tbl = orig
+    assert (r.n_hours, r.median_hourly, r.mad_hourly) == (5, 10, 0)
+    assert (r.n_anomalous_hours, r.max_hourly) == (1, 100)
+
+
+def test_zipf_slope_recovers_exact_power_law(spark):
+    # synthetic exact Zipf corpus: term_i appears floor(1200 / i) times
+    # for i = 1..100 -> slope must recover ~ -1 (within integer-rounding
+    # slack of the frozen logs + floored counts).
+    import kcl_akka_stream_spark.queries.pipeline as P
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    text = []
+    for i in range(1, 101):
+        text.extend([f"term{i:03d}"] * (1200 // i))
+    docs = spark.createDataFrame(
+        [(1, "en", " ".join(text))], "doc_id long, lang string, text string"
+    )
+    orig = P.tbl
+    P.tbl = lambda s, sfd, name: docs if name == "documents" else orig(s, sfd, name)
+    try:
+        r = QUERIES["text_zipf_slope"](spark, "unused").collect()[0]
+    finally:
+        P.tbl = orig
+    assert r.n_terms == 100
+    assert -1_050_000 < r.zipf_slope_micro < -950_000  # ~ -1.0
+
+
+def test_zipf_slope_fixture_is_negative(spark, sf_dir):
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    for r in QUERIES["text_zipf_slope"](spark, sf_dir).collect():
+        assert r.zipf_slope_micro < 0  # counts decay with rank, always
+        assert r.n_terms > 10

@@ -64,6 +64,7 @@ SPREAD_AUDIT_ALLOW = {
     "udtf_token_runs": "spread 1.56x (run-length UDTF cheap at fixture doc counts)",
     # round 11:
     "dedup_bloom_fpr_report": "spread 1.07x measured at sf0.1 (1.17s -> 1.25s): the k-position explode reads the 5k-doc incoming slice; exchange overhead ~= the serialized explode at this cardinality (history bits broadcast either way)",
+    "text_zipf_slope": "spread 1.24x measured at sf0.1 (0.55s -> 0.69s): same token-explode seam as text_vocab_stats (allowlisted 1.5x) -- the (lang, term) agg combines map-side",
     "emb_dim_stats": "spread 2.42x measured at sf0.1 (0.48s -> 1.16s): the posexplode reads the 20k-row embeddings relation; an exchange + 32-task stage costs more than the serialized dim explode",
 }
 
