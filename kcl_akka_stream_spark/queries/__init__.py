@@ -22,69 +22,66 @@ from kcl_akka_stream_spark.queries import streaming_q  # noqa: E402,F401
 #: Samplers that take the first N registry entries (the driver's
 #: correctness gate records 50) must see a REPRESENTATIVE slice, not just
 #: whichever module imported first.  The sample ROTATES each round
-#: (VERDICT r5 #2 .. r10 #2).  Round-11 rebuild: flagship + w_lag_features
-#: (KEPT from r10 -- the driver hash-red row; its oracle's uncast-HUGEINT
-#: rev_cents is fixed this round and the driver must re-sample it green,
-#: VERDICT r10 #1c) + ALL 28 round-10 names never driver-sampled (waves
-#: 24-30, promised by this file's own r10 comment) + w_topk_per_group
-#: (the promised fill leader, last sampled r4) + 19 fill from the oldest
+#: (VERDICT r5 #2 .. r11 #1).  Round-12 rebuild: flagship + ALL 34
+#: round-11 names never driver-sampled (waves 31-42, promised by this
+#: file's own r11 comment and VERDICT r11 #1) + 15 fill from the oldest
 #: remaining cohort (last sampled r5, alphabetical) = exactly 50.  New
-#: round-11 queries append AFTER this block and rotate into the r12
+#: round-12 queries append AFTER this block and rotate into the r13
 #: sample; each is judge-gated via tools/check_correctness.py the session
 #: it lands.
 _PRIORITY = [
     "q1_pricing_summary",
-    "w_lag_features",  # r10 driver-red, fixed: re-sample is the done-bar
-    # -- the 28 round-10 names never driver-sampled (waves 24-30) --
-    "agg_ks_drift",
-    "agg_gini_concentration",
-    "w_cusum_changepoint",
-    "agg_entropy_profile",
-    "agg_mutual_information",
-    "agg_chi_square_independence",
-    "agg_hill_tail_index",
-    "w_time_since_event",
-    "scalar_try_funcs",
-    "w_ohlc_bars",
-    "agg_ols_residual_outliers",
-    "agg_autocorr_lag1",
-    "w_seasonal_decompose",
-    "sim_mips_topk",
-    "pipeline_tokens_per_byte",
-    "text_charset_profile",
-    "dedup_prefix_digest",
-    "text_lang_vocab_jaccard",
-    "sim_rrf_fusion",
-    "sim_ndcg_eval",
-    "graph_reciprocity",
-    "dedup_sorted_neighborhood",
-    "sim_lsh_recall_report",
-    "text_pmi_collocations",
-    "stream_ks_merge",
-    "stream_entropy_merge",
-    "stream_mi_merge",
-    "stream_ohlc_merge",
-    # -- rotation fill: w_topk_per_group (last r4), then last-sampled-r5 --
-    "w_topk_per_group",
-    "agg_cms_heavy_hitters",
-    "agg_counts",
-    "agg_cube",
-    "agg_dedup_group_by_key",
-    "agg_group_by_key",
-    "agg_kmv_distinct",
-    "agg_kmv_merged",
-    "agg_rollup",
-    "agg_shard_stats",
-    "cluster_kmeans_step",
-    "dedup_clusters",
-    "dedup_clusters_fast",
-    "dedup_exact",
-    "dedup_minhash_lsh_capped",
-    "dedup_minhash_verified",
-    "dedup_simhash",
-    "emb_near_dup_lsh_capped",
-    "emb_quantize_int8",
-    "j_broadcast_star",
+    # -- the 34 round-11 names never driver-sampled (waves 31-42) --
+    "agg_mann_whitney",
+    "agg_welch_ttest",
+    "agg_trimmed_mean",
+    "w_streaks",
+    "agg_psi_drift",
+    "w_markov_transitions",
+    "j_null_safe_eq",
+    "agg_quantile_normalize",
+    "sample_neyman_allocation",
+    "agg_simpson_diversity",
+    "scalar_edit_funcs",
+    "w_max_silence",
+    "w_volume_anomaly",
+    "dedup_containment_verified",
+    "pipeline_mixture_temperature",
+    "corpus_epoch_shuffle",
+    "text_readability",
+    "pipeline_filter_attribution",
+    "multimodal_magic_sniff",
+    "pipeline_token_apportionment",
+    "text_boolean_retrieval",
+    "cluster_inertia_report",
+    "pipeline_dedup_cascade_report",
+    "emb_dim_stats",
+    "sample_user_cap",
+    "text_bm25_topk",
+    "dedup_threshold_sweep",
+    "text_js_divergence",
+    "dedup_band_config_sweep",
+    "graph_modularity_report",
+    "dedup_bloom_fpr_report",
+    "text_zipf_slope",
+    "stream_topk_merge",
+    "stream_session_merge",
+    # -- rotation fill: oldest remaining cohort (last sampled r5) --
+    "j_orders_customer",
+    "multimodal_features",
+    "p3_filter_bootstrap",
+    "p4_flatten_tokens",
+    "p5_grouped_batches",
+    "pipeline_clean_corpus",
+    "pipeline_decontaminate",
+    "pipeline_pack_tokens",
+    "sample_per_stratum",
+    "scalar_datetime",
+    "scalar_json",
+    "scalar_json_corrupt",
+    "scalar_numeric",
+    "scalar_string_funcs",
+    "sim_topk_ivf",
 ]
 
 

@@ -103,13 +103,29 @@ def test_priority_rotation_names_all_registered():
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     # and the rotation really front-loads: the first 50 sampled entries
-    # must include ALL 20 round-9 names never driver-sampled in
-    # CORRECTNESS_r01..r09 (VERDICT r9 #2's acceptance bar), plus exactly
-    # 29 rotation-fill names -- 1 flagship + 20 + 29 == 50
+    # must include ALL 34 round-11 names never driver-sampled in
+    # CORRECTNESS_r01..r11 (VERDICT r11 #1's acceptance bar), plus exactly
+    # 15 rotation-fill names -- 1 flagship + 34 + 15 == 50
     assert len(_PRIORITY) == 50
     first50 = set(list(QUERIES)[:50])
-    never_sampled = set(_PRIORITY[1:21])
-    assert len(never_sampled) == 20
+    never_sampled = set(_PRIORITY[1:35])
+    assert len(never_sampled) == 34
+    # spot-pin one name per wave 31..42 so a partial rotation is caught
+    for name in (
+        "dedup_containment_verified",   # wave 31
+        "multimodal_magic_sniff",       # wave 32
+        "stream_topk_merge",            # wave 33
+        "text_boolean_retrieval",       # wave 34
+        "pipeline_dedup_cascade_report",  # wave 35
+        "stream_session_merge",         # wave 36
+        "text_bm25_topk",               # wave 37
+        "agg_quantile_normalize",       # wave 38
+        "sample_neyman_allocation",     # wave 39
+        "graph_modularity_report",      # wave 40
+        "dedup_bloom_fpr_report",       # wave 41
+        "text_zipf_slope",              # wave 42
+    ):
+        assert name in never_sampled, name
     assert never_sampled <= first50, sorted(never_sampled - first50)
 
 
