@@ -43,12 +43,20 @@ def md5_hex(data: np.ndarray, lens: np.ndarray | None = None) -> np.ndarray:
     numpy unicode array of 32-char lowercase hex digests, byte-identical
     to ``hashlib.md5(x).hexdigest()`` for every row.
 
-    NUL caveat: numpy 'S' storage strips TRAILING NUL bytes, so an input
-    that genuinely ends in b"\\x00" is unrepresentable once inside the
-    array and the default char-count length would hash the truncated
-    value.  Text-like inputs (the connector's ``pk-{shard}-{seq}`` keys)
-    are unaffected; for arbitrary binary, pass the true byte lengths via
-    ``lens``.
+    NUL caveat (ADVICE r11): numpy 'S' storage strips TRAILING NUL
+    bytes, so an input that genuinely ends in b"\\x00" is
+    unrepresentable once inside the array and the default char-count
+    length would hash the truncated value -- a WRONG digest, not an
+    error.  Text-like inputs (the connector's ``pk-{shard}-{seq}``
+    keys) are unaffected; for arbitrary binary, pass the true byte
+    lengths via ``lens``.  The detectable half of the ambiguity is
+    guarded: when ``lens`` is omitted and NO row's inferred length
+    reaches the itemsize, the dtype width cannot be explained by any
+    stored row -- either a width-maximal value lost trailing NULs or
+    the caller chose an over-wide dtype -- and this raises instead of
+    guessing.  A non-maximal row ending in NUL stores identically to
+    its stripped form (b"ab\\x00" == b"ab" in 'S4') and is
+    UNDETECTABLE: callers hashing binary must pass ``lens``.
     """
     if data.dtype.kind != "S":
         raise ValueError(f"md5_hex expects a numpy 'S' bytes array, got {data.dtype}")
@@ -64,6 +72,13 @@ def md5_hex(data: np.ndarray, lens: np.ndarray | None = None) -> np.ndarray:
         # 'S' arrays NUL-pad to fixed width; char count recovers the length
         # for text-like inputs (see NUL caveat above).
         lens = np.char.str_len(data).astype(np.int64)
+        if int(lens.max()) < width:
+            raise ValueError(
+                "md5_hex length inference is ambiguous: no row reaches the "
+                f"array itemsize ({width}), so a width-maximal value may "
+                "have lost trailing NUL bytes (or the dtype is over-wide). "
+                "Pass explicit per-row byte lengths via lens="
+            )
     else:
         lens = np.asarray(lens, dtype=np.int64)
         if lens.shape != (n,) or (lens < 0).any() or (lens > width).any():

@@ -929,6 +929,7 @@ def sorted_neighborhood_pairs(
     block_col: str | None = "lang",
     w: int = 3,
     band_expr: Column | None = None,
+    validate_bands: bool = False,
 ) -> DataFrame:
     """Sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995,
     public) with BANDED sort partitioning -- VERDICT r10 #4's de-skew.
@@ -962,7 +963,17 @@ def sorted_neighborhood_pairs(
     tests/test_pipeline_ops.py pins set equality against the naive
     global-sort plan, boundary pairs included.  Parallelism becomes
     #blocks x #bands instead of #blocks; band_expr widens it (e.g.
-    2-char prefix) when one band dominates."""
+    2-char prefix) when one band dominates.
+
+    ``band_expr`` CONTRACT (ADVICE r11): the band must be a SORT-ORDER
+    PREFIX of ``key_col`` -- band values must sort in the same order as
+    the key ranges they cover, with no two bands' key ranges
+    interleaving (any key-prefix of fixed length qualifies; a hash or
+    mod bucket does NOT).  The boundary-stitch offsets window orders
+    bands BY BAND VALUE, so a non-prefix band silently produces a wrong
+    candidate set.  Pass ``validate_bands=True`` (debug; one extra
+    bands-x-blocks-bounded aggregate) to verify the contract on the
+    actual data and raise on violation instead."""
     blk = F.col(block_col) if block_col else F.lit("")
     band = (
         band_expr
@@ -975,6 +986,32 @@ def sorted_neighborhood_pairs(
         F.col(key_col).alias("__k"),
         band.alias("__band"),
     )
+    if validate_bands:
+        # Debug contract check: within each block, band order must equal
+        # key-range order with no interleaving (see band_expr CONTRACT).
+        # The relation is bands x blocks -- the same bounded rollup the
+        # offsets window consumes -- so the collect is metadata-sized.
+        rng_rows = (
+            keyed.groupBy("__blk", "__band")
+            .agg(F.min("__k").alias("__lo"), F.max("__k").alias("__hi"))
+            .collect()
+        )
+        per_blk: dict = {}
+        for r in rng_rows:
+            per_blk.setdefault(r["__blk"], []).append(
+                (r["__band"], r["__lo"], r["__hi"])
+            )
+        for blk_v, bands in per_blk.items():
+            bands.sort(key=lambda t: (t[0] is None, t[0]))
+            for (b1, _lo1, hi1), (b2, lo2, _hi2) in zip(bands, bands[1:]):
+                if hi1 is None or lo2 is None or not (hi1 < lo2):
+                    raise ValueError(
+                        "sorted_neighborhood_pairs: band_expr is not a "
+                        f"sort-order prefix of {key_col!r}: in block "
+                        f"{blk_v!r}, band {b1!r} (key range up to {hi1!r}) "
+                        f"interleaves with band {b2!r} (key range from "
+                        f"{lo2!r}); use a key-prefix band"
+                    )
     wb = Window.partitionBy("__blk", "__band").orderBy("__k", "__id")
     ranked = keyed.select(
         "__id",

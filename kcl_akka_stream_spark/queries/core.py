@@ -5727,9 +5727,9 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s1 AS BIGINT) AS s1_cents, CAST(s2 AS BIGINT) AS s2_cents,
            round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
                  / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
-                           / (n1 - 1) / n1)
+                           / nullif(n1 - 1, 0) / n1)
                         + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
-                           / (n2 - 1) / n2)), 6) AS t_stat
+                           / nullif(n2 - 1, 0) / n2)), 6) AS t_stat
     FROM m
     """,
 )
@@ -5766,9 +5766,9 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "round((cast(s1 as double) / n1 - cast(s2 as double) / n2)"
             " / sqrt(((cast(q1 as double) - cast(s1 as double) * s1 / n1)"
-            " / (n1 - 1) / n1)"
+            " / nullif(n1 - 1, 0) / n1)"
             " + ((cast(q2 as double) - cast(s2 as double) * s2 / n2)"
-            " / (n2 - 1) / n2)), 6)"
+            " / nullif(n2 - 1, 0) / n2)), 6)"
         ).alias("t_stat"),
     )
 
@@ -6293,7 +6293,8 @@ def agg_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT event_type, n,
              CAST(floor(n * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
-                                  * s1 / n) / (n - 1)) ) AS BIGINT) AS w_int
+                                  * s1 / n) / nullif(n - 1, 0)) ) AS BIGINT)
+               AS w_int
       FROM m),
     t AS (SELECT sum(w_int) AS tw FROM w),
     base AS (
@@ -6337,7 +6338,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr(
             "cast(floor(n * sqrt((cast(s2 as double) - cast(s1 as double)"
-            " * s1 / n) / (n - 1))) as bigint)"
+            " * s1 / n) / nullif(n - 1, 0))) as bigint)"
         ).alias("w_int"),
     )
     t = w.agg(F.sum("w_int").alias("tw"))
@@ -6382,10 +6383,10 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT) AS n,
            CAST(n_users AS BIGINT) AS n_users,
            CAST(floor(CAST(coll AS DOUBLE) * 1000000.0
-                      / (CAST(n AS DOUBLE) * (n - 1))) AS BIGINT)
+                      / (CAST(n AS DOUBLE) * nullif(n - 1, 0))) AS BIGINT)
              AS simpson_ppm,
            CAST(1000000 - floor(CAST(coll AS DOUBLE) * 1000000.0
-                                / (CAST(n AS DOUBLE) * (n - 1))) AS BIGINT)
+                                / (CAST(n AS DOUBLE) * nullif(n - 1, 0))) AS BIGINT)
              AS diversity_ppm
     FROM g
     """,
@@ -6416,11 +6417,11 @@ def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("long").alias("n_users"),
         F.expr(
             "cast(floor(cast(coll as double) * 1000000.0"
-            " / (cast(n as double) * (n - 1))) as bigint)"
+            " / (cast(n as double) * nullif(n - 1, 0))) as bigint)"
         ).alias("simpson_ppm"),
         F.expr(
             "cast(1000000 - floor(cast(coll as double) * 1000000.0"
-            " / (cast(n as double) * (n - 1))) as bigint)"
+            " / (cast(n as double) * nullif(n - 1, 0))) as bigint)"
         ).alias("diversity_ppm"),
     )
 

@@ -8446,9 +8446,12 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q = sum_c [intra_c/m - (deg_c/2m)^2] evaluates per community as
     # ONE shared double expression from exact int64 edge weights,
     # frozen to micro BEFORE the community sum (order-independent).
-    # Scale shape: labels from the operator (2 rounds, shuffled-attach
-    # default posture); intra/deg are two label-keyed joins + combinable
-    # sums; terms ride the COMMUNITY-sized relation.
+    # Scale shape: labels from the operator (2 rounds;
+    # broadcast_scores=True here because the fixture node set provably
+    # fits an executor -- the operator DEFAULT stays False, the
+    # shuffled-attach billion-node posture); intra/deg are two
+    # label-keyed joins + combinable sums; terms ride the
+    # COMMUNITY-sized relation.
     from kcl_akka_stream_spark.operators.graph import label_propagation
 
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -8649,3 +8652,76 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) as bigint)"
         ).alias("zipf_slope_micro"),
     )
+
+
+@query(
+    "scd2_consistency_report",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type),
+    v AS (
+      SELECT user_id, event_type AS state,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS version,
+             ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS vt
+      FROM ch),
+    x AS (
+      SELECT user_id, state, version, vf, vt,
+             CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS cur,
+             lead(vf) OVER (PARTITION BY user_id ORDER BY version) AS nf,
+             lead(state) OVER (PARTITION BY user_id ORDER BY version) AS ns
+      FROM v),
+    pk AS (
+      SELECT user_id, count(*) AS n, sum(cur) AS ncur,
+             min(version) AS vmin, max(version) AS vmax,
+             sum(CASE WHEN cur = 1 AND vt IS NOT NULL THEN 1 ELSE 0 END)
+               AS open_end,
+             sum(CASE WHEN cur = 0 AND vt IS NULL THEN 1 ELSE 0 END)
+               AS closed_noend,
+             sum(CASE WHEN nf IS NOT NULL
+                       AND (vt IS NULL OR vt <> nf) THEN 1 ELSE 0 END)
+               AS contig,
+             sum(CASE WHEN vt IS NOT NULL AND vt <= vf THEN 1 ELSE 0 END)
+               AS nonpos,
+             sum(CASE WHEN ns IS NOT NULL AND state = ns THEN 1 ELSE 0 END)
+               AS samestate
+      FROM x GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN ncur <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS viol_current_per_key,
+           CAST(sum(open_end) AS BIGINT) AS viol_open_with_end,
+           CAST(sum(closed_noend) AS BIGINT) AS viol_closed_without_end,
+           CAST(sum(contig) AS BIGINT) AS viol_contiguity,
+           CAST(sum(nonpos) AS BIGINT) AS viol_nonpositive_span,
+           CAST(sum(CASE WHEN vmin <> 1 OR vmax <> n THEN 1 ELSE 0 END)
+                AS BIGINT) AS viol_version_numbering,
+           CAST(sum(samestate) AS BIGINT) AS viol_adjacent_same_state
+    FROM pk
+    """,
+)
+def scd2_consistency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD2 acceptance contract (VERDICT r11 #5): prove the dimension
+    # built by operators/cdc.py::scd2_compact serves correct
+    # point-in-time lookups -- exactly-one current row per key, no
+    # overlapping/gapped validity ranges (half-open contiguity), dense
+    # 1..n version numbering, positive spans, and the compaction
+    # property (adjacent versions differ).  Every viol_* column is a
+    # ship-gate: 0 on a sound build, and pytest pins an engineered
+    # overlap/duplicate-current table RED through the same operator
+    # (tests/test_round12_fixes.py).  The oracle recomputes the build
+    # AND the audit independently in SQL.  Scale shape: the audit adds
+    # one lead() window + one per-key agg on the build's existing
+    # user_id partitioning -- no new exchange, single-row output.
+    from kcl_akka_stream_spark.operators.cdc import scd2_compact, scd2_consistency
+
+    return scd2_consistency(scd2_compact(tbl(spark, sf_dir, "events")))

@@ -2409,15 +2409,22 @@ def stream_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lies within the gap of a new interval's start, the covering
     # interval's END does too.  SAME oracle as w_sessionize (per-user
     # session counts).  State is (user x batch-local sessions)-sized --
-    # the largest state of the 18 families, which is exactly why it
-    # goes through the _collect_state guard.
+    # the largest state of the 18 families -- so unlike the other 17
+    # twins (whose folds are group-bounded AGGREGATES and go through the
+    # _collect_state guard) it NEVER touches the driver (VERDICT r11
+    # #2): each epoch's interval relation is appended executor-side to
+    # a parquet epoch-union store, and the gap-closing closure runs as
+    # a DISTRIBUTED per-user window over the union (running-max
+    # streaming frame).  At 100x the state grows in files and shuffle
+    # partitions, not driver memory -- the max_state_rows guard no
+    # longer binds this twin's scale.
     from pyspark.sql import Window
 
     from kcl_akka_stream_spark.operators.windows import sessionize
 
     ev = tbl(spark, sf_dir, "events").select("user_id", "ts")
     src = tempfile.mkdtemp(prefix="kcl_sess_src_")
-    state_rows = []
+    state_dir = tempfile.mkdtemp(prefix="kcl_sess_state_")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(src)
         stream = (
@@ -2432,7 +2439,8 @@ def stream_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min(F.unix_micros("ts")).alias("s_us"),
                 F.max(F.unix_micros("ts")).alias("e_us"),
             ).drop("session_id")
-            state_rows.extend(_collect_state(st, "stream_session_merge"))
+            # executor-side state append: no collect(), no driver list
+            st.write.mode("append").parquet(state_dir)
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -2440,9 +2448,9 @@ def stream_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
 
-        states = spark.createDataFrame(
-            state_rows, "user_id long, s_us long, e_us long"
-        )
+        states = spark.read.schema(
+            "user_id long, s_us long, e_us long"
+        ).parquet(state_dir)
         w = Window.partitionBy("user_id").orderBy("s_us", "e_us")
         prev_max_e = F.max("e_us").over(
             w.rowsBetween(Window.unboundedPreceding, -1)
@@ -2457,8 +2465,14 @@ def stream_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("new_session"),
         )
-        return merged.groupBy("user_id").agg(
+        out = merged.groupBy("user_id").agg(
             F.sum("new_session").cast("long").alias("n_sessions")
         )
+        # eager localCheckpoint detaches the result from state_dir before
+        # the finally-rmtree, keeping it EXECUTOR-sized (block manager
+        # partitions, never a driver row list -- the stream_cdc_upsert
+        # collect() detach pattern is the cliff this twin removes).
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)

@@ -1050,3 +1050,36 @@ def test_sorted_neighborhood_boundary_pairs_not_lost(spark):
     assert (7, 8) in banded  # q5-r2: the 1-row band pairs across it
     # and the far ends of the 10-row 'z' band must NOT pair (gap 9 > w)
     assert (9, 18) not in banded
+
+
+def test_sorted_neighborhood_band_contract_validation(spark):
+    # ADVICE r11: band_expr must be a sort-order PREFIX of the key --
+    # the offsets window orders bands by band value, so a hash/mod
+    # band silently yields a wrong candidate set.  validate_bands=True
+    # greens a legitimate 2-char prefix band and reds a mod bucket.
+    import pyspark.sql.functions as F
+    import pytest
+
+    from kcl_akka_stream_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, "en", f"{c}{i % 10}") for i, c in enumerate("aabbccddeeff")]
+    keyed = spark.createDataFrame(rows, "doc_id long, lang string, k string")
+
+    good = sorted_neighborhood_pairs(
+        keyed,
+        key_col="k",
+        w=2,
+        band_expr=F.substring("k", 1, 2),
+        validate_bands=True,
+    )
+    naive = _naive_sn_pairs(spark, keyed, w=2)
+    assert {(r.id_a, r.id_b) for r in good.collect()} == naive
+
+    with pytest.raises(ValueError, match="sort-order prefix"):
+        sorted_neighborhood_pairs(
+            keyed,
+            key_col="k",
+            w=2,
+            band_expr=(F.col("doc_id") % 2).cast("string"),
+            validate_bands=True,
+        ).collect()

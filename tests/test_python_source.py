@@ -372,3 +372,15 @@ def test_vectorized_md5_contract_errors():
     with pytest.raises(ValueError, match="lens"):
         md5_hex(np.array([b"ab"], dtype="S5"), lens=np.array([9]))
     assert md5_hex(np.empty(0, dtype="S5")).shape == (0,)
+    # ADVICE r11: inference guard -- a width-maximal value ending in
+    # 0x00 stores stripped, so no row explains the itemsize; raise
+    # instead of silently hashing the truncated value
+    with pytest.raises(ValueError, match="ambiguous"):
+        md5_hex(np.array([b"abcd\x00", b"ab"], dtype="S5"))
+    # ...and the same shape passes once true lengths are supplied
+    got = md5_hex(np.array([b"abcd\x00", b"ab"], dtype="S5"),
+                  lens=np.array([5, 2]))
+    import hashlib
+
+    assert got[0] == hashlib.md5(b"abcd\x00").hexdigest()
+    assert got[1] == hashlib.md5(b"ab").hexdigest()

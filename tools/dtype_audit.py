@@ -92,6 +92,16 @@ def main() -> int:
     with_spark = "--spark" in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
+    if not os.path.isdir(sf_dir):
+        # ADVICE r11: `dtype_audit.py agg_ks_drift` used to treat the
+        # query name as the data dir and error on every oracle
+        print(
+            f"usage: {sys.argv[0]} [--spark] [SF_DIR] [QUERY ...]\n"
+            f"error: SF_DIR {sf_dir!r} is not a directory "
+            "(did you mean to pass a query name? SF_DIR comes first)",
+            file=sys.stderr,
+        )
+        return 2
 
     from kcl_akka_stream_spark.queries import ORACLES, QUERIES
     from kcl_akka_stream_spark.sources.batch import TABLE_NAMES
