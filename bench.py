@@ -347,6 +347,15 @@ HEADLINE = [
     # round-11 wave 42: hourly volume anomaly, Zipf slope fit
     "w_volume_anomaly",
     "text_zipf_slope",
+    # round-12 wave 43: SCD2 acceptance contract, container-header census
+    "scd2_consistency_report",
+    "multimodal_wav_header",
+    "multimodal_mp4_header",
+    # round-12 wave 44: MinHash-LSH decontamination twin + coverage report
+    "pipeline_decontaminate_fuzzy",
+    # round-12 wave 45: PNG dims census, DSIR importance resampling
+    "multimodal_png_dims",
+    "sample_dsir",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as
@@ -394,8 +403,14 @@ def _calibrate(spark, sf_dir: str) -> float:
 #: trusted-idle record in history starts at 0.41-0.63 s), while the END
 #: value reflects the environment the timed queries actually saw --
 #: measured idle ends at <= ~0.29 s, the r7 contended record's
-#: calibrations were uniformly 2-4x higher.  0.35 s splits the regimes.
-CONTENDED_CAL_SEC = 0.35
+#: calibrations were uniformly 2-4x higher.  VERDICT r11 #4: the final
+#: r11 record ended at 0.292 s (under the old 0.35) yet carried ~10-15%
+#: uniform drift vs the best idle record -- 0.29 demonstrably coexists
+#: with visible contention, so the threshold tightens to 0.30: records
+#: ending above it are flagged, and when several records exist the one
+#: with the LOWEST end calibration is the round's number, not the most
+#: recent (the record-of-record rule).
+CONTENDED_CAL_SEC = 0.30
 
 
 def record_identity(repo_dir: str, cal_start: float, cal_end: float) -> dict:

@@ -205,3 +205,165 @@ def payload_simhash(
     from kcl_akka_stream_spark.plans.hygiene import spread
 
     return spread(src).mapInPandas(run, schema=f"{id_col} long, simhash long")
+
+
+# ---------------------------------------------------------------------------
+# Container-level metadata extraction (wave 43): parse WAV / MP4 HEADERS with
+# pure byte-ops -- duration, rates, channel counts -- with NO codec and NO
+# Python in the row path.  This is the metadata sweep a multimodal ingest
+# runs across 100 TB of blobs before any decode is scheduled (the
+# magic-sniff pattern, one level deeper into the container).  Offsets are
+# read from the hex projection of the payload because that slicing exists
+# identically in Spark and the DuckDB oracle (blob substring does not).
+
+
+def _hex_be(byte_off, nbytes: int) -> str:
+    """SQL expr: big-endian unsigned int read from __h (hex of payload).
+    ``byte_off`` is a 0-based byte offset, as an int or a SQL expression
+    string (dynamic offsets make it a real parser, not a fixed template)."""
+    off = byte_off if isinstance(byte_off, str) else str(byte_off)
+    return (
+        f"cast(conv(substring(__h, 2 * ({off}) + 1, {2 * nbytes}), 16, 10)"
+        " as bigint)"
+    )
+
+
+def _hex_le(byte_off: int, nbytes: int) -> str:
+    """SQL expr: little-endian unsigned int read from __h (hex of payload)."""
+    parts = ", ".join(
+        f"substring(__h, {2 * (byte_off + i) + 1}, 2)"
+        for i in reversed(range(nbytes))
+    )
+    return f"cast(conv(concat({parts}), 16, 10) as bigint)"
+
+
+def _hex_4cc(byte_off) -> str:
+    """SQL expr: the 4-character code at a byte offset, decoded to string."""
+    off = byte_off if isinstance(byte_off, str) else str(byte_off)
+    return f"decode(unhex(substring(__h, 2 * ({off}) + 1, 8)), 'UTF-8')"
+
+
+def parse_wav_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse the canonical 44-byte PCM WAV (RIFF) header from a binary
+    column: signature check, fmt fields, data-chunk size, and the exact
+    integer duration floor(data_bytes * 1e6 / byte_rate) microseconds.
+
+    Layout (RIFF spec, public): 'RIFF' sz 'WAVE' 'fmt ' 16 fmt=1 ch sr
+    byte_rate block_align bits 'data' data_sz -- all multi-byte fields
+    LITTLE-endian.  Map-only; appends typed columns, keeps input columns.
+    Rows failing the signature get riff_ok=0 and NULL fields (a corrupt
+    blob must not poison the aggregate, only be counted)."""
+    ok = (
+        "(substring(__h, 1, 8) = '52494646'"     # 'RIFF'
+        " AND substring(__h, 17, 8) = '57415645'"  # 'WAVE'
+        " AND substring(__h, 25, 8) = '666D7420')"  # 'fmt '
+    )
+    out = (
+        df.withColumn("__h", F.hex(F.col(payload_col)))
+        .withColumn("riff_ok", F.expr(f"cast({ok} as int)"))
+        .withColumn(
+            "channels",
+            F.expr(f"case when {ok} then {_hex_le(22, 2)} end"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.expr(f"case when {ok} then {_hex_le(24, 4)} end"),
+        )
+        .withColumn(
+            "byte_rate",
+            F.expr(f"case when {ok} then {_hex_le(28, 4)} end"),
+        )
+        .withColumn(
+            "bits",
+            F.expr(f"case when {ok} then {_hex_le(34, 2)} end"),
+        )
+        .withColumn(
+            "data_bytes",
+            F.expr(f"case when {ok} then {_hex_le(40, 4)} end"),
+        )
+        .withColumn(
+            "duration_us",
+            F.expr(
+                f"case when {ok} then"
+                f" {_hex_le(40, 4)} * 1000000 div {_hex_le(28, 4)} end"
+            ),
+        )
+    )
+    return out.drop("__h")
+
+
+def parse_mp4_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse ISO-BMFF (MP4) top-of-file metadata from a binary column:
+    major brand from the ftyp box, then timescale / duration from the
+    mvhd box inside moov -- duration_ms as the exact integer
+    floor(ticks * 1000 / timescale).
+
+    A REAL (if shallow) box walk: the moov offset is the ftyp box's own
+    size field read from the data, not a fixed template offset; the
+    moov/mvhd 4CCs are verified at the computed positions (all sizes and
+    fields BIG-endian, ISO 14496-12, public).  Assumes moov follows ftyp
+    directly -- the faststart layout a streaming ingest requires anyway;
+    anything else gets mp4_ok=0 and NULL fields."""
+    ftyp_sz = _hex_be(0, 4)
+    ok = (
+        f"(substring(__h, 9, 8) = '66747970'"          # 'ftyp' @4
+        f" AND {_hex_4cc(f'{ftyp_sz} + 4')} = 'moov'"
+        f" AND {_hex_4cc(f'{ftyp_sz} + 12')} = 'mvhd')"
+    )
+    ts = _hex_be(f"{ftyp_sz} + 28", 4)
+    dur = _hex_be(f"{ftyp_sz} + 32", 4)
+    out = (
+        df.withColumn("__h", F.hex(F.col(payload_col)))
+        .withColumn("mp4_ok", F.expr(f"cast({ok} as int)"))
+        .withColumn(
+            "brand", F.expr(f"case when {ok} then {_hex_4cc(8)} end")
+        )
+        .withColumn(
+            "timescale", F.expr(f"case when {ok} then {ts} end")
+        )
+        .withColumn(
+            "duration_ticks", F.expr(f"case when {ok} then {dur} end")
+        )
+        .withColumn(
+            "duration_ms",
+            F.expr(f"case when {ok} then {dur} * 1000 div {ts} end"),
+        )
+    )
+    return out.drop("__h")
+
+
+def parse_png_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse the PNG signature + IHDR chunk from a binary column: width,
+    height, bit depth, color type (all reads BIG-endian; PNG spec /
+    RFC 2083, public).  IHDR is REQUIRED to be the first chunk, so the
+    offsets are fixed by the spec -- unlike MP4 there is nothing to walk.
+    Rows failing the 8-byte signature or the IHDR tag get png_ok=0 and
+    NULL fields.  Same census posture as the WAV/MP4 parsers: hex-slice
+    reads inside codegen, no codec, no Python row path."""
+    ok = (
+        "(substring(__h, 1, 16) = '89504E470D0A1A0A'"  # PNG signature
+        " AND substring(__h, 25, 8) = '49484452')"      # 'IHDR' @12
+    )
+    out = (
+        df.withColumn("__h", F.hex(F.col(payload_col)))
+        .withColumn("png_ok", F.expr(f"cast({ok} as int)"))
+        .withColumn(
+            "width", F.expr(f"case when {ok} then {_hex_be(16, 4)} end")
+        )
+        .withColumn(
+            "height", F.expr(f"case when {ok} then {_hex_be(20, 4)} end")
+        )
+        .withColumn(
+            "bit_depth", F.expr(f"case when {ok} then {_hex_be(24, 1)} end")
+        )
+        .withColumn(
+            "color_type", F.expr(f"case when {ok} then {_hex_be(25, 1)} end")
+        )
+        .withColumn(
+            "n_pixels",
+            F.expr(
+                f"case when {ok} then {_hex_be(16, 4)} * {_hex_be(20, 4)} end"
+            ),
+        )
+    )
+    return out.drop("__h")

@@ -379,3 +379,121 @@ def poisson_bootstrap_weights(
         grp.withColumn("__bw", F.explode(slices))
         .select(*df.columns, F.col("__bw.b").alias("b"), F.col("__bw.w").alias("w"))
     )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR -- Xie et al. 2023,
+    public): score every corpus document by how much more likely its
+    hashed-bigram feature counts are under the TARGET distribution than
+    under the raw corpus distribution, and keep the top ``k`` -- the
+    principled "make the pretraining mix look like the high-quality
+    target" selector (the paper hashes into 10k buckets; the fixture
+    uses 64).
+
+    Cross-engine-exact recipe: bucket = md5(word-2-gram) first 6 hex
+    digits mod ``n_buckets``; both distributions Laplace-smoothed
+    ((c+1)/(total+B)); per-bucket log-ratio frozen to integer micro-nats
+    BEFORE the per-doc sum (the unigram_logprob convention), so a doc's
+    weight is an EXACT int64 dot product of its bucket counts with the
+    frozen delta vector, and partial-agg order cannot move a rank.
+
+    Scale shape: both bucket distributions are B-sized combinable aggs
+    (the target side is small by contract -- same posture as
+    decontaminate's eval side); the delta relation (B rows) BROADCASTS
+    onto the per-(doc, bucket) counts, the weight fold rides ONE
+    doc-keyed exchange, and the final top-k is orderBy+limit
+    (TakeOrderedAndProject -- per-partition heads, never a global
+    sort).  Deterministic tiebreak on ``id_col``."""
+    from kcl_akka_stream_spark.operators.dedup import shingles
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    def bucketed(df: DataFrame, with_id: bool) -> DataFrame:
+        # spread() only on the corpus side (the with_id consumer): its
+        # bigram explode is data-sized and needs the parallelism floor;
+        # the target side is benchmark-sized by contract (the
+        # decontaminate eval-side rule)
+        src = spread(df.select(id_col, text_col)) if with_id else df
+        grams = src.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), 2)).alias("__g"),
+        )
+        b = F.pmod(
+            F.conv(F.substring(F.md5("__g"), 1, 6), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("bucket")
+        if with_id:
+            return grams.select(F.col(id_col), b)
+        return grams.select(b)
+
+    # tgt feeds delta AND tt: checkpoint the <=B-row output once so the
+    # target explode neither replays nor rides an unspread scan
+    tgt = (
+        bucketed(target, with_id=False)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        .localCheckpoint(eager=True)
+    )
+    # doc_b feeds cq, tq AND the weight fold -- without the checkpoint
+    # the corpus bigram explode replays 4x (the boolean-retrieval
+    # bounded-intermediate lesson); the relation is docs x <=B rows,
+    # far smaller than the gram stream it collapses
+    doc_b = (
+        bucketed(corpus, with_id=True)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cq = doc_b.groupBy("bucket").agg(F.sum("c").cast("long").alias("cq"))
+    tt = tgt.agg(F.sum("ct").alias("tt"))
+    tq = cq.agg(F.sum("cq").alias("tq"))
+    delta = (
+        cq.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tq))
+        .select(
+            "bucket",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tt") + n_buckets).cast("double")
+                    )
+                    * 1e6,
+                    0,
+                ).cast("long")
+                - F.round(
+                    F.log(
+                        (F.col("cq") + 1).cast("double")
+                        / (F.col("tq") + n_buckets).cast("double")
+                    )
+                    * 1e6,
+                    0,
+                ).cast("long")
+            ).alias("delta_micro"),
+        )
+    )
+    weights = (
+        doc_b.join(F.broadcast(delta), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c") * F.col("delta_micro"))
+            .cast("long")
+            .alias("weight_micro")
+        )
+    )
+    topk = weights.orderBy(
+        F.col("weight_micro").desc(), F.col(id_col)
+    ).limit(k)
+    w = Window.orderBy(F.col("weight_micro").desc(), F.col(id_col))
+    return topk.select(
+        id_col,
+        "weight_micro",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

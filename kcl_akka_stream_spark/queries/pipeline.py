@@ -8725,3 +8725,561 @@ def scd2_consistency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcl_akka_stream_spark.operators.cdc import scd2_compact, scd2_consistency
 
     return scd2_consistency(scd2_compact(tbl(spark, sf_dir, "events")))
+
+
+def _wav_oracle() -> str:
+    # DuckDB mirror of the WAV fixture build + parse (LE reads via hex
+    # slicing -- DuckDB has no blob substring, so BOTH engines slice
+    # hex(payload); see operators/multimodal.py::parse_wav_header).
+    def le(v: str, w: int) -> str:  # int expr -> little-endian blob
+        h = f"lpad(hex({v}), {w * 2}, '0')"
+        pairs = " || ".join(
+            f"substr({h}, {2 * i + 1}, 2)" for i in reversed(range(w))
+        )
+        return f"from_hex({pairs})"
+
+    def rd(off: int, w: int) -> str:  # little-endian int read from h
+        # TRY_CAST: a corrupt payload shorter than the header makes the
+        # substr empty and '0x' alone is not a number (Spark's conv is
+        # NULL-tolerant; the oracle must match, not error)
+        pairs = " || ".join(
+            f"substr(h, {2 * (off + i) + 1}, 2)" for i in reversed(range(w))
+        )
+        return f"TRY_CAST(('0x' || {pairs}) AS BIGINT)"
+
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             WHEN 2 THEN 44100 ELSE 48000 END AS sr,
+             octet_length(encode(text)) * 16 AS dsz,
+             text
+      FROM documents),
+    media AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN encode(text)
+                  ELSE 'RIFF'::BLOB || {le('36 + dsz', 4)} || 'WAVE'::BLOB
+                       || 'fmt '::BLOB || {le('16', 4)} || {le('1', 2)}
+                       || {le('ch', 2)} || {le('sr', 4)}
+                       || {le('sr * ch * 2', 4)} || {le('ch * 2', 2)}
+                       || {le('16', 2)} || 'data'::BLOB || {le('dsz', 4)}
+             END AS payload
+      FROM p),
+    parsed AS (
+      SELECT CASE WHEN substr(h, 1, 8) = '52494646'
+                   AND substr(h, 17, 8) = '57415645'
+                   AND substr(h, 25, 8) = '666D7420' THEN 1 ELSE 0 END AS ok,
+             {rd(22, 2)} AS channels, {rd(24, 4)} AS sample_rate,
+             {rd(28, 4)} AS byte_rate, {rd(40, 4)} AS data_bytes
+      FROM (SELECT hex(payload) AS h FROM media))
+    SELECT CASE WHEN ok = 1 THEN sample_rate END AS sample_rate,
+           CASE WHEN ok = 1 THEN channels END AS channels,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN ok = 1 THEN data_bytes END) AS BIGINT)
+             AS total_data_bytes,
+           CAST(sum(CASE WHEN ok = 1
+                         THEN data_bytes * 1000000 // byte_rate END)
+                AS BIGINT) AS total_duration_us,
+           CAST(sum(1 - ok) AS BIGINT) AS n_bad
+    FROM parsed GROUP BY 1, 2
+    """
+
+
+def _wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV fixture build (shared by the query and
+    tools/scale_probe.py): payload per doc, every 13th corrupted."""
+
+    def le(v: str, w: int) -> str:
+        h = f"lpad(hex({v}), {w * 2}, '0')"
+        pairs = ", ".join(
+            f"substring({h}, {2 * i + 1}, 2)" for i in reversed(range(w))
+        )
+        return f"unhex(concat({pairs}))"
+
+    p = docs.select(
+        "doc_id",
+        "text",
+        F.expr("1 + doc_id % 2").alias("ch"),
+        F.expr(
+            "CASE cast(doc_id % 4 as int) WHEN 0 THEN 8000 WHEN 1 THEN 16000"
+            " WHEN 2 THEN 44100 ELSE 48000 END"
+        ).alias("sr"),
+        F.expr("octet_length(encode(text, 'UTF-8')) * 16").alias("dsz"),
+    )
+    return p.select(
+        F.expr(
+            "CASE WHEN doc_id % 13 = 0 THEN encode(text, 'UTF-8')"
+            " ELSE concat(encode('RIFF', 'UTF-8'), "
+            + le("36 + dsz", 4)
+            + ", encode('WAVE', 'UTF-8'), encode('fmt ', 'UTF-8'), "
+            + le("16", 4) + ", " + le("1", 2) + ", " + le("ch", 2) + ", "
+            + le("sr", 4) + ", " + le("sr * ch * 2", 4) + ", "
+            + le("ch * 2", 2) + ", " + le("16", 2)
+            + ", encode('data', 'UTF-8'), " + le("dsz", 4)
+            + ") END"
+        ).alias("payload")
+    )
+
+
+@query("multimodal_wav_header", _wav_oracle())
+def multimodal_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Container-level audio metadata at scan speed (wave 43, VERDICT r11
+    # #7): build deterministic PCM WAV payloads from the documents
+    # fixture (RIFF spec, public; every 13th doc corrupted to exercise
+    # the riff_ok=0 path), then PARSE them back with the byte-ops
+    # operator -- channels, sample rate, byte rate, data size, exact
+    # integer duration -- and roll up per (sample_rate, channels).  No
+    # codec, no Python row path: hex-slice reads inside whole-stage
+    # codegen, map-only + ONE bounded agg, the shape that sweeps 100 TB
+    # of blobs for a duration census before any decode is scheduled.
+    # The oracle rebuilds AND re-parses the same bytes independently.
+    from kcl_akka_stream_spark.operators.multimodal import parse_wav_header
+
+    media = _wav_media(tbl(spark, sf_dir, "documents"))
+    parsed = parse_wav_header(media)
+    return parsed.groupBy(
+        F.expr("CASE WHEN riff_ok = 1 THEN sample_rate END").alias(
+            "sample_rate"
+        ),
+        F.expr("CASE WHEN riff_ok = 1 THEN channels END").alias("channels"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.expr("CASE WHEN riff_ok = 1 THEN data_bytes END"))
+        .cast("long")
+        .alias("total_data_bytes"),
+        F.sum(F.expr("CASE WHEN riff_ok = 1 THEN duration_us END"))
+        .cast("long")
+        .alias("total_duration_us"),
+        F.sum(1 - F.col("riff_ok")).cast("long").alias("n_bad"),
+    )
+
+
+def _mp4_oracle() -> str:
+    # DuckDB mirror of the MP4 fixture build + box-walk parse (BE reads
+    # via hex slicing; the moov offset comes from the ftyp size FIELD,
+    # not a constant -- see operators/multimodal.py::parse_mp4_header).
+    def be(v: str, w: int) -> str:  # int expr -> big-endian blob
+        return f"from_hex(lpad(hex({v}), {w * 2}, '0'))"
+
+    def rd(off: str, w: int) -> str:  # big-endian int read from h
+        # TRY_CAST: see the WAV oracle note -- corrupt rows must parse
+        # to NULL, not error
+        return (
+            f"TRY_CAST(('0x' || substr(h, 2 * ({off}) + 1, {2 * w}))"
+            " AS BIGINT)"
+        )
+
+    fsz = rd("0", 4)
+    cc = lambda off: f"decode(from_hex(substr(h, 2 * ({off}) + 1, 8)))"  # noqa: E731
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+             CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                             ELSE 90000 END AS ts,
+             text
+      FROM documents),
+    p2 AS (
+      SELECT doc_id, brand, ts,
+             (octet_length(encode(text)) + 1) * ts // 10 AS dur, text
+      FROM p),
+    media AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN encode(text)
+                  ELSE {be('16', 4)} || 'ftyp'::BLOB || encode(brand)
+                       || {be('0', 4)}
+                       || {be('116', 4)} || 'moov'::BLOB
+                       || {be('108', 4)} || 'mvhd'::BLOB || {be('0', 4)}
+                       || {be('0', 4)} || {be('0', 4)} || {be('ts', 4)}
+                       || {be('dur', 4)} || from_hex(repeat('00', 80))
+             END AS payload
+      FROM p2),
+    parsed AS (
+      SELECT CASE WHEN substr(h, 9, 8) = '66747970'
+                   AND {cc(f'{fsz} + 4')} = 'moov'
+                   AND {cc(f'{fsz} + 12')} = 'mvhd' THEN 1 ELSE 0 END AS ok,
+             {cc('8')} AS brand,
+             {rd(f'{fsz} + 28', 4)} AS timescale,
+             {rd(f'{fsz} + 32', 4)} AS dur
+      FROM (SELECT hex(payload) AS h FROM media))
+    SELECT CASE WHEN ok = 1 THEN brand END AS brand,
+           CASE WHEN ok = 1 THEN timescale END AS timescale,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN ok = 1 THEN dur * 1000 // timescale END)
+                AS BIGINT) AS total_duration_ms,
+           CAST(sum(1 - ok) AS BIGINT) AS n_bad
+    FROM parsed GROUP BY 1, 2
+    """
+
+
+def _mp4_media(docs: DataFrame) -> DataFrame:
+    """Deterministic faststart-MP4 fixture build (shared by the query and
+    tools/scale_probe.py): payload per doc, every 11th corrupted."""
+
+    def be(v: str, w: int) -> str:
+        return f"unhex(lpad(hex({v}), {w * 2}, '0'))"
+
+    p = docs.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END"
+        ).alias("brand"),
+        F.expr(
+            "CASE cast(doc_id % 3 as int) WHEN 0 THEN 600 WHEN 1 THEN 1000"
+            " ELSE 90000 END"
+        ).alias("ts"),
+    ).withColumn(
+        "dur",
+        F.expr("(octet_length(encode(text, 'UTF-8')) + 1) * ts div 10"),
+    )
+    return p.select(
+        F.expr(
+            "CASE WHEN doc_id % 11 = 0 THEN encode(text, 'UTF-8')"
+            " ELSE concat(" + be("16", 4) + ", encode('ftyp', 'UTF-8'),"
+            " encode(brand, 'UTF-8'), " + be("0", 4) + ", "
+            + be("116", 4) + ", encode('moov', 'UTF-8'), "
+            + be("108", 4) + ", encode('mvhd', 'UTF-8'), "
+            + be("0", 4) + ", " + be("0", 4) + ", " + be("0", 4) + ", "
+            + be("ts", 4) + ", " + be("dur", 4)
+            + ", unhex(repeat('00', 80))) END"
+        ).alias("payload")
+    )
+
+
+@query("multimodal_mp4_header", _mp4_oracle())
+def multimodal_mp4_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Container-level video metadata at scan speed (wave 43, VERDICT r11
+    # #7): ISO-BMFF box walk with pure byte-ops -- major brand from
+    # ftyp, timescale/duration from mvhd, the moov offset read from the
+    # ftyp size field (a real parse, not a template; ISO 14496-12,
+    # public).  Fixture synthesizes faststart-layout MP4s from documents
+    # (every 11th corrupted); rollup per (brand, timescale) with exact
+    # integer duration_ms.  Same 100 TB posture as the WAV census:
+    # hex-slice reads in codegen, map-only + ONE bounded agg, no codec.
+    from kcl_akka_stream_spark.operators.multimodal import parse_mp4_header
+
+    media = _mp4_media(tbl(spark, sf_dir, "documents"))
+    parsed = parse_mp4_header(media)
+    return parsed.groupBy(
+        F.expr("CASE WHEN mp4_ok = 1 THEN brand END").alias("brand"),
+        F.expr("CASE WHEN mp4_ok = 1 THEN timescale END").alias("timescale"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.expr("CASE WHEN mp4_ok = 1 THEN duration_ms END"))
+        .cast("long")
+        .alias("total_duration_ms"),
+        F.sum(1 - F.col("mp4_ok")).cast("long").alias("n_bad"),
+    )
+
+
+def _decontaminate_fuzzy_oracle(
+    modulus: int = 97, threshold: float = 0.5
+) -> str:
+    # Cross-dataset mirror of _minhash_oracle + _minhash_verified_oracle:
+    # same 8-hash/4-band signature over ALL docs, candidates restricted
+    # to corpus x eval, verify by exact 3-shingle Jaccard, then fold with
+    # the exact 5-gram path into ONE coverage report row.
+    num_hashes, bands = 8, 4
+    rows = num_hashes // bands
+    mins = ",\n        ".join(
+        f"min(substr({'h1' if s < 4 else 'h2'}, {(s % 4) * 8 + 1}, 8)) AS mh_{s}"
+        for s in range(num_hashes)
+    )
+    band_selects = []
+    for bn in range(bands):
+        parts = " || '|' || ".join(
+            f"mh_{bn * rows + r}" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bn} AS band, md5({parts}) AS bucket FROM mh"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH {_SH_CTE},
+    h AS (
+      SELECT doc_id, md5(shingle) AS h1, md5(shingle || '#1') AS h2 FROM sh
+    ),
+    mh AS (
+      SELECT doc_id,
+        {mins}
+      FROM h GROUP BY doc_id
+    ),
+    allb AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS id_a, e.doc_id AS id_b
+      FROM allb c JOIN allb e ON c.band = e.band AND c.bucket = e.bucket
+      WHERE c.doc_id % {modulus} <> 0 AND e.doc_id % {modulus} = 0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b),
+    fuzzy AS (
+      SELECT DISTINCT i.id_a AS doc_id
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE round(CAST(i.n_common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - i.n_common), 6) >= {threshold}),
+    toks5 AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    g5 AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(t) >= 5
+             THEN [array_to_string(list_slice(t, i, i + 4), ' ')
+                   FOR i IN generate_series(1, len(t) - 4)]
+             ELSE [array_to_string(t, ' ')] END) AS gram
+      FROM toks5),
+    ev5 AS (SELECT DISTINCT gram FROM g5 WHERE doc_id % {modulus} = 0),
+    exact AS (
+      SELECT DISTINCT g5.doc_id FROM g5 JOIN ev5 ON g5.gram = ev5.gram
+      WHERE g5.doc_id % {modulus} <> 0),
+    flags AS (
+      SELECT COALESCE(e.doc_id, f.doc_id) AS doc_id,
+             CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_exact,
+             CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_fuzzy
+      FROM exact e FULL OUTER JOIN fuzzy f ON e.doc_id = f.doc_id)
+    SELECT
+      CAST((SELECT count(*) FROM documents
+            WHERE doc_id % {modulus} <> 0) AS BIGINT) AS n_corpus,
+      CAST((SELECT count(*) FROM documents
+            WHERE doc_id % {modulus} = 0) AS BIGINT) AS n_eval,
+      CAST(sum(is_exact) AS BIGINT) AS n_flagged_exact,
+      CAST(sum(is_fuzzy) AS BIGINT) AS n_flagged_fuzzy,
+      CAST(sum(is_exact * is_fuzzy) AS BIGINT) AS n_both,
+      CAST(sum(is_exact * (1 - is_fuzzy)) AS BIGINT) AS n_exact_only,
+      CAST(sum(is_fuzzy * (1 - is_exact)) AS BIGINT) AS n_fuzzy_only
+    FROM flags
+    """
+
+
+@query("pipeline_decontaminate_fuzzy", _decontaminate_fuzzy_oracle())
+def pipeline_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash-LSH decontamination twin + coverage report (wave 44,
+    # VERDICT r11 #7): the exact 5-gram path catches verbatim leakage;
+    # the LSH+verify path (operators/corpus.py::decontaminate_fuzzy)
+    # catches near-duplicate paraphrases the gram join is blind to.  The
+    # single-row report audits both paths over the same corpus/eval
+    # split: n_fuzzy_only is the contamination a verbatim-only
+    # decontaminator SHIPS, n_exact_only the small-overlap hits below
+    # the Jaccard threshold -- the two numbers that justify running both
+    # stages in production.  Scale shape: eval buckets and eval grams
+    # broadcast; the corpus never self-joins; verification is
+    # candidate-bounded; the final fold is flagged-docs-sized.
+    from kcl_akka_stream_spark.operators.corpus import (
+        decontaminate,
+        decontaminate_fuzzy,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = decontaminate(corpus, eval_df, k=5).select(
+        "doc_id", F.lit(1).alias("is_exact")
+    )
+    fuzzy = decontaminate_fuzzy(corpus, eval_df, threshold=0.5).select(
+        "doc_id", F.lit(1).alias("is_fuzzy")
+    )
+    flags = exact.join(fuzzy, "doc_id", "full_outer").select(
+        F.coalesce("is_exact", F.lit(0)).alias("is_exact"),
+        F.coalesce("is_fuzzy", F.lit(0)).alias("is_fuzzy"),
+    )
+    tot = docs.agg(
+        F.sum((F.col("doc_id") % 97 != 0).cast("long")).alias("n_corpus"),
+        F.sum((F.col("doc_id") % 97 == 0).cast("long")).alias("n_eval"),
+    )
+    rep = flags.agg(
+        F.sum("is_exact").cast("long").alias("n_flagged_exact"),
+        F.sum("is_fuzzy").cast("long").alias("n_flagged_fuzzy"),
+        F.sum(F.col("is_exact") * F.col("is_fuzzy"))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.col("is_exact") * (1 - F.col("is_fuzzy")))
+        .cast("long")
+        .alias("n_exact_only"),
+        F.sum(F.col("is_fuzzy") * (1 - F.col("is_exact")))
+        .cast("long")
+        .alias("n_fuzzy_only"),
+    )
+    return tot.crossJoin(F.broadcast(rep)).select(
+        F.col("n_corpus").cast("long").alias("n_corpus"),
+        F.col("n_eval").cast("long").alias("n_eval"),
+        "n_flagged_exact",
+        "n_flagged_fuzzy",
+        "n_both",
+        "n_exact_only",
+        "n_fuzzy_only",
+    )
+
+
+def _png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG IHDR fixture build (shared by the query and
+    tools/scale_probe.py): payload per doc, every 17th corrupted."""
+
+    def be(v: str, w: int) -> str:
+        return f"unhex(lpad(hex({v}), {w * 2}, '0'))"
+
+    return docs.select(
+        F.expr(
+            "CASE WHEN doc_id % 17 = 0 THEN encode(text, 'UTF-8')"
+            " ELSE concat(unhex('89504E470D0A1A0A'), " + be("13", 4)
+            + ", encode('IHDR', 'UTF-8'), "
+            + be("16 + (doc_id % 7) * 100", 4) + ", "
+            + be("16 + (doc_id % 5) * 90", 4) + ", "
+            + be("CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END", 1) + ", "
+            + be("CASE cast(doc_id % 3 as int) WHEN 0 THEN 0"
+                 " WHEN 1 THEN 2 ELSE 6 END", 1)
+            + ", unhex('000000')) END"
+        ).alias("payload")
+    )
+
+
+def _png_media_sql() -> str:
+    # DuckDB mirror of _png_media's deterministic IHDR build.
+    def be(v: str, w: int) -> str:
+        return f"from_hex(lpad(hex({v}), {w * 2}, '0'))"
+
+    return f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN encode(text)
+                  ELSE from_hex('89504E470D0A1A0A') || {be('13', 4)}
+                       || 'IHDR'::BLOB
+                       || {be('16 + (doc_id % 7) * 100', 4)}
+                       || {be('16 + (doc_id % 5) * 90', 4)}
+                       || {be('CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END', 1)}
+                       || {be("CASE doc_id % 3 WHEN 0 THEN 0"
+                              " WHEN 1 THEN 2 ELSE 6 END", 1)}
+                       || from_hex('000000')
+             END AS payload
+      FROM documents"""
+
+
+@query(
+    "multimodal_png_dims",
+    f"""
+    WITH media AS ({_png_media_sql()}),
+    parsed AS (
+      SELECT CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+                   AND substr(h, 25, 8) = '49484452' THEN 1 ELSE 0 END AS ok,
+             TRY_CAST(('0x' || substr(h, 33, 8)) AS BIGINT) AS w,
+             TRY_CAST(('0x' || substr(h, 41, 8)) AS BIGINT) AS hh,
+             TRY_CAST(('0x' || substr(h, 49, 2)) AS BIGINT) AS depth,
+             TRY_CAST(('0x' || substr(h, 51, 2)) AS BIGINT) AS ctype
+      FROM (SELECT hex(payload) AS h FROM media))
+    SELECT CASE WHEN ok = 1 THEN ctype END AS color_type,
+           CASE WHEN ok = 1 THEN depth END AS bit_depth,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN ok = 1 THEN w * hh END) AS BIGINT)
+             AS total_pixels,
+           CAST(max(CASE WHEN ok = 1 THEN w END) AS BIGINT) AS max_width,
+           CAST(max(CASE WHEN ok = 1 THEN hh END) AS BIGINT) AS max_height,
+           CAST(sum(1 - ok) AS BIGINT) AS n_bad
+    FROM parsed GROUP BY 1, 2
+    """,
+)
+def multimodal_png_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Image-axis container census (wave 45): PNG signature + IHDR parse
+    # (operators/multimodal.py::parse_png_header) -- dimensions, bit
+    # depth, color type, total pixel volume per (color_type, bit_depth)
+    # -- the decode-cost budget a multimodal ingest computes BEFORE
+    # scheduling any real decode (pixels, not bytes, drive GPU decode
+    # cost).  Fixture synthesizes IHDR chunks from documents (every
+    # 17th corrupted; dims/depth/type derived from doc_id so both
+    # engines build identical bytes).  Same posture as the WAV/MP4
+    # census: map-only hex-slice byte-ops + ONE bounded agg.
+    from kcl_akka_stream_spark.operators.multimodal import parse_png_header
+
+    media = _png_media(tbl(spark, sf_dir, "documents"))
+    parsed = parse_png_header(media)
+    return parsed.groupBy(
+        F.expr("CASE WHEN png_ok = 1 THEN color_type END").alias("color_type"),
+        F.expr("CASE WHEN png_ok = 1 THEN bit_depth END").alias("bit_depth"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.expr("CASE WHEN png_ok = 1 THEN n_pixels END"))
+        .cast("long")
+        .alias("total_pixels"),
+        F.max(F.expr("CASE WHEN png_ok = 1 THEN width END"))
+        .cast("long")
+        .alias("max_width"),
+        F.max(F.expr("CASE WHEN png_ok = 1 THEN height END"))
+        .cast("long")
+        .alias("max_height"),
+        F.sum(1 - F.col("png_ok")).cast("long").alias("n_bad"),
+    )
+
+
+def _dsir_oracle(k: int = 100, n_buckets: int = 64, modulus: int = 97) -> str:
+    # Mirror of operators/sampling.py::dsir_select: distinct word
+    # 2-shingles, md5-hex bucket, Laplace-smoothed micro-nat log-ratio
+    # frozen per bucket, exact int64 per-doc dot product, top-k.
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    g2 AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(t) >= 2
+             THEN [array_to_string(list_slice(t, i, i + 1), ' ')
+                   FOR i IN generate_series(1, len(t) - 1)]
+             ELSE [array_to_string(t, ' ')] END) AS gram
+      FROM toks),
+    bkt AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 6))::BIGINT % {n_buckets}
+               AS bucket
+      FROM g2),
+    tgt AS (
+      SELECT bucket, count(*) AS ct FROM bkt
+      WHERE doc_id % {modulus} = 0 GROUP BY bucket),
+    doc_b AS (
+      SELECT doc_id, bucket, count(*) AS c FROM bkt
+      WHERE doc_id % {modulus} <> 0 GROUP BY doc_id, bucket),
+    cq AS (SELECT bucket, sum(c) AS cq FROM doc_b GROUP BY bucket),
+    tt AS (SELECT sum(ct) AS tt FROM tgt),
+    tq AS (SELECT sum(cq) AS tq FROM cq),
+    delta AS (
+      SELECT cq.bucket,
+             CAST(round(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                           / (tt.tt + {n_buckets})) * 1e6, 0) AS BIGINT)
+             - CAST(round(ln(CAST(cq.cq + 1 AS DOUBLE)
+                             / (tq.tq + {n_buckets})) * 1e6, 0) AS BIGINT)
+               AS delta_micro
+      FROM cq LEFT JOIN tgt t ON t.bucket = cq.bucket, tt, tq),
+    weights AS (
+      SELECT d.doc_id,
+             CAST(sum(d.c * dl.delta_micro) AS BIGINT) AS weight_micro
+      FROM doc_b d JOIN delta dl ON dl.bucket = d.bucket
+      GROUP BY d.doc_id)
+    SELECT doc_id, weight_micro,
+           CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM weights
+    ORDER BY weight_micro DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@query("sample_dsir", _dsir_oracle())
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR importance resampling (wave 45; Xie et al. 2023, public) --
+    # the data-SELECTION pillar: rank corpus docs by the frozen
+    # micro-nat log-likelihood ratio of their hashed-bigram features
+    # under the target (eval) vs raw corpus distributions, keep the top
+    # 100 (operators/sampling.py::dsir_select).  Exact int64 dot
+    # product per doc -- rank order is bit-stable across engines and
+    # partial-agg orders.  Scale: B-sized broadcast delta vector, one
+    # doc-keyed exchange, TakeOrderedAndProject top-k.
+    from kcl_akka_stream_spark.operators.sampling import dsir_select
+
+    docs = tbl(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    target = docs.filter(F.col("doc_id") % 97 == 0)
+    return dsir_select(corpus, target, k=100, n_buckets=64)

@@ -280,6 +280,13 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_ols_residual_outliers": 1,  # one combinable moments agg; fit broadcast back, residual map-side, TakeOrdered
         "sim_lsh_recall_report": 7,  # brute branch (spread + per-q window) + bucketed branch (bucket join both sides + per-q window) + k-bounded overlap join
         "scalar_try_funcs": 1,  # map-only TRY family, whole-stage codegen [r10: +1 spread, r9 #5 tripwire]
+        # round 12:
+        "scd2_consistency_report": 2,  # ONE user exchange (window+per-key agg ride it) + single-row fold
+        "multimodal_wav_header": 1,  # map-only hex-slice parse + one bounded agg
+        "multimodal_mp4_header": 1,  # same: box walk is map-side
+        "multimodal_png_dims": 1,  # same: IHDR parse is map-side
+        "sample_dsir": 5,  # corpus spread + doc_b agg (checkpointed once) + cq agg + weight fold + TakeOrdered; delta/tt/tq broadcast
+        "pipeline_decontaminate_fuzzy": 9,  # two sig aggs + corpus bucket join side + candidate distinct + verify id joins + report folds; eval side broadcast throughout
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -83,3 +83,201 @@ def test_scd2_consistency_reds_engineered_violations(spark):
     assert r.viol_nonpositive_span == 1
     assert r.viol_version_numbering == 1
     assert r.viol_adjacent_same_state == 1
+
+
+def test_wav_header_parser_byte_exact_vs_struct(spark):
+    # The parser must agree with struct-packed REAL headers, including
+    # the corrupt-blob path (riff_ok=0, NULL fields, no poisoning).
+    import struct
+
+    from kcl_akka_stream_spark.operators.multimodal import parse_wav_header
+
+    def wav(sr, ch, bits, data_sz):
+        ba = ch * bits // 8
+        return (
+            b"RIFF" + struct.pack("<I", 36 + data_sz) + b"WAVE" + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ba, ba, bits)
+            + b"data" + struct.pack("<I", data_sz)
+        )
+
+    rows = [
+        (1, bytearray(wav(44100, 2, 16, 176400))),  # exactly 1 s stereo
+        (2, bytearray(wav(8000, 1, 16, 24000))),    # 1.5 s mono
+        (3, bytearray(b"NOTAWAVFILE" * 8)),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in parse_wav_header(df).collect()}
+    assert (got[1].sample_rate, got[1].channels, got[1].duration_us) == (
+        44100, 2, 1_000_000,
+    )
+    assert (got[2].byte_rate, got[2].duration_us) == (16000, 1_500_000)
+    assert got[3].riff_ok == 0 and got[3].sample_rate is None
+
+
+def test_mp4_header_parser_walks_boxes(spark):
+    # The moov offset must come from the ftyp SIZE FIELD: an oversized
+    # ftyp (extra compatible brands) still parses, proving this is a
+    # box walk and not a fixed-offset template.
+    import struct
+
+    from kcl_akka_stream_spark.operators.multimodal import parse_mp4_header
+
+    def mp4(brand, ts, dur, extra_brands=0):
+        pad = b"mp41" * extra_brands
+        ftyp = (
+            struct.pack(">I", 16 + len(pad)) + b"ftyp" + brand
+            + struct.pack(">I", 0) + pad
+        )
+        mvhd = (
+            struct.pack(">I", 108) + b"mvhd"
+            + struct.pack(">IIIII", 0, 0, 0, ts, dur) + b"\x00" * 80
+        )
+        return ftyp + struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+
+    rows = [
+        (1, bytearray(mp4(b"isom", 600, 1800))),
+        (2, bytearray(mp4(b"mp42", 90000, 450000, extra_brands=3))),
+        (3, bytearray(b"\x00" * 64)),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in parse_mp4_header(df).collect()}
+    assert (got[1].brand, got[1].timescale, got[1].duration_ms) == (
+        "isom", 600, 3000,
+    )
+    assert (got[2].brand, got[2].duration_ms) == ("mp42", 5000)  # walked past pad
+    assert got[3].mp4_ok == 0 and got[3].brand is None
+
+
+def test_wav_mp4_header_queries_nonvacuous(spark, sf_dir):
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    wav = QUERIES["multimodal_wav_header"](spark, sf_dir).collect()
+    bad = [r for r in wav if r.sample_rate is None]
+    good = [r for r in wav if r.sample_rate is not None]
+    assert len(good) >= 3 and sum(r.n_files for r in good) > 0
+    assert len(bad) == 1 and bad[0].n_bad == bad[0].n_files > 0
+    assert all(r.n_bad == 0 for r in good)
+    mp4 = QUERIES["multimodal_mp4_header"](spark, sf_dir).collect()
+    good4 = [r for r in mp4 if r.brand is not None]
+    assert {r.brand for r in good4} == {"isom", "mp42"}
+    assert all(r.total_duration_ms > 0 for r in good4)
+
+
+def test_decontaminate_fuzzy_catches_paraphrase_exact_misses(spark):
+    # The reason the fuzzy path exists: a doc paraphrased so that EVERY
+    # 5-token window contains an edit shares ZERO word 5-grams with the
+    # eval item (exact path silent) but keeps high 3-shingle Jaccard
+    # (LSH+verify catches it).  Also pin: verbatim subset caught by
+    # both; unrelated doc by neither.
+    from kcl_akka_stream_spark.operators.corpus import (
+        decontaminate,
+        decontaminate_fuzzy,
+    )
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "one two three four five six seven eight nine ten").split()
+    eval_text = " ".join(base)
+    # paraphrase: swap every 5th token -> no shared 5-gram, many 3-grams
+    para = [
+        (w.upper() + "x") if i % 5 == 0 else w for i, w in enumerate(base)
+    ]
+    paraphrase = " ".join(para)
+    verbatim = " ".join(base[10:25])  # contiguous 15-token excerpt
+    unrelated = " ".join(f"tok{i}m" for i in range(40))
+    eval_df = spark.createDataFrame(
+        [(1000, eval_text)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, paraphrase), (2, verbatim), (3, unrelated)],
+        "doc_id long, text string",
+    )
+    exact_ids = {
+        r.doc_id for r in decontaminate(corpus, eval_df, k=5).collect()
+    }
+    # bands=8 (1 row/band): decontamination wants RECALL -- at the
+    # j ~ 0.26 a max-density paraphrase leaves on 3-shingles, 4x2
+    # banding catches ~32% of pairs while 8x1 catches ~91%
+    fuzzy_ids = {
+        r.doc_id
+        for r in decontaminate_fuzzy(
+            corpus, eval_df, bands=8, threshold=0.25
+        ).collect()
+    }
+    assert 2 in exact_ids and 1 not in exact_ids  # gram path blind to paraphrase
+    assert 1 in fuzzy_ids                         # fuzzy catches it
+    assert 3 not in exact_ids and 3 not in fuzzy_ids
+
+
+def test_decontaminate_fuzzy_bucket_cap_is_loud_recall_trade(spark):
+    # max_bucket_size caps the CORPUS side of a colliding bucket: with a
+    # cap of 1, a 3-copy near-dup family exceeds the bucket and drops
+    # out (recall trade), while a unique match survives.
+    from kcl_akka_stream_spark.operators.corpus import decontaminate_fuzzy
+
+    text = " ".join(f"w{i} common phrase here" for i in range(12))
+    eval_df = spark.createDataFrame(
+        [(100, text)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, text), (2, text), (3, text)], "doc_id long, text string"
+    )
+    uncapped = decontaminate_fuzzy(corpus, eval_df, threshold=0.5)
+    capped = decontaminate_fuzzy(
+        corpus, eval_df, threshold=0.5, max_bucket_size=1
+    )
+    assert uncapped.count() == 3
+    assert capped.count() == 0
+
+
+def test_png_parser_byte_exact_vs_struct(spark):
+    import struct
+    import zlib
+
+    from kcl_akka_stream_spark.operators.multimodal import parse_png_header
+
+    def png(w, h, depth, ctype):
+        ihdr = struct.pack(">II", w, h) + bytes([depth, ctype, 0, 0, 0])
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        )
+
+    rows = [
+        (1, bytearray(png(1920, 1080, 8, 2))),
+        (2, bytearray(png(64, 64, 16, 6))),
+        (3, bytearray(b"GIF89a" + b"\x00" * 30)),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in parse_png_header(df).collect()}
+    assert (got[1].width, got[1].height, got[1].n_pixels) == (
+        1920, 1080, 2_073_600,
+    )
+    assert (got[2].bit_depth, got[2].color_type) == (16, 6)
+    assert got[3].png_ok == 0 and got[3].width is None
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    # The selector's contract: documents sharing the target's bigram
+    # distribution must outrank documents that don't.  Corpus = 3
+    # target-styled docs + 3 alien docs; all 6 must rank with the
+    # target-styled strictly first.
+    from kcl_akka_stream_spark.operators.sampling import dsir_select
+
+    tstyle = "the quick brown fox jumps over the lazy dog again and again"
+    alien = "zzq wvx qqj xjz vvk jxq kqv zwz xqx jjw"
+    target = spark.createDataFrame(
+        [(1000 + i, tstyle) for i in range(3)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(i, tstyle + f" extra{i}") for i in range(3)]
+        + [(10 + i, alien + f" extra{i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    got = dsir_select(corpus, target, k=6).collect()
+    ranked = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    assert set(ranked[:3]) == {0, 1, 2}, ranked
+    assert got[0].weight_micro > 0  # target-like docs score positive
+    weights = {r.doc_id: r.weight_micro for r in got}
+    assert all(weights[i] > weights[j] for i in (0, 1, 2) for j in (10, 11, 12))

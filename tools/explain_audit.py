@@ -53,6 +53,8 @@ SPREAD_AUDIT_ALLOW = {
     "agg_cms_error_report": "spread 1.42x (same cms_state seam)",
     "agg_cms_merged": "rides cms_state (allowed above)",
     "pipeline_decontaminate": "spread 1.17x on the eval side (benchmark-sized by contract)",
+    # round 12:
+    "pipeline_decontaminate_fuzzy": "spread 1.2-2.7x measured at sf0.1 (warm 1.41s no-spread vs 1.69/3.79s spread): same eval-side seam as pipeline_decontaminate -- the eval set is benchmark-sized by contract (52 docs at sf0.1), so spreading its shingle/minhash explodes buys an exchange for nothing",
     "pipeline_bloom_dedup": "spread 1.06x (3 md5/row over the daily slice)",
     "j_interval_overlap": "spread 1.40x (pre-filtered tail, O(1)-bucket explode)",
     "pipeline_tfidf_topk": "spread 1.59x (duplicated toks subtree pays twice)",

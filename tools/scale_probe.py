@@ -99,6 +99,23 @@ def main() -> None:
     emb_n = replicate_embeddings(emb1, repl).localCheckpoint()
     print(f"# corpus: {docs1.count()} docs (1x) vs {docs_n.count()} docs ({repl}x)")
 
+    from kcl_akka_stream_spark.operators import multimodal as MM
+    from kcl_akka_stream_spark.queries.pipeline import _mp4_media, _wav_media
+
+    def _wav_census(d):
+        parsed = MM.parse_wav_header(_wav_media(d))
+        return parsed.groupBy("sample_rate", "channels").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("duration_us").alias("tot_us"),
+        )
+
+    def _mp4_census(d):
+        parsed = MM.parse_mp4_header(_mp4_media(d))
+        return parsed.groupBy("brand", "timescale").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("duration_ms").alias("tot_ms"),
+        )
+
     ops = {
         "dedup_exact": lambda d: D.exact_dedup(d),
         "dedup_simhash": lambda d: D.simhash(d),
@@ -113,6 +130,15 @@ def main() -> None:
         "text_rolling_fp": lambda d: X.rolling_fingerprint(d),
         "quality_flags": lambda d: Q.gopher_quality_flags(d),
         "dedup_segments": lambda d: C.dedup_segments(d, seg_tokens=3, max_doc_freq=3),
+        # round-12 wave 43/44: container-header census (map-only byte
+        # ops) and the MinHash decontamination twin (eval side FIXED at
+        # 1x while the corpus scales -- the realistic posture: the
+        # benchmark suite does not grow with the crawl)
+        "multimodal_wav_census": lambda d: _wav_census(d),
+        "multimodal_mp4_census": lambda d: _mp4_census(d),
+        "decontam_fuzzy": lambda d: C.decontaminate_fuzzy(
+            d, docs1.filter(F.col("doc_id") % 97 == 0)
+        ),
     }
     for name, op in ops.items():
         t1 = timed(lambda: op(docs1))
@@ -197,6 +223,33 @@ def main() -> None:
         t1 = timed(lambda: op(frames[0]))
         tn = timed(lambda: op(frames[1]))
         print(f"{name:22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
+
+    # round-12: SCD2 build + consistency audit -- replication adds KEYS
+    # (user offset per replica), the dimension a keyed window op scales
+    # in; per-key depth is unchanged, so linear ratio = the window and
+    # both audit aggs ride the user hash partitioning.
+    from kcl_akka_stream_spark.operators import cdc as CDC
+
+    ev1 = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    ev_parts2 = [ev1] + [
+        ev1.select(
+            (F.col("user_id") + F.lit(1_000_000 * i)).alias("user_id"),
+            (F.col("event_id") + F.lit(100_000_000 * i)).alias("event_id"),
+            "event_type",
+            "ts",
+        )
+        for i in range(1, repl)
+    ]
+    ev_n2 = reduce(DataFrame.unionByName, ev_parts2).localCheckpoint()
+
+    def scd2_audit(e: DataFrame) -> DataFrame:
+        return CDC.scd2_consistency(CDC.scd2_compact(e))
+
+    t1 = timed(lambda: scd2_audit(ev1))
+    tn = timed(lambda: scd2_audit(ev_n2))
+    print(f"{'scd2_consistency':22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s  ratio={tn / t1:5.2f}")
 
     # bucketed co-located join: the write is the amortized offline cost,
     # so only the join is timed -- the lever's whole point is paying the
