@@ -356,6 +356,9 @@ HEADLINE = [
     # round-12 wave 45: PNG dims census, DSIR importance resampling
     "multimodal_png_dims",
     "sample_dsir",
+    # round-12 wave 46: CC chaining acceptance, exact-substring coverage
+    "dedup_chain_audit",
+    "dedup_span_coverage",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

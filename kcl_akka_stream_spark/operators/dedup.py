@@ -1124,3 +1124,151 @@ def verify_candidate_containment(
         inter.cast("long").alias("n_common"),
         F.round(cont, 6).alias("containment"),
     ).filter(F.col("containment") >= threshold)
+
+
+def chain_audit(ver_pairs: DataFrame) -> DataFrame:
+    """Cluster-transitivity acceptance report over a VERIFIED near-dup
+    edge relation: connected components (the production cluster build),
+    then per cluster size the verified-edge density -- a full clique has
+    density 1.0; anything lower is a CHAIN, i.e. members merged
+    transitively whose direct similarity never passed verification, which
+    is exactly how keep-best drops a non-duplicate.  Columns:
+    cluster_size, n_clusters, total_edges, min_density_ppm (exact int),
+    n_chained (clusters with e < m(m-1)/2).
+
+    Scale shape: edges checkpointed once (they feed CC, the edge count
+    and the node set); every relation after CC is cluster- or
+    cluster-size-bounded; density math is exact int64."""
+    ver = ver_pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    nodes = (
+        ver.select(F.col("id_a").alias("doc_id"))
+        .unionByName(ver.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    lab = connected_components(ver, nodes)
+    members = lab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("m"))
+    epc = (
+        ver.join(
+            lab.select(F.col("doc_id").alias("id_a"), "cluster_id"), "id_a"
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("e"))
+    )
+    per_cluster = (
+        members.filter(F.col("m") >= 2)
+        .join(epc, "cluster_id", "left")
+        .select(
+            "m",
+            F.coalesce("e", F.lit(0)).alias("e"),
+            F.expr("m * (m - 1) div 2").alias("possible"),
+        )
+    )
+    return per_cluster.groupBy(
+        F.col("m").cast("long").alias("cluster_size")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("e").cast("long").alias("total_edges"),
+        F.min(F.expr("e * 1000000 div possible")).cast("long").alias(
+            "min_density_ppm"
+        ),
+        F.sum((F.col("e") < F.col("possible")).cast("long"))
+        .cast("long")
+        .alias("n_chained"),
+    )
+
+
+def positional_windows(col: Column, k: int) -> Column:
+    """ALL k-token windows of a text in order (NOT distinct -- positions
+    matter): the zip-with construction of ``shingles`` without the
+    dedup/fallback, empty array for texts shorter than k tokens."""
+    toks = tokens(col)
+    size = F.size(toks)
+    g = toks
+    for j in range(1, k):
+        g = F.zip_with(
+            g, F.slice(toks, j + 1, size), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.when(size >= k, F.slice(g, 1, size - (k - 1))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication coverage (the distributable core of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", public -- their suffix-array dedup finds substrings repeated
+    in the corpus; the k-token-window form is the standard approximation):
+    for every document, the fraction of its tokens covered by at least
+    one k-token window that occurs MORE THAN ONCE in the corpus
+    (cross-doc or within-doc).  This is the span-level signal document-
+    level MinHash is blind to: a unique article quoting one boilerplate
+    paragraph scores low doc-Jaccard everywhere but high span coverage.
+
+    Output per doc: n_tokens, n_dup_windows, covered_tokens (exact
+    interval-union length of the duplicated [pos, pos+k) spans),
+    coverage_ppm.
+
+    Scale shape: windows explode map-side (spread parallelism floor);
+    window frequency is ONE combinable count agg keyed by the gram; the
+    hit join rides the same gram partitioning; the interval union is a
+    RUNNING max over each doc's hit positions (streaming window frame,
+    never a per-row re-scan -- the agg_quantile_normalize O(n^2) lesson);
+    per-doc fold + left join back are id-keyed.  At 100 TB the gram key
+    would be hashed (md5) to shrink shuffle width; the fixture keeps the
+    string so the oracle joins on identical keys."""
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    base = spread(df.select(id_col, text_col))
+    ex = base.select(
+        F.col(id_col),
+        F.posexplode(positional_windows(F.col(text_col), k)).alias(
+            "pos", "gram"
+        ),
+    )
+    dup = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("__n")).filter(
+        F.col("__n") > 1
+    )
+    hits = ex.join(dup.select("gram"), "gram").select(id_col, "pos")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + k).over(w)
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("pos") + k)
+        - F.greatest(F.coalesce(prev_end, F.col("pos")), F.col("pos")),
+    )
+    per_doc = hits.select(id_col, contrib.alias("__c")).groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("covered_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_windows"),
+    )
+    all_docs = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    joined = all_docs.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+            "n_dup_windows"
+        ),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+            "covered_tokens"
+        ),
+    )
+    # integer division (div), mirrored by // in the oracle -- a double
+    # divide + cast would round differently at ppm boundaries
+    return joined.withColumn(
+        "coverage_ppm",
+        F.expr(
+            "case when n_tokens > 0"
+            " then covered_tokens * 1000000 div n_tokens else 0 end"
+        ).cast("long"),
+    )

@@ -9283,3 +9283,125 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     target = docs.filter(F.col("doc_id") % 97 == 0)
     return dsir_select(corpus, target, k=100, n_buckets=64)
+
+
+def _chain_audit_oracle(threshold: float = 0.5) -> str:
+    # Verified pairs (the _minhash_verified_oracle relation) -> recursive
+    # transitive closure restricted to DUP-INVOLVED nodes -> per-cluster
+    # edge-density audit.
+    ver = _minhash_verified_oracle(threshold)
+    return f"""
+    WITH RECURSIVE ver AS (
+      SELECT id_a, id_b FROM ({ver})
+    ),
+    nodes AS (
+      SELECT DISTINCT id_a AS doc_id FROM ver
+      UNION SELECT DISTINCT id_b FROM ver
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM ver
+      UNION ALL SELECT id_b, id_a FROM ver
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    members AS (
+      SELECT cluster_id, count(*) AS m FROM lab GROUP BY cluster_id),
+    epc AS (
+      SELECT la.cluster_id, count(*) AS e
+      FROM ver v
+      JOIN lab la ON la.doc_id = v.id_a
+      GROUP BY la.cluster_id),
+    per_cluster AS (
+      SELECT m.cluster_id, m.m, COALESCE(e.e, 0) AS e,
+             m.m * (m.m - 1) // 2 AS possible
+      FROM members m LEFT JOIN epc e ON e.cluster_id = m.cluster_id
+      WHERE m.m >= 2)
+    SELECT CAST(m AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(e) AS BIGINT) AS total_edges,
+           CAST(min(e * 1000000 // possible) AS BIGINT) AS min_density_ppm,
+           CAST(sum(CASE WHEN e < possible THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_chained
+    FROM per_cluster GROUP BY m
+    """
+
+
+@query("dedup_chain_audit", _chain_audit_oracle())
+def dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cluster-transitivity acceptance contract (wave 46): connected
+    # components over VERIFIED near-dup edges is the production cluster
+    # build (dedup_clusters + keep-best), and its classic failure is
+    # CHAINING -- A~B~C merged although jaccard(A,C) < threshold, so
+    # keep-best silently drops a non-duplicate.  The audit reports, per
+    # cluster size, how many clusters are full cliques of verified edges
+    # vs chained (edge density < 1), with the minimum density as the
+    # severity -- the number that tells you whether min-label CC is safe
+    # to ship or the threshold/banding needs tightening.  Scale shape:
+    # clusters ride the dup-involved relation (CC's own state bound);
+    # density math is exact int64 on cluster-bounded rows; the report is
+    # cluster-size-bounded.  Oracle recomputes closure + audit via a
+    # recursive CTE.
+    docs = tbl(spark, sf_dir, "documents")
+    buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=4, k=3)
+    cands = D.minhash_candidate_pairs(buckets)
+    ver = D.verify_candidate_jaccard(docs, cands, k=3, threshold=0.5)
+    return D.chain_audit(ver)
+
+
+def _span_coverage_oracle(k: int = 8) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(t, i, i + {k - 1}), ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1}))
+                   AS i
+            FROM toks WHERE len(t) >= {k})),
+    dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) > 1),
+    hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (gram)),
+    runs AS (
+      SELECT doc_id, pos,
+             max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_end
+      FROM hits),
+    per_doc AS (
+      SELECT doc_id,
+             sum(greatest(0, pos + {k}
+                          - greatest(coalesce(prev_end, pos), pos)))
+               AS covered_tokens,
+             count(*) AS n_dup_windows
+      FROM runs GROUP BY doc_id),
+    alld AS (SELECT doc_id, len(regexp_extract_all(lower(text), '{TOK}'))
+                      AS n_tokens
+             FROM documents)
+    SELECT a.doc_id,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CAST(CASE WHEN a.n_tokens > 0
+                     THEN COALESCE(p.covered_tokens, 0) * 1000000
+                          // a.n_tokens
+                     ELSE 0 END AS BIGINT) AS coverage_ppm
+    FROM alld a LEFT JOIN per_doc p ON p.doc_id = a.doc_id
+    """
+
+
+@query("dedup_span_coverage", _span_coverage_oracle())
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-substring duplication coverage (wave 46; Lee et al. 2022,
+    # public): per doc, the exact interval-union fraction of tokens
+    # covered by corpus-duplicated 8-token windows -- the span-level
+    # signal document-level MinHash is blind to (a unique article
+    # quoting one boilerplate paragraph).  operators/dedup.py::
+    # duplicate_span_coverage; the interval union is a streaming-frame
+    # running max, never an unbounded-FOLLOWING re-scan.
+    from kcl_akka_stream_spark.operators.dedup import duplicate_span_coverage
+
+    return duplicate_span_coverage(tbl(spark, sf_dir, "documents"), k=8)

@@ -287,6 +287,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "multimodal_png_dims": 1,  # same: IHDR parse is map-side
         "sample_dsir": 5,  # corpus spread + doc_b agg (checkpointed once) + cq agg + weight fold + TakeOrdered; delta/tt/tq broadcast
         "pipeline_decontaminate_fuzzy": 9,  # two sig aggs + corpus bucket join side + candidate distinct + verify id joins + report folds; eval side broadcast throughout
+        "dedup_chain_audit": 8,  # verified-pair gen (4, checkpointed) + node distinct + member/edge aggs + size rollup; CC rounds behind the checkpoint
+        "dedup_span_coverage": 4,  # spread + gram count agg + hit join side + doc window/fold; left join id-keyed
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

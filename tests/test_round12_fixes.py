@@ -281,3 +281,54 @@ def test_dsir_prefers_target_like_docs(spark):
     assert got[0].weight_micro > 0  # target-like docs score positive
     weights = {r.doc_id: r.weight_micro for r in got}
     assert all(weights[i] > weights[j] for i in (0, 1, 2) for j in (10, 11, 12))
+
+
+def test_chain_audit_reds_engineered_chain(spark):
+    # The contract: a transitive merge whose endpoints never verified
+    # must surface as n_chained with density < 1e6; a clique stays 1e6.
+    from kcl_akka_stream_spark.operators.dedup import chain_audit
+
+    ver = spark.createDataFrame(
+        # chain: 1-2, 2-3 verified, 1-3 NOT -> one size-3 cluster, e=2
+        # clique: 10-11, 11-12, 10-12 all verified -> size-3, e=3
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    got = {r.cluster_size: r for r in chain_audit(ver).collect()}
+    assert got[3].n_clusters == 2
+    assert got[3].n_chained == 1
+    assert got[3].min_density_ppm == 666666  # floor(2e6/3)
+    assert got[3].total_edges == 5
+
+
+def test_chain_audit_fixture_clusters_are_cliques(spark, sf_dir):
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["dedup_chain_audit"](spark, sf_dir).collect()
+    assert len(rows) >= 1 and all(r.n_chained == 0 for r in rows)
+    assert all(r.min_density_ppm == 1_000_000 for r in rows)
+
+
+def test_span_coverage_catches_quoted_boilerplate(spark):
+    # The signal doc-level MinHash misses: a unique article quoting one
+    # shared 10-token paragraph gets coverage == the quote's interval
+    # union, while fully-unique docs get exactly 0.  Also pins the
+    # interval-union math: two OVERLAPPING dup windows must not double
+    # count.
+    from kcl_akka_stream_spark.operators.dedup import duplicate_span_coverage
+
+    quote = "shared boilerplate sentence that appears verbatim in both documents exactly"
+    a = "unique alpha words here " + quote + " trailing alpha unique tail"
+    b = "different beta opening text " + quote + " and a beta specific end"
+    c = "entirely unique gamma document with no overlap at all anywhere"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in duplicate_span_coverage(df, k=8).collect()}
+    assert got[3].covered_tokens == 0 and got[3].coverage_ppm == 0
+    # the 10-token quote yields 3 consecutive dup 8-windows in each doc
+    # (plus boundary windows differ) -> interval union == 10 tokens
+    assert got[1].covered_tokens == 10, got[1]
+    assert got[2].covered_tokens == 10, got[2]
+    assert got[1].n_dup_windows == 3  # overlapping, but union counts once
+    assert 0 < got[1].coverage_ppm < 1_000_000
