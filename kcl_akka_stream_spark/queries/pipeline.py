@@ -8975,13 +8975,13 @@ def multimodal_mp4_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decontaminate_fuzzy_oracle(
-    modulus: int = 97, threshold: float = 0.5
+    modulus: int = 97, threshold: float = 0.5, bands: int = 8
 ) -> str:
     # Cross-dataset mirror of _minhash_oracle + _minhash_verified_oracle:
     # same 8-hash/4-band signature over ALL docs, candidates restricted
     # to corpus x eval, verify by exact 3-shingle Jaccard, then fold with
     # the exact 5-gram path into ONE coverage report row.
-    num_hashes, bands = 8, 4
+    num_hashes = 8
     rows = num_hashes // bands
     mins = ",\n        ".join(
         f"min(substr({'h1' if s < 4 else 'h2'}, {(s % 4) * 8 + 1}, 8)) AS mh_{s}"
@@ -9084,7 +9084,12 @@ def pipeline_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = decontaminate(corpus, eval_df, k=5).select(
         "doc_id", F.lit(1).alias("is_exact")
     )
-    fuzzy = decontaminate_fuzzy(corpus, eval_df, threshold=0.5).select(
+    # bands=8 (1 row/band): decontamination is RECALL-critical -- at the
+    # j ~ 0.25-0.5 paraphrase range, 8x1 banding roughly triples pair
+    # recall over the dedup default 4x2 at the same 8-hash budget, and
+    # measured CHEAPER at sf0.1 (warm 1.42 vs 1.77 s; the collision-
+    # volume trade is guarded by max_bucket_size if a corpus degenerates)
+    fuzzy = decontaminate_fuzzy(corpus, eval_df, bands=8, threshold=0.5).select(
         "doc_id", F.lit(1).alias("is_fuzzy")
     )
     flags = exact.join(fuzzy, "doc_id", "full_outer").select(

@@ -100,6 +100,7 @@ def main() -> None:
     print(f"# corpus: {docs1.count()} docs (1x) vs {docs_n.count()} docs ({repl}x)")
 
     from kcl_akka_stream_spark.operators import multimodal as MM
+    from kcl_akka_stream_spark.operators import sampling as SA2
     from kcl_akka_stream_spark.queries.pipeline import _mp4_media, _wav_media
 
     def _wav_census(d):
@@ -139,6 +140,20 @@ def main() -> None:
         "decontam_fuzzy": lambda d: C.decontaminate_fuzzy(
             d, docs1.filter(F.col("doc_id") % 97 == 0)
         ),
+        # round-12 wave 45/46: DSIR selection (target FIXED at 1x, the
+        # benchmark-suite posture), CC chaining audit over verified
+        # pairs, exact-substring span coverage
+        "sample_dsir": lambda d: SA2.dsir_select(
+            d, docs1.filter(F.col("doc_id") % 97 == 0), k=100
+        ),
+        "dedup_chain_audit": lambda d: D.chain_audit(
+            D.verify_candidate_jaccard(
+                d,
+                D.minhash_candidate_pairs(D.minhash_lsh_buckets(d)),
+                threshold=0.5,
+            )
+        ),
+        "dedup_span_coverage": lambda d: D.duplicate_span_coverage(d, k=8),
     }
     for name, op in ops.items():
         t1 = timed(lambda: op(docs1))
