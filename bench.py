@@ -359,6 +359,8 @@ HEADLINE = [
     # round-12 wave 46: CC chaining acceptance, exact-substring coverage
     "dedup_chain_audit",
     "dedup_span_coverage",
+    # round-12 wave 47: minhash signature min-lattice (19th family)
+    "stream_minhash_merge",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

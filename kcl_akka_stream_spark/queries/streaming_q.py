@@ -2476,3 +2476,76 @@ def stream_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def _minhash_lang_oracle(num_hashes: int = 8) -> str:
+    # Per-lang minhash signature over ALL docs' shingles (the direct
+    # batch sketch the streamed per-batch mins must collapse to).
+    # Per-doc shingle dedup is irrelevant under min(), so the CTE skips
+    # it; hash layout mirrors operators/dedup.py::minhash_signatures.
+    mins = ",\n           ".join(
+        f"min(substr({'h1' if s < 4 else 'h2'}, {(s % 4) * 8 + 1}, 8))"
+        f" AS mh_{s}"
+        for s in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    sh AS (
+      SELECT lang, unnest(
+        CASE WHEN len(t) >= 3
+             THEN [array_to_string(list_slice(t, i, i + 2), ' ')
+                   FOR i IN generate_series(1, len(t) - 2)]
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+      FROM toks),
+    h AS (
+      SELECT lang, md5(shingle) AS h1, md5(shingle || '#1') AS h2 FROM sh)
+    SELECT lang,
+           {mins}
+    FROM h GROUP BY lang
+    """
+
+
+@query("stream_minhash_merge", _minhash_lang_oracle())
+def stream_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The NINETEENTH mergeable-state streaming family, 4th non-additive:
+    # the MINHASH SIGNATURE itself is a semilattice under elementwise
+    # min -- min(sig(A), sig(B)) == sig(A UNION B) by definition of the
+    # min-hash, so per-batch per-lang signatures merge into exactly the
+    # whole-corpus signature (idempotent: a replayed batch re-offers
+    # values the min absorbs; at-least-once delivery changes nothing).
+    # This is how a streaming ingest maintains the near-dup sketch of a
+    # growing corpus WITHOUT recomputing it: state is langs x 8 hex
+    # chunks, never the data.  Oracle = the direct batch signature.
+    from kcl_akka_stream_spark.operators.dedup import minhash_signatures
+
+    docs = tbl(spark, sf_dir, "documents").select("lang", "text")
+    src = tempfile.mkdtemp(prefix="kcl_mh_src_")
+    state_rows = []
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            st = minhash_signatures(batch_df, text_col="text", id_col="lang")
+            state_rows.extend(_collect_state(st, "stream_minhash_merge"))
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        states = spark.createDataFrame(
+            state_rows,
+            "lang string, " + ", ".join(f"mh_{s} string" for s in range(8)),
+        )
+        return states.groupBy("lang").agg(
+            *[F.min(f"mh_{s}").alias(f"mh_{s}") for s in range(8)]
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

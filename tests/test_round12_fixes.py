@@ -332,3 +332,38 @@ def test_span_coverage_catches_quoted_boilerplate(spark):
     assert got[2].covered_tokens == 10, got[2]
     assert got[1].n_dup_windows == 3  # overlapping, but union counts once
     assert 0 < got[1].coverage_ppm < 1_000_000
+
+
+def test_minhash_signature_min_lattice_split_invariant(spark):
+    # min(sig(A), sig(B)) == sig(A ∪ B) over EVERY 2-way split of 5 docs,
+    # and a replayed batch (A ∪ A-again) is absorbed (idempotence) --
+    # the lattice law behind stream_minhash_merge.
+    from itertools import combinations
+
+    from kcl_akka_stream_spark.operators.dedup import minhash_signatures
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "alpha beta gamma different tail here",
+        "completely other content in this doc",
+        "five six seven eight nine ten eleven",
+    ]
+
+    def sig(idx):
+        df = spark.createDataFrame(
+            [("en", texts[i]) for i in idx], "lang string, text string"
+        )
+        r = minhash_signatures(df, text_col="text", id_col="lang").collect()
+        return tuple(r[0][f"mh_{s}"] for s in range(8)) if r else None
+
+    full = sig(range(5))
+    ids = list(range(5))
+    for k in range(1, 5):
+        for left in combinations(ids, k):
+            right = [i for i in ids if i not in left]
+            a, b = sig(left), sig(right)
+            merged = tuple(min(x, y) for x, y in zip(a, b))
+            assert merged == full, (left, merged, full)
+    # idempotence: replaying the whole corpus leaves the signature fixed
+    assert tuple(min(x, y) for x, y in zip(full, full)) == full
