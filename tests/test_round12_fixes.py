@@ -367,3 +367,18 @@ def test_minhash_signature_min_lattice_split_invariant(spark):
             assert merged == full, (left, merged, full)
     # idempotence: replaying the whole corpus leaves the signature fixed
     assert tuple(min(x, y) for x, y in zip(full, full)) == full
+
+
+def test_min_k_prob_separates_boilerplate_from_novel(spark):
+    # The signal's contract: a doc made ONLY of corpus-common tokens has
+    # no surprising tail (low Min-K% NLL); a doc with rare tokens scores
+    # high.  Average NLL would blur this less sharply.
+    from kcl_akka_stream_spark.operators.text import min_k_prob
+
+    common = "the quick brown fox " * 10
+    rows = [(i, common) for i in range(8)]
+    rows.append((100, common + " zyqx wvvk qqjz"))  # rare-token tail
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in min_k_prob(df, k_pct=20).collect()}
+    assert got[100].mink_nll_micro > got[0].mink_nll_micro
+    assert got[0].k_used == max(1, got[0].n_tokens * 20 // 100)
