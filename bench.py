@@ -363,6 +363,8 @@ HEADLINE = [
     "stream_minhash_merge",
     # round-12 wave 48: Min-K% Prob memorization screen
     "text_min_k_prob",
+    # round-12 wave 49: k-anonymity / l-diversity release gate
+    "privacy_k_anonymity_report",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

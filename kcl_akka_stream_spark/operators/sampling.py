@@ -497,3 +497,46 @@ def dsir_select(
         "weight_micro",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[Column] | None = None,
+    sensitive_col: str = "user_id",
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity release gate (Sweeney 2002; Machanavajjhala
+    et al. 2007, public): before a derived dataset ships, audit whether any
+    quasi-identifier combination isolates fewer than ``k`` rows (re-
+    identification risk) or carries fewer than ``l_div`` distinct sensitive
+    values (attribute disclosure -- a group can be k-large yet reveal the
+    sensitive value if every row shares it).  The single-row report is the
+    ship-gate: viol_* columns must be 0 for a clean release; risk_rows_*
+    quantify the affected mass when they are not.
+
+    Scale shape: ONE combinable (QI-group) agg with count + count-distinct
+    (partial-distinct + final, 2 exchanges), then a single-row fold riding
+    the group relation.  No joins, no windows."""
+    qis = quasi_cols if quasi_cols is not None else [F.col("event_type")]
+    groups = df.groupBy(*qis).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.countDistinct(sensitive_col).cast("long").alias("__nd"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.min("__n").cast("long").alias("min_group_size"),
+        F.sum((F.col("__n") < k).cast("long"))
+        .cast("long")
+        .alias("viol_k_anonymity"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("risk_rows_k"),
+        F.sum((F.col("__nd") < l_div).cast("long"))
+        .cast("long")
+        .alias("viol_l_diversity"),
+        F.sum(F.when(F.col("__nd") < l_div, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("risk_rows_l"),
+    )

@@ -9446,3 +9446,51 @@ def text_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memorized text has no surprising tail.  Frozen micro-nat lps, a
     # deterministic bottom-k cut, positive-dividend integer mean.
     return X.min_k_prob(tbl(spark, sf_dir, "documents"), k_pct=20)
+
+
+@query(
+    "privacy_k_anonymity_report",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hour_bucket,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) // 500 AS value_band,
+             user_id
+      FROM events),
+    g AS (
+      SELECT event_type, hour_bucket, value_band,
+             count(*) AS n, count(DISTINCT user_id) AS nd
+      FROM q GROUP BY 1, 2, 3)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(min(n) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS viol_k_anonymity,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS risk_rows_k,
+           CAST(sum(CASE WHEN nd < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS viol_l_diversity,
+           CAST(sum(CASE WHEN nd < 2 THEN n ELSE 0 END) AS BIGINT)
+             AS risk_rows_l
+    FROM g
+    """,
+)
+def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-anonymity / l-diversity release gate (wave 49; Sweeney 2002,
+    # Machanavajjhala et al. 2007) -- completes the privacy pillar next
+    # to PII redaction and the pseudo-DP counts: before shipping a
+    # derived events extract keyed by (event_type, hour, value band),
+    # count the QI groups that isolate < 5 rows or < 2 distinct users,
+    # and the row mass at risk.  operators/sampling.py::
+    # k_anonymity_report; ONE combinable group agg + single-row fold.
+    from kcl_akka_stream_spark.operators.sampling import k_anonymity_report
+
+    ev = tbl(spark, sf_dir, "events")
+    qis = [
+        F.col("event_type"),
+        F.hour("ts").cast("long").alias("hour_bucket"),
+        F.expr(
+            "cast(floor(value * 100 + 0.5) as bigint) div 500"
+        ).alias("value_band"),
+    ]
+    return k_anonymity_report(ev, quasi_cols=qis, k=5, l_div=2)

@@ -382,3 +382,25 @@ def test_min_k_prob_separates_boilerplate_from_novel(spark):
     got = {r.doc_id: r for r in min_k_prob(df, k_pct=20).collect()}
     assert got[100].mink_nll_micro > got[0].mink_nll_micro
     assert got[0].k_used == max(1, got[0].n_tokens * 20 // 100)
+
+
+def test_k_anonymity_reds_engineered_violations(spark):
+    # A QI group of 2 rows (< k=5) and a 6-row group all from ONE user
+    # (k-anonymous but l-diversity violating) must both surface.
+    import pyspark.sql.functions as F
+
+    from kcl_akka_stream_spark.operators.sampling import k_anonymity_report
+
+    rows = (
+        [("a", u) for u in (1, 2, 3, 4, 5, 6)]   # clean: 6 rows, 6 users
+        + [("b", 7), ("b", 8)]                   # k violation: 2 rows
+        + [("c", 9)] * 6                         # l violation: 1 user
+    )
+    df = spark.createDataFrame(rows, "qi string, user_id long")
+    r = k_anonymity_report(
+        df, quasi_cols=[F.col("qi")], k=5, l_div=2
+    ).collect()[0]
+    assert r.n_groups == 3 and r.n_rows == 14
+    assert r.viol_k_anonymity == 1 and r.risk_rows_k == 2
+    assert r.viol_l_diversity == 1 and r.risk_rows_l == 6
+    assert r.min_group_size == 2
