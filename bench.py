@@ -365,6 +365,8 @@ HEADLINE = [
     "text_min_k_prob",
     # round-12 wave 49: k-anonymity / l-diversity release gate
     "privacy_k_anonymity_report",
+    # round-12 wave 50: ANN index freshness (base IVF + brute delta)
+    "sim_ivf_delta_serving",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -295,7 +295,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries_df, k=5).select("q_id", "n_id", "cos_sim", "rank")
 
 
-def _ivf_assign_ctes(n_clusters: int = 8) -> str:
+def _ivf_assign_ctes(n_clusters: int = 8, where: str = "") -> str:
     # Shared CTE chunk mirroring operators/similarity.py::_learn_quantizer:
     # seeds = the n_clusters lowest-id vectors, one Lloyd step (squared-L2
     # argmin with cluster-id tie-break -- identical to
@@ -305,7 +305,8 @@ def _ivf_assign_ctes(n_clusters: int = 8) -> str:
         "list_sum([(v_vec[i] - c_vec[i]) * (v_vec[i] - c_vec[i])"
         " FOR i IN generate_series(1, len(v_vec))])"
     )
-    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v_vec FROM embeddings),
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v_vec
+           FROM embeddings{where}),
     c0 AS (SELECT vec_id AS cluster_id, v_vec AS c_vec FROM v
            ORDER BY vec_id LIMIT {n_clusters}),
     scored0 AS (
@@ -9494,3 +9495,83 @@ def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_band"),
     ]
     return k_anonymity_report(ev, quasi_cols=qis, k=5, l_div=2)
+
+
+def _ivf_delta_oracle(n_clusters: int = 8, k: int = 5, mod: int = 10) -> str:
+    # Base-only IVF (the prebuilt index: quantizer learned from and lists
+    # built over vec_id % mod <> 0) + exact brute force over the fresh
+    # delta (% mod = 0), merged and re-ranked per query -- the lambda
+    # serving recipe for ANN freshness.
+    cos_qc = _COS.format(a="q.q_vec", b="c.centroid")
+    cos_qn = _COS.format(a="qa.q_vec", b="e.v")
+    cos_qd = _COS.format(a="q.q_vec", b="d.v_vec")
+    return f"""
+    WITH {_ivf_assign_ctes(n_clusters, where=f" WHERE vec_id % {mod} <> 0")},
+    vfull AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v_vec
+              FROM embeddings),
+    dims0 AS (
+      SELECT a.cluster_id,
+             [{{'dim': i, 'val': v_vec[i]}}
+              FOR i IN generate_series(1, len(v_vec))] AS dv
+      FROM assign a JOIN v USING (vec_id)),
+    dims AS (
+      SELECT cluster_id, s.dim AS dim, avg(s.val) AS mval
+      FROM (SELECT cluster_id, unnest(dv) AS s FROM dims0)
+      GROUP BY cluster_id, s.dim),
+    cent AS (SELECT cluster_id, list(mval ORDER BY dim) AS centroid
+             FROM dims GROUP BY cluster_id),
+    e AS (SELECT v.vec_id, v.v_vec AS v, a.cluster_id AS cl
+          FROM v JOIN assign a USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, v_vec AS q_vec FROM vfull WHERE vec_id < 5),
+    qa AS (
+      SELECT q_id, q_vec, cluster FROM (
+        SELECT q.q_id, q.q_vec, c.cluster_id AS cluster,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {cos_qc} DESC, c.cluster_id) AS r
+        FROM q, cent c)
+      WHERE r = 1),
+    scored_base AS (
+      SELECT qa.q_id, e.vec_id AS n_id, round({cos_qn}, 6) AS cos_sim
+      FROM qa JOIN e ON e.cl = qa.cluster AND e.vec_id <> qa.q_id),
+    scored_delta AS (
+      SELECT q.q_id, d.vec_id AS n_id, round({cos_qd}, 6) AS cos_sim
+      FROM q, (SELECT * FROM vfull WHERE vec_id % {mod} = 0) d
+      WHERE d.vec_id <> q.q_id),
+    merged AS (
+      SELECT * FROM scored_base UNION ALL SELECT * FROM scored_delta)
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT q_id, n_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, n_id) AS rank
+      FROM merged)
+    WHERE rank <= {k}
+    """
+
+
+@query("sim_ivf_delta_serving", _ivf_delta_oracle())
+def sim_ivf_delta_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANN index FRESHNESS (wave 50) -- the lambda serving recipe every
+    # production vector store runs: the prebuilt IVF index covers the
+    # 90% base corpus (cluster-pruned probe, the offline-built path of
+    # sim_topk_ivf_prebuilt), the fresh 10% delta since the last index
+    # build is brute-forced exactly (small by contract -- it is ONE
+    # ingest window), and per-query candidates merge by score with the
+    # deterministic (cos DESC, n_id) tiebreak.  No reindex on the hot
+    # path; the delta folds into the base at the next offline build.
+    # Scale: base side stays cluster-pruned, delta side is a broadcast-
+    # query Arrow matmul, the merge is k-bounded per query.
+    emb = tbl(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = S.ivf_topk(base, queries, k=5).select("q_id", "n_id", "cos_sim")
+    br = S.brute_force_topk_vectorized(delta, queries, k=5).select(
+        "q_id", "n_id", "cos_sim"
+    )
+    merged = ivf.unionByName(br).filter(F.col("n_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "n_id")
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "cos_sim", F.col("rank").cast("long"))
+    )

@@ -404,3 +404,19 @@ def test_k_anonymity_reds_engineered_violations(spark):
     assert r.viol_k_anonymity == 1 and r.risk_rows_k == 2
     assert r.viol_l_diversity == 1 and r.risk_rows_l == 6
     assert r.min_group_size == 2
+
+
+def test_ivf_delta_serving_sees_fresh_vectors(spark, sf_dir):
+    # Freshness contract: delta vectors (vec_id % 10 == 0) MUST be
+    # servable -- at least one appears in some query's merged top-5
+    # (they are 10% of the corpus; with 5 queries x 5 ranks the fixture
+    # always surfaces some), and every rank list is dense 1..5.
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["sim_ivf_delta_serving"](spark, sf_dir).collect()
+    assert len(rows) == 25  # 5 queries x top-5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    assert any(r.n_id % 10 == 0 for r in rows), "no delta vector served"
