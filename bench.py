@@ -367,6 +367,8 @@ HEADLINE = [
     "privacy_k_anonymity_report",
     # round-12 wave 50: ANN index freshness (base IVF + brute delta)
     "sim_ivf_delta_serving",
+    # round-12 wave 51: exact half-life trending leaderboard
+    "w_trending_decay",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

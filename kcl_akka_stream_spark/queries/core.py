@@ -6608,3 +6608,68 @@ def w_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("long").alias("max_hourly"),
         )
     )
+
+
+@query(
+    "w_trending_decay",
+    """
+    WITH mx AS (SELECT max(ts) AS tmax FROM events),
+    e AS (
+      SELECT event_type,
+             (epoch_us(tmax) - epoch_us(ts)) // 43200000000
+               AS age_buckets
+      FROM events, mx),
+    s AS (
+      SELECT event_type,
+             count(*) AS n_events,
+             sum(1000000 >> CAST(least(age_buckets, 19) AS INT))
+               AS score_micro
+      FROM e GROUP BY event_type)
+    SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, event_type)
+                AS BIGINT) AS rank
+    FROM s
+    """,
+)
+def w_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trending leaderboard with EXACT half-life decay: each event
+    # contributes 1e6 >> (age/12h buckets) -- halving every 12 full
+    # hours via an integer shift instead of pow(0.5, age/12), so the
+    # score is exact int64 and cross-engine/partial-agg-order stable
+    # (the float-pow form would be the first order-dependent double sum
+    # in the registry).  The bucketed decay is within 2x of the smooth
+    # exponential everywhere -- the ranking signal survives, the
+    # nondeterminism does not.  Ages are exact MICROSECOND diffs
+    # floor-divided into 12 h buckets (hour-granularity datediff counts
+    # calendar-boundary crossings in DuckDB but elapsed hours in Spark
+    # -- the first cross-engine divergence this query caught); the
+    # shift caps at 19 (1e6 >> 19 = 1, the floor contribution) because
+    # Java masks shift amounts mod 32 -- shiftright(x, 40) silently
+    # equals >> 8 while DuckDB yields 0 (the second divergence).  ONE
+    # combinable agg + a leaderboard-sized rank window; age anchors to
+    # max(ts) (broadcast single row) for reproducibility on static
+    # fixtures.
+    ev = tbl(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    e = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.expr(
+            "(unix_micros(tmax) - unix_micros(ts)) div 43200000000"
+        ).alias("age_buckets"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.expr("shiftright(1000000, cast(least(age_buckets, 19) as int))")
+        )
+        .cast("long")
+        .alias("score_micro"),
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), "event_type")
+    return s.select(
+        "event_type",
+        "n_events",
+        "score_micro",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -292,6 +292,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "text_min_k_prob": 3,  # token explode checkpointed once; vocab agg + doc window/fold; vocab+total broadcast
         "privacy_k_anonymity_report": 3,  # QI group agg (partial-distinct + final) + single-row fold
         "sim_ivf_delta_serving": 6,  # ivf leg (4, quantizer + probe) + brute delta Arrow leg + merge window
+        "w_trending_decay": 3,  # single-row tmax broadcast + one combinable agg + leaderboard rank
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
