@@ -369,6 +369,8 @@ HEADLINE = [
     "sim_ivf_delta_serving",
     # round-12 wave 51: exact half-life trending leaderboard
     "w_trending_decay",
+    # round-12 wave 52: stupid-backoff held-out LM gate
+    "text_backoff_lm_score",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

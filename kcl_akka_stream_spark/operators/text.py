@@ -576,3 +576,99 @@ def min_k_prob(
             "mink_nll_micro"
         ),
     )
+
+
+def backoff_lm_score(
+    df: DataFrame,
+    lm_df: DataFrame,
+    alpha_ppm: int = 400_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """Stupid-backoff bigram scoring (Brants et al. 2007, public): fit
+    bigram + unigram counts on ``lm_df`` (a held-out reference corpus),
+    score EVERY document of ``df`` -- unlike ``bigram_logprob`` (which
+    fits on the scored corpus itself, so every pair is in-vocabulary)
+    this is the cross-corpus form where unseen bigrams are the POINT:
+    P(b|a) = n_ab/n_a if the pair was seen, else alpha * n_b/N if the
+    word was, else alpha/(N+1) -- the graceful floor that makes an
+    out-of-domain document score FINITELY bad instead of undefined.
+
+    Cross-engine exactness: each branch's ln freezes to integer
+    micro-nats before the per-doc sum (the unigram_logprob convention);
+    alpha enters as an exact ppm ratio inside the ln argument.
+
+    Plan: LM fitting is two combinable aggs over the reference corpus
+    (pair-vocab- and vocab-sized, broadcast back by default); scoring is
+    the map-side bigram explode left-joined against the broadcast
+    tables + ONE per-doc agg."""
+    t = tokens(F.col(text_col))
+    pair_struct = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+    def pairs_of(d: DataFrame) -> DataFrame:
+        return (
+            spread(d.select(id_col, text_col))
+            .select(id_col, F.explode(pair_struct).alias("p"))
+            .select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        )
+
+    lm_pairs = pairs_of(lm_df)
+    pc = lm_pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+    cc = pc.groupBy("a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    uni = (
+        spread(lm_df.select(id_col, text_col))
+        .select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    tot = uni.agg(F.sum("n_w").cast("long").alias("n_total"))
+    if broadcast_counts:
+        pc, cc, uni = F.broadcast(pc), F.broadcast(cc), F.broadcast(uni)
+
+    alpha = alpha_ppm / 1_000_000.0
+    lp = F.when(
+        F.col("n_ab").isNotNull(),
+        F.log(F.col("n_ab").cast("double") / F.col("n_a").cast("double")),
+    ).otherwise(
+        F.when(
+            F.col("n_w").isNotNull(),
+            F.log(
+                F.lit(alpha)
+                * F.col("n_w").cast("double")
+                / F.col("n_total").cast("double")
+            ),
+        ).otherwise(
+            F.log(F.lit(alpha) / (F.col("n_total").cast("double") + 1))
+        )
+    )
+    lp_micro = F.round(lp * 1e6, 0).cast("long")
+    scored = (
+        pairs_of(df)
+        .join(pc, ["a", "b"], "left")
+        .join(cc, "a", "left")
+        .join(uni.withColumnRenamed("w", "b"), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            lp_micro.alias("lp"),
+            F.col("n_ab").isNotNull().cast("long").alias("hit_pair"),
+            (F.col("n_ab").isNull() & F.col("n_w").isNotNull())
+            .cast("long")
+            .alias("hit_uni"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("hit_pair").cast("long").alias("n_pair_hits"),
+        F.sum("hit_uni").cast("long").alias("n_backoff_uni"),
+        F.expr("cast((-sum(lp)) div count(*) as bigint)").alias(
+            "avg_nll_micro"
+        ),
+    )

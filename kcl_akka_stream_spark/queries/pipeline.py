@@ -9575,3 +9575,69 @@ def sim_ivf_delta_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "n_id", "cos_sim", F.col("rank").cast("long"))
     )
+
+
+@query(
+    "text_backoff_lm_score",
+    f"""
+    WITH lmdocs AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+    lmp AS (
+      SELECT t[i] AS a, t[i + 1] AS b
+      FROM (SELECT regexp_extract_all(lower(text), '{TOK}') AS t FROM lmdocs),
+           unnest(generate_series(1, len(t) - 1)) AS u(i)),
+    pc AS (SELECT a, b, count(*) AS n_ab FROM lmp GROUP BY a, b),
+    cc AS (SELECT a, sum(n_ab) AS n_a FROM pc GROUP BY a),
+    uni AS (
+      SELECT w, count(*) AS n_w FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOK}')) AS w
+        FROM lmdocs) GROUP BY w),
+    tot AS (SELECT sum(n_w) AS n_total FROM uni),
+    dp AS (
+      SELECT doc_id, t[i] AS a, t[i + 1] AS b
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t
+            FROM documents),
+           unnest(generate_series(1, len(t) - 1)) AS u(i)),
+    scored AS (
+      SELECT dp.doc_id,
+             CAST(round(CASE
+               WHEN pc.n_ab IS NOT NULL
+                 THEN ln(CAST(pc.n_ab AS DOUBLE) / CAST(cc.n_a AS DOUBLE))
+               WHEN uni.n_w IS NOT NULL
+                 THEN ln(0.4 * CAST(uni.n_w AS DOUBLE)
+                         / CAST(tot.n_total AS DOUBLE))
+               ELSE ln(0.4 / (CAST(tot.n_total AS DOUBLE) + 1))
+             END * 1e6, 0) AS BIGINT) AS lp,
+             CASE WHEN pc.n_ab IS NOT NULL THEN 1 ELSE 0 END AS hit_pair,
+             CASE WHEN pc.n_ab IS NULL AND uni.n_w IS NOT NULL
+                  THEN 1 ELSE 0 END AS hit_uni
+      FROM dp
+      LEFT JOIN pc ON pc.a = dp.a AND pc.b = dp.b
+      LEFT JOIN cc ON cc.a = dp.a
+      LEFT JOIN uni ON uni.w = dp.b, tot)
+    SELECT s.doc_id, d.lang,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(hit_pair) AS BIGINT) AS n_pair_hits,
+           CAST(sum(hit_uni) AS BIGINT) AS n_backoff_uni,
+           CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_nll_micro
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY s.doc_id, d.lang
+    """,
+)
+def text_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stupid-backoff cross-corpus LM gate (wave 52; Brants et al. 2007):
+    # fit bigram+unigram counts on the ENGLISH half, score EVERY doc --
+    # the held-out-LM quality gate where unseen bigrams are the point
+    # (bigram_logprob fits on the scored corpus, so it never backs off).
+    # Out-of-domain docs surface through n_backoff_uni and the floored
+    # NLL; operators/text.py::backoff_lm_score.
+    from kcl_akka_stream_spark.operators.text import backoff_lm_score
+
+    docs = tbl(spark, sf_dir, "documents")
+    lm = docs.filter(F.col("lang") == "en")
+    scored = backoff_lm_score(docs, lm)
+    return scored.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id", "lang", "n_bigrams", "n_pair_hits", "n_backoff_uni",
+        "avg_nll_micro",
+    )

@@ -420,3 +420,30 @@ def test_ivf_delta_serving_sees_fresh_vectors(spark, sf_dir):
         by_q.setdefault(r.q_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
     assert any(r.n_id % 10 == 0 for r in rows), "no delta vector served"
+
+
+def test_backoff_lm_separates_in_domain_from_ood(spark):
+    # Contract: an in-domain doc scores near the LM, an out-of-domain
+    # doc backs off (n_backoff_uni + floor hits) and scores WORSE; the
+    # three branches (pair hit / unigram backoff / OOV floor) are all
+    # exercised and accounted.
+    from kcl_akka_stream_spark.operators.text import backoff_lm_score
+
+    lm = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat and the dog ran")
+         for i in range(3)],
+        "doc_id long, text string",
+    )
+    score_df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),        # all pairs seen
+            (2, "the mat sat on the cat dog"),    # seen words, new pairs
+            (3, "zzq wvx kqj totally unseen"),    # OOV floor
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in backoff_lm_score(score_df, lm).collect()}
+    assert got[1].n_pair_hits == got[1].n_bigrams      # fully in-domain
+    assert got[2].n_backoff_uni > 0                    # unigram branch
+    assert got[3].n_pair_hits == 0 and got[3].n_backoff_uni == 0  # floor
+    assert got[1].avg_nll_micro < got[2].avg_nll_micro < got[3].avg_nll_micro
