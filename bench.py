@@ -371,6 +371,8 @@ HEADLINE = [
     "w_trending_decay",
     # round-12 wave 52: stupid-backoff held-out LM gate
     "text_backoff_lm_score",
+    # round-12 wave 53: Cohen's kappa annotation agreement
+    "agg_cohens_kappa",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

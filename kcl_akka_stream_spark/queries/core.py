@@ -6673,3 +6673,102 @@ def w_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_micro",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+@query(
+    "agg_cohens_kappa",
+    """
+    WITH lab AS (
+      SELECT event_type,
+             least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 2500, 3)
+               AS la,
+             CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))
+                         ::BIGINT % 10 < 2
+                  THEN (least(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              // 2500, 3) + 1) % 4
+                  ELSE least(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             // 2500, 3)
+             END AS lb
+      FROM events),
+    cells AS (
+      SELECT event_type, la, lb, count(*) AS c
+      FROM lab GROUP BY 1, 2, 3),
+    marg AS (
+      SELECT event_type,
+             sum(c) AS n,
+             sum(CASE WHEN la = lb THEN c ELSE 0 END) AS agree
+      FROM cells GROUP BY event_type),
+    prods AS (
+      SELECT a.event_type, sum(a.na * b.nb) AS chance
+      FROM (SELECT event_type, la AS k, sum(c) AS na FROM cells
+            GROUP BY 1, 2) a
+      JOIN (SELECT event_type, lb AS k, sum(c) AS nb FROM cells
+            GROUP BY 1, 2) b
+        ON a.event_type = b.event_type AND a.k = b.k
+      GROUP BY a.event_type)
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS n,
+           CAST(m.agree AS BIGINT) AS n_agree,
+           CAST(p.chance AS BIGINT) AS chance_prod_sum,
+           CAST((m.agree * m.n - p.chance) * 1000000
+                // nullif(m.n * m.n - p.chance, 0) AS BIGINT) AS kappa_micro
+    FROM marg m JOIN prods p ON p.event_type = m.event_type
+    """,
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inter-annotator agreement (wave 53; Cohen 1960, public) -- the
+    # labeling-ops readout every human- or LLM-annotation pipeline
+    # gates on: kappa = (po - pe) / (1 - pe) computed EXACTLY in int64
+    # as (agree*n - sum_k na_k*nb_k) * 1e6 // (n^2 - sum_k na_k*nb_k)
+    # -- no rates, no doubles, partial-agg-order stable (headroom: n^2
+    # overflows past ~3e9 rows per group; shard the kappa by annotator
+    # batch long before that).  Signed division is SAFE cross-engine
+    # (probed: DuckDB // and Spark div both truncate toward zero);
+    # the degenerate single-class case (pe = 1) yields NULL via nullif
+    # on both sides, the ADVICE r11 convention.  The fixture derives annotator A from
+    # the value band and annotator B as A with a deterministic 20%
+    # md5 perturbation, so both engines label identically.  Plan: one
+    # (type, la, lb) contingency agg (4x4-bounded per type), then
+    # marginal folds riding the bounded cells relation.
+    ev = tbl(spark, sf_dir, "events")
+    la = F.expr(
+        "least(cast(floor(value * 100 + 0.5) as bigint) div 2500, 3)"
+    )
+    flip = F.expr(
+        "cast(conv(substring(md5(cast(event_id as string)), 1, 2), 16, 10)"
+        " as bigint) % 10 < 2"
+    )
+    lab = ev.select(
+        "event_type",
+        la.alias("la"),
+        F.when(flip, (la + 1) % 4).otherwise(la).alias("lb"),
+    )
+    cells = lab.groupBy("event_type", "la", "lb").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    marg = cells.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(0))
+        .alias("agree"),
+    )
+    na = cells.groupBy("event_type", F.col("la").alias("k")).agg(
+        F.sum("c").alias("na")
+    )
+    nb = cells.groupBy("event_type", F.col("lb").alias("k")).agg(
+        F.sum("c").alias("nb")
+    )
+    prods = (
+        na.join(nb, ["event_type", "k"])
+        .groupBy("event_type")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("chance"))
+    )
+    return marg.join(prods, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("agree").cast("long").alias("n_agree"),
+        F.col("chance").cast("long").alias("chance_prod_sum"),
+        F.expr(
+            "cast((agree * n - chance) * 1000000"
+            " div nullif(n * n - chance, 0) as bigint)"
+        ).alias("kappa_micro"),
+    )

@@ -447,3 +447,22 @@ def test_backoff_lm_separates_in_domain_from_ood(spark):
     assert got[2].n_backoff_uni > 0                    # unigram branch
     assert got[3].n_pair_hits == 0 and got[3].n_backoff_uni == 0  # floor
     assert got[1].avg_nll_micro < got[2].avg_nll_micro < got[3].avg_nll_micro
+
+
+def test_cohens_kappa_hand_values(spark, sf_dir):
+    # Hand-check: perfect agreement -> kappa = 1e6; the engineered 20%
+    # md5 flip keeps fixture kappa strictly between chance and perfect.
+    import pyspark.sql.functions as F
+
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["agg_cohens_kappa"](spark, sf_dir).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        # ~20% disagreement, 4 classes: kappa lands well inside (0, 1)
+        assert 0 < r.kappa_micro < 1_000_000, r
+        assert r.n_agree < r.n  # the flip is real
+        # exact identity: kappa = (agree*n - chance)*1e6 div (n^2 - chance)
+        num = r.n_agree * r.n - r.chance_prod_sum
+        den = r.n * r.n - r.chance_prod_sum
+        assert r.kappa_micro == num * 1_000_000 // den if num >= 0 else True
