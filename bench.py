@@ -373,6 +373,8 @@ HEADLINE = [
     "text_backoff_lm_score",
     # round-12 wave 53: Cohen's kappa annotation agreement
     "agg_cohens_kappa",
+    # round-12 wave 54: MMR diversified re-ranking
+    "sim_mmr_rerank",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

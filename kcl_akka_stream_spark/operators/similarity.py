@@ -1303,3 +1303,120 @@ def range_search(
         F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= F.lit(threshold))
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 20,
+    k: int = 3,
+    lambda_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    public): greedily pick ``k`` results balancing relevance against
+    redundancy -- step score = lambda*rel - (1-lambda)*max-sim-to-already-
+    selected.  The diversity pass every RAG retriever runs after ANN.
+
+    EXACT-integer greedy: relevance and pairwise similarity freeze to
+    micro cosines first, the step score is
+    ``lambda_tenths*rel_micro - (10-lambda_tenths)*sim_micro`` (scaled
+    x10 -- ordering identical), every argmax tie-breaks on the id, so
+    both engines select identical result SETS in identical order.
+
+    The greedy loop unrolls: step i is one bounded join (candidates x
+    selected-so-far, <= n_candidates*k rows per query) + one argmax
+    window.  ``k`` is a loop over DataFrame ops -- fine for the k<=10
+    of any reranker; candidates and their pairwise-sim relation are the
+    only data-shaped inputs and both are (queries x n_candidates^2)-
+    bounded.  Returns (q_id, n_id, rel_micro, step)."""
+    from pyspark.sql import Window
+
+    cand = brute_force_topk_vectorized(
+        corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
+    ).select(
+        "q_id",
+        "n_id",
+        F.expr("cast(round(cos_sim * 1000000, 0) as bigint)").alias(
+            "rel_micro"
+        ),
+    ).localCheckpoint(eager=True)  # feeds every unrolled step
+
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    )
+    a = cand.select("q_id", F.col("n_id").alias("id_a"))
+    b = cand.select("q_id", F.col("n_id").alias("id_b"))
+    dot = (
+        "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    norm = (
+        "sqrt(aggregate(transform({c}, x -> cast(x as double) * x),"
+        " 0D, (acc, v) -> acc + v))"
+    )
+    pair_sim = (
+        a.join(b, "q_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .join(vecs.select(F.col("__vid").alias("id_a"), F.col("__v").alias("va")), "id_a")
+        .join(vecs.select(F.col("__vid").alias("id_b"), F.col("__v").alias("vb")), "id_b")
+        .select(
+            "q_id",
+            "id_a",
+            "id_b",
+            F.expr(
+                f"cast(round({dot} / ({norm.format(c='va')} *"
+                f" {norm.format(c='vb')}) * 1000000, 0) as bigint)"
+            ).alias("sim_micro"),
+        )
+        .localCheckpoint(eager=True)  # reused by k-1 steps
+    )
+
+    lam, mu = lambda_tenths, 10 - lambda_tenths
+    w = Window.partitionBy("q_id")
+    picks = []
+    selected = None
+    for step in range(1, k + 1):
+        if selected is None:
+            scored = cand.select(
+                "q_id", "n_id", "rel_micro",
+                (F.col("rel_micro") * 10).alias("__score"),
+            )
+        else:
+            max_sim = (
+                selected.select("q_id", F.col("n_id").alias("id_b"))
+                .join(pair_sim, ["q_id", "id_b"])
+                .groupBy("q_id", F.col("id_a").alias("n_id"))
+                .agg(F.max("sim_micro").alias("__ms"))
+            )
+            remaining = cand.join(
+                selected.select("q_id", "n_id").withColumn("__t", F.lit(1)),
+                ["q_id", "n_id"],
+                "left_anti",
+            )
+            scored = remaining.join(max_sim, ["q_id", "n_id"], "left").select(
+                "q_id", "n_id", "rel_micro",
+                (
+                    F.col("rel_micro") * lam
+                    - F.coalesce(F.col("__ms"), F.lit(0)) * mu
+                ).alias("__score"),
+            )
+        rk = F.row_number().over(
+            w.orderBy(F.col("__score").desc(), F.col("n_id"))
+        )
+        pick = (
+            scored.withColumn("__rk", rk)
+            .filter(F.col("__rk") == 1)
+            .select("q_id", "n_id", "rel_micro")
+            .withColumn("step", F.lit(step).cast("long"))
+            .localCheckpoint(eager=True)  # next step joins against it
+        )
+        picks.append(pick)
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

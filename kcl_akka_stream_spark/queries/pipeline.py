@@ -9641,3 +9641,88 @@ def text_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_bigrams", "n_pair_hits", "n_backoff_uni",
         "avg_nll_micro",
     )
+
+
+def _mmr_oracle(n_candidates: int = 20, lam: int = 7) -> str:
+    # Unrolled exact-integer MMR greedy (k=3) mirroring
+    # operators/similarity.py::mmr_rerank: micro-frozen relevance and
+    # pairwise sims, argmax with id tiebreak per step.
+    cos_qn = _COS.format(a="q_vec", b="n_vec")
+    cos_ab = _COS.format(a="a.v", b="b.v")
+    mu = 10 - lam
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q_id, c.vec_id AS n_id,
+             round({cos_qn.replace('n_vec', 'c.v')}, 6) AS cos6
+      FROM v c, q WHERE q_id <> c.vec_id),
+    cand AS (
+      SELECT q_id, n_id,
+             CAST(round(cos6 * 1000000, 0) AS BIGINT) AS rel_micro
+      FROM (SELECT q_id, n_id, cos6,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos6 DESC, n_id) AS rk
+            FROM scored)
+      WHERE rk <= {n_candidates}),
+    ps AS (
+      SELECT ca.q_id, ca.n_id AS id_a, cb.n_id AS id_b,
+             CAST(round({cos_ab} * 1000000, 0) AS BIGINT) AS sim_micro
+      FROM cand ca JOIN cand cb
+        ON ca.q_id = cb.q_id AND ca.n_id <> cb.n_id
+      JOIN v a ON a.vec_id = ca.n_id
+      JOIN v b ON b.vec_id = cb.n_id),
+    s1 AS (
+      SELECT q_id, n_id, rel_micro, CAST(1 AS BIGINT) AS step FROM (
+        SELECT q_id, n_id, rel_micro,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY rel_micro * 10 DESC, n_id) AS rk
+        FROM cand) WHERE rk = 1),
+    sc2 AS (
+      SELECT c.q_id, c.n_id, c.rel_micro,
+             c.rel_micro * {lam} - COALESCE(p.sim_micro, 0) * {mu} AS sc
+      FROM cand c
+      JOIN s1 ON s1.q_id = c.q_id AND s1.n_id <> c.n_id
+      LEFT JOIN ps p ON p.q_id = c.q_id AND p.id_a = c.n_id
+                     AND p.id_b = s1.n_id),
+    s2 AS (
+      SELECT q_id, n_id, rel_micro, CAST(2 AS BIGINT) AS step FROM (
+        SELECT q_id, n_id, rel_micro,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sc DESC, n_id) AS rk
+        FROM sc2) WHERE rk = 1),
+    sel12 AS (SELECT q_id, n_id FROM s1 UNION ALL SELECT q_id, n_id FROM s2),
+    ms3 AS (
+      SELECT p.q_id, p.id_a AS n_id, max(p.sim_micro) AS ms
+      FROM ps p JOIN sel12 s ON s.q_id = p.q_id AND s.n_id = p.id_b
+      GROUP BY p.q_id, p.id_a),
+    sc3 AS (
+      SELECT c.q_id, c.n_id, c.rel_micro,
+             c.rel_micro * {lam} - COALESCE(m.ms, 0) * {mu} AS sc
+      FROM cand c
+      LEFT JOIN ms3 m ON m.q_id = c.q_id AND m.n_id = c.n_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel12 s
+                        WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
+    s3 AS (
+      SELECT q_id, n_id, rel_micro, CAST(3 AS BIGINT) AS step FROM (
+        SELECT q_id, n_id, rel_micro,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sc DESC, n_id) AS rk
+        FROM sc3) WHERE rk = 1)
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+    """
+
+
+@query("sim_mmr_rerank", _mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MMR diversified re-ranking (wave 54; Carbonell & Goldstein 1998)
+    # -- the diversity pass after ANN retrieval: greedy k=3 selection
+    # maximizing 0.7*relevance - 0.3*max-sim-to-selected, EXACT in
+    # integer micro cosines with id tiebreaks so both engines pick
+    # identical sets in identical order
+    # (operators/similarity.py::mmr_rerank).  Candidates and their
+    # pairwise-sim relation are (queries x 20^2)-bounded; each greedy
+    # step is one bounded join + argmax window.
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.mmr_rerank(emb, queries, n_candidates=20, k=3)

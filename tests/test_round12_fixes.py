@@ -466,3 +466,35 @@ def test_cohens_kappa_hand_values(spark, sf_dir):
         num = r.n_agree * r.n - r.chance_prod_sum
         den = r.n * r.n - r.chance_prod_sum
         assert r.kappa_micro == num * 1_000_000 // den if num >= 0 else True
+
+
+def test_mmr_prefers_diversity_over_redundant_clones(spark):
+    # Engineered: the 3 most relevant candidates are near-clones; pure
+    # relevance would return clones at steps 1-3, MMR must break to the
+    # diverse candidate by step 2 or 3.
+    from kcl_akka_stream_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.14, 0.0, 0.0]),        # clone family, rel ~.99
+        (2, [0.99, 0.141, 0.0, 0.0]),
+        (3, [0.99, 0.142, 0.0, 0.0]),
+        (4, [0.7, 0.0, 0.71, 0.0]),         # diverse, rel ~.70
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # lambda=0.5: the clone's redundancy penalty (~sim 0.9999) exceeds
+    # its relevance edge over the diverse candidate
+    out = mmr_rerank(
+        emb, emb.filter("vec_id = 0"), n_candidates=4, k=3,
+        lambda_tenths=5,
+    ).collect()
+    steps = {r.step: r.n_id for r in out}
+    assert steps[1] in (1, 2, 3)            # top relevance first
+    assert steps[2] == 4, steps             # diversity beats the clones
+    assert len(set(steps.values())) == 3    # no repeats
+    # and at lambda=1.0 MMR degenerates to pure relevance (all clones)
+    pure = mmr_rerank(
+        emb, emb.filter("vec_id = 0"), n_candidates=4, k=3,
+        lambda_tenths=10,
+    ).collect()
+    assert {r.n_id for r in pure} == {1, 2, 3}
