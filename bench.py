@@ -375,6 +375,8 @@ HEADLINE = [
     "agg_cohens_kappa",
     # round-12 wave 54: MMR diversified re-ranking
     "sim_mmr_rerank",
+    # round-12 wave 55: math scalar family
+    "scalar_math_funcs",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

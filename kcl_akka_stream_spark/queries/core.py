@@ -6772,3 +6772,83 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(n * n - chance, 0) as bigint)"
         ).alias("kappa_micro"),
     )
+
+
+@query(
+    "scalar_math_funcs",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             value
+      FROM events),
+    x AS (
+      SELECT event_type,
+             abs(cents - 1000) AS abs_c,
+             sign(cents - 1000) AS sign_c,
+             (cents % 10) * (cents % 10) * (cents % 10) AS cube_c,
+             CAST(round(sqrt(CAST(cents AS DOUBLE)) * 1000000, 0) AS BIGINT)
+               AS sqrt_micro,
+             CAST(round(ln(1 + CAST(cents AS DOUBLE)) * 1000000, 0)
+                  AS BIGINT) AS ln1p_micro,
+             CAST(round(exp(-value / 100) * 1000000, 0) AS BIGINT)
+               AS exp_micro,
+             CAST(round(atan2(value, 100) * 1000000, 0) AS BIGINT)
+               AS atan2_micro
+      FROM m)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(abs_c) AS BIGINT) AS sum_abs,
+           CAST(sum(sign_c) AS BIGINT) AS sum_sign,
+           CAST(sum(cube_c) AS BIGINT) AS sum_cubes,
+           CAST(sum(sqrt_micro) AS BIGINT) AS sum_sqrt_micro,
+           CAST(sum(ln1p_micro) AS BIGINT) AS sum_ln1p_micro,
+           CAST(sum(exp_micro) AS BIGINT) AS sum_exp_micro,
+           CAST(sum(atan2_micro) AS BIGINT) AS sum_atan2_micro
+    FROM x GROUP BY event_type
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Math scalar family (§2.8 widening): abs/sign/integer powers exact,
+    # sqrt (IEEE-754 correctly rounded by spec, bit-identical across
+    # engines), and ln/exp/atan2 frozen to micro BEFORE the sum --
+    # libm vs JVM transcendentals can differ in the last ulp, but a
+    # 1-ulp wobble flips a micro-round only within ~1e-10 of a .5
+    # boundary, far below fixture scale; per-lang integer checksums pin
+    # both engines' semantics (the scalar_edit_funcs pattern).
+    # Map-only + ONE combinable agg.
+    ev = tbl(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        "value",
+    )
+    x = m.select(
+        "event_type",
+        F.expr("abs(cents - 1000)").alias("abs_c"),
+        F.expr("cast(sign(cents - 1000) as bigint)").alias("sign_c"),
+        F.expr("(cents % 10) * (cents % 10) * (cents % 10)").alias("cube_c"),
+        F.expr(
+            "cast(round(sqrt(cast(cents as double)) * 1000000, 0) as bigint)"
+        ).alias("sqrt_micro"),
+        F.expr(
+            "cast(round(ln(1 + cast(cents as double)) * 1000000, 0)"
+            " as bigint)"
+        ).alias("ln1p_micro"),
+        F.expr(
+            "cast(round(exp(-value / 100) * 1000000, 0) as bigint)"
+        ).alias("exp_micro"),
+        F.expr(
+            "cast(round(atan2(value, 100) * 1000000, 0) as bigint)"
+        ).alias("atan2_micro"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("abs_c").cast("long").alias("sum_abs"),
+        F.sum("sign_c").cast("long").alias("sum_sign"),
+        F.sum("cube_c").cast("long").alias("sum_cubes"),
+        F.sum("sqrt_micro").cast("long").alias("sum_sqrt_micro"),
+        F.sum("ln1p_micro").cast("long").alias("sum_ln1p_micro"),
+        F.sum("exp_micro").cast("long").alias("sum_exp_micro"),
+        F.sum("atan2_micro").cast("long").alias("sum_atan2_micro"),
+    )

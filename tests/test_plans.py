@@ -296,6 +296,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "text_backoff_lm_score": 12,  # LM fit aggs (pair, context, unigram, total; all broadcast back) + scored-pairs fold + lang join-back
         "agg_cohens_kappa": 7,  # one contingency agg + bounded marginal folds/joins on the cells relation
         "sim_mmr_rerank": 2,  # final plan reads checkpointed blocks; per-step argmax windows are (q x 20)-bounded
+        "scalar_math_funcs": 1,  # map-only scalars + one combinable agg
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
