@@ -377,6 +377,8 @@ HEADLINE = [
     "sim_mmr_rerank",
     # round-12 wave 55: math scalar family
     "scalar_math_funcs",
+    # round-12 wave 56: span-level decontamination accounting
+    "pipeline_decontaminate_spans",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

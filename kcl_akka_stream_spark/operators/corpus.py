@@ -420,3 +420,81 @@ def decontaminate_fuzzy(
         F.count(F.lit(1)).cast("long").alias("n_matched_evals"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+def decontaminate_span_coverage(
+    df: DataFrame,
+    eval_df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level decontamination (the third granularity, completing the
+    ladder: exact 5-gram flag -> MinHash paraphrase flag -> EXACT SPAN
+    accounting): for every corpus doc, the interval-union fraction of
+    its tokens covered by k-token windows that occur ANYWHERE in the
+    held-out eval set -- the Lee et al. 2022 window machinery pointed at
+    a reference corpus instead of at self-duplication.  Unlike the flag
+    paths this QUANTIFIES contamination (a doc quoting one benchmark
+    item line shows 8% coverage, a laundered full copy shows 95%), which
+    is what you need to set a removal-vs-redaction threshold.
+
+    Scale shape: the eval window set is benchmark-sized by contract and
+    BROADCASTS; the corpus explodes its windows map-side (spread floor)
+    and never self-joins; the interval union is the running-max
+    streaming frame; per-doc fold + left join are id-keyed."""
+    from pyspark.sql import Window as W
+
+    from kcl_akka_stream_spark.operators.dedup import positional_windows
+    from kcl_akka_stream_spark.operators.text import tokens
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    ex = spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.posexplode(positional_windows(F.col(text_col), k)).alias(
+            "pos", "gram"
+        ),
+    )
+    ev_grams = (
+        eval_df.select(
+            F.explode(positional_windows(F.col(text_col), k)).alias("gram")
+        )
+        .distinct()
+    )
+    hits = ex.join(F.broadcast(ev_grams), "gram").select(id_col, "pos")
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + k).over(w)
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("pos") + k)
+        - F.greatest(F.coalesce(prev_end, F.col("pos")), F.col("pos")),
+    )
+    per_doc = hits.select(id_col, contrib.alias("__c")).groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("covered_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_eval_windows"),
+    )
+    all_docs = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    joined = all_docs.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_eval_windows", F.lit(0)).cast("long").alias(
+            "n_eval_windows"
+        ),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+            "covered_tokens"
+        ),
+    )
+    return joined.withColumn(
+        "coverage_ppm",
+        F.expr(
+            "case when n_tokens > 0"
+            " then covered_tokens * 1000000 div n_tokens else 0 end"
+        ).cast("long"),
+    )

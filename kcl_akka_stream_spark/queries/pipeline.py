@@ -9726,3 +9726,65 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.mmr_rerank(emb, queries, n_candidates=20, k=3)
+
+
+def _decon_span_oracle(k: int = 8, modulus: int = 97) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(t, i, i + {k - 1}), ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1}))
+                   AS i
+            FROM toks WHERE len(t) >= {k})),
+    evg AS (
+      SELECT DISTINCT gram FROM wins WHERE doc_id % {modulus} = 0),
+    hits AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN evg USING (gram)
+      WHERE w.doc_id % {modulus} <> 0),
+    runs AS (
+      SELECT doc_id, pos,
+             max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_end
+      FROM hits),
+    per_doc AS (
+      SELECT doc_id,
+             sum(greatest(0, pos + {k}
+                          - greatest(coalesce(prev_end, pos), pos)))
+               AS covered_tokens,
+             count(*) AS n_eval_windows
+      FROM runs GROUP BY doc_id),
+    alld AS (SELECT doc_id, len(regexp_extract_all(lower(text), '{TOK}'))
+                      AS n_tokens
+             FROM documents WHERE doc_id % {modulus} <> 0)
+    SELECT a.doc_id,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_eval_windows, 0) AS BIGINT) AS n_eval_windows,
+           CAST(COALESCE(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CAST(CASE WHEN a.n_tokens > 0
+                     THEN COALESCE(p.covered_tokens, 0) * 1000000
+                          // a.n_tokens
+                     ELSE 0 END AS BIGINT) AS coverage_ppm
+    FROM alld a LEFT JOIN per_doc p ON p.doc_id = a.doc_id
+    """
+
+
+@query("pipeline_decontaminate_spans", _decon_span_oracle())
+def pipeline_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Span-level decontamination (wave 56): the interval-union fraction
+    # of each corpus doc covered by 8-token windows occurring anywhere
+    # in the eval set -- QUANTIFIES contamination where the exact/fuzzy
+    # paths only flag it, which is what sets a removal-vs-redaction
+    # threshold (operators/corpus.py::decontaminate_span_coverage).
+    # Eval windows broadcast; corpus never self-joins.
+    from kcl_akka_stream_spark.operators.corpus import (
+        decontaminate_span_coverage,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate_span_coverage(corpus, eval_df, k=8)

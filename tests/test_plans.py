@@ -297,6 +297,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_cohens_kappa": 7,  # one contingency agg + bounded marginal folds/joins on the cells relation
         "sim_mmr_rerank": 2,  # final plan reads checkpointed blocks; per-step argmax windows are (q x 20)-bounded
         "scalar_math_funcs": 1,  # map-only scalars + one combinable agg
+        "pipeline_decontaminate_spans": 3,  # spread + doc window/fold + id join-back; eval windows broadcast
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

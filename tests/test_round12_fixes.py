@@ -498,3 +498,33 @@ def test_mmr_prefers_diversity_over_redundant_clones(spark):
         lambda_tenths=10,
     ).collect()
     assert {r.n_id for r in pure} == {1, 2, 3}
+
+
+def test_decontaminate_spans_quantifies_quotes(spark):
+    # A corpus doc quoting a 10-token eval span shows EXACTLY 10 covered
+    # tokens; an untouched doc shows 0 -- the quantification the flag
+    # paths cannot give.
+    from kcl_akka_stream_spark.operators.corpus import (
+        decontaminate_span_coverage,
+    )
+
+    quote = ("benchmark item text that must never leak into training "
+             "data at all")
+    eval_df = spark.createDataFrame(
+        [(100, quote)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words here " + quote + " closing words follow now"),
+            (2, "completely unrelated document content with zero overlap"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in decontaminate_span_coverage(corpus, eval_df, k=8).collect()
+    }
+    n_quote = len(quote.split())
+    assert got[1].covered_tokens == n_quote
+    assert got[2].covered_tokens == 0 and got[2].coverage_ppm == 0
+    assert 0 < got[1].coverage_ppm < 1_000_000

@@ -55,6 +55,7 @@ SPREAD_AUDIT_ALLOW = {
     "agg_cms_merged": "rides cms_state (allowed above)",
     "pipeline_decontaminate": "spread 1.17x on the eval side (benchmark-sized by contract)",
     # round 12:
+    "pipeline_decontaminate_spans": "eval-side window explode, benchmark-sized by contract (52 docs at sf0.1) -- same seam family as pipeline_decontaminate (1.17x) / _fuzzy (1.2-2.7x), both measured: spreading the eval side buys an exchange for nothing; corpus side IS spread",
     "pipeline_decontaminate_fuzzy": "spread 1.2-2.7x measured at sf0.1 (warm 1.41s no-spread vs 1.69/3.79s spread): same eval-side seam as pipeline_decontaminate -- the eval set is benchmark-sized by contract (52 docs at sf0.1), so spreading its shingle/minhash explodes buys an exchange for nothing",
     "pipeline_bloom_dedup": "spread 1.06x (3 md5/row over the daily slice)",
     "j_interval_overlap": "spread 1.40x (pre-filtered tail, O(1)-bucket explode)",
