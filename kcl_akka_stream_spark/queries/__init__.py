@@ -22,66 +22,67 @@ from kcl_akka_stream_spark.queries import streaming_q  # noqa: E402,F401
 #: Samplers that take the first N registry entries (the driver's
 #: correctness gate records 50) must see a REPRESENTATIVE slice, not just
 #: whichever module imported first.  The sample ROTATES each round
-#: (VERDICT r5 #2 .. r11 #1).  Round-12 rebuild: flagship + ALL 34
-#: round-11 names never driver-sampled (waves 31-42, promised by this
-#: file's own r11 comment and VERDICT r11 #1) + 15 fill from the oldest
-#: remaining cohort (last sampled r5, alphabetical) = exactly 50.  New
-#: round-12 queries append AFTER this block and rotate into the r13
+#: (VERDICT r5 #2 .. r12 #1).  Round-13 rebuild: flagship + ALL 18
+#: round-12 names never driver-sampled (waves 43-56, promised by this
+#: file's own r12 comment and VERDICT r12 "Next round" #1) + 31 fill
+#: ordered by longest-unsampled (last driver round ascending, then
+#: alphabetical; computed from CORRECTNESS_r*.json) = exactly 50.  New
+#: round-13 queries append AFTER this block and rotate into the r14
 #: sample; each is judge-gated via tools/check_correctness.py the session
 #: it lands.
 _PRIORITY = [
     "q1_pricing_summary",
-    # -- the 34 round-11 names never driver-sampled (waves 31-42) --
-    "agg_mann_whitney",
-    "agg_welch_ttest",
-    "agg_trimmed_mean",
-    "w_streaks",
-    "agg_psi_drift",
-    "w_markov_transitions",
-    "j_null_safe_eq",
-    "agg_quantile_normalize",
-    "sample_neyman_allocation",
-    "agg_simpson_diversity",
-    "scalar_edit_funcs",
-    "w_max_silence",
-    "w_volume_anomaly",
-    "dedup_containment_verified",
-    "pipeline_mixture_temperature",
-    "corpus_epoch_shuffle",
-    "text_readability",
-    "pipeline_filter_attribution",
-    "multimodal_magic_sniff",
-    "pipeline_token_apportionment",
-    "text_boolean_retrieval",
-    "cluster_inertia_report",
-    "pipeline_dedup_cascade_report",
-    "emb_dim_stats",
-    "sample_user_cap",
-    "text_bm25_topk",
-    "dedup_threshold_sweep",
-    "text_js_divergence",
-    "dedup_band_config_sweep",
-    "graph_modularity_report",
-    "dedup_bloom_fpr_report",
-    "text_zipf_slope",
-    "stream_topk_merge",
-    "stream_session_merge",
-    # -- rotation fill: oldest remaining cohort (last sampled r5) --
-    "j_orders_customer",
-    "multimodal_features",
-    "p3_filter_bootstrap",
-    "p4_flatten_tokens",
-    "p5_grouped_batches",
-    "pipeline_clean_corpus",
-    "pipeline_decontaminate",
-    "pipeline_pack_tokens",
-    "sample_per_stratum",
-    "scalar_datetime",
-    "scalar_json",
-    "scalar_json_corrupt",
-    "scalar_numeric",
-    "scalar_string_funcs",
-    "sim_topk_ivf",
+    # -- the 18 round-12 names never driver-sampled (waves 43-56) --
+    "scd2_consistency_report",
+    "multimodal_wav_header",
+    "multimodal_mp4_header",
+    "multimodal_png_dims",
+    "pipeline_decontaminate_fuzzy",
+    "pipeline_decontaminate_spans",
+    "sample_dsir",
+    "dedup_chain_audit",
+    "dedup_span_coverage",
+    "stream_minhash_merge",
+    "text_min_k_prob",
+    "privacy_k_anonymity_report",
+    "sim_ivf_delta_serving",
+    "w_trending_decay",
+    "text_backoff_lm_score",
+    "agg_cohens_kappa",
+    "sim_mmr_rerank",
+    "scalar_math_funcs",
+    # -- rotation fill: 31 longest-unsampled (last sampled r5/r6) --
+    "sim_topk_lsh",
+    "sim_topk_vectorized",
+    "sink_bucketed_join_roundtrip",
+    "stream_dedup",
+    "stream_stream_join",
+    "stream_tumbling_agg",
+    "text_langid",
+    "text_quality",
+    "text_quality_flags",
+    "text_redact_pii",
+    "u_intersect",
+    "u_union_merge",
+    "w_sessionize",
+    "agg_cms_merged",
+    "agg_hist_median",
+    "agg_kmv_error_report",
+    "cluster_kmeans_assign",
+    "corpus_vocab_topk",
+    "dedup_boilerplate_segments",
+    "dedup_containment_pairs",
+    "dedup_ngram_jaccard_capped",
+    "dedup_savings_report",
+    "dedup_simhash_pairs",
+    "diag_key_skew",
+    "emb_lang_centroids",
+    "emb_near_dup",
+    "emb_near_dup_block_report",
+    "emb_near_dup_lsh",
+    "j_anti",
+    "j_null_safe",
+    "j_null_skew_bypass",
 ]
 
 

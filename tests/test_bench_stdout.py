@@ -103,27 +103,33 @@ def test_priority_rotation_names_all_registered():
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     # and the rotation really front-loads: the first 50 sampled entries
-    # must include ALL 34 round-11 names never driver-sampled in
-    # CORRECTNESS_r01..r11 (VERDICT r11 #1's acceptance bar), plus exactly
-    # 15 rotation-fill names -- 1 flagship + 34 + 15 == 50
+    # must include ALL 18 round-12 names never driver-sampled in
+    # CORRECTNESS_r01..r12 (VERDICT r12 "Next round" #1's acceptance bar),
+    # plus exactly 31 rotation-fill names -- 1 flagship + 18 + 31 == 50
     assert len(_PRIORITY) == 50
     first50 = set(list(QUERIES)[:50])
-    never_sampled = set(_PRIORITY[1:35])
-    assert len(never_sampled) == 34
-    # spot-pin one name per wave 31..42 so a partial rotation is caught
+    never_sampled = set(_PRIORITY[1:19])
+    assert len(never_sampled) == 18
+    # pin every wave-43..56 name so a partial rotation is caught
     for name in (
-        "dedup_containment_verified",   # wave 31
-        "multimodal_magic_sniff",       # wave 32
-        "stream_topk_merge",            # wave 33
-        "text_boolean_retrieval",       # wave 34
-        "pipeline_dedup_cascade_report",  # wave 35
-        "stream_session_merge",         # wave 36
-        "text_bm25_topk",               # wave 37
-        "agg_quantile_normalize",       # wave 38
-        "sample_neyman_allocation",     # wave 39
-        "graph_modularity_report",      # wave 40
-        "dedup_bloom_fpr_report",       # wave 41
-        "text_zipf_slope",              # wave 42
+        "scd2_consistency_report",        # wave 43
+        "multimodal_wav_header",          # wave 43
+        "multimodal_mp4_header",          # wave 43
+        "pipeline_decontaminate_fuzzy",   # wave 44
+        "multimodal_png_dims",            # wave 45
+        "sample_dsir",                    # wave 45
+        "dedup_chain_audit",              # wave 46
+        "dedup_span_coverage",            # wave 46
+        "stream_minhash_merge",           # wave 47
+        "text_min_k_prob",                # wave 48
+        "privacy_k_anonymity_report",     # wave 49
+        "sim_ivf_delta_serving",          # wave 50
+        "w_trending_decay",               # wave 51
+        "text_backoff_lm_score",          # wave 52
+        "agg_cohens_kappa",               # wave 53
+        "sim_mmr_rerank",                 # wave 54
+        "scalar_math_funcs",              # wave 55
+        "pipeline_decontaminate_spans",   # wave 56
     ):
         assert name in never_sampled, name
     assert never_sampled <= first50, sorted(never_sampled - first50)
