@@ -403,20 +403,34 @@ def decontaminate_fuzzy(
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
+    # Namespace ids before the union (ADVICE r12): the verify stage keys
+    # its shingle table by id, so an id shared between the corpus and
+    # eval id spaces would silently duplicate rows into the join and
+    # inflate jaccard/match counts.  Prefixing makes the union key
+    # collision-free regardless of the caller's id spaces; the corpus id
+    # is restored (original dtype) on output.
+    id_type = df.schema[id_col].dataType
+    c_tag = F.concat(F.lit("c:"), F.col(id_col).cast("string"))
+    e_tag = F.concat(F.lit("e:"), F.col(id_col).cast("string"))
     cand = (
         bc.join(F.broadcast(be), ["band", "bucket"])
         .select(
-            F.col(id_col).alias("id_a"), F.col("__eval_id").alias("id_b")
+            F.concat(F.lit("c:"), F.col(id_col).cast("string")).alias("id_a"),
+            F.concat(F.lit("e:"), F.col("__eval_id").cast("string")).alias(
+                "id_b"
+            ),
         )
         .distinct()
     )
-    both = df.select(id_col, text_col).unionByName(
-        eval_df.select(id_col, text_col)
+    both = df.select(c_tag.alias(id_col), text_col).unionByName(
+        eval_df.select(e_tag.alias(id_col), text_col)
     )
     verified = verify_candidate_jaccard(
         both, cand, text_col, id_col, k, threshold
     )
-    return verified.groupBy(F.col("id_a").alias(id_col)).agg(
+    return verified.groupBy(
+        F.expr("substring(id_a, 3)").cast(id_type).alias(id_col)
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("n_matched_evals"),
         F.max("jaccard").alias("max_jaccard"),
     )

@@ -1002,7 +1002,20 @@ def sorted_neighborhood_pairs(
                 (r["__band"], r["__lo"], r["__hi"])
             )
         for blk_v, bands in per_blk.items():
-            bands.sort(key=lambda t: (t[0] is None, t[0]))
+            # A NULL band is its own contract violation (and would be
+            # ordered NULLS FIRST by the offsets window while a
+            # None-last python sort validated a DIFFERENT order --
+            # ADVICE r12): raise distinctly rather than mis-validate.
+            if any(b is None for b, _lo, _hi in bands):
+                raise ValueError(
+                    "sorted_neighborhood_pairs: band_expr produced NULL "
+                    f"band values in block {blk_v!r}; bands must be "
+                    "non-null sort-order prefixes of the key (wrap the "
+                    "expression in coalesce(..., ''))"
+                )
+            # Spark's ascending window order is NULLS FIRST; with NULLs
+            # excluded above, plain value order matches it exactly.
+            bands.sort(key=lambda t: t[0])
             for (b1, _lo1, hi1), (b2, lo2, _hi2) in zip(bands, bands[1:]):
                 if hi1 is None or lo2 is None or not (hi1 < lo2):
                     raise ValueError(
@@ -1138,14 +1151,17 @@ def chain_audit(ver_pairs: DataFrame) -> DataFrame:
 
     Scale shape: edges checkpointed once (they feed CC, the edge count
     and the node set); every relation after CC is cluster- or
-    cluster-size-bounded; density math is exact int64."""
+    cluster-size-bounded; density math is exact int64.  CC here is the
+    pointer-jumping variant (O(log diameter) rounds): chaining is
+    exactly the pathology this audit measures, so a deep chain must not
+    hit the plain variant's propagation-round guard (ADVICE r12)."""
     ver = ver_pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     nodes = (
         ver.select(F.col("id_a").alias("doc_id"))
         .unionByName(ver.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    lab = connected_components(ver, nodes)
+    lab = connected_components_fast(ver, nodes)
     members = lab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("m"))
     epc = (
         ver.join(

@@ -256,7 +256,15 @@ def parse_wav_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     ok = (
         "(substring(__h, 1, 8) = '52494646'"     # 'RIFF'
         " AND substring(__h, 17, 8) = '57415645'"  # 'WAVE'
-        " AND substring(__h, 25, 8) = '666D7420')"  # 'fmt '
+        " AND substring(__h, 25, 8) = '666D7420'"  # 'fmt '
+        # The fixed 44-byte offsets below are only valid for the CANONICAL
+        # 16-byte-fmt PCM layout with 'data' directly after fmt.  A valid
+        # 18-byte-fmt WAV or one with a LIST chunk would otherwise get
+        # riff_ok=1 with data_bytes/duration read from the WRONG offsets
+        # (ADVICE r12) -- such variants must land in the counted bad
+        # bucket, not pollute the aggregate.
+        " AND substring(__h, 33, 8) = '10000000'"   # fmt chunk size == 16 (LE)
+        " AND substring(__h, 73, 8) = '64617461')"  # 'data' @36
     )
     out = (
         df.withColumn("__h", F.hex(F.col(payload_col)))
@@ -308,7 +316,12 @@ def parse_mp4_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     ok = (
         f"(substring(__h, 9, 8) = '66747970'"          # 'ftyp' @4
         f" AND {_hex_4cc(f'{ftyp_sz} + 4')} = 'moov'"
-        f" AND {_hex_4cc(f'{ftyp_sz} + 12')} = 'mvhd')"
+        f" AND {_hex_4cc(f'{ftyp_sz} + 12')} = 'mvhd'"
+        # mvhd version must be 0 (32-bit times): a valid version-1 mvhd
+        # stores 64-bit creation/modification times, so the v0 offsets
+        # below would read timescale/duration out of the creation-time
+        # bytes (ADVICE r12) -- count v1 as bad instead of mis-parsing.
+        f" AND {_hex_be(f'{ftyp_sz} + 16', 1)} = 0)"
     )
     ts = _hex_be(f"{ftyp_sz} + 28", 4)
     dur = _hex_be(f"{ftyp_sz} + 32", 4)

@@ -8770,7 +8770,9 @@ def _wav_oracle() -> str:
     parsed AS (
       SELECT CASE WHEN substr(h, 1, 8) = '52494646'
                    AND substr(h, 17, 8) = '57415645'
-                   AND substr(h, 25, 8) = '666D7420' THEN 1 ELSE 0 END AS ok,
+                   AND substr(h, 25, 8) = '666D7420'
+                   AND substr(h, 33, 8) = '10000000'
+                   AND substr(h, 73, 8) = '64617461' THEN 1 ELSE 0 END AS ok,
              {rd(22, 2)} AS channels, {rd(24, 4)} AS sample_rate,
              {rd(28, 4)} AS byte_rate, {rd(40, 4)} AS data_bytes
       FROM (SELECT hex(payload) AS h FROM media))
@@ -8899,7 +8901,8 @@ def _mp4_oracle() -> str:
     parsed AS (
       SELECT CASE WHEN substr(h, 9, 8) = '66747970'
                    AND {cc(f'{fsz} + 4')} = 'moov'
-                   AND {cc(f'{fsz} + 12')} = 'mvhd' THEN 1 ELSE 0 END AS ok,
+                   AND {cc(f'{fsz} + 12')} = 'mvhd'
+                   AND {rd(f'{fsz} + 16', 1)} = 0 THEN 1 ELSE 0 END AS ok,
              {cc('8')} AS brand,
              {rd(f'{fsz} + 28', 4)} AS timescale,
              {rd(f'{fsz} + 32', 4)} AS dur

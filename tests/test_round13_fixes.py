@@ -1,0 +1,169 @@
+"""Round-13 ADVICE-r12 pins: variant multimodal headers must land in the
+counted bad bucket (not mis-parse), NULL bands raise distinctly,
+chain_audit survives deep chains, decontaminate_fuzzy tolerates
+overlapping corpus/eval id spaces."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _wav16(sr, ch, bits, data_sz):
+    ba = ch * bits // 8
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_sz) + b"WAVE" + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ba, ba, bits)
+        + b"data" + struct.pack("<I", data_sz)
+    )
+
+
+def test_wav_variant_layouts_counted_bad_not_misparsed(spark):
+    # ADVICE r12 (medium): an 18-byte-fmt PCM WAV (cbSize=0 extension)
+    # and a LIST-chunk WAV are VALID files the fixed 44-byte offsets
+    # cannot parse -- they must get riff_ok=0 (counted, not poisoning),
+    # never riff_ok=1 with data_bytes read from the wrong offsets.
+    from kcl_akka_stream_spark.operators.multimodal import parse_wav_header
+
+    def wav18(sr, ch, bits, data_sz):  # 18-byte fmt chunk, cbSize=0
+        ba = ch * bits // 8
+        return (
+            b"RIFF" + struct.pack("<I", 38 + data_sz) + b"WAVE" + b"fmt "
+            + struct.pack("<IHHIIHHH", 18, 1, ch, sr, sr * ba, ba, bits, 0)
+            + b"data" + struct.pack("<I", data_sz)
+        )
+
+    def wav_list(sr, ch, bits, data_sz):  # LIST chunk between fmt and data
+        ba = ch * bits // 8
+        lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(lst) + data_sz) + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ba, ba, bits)
+            + lst + b"data" + struct.pack("<I", data_sz)
+        )
+
+    rows = [
+        (1, bytearray(_wav16(8000, 1, 16, 16000))),   # canonical: parses
+        (2, bytearray(wav18(8000, 1, 16, 16000))),    # 18-byte fmt: bad
+        (3, bytearray(wav_list(8000, 1, 16, 16000))),  # LIST chunk: bad
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in parse_wav_header(df).collect()}
+    assert got[1].riff_ok == 1 and got[1].duration_us == 1_000_000
+    assert got[2].riff_ok == 0 and got[2].data_bytes is None
+    assert got[3].riff_ok == 0 and got[3].data_bytes is None
+
+
+def test_mp4_version1_mvhd_counted_bad_not_misparsed(spark):
+    # ADVICE r12 (medium): a version-1 mvhd stores 64-bit times, so the
+    # v0 offsets would read timescale/duration out of the creation-time
+    # bytes -- it must get mp4_ok=0, never a garbage timescale.
+    from kcl_akka_stream_spark.operators.multimodal import parse_mp4_header
+
+    def mp4(ts, dur, version=0):
+        ftyp = (
+            struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+        )
+        if version == 0:
+            body = struct.pack(">IIIII", 0, 0, 0, ts, dur) + b"\x00" * 80
+        else:  # v1: 64-bit creation/modification/duration, 32-bit ts
+            body = (
+                struct.pack(">I", 1 << 24)
+                + struct.pack(">QQIQ", 0, 0, ts, dur) + b"\x00" * 80
+            )
+        mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+        return ftyp + struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+
+    rows = [
+        (1, bytearray(mp4(600, 1800, version=0))),
+        (2, bytearray(mp4(600, 1800, version=1))),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in parse_mp4_header(df).collect()}
+    assert got[1].mp4_ok == 1 and got[1].duration_ms == 3000
+    assert got[2].mp4_ok == 0 and got[2].timescale is None
+
+
+def test_validate_bands_null_band_raises_distinctly(spark):
+    # ADVICE r12 (low): a NULL band used to be python-sorted LAST while
+    # the offsets window orders NULLS FIRST (validating a different
+    # order than the one used) and surfaced as a misleading
+    # 'not a sort-order prefix' error.  It now raises its own message.
+    from kcl_akka_stream_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "doc_id long, k string"
+    )
+    band = F.substring(F.col("k"), 1, 1)  # NULL key -> NULL band
+    with pytest.raises(ValueError, match="NULL band"):
+        sorted_neighborhood_pairs(
+            df, "k", block_col=None, band_expr=band, validate_bands=True
+        ).collect()
+    # and a valid prefix band still validates clean
+    ok = sorted_neighborhood_pairs(
+        df.filter("k is not null"),
+        "k",
+        block_col=None,
+        band_expr=F.substring(F.col("k"), 1, 1),
+        validate_bands=True,
+    )
+    assert ok.count() == 1  # (alpha, beta) within w=3
+
+
+def test_chain_audit_deep_chain_converges(spark):
+    # ADVICE r12 (low): chaining is exactly the pathology the audit
+    # measures, so a 60-hop verified chain must converge (pointer
+    # jumping, O(log diameter)) -- the plain CC's 20-round guard would
+    # have raised here.  Density of a pure n-node chain is
+    # (n-1)/(n(n-1)/2) = 2/n exactly.
+    from kcl_akka_stream_spark.operators.dedup import chain_audit
+
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    rows = chain_audit(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.cluster_size == n and r.n_clusters == 1
+    assert r.total_edges == n - 1
+    assert r.min_density_ppm == (n - 1) * 1_000_000 // (n * (n - 1) // 2)
+    assert r.n_chained == 1
+
+
+def test_decontaminate_fuzzy_overlapping_id_spaces(spark):
+    # ADVICE r12 (low): corpus and eval ids used to be unioned raw, so a
+    # shared id duplicated rows through the id-keyed shingle join.  Ids
+    # are now namespaced internally; a corpus doc and an UNRELATED eval
+    # item sharing id=1 must not cross-contaminate the verify stage.
+    from kcl_akka_stream_spark.operators.corpus import decontaminate_fuzzy
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated corpus text about spark shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in decontaminate_fuzzy(
+            corpus, ev, num_hashes=8, bands=8, k=3, threshold=0.3
+        ).collect()
+    }
+    # corpus doc 1 flagged against eval item 1 (near-identical text),
+    # exactly once, with a sane jaccard; doc 2 untouched
+    assert set(got) == {1}
+    assert got[1].n_matched_evals == 1
+    assert 0.3 <= got[1].max_jaccard <= 1.0
+    # dtype restored: long in, long out
+    assert isinstance(got[1].doc_id, int)
