@@ -38,6 +38,121 @@ class StateCardinalityExceeded(RuntimeError):
     """A streaming twin's per-batch state relation exceeded max_state_rows."""
 
 
+#: VERDICT r12 #2: the per-family state-cardinality AUDIT for all 19
+#: mergeable-state streaming-twin families.  Each entry states HOW the
+#: per-batch state is held and WHY its cardinality cannot grow with row
+#: volume:
+#:   mechanism 'driver-fold'   -- state folds through the guarded
+#:                                _collect_state driver list; legitimate
+#:                                ONLY for constant / group-bounded state.
+#:                                ``folds`` lists the exact what-tags used
+#:                                at the _collect_state call sites (pytest
+#:                                pins set equality against the source).
+#:   mechanism 'epoch-union'   -- per-batch state APPENDS executor-side to
+#:                                a parquet store; merge is distributed;
+#:                                result detaches via eager
+#:                                localCheckpoint.  Required for any
+#:                                data-dependent state.
+#:   mechanism 'checkpoint-fold' -- state is a standing DataFrame merged
+#:                                batch-over-batch and re-detached via
+#:                                eager localCheckpoint (block-manager
+#:                                partitions, never a driver row list).
+#:   cardinality 'constant'      -- rows/batch bounded by a fixed sketch
+#:                                size x group count (k, bands, bins, b).
+#:   cardinality 'group-bounded' -- rows/batch bounded by group-domain
+#:                                cells (types x hours/bins/bars); grows
+#:                                with the DOMAIN (value range, stream
+#:                                time-span), never with row volume.
+#:   cardinality 'data-dependent' -- grows with data (id universe, user
+#:                                count): MUST NOT be a driver-fold.
+#: tests/test_streaming_state_audit.py pins (a) the folds tags complete
+#: and exact against the actual _collect_state call sites, and (b) no
+#: driver-fold family classified data-dependent.
+STATE_CARDINALITY = {
+    "stream_kmv_merge": (
+        "driver-fold", "constant", "epochs x k=64 bottom hashes",
+        ("stream_kmv_merge",),
+    ),
+    "stream_cms_merge": (
+        "driver-fold", "constant", "types x fixed depth*width counters",
+        ("stream_cms_merge",),
+    ),
+    "stream_hist_merge": (
+        "driver-fold", "group-bounded", "types x value-range bins",
+        ("stream_hist_merge",),
+    ),
+    "stream_kmv_set_ops": (
+        "driver-fold", "constant", "set-tags x k=64 bottom hashes",
+        ("stream_kmv_set_ops",),
+    ),
+    "stream_rollup_incremental": (
+        "driver-fold", "constant", "types x 4 int64 sufficient stats",
+        ("stream_rollup_incremental",),
+    ),
+    "stream_moments_merge": (
+        "driver-fold", "constant", "types x 4 int64 power sums",
+        ("stream_moments_merge",),
+    ),
+    "stream_scd2_merge": (
+        "checkpoint-fold", "group-bounded",
+        "the changes-sized SCD2 dimension itself, localCheckpoint-held",
+        (),
+    ),
+    "stream_bitmap_merge": (
+        "epoch-union", "data-dependent",
+        "types x dense-id-range/63 words -- grows with the id universe",
+        (),
+    ),
+    "stream_reservoir_merge": (
+        "driver-fold", "constant", "types x k=8 bottom hashes",
+        ("stream_reservoir_merge",),
+    ),
+    "stream_bootstrap_merge": (
+        "driver-fold", "constant",
+        "types x b=32 replicate sums + types x point sums",
+        ("stream_bootstrap_merge:replicates", "stream_bootstrap_merge:point"),
+    ),
+    "stream_pearson_merge": (
+        "driver-fold", "constant", "types x 6 int64 sufficient stats",
+        ("stream_pearson_merge",),
+    ),
+    "stream_kl_drift_merge": (
+        "driver-fold", "group-bounded", "types x 2 halves x unit bins",
+        ("stream_kl_drift_merge",),
+    ),
+    "stream_ks_merge": (
+        "driver-fold", "group-bounded", "types x 2 halves x deci-bins",
+        ("stream_ks_merge",),
+    ),
+    "stream_entropy_merge": (
+        "driver-fold", "group-bounded", "types x 24 hour cells",
+        ("stream_entropy_merge",),
+    ),
+    "stream_mi_merge": (
+        "driver-fold", "group-bounded", "types x 24 hour cells",
+        ("stream_mi_merge",),
+    ),
+    "stream_ohlc_merge": (
+        "driver-fold", "group-bounded",
+        "types x hourly bars -- grows with stream time-span, not volume",
+        ("stream_ohlc_merge",),
+    ),
+    "stream_topk_merge": (
+        "driver-fold", "constant", "windows x k candidates",
+        ("stream_topk_merge",),
+    ),
+    "stream_session_merge": (
+        "epoch-union", "data-dependent",
+        "users x batch-local sessions -- grows with user count",
+        (),
+    ),
+    "stream_minhash_merge": (
+        "driver-fold", "constant", "langs x 8 signature chunks",
+        ("stream_minhash_merge",),
+    ),
+}
+
+
 def _collect_state(df: DataFrame, what: str, max_state_rows: int = MAX_STATE_ROWS):
     rows = df.limit(max_state_rows + 1).collect()
     if len(rows) > max_state_rows:
@@ -1585,7 +1700,14 @@ def stream_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OR-merge into the global exact count.  Idempotence is the
     # operational point: an at-least-once replay of a whole batch
     # changes NOTHING (OR absorbs it), where every counting scheme
-    # needs dedup state.  State per batch is words-sized, never rows.
+    # needs dedup state.  State per batch is words-sized, never rows --
+    # but words-sized is DATA-DEPENDENT (types x dense-id-range/63 grows
+    # with the id universe; see _STATE_CARDINALITY), so this twin uses
+    # the executor-side parquet epoch-union pattern proven by
+    # stream_session_merge (VERDICT r12 #2): per-batch states APPEND to
+    # a parquet store, the OR-merge runs as the distributed groupBy it
+    # always was, and the result detaches via eager localCheckpoint --
+    # no collect(), no driver list, no max_state_rows cliff at 100x.
     from kcl_akka_stream_spark.operators.sketches import (
         bitmap_counts,
         bitmap_merge,
@@ -1594,7 +1716,7 @@ def stream_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tbl(spark, sf_dir, "events").select("event_type", "user_id")
     src = tempfile.mkdtemp(prefix="kcl_bitmap_src_")
-    state_rows = []
+    state_dir = tempfile.mkdtemp(prefix="kcl_bitmap_state_")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(src)
         stream = (
@@ -1605,22 +1727,26 @@ def stream_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def fold_state(batch_df, epoch_id):
             st = bitmap_state(batch_df, "event_type", "user_id")
-            state_rows.extend(_collect_state(st, "stream_bitmap_merge"))
+            # executor-side state append: no collect(), no driver list
+            st.write.mode("append").parquet(state_dir)
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
             q.processAllAvailable()
         finally:
             q.stop()
-        states = spark.createDataFrame(
-            state_rows, "event_type string, wrd long, bits long"
-        )
+        states = spark.read.schema(
+            "event_type string, wrd long, bits long"
+        ).parquet(state_dir)
         merged = bitmap_merge(states, "event_type")
-        return bitmap_counts(merged, "event_type").select(
+        out = bitmap_counts(merged, "event_type").select(
             "event_type", "n_words", "n_distinct"
         )
+        # detach from state_dir before the finally-rmtree, executor-sized
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def _reservoir_oracle() -> str:
