@@ -379,6 +379,9 @@ HEADLINE = [
     "scalar_math_funcs",
     # round-12 wave 56: span-level decontamination accounting
     "pipeline_decontaminate_spans",
+    # round-13 wave 57: JPEG SOF walk + MP3 frame census (big-five complete)
+    "multimodal_jpeg_dims",
+    "multimodal_mp3_header",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -403,34 +403,22 @@ def decontaminate_fuzzy(
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
-    # Namespace ids before the union (ADVICE r12): the verify stage keys
-    # its shingle table by id, so an id shared between the corpus and
-    # eval id spaces would silently duplicate rows into the join and
-    # inflate jaccard/match counts.  Prefixing makes the union key
-    # collision-free regardless of the caller's id spaces; the corpus id
-    # is restored (original dtype) on output.
-    id_type = df.schema[id_col].dataType
-    c_tag = F.concat(F.lit("c:"), F.col(id_col).cast("string"))
-    e_tag = F.concat(F.lit("e:"), F.col(id_col).cast("string"))
     cand = (
         bc.join(F.broadcast(be), ["band", "bucket"])
         .select(
-            F.concat(F.lit("c:"), F.col(id_col).cast("string")).alias("id_a"),
-            F.concat(F.lit("e:"), F.col("__eval_id").cast("string")).alias(
-                "id_b"
-            ),
+            F.col(id_col).alias("id_a"), F.col("__eval_id").alias("id_b")
         )
         .distinct()
     )
-    both = df.select(c_tag.alias(id_col), text_col).unionByName(
-        eval_df.select(e_tag.alias(id_col), text_col)
-    )
+    # Two-table verify (ADVICE r12): id_a resolves against the CORPUS
+    # shingles and id_b against the EVAL shingles, so the two id spaces
+    # never share a table and may overlap freely -- the previous raw-id
+    # union silently duplicated rows through the id-keyed shingle join
+    # whenever a corpus id collided with an eval id.
     verified = verify_candidate_jaccard(
-        both, cand, text_col, id_col, k, threshold
+        df, cand, text_col, id_col, k, threshold, df_b=eval_df
     )
-    return verified.groupBy(
-        F.expr("substring(id_a, 3)").cast(id_type).alias(id_col)
-    ).agg(
+    return verified.groupBy(F.col("id_a").alias(id_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n_matched_evals"),
         F.max("jaccard").alias("max_jaccard"),
     )

@@ -170,9 +170,16 @@ def verify_candidate_jaccard(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    df_b: DataFrame | None = None,
 ) -> DataFrame:
     """Stage 2 of the canonical MinHash pipeline: exact Jaccard computed
     ONLY for LSH candidate pairs (stage 1 = minhash_candidate_pairs).
+
+    ``df_b`` (optional) makes this the CROSS-DATASET form: ``id_a``
+    resolves against ``df`` and ``id_b`` against ``df_b``, so the two id
+    spaces never share a table and may overlap freely (ADVICE r12 --
+    the single-table form required the caller to guarantee disjoint
+    ids when it unioned two datasets).
 
     Scale shape: the shingle sets ride as array columns and join to the
     candidate pairs by doc id -- two hash joins keyed on the id (Catalyst
@@ -181,8 +188,17 @@ def verify_candidate_jaccard(
     size, never corpus x corpus; this is what makes LSH+verify the 100 TB
     near-dup recipe."""
     sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__shs"))
+    sh_b = (
+        sh
+        if df_b is None
+        else df_b.select(
+            F.col(id_col), shingles(F.col(text_col), k).alias("__shs")
+        )
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sh_b"))
+    b = sh_b.select(
+        F.col(id_col).alias("id_b"), F.col("__shs").alias("__sh_b")
+    )
     joined = candidates.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size("__sh_a") + F.size("__sh_b") - inter

@@ -380,3 +380,176 @@ def parse_png_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         )
     )
     return out.drop("__h")
+
+
+def parse_jpeg_header(
+    df: DataFrame, payload_col: str = "payload", max_segments: int = 6
+) -> DataFrame:
+    """Parse JPEG (JFIF) dimensions from a binary column by WALKING the
+    marker-segment chain to the first SOF0 (baseline) or SOF2
+    (progressive) frame header (ITU T.81 / JFIF, public): after the SOI
+    marker, each segment is [FF mk] [len:2 BE, includes itself] [body],
+    and the Start-Of-Frame body carries precision, height, width and the
+    component count.  Unlike PNG (IHDR fixed first) the SOF position is
+    data-dependent -- APPn / DQT / DHT segments of arbitrary length
+    precede it -- so this is a real bounded walk (``max_segments``
+    hops), the JPEG analogue of the MP4 box walk.
+
+    Implementation: one projected column per hop (offset, marker,
+    validity), all plain hex-slice integer reads inside whole-stage
+    codegen; Catalyst collapses the chain into a single projection.  A
+    file whose SOF is not reached within ``max_segments`` (or any
+    corrupt / non-JPEG payload) gets jpeg_ok=0 and NULL fields --
+    counted in the bad bucket, never mis-parsed."""
+    cur = df.withColumn("__h", F.hex(F.col(payload_col))).withColumn(
+        "__o0", F.lit(2).cast("bigint")
+    )
+    sof_branches = []
+    valid = "substring(__h, 1, 4) = 'FFD8'"
+    for i in range(max_segments):
+        # marker at __o{i}: first byte must be FF; walk validity is
+        # CUMULATIVE so a garbage tail cannot fake a late SOF match
+        cur = cur.withColumn(
+            f"__v{i}",
+            F.expr(f"({valid}) AND substring(__h, 2 * __o{i} + 1, 2) = 'FF'"),
+        )
+        cur = cur.withColumn(
+            f"__m{i}", F.expr(f"substring(__h, 2 * __o{i} + 3, 2)")
+        )
+        sof_branches.append(
+            f"when __v{i} and __m{i} in ('C0', 'C2') then __o{i}"
+        )
+        cur = cur.withColumn(
+            f"__o{i + 1}",
+            F.expr(f"__o{i} + 2 + {_hex_be(f'__o{i} + 2', 2)}"),
+        )
+        valid = f"__v{i} AND __m{i} NOT IN ('C0', 'C2', 'D9', 'DA')"
+    sof = "case " + " ".join(sof_branches) + " end"
+    cur = cur.withColumn("__sof", F.expr(sof))
+    ok = "__sof is not null"
+    out = (
+        cur.withColumn("jpeg_ok", F.expr(f"cast({ok} as int)"))
+        .withColumn(
+            "sof_kind",
+            F.expr(
+                f"case when {ok} then case substring(__h, 2 * __sof + 3, 2)"
+                " when 'C0' then 'baseline' else 'progressive' end end"
+            ),
+        )
+        .withColumn(
+            "precision",
+            F.expr(f"case when {ok} then {_hex_be('__sof + 4', 1)} end"),
+        )
+        .withColumn(
+            "height",
+            F.expr(f"case when {ok} then {_hex_be('__sof + 5', 2)} end"),
+        )
+        .withColumn(
+            "width",
+            F.expr(f"case when {ok} then {_hex_be('__sof + 7', 2)} end"),
+        )
+        .withColumn(
+            "n_components",
+            F.expr(f"case when {ok} then {_hex_be('__sof + 9', 1)} end"),
+        )
+        .withColumn(
+            "n_pixels",
+            F.expr(
+                f"case when {ok} then {_hex_be('__sof + 5', 2)}"
+                f" * {_hex_be('__sof + 7', 2)} end"
+            ),
+        )
+    )
+    drop = ["__h", "__sof"] + [
+        c
+        for i in range(max_segments + 1)
+        for c in (f"__o{i}", f"__v{i}", f"__m{i}")
+        if c in cur.columns
+    ]
+    return out.drop(*drop)
+
+
+#: MPEG-1 Layer III bitrate table, kbps by header index (ISO 11172-3,
+#: public); indexes 0 ('free') and 15 ('bad') are rejected by the parser.
+MP3_BITRATE_KBPS = {
+    1: 32, 2: 40, 3: 48, 4: 56, 5: 64, 6: 80, 7: 96,
+    8: 112, 9: 128, 10: 160, 11: 192, 12: 224, 13: 256, 14: 320,
+}
+
+#: MPEG-1 sample-rate table, Hz by header index; index 3 is reserved.
+MP3_SAMPLE_RATE = {0: 44100, 1: 48000, 2: 32000}
+
+
+def parse_mp3_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse the first MPEG-1 Layer III frame header from a binary
+    column -- bitrate, sample rate, exact integer frame size and a
+    whole-file duration estimate -- skipping an ID3v2 tag if present
+    (both specs public: ISO 11172-3 frame header, id3.org ID3v2).
+
+    The ID3v2 skip is a real read: the tag size is a 4-byte SYNCSAFE
+    integer (7 bits per byte) at offset 6, so the first audio frame
+    lands at a data-dependent offset.  Frame math is exact int64:
+    frame_bytes = 144000 * bitrate_kbps div sample_rate + padding
+    (the Layer III frame equation), est_frames = payload bytes after
+    the tag div frame_bytes, duration_ms = est_frames * 1152000 div
+    sample_rate (1152 samples per Layer III frame).  Invalid sync /
+    version / layer / reserved table indexes get mp3_ok=0 and NULL
+    fields -- counted, never mis-parsed."""
+    id3 = "substring(__h, 1, 6) = '494433'"
+    ss = (
+        f"({_hex_be(6, 1)} * 2097152 + {_hex_be(7, 1)} * 16384"
+        f" + {_hex_be(8, 1)} * 128 + {_hex_be(9, 1)})"
+    )
+    cur = (
+        df.withColumn("__h", F.hex(F.col(payload_col)))
+        .withColumn(
+            "__off",
+            F.expr(f"case when {id3} then 10 + {ss} else cast(0 as bigint) end"),
+        )
+        .withColumn("__b1", F.expr(_hex_be("__off + 1", 1)))
+        .withColumn("__b2", F.expr(_hex_be("__off + 2", 1)))
+    )
+    br_case = "case __b2 div 16 " + " ".join(
+        f"when {i} then {k}" for i, k in MP3_BITRATE_KBPS.items()
+    ) + " end"
+    sr_case = "case (__b2 div 4) % 4 " + " ".join(
+        f"when {i} then {h}" for i, h in MP3_SAMPLE_RATE.items()
+    ) + " end"
+    ok = (
+        "(substring(__h, 2 * __off + 1, 2) = 'FF'"   # sync byte 1
+        " AND __b1 div 32 = 7"                        # sync bits 9..11
+        " AND (__b1 div 8) % 4 = 3"                   # version: MPEG-1
+        " AND (__b1 div 2) % 4 = 1"                   # layer: III
+        " AND __b2 div 16 BETWEEN 1 AND 14"           # bitrate index valid
+        " AND (__b2 div 4) % 4 <= 2)"                 # sample-rate idx valid
+    )
+    frame = f"((144000 * ({br_case})) div ({sr_case}) + (__b2 div 2) % 2)"
+    est = f"((octet_length({payload_col}) - __off) div {frame})"
+    out = (
+        cur.withColumn("mp3_ok", F.expr(f"cast({ok} as int)"))
+        .withColumn("has_id3", F.expr(f"cast({id3} as int)"))
+        .withColumn(
+            "bitrate_kbps",
+            F.expr(f"case when {ok} then cast({br_case} as bigint) end"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.expr(f"case when {ok} then cast({sr_case} as bigint) end"),
+        )
+        .withColumn(
+            "frame_bytes",
+            F.expr(f"case when {ok} then cast({frame} as bigint) end"),
+        )
+        .withColumn(
+            "est_frames",
+            F.expr(f"case when {ok} then cast({est} as bigint) end"),
+        )
+        .withColumn(
+            "duration_ms",
+            F.expr(
+                f"case when {ok} then"
+                f" cast({est} * 1152000 div ({sr_case}) as bigint) end"
+            ),
+        )
+    )
+    return out.drop("__h", "__off", "__b1", "__b2")

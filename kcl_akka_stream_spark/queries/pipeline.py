@@ -9791,3 +9791,318 @@ def pipeline_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     return decontaminate_span_coverage(corpus, eval_df, k=8)
+
+
+def _jpeg_oracle(max_segments: int = 6) -> str:
+    # DuckDB mirror of the JPEG fixture build + SOF segment walk (BE
+    # reads via hex slicing; the SOF offset is reached by WALKING the
+    # marker-length chain -- see operators/multimodal.py::
+    # parse_jpeg_header).  The walk unrolls the same bounded hop chain
+    # with lateral column aliases.
+    def rd(off: str, w: int) -> str:
+        return (
+            f"TRY_CAST(('0x' || substr(h, 2 * ({off}) + 1, {2 * w}))"
+            " AS BIGINT)"
+        )
+
+    hops = []
+    valid = "substr(h, 1, 4) = 'FFD8'"
+    for i in range(max_segments):
+        hops.append(
+            f"({valid}) AND substr(h, 2 * o{i} + 1, 2) = 'FF' AS v{i},\n"
+            f"             substr(h, 2 * o{i} + 3, 2) AS m{i},\n"
+            f"             o{i} + 2 + {rd(f'o{i} + 2', 2)} AS o{i + 1},"
+        )
+        valid = f"v{i} AND m{i} NOT IN ('C0', 'C2', 'D9', 'DA')"
+    sof = (
+        "CASE "
+        + " ".join(
+            f"WHEN v{i} AND m{i} IN ('C0', 'C2') THEN o{i}"
+            for i in range(max_segments)
+        )
+        + " END"
+    )
+    hop_cols = "\n             ".join(hops)
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             160 + (doc_id % 13) * 16 AS w,
+             120 + (doc_id % 7) * 24 AS hh,
+             CASE WHEN doc_id % 2 = 0 THEN 'FFC0' ELSE 'FFC2' END AS kind,
+             CAST(doc_id % 3 AS BIGINT) AS nfill,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS ncomp,
+             text
+      FROM documents),
+    media AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 19 = 0 THEN encode(text)
+                  ELSE from_hex('FFD8' || 'FFE00010' || '4A46494600'
+                        || repeat('00', 9)
+                        || repeat('FFDB0005010203', CAST(nfill AS INT))
+                        || kind || lpad(hex(8 + 3 * ncomp), 4, '0') || '08'
+                        || lpad(hex(hh), 4, '0') || lpad(hex(w), 4, '0')
+                        || lpad(hex(ncomp), 2, '0')
+                        || substr('011100022101031101', 1, 6 * ncomp))
+             END AS payload
+      FROM p),
+    walked AS (
+      SELECT CAST(2 AS BIGINT) AS o0,
+             {hop_cols}
+             h
+      FROM (SELECT hex(payload) AS h FROM media)),
+    parsed AS (
+      SELECT {sof} AS sof, h FROM walked),
+    fields AS (
+      SELECT CASE WHEN sof IS NOT NULL THEN 1 ELSE 0 END AS ok,
+             CASE WHEN sof IS NOT NULL THEN
+               CASE substr(h, 2 * sof + 3, 2)
+                    WHEN 'C0' THEN 'baseline' ELSE 'progressive' END
+             END AS sof_kind,
+             {rd('sof + 9', 1)} AS n_components,
+             {rd('sof + 5', 2)} AS height,
+             {rd('sof + 7', 2)} AS width
+      FROM parsed)
+    SELECT CASE WHEN ok = 1 THEN sof_kind END AS sof_kind,
+           CASE WHEN ok = 1 THEN n_components END AS n_components,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN ok = 1 THEN height * width END) AS BIGINT)
+             AS total_pixels,
+           CAST(max(CASE WHEN ok = 1 THEN width END) AS BIGINT) AS max_width,
+           CAST(max(CASE WHEN ok = 1 THEN height END) AS BIGINT)
+             AS max_height,
+           CAST(sum(1 - ok) AS BIGINT) AS n_bad
+    FROM fields GROUP BY 1, 2
+    """
+
+
+def _jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic JPEG fixture build (shared by the query and
+    tools/scale_probe.py): JFIF APP0 + 0..2 DQT filler segments + SOF0
+    or SOF2, dims/kind/components derived from doc_id; every 19th doc
+    corrupted.  The VARIABLE filler count is the point: the SOF lands
+    at a data-dependent offset, so only a real segment walk parses it."""
+    p = docs.select(
+        "doc_id",
+        "text",
+        F.expr("160 + (doc_id % 13) * 16").alias("w"),
+        F.expr("120 + (doc_id % 7) * 24").alias("hh"),
+        F.expr(
+            "CASE WHEN doc_id % 2 = 0 THEN 'FFC0' ELSE 'FFC2' END"
+        ).alias("kind"),
+        F.expr("cast(doc_id % 3 as int)").alias("nfill"),
+        F.expr("CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END").alias("ncomp"),
+    )
+    return p.select(
+        F.expr(
+            "CASE WHEN doc_id % 19 = 0 THEN encode(text, 'UTF-8')"
+            " ELSE unhex(concat('FFD8', 'FFE00010', '4A46494600',"
+            " repeat('00', 9),"
+            " repeat('FFDB0005010203', nfill),"
+            " kind, lpad(hex(8 + 3 * ncomp), 4, '0'), '08',"
+            " lpad(hex(hh), 4, '0'), lpad(hex(w), 4, '0'),"
+            " lpad(hex(ncomp), 2, '0'),"
+            " substring('011100022101031101', 1, 6 * ncomp))) END"
+        ).alias("payload")
+    )
+
+
+@query("multimodal_jpeg_dims", _jpeg_oracle())
+def multimodal_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JPEG dimension census (wave 57, VERDICT r12 #3): the fourth of the
+    # big-five container parsers -- walk the JFIF marker-segment chain
+    # to SOF0/SOF2 and roll up pixel volume per (sof_kind,
+    # n_components).  Unlike PNG the frame header's offset is
+    # data-dependent (APPn/DQT segments of arbitrary length precede
+    # it), so this exercises a bounded WALK like the MP4 box parse; the
+    # fixture varies the filler-segment count per doc to prove it.
+    # Same 100 TB posture: hex-slice reads inside whole-stage codegen,
+    # map-only + ONE bounded agg, corrupt payloads counted not parsed.
+    from kcl_akka_stream_spark.operators.multimodal import parse_jpeg_header
+
+    media = _jpeg_media(tbl(spark, sf_dir, "documents"))
+    parsed = parse_jpeg_header(media)
+    return parsed.groupBy(
+        F.expr("CASE WHEN jpeg_ok = 1 THEN sof_kind END").alias("sof_kind"),
+        F.expr("CASE WHEN jpeg_ok = 1 THEN n_components END").alias(
+            "n_components"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.expr("CASE WHEN jpeg_ok = 1 THEN n_pixels END"))
+        .cast("long")
+        .alias("total_pixels"),
+        F.max(F.expr("CASE WHEN jpeg_ok = 1 THEN width END"))
+        .cast("long")
+        .alias("max_width"),
+        F.max(F.expr("CASE WHEN jpeg_ok = 1 THEN height END"))
+        .cast("long")
+        .alias("max_height"),
+        F.sum(1 - F.col("jpeg_ok")).cast("long").alias("n_bad"),
+    )
+
+
+def _mp3_oracle() -> str:
+    # DuckDB mirror of the MP3 fixture build + first-frame parse
+    # (syncsafe ID3v2 skip, bitrate/sample-rate tables, exact integer
+    # frame math -- see operators/multimodal.py::parse_mp3_header).
+    def rd(off: str, w: int) -> str:
+        return (
+            f"TRY_CAST(('0x' || substr(h, 2 * ({off}) + 1, {2 * w}))"
+            " AS BIGINT)"
+        )
+
+    br_case = "CASE br_idx " + " ".join(
+        f"WHEN {i} THEN {k}"
+        for i, k in (
+            (1, 32), (2, 40), (3, 48), (4, 56), (5, 64), (6, 80), (7, 96),
+            (8, 112), (9, 128), (10, 160), (11, 192), (12, 224), (13, 256),
+            (14, 320),
+        )
+    ) + " END"
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 14 AS br_idx,
+             CAST(doc_id % 3 AS BIGINT) AS sr_idx,
+             2 + doc_id % 4 AS n_frames,
+             5 + doc_id % 20 AS tag_body,
+             text
+      FROM documents),
+    p2 AS (
+      SELECT doc_id, br_idx, sr_idx, n_frames, tag_body,
+             144000 * ({br_case})
+               // (CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                               ELSE 32000 END) AS fl,
+             text
+      FROM p),
+    media AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 23 = 0 THEN encode(text)
+                  ELSE CASE WHEN doc_id % 2 = 0
+                       THEN from_hex('494433' || '0400' || '00'
+                            || '000000' || lpad(hex(tag_body), 2, '0')
+                            || repeat('00', CAST(tag_body AS INT)))
+                       ELSE ''::BLOB END
+                       || from_hex('FF' || 'FB'
+                            || lpad(hex(br_idx * 16 + sr_idx * 4), 2, '0')
+                            || 'C0'
+                            || repeat('00', CAST(n_frames * fl - 4 AS INT)))
+             END AS payload
+      FROM p2),
+    hx AS (
+      SELECT hex(payload) AS h, octet_length(payload) AS nb FROM media),
+    offs AS (
+      SELECT h, nb,
+             CASE WHEN substr(h, 1, 6) = '494433'
+                  THEN 10 + ({rd('6', 1)} * 2097152 + {rd('7', 1)} * 16384
+                             + {rd('8', 1)} * 128 + {rd('9', 1)})
+                  ELSE 0 END AS off
+      FROM hx),
+    hdr AS (
+      SELECT h, nb, off,
+             {rd('off + 1', 1)} AS b1, {rd('off + 2', 1)} AS b2
+      FROM offs),
+    parsed AS (
+      SELECT CASE WHEN substr(h, 2 * off + 1, 2) = 'FF'
+                   AND b1 // 32 = 7 AND (b1 // 8) % 4 = 3
+                   AND (b1 // 2) % 4 = 1
+                   AND b2 // 16 BETWEEN 1 AND 14
+                   AND (b2 // 4) % 4 <= 2 THEN 1 ELSE 0 END AS ok,
+             (SELECT {br_case.replace('br_idx', '(b2 // 16)')}) AS br,
+             CASE (b2 // 4) % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                WHEN 2 THEN 32000 END AS sr,
+             (b2 // 2) % 2 AS pad, nb, off
+      FROM hdr),
+    fr AS (
+      SELECT ok, br, sr,
+             144000 * br // sr + pad AS frame_bytes,
+             (nb - off) // (144000 * br // sr + pad) AS est_frames
+      FROM parsed)
+    SELECT CASE WHEN ok = 1 THEN sr END AS sample_rate,
+           CASE WHEN ok = 1 THEN br END AS bitrate_kbps,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN ok = 1 THEN est_frames END) AS BIGINT)
+             AS total_frames,
+           CAST(sum(CASE WHEN ok = 1
+                         THEN est_frames * 1152000 // sr END) AS BIGINT)
+             AS total_duration_ms,
+           CAST(sum(1 - ok) AS BIGINT) AS n_bad
+    FROM fr GROUP BY 1, 2
+    """
+
+
+def _mp3_media(docs: DataFrame) -> DataFrame:
+    """Deterministic MP3 fixture build (shared by the query and
+    tools/scale_probe.py): optional ID3v2 tag (variable syncsafe body
+    size -- the first audio frame lands at a data-dependent offset) +
+    n_frames Layer III frames of the exact frame-equation size; every
+    23rd doc corrupted."""
+    br_case = (
+        "CASE br_idx WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48"
+        " WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96"
+        " WHEN 8 THEN 112 WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192"
+        " WHEN 12 THEN 224 WHEN 13 THEN 256 WHEN 14 THEN 320 END"
+    )
+    p = docs.select(
+        "doc_id",
+        "text",
+        F.expr("1 + doc_id % 14").alias("br_idx"),
+        F.expr("cast(doc_id % 3 as bigint)").alias("sr_idx"),
+        F.expr("2 + doc_id % 4").alias("n_frames"),
+        F.expr("5 + doc_id % 20").alias("tag_body"),
+    ).withColumn(
+        "fl",
+        F.expr(
+            f"144000 * ({br_case}) div (CASE sr_idx WHEN 0 THEN 44100"
+            " WHEN 1 THEN 48000 ELSE 32000 END)"
+        ),
+    )
+    return p.select(
+        F.expr(
+            "CASE WHEN doc_id % 23 = 0 THEN encode(text, 'UTF-8')"
+            " ELSE concat("
+            " CASE WHEN doc_id % 2 = 0"
+            " THEN unhex(concat('494433', '0400', '00', '000000',"
+            " lpad(hex(tag_body), 2, '0'),"
+            " repeat('00', cast(tag_body as int))))"
+            " ELSE cast('' as binary) END,"
+            " unhex(concat('FF', 'FB',"
+            " lpad(hex(br_idx * 16 + sr_idx * 4), 2, '0'), 'C0',"
+            " repeat('00', cast(n_frames * fl - 4 as int))))) END"
+        ).alias("payload")
+    )
+
+
+@query("multimodal_mp3_header", _mp3_oracle())
+def multimodal_mp3_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MP3 frame-header census (wave 57, VERDICT r12 #3): the fifth of
+    # the big-five container parsers -- skip a variable-size ID3v2 tag
+    # via its SYNCSAFE size field (a real data-dependent read, like the
+    # ftyp size walk), validate the MPEG-1 Layer III sync/version/layer
+    # bits, decode bitrate/sample-rate via the frozen public tables,
+    # and estimate whole-file duration from the exact integer frame
+    # equation.  Rollup per (sample_rate, bitrate_kbps); corrupt
+    # payloads counted, never parsed.  Map-only byte-ops + ONE bounded
+    # agg -- the audio sweep that budgets transcode cost across 100 TB
+    # before any codec is scheduled.
+    from kcl_akka_stream_spark.operators.multimodal import parse_mp3_header
+
+    media = _mp3_media(tbl(spark, sf_dir, "documents"))
+    parsed = parse_mp3_header(media)
+    return parsed.groupBy(
+        F.expr("CASE WHEN mp3_ok = 1 THEN sample_rate END").alias(
+            "sample_rate"
+        ),
+        F.expr("CASE WHEN mp3_ok = 1 THEN bitrate_kbps END").alias(
+            "bitrate_kbps"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.expr("CASE WHEN mp3_ok = 1 THEN est_frames END"))
+        .cast("long")
+        .alias("total_frames"),
+        F.sum(F.expr("CASE WHEN mp3_ok = 1 THEN duration_ms END"))
+        .cast("long")
+        .alias("total_duration_ms"),
+        F.sum(1 - F.col("mp3_ok")).cast("long").alias("n_bad"),
+    )

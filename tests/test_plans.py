@@ -298,6 +298,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "sim_mmr_rerank": 2,  # final plan reads checkpointed blocks; per-step argmax windows are (q x 20)-bounded
         "scalar_math_funcs": 1,  # map-only scalars + one combinable agg
         "pipeline_decontaminate_spans": 3,  # spread + doc window/fold + id join-back; eval windows broadcast
+        # round 13:
+        "multimodal_jpeg_dims": 1,  # map-only SOF segment walk + one bounded agg
+        "multimodal_mp3_header": 1,  # map-only ID3-skip + frame parse + one bounded agg
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -138,9 +138,10 @@ def test_chain_audit_deep_chain_converges(spark):
 
 def test_decontaminate_fuzzy_overlapping_id_spaces(spark):
     # ADVICE r12 (low): corpus and eval ids used to be unioned raw, so a
-    # shared id duplicated rows through the id-keyed shingle join.  Ids
-    # are now namespaced internally; a corpus doc and an UNRELATED eval
-    # item sharing id=1 must not cross-contaminate the verify stage.
+    # shared id duplicated rows through the id-keyed shingle join.  The
+    # verify stage is now two-table (id_a resolves against corpus, id_b
+    # against eval); a corpus doc and an UNRELATED eval item sharing
+    # id=1 must not cross-contaminate it.
     from kcl_akka_stream_spark.operators.corpus import decontaminate_fuzzy
 
     corpus = spark.createDataFrame(
@@ -167,3 +168,79 @@ def test_decontaminate_fuzzy_overlapping_id_spaces(spark):
     assert 0.3 <= got[1].max_jaccard <= 1.0
     # dtype restored: long in, long out
     assert isinstance(got[1].doc_id, int)
+
+
+def test_jpeg_walk_is_real_and_bounded(spark):
+    # The SOF offset must come from WALKING the marker-length chain: a
+    # file with 3 variable-length filler segments still parses (walked,
+    # not templated), one whose SOF sits beyond max_segments lands in
+    # the counted bad bucket (bounded, never a wrong-offset read).
+    from kcl_akka_stream_spark.operators.multimodal import parse_jpeg_header
+
+    def jpeg(w, h, kind=0xC0, fillers=0, ncomp=3):
+        b = b"\xff\xd8"
+        b += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        for _ in range(fillers):
+            b += b"\xff\xdb" + struct.pack(">H", 5) + b"\x01\x02\x03"
+        comp = (b"\x01\x11\x00" b"\x02\x21\x01" b"\x03\x11\x01")[: 3 * ncomp]
+        b += (
+            bytes([0xFF, kind]) + struct.pack(">H", 8 + 3 * ncomp) + b"\x08"
+            + struct.pack(">HH", h, w) + bytes([ncomp]) + comp
+        )
+        return b
+
+    rows = [
+        (1, bytearray(jpeg(640, 480, 0xC0, fillers=0))),
+        (2, bytearray(jpeg(320, 240, 0xC2, fillers=3, ncomp=1))),
+        (3, bytearray(b"notajpeg" * 4)),
+        (4, bytearray(jpeg(100, 100, 0xC0, fillers=9))),  # beyond bound
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in parse_jpeg_header(df).collect()}
+    assert (got[1].sof_kind, got[1].width, got[1].height, got[1].n_pixels) == (
+        "baseline", 640, 480, 307200,
+    )
+    assert (got[2].sof_kind, got[2].n_components) == ("progressive", 1)
+    assert got[3].jpeg_ok == 0 and got[3].width is None
+    assert got[4].jpeg_ok == 0 and got[4].width is None
+
+
+def test_jpeg_mp3_queries_nonvacuous(spark, sf_dir):
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    jp = QUERIES["multimodal_jpeg_dims"](spark, sf_dir).collect()
+    good = [r for r in jp if r.sof_kind is not None]
+    bad = [r for r in jp if r.sof_kind is None]
+    assert {r.sof_kind for r in good} == {"baseline", "progressive"}
+    assert {r.n_components for r in good} == {1, 3}
+    assert all(r.total_pixels > 0 for r in good)
+    assert len(bad) == 1 and bad[0].n_bad == bad[0].n_files > 0
+
+    mp = QUERIES["multimodal_mp3_header"](spark, sf_dir).collect()
+    goodm = [r for r in mp if r.sample_rate is not None]
+    badm = [r for r in mp if r.sample_rate is None]
+    assert {r.sample_rate for r in goodm} <= {44100, 48000, 32000}
+    assert len({r.bitrate_kbps for r in goodm}) >= 5
+    assert all(r.total_duration_ms > 0 for r in goodm)
+    assert len(badm) == 1 and badm[0].n_bad == badm[0].n_files > 0
+
+
+def test_mp3_reserved_indexes_counted_bad(spark):
+    # Engineered red: valid sync but reserved sample-rate index (3) or
+    # 'free'/'bad' bitrate indexes (0/15) must be counted, not parsed
+    # with a NULL-propagating table lookup.
+    from kcl_akka_stream_spark.operators.multimodal import parse_mp3_header
+
+    def hdr(b2):
+        return bytearray(bytes([0xFF, 0xFB, b2, 0xC0]) + b"\x00" * 412)
+
+    rows = [
+        (1, hdr((9 << 4) | (3 << 2))),   # sr_idx=3 reserved
+        (2, hdr((0 << 4) | (0 << 2))),   # br_idx=0 'free'
+        (3, hdr((15 << 4) | (0 << 2))),  # br_idx=15 'bad'
+        (4, hdr((9 << 4) | (0 << 2))),   # valid control
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in parse_mp3_header(df).collect()}
+    assert got[1].mp3_ok == 0 and got[2].mp3_ok == 0 and got[3].mp3_ok == 0
+    assert got[4].mp3_ok == 1 and got[4].bitrate_kbps == 128

@@ -101,7 +101,12 @@ def main() -> None:
 
     from kcl_akka_stream_spark.operators import multimodal as MM
     from kcl_akka_stream_spark.operators import sampling as SA2
-    from kcl_akka_stream_spark.queries.pipeline import _mp4_media, _wav_media
+    from kcl_akka_stream_spark.queries.pipeline import (
+        _jpeg_media,
+        _mp3_media,
+        _mp4_media,
+        _wav_media,
+    )
 
     def _wav_census(d):
         parsed = MM.parse_wav_header(_wav_media(d))
@@ -113,6 +118,20 @@ def main() -> None:
     def _mp4_census(d):
         parsed = MM.parse_mp4_header(_mp4_media(d))
         return parsed.groupBy("brand", "timescale").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("duration_ms").alias("tot_ms"),
+        )
+
+    def _jpeg_census(d):
+        parsed = MM.parse_jpeg_header(_jpeg_media(d))
+        return parsed.groupBy("sof_kind", "n_components").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_pixels").alias("tot_px"),
+        )
+
+    def _mp3_census(d):
+        parsed = MM.parse_mp3_header(_mp3_media(d))
+        return parsed.groupBy("sample_rate", "bitrate_kbps").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("duration_ms").alias("tot_ms"),
         )
@@ -137,6 +156,9 @@ def main() -> None:
         # benchmark suite does not grow with the crawl)
         "multimodal_wav_census": lambda d: _wav_census(d),
         "multimodal_mp4_census": lambda d: _mp4_census(d),
+        # round-13 wave 57: JPEG SOF walk + MP3 frame census (map-only)
+        "multimodal_jpeg_census": lambda d: _jpeg_census(d),
+        "multimodal_mp3_census": lambda d: _mp3_census(d),
         "decontam_fuzzy": lambda d: C.decontaminate_fuzzy(
             d, docs1.filter(F.col("doc_id") % 97 == 0)
         ),
