@@ -382,6 +382,9 @@ HEADLINE = [
     # round-13 wave 57: JPEG SOF walk + MP3 frame census (big-five complete)
     "multimodal_jpeg_dims",
     "multimodal_mp3_header",
+    # round-13 wave 58: model-based quality scorer (hashed NB log-odds)
+    "text_quality_model_scores",
+    "text_quality_model_report",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -10106,3 +10106,200 @@ def multimodal_mp3_header(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_duration_ms"),
         F.sum(1 - F.col("mp3_ok")).cast("long").alias("n_bad"),
     )
+
+
+def _qmodel_fixture_sql() -> str:
+    # Shared engineered-label corpus (the acceptance-contract pattern:
+    # the labels and their textual signal are INJECTED deterministically,
+    # so the report must RECOVER them -- a broken fit scores ~chance).
+    # Positive docs (even doc_id) get three 'good' marker tokens,
+    # negatives three 'bad' ones; every 7th positive / 11th negative
+    # ALSO gets the opposite marker set (symmetric markers cancel, so
+    # those docs classify on base-text noise) -- the report is
+    # non-degenerate by construction.
+    return """
+    lbl AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS lb,
+             text || CASE WHEN doc_id % 2 = 0
+                          THEN ' coherent cited edited'
+                          ELSE ' clickbait spam adfarm' END
+                  || CASE WHEN doc_id % 2 = 0 AND doc_id % 7 = 0
+                          THEN ' clickbait spam adfarm'
+                          WHEN doc_id % 2 <> 0 AND doc_id % 11 = 0
+                          THEN ' coherent cited edited'
+                          ELSE '' END AS text2
+      FROM documents)
+    """
+
+
+def _qmodel_scored_sql(n_buckets: int = 256, holdout_mod: int = 3) -> str:
+    # DuckDB mirror of operators/quality.py::hashed_logodds_fit_score
+    # over the engineered fixture: distinct hashed-unigram presence
+    # features, Bernoulli-NB log-odds weights with every ln frozen to
+    # integer micro-nats BEFORE summation, exact int64 scores.
+    def ml(e: str) -> str:
+        return (
+            f"CAST(round(ln(CAST({e} AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+        )
+
+    return f"""
+    WITH {_qmodel_fixture_sql()},
+    feats AS (
+      SELECT DISTINCT doc_id, lb,
+             CASE WHEN doc_id % {holdout_mod} = 0 THEN 1 ELSE 0 END AS tst,
+             ('0x' || substr(md5(tok), 1, 6))::BIGINT % {n_buckets} AS bkt
+      FROM (SELECT doc_id, lb,
+                   unnest(regexp_extract_all(lower(text2), '{TOK}')) AS tok
+            FROM lbl)),
+    totals AS (
+      SELECT CAST(sum(lb) AS BIGINT) AS np,
+             CAST(sum(1 - lb) AS BIGINT) AS nn
+      FROM lbl WHERE doc_id % {holdout_mod} <> 0),
+    bktc AS (
+      SELECT bkt, CAST(sum(lb) AS BIGINT) AS pb,
+             CAST(sum(1 - lb) AS BIGINT) AS nb
+      FROM feats WHERE tst = 0 GROUP BY bkt),
+    w AS (
+      SELECT bkt,
+             {ml('pb + 1')} - {ml('np + 2')}
+             - {ml('nb + 1')} + {ml('nn + 2')} AS wv
+      FROM bktc, totals),
+    sc AS (
+      SELECT doc_id, lb,
+             CAST(count(*) AS BIGINT) AS nf,
+             CAST(sum(COALESCE(wv,
+                  {ml('1')} - {ml('np + 2')}
+                  - {ml('1')} + {ml('nn + 2')})) AS BIGINT) AS ws
+      FROM feats f LEFT JOIN w ON w.bkt = f.bkt, totals
+      WHERE tst = 1 GROUP BY doc_id, lb),
+    fin AS (
+      SELECT doc_id, lb AS label, nf AS n_feat_buckets,
+             ws + {ml('np + 1')} - {ml('nn + 1')} AS score_micro,
+             CASE WHEN ws + {ml('np + 1')} - {ml('nn + 1')} > 0
+                  THEN 1 ELSE 0 END AS pred
+      FROM sc, totals)
+    """
+
+
+def _qmodel_fixture(docs: DataFrame) -> DataFrame:
+    """Spark side of the engineered-label corpus (see
+    _qmodel_fixture_sql): (doc_id, label, text)."""
+    return docs.select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END").alias("label"),
+        F.expr(
+            "text || CASE WHEN doc_id % 2 = 0"
+            " THEN ' coherent cited edited'"
+            " ELSE ' clickbait spam adfarm' END"
+            " || CASE WHEN doc_id % 2 = 0 AND doc_id % 7 = 0"
+            " THEN ' clickbait spam adfarm'"
+            " WHEN doc_id % 2 <> 0 AND doc_id % 11 = 0"
+            " THEN ' coherent cited edited'"
+            " ELSE '' END"
+        ).alias("text"),
+    )
+
+
+@query(
+    "text_quality_model_scores",
+    _qmodel_scored_sql()
+    + """
+    SELECT doc_id, CAST(label AS BIGINT) AS label,
+           n_feat_buckets, score_micro, CAST(pred AS BIGINT) AS pred
+    FROM fin
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 100
+    """,
+)
+def text_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Model-based quality scoring (wave 58, VERDICT r12 #4): fastText/
+    # CCNet-style hashed-unigram linear classifier with a CLOSED-FORM
+    # Bernoulli-NB log-odds fit (frozen integer micro-nat weights) on
+    # the train split of an engineered-label corpus; this query serves
+    # the top-100 held-out docs by model score.  Scale: the model is a
+    # <=256-row broadcast relation; scoring is one docs-keyed agg +
+    # TakeOrderedAndProject -- the shape that scores a 100 TB crawl.
+    from kcl_akka_stream_spark.operators.quality import (
+        hashed_logodds_fit_score,
+    )
+
+    fx = _qmodel_fixture(tbl(spark, sf_dir, "documents"))
+    scored = hashed_logodds_fit_score(fx)
+    return (
+        scored.select(
+            "doc_id",
+            F.col("label").cast("long").alias("label"),
+            "n_feat_buckets",
+            "score_micro",
+            F.col("pred").cast("long").alias("pred"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "text_quality_model_report",
+    _qmodel_scored_sql()
+    + """
+    SELECT CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                * 1000000
+                // nullif(sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS precision_ppm,
+           CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                * 1000000
+                // nullif(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS recall_ppm,
+           CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS accuracy_ppm
+    FROM fin
+    """,
+)
+def text_quality_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Acceptance contract for the model-based quality scorer (wave 58):
+    # held-out confusion counts + precision/recall/accuracy in exact
+    # ppm.  The labels' textual signal is INJECTED (marker tokens), so
+    # a working fit must recover it -- precision/recall collapse to
+    # ~chance if the hashing, the fit, or the split leaks/breaks, and
+    # pytest pins exactly that red case (labels decoupled from markers
+    # -> accuracy ~ 500000 ppm) plus the green floor here.
+    from kcl_akka_stream_spark.operators.quality import (
+        hashed_logodds_fit_score,
+    )
+
+    fx = _qmodel_fixture(tbl(spark, sf_dir, "documents"))
+    scored = hashed_logodds_fit_score(fx)
+    agree = F.expr("CASE WHEN label = pred THEN 1 ELSE 0 END")
+    tp = F.expr("CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END")
+    fp = F.expr("CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END")
+    fn_ = F.expr("CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END")
+    tn = F.expr("CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(tp).cast("long").alias("tp"),
+        F.sum(fp).cast("long").alias("fp"),
+        F.sum(fn_).cast("long").alias("fn"),
+        F.sum(tn).cast("long").alias("tn"),
+        F.expr(
+            "cast(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)"
+            " * 1000000 div nullif(sum(pred), 0) as bigint)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "cast(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)"
+            " * 1000000 div nullif(sum(label), 0) as bigint)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "cast(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*) as bigint)"
+        ).alias("accuracy_ppm"),
+    )

@@ -301,6 +301,8 @@ def test_shuffle_budgets(spark, sf_dir):
         # round 13:
         "multimodal_jpeg_dims": 1,  # map-only SOF segment walk + one bounded agg
         "multimodal_mp3_header": 1,  # map-only ID3-skip + frame parse + one bounded agg
+        "text_quality_model_scores": 5,  # feats distinct (checkpointed once) + bucket-count agg + totals fold + score agg + TakeOrdered; weights/totals broadcast
+        "text_quality_model_report": 6,  # same fit + score + single-row confusion fold
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -244,3 +244,45 @@ def test_mp3_reserved_indexes_counted_bad(spark):
     got = {r.id: r for r in parse_mp3_header(df).collect()}
     assert got[1].mp3_ok == 0 and got[2].mp3_ok == 0 and got[3].mp3_ok == 0
     assert got[4].mp3_ok == 1 and got[4].bitrate_kbps == 128
+
+
+def test_quality_model_recovers_engineered_signal(spark, sf_dir):
+    # Green floor for the wave-58 acceptance contract: the injected
+    # marker signal must be RECOVERED on the held-out split (precision
+    # and recall far above the ~500000 ppm chance line), and the
+    # symmetric-marker noise docs keep the report non-degenerate.
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    r = QUERIES["text_quality_model_report"](spark, sf_dir).collect()[0]
+    assert r.n_test > 50 and r.tp > 0 and r.tn > 0
+    assert r.precision_ppm >= 800_000
+    assert r.recall_ppm >= 800_000
+    assert r.accuracy_ppm >= 850_000
+
+
+def test_quality_model_chance_on_decoupled_labels(spark, sf_dir):
+    # Engineered red: fit on labels DECOUPLED from the marker injection
+    # (markers follow doc_id % 2, labels follow doc_id % 5 < 3 --
+    # nearly independent) -- the same machinery must now score ~chance,
+    # proving the green report measures the model, not the harness.
+    from kcl_akka_stream_spark.operators.quality import (
+        hashed_logodds_fit_score,
+    )
+    from kcl_akka_stream_spark.queries.pipeline import _qmodel_fixture
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    fx = _qmodel_fixture(tbl(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 5 < 3 THEN 1 ELSE 0 END").alias("label"),
+        "text",
+    )
+    scored = hashed_logodds_fit_score(fx)
+    row = scored.agg(
+        F.expr(
+            "cast(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*) as bigint)"
+        ).alias("acc")
+    ).collect()[0]
+    # decoupled labels: accuracy must sit near the base rate (60% here),
+    # far below the coupled fixture's 85%+ floor
+    assert row.acc < 750_000
