@@ -385,6 +385,8 @@ HEADLINE = [
     # round-13 wave 58: model-based quality scorer (hashed NB log-odds)
     "text_quality_model_scores",
     "text_quality_model_report",
+    # round-13 wave 59: greedy k-center diversity selection
+    "sample_kcenter_diverse",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -1420,3 +1420,96 @@ def mmr_rerank(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def kcenter_select(
+    pool: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center / maximin DIVERSITY selection (Gonzalez 1985's
+    2-approximation; the coreset-selection greedy of Sener & Savarese
+    2018, public): seed with the lowest-id point, then repeatedly pick
+    the pool point whose distance to the nearest already-selected point
+    is LARGEST -- the diversity-sampling pass a curation pipeline runs
+    to cover embedding space with k exemplars (where MMR diversifies a
+    per-query result list, k-center diversifies the corpus itself).
+
+    EXACT-integer greedy: distances freeze to micro cosine-distance
+    (1e6 - round(cos*1e6)) BEFORE the min/argmax folds, every argmax
+    tie-breaks on the id, so both engines select identical points in
+    identical order.
+
+    Scale shape: each of the k-1 unrolled steps is pool x selected
+    (<= k broadcast rows) -> per-point min -> ONE global argmax via
+    orderBy+limit(1) (TakeOrderedAndProject: per-partition top-1 + a
+    1-row merge, never a single-task global window); every pick is a
+    1-row eager localCheckpoint so no step replays the chain.  The pool
+    itself is checkpointed once.  Contract: the pool is a CANDIDATE
+    SET the caller has already bounded (per-shard samples, a stratified
+    draw) -- the greedy is linear in pool size per step, k steps total.
+
+    Returns (step, vec_id, maximin_micro) -- maximin_micro NULL for the
+    seed, and for step i the exact maximin distance the pick achieved
+    (monotonically non-increasing: the k-center coverage-radius curve).
+    """
+    dot = (
+        "aggregate(zip_with(__v, __sv, (x, y) -> cast(x as double) * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    norm = (
+        "sqrt(aggregate(transform({c}, x -> cast(x as double) * x),"
+        " 0D, (acc, v) -> acc + v))"
+    )
+    dist = (
+        f"cast(1000000 - round({dot} / ({norm.format(c='__v')} *"
+        f" {norm.format(c='__sv')}) * 1000000, 0) as bigint)"
+    )
+    vecs = pool.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    ).localCheckpoint(eager=True)
+    seed = (
+        vecs.orderBy("__vid")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("step"),
+            F.col("__vid").alias("s_id"),
+            F.col("__v").alias("__sv"),
+            F.lit(None).cast("long").alias("maximin_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = [seed]
+    for step in range(2, k + 1):
+        sel = picks[0].select("s_id", "__sv")
+        for p in picks[1:]:
+            sel = sel.unionByName(p.select("s_id", "__sv"))
+        mind = (
+            vecs.join(
+                F.broadcast(sel.select("s_id")),
+                F.col("__vid") == F.col("s_id"),
+                "left_anti",
+            )
+            .crossJoin(F.broadcast(sel))
+            .select("__vid", F.expr(dist).alias("__d"))
+            .groupBy("__vid")
+            .agg(F.min("__d").alias("__md"))
+        )
+        pick = (
+            mind.orderBy(F.col("__md").desc(), "__vid")
+            .limit(1)
+            .join(vecs, "__vid")
+            .select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("__vid").alias("s_id"),
+                F.col("__v").alias("__sv"),
+                F.col("__md").alias("maximin_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        picks.append(pick)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("step", F.col("s_id").alias(id_col), "maximin_micro")

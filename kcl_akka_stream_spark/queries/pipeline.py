@@ -10303,3 +10303,59 @@ def text_quality_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div count(*) as bigint)"
         ).alias("accuracy_ppm"),
     )
+
+
+def _kcenter_oracle(k: int = 4) -> str:
+    # Unrolled exact-integer greedy k-center mirroring
+    # operators/similarity.py::kcenter_select: micro-frozen cosine
+    # distances, per-point min over the selected set, global argmax
+    # with id tiebreak per step.
+    cos = _COS.format(a="c.v", b="s.v")
+    dist = f"CAST(1000000 - round({cos} * 1000000, 0) AS BIGINT)"
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "s1 AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1)",
+        "sel1 AS (SELECT vec_id, v FROM s1)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"d{i} AS (SELECT c.vec_id, c.v, min({dist}) AS md"
+            f" FROM v c JOIN sel{i - 1} s ON true"
+            f" WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})"
+            f" GROUP BY c.vec_id, c.v)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, v, md FROM d{i}"
+            f" ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"sel{i} AS (SELECT vec_id, v FROM sel{i - 1}"
+            f" UNION ALL SELECT vec_id, v FROM s{i})"
+        )
+    unions = ["SELECT CAST(1 AS BIGINT) AS step, vec_id,"
+              " CAST(NULL AS BIGINT) AS maximin_micro FROM s1"]
+    for i in range(2, k + 1):
+        unions.append(
+            f"SELECT CAST({i} AS BIGINT) AS step, vec_id,"
+            f" md AS maximin_micro FROM s{i}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(
+        unions
+    )
+
+
+@query("sample_kcenter_diverse", _kcenter_oracle())
+def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Diversity-maximizing exemplar selection (wave 59): greedy k-center
+    # over the embedding pool -- the corpus-level diversity pass
+    # (coreset selection / dataset-coverage sampling) that complements
+    # per-query MMR.  Exact-integer maximin with id tiebreaks; the
+    # returned maximin_micro column IS the coverage-radius curve (non-
+    # increasing), the acceptance signal a curation run monitors.  Each
+    # greedy step: pool x (<=k broadcast picks) -> per-point min ->
+    # TakeOrderedAndProject argmax; picks are 1-row eager checkpoints.
+    from kcl_akka_stream_spark.operators.similarity import kcenter_select
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=4)

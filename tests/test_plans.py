@@ -303,6 +303,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "multimodal_mp3_header": 1,  # map-only ID3-skip + frame parse + one bounded agg
         "text_quality_model_scores": 5,  # feats distinct (checkpointed once) + bucket-count agg + totals fold + score agg + TakeOrdered; weights/totals broadcast
         "text_quality_model_report": 6,  # same fit + score + single-row confusion fold
+        "sample_kcenter_diverse": 0,  # greedy steps read eager-checkpointed pool/picks; TakeOrdered argmax behind the checkpoints
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

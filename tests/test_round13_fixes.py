@@ -286,3 +286,27 @@ def test_quality_model_chance_on_decoupled_labels(spark, sf_dir):
     # decoupled labels: accuracy must sit near the base rate (60% here),
     # far below the coupled fixture's 85%+ floor
     assert row.acc < 750_000
+
+
+def test_kcenter_greedy_is_exact_maximin(spark):
+    # Hand-computable pool: seed = lowest id (1,0); the greedy must then
+    # pick the antipode (cos -1 -> dist 2e6), then the orthogonal point
+    # (min-dist to selected = 1e6), then the near-duplicate last -- and
+    # the maximin curve must be non-increasing.
+    from kcl_akka_stream_spark.operators.similarity import kcenter_select
+
+    pool = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),   # near the seed
+            (2, [-1.0, 0.0]),  # antipode
+            (3, [0.0, 1.0]),   # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.step: r for r in kcenter_select(pool, k=4).collect()}
+    assert [rows[s].vec_id for s in (1, 2, 3, 4)] == [0, 2, 3, 1]
+    assert rows[1].maximin_micro is None
+    assert rows[2].maximin_micro == 2_000_000
+    assert rows[3].maximin_micro == 1_000_000
+    assert rows[2].maximin_micro >= rows[3].maximin_micro >= rows[4].maximin_micro

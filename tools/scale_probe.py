@@ -136,6 +136,16 @@ def main() -> None:
             F.sum("duration_ms").alias("tot_ms"),
         )
 
+    def _qmodel_score(d):
+        from kcl_akka_stream_spark.operators.quality import (
+            hashed_logodds_fit_score,
+        )
+        from kcl_akka_stream_spark.queries.pipeline import _qmodel_fixture
+
+        return hashed_logodds_fit_score(_qmodel_fixture(d)).groupBy(
+            "label", "pred"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
     ops = {
         "dedup_exact": lambda d: D.exact_dedup(d),
         "dedup_simhash": lambda d: D.simhash(d),
@@ -159,6 +169,8 @@ def main() -> None:
         # round-13 wave 57: JPEG SOF walk + MP3 frame census (map-only)
         "multimodal_jpeg_census": lambda d: _jpeg_census(d),
         "multimodal_mp3_census": lambda d: _mp3_census(d),
+        # round-13 wave 58: hashed-NB quality model (fit + held-out score)
+        "quality_model_score": lambda d: _qmodel_score(d),
         "decontam_fuzzy": lambda d: C.decontaminate_fuzzy(
             d, docs1.filter(F.col("doc_id") % 97 == 0)
         ),
