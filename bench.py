@@ -387,6 +387,8 @@ HEADLINE = [
     "text_quality_model_report",
     # round-13 wave 59: greedy k-center diversity selection
     "sample_kcenter_diverse",
+    # round-13 wave 60: Bloom OR-lattice (20th mergeable family)
+    "stream_bloom_merge",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -150,6 +150,11 @@ STATE_CARDINALITY = {
         "driver-fold", "constant", "langs x 8 signature chunks",
         ("stream_minhash_merge",),
     ),
+    "stream_bloom_merge": (
+        "driver-fold", "constant",
+        "types x <= m/63 = 260 Bloom words (m fixed at 16384)",
+        ("stream_bloom_merge",),
+    ),
 }
 
 
@@ -2672,6 +2677,191 @@ def stream_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return states.groupBy("lang").agg(
             *[F.min(f"mh_{s}").alias(f"mh_{s}") for s in range(8)]
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def _bloom_merge_oracle(m_bits: int = 16384, k_hashes: int = 4,
+                        n_probes: int = 200) -> str:
+    # Ground truth recomputes the Bloom filter BIT-FOR-BIT from the
+    # distinct (type, user) relation: OR is idempotent, so the direct
+    # build over all rows must equal the 4-batch OR-merge -- the lattice
+    # property under test.  Same md5 position hash as the Spark side.
+    def pos(expr: str) -> str:
+        return (
+            f"('0x' || substr(md5({expr}), 1, 8))::BIGINT % {m_bits}"
+        )
+
+    return f"""
+    WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+    pos AS (
+      SELECT event_type,
+             {pos("user_id::VARCHAR || '|' || i::VARCHAR")} AS p
+      FROM ev, (SELECT unnest(generate_series(0, {k_hashes - 1})) AS i)),
+    words AS (
+      SELECT event_type, p // 63 AS wrd,
+             bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+      FROM pos GROUP BY event_type, p // 63),
+    filt AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(bit_count(bits)) AS BIGINT) AS n_bits_set
+      FROM words GROUP BY event_type),
+    probes AS (
+      SELECT 'absent:' || j::VARCHAR AS pk, i
+      FROM (SELECT unnest(generate_series(0, {n_probes - 1})) AS j),
+           (SELECT unnest(generate_series(0, {k_hashes - 1})) AS i)),
+    ppos AS (
+      SELECT pk, {pos("pk || '|' || i::VARCHAR")} AS p FROM probes),
+    hits AS (
+      SELECT w.event_type, pp.pk,
+             CASE WHEN count(*) FILTER (
+                    w.bits & (1::BIGINT << CAST(pp.p % 63 AS INT)) <> 0
+                  ) = {k_hashes} THEN 1 ELSE 0 END AS hit
+      FROM ppos pp JOIN words w ON w.wrd = pp.p // 63
+      GROUP BY w.event_type, pp.pk),
+    fp AS (
+      SELECT event_type, CAST(sum(hit) AS BIGINT) AS fp_probe_hits
+      FROM hits GROUP BY event_type),
+    truth AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_true_keys
+      FROM ev GROUP BY event_type)
+    SELECT f.event_type, f.n_words, f.n_bits_set,
+           t.n_true_keys,
+           COALESCE(p.fp_probe_hits, 0) AS fp_probe_hits,
+           CAST(round(-({m_bits}.0 / {k_hashes})
+                * ln(CAST({m_bits} - f.n_bits_set AS DOUBLE) / {m_bits})
+                * 1000000, 0) AS BIGINT) AS est_keys_micro
+    FROM filt f
+    JOIN truth t ON t.event_type = f.event_type
+    LEFT JOIN fp p ON p.event_type = f.event_type
+    """
+
+
+@query("stream_bloom_merge", _bloom_merge_oracle())
+def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The TWENTIETH mergeable-state streaming family, and the third
+    # IDEMPOTENT one (after bitmap and reservoir): a fixed-m Bloom
+    # filter is an OR-semilattice over its bit words, so per-batch
+    # filters merge into exactly the whole-stream filter and an
+    # at-least-once replay is absorbed for free.  Unlike the bitmap
+    # twin (words = id-range/63, data-dependent -> epoch-union) the
+    # Bloom state is CONSTANT: <= m/63 words per type regardless of id
+    # universe -- the membership sketch a streaming ingest keeps when
+    # ids are sparse and exactness can trade for fixed memory.
+    # FINALIZE (after the merge, like every family): bit census, the
+    # standard -m/k * ln(1 - X/m) cardinality inversion (micro-frozen;
+    # (m - X)/m is exact in binary FP because m is a power of two), and
+    # a 200-probe ENGINEERED-ABSENT panel whose hit count is the
+    # measured false-positive rate -- the acceptance signal; the oracle
+    # rebuilds the filter bit-for-bit from the distinct relation.
+    m_bits, k_hashes, n_probes = 16384, 4, 200
+
+    def positions(expr: str):
+        return [
+            F.expr(
+                f"cast(conv(substr(md5(concat({expr}, '|{i}')), 1, 8),"
+                f" 16, 10) as bigint) % {m_bits}"
+            )
+            for i in range(k_hashes)
+        ]
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "user_id")
+    src = tempfile.mkdtemp(prefix="kcl_bloom_src_")
+    state_rows: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            st = (
+                batch_df.select(
+                    "event_type",
+                    F.explode(
+                        F.array(*positions("cast(user_id as string)"))
+                    ).alias("p"),
+                )
+                .select(
+                    "event_type",
+                    F.expr("p div 63").alias("wrd"),
+                    F.expr("shiftleft(1L, cast(p % 63 as int))").alias("msk"),
+                )
+                .groupBy("event_type", "wrd")
+                .agg(F.bit_or("msk").alias("bits"))
+            )
+            state_rows.extend(_collect_state(st, "stream_bloom_merge"))
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        st = spark.createDataFrame(
+            state_rows, "event_type string, wrd long, bits long"
+        )
+        words = st.groupBy("event_type", "wrd").agg(
+            F.bit_or("bits").alias("bits")
+        ).localCheckpoint(eager=True)  # feeds the census AND the probe panel
+        filt = words.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.bit_count("bits")).cast("long").alias("n_bits_set"),
+        )
+        probes = (
+            spark.range(n_probes)
+            .select(F.concat(F.lit("absent:"), F.col("id")).alias("pk"))
+            .select(
+                "pk", F.explode(F.array(*positions("pk"))).alias("p")
+            )
+        )
+        hits = (
+            probes.join(
+                words, words["wrd"] == F.expr("p div 63"), "inner"
+            )
+            .groupBy("event_type", "pk")
+            .agg(
+                (
+                    F.sum(
+                        F.expr(
+                            "cast(bits & shiftleft(1L, cast(p % 63 as int))"
+                            " <> 0 as int)"
+                        )
+                    )
+                    == k_hashes
+                )
+                .cast("int")
+                .alias("hit")
+            )
+        )
+        fp = hits.groupBy("event_type").agg(
+            F.sum("hit").cast("long").alias("fp_probe_hits")
+        )
+        truth = ev.distinct().groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_keys")
+        )
+        est = (
+            f"cast(round(-(cast({m_bits} as double) / {k_hashes})"
+            f" * ln(cast({m_bits} - n_bits_set as double) / {m_bits})"
+            " * 1000000, 0) as bigint)"
+        )
+        return (
+            filt.join(truth, "event_type")
+            .join(fp, "event_type", "left")
+            .select(
+                "event_type",
+                "n_words",
+                "n_bits_set",
+                "n_true_keys",
+                F.coalesce("fp_probe_hits", F.lit(0))
+                .cast("long")
+                .alias("fp_probe_hits"),
+                F.expr(est).alias("est_keys_micro"),
+            )
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)

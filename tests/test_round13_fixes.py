@@ -310,3 +310,22 @@ def test_kcenter_greedy_is_exact_maximin(spark):
     assert rows[2].maximin_micro == 2_000_000
     assert rows[3].maximin_micro == 1_000_000
     assert rows[2].maximin_micro >= rows[3].maximin_micro >= rows[4].maximin_micro
+
+
+def test_bloom_merge_idempotent_and_nonvacuous(spark, sf_dir):
+    # The 20th family's lattice property at the query level: the
+    # 4-batch OR-merge equals the oracle's direct build (gated), and
+    # here the operational signals -- bits set, bounded constant state
+    # (n_words <= 16384/63 + 1 per type), a live FP panel, and the
+    # cardinality inversion landing within 25% of truth at fixture
+    # load factors.
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["stream_bloom_merge"](spark, sf_dir).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert 0 < r.n_words <= 16384 // 63 + 1
+        assert r.n_bits_set > 0 and r.n_true_keys > 0
+        assert 0 <= r.fp_probe_hits <= 200
+        est = r.est_keys_micro / 1_000_000
+        assert abs(est - r.n_true_keys) <= 0.25 * r.n_true_keys

@@ -48,7 +48,7 @@ def test_audit_table_matches_call_sites_exactly():
 def test_no_data_dependent_driver_fold():
     from kcl_akka_stream_spark.queries.streaming_q import STATE_CARDINALITY
 
-    assert len(STATE_CARDINALITY) == 19  # all 19 mergeable-state families
+    assert len(STATE_CARDINALITY) == 20  # all 20 mergeable-state families
     for fam, (mech, card, _bound, folds) in STATE_CARDINALITY.items():
         assert mech in ("driver-fold", "epoch-union", "checkpoint-fold"), fam
         assert card in ("constant", "group-bounded", "data-dependent"), fam
