@@ -389,6 +389,9 @@ HEADLINE = [
     "sample_kcenter_diverse",
     # round-13 wave 60: Bloom OR-lattice (20th mergeable family)
     "stream_bloom_merge",
+    # round-13 wave 61: exact rank statistics
+    "agg_spearman_corr",
+    "agg_kendall_tau",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

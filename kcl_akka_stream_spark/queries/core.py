@@ -6852,3 +6852,164 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exp_micro").cast("long").alias("sum_exp_micro"),
         F.sum("atan2_micro").cast("long").alias("sum_atan2_micro"),
     )
+
+
+@query(
+    "agg_spearman_corr",
+    """
+    WITH u AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, user_id),
+    r AS (
+      SELECT event_type,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+               + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+               + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+      FROM u),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy,
+             CAST(sum(rx * rx) AS BIGINT) AS sx2,
+             CAST(sum(ry * ry) AS BIGINT) AS sy2
+      FROM r GROUP BY event_type)
+    SELECT event_type, n_users, sx, sy, sxy, sx2, sy2,
+           CASE WHEN CAST(n_users AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx > 0
+                 AND CAST(n_users AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy > 0
+                THEN round((CAST(n_users AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / (sqrt(CAST(n_users AS DOUBLE) * sx2
+                                   - CAST(sx AS DOUBLE) * sx)
+                              * sqrt(CAST(n_users AS DOUBLE) * sy2
+                                     - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS spearman_rho
+    FROM s
+    """,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spearman rank correlation per event type between a user's total
+    # spend (cents) and their event count -- the robust (monotone, not
+    # linear) calibration statistic the Pearson family misses (wave 61;
+    # Spearman 1904, public).  EXACT throughout: ties take AVERAGE
+    # ranks held integer as 2*avg_rank = 2*rank() + tie_count - 1, rho
+    # is Pearson over those integer ranks (the tie-correct form) from
+    # exact int64 moments, one IEEE expression rounded 6 dp at the end
+    # -- the agg_pearson_corr discipline applied to ranks.  Shape: one
+    # (type,user) agg; both rank windows ride the same event_type
+    # partitioning (one exchange, two sorts); final agg combines.
+    ev = tbl(spark, sf_dir, "events")
+    u = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("c"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum("c").cast("long").alias("x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+    )
+    r = u.select(
+        "event_type",
+        F.expr(
+            "2 * rank() OVER (PARTITION BY event_type ORDER BY x)"
+            " + count(*) OVER (PARTITION BY event_type, x) - 1"
+        ).alias("rx"),
+        F.expr(
+            "2 * rank() OVER (PARTITION BY event_type ORDER BY y)"
+            " + count(*) OVER (PARTITION BY event_type, y) - 1"
+        ).alias("ry"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.expr("rx * ry")).cast("long").alias("sxy"),
+        F.sum(F.expr("rx * rx")).cast("long").alias("sx2"),
+        F.sum(F.expr("ry * ry")).cast("long").alias("sy2"),
+    )
+    rho = (
+        "CASE WHEN CAST(n_users AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx"
+        " > 0 AND CAST(n_users AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy"
+        " > 0 THEN round((CAST(n_users AS DOUBLE) * sxy"
+        " - CAST(sx AS DOUBLE) * sy) / (sqrt(CAST(n_users AS DOUBLE) * sx2"
+        " - CAST(sx AS DOUBLE) * sx) * sqrt(CAST(n_users AS DOUBLE) * sy2"
+        " - CAST(sy AS DOUBLE) * sy)), 6) END"
+    )
+    return s.select(
+        "event_type", "n_users", "sx", "sy", "sxy", "sx2", "sy2",
+        F.expr(rho).alias("spearman_rho"),
+    )
+
+
+@query(
+    "agg_kendall_tau",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, hr),
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS con,
+             CASE WHEN b.c < a.c THEN 1 ELSE 0 END AS dis
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.hr < b.hr)
+    SELECT event_type,
+           CAST((SELECT count(*) FROM h x
+                 WHERE x.event_type = p.event_type) AS BIGINT) AS n_hours,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(con) AS BIGINT) AS concordant,
+           CAST(sum(dis) AS BIGINT) AS discordant,
+           CAST((sum(con) - sum(dis)) * 1000000 // count(*) AS BIGINT)
+             AS tau_ppm
+    FROM p GROUP BY event_type
+    """,
+)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kendall tau-a per event type over the 24 hourly volume cells --
+    # is traffic monotonically trending across the day? (wave 61;
+    # Kendall 1938, public).  The pair relation is hours x hours --
+    # GROUP-BOUNDED (<= 24*23/2 pairs per type), so the O(n^2) that
+    # makes Kendall expensive on raw rows is a non-issue on the
+    # pre-aggregated cells: one hourly agg, one bounded self-join of a
+    # <=24*types-row relation (broadcast), exact integer
+    # concordant/discordant counts and a div-exact tau in ppm (y-ties
+    # counted in the denominator, tau-a).
+    ev = tbl(spark, sf_dir, "events")
+    h = (
+        ev.select("event_type", F.hour("ts").cast("long").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # feeds both join sides + the count
+    )
+    a = h.select("event_type", F.col("hr").alias("h1"), F.col("c").alias("c1"))
+    b = h.select("event_type", F.col("hr").alias("h2"), F.col("c").alias("c2"))
+    p = a.join(F.broadcast(b), "event_type").filter("h1 < h2")
+    nh = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours")
+    )
+    agg = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.expr("CASE WHEN c2 > c1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.expr("CASE WHEN c2 < c1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("discordant"),
+    )
+    return agg.join(F.broadcast(nh), "event_type").select(
+        "event_type",
+        "n_hours",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.expr(
+            "cast((concordant - discordant) * 1000000 div n_pairs as bigint)"
+        ).alias("tau_ppm"),
+    )

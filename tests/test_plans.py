@@ -304,6 +304,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "text_quality_model_scores": 5,  # feats distinct (checkpointed once) + bucket-count agg + totals fold + score agg + TakeOrdered; weights/totals broadcast
         "text_quality_model_report": 6,  # same fit + score + single-row confusion fold
         "sample_kcenter_diverse": 0,  # greedy steps read eager-checkpointed pool/picks; TakeOrdered argmax behind the checkpoints
+        "agg_spearman_corr": 2,  # (type,user) agg + type re-exchange shared by both rank windows and the final agg
+        "agg_kendall_tau": 2,  # hourly agg (checkpointed once) + final agg; bounded cell self-join broadcast
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

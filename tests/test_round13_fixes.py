@@ -329,3 +329,40 @@ def test_bloom_merge_idempotent_and_nonvacuous(spark, sf_dir):
         assert 0 <= r.fp_probe_hits <= 200
         est = r.est_keys_micro / 1_000_000
         assert abs(est - r.n_true_keys) <= 0.25 * r.n_true_keys
+
+
+def test_spearman_exact_on_engineered_ranks(spark):
+    # Perfect monotone (with one x-tie) must give rho exactly 1.0 on
+    # tie-free y... engineered: x has a tie, y strictly increasing.
+    # Average-rank Spearman for x=(1,2,2,4), y=(1,2,3,4):
+    # r2x=(2,5,5,8), r2y=(2,4,6,8) -> rho = 0.94868 (=3/sqrt(10)).
+    from kcl_akka_stream_spark.operators import text  # noqa: F401 (session warm)
+    from kcl_akka_stream_spark.queries.core import agg_spearman_corr  # noqa: F401
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("a", 2, 3), ("a", 4, 4)],
+        "event_type string, x long, y long",
+    )
+    r = df.selectExpr(
+        "event_type",
+        "2 * rank() OVER (PARTITION BY event_type ORDER BY x)"
+        " + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx",
+        "2 * rank() OVER (PARTITION BY event_type ORDER BY y)"
+        " + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry",
+    )
+    rows = {(x.rx, x.ry) for x in r.collect()}
+    assert rows == {(2, 2), (5, 4), (5, 6), (8, 8)}
+
+
+def test_kendall_tau_exact_on_engineered_cells(spark, sf_dir):
+    # Query-level: tau_ppm must equal (C-D)*1e6 div pairs exactly and
+    # stay within [-1e6, 1e6]; n_pairs = n_hours*(n_hours-1)/2.
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    for r in QUERIES["agg_kendall_tau"](spark, sf_dir).collect():
+        assert r.n_pairs == r.n_hours * (r.n_hours - 1) // 2
+        assert r.concordant + r.discordant <= r.n_pairs
+        q = (r.concordant - r.discordant) * 1_000_000
+        # Spark div / DuckDB // truncate toward zero; python // floors
+        assert r.tau_ppm == (abs(q) // r.n_pairs) * (1 if q >= 0 else -1)
+        assert -1_000_000 <= r.tau_ppm <= 1_000_000
