@@ -392,6 +392,9 @@ HEADLINE = [
     # round-13 wave 61: exact rank statistics
     "agg_spearman_corr",
     "agg_kendall_tau",
+    # round-13 wave 62: robust trend + unseen-mass estimate
+    "agg_theil_sen",
+    "text_good_turing",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

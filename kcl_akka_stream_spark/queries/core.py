@@ -7013,3 +7013,82 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast((concordant - discordant) * 1000000 div n_pairs as bigint)"
         ).alias("tau_ppm"),
     )
+
+
+@query(
+    "agg_theil_sen",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, hr),
+    p AS (
+      SELECT a.event_type, a.hr AS h1, b.hr AS h2,
+             (b.c - a.c) * 1000000 // (b.hr - a.hr) AS slope_micro
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.hr < b.hr),
+    pr AS (
+      SELECT event_type, slope_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_micro, h1, h2) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM p)
+    SELECT event_type,
+           CAST((SELECT count(*) FROM h x
+                 WHERE x.event_type = pr.event_type) AS BIGINT) AS n_hours,
+           CAST(max(n) AS BIGINT) AS n_pairs,
+           CAST(min(CASE WHEN 2 * rn >= n + 1 THEN slope_micro END)
+                AS BIGINT) AS ts_slope_micro
+    FROM pr GROUP BY event_type
+    """,
+)
+def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theil-Sen robust trend estimator per event type over the 24
+    # hourly volume cells (wave 62; Theil 1950 / Sen 1968, public) --
+    # the median of all pairwise slopes, the breakdown-point-0.29
+    # answer to "is traffic trending?" that one anomalous hour cannot
+    # drag the way it drags OLS (agg_pearson_corr's beta).  EXACT:
+    # slopes freeze to integer micro-units (truncating div agrees
+    # cross-engine), the median is the lower-median rank pick
+    # (agg_mad_outliers machinery) with (h1, h2) tiebreaks.  The
+    # O(n^2) pair relation is GROUP-BOUNDED (<= 276 pairs/type) by the
+    # hourly pre-aggregation, same shape as agg_kendall_tau.
+    ev = tbl(spark, sf_dir, "events")
+    h = (
+        ev.select("event_type", F.hour("ts").cast("long").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # feeds both join sides + the count
+    )
+    a = h.select("event_type", F.col("hr").alias("h1"), F.col("c").alias("c1"))
+    b = h.select("event_type", F.col("hr").alias("h2"), F.col("c").alias("c2"))
+    p = (
+        a.join(F.broadcast(b), "event_type")
+        .filter("h1 < h2")
+        .select(
+            "event_type",
+            "h1",
+            "h2",
+            F.expr("(c2 - c1) * 1000000 div (h2 - h1)").alias("slope_micro"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope_micro", "h1", "h2")
+    wn = Window.partitionBy("event_type")
+    pr = p.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    nh = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours")
+    )
+    agg = pr.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.min(F.expr("CASE WHEN 2 * rn >= n + 1 THEN slope_micro END"))
+        .cast("long")
+        .alias("ts_slope_micro"),
+    )
+    return agg.join(F.broadcast(nh), "event_type").select(
+        "event_type", "n_hours", "n_pairs", "ts_slope_micro"
+    )

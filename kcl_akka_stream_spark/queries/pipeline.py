@@ -10359,3 +10359,91 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tbl(spark, sf_dir, "embeddings")
     return kcenter_select(emb, k=4)
+
+
+@query(
+    "text_good_turing",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '{TOK}')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS r
+      FROM toks GROUP BY lang, tok),
+    foF AS (
+      SELECT lang, r, CAST(count(*) AS BIGINT) AS nr
+      FROM tf GROUP BY lang, r),
+    tot AS (
+      SELECT lang, CAST(sum(r * nr) AS BIGINT) AS n_tokens,
+             CAST(sum(nr) AS BIGINT) AS vocab_size
+      FROM foF GROUP BY lang)
+    SELECT t.lang, t.n_tokens, t.vocab_size,
+           CAST(COALESCE(max(CASE WHEN f.r = 1 THEN f.nr END), 0)
+                AS BIGINT) AS n1,
+           CAST(COALESCE(max(CASE WHEN f.r = 2 THEN f.nr END), 0)
+                AS BIGINT) AS n2,
+           CAST(COALESCE(max(CASE WHEN f.r = 1 THEN f.nr END), 0) * 1000000
+                // t.n_tokens AS BIGINT) AS unseen_mass_ppm,
+           CAST(COALESCE(max(CASE WHEN f.r = 1 THEN f.nr END), 0) * 1000000
+                // t.vocab_size AS BIGINT) AS hapax_frac_ppm
+    FROM tot t JOIN foF f ON f.lang = t.lang
+    GROUP BY t.lang, t.n_tokens, t.vocab_size
+    """,
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Good-Turing frequency-of-frequencies per lang (wave 62; Good
+    # 1953, public): hapax/dis-legomena counts and the Good-Turing
+    # unseen-mass estimate P0 = N1/N -- the number every smoothing
+    # scheme and every "how much vocabulary have we NOT seen yet"
+    # crawl-coverage question starts from, exact in integer ppm.
+    # Shape: tf agg -> count-of-counts agg (r-bounded relation) ->
+    # per-lang fold; nothing after the tf agg is data-sized.
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    tf = (
+        spread(docs.select("lang", "text"))
+        .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    # fof is (langs x distinct counts)-BOUNDED and feeds both the totals
+    # and the final fold -- checkpoint once so the data-sized tf subtree
+    # is not replayed per consumer (the sample_dsir lesson)
+    fof = (
+        tf.groupBy("lang", "r")
+        .agg(F.count(F.lit(1)).cast("long").alias("nr"))
+        .localCheckpoint(eager=True)
+    )
+    tot = fof.groupBy("lang").agg(
+        F.sum(F.expr("r * nr")).cast("long").alias("n_tokens"),
+        F.sum("nr").cast("long").alias("vocab_size"),
+    )
+    return (
+        fof.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "n_tokens", "vocab_size")
+        .agg(
+            F.coalesce(
+                F.max(F.expr("CASE WHEN r = 1 THEN nr END")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n1"),
+            F.coalesce(
+                F.max(F.expr("CASE WHEN r = 2 THEN nr END")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n2"),
+            F.expr(
+                "cast(coalesce(max(CASE WHEN r = 1 THEN nr END), 0)"
+                " * 1000000 div n_tokens as bigint)"
+            ).alias("unseen_mass_ppm"),
+            F.expr(
+                "cast(coalesce(max(CASE WHEN r = 1 THEN nr END), 0)"
+                " * 1000000 div vocab_size as bigint)"
+            ).alias("hapax_frac_ppm"),
+        )
+        .select(
+            "lang", "n_tokens", "vocab_size", "n1", "n2",
+            "unseen_mass_ppm", "hapax_frac_ppm",
+        )
+    )

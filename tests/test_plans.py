@@ -306,6 +306,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "sample_kcenter_diverse": 0,  # greedy steps read eager-checkpointed pool/picks; TakeOrdered argmax behind the checkpoints
         "agg_spearman_corr": 2,  # (type,user) agg + type re-exchange shared by both rank windows and the final agg
         "agg_kendall_tau": 2,  # hourly agg (checkpointed once) + final agg; bounded cell self-join broadcast
+        "agg_theil_sen": 2,  # same hourly-cell shape: checkpointed agg + bounded pair windows + final agg
+        "text_good_turing": 2,  # tf agg + fof agg; fof checkpointed once (r-bounded), totals broadcast
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

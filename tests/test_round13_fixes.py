@@ -366,3 +366,54 @@ def test_kendall_tau_exact_on_engineered_cells(spark, sf_dir):
         # Spark div / DuckDB // truncate toward zero; python // floors
         assert r.tau_ppm == (abs(q) // r.n_pairs) * (1 if q >= 0 else -1)
         assert -1_000_000 <= r.tau_ppm <= 1_000_000
+
+
+def test_theil_sen_resists_engineered_outlier(spark):
+    # The point of Theil-Sen: inject one wild hour into a perfect
+    # slope-1000000 (1 count per hour step) series -- the median slope
+    # must stay exactly 1000000 micro while the OLS slope would not.
+    from kcl_akka_stream_spark.operators import text  # noqa: F401
+
+    rows = [("a", h, 100 + h) for h in range(10)]
+    rows[5] = ("a", 5, 100000)  # the outlier hour
+    h = spark.createDataFrame(rows, "event_type string, hr long, c long")
+    a = h.selectExpr("event_type", "hr as h1", "c as c1")
+    b = h.selectExpr("event_type", "hr as h2", "c as c2")
+    p = a.join(b, "event_type").filter("h1 < h2").selectExpr(
+        "event_type", "h1", "h2",
+        "(c2 - c1) * 1000000 div (h2 - h1) as slope_micro",
+    )
+    med = p.selectExpr(
+        "event_type", "slope_micro",
+        "row_number() OVER (PARTITION BY event_type"
+        " ORDER BY slope_micro, h1, h2) AS rn",
+        "count(*) OVER (PARTITION BY event_type) AS n",
+    ).groupBy("event_type").agg(
+        F.expr("min(CASE WHEN 2 * rn >= n + 1 THEN slope_micro END)").alias(
+            "m"
+        )
+    )
+    assert med.collect()[0].m == 1_000_000
+
+
+def test_good_turing_exact_on_tiny_corpus(spark):
+    # 'a a b c' -> N=4 tokens, V=3 types, N1=2 (b,c), N2=1 (a),
+    # unseen mass = 2/4 = 500000 ppm, hapax fraction = 2/3 = 666666 ppm.
+    from kcl_akka_stream_spark.queries.registry import QUERIES  # noqa: F401
+    import tempfile, os, shutil
+
+    d = tempfile.mkdtemp(prefix="kcl_gt_")
+    try:
+        spark.createDataFrame(
+            [(1, "a a b c", "en", "src0", 7)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        from kcl_akka_stream_spark.queries import QUERIES as Q
+
+        r = Q["text_good_turing"](spark, d).collect()[0]
+        assert (r.n_tokens, r.vocab_size, r.n1, r.n2) == (4, 3, 2, 1)
+        assert r.unseen_mass_ppm == 500_000
+        assert r.hapax_frac_ppm == 666_666
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
