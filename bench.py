@@ -395,6 +395,8 @@ HEADLINE = [
     # round-13 wave 62: robust trend + unseen-mass estimate
     "agg_theil_sen",
     "text_good_turing",
+    # round-13 wave 63: DoReMi-lite excess-loss domain reweighting
+    "pipeline_doremi_weights",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -10447,3 +10447,124 @@ def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unseen_mass_ppm", "hapax_frac_ppm",
         )
     )
+
+
+def _doremi_oracle() -> str:
+    # Mirror of pipeline_doremi_weights: Laplace-smoothed unigram NLL
+    # under the GLOBAL model vs the per-lang REFERENCE model, both with
+    # per-token log-probs frozen to integer micro-nats, excess loss =
+    # the difference, domain weight = excess share in exact ppm.
+    def ml(e: str) -> str:
+        return (
+            f"CAST(round(ln(CAST({e} AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+        )
+
+    return f"""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '{TOK}')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY lang, tok),
+    gtf AS (SELECT tok, CAST(sum(c) AS BIGINT) AS gc FROM tf GROUP BY tok),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+                 CAST(sum(gc) AS BIGINT) AS gn FROM gtf),
+    ln_ AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY lang),
+    scored AS (
+      SELECT t.lang,
+             t.c * ({ml('t.c + 1')} - {ml('l.n + v.vocab')}) AS lp_lang,
+             t.c * ({ml('g.gc + 1')} - {ml('v.gn + v.vocab')}) AS lp_glob
+      FROM tf t
+      JOIN gtf g ON g.tok = t.tok
+      JOIN ln_ l ON l.lang = t.lang, v),
+    per AS (
+      SELECT lang,
+             CAST(-sum(lp_glob) AS BIGINT) AS nll_global_micro,
+             CAST(-sum(lp_lang) AS BIGINT) AS nll_lang_micro,
+             CAST(greatest(0, sum(lp_lang) - sum(lp_glob)) AS BIGINT)
+               AS excess_micro
+      FROM scored GROUP BY lang),
+    tot AS (SELECT CAST(sum(excess_micro) AS BIGINT) AS te FROM per)
+    SELECT p.lang, l.n AS n_tokens,
+           p.nll_global_micro, p.nll_lang_micro, p.excess_micro,
+           CAST(p.excess_micro * 1000000 // nullif(t.te, 0) AS BIGINT)
+             AS weight_ppm
+    FROM per p JOIN ln_ l ON l.lang = p.lang, tot t
+    """
+
+
+@query("pipeline_doremi_weights", _doremi_oracle())
+def pipeline_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DoReMi-lite domain reweighting (wave 63; Xie et al. 2023's
+    # excess-loss idea, public, made CLOSED-FORM): how much worse does
+    # the GLOBAL unigram model score each lang's tokens than that
+    # lang's own reference model?  That excess loss is exactly the
+    # domain's unserved information (n_l * KL(lang || global) in
+    # micro-nats), and the mixture weight is its share -- domains the
+    # shared model underserves get upweighted, the DoReMi signal
+    # without the proxy-training loop.  EXACT: per-token Laplace
+    # log-probs frozen to integer micro-nats (every ln over an integer
+    # argument), products and folds int64, weights div-exact ppm.
+    # Shape: one (lang,tok) tf agg (checkpointed once -- feeds the
+    # global rollup, the lang totals and the scoring join), vocab-keyed
+    # join, per-lang fold; totals broadcast.
+    ml = lambda e: f"cast(round(ln(cast({e} as double)) * 1000000, 0) as bigint)"  # noqa: E731
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    tf = (
+        spread(docs.select("lang", "text"))
+        .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    gtf = tf.groupBy("tok").agg(F.sum("c").cast("long").alias("gc"))
+    v = gtf.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("gc").cast("long").alias("gn"),
+    )
+    ln_ = tf.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    scored = (
+        tf.join(gtf, "tok")
+        .join(F.broadcast(ln_), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            F.expr(f"c * ({ml('c + 1')} - {ml('n + vocab')})").alias(
+                "lp_lang"
+            ),
+            F.expr(f"c * ({ml('gc + 1')} - {ml('gn + vocab')})").alias(
+                "lp_glob"
+            ),
+        )
+    )
+    # per is langs-BOUNDED and feeds both the weight-share total and the
+    # final select -- checkpoint once so the vocab-sized scoring join is
+    # not replayed per consumer
+    per = (
+        scored.groupBy("lang")
+        .agg(
+            (-F.sum("lp_glob")).cast("long").alias("nll_global_micro"),
+            (-F.sum("lp_lang")).cast("long").alias("nll_lang_micro"),
+            F.expr(
+                "cast(greatest(0, sum(lp_lang) - sum(lp_glob)) as bigint)"
+            ).alias("excess_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(F.sum("excess_micro").cast("long").alias("te"))
+    return (
+        per.join(F.broadcast(ln_), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n").alias("n_tokens"),
+            "nll_global_micro",
+            "nll_lang_micro",
+            "excess_micro",
+            F.expr(
+                "cast(excess_micro * 1000000 div nullif(te, 0) as bigint)"
+            ).alias("weight_ppm"),
+        )
+    )

@@ -308,6 +308,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_kendall_tau": 2,  # hourly agg (checkpointed once) + final agg; bounded cell self-join broadcast
         "agg_theil_sen": 2,  # same hourly-cell shape: checkpointed agg + bounded pair windows + final agg
         "text_good_turing": 2,  # tf agg + fof agg; fof checkpointed once (r-bounded), totals broadcast
+        "pipeline_doremi_weights": 2,  # tf + per-lang folds checkpointed once; vocab join behind the checkpoint, totals broadcast
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

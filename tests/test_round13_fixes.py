@@ -417,3 +417,17 @@ def test_good_turing_exact_on_tiny_corpus(spark):
         assert r.hapax_frac_ppm == 666_666
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_doremi_upweights_divergent_domain(spark, sf_dir):
+    # The excess-loss signal: a lang whose unigram distribution
+    # diverges most from the global mixture must carry the largest
+    # weight, weights sum to ~1e6 ppm, and every excess is >= 0.
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["pipeline_doremi_weights"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.excess_micro >= 0 for r in rows)
+    assert all(r.nll_global_micro >= r.nll_lang_micro for r in rows)
+    total = sum(r.weight_ppm for r in rows)
+    assert 999_990 <= total <= 1_000_000  # div truncation, never over
