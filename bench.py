@@ -397,6 +397,8 @@ HEADLINE = [
     "text_good_turing",
     # round-13 wave 63: DoReMi-lite excess-loss domain reweighting
     "pipeline_doremi_weights",
+    # round-13 wave 64: winnowing/MOSS local fingerprints
+    "dedup_winnowing",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -1304,3 +1304,70 @@ def duplicate_span_coverage(
             " then covered_tokens * 1000000 div n_tokens else 0 end"
         ).cast("long"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 -- the MOSS algorithm, public): hash every positional k-token
+    window, then keep the MINIMUM hash of every w-consecutive-hash
+    window.  The selected fingerprints are a tiny, position-robust
+    subset with the paper's GUARANTEE: any shared token run of length
+    >= w + k - 1 contributes at least one shared fingerprint -- local
+    dedup sensitivity the global MinHash signature cannot give, at
+    ~1/w the density of the full k-gram set.
+
+    EXACT + relational: the k-gram hash is the 7-hex-digit md5 prefix
+    (< 2^28), packed with its position into ONE int64
+    (key = h * 2^20 + pos, pos < 2^20 -- the pack makes the per-window
+    argmin a plain ``min`` over a BOUNDED w-row following frame, and
+    ties break toward the earlier position for free).  Docs shorter
+    than k tokens contribute nothing.
+
+    Output: (id, fp_hash, pos) distinct -- fingerprint relation ~n/w
+    rows per doc.  Shape: map-side explode + one bounded-frame window
+    per doc + distinct; no joins."""
+    from pyspark.sql import Window as W
+
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    toks_df = spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.posexplode(positional_windows(F.col(text_col), k)).alias(
+            "pos", "gram"
+        ),
+    )
+    keyed = toks_df.select(
+        id_col,
+        "pos",
+        F.expr(
+            "cast(conv(substring(md5(gram), 1, 7), 16, 10) as bigint)"
+            " * 1048576 + pos"
+        ).alias("key"),
+    )
+    frame = (
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    # every window start yields its min packed key; distinct collapses
+    # the overlapping windows that select the same fingerprint
+    fps = (
+        keyed.select(
+            id_col,
+            F.min("key").over(frame).alias("mkey"),
+            F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("__n"),
+            F.col("pos").alias("__start"),
+        )
+        .filter(F.col("__start") <= F.col("__n") - w)
+        .select(
+            id_col,
+            F.expr("mkey div 1048576").alias("fp_hash"),
+            F.expr("mkey % 1048576").alias("pos"),
+        )
+        .distinct()
+    )
+    return fps

@@ -10568,3 +10568,84 @@ def pipeline_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight_ppm"),
         )
     )
+
+
+def _winnowing_oracle(k: int = 4, w: int = 5, cap: int = 8,
+                      min_shared: int = 2, topn: int = 100) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(t, i, i + {k - 1}), ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1}))
+                   AS i
+            FROM toks WHERE len(t) >= {k})),
+    keyed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(gram), 1, 7))::BIGINT * 1048576 + pos
+               AS key
+      FROM wins),
+    mins AS (
+      SELECT doc_id,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {w - 1} FOLLOWING) AS mkey,
+             count(*) OVER (PARTITION BY doc_id) AS n, pos
+      FROM keyed),
+    fps AS (
+      SELECT DISTINCT doc_id, mkey // 1048576 AS fp_hash
+      FROM mins WHERE pos <= n - {w}),
+    sized AS (
+      SELECT fp_hash FROM fps GROUP BY fp_hash
+      HAVING count(*) BETWEEN 2 AND {cap}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash
+                           AND a.doc_id < b.doc_id
+      JOIN sized s ON s.fp_hash = a.fp_hash)
+    SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM pairs GROUP BY id_a, id_b
+    HAVING count(*) >= {min_shared}
+    ORDER BY n_shared DESC, id_a, id_b
+    LIMIT {topn}
+    """
+
+
+@query("dedup_winnowing", _winnowing_oracle())
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Winnowing / MOSS local fingerprinting (wave 64; Schleimer et al.
+    # 2003, public): per-doc minimum-hash-per-window fingerprints carry
+    # the GUARANTEE that any shared token run of length >= w+k-1 shares
+    # a fingerprint (pytest pins it on an engineered quote), at ~1/w
+    # the density of the full k-gram relation -- the local-sensitivity
+    # dedup layer between doc-level MinHash (misses embedded quotes)
+    # and full span coverage (k-gram-dense).  Pairs come from shared
+    # fingerprints with the standard hot-bucket cap (boilerplate
+    # fingerprints fan out quadratically and are dropped whole, the
+    # minhash_candidate_pairs trade); n_shared ranks the evidence.
+    from kcl_akka_stream_spark.operators.dedup import winnowing_fingerprints
+
+    k, w, cap, min_shared, topn = 4, 5, 8, 2, 100
+    docs = tbl(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, k=k, w=w).localCheckpoint(eager=True)
+    sized = (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .filter((F.col("__sz") >= 2) & (F.col("__sz") <= cap))
+        .select("fp_hash")
+    )
+    a = fps.select("fp_hash", F.col("doc_id").alias("id_a"))
+    b = fps.select("fp_hash", F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter("id_a < id_b")
+        .join(sized, "fp_hash")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs.orderBy(
+        F.col("n_shared").desc(), "id_a", "id_b"
+    ).limit(topn)

@@ -309,6 +309,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_theil_sen": 2,  # same hourly-cell shape: checkpointed agg + bounded pair windows + final agg
         "text_good_turing": 2,  # tf agg + fof agg; fof checkpointed once (r-bounded), totals broadcast
         "pipeline_doremi_weights": 2,  # tf + per-lang folds checkpointed once; vocab join behind the checkpoint, totals broadcast
+        "dedup_winnowing": 2,  # fingerprint relation checkpointed once; pair join + count agg; TakeOrdered final
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -431,3 +431,30 @@ def test_doremi_upweights_divergent_domain(spark, sf_dir):
     assert all(r.nll_global_micro >= r.nll_lang_micro for r in rows)
     total = sum(r.weight_ppm for r in rows)
     assert 999_990 <= total <= 1_000_000  # div truncation, never over
+
+
+def test_winnowing_guarantee_on_engineered_quote(spark):
+    # The Schleimer et al. guarantee: two docs sharing a token run of
+    # length >= w + k - 1 (= 8 here) MUST share a fingerprint; two docs
+    # with no shared k-gram must share none.
+    from kcl_akka_stream_spark.operators.dedup import winnowing_fingerprints
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + quote + " trailing text one"),
+            (2, "completely different opening " + quote + " and a tail"),
+            (3, "no overlap at all with anything else whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=4, w=5)
+    rows = fps.collect()
+    sets: dict = {}
+    for r in rows:
+        sets.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert sets[1] & sets[2], "shared 8-token run must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # density: fingerprints per doc ~ n/w, far below the k-gram count
+    n_grams_1 = len(docs.filter("doc_id = 1").collect()[0].text.split()) - 3
+    assert len(sets[1]) < n_grams_1
