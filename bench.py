@@ -399,6 +399,9 @@ HEADLINE = [
     "pipeline_doremi_weights",
     # round-13 wave 64: winnowing/MOSS local fingerprints
     "dedup_winnowing",
+    # round-13 wave 65: int8 two-stage serving + recall contract
+    "sim_topk_int8_rescore",
+    "sim_int8_recall_report",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

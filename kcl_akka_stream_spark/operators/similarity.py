@@ -1513,3 +1513,99 @@ def kcenter_select(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.select("step", F.col("s_id").alias(id_col), "maximin_micro")
+
+
+def int8_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 32,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: GLOBAL-scale int8 prefilter, exact float
+    rescoring -- the standard quantized-serving shape (scalar
+    quantization + rerank; the SQ path every vector store ships,
+    public).  Stage 1 ranks by the raw int8 dot product, which under a
+    single corpus-wide scale is EXACTLY rank-preserving per query up to
+    quantization error and is pure int64 arithmetic (127^2 * dims per
+    pair, exact in both engines); the top ``m`` survivors per query are
+    rescored with the exact double cosine and the top ``k`` served.
+
+    At 100 TB the point is bytes: stage 1 touches 1/4 the memory
+    bandwidth of float32 and never shuffles the corpus (queries
+    broadcast); stage 2 touches only queries x m full vectors.
+
+    Returns (q_id, n_id, dot_int, cos6, rank)."""
+    from pyspark.sql import Window
+
+    scale = corpus.agg(
+        F.max(
+            F.expr(
+                f"aggregate(transform({vec_col},"
+                " x -> abs(cast(x as double))), 0D,"
+                " (a, v) -> greatest(a, v))"
+            )
+        ).alias("__mx")
+    ).select((F.col("__mx") / F.lit(127.0)).alias("__s"))
+    q8 = (
+        f"transform({vec_col}, x -> cast(round(cast(x as double) / __s)"
+        " as bigint))"
+    )
+    c = corpus.crossJoin(F.broadcast(scale)).select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(q8).alias("__cq"),
+    )
+    qs = queries.crossJoin(F.broadcast(scale)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(q8).alias("__qq"),
+    )
+    dot_i = (
+        "aggregate(zip_with(__cq, __qq, (x, y) -> x * y), 0L,"
+        " (acc, v) -> acc + v)"
+    )
+    stage1 = (
+        c.join(F.broadcast(qs), F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id", "__cv", "__qv",
+            F.expr(dot_i).alias("dot_int"),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("dot_int").desc(), "n_id"
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= m)
+    )
+    dot = (
+        "aggregate(zip_with(__cv, __qv, (x, y) -> cast(x as double) * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({c}, x -> cast(x as double) * x), 0D,"
+        " (acc, v) -> acc + v))"
+    )
+    rescored = stage1.select(
+        "q_id",
+        "n_id",
+        "dot_int",
+        F.expr(
+            f"round({dot} / ({nrm.format(c='__cv')} *"
+            f" {nrm.format(c='__qv')}), 6)"
+        ).alias("cos6"),
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("q_id").orderBy(F.col("cos6").desc(), "n_id")
+        )
+        .cast("long"),
+    )
+    return rescored.filter(F.col("rank") <= k).select(
+        "q_id", "n_id", "dot_int", "cos6", "rank"
+    )

@@ -10649,3 +10649,143 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("n_shared").desc(), "id_a", "id_b"
     ).limit(topn)
+
+
+def _int8_rescore_oracle(m: int = 32, k: int = 10) -> str:
+    cos = _COS.format(a="s.cv", b="s.qv")
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    sc AS (SELECT max(list_max([abs(x) FOR x IN e])) / 127.0 AS s FROM v),
+    q8 AS (
+      SELECT vec_id, e,
+             [CAST(round(x / sc.s) AS BIGINT) FOR x IN e] AS q
+      FROM v, sc),
+    qs AS (SELECT vec_id AS q_id, e AS qv, q AS qq FROM q8
+           WHERE vec_id < 5),
+    stage1 AS (
+      SELECT q_id, c.vec_id AS n_id, c.e AS cv, qv,
+             CAST(list_dot_product(c.q, qq) AS BIGINT) AS dot_int,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY list_dot_product(c.q, qq) DESC,
+                                         c.vec_id) AS rk
+      FROM q8 c, qs WHERE c.vec_id <> q_id),
+    s AS (SELECT q_id, n_id, cv, qv, dot_int FROM stage1 WHERE rk <= {m}),
+    rescored AS (
+      SELECT q_id, n_id, dot_int, round({cos}, 6) AS cos6
+      FROM s)
+    SELECT q_id, n_id, dot_int, cos6,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos6 DESC, n_id) AS BIGINT)
+             AS rank
+    FROM rescored
+    QUALIFY rank <= {k}
+    """
+
+
+@query("sim_topk_int8_rescore", _int8_rescore_oracle())
+def sim_topk_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-stage quantized retrieval (wave 65): global-scale int8
+    # prefilter (EXACT int64 dot products -- rank-preserving up to
+    # quantization error, 1/4 the memory bandwidth of float32, corpus
+    # never shuffles) -> exact double-cosine rescoring of the top-32
+    # survivors -> top-10 served.  The scalar-quantization serving
+    # path every vector store ships, with both stages oracle-mirrored
+    # (operators/similarity.py::int8_rescore_topk).
+    from kcl_akka_stream_spark.operators.similarity import int8_rescore_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return int8_rescore_topk(emb, queries, m=32, k=10)
+
+
+
+
+def _int8_rescore_oracle_body(m: int = 32, k: int = 10) -> str:
+    # the rescore oracle ends with a QUALIFY select; the recall oracle
+    # needs the CTE chain WITHOUT the final select, so rebuild it here
+    cos = _COS.format(a="s.cv", b="s.qv")
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    sc AS (SELECT max(list_max([abs(x) FOR x IN e])) / 127.0 AS s FROM v),
+    q8 AS (
+      SELECT vec_id, e,
+             [CAST(round(x / sc.s) AS BIGINT) FOR x IN e] AS q
+      FROM v, sc),
+    qs AS (SELECT vec_id AS q_id, e AS qv, q AS qq FROM q8
+           WHERE vec_id < 5),
+    stage1 AS (
+      SELECT q_id, c.vec_id AS n_id, c.e AS cv, qv,
+             CAST(list_dot_product(c.q, qq) AS BIGINT) AS dot_int,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY list_dot_product(c.q, qq) DESC,
+                                         c.vec_id) AS rk
+      FROM q8 c, qs WHERE c.vec_id <> q_id),
+    s AS (SELECT q_id, n_id, cv, qv, dot_int FROM stage1 WHERE rk <= {m}),
+    rescored AS (
+      SELECT q_id, n_id, dot_int, round({cos}, 6) AS cos6
+      FROM s)
+    """
+
+
+@query(
+    "sim_int8_recall_report",
+    _int8_rescore_oracle_body()
+    + """
+    , two AS (
+      SELECT q_id, n_id
+      FROM rescored
+      QUALIFY row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos6 DESC, n_id) <= 10),
+    ranked AS (
+      SELECT c.vec_id AS n_id, q.q_id,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY round("""
+    + _COS.format(a="c.e", b="q.qv")
+    + """, 6) DESC, c.vec_id) AS brk
+      FROM v c
+      JOIN (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5) q
+        ON c.vec_id <> q.q_id),
+    brute AS (SELECT q_id, n_id FROM ranked WHERE brk <= 10)
+    SELECT CAST(count(DISTINCT b.q_id) AS BIGINT) AS n_queries,
+           CAST(10 AS BIGINT) AS k,
+           CAST(count(t.n_id) AS BIGINT) AS n_hits,
+           CAST(count(t.n_id) * 1000000 // count(*) AS BIGINT)
+             AS recall_ppm
+    FROM brute b
+    LEFT JOIN two t ON t.q_id = b.q_id AND t.n_id = b.n_id
+    """,
+)
+def sim_int8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Acceptance contract for the int8 serving path (wave 65, the
+    # sim_ivf_recall_report pattern): recall@10 of the two-stage
+    # int8-prefilter+rescore against the exact brute-force top-10 --
+    # the number that red-flags an over-aggressive quantization or a
+    # broken scale before it ships.  Exact: both rankings are
+    # deterministic (6dp cosine, id tiebreaks), so recall is a pure
+    # integer ppm.
+    from kcl_akka_stream_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+        int8_rescore_topk,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    two = int8_rescore_topk(emb, queries, m=32, k=10).select(
+        "q_id", "n_id"
+    )
+    brute = brute_force_topk_vectorized(emb, queries, k=10).select(
+        "q_id", "n_id"
+    )
+    joined = brute.join(
+        two.withColumn("__hit", F.lit(1)), ["q_id", "n_id"], "left"
+    )
+    return joined.agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.lit(10).cast("long").alias("k"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+        F.expr(
+            "cast(sum(coalesce(__hit, 0)) * 1000000 div count(*) as bigint)"
+        ).alias("recall_ppm"),
+    )

@@ -310,6 +310,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "text_good_turing": 2,  # tf agg + fof agg; fof checkpointed once (r-bounded), totals broadcast
         "pipeline_doremi_weights": 2,  # tf + per-lang folds checkpointed once; vocab join behind the checkpoint, totals broadcast
         "dedup_winnowing": 2,  # fingerprint relation checkpointed once; pair join + count agg; TakeOrdered final
+        "sim_topk_int8_rescore": 3,  # scale fold + per-q rank window + final rank; corpus never shuffles, queries broadcast
+        "sim_int8_recall_report": 9,  # both legs (two-stage + brute) + join + single-row fold
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

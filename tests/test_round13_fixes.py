@@ -458,3 +458,26 @@ def test_winnowing_guarantee_on_engineered_quote(spark):
     # density: fingerprints per doc ~ n/w, far below the k-gram count
     n_grams_1 = len(docs.filter("doc_id = 1").collect()[0].text.split()) - 3
     assert len(sets[1]) < n_grams_1
+
+
+def test_int8_recall_green_and_starved_prefilter_red(spark, sf_dir):
+    # Green: m=32 prefilter keeps recall@10 >= 0.9 at fixture scale.
+    # Red: starving the prefilter to m=1 caps hits at n_queries, so the
+    # same report collapses -- the gate measures the prefilter, not the
+    # harness.
+    from kcl_akka_stream_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+        int8_rescore_topk,
+    )
+    from kcl_akka_stream_spark.queries import QUERIES
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    r = QUERIES["sim_int8_recall_report"](spark, sf_dir).collect()[0]
+    assert r.n_queries == 5 and r.recall_ppm >= 900_000
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    starved = int8_rescore_topk(emb, qs, m=1, k=10).select("q_id", "n_id")
+    brute = brute_force_topk_vectorized(emb, qs, k=10).select("q_id", "n_id")
+    hits = brute.join(starved, ["q_id", "n_id"]).count()
+    assert hits <= 5  # at most one survivor per query can land in top-10
