@@ -402,6 +402,9 @@ HEADLINE = [
     # round-13 wave 65: int8 two-stage serving + recall contract
     "sim_topk_int8_rescore",
     "sim_int8_recall_report",
+    # round-13 wave 66: association effect size + semantic outlier triage
+    "agg_cramers_v",
+    "emb_centroid_outliers",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -7092,3 +7092,65 @@ def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(F.broadcast(nh), "event_type").select(
         "event_type", "n_hours", "n_pairs", "ts_slope_micro"
     )
+
+
+@query(
+    "agg_cramers_v",
+    f"""
+    WITH {_CELLS_SQL}
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(least(count(DISTINCT event_type) - 1,
+                      count(DISTINCT hr) - 1) AS BIGINT) AS min_dof,
+           CAST(sum(CAST(floor(
+                 (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+                 * (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+                 * 1000000.0 / (CAST(n AS DOUBLE) * r * c)) AS BIGINT))
+             AS BIGINT) AS chi2_micro,
+           round(sqrt(CAST(sum(CAST(floor(
+                 (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+                 * (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+                 * 1000000.0 / (CAST(n AS DOUBLE) * r * c)) AS BIGINT))
+               AS DOUBLE) / 1000000.0
+               / (max(n) * least(count(DISTINCT event_type) - 1,
+                                 count(DISTINCT hr) - 1))), 6) AS cramers_v
+    FROM m
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cramer's V effect size for the (event_type, hour) association
+    # (wave 66; Cramer 1946, public): chi-square alone grows with n, V
+    # = sqrt(chi2 / (n * min(r-1, c-1))) is the [0,1] strength a
+    # monitoring rule can threshold.  Rides the exact per-cell
+    # chi2_micro discipline of agg_chi_square_independence (identical
+    # integer in both engines), so V is one sqrt over identical
+    # integers (IEEE correctly-rounded, bit-identical) rounded 6 dp.
+    # ONE combinable cell agg; margins ride the cell-sized relation.
+    ev = tbl(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    m = cells.select(
+        "event_type",
+        "hr",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("hr")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    chi = (
+        "sum(cast(floor((cast(o as double) * n - cast(r as double) * c)"
+        " * (cast(o as double) * n - cast(r as double) * c)"
+        " * 1000000.0 / (cast(n as double) * r * c)) as bigint))"
+    )
+    mdof = (
+        "least(count(DISTINCT event_type) - 1, count(DISTINCT hr) - 1)"
+    )
+    return m.agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(f"cast({mdof} as bigint)").alias("min_dof"),
+        F.expr(f"cast({chi} as bigint)").alias("chi2_micro"),
+        F.expr(
+            f"round(sqrt(cast({chi} as double) / 1000000.0"
+            f" / (max(n) * {mdof})), 6)"
+        ).alias("cramers_v"),
+    )

@@ -10789,3 +10789,94 @@ def sim_int8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(coalesce(__hit, 0)) * 1000000 div count(*) as bigint)"
         ).alias("recall_ppm"),
     )
+
+
+@query(
+    "emb_centroid_outliers",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    ex AS (
+      SELECT vec_id, label, s.dim AS dim,
+             CAST(round(s.val * 1000000) AS BIGINT) AS vmic
+      FROM (SELECT vec_id, label,
+                   unnest([{'dim': i, 'val': e[i]}
+                           FOR i IN generate_series(1, len(e))]) AS s
+            FROM v)),
+    cent AS (
+      SELECT label, dim,
+             CAST(round(avg(val) * 1000000) AS BIGINT) AS cmic
+      FROM (SELECT label, s.dim AS dim, s.val AS val
+            FROM (SELECT label,
+                         unnest([{'dim': i, 'val': e[i]}
+                                 FOR i IN generate_series(1, len(e))]) AS s
+                  FROM v))
+      GROUP BY label, dim),
+    d AS (
+      SELECT e.vec_id, e.label,
+             CAST(sum((e.vmic - c.cmic) * (e.vmic - c.cmic)) AS BIGINT)
+               AS d2_micro2
+      FROM ex e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+      GROUP BY e.vec_id, e.label)
+    SELECT label, vec_id, d2_micro2,
+           CAST(row_number() OVER (PARTITION BY label
+                                   ORDER BY d2_micro2 DESC, vec_id)
+                AS BIGINT) AS rank
+    FROM d
+    QUALIFY rank <= 20
+    """,
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semantic-outlier screen (wave 66): per label, the 20 embeddings
+    # farthest from their own class centroid -- the mislabeled-example
+    # / contamination triage list every embedding-curation pass starts
+    # from.  EXACT after one freeze: per-dim centroid means and vector
+    # components both round to integer micro-units, then the squared
+    # distance is pure int64 (the only float wobble is the mean's
+    # sub-ulp partial-agg order at the round boundary, the repo's
+    # standard micro-freeze risk ~1e-10).  Shape: dim explode -> (label,
+    # dim) centroid agg (labels x 64, broadcasts back) -> per-vec fold
+    # -> per-label top-20 window.
+    emb = tbl(spark, sf_dir, "embeddings")
+    ex = spread(emb.select("vec_id", "label", "embedding")).select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+        F.expr(
+            "cast(round(cast(val as double) * 1000000) as bigint)"
+        ).alias("vmic"),
+    ).localCheckpoint(eager=True)  # feeds the centroid agg AND the fold
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.expr(
+                "cast(round(avg(val) * 1000000) as bigint)"
+            ).alias("cmic")
+        )
+    )
+    d = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.expr("(vmic - cmic) * (vmic - cmic)"))
+            .cast("long")
+            .alias("d2_micro2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("d2_micro2").desc(), "vec_id"
+    )
+    return (
+        d.select(
+            "label",
+            "vec_id",
+            "d2_micro2",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 20)
+    )

@@ -312,6 +312,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_winnowing": 2,  # fingerprint relation checkpointed once; pair join + count agg; TakeOrdered final
         "sim_topk_int8_rescore": 3,  # scale fold + per-q rank window + final rank; corpus never shuffles, queries broadcast
         "sim_int8_recall_report": 9,  # both legs (two-stage + brute) + join + single-row fold
+        "agg_cramers_v": 4,  # one cell agg + margin windows (type/hr/global) riding it + single-row fold
+        "emb_centroid_outliers": 3,  # dim explode checkpointed once + centroid agg (broadcast back) + per-vec fold + top-20 window
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -481,3 +481,64 @@ def test_int8_recall_green_and_starved_prefilter_red(spark, sf_dir):
     brute = brute_force_topk_vectorized(emb, qs, k=10).select("q_id", "n_id")
     hits = brute.join(starved, ["q_id", "n_id"]).count()
     assert hits <= 5  # at most one survivor per query can land in top-10
+
+
+def test_cramers_v_bounds_and_identity(spark, sf_dir):
+    # V must land in [0,1]; and a perfectly-associated engineered table
+    # (each type fires in exactly one distinct hour) must give V = 1.
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    r = QUERIES["agg_cramers_v"](spark, sf_dir).collect()[0]
+    assert r.n > 0 and r.min_dof >= 1
+    assert 0.0 <= r.cramers_v <= 1.0
+
+    # dense 2x2 (chi2 over OBSERVED cells needs no empty cells):
+    # t0: 9@h0 1@h1, t1: 1@h0 9@h1 -> chi2 = 20*(81-1)^2/10^4 = 12.8,
+    # V = sqrt(12.8 / (20*1)) = 0.8 exactly
+    rows = (
+        [("t0", 0)] * 9 + [("t0", 1)] * 1
+        + [("t1", 0)] * 1 + [("t1", 1)] * 9
+    )
+    df = spark.createDataFrame(rows, "event_type string, hr long")
+    m = df.groupBy("event_type", "hr").count().selectExpr(
+        "event_type", "hr", "count AS o"
+    ).selectExpr(
+        "o",
+        "sum(o) OVER (PARTITION BY event_type) AS r",
+        "sum(o) OVER (PARTITION BY hr) AS c",
+        "sum(o) OVER () AS n",
+        "event_type", "hr",
+    )
+    v = m.selectExpr(
+        "round(sqrt(cast(sum(cast(floor((cast(o as double) * n"
+        " - cast(r as double) * c) * (cast(o as double) * n"
+        " - cast(r as double) * c) * 1000000.0"
+        " / (cast(n as double) * r * c)) as bigint)) as double) / 1000000.0"
+        " / (max(n) * least(count(DISTINCT event_type) - 1,"
+        " count(DISTINCT hr) - 1))), 6) AS v"
+    ).collect()[0].v
+    assert abs(v - 0.8) < 1e-4  # known 2x2 association -> V = 0.8
+
+
+def test_centroid_outliers_flags_engineered_outlier(spark):
+    # A vector far from its class centroid must rank first.
+    from kcl_akka_stream_spark.queries import QUERIES  # noqa: F401
+    from kcl_akka_stream_spark.queries.registry import tbl  # noqa: F401
+    import os, shutil, tempfile
+
+    d = tempfile.mkdtemp(prefix="kcl_cent_")
+    try:
+        rows = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(9)]
+        rows.append((9, [-1.0, 0.0, 0.0, 0.0], 0))  # the outlier
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "embeddings.parquet")
+        )
+        from kcl_akka_stream_spark.queries import QUERIES as Q
+
+        out = Q["emb_centroid_outliers"](spark, d).collect()
+        top = [r for r in out if r.rank == 1][0]
+        assert top.vec_id == 9
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
