@@ -405,6 +405,8 @@ HEADLINE = [
     # round-13 wave 66: association effect size + semantic outlier triage
     "agg_cramers_v",
     "emb_centroid_outliers",
+    # round-13 wave 67: TextRank keywords (graph iterations over text)
+    "text_textrank_keywords",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

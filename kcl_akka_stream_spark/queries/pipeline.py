@@ -10880,3 +10880,96 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 20)
     )
+
+
+@query(
+    "text_textrank_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOK}')) AS tok,
+             unnest(generate_series(1, len(regexp_extract_all(lower(text),
+                                                              '{TOK}')))) AS i
+      FROM documents),
+    adj AS (
+      SELECT tok AS src,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS dst
+      FROM toks),
+    p AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      FROM adj WHERE dst IS NOT NULL AND src <> dst
+      GROUP BY src, dst),
+    e AS (SELECT src, dst, w FROM p
+          UNION ALL SELECT dst AS src, src AS dst, w FROM p),
+    deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+    i1 AS (SELECT e.dst AS node,
+                  150000 + (85 * sum((r.r * e.w) // d.deg)) // 100 AS r
+           FROM e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node = e.src
+           GROUP BY e.dst),
+    i2 AS (SELECT e.dst AS node,
+                  150000 + (85 * sum((r.r * e.w) // d.deg)) // 100 AS r
+           FROM e JOIN deg d ON d.src = e.src JOIN i1 r ON r.node = e.src
+           GROUP BY e.dst),
+    i3 AS (SELECT e.dst AS node,
+                  150000 + (85 * sum((r.r * e.w) // d.deg)) // 100 AS r
+           FROM e JOIN deg d ON d.src = e.src JOIN i2 r ON r.node = e.src
+           GROUP BY e.dst)
+    SELECT node AS word, CAST(r AS BIGINT) AS rank_micro
+    FROM i3 ORDER BY r DESC, word LIMIT 20
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TextRank keyword extraction (wave 67; Mihalcea & Tarau 2004,
+    # public): damped PageRank over the ADJACENT-token co-occurrence
+    # graph -- the graph family's iteration machinery pointed at text
+    # (RAKE's degree heuristic upgraded to a fixpoint).  Same integer
+    # micro-unit arithmetic as graph_pagerank_topk (3 unrolled
+    # iterations, every step exact int64, oracle matches bit-for-bit);
+    # word nodes stay strings -- the graph is VOCAB-sized, orders of
+    # magnitude below the corpus, so rank relations broadcast and the
+    # one data-sized pass is the adjacent-pair count.  Top-20 by rank.
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = F.col("__t")
+    tail = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        tail,
+        lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+    )
+    p = (
+        spread(docs.select("text"))
+        .select(tokens(F.col("text")).alias("__t"))
+        .select(F.explode(pairs).alias("pr"))
+        .select(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
+        .filter("src <> dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint(eager=True)  # feeds e twice via the union
+    )
+    e = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)  # feeds deg + 3 iterations
+    deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("r"))
+    for _ in range(3):
+        ranks = (
+            e.join(F.broadcast(deg), "src")
+            .join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.expr(
+                    "cast(150000 + (85 * sum((r * w) div deg)) div 100"
+                    " as bigint)"
+                ).alias("r")
+            )
+        )
+    return (
+        ranks.select(F.col("node").alias("word"), F.col("r").alias("rank_micro"))
+        .orderBy(F.col("rank_micro").desc(), "word")
+        .limit(20)
+    )

@@ -314,6 +314,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "sim_int8_recall_report": 9,  # both legs (two-stage + brute) + join + single-row fold
         "agg_cramers_v": 4,  # one cell agg + margin windows (type/hr/global) riding it + single-row fold
         "emb_centroid_outliers": 3,  # dim explode checkpointed once + centroid agg (broadcast back) + per-vec fold + top-20 window
+        "text_textrank_keywords": 7,  # pair agg (checkpointed) + deg agg + 3 vocab-sized iteration aggs + TakeOrdered; deg/ranks broadcast
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

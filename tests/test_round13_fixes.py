@@ -542,3 +542,28 @@ def test_centroid_outliers_flags_engineered_outlier(spark):
         assert top.vec_id == 9
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_textrank_hub_outranks_leaf(spark):
+    # A word adjacent to every other word (the hub) must out-rank the
+    # leaves after 3 damped iterations, and every rank stays positive.
+    from kcl_akka_stream_spark.queries import QUERIES  # noqa: F401
+    import os, shutil, tempfile
+
+    d = tempfile.mkdtemp(prefix="kcl_tr_")
+    try:
+        # star graph: 'hub leaf1 hub leaf2 hub leaf3 ...'
+        text = " ".join(f"hub leaf{i}" for i in range(1, 7))
+        spark.createDataFrame(
+            [(1, text, "en", "src0", len(text))],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        from kcl_akka_stream_spark.queries import QUERIES as Q
+
+        rows = Q["text_textrank_keywords"](spark, d).collect()
+        assert rows[0].word == "hub"
+        assert all(r.rank_micro > 0 for r in rows)
+        assert rows[0].rank_micro > rows[1].rank_micro
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
