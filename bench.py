@@ -407,6 +407,9 @@ HEADLINE = [
     "emb_centroid_outliers",
     # round-13 wave 67: TextRank keywords (graph iterations over text)
     "text_textrank_keywords",
+    # round-13 wave 68: robust location + coreset weights
+    "agg_hodges_lehmann",
+    "sample_kcenter_weights",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

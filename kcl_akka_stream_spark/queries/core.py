@@ -7154,3 +7154,67 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (max(n) * {mdof})), 6)"
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "agg_hodges_lehmann",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, hr),
+    p AS (
+      SELECT a.event_type, a.hr AS h1, b.hr AS h2,
+             a.c + b.c AS s2
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.hr <= b.hr),
+    pr AS (
+      SELECT event_type, s2,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s2, h1, h2) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM p)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_pairs,
+           CAST(min(CASE WHEN 2 * rn >= n + 1 THEN s2 END) AS BIGINT)
+             AS hl_twice
+    FROM pr GROUP BY event_type
+    """,
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hodges-Lehmann pseudo-median of the hourly volumes per event type
+    # (wave 68; Hodges & Lehmann 1963, public): the median of all
+    # pairwise Walsh averages (i <= j), the location estimator that
+    # pairs with Theil-Sen's slope -- robust like the median, ~30% more
+    # efficient at the Gaussian.  EXACT: Walsh averages stay integer as
+    # 2*avg = c_i + c_j (hl_twice), the lower-median rank pick with
+    # (h1, h2) tiebreaks; the pair relation is GROUP-BOUNDED
+    # (<= 24*25/2 per type) by the hourly pre-aggregation.
+    ev = tbl(spark, sf_dir, "events")
+    h = (
+        ev.select("event_type", F.hour("ts").cast("long").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a = h.select("event_type", F.col("hr").alias("h1"), F.col("c").alias("c1"))
+    b = h.select("event_type", F.col("hr").alias("h2"), F.col("c").alias("c2"))
+    p = (
+        a.join(F.broadcast(b), "event_type")
+        .filter("h1 <= h2")
+        .select("event_type", "h1", "h2", F.expr("c1 + c2").alias("s2"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("s2", "h1", "h2")
+    wn = Window.partitionBy("event_type")
+    pr = p.select(
+        "event_type",
+        "s2",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return pr.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.min(F.expr("CASE WHEN 2 * rn >= n + 1 THEN s2 END"))
+        .cast("long")
+        .alias("hl_twice"),
+    )

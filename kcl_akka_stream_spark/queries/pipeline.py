@@ -10973,3 +10973,76 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_micro").desc(), "word")
         .limit(20)
     )
+
+
+def _kcenter_weights_oracle(k: int = 4) -> str:
+    # Reuse the k-center greedy CTE chain, then assign every pool point
+    # to its nearest selected center (micro distance, id tiebreak via
+    # argmin ordering) and report per-center coreset weights.
+    base = _kcenter_oracle(k)
+    base = base[: base.index("\n    SELECT CAST(1 AS BIGINT) AS step")]
+    cos = _COS.format(a="c.v", b="s.v")
+    dist = f"CAST(1000000 - round({cos} * 1000000, 0) AS BIGINT)"
+    return base + f""",
+    assign AS (
+      SELECT c.vec_id,
+             first(s.vec_id ORDER BY {dist}, s.vec_id) AS center_id,
+             min({dist}) AS d
+      FROM v c JOIN sel{k} s ON true
+      GROUP BY c.vec_id)
+    SELECT center_id, CAST(count(*) AS BIGINT) AS weight,
+           CAST(sum(d) AS BIGINT) AS sum_dist_micro,
+           CAST(max(d) AS BIGINT) AS radius_micro
+    FROM assign GROUP BY center_id
+    """
+
+
+@query("sample_kcenter_weights", _kcenter_weights_oracle())
+def sample_kcenter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Coreset WEIGHTS for the k-center exemplars (wave 68): assign every
+    # pool vector to its nearest selected center (exact micro cosine
+    # distance, id tiebreak) and report per-center cluster mass, total
+    # and max (coverage radius) distance -- the weights that make the
+    # k-center picks a usable coreset (weighted losses approximate
+    # full-corpus losses) and the per-center radius the coverage
+    # acceptance signal.  Assignment is pool x (k broadcast centers),
+    # one bounded agg.
+    from kcl_akka_stream_spark.operators.similarity import kcenter_select
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    k = 4
+    picks = kcenter_select(emb, k=k).select(F.col("vec_id").alias("c_id"))
+    centers = picks.join(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("__cv")),
+        "c_id",
+    )
+    dot = (
+        "aggregate(zip_with(embedding, __cv, (x, y) -> cast(x as double) * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({c}, x -> cast(x as double) * x), 0D,"
+        " (acc, v) -> acc + v))"
+    )
+    dist = (
+        f"cast(1000000 - round({dot} / ({nrm.format(c='embedding')} *"
+        f" {nrm.format(c='__cv')}) * 1000000, 0) as bigint)"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centers))
+        .select(
+            "vec_id",
+            "c_id",
+            F.expr(dist).alias("d"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr("min_by(c_id, struct(d, c_id))").alias("center_id"),
+            F.min("d").alias("d"),
+        )
+    )
+    return assigned.groupBy("center_id").agg(
+        F.count(F.lit(1)).cast("long").alias("weight"),
+        F.sum("d").cast("long").alias("sum_dist_micro"),
+        F.max("d").cast("long").alias("radius_micro"),
+    )

@@ -315,6 +315,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_cramers_v": 4,  # one cell agg + margin windows (type/hr/global) riding it + single-row fold
         "emb_centroid_outliers": 3,  # dim explode checkpointed once + centroid agg (broadcast back) + per-vec fold + top-20 window
         "text_textrank_keywords": 7,  # pair agg (checkpointed) + deg agg + 3 vocab-sized iteration aggs + TakeOrdered; deg/ranks broadcast
+        "agg_hodges_lehmann": 1,  # hourly agg (checkpointed); bounded Walsh pairs broadcast-joined, windows ride the cell relation
+        "sample_kcenter_weights": 2,  # assignment agg + per-center fold; centers (k rows) broadcast, picks behind eager checkpoints
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

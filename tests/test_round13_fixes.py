@@ -567,3 +567,39 @@ def test_textrank_hub_outranks_leaf(spark):
         assert rows[0].rank_micro > rows[1].rank_micro
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hodges_lehmann_exact_tiny(spark):
+    # counts {1, 2, 10}: Walsh sums (i<=j) sorted = [2,3,4,11,12,20],
+    # n=6; the repo's rank-pick convention (first rn with 2*rn >= n+1)
+    # selects rn=4 -> hl_twice = 11 (deterministic in both engines).
+    rows = [("a", 0, 1), ("a", 1, 2), ("a", 2, 10)]
+    h = spark.createDataFrame(rows, "event_type string, hr long, c long")
+    a = h.selectExpr("event_type", "hr AS h1", "c AS c1")
+    b = h.selectExpr("event_type", "hr AS h2", "c AS c2")
+    p = a.join(b, "event_type").filter("h1 <= h2").selectExpr(
+        "event_type", "h1", "h2", "c1 + c2 AS s2"
+    )
+    med = p.selectExpr(
+        "event_type", "s2",
+        "row_number() OVER (PARTITION BY event_type ORDER BY s2, h1, h2)"
+        " AS rn",
+        "count(*) OVER (PARTITION BY event_type) AS n",
+    ).groupBy("event_type").agg(
+        F.expr("min(CASE WHEN 2 * rn >= n + 1 THEN s2 END)").alias("m")
+    )
+    assert med.collect()[0].m == 11
+
+
+def test_kcenter_weights_cover_pool(spark, sf_dir):
+    # Weights must partition the pool exactly; the reported radius is
+    # the max assigned distance (non-negative, <= 2e6 for cosine).
+    from kcl_akka_stream_spark.queries import QUERIES
+    from kcl_akka_stream_spark.queries.registry import tbl
+
+    rows = QUERIES["sample_kcenter_weights"](spark, sf_dir).collect()
+    n_pool = tbl(spark, sf_dir, "embeddings").count()
+    assert len(rows) == 4
+    assert sum(r.weight for r in rows) == n_pool
+    assert all(0 <= r.radius_micro <= 2_000_000 for r in rows)
+    assert all(r.sum_dist_micro >= 0 for r in rows)
