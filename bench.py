@@ -410,6 +410,8 @@ HEADLINE = [
     # round-13 wave 68: robust location + coreset weights
     "agg_hodges_lehmann",
     "sample_kcenter_weights",
+    # round-13 wave 69: calendar scalar family
+    "scalar_calendar_funcs",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

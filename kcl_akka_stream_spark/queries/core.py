@@ -7218,3 +7218,65 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hl_twice"),
     )
+
+
+@query(
+    "scalar_calendar_funcs",
+    """
+    SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(date_diff('day', o_orderdate,
+                              CAST(o_orderdate + INTERVAL 1 MONTH AS DATE)))
+                AS BIGINT) AS sum_days_plus_month,
+           CAST(sum(last_day(o_orderdate) - DATE '1970-01-01') AS BIGINT)
+             AS sum_lastday_epoch,
+           CAST(sum(CAST(date_trunc('week', o_orderdate) AS DATE)
+                    - DATE '1970-01-01') AS BIGINT) AS sum_weekstart_epoch,
+           CAST(sum(CAST(date_trunc('quarter', o_orderdate) AS DATE)
+                    - DATE '1970-01-01') AS BIGINT)
+             AS sum_quarterstart_epoch,
+           CAST(sum(isodow(o_orderdate)) AS BIGINT) AS sum_isodow,
+           CAST(sum(weekofyear(o_orderdate)) AS BIGINT) AS sum_weekofyear,
+           CAST(sum(date_part('doy', o_orderdate)) AS BIGINT) AS sum_doy
+    FROM orders GROUP BY yr
+    """,
+)
+def scalar_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Calendar scalar family (wave 69, §2.8 widening): add_months,
+    # last_day, ISO week/quarter truncation, ISO day-of-week, ISO week
+    # number, day-of-year -- the date-dimension building blocks every
+    # partition-pruning layout and retention rollup leans on, pinned
+    # cross-engine via integer epoch-day / ordinal checksums per year
+    # (the scalar_math_funcs pattern).  Probed identical this session:
+    # Spark 4 add_months carries NO end-of-month preservation (matches
+    # DuckDB's + INTERVAL), trunc('week') is ISO-Monday in both,
+    # weekday+1 == isodow, weekofyear is ISO week in both.  Map-only +
+    # one combinable agg.
+    o = tbl(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.groupBy(
+        F.year(d).cast("long").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(
+            "datediff(add_months(o_orderdate, 1), o_orderdate)"
+        )).cast("long").alias("sum_days_plus_month"),
+        F.sum(F.expr(
+            "datediff(last_day(o_orderdate), DATE '1970-01-01')"
+        )).cast("long").alias("sum_lastday_epoch"),
+        F.sum(F.expr(
+            "datediff(trunc(o_orderdate, 'week'), DATE '1970-01-01')"
+        )).cast("long").alias("sum_weekstart_epoch"),
+        F.sum(F.expr(
+            "datediff(trunc(o_orderdate, 'quarter'), DATE '1970-01-01')"
+        )).cast("long").alias("sum_quarterstart_epoch"),
+        F.sum(F.expr("weekday(o_orderdate) + 1")).cast("long").alias(
+            "sum_isodow"
+        ),
+        F.sum(F.expr("weekofyear(o_orderdate)")).cast("long").alias(
+            "sum_weekofyear"
+        ),
+        F.sum(F.expr("dayofyear(o_orderdate)")).cast("long").alias(
+            "sum_doy"
+        ),
+    )

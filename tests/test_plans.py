@@ -317,6 +317,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "text_textrank_keywords": 7,  # pair agg (checkpointed) + deg agg + 3 vocab-sized iteration aggs + TakeOrdered; deg/ranks broadcast
         "agg_hodges_lehmann": 1,  # hourly agg (checkpointed); bounded Walsh pairs broadcast-joined, windows ride the cell relation
         "sample_kcenter_weights": 2,  # assignment agg + per-center fold; centers (k rows) broadcast, picks behind eager checkpoints
+        "scalar_calendar_funcs": 1,  # map-only calendar scalars + one combinable agg
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
