@@ -412,6 +412,9 @@ HEADLINE = [
     "sample_kcenter_weights",
     # round-13 wave 69: calendar scalar family
     "scalar_calendar_funcs",
+    # round-13 wave 70: quartile fences + term burstiness
+    "agg_tukey_fences",
+    "text_burstiness",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

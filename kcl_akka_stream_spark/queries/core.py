@@ -7280,3 +7280,89 @@ def scalar_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_doy"
         ),
     )
+
+
+@query(
+    "agg_tukey_fences",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events),
+    r AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM b),
+    q AS (
+      SELECT event_type,
+             min(CASE WHEN 4 * rn >= n + 1 THEN c END) AS q1,
+             min(CASE WHEN 4 * rn >= 3 * (n + 1) THEN c END) AS q3,
+             max(n) AS n
+      FROM r GROUP BY event_type)
+    SELECT q.event_type,
+           CAST(q.n AS BIGINT) AS n,
+           CAST(q.q1 AS BIGINT) AS q1_cents,
+           CAST(q.q3 AS BIGINT) AS q3_cents,
+           CAST(q.q3 - q.q1 AS BIGINT) AS iqr_cents,
+           CAST(sum(CASE WHEN 2 * b.c < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN 2 * b.c > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM q JOIN b ON b.event_type = q.event_type
+    GROUP BY q.event_type, q.n, q.q1, q.q3
+    """,
+)
+def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tukey boxplot fences per event type (wave 70; Tukey 1977,
+    # public): quartiles via the deterministic rank pick, IQR, and the
+    # count of points beyond the 1.5*IQR fences -- the third member of
+    # the robust-outlier family (z-score = parametric, MAD = median
+    # axis, Tukey = quartile axis; each flags a different tail shape).
+    # EXACT: cents are integers, quartiles are rank picks, and the
+    # fences multiply through by 2 (2c < 2q1 - 3*IQR) so the 1.5 factor
+    # never leaves integer arithmetic.  One value agg + rank windows on
+    # the per-type partitioning + one counting join (quartile relation
+    # broadcast).
+    ev = tbl(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("c"),
+    ).localCheckpoint(eager=True)  # feeds the rank windows AND the count
+    wr = Window.partitionBy("event_type").orderBy("c")
+    wn = Window.partitionBy("event_type")
+    r = b.select(
+        "event_type",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.min(F.expr("CASE WHEN 4 * rn >= n + 1 THEN c END")).alias("q1"),
+        F.min(F.expr("CASE WHEN 4 * rn >= 3 * (n + 1) THEN c END")).alias(
+            "q3"
+        ),
+        F.max("n").alias("n"),
+    )
+    return (
+        b.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN 2 * c < 2 * q1 - 3 * (q3 - q1)"
+                       " THEN 1 ELSE 0 END")
+            ).cast("long").alias("n_low_outliers"),
+            F.sum(
+                F.expr("CASE WHEN 2 * c > 2 * q3 + 3 * (q3 - q1)"
+                       " THEN 1 ELSE 0 END")
+            ).cast("long").alias("n_high_outliers"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("q1").cast("long").alias("q1_cents"),
+            F.col("q3").cast("long").alias("q3_cents"),
+            F.expr("cast(q3 - q1 as bigint)").alias("iqr_cents"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )

@@ -11046,3 +11046,73 @@ def sample_kcenter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("long").alias("sum_dist_micro"),
         F.max("d").cast("long").alias("radius_micro"),
     )
+
+
+@query(
+    "text_burstiness",
+    f"""
+    WITH tf AS (
+      SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{TOK}')) AS tok
+            FROM documents)
+      GROUP BY tok, doc_id),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    st AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM tf GROUP BY tok)
+    SELECT tok, df, s1, s2,
+           CAST((s2 * n_docs - s1 * s1) * 1000000 // (s1 * n_docs)
+                AS BIGINT) AS vmr_micro
+    FROM st, nd
+    WHERE s1 >= 20
+    ORDER BY vmr_micro DESC, tok
+    LIMIT 30
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Term burstiness (wave 70; Church & Gale 1995, public): the
+    # variance-to-mean ratio of per-doc term counts over ALL docs
+    # (zeros included -- computed algebraically, never materialized:
+    # with s1 = sum c, s2 = sum c^2 over docs containing the term,
+    # population VMR = (s2*N - s1^2) / (s1*N) exactly).  VMR >> 1 =
+    # bursty (topical/boilerplate terms that dump in clumps); VMR ~ 1 =
+    # Poisson background -- the statistic that separates template
+    # boilerplate from ordinary vocabulary before any dedup runs.
+    # EXACT int64 sufficient statistics, div-exact micro ratio,
+    # min-support s1 >= 20 keeps the report stable.  One tf agg + one
+    # term agg + TakeOrdered; N broadcasts.
+    from kcl_akka_stream_spark.operators.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    tf = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    st = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.expr("c * c")).cast("long").alias("s2"),
+    )
+    return (
+        st.crossJoin(F.broadcast(nd))
+        .filter("s1 >= 20")
+        .select(
+            "tok",
+            "df",
+            "s1",
+            "s2",
+            F.expr(
+                "cast((s2 * n_docs - s1 * s1) * 1000000"
+                " div (s1 * n_docs) as bigint)"
+            ).alias("vmr_micro"),
+        )
+        .orderBy(F.col("vmr_micro").desc(), "tok")
+        .limit(30)
+    )

@@ -318,6 +318,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_hodges_lehmann": 1,  # hourly agg (checkpointed); bounded Walsh pairs broadcast-joined, windows ride the cell relation
         "sample_kcenter_weights": 2,  # assignment agg + per-center fold; centers (k rows) broadcast, picks behind eager checkpoints
         "scalar_calendar_funcs": 1,  # map-only calendar scalars + one combinable agg
+        "agg_tukey_fences": 2,  # cents relation checkpointed once; rank windows + quartile broadcast + counting agg
+        "text_burstiness": 4,  # spread + tf agg + term agg + TakeOrdered; N broadcast
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -603,3 +603,45 @@ def test_kcenter_weights_cover_pool(spark, sf_dir):
     assert sum(r.weight for r in rows) == n_pool
     assert all(0 <= r.radius_micro <= 2_000_000 for r in rows)
     assert all(r.sum_dist_micro >= 0 for r in rows)
+
+
+def test_tukey_fences_exact_engineered(spark, sf_dir):
+    # Fences must be consistent: q1 <= q3, iqr = q3 - q1, outlier
+    # counts bounded by n, and on the fixture at least one type carries
+    # a non-degenerate IQR.
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["agg_tukey_fences"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.q1_cents <= r.q3_cents
+        assert r.iqr_cents == r.q3_cents - r.q1_cents
+        assert 0 <= r.n_low_outliers + r.n_high_outliers < r.n
+    assert any(r.iqr_cents > 0 for r in rows)
+
+
+def test_burstiness_separates_clumped_from_uniform(spark):
+    # 'burst' dumps 20 copies in ONE doc; 'even' appears once in each
+    # of 20 docs.  Population VMR over N=20 docs: burst -> (400*20 -
+    # 400)/(20*20) = 19.0; even -> (20*20 - 400)/(20*20) = 0 exactly.
+    import os, shutil, tempfile
+
+    d = tempfile.mkdtemp(prefix="kcl_burst_")
+    try:
+        rows = []
+        for i in range(20):
+            text = "even filler" + (" burst" * 20 if i == 0 else "")
+            rows.append((i, text, "en", "src0", len(text)))
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        from kcl_akka_stream_spark.queries import QUERIES as Q
+
+        got = {r.tok: r for r in Q["text_burstiness"](spark, d).collect()}
+        assert got["burst"].vmr_micro == 19_000_000
+        assert got["even"].vmr_micro == 0
+        assert got["burst"].df == 1 and got["even"].df == 20
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
