@@ -415,6 +415,8 @@ HEADLINE = [
     # round-13 wave 70: quartile fences + term burstiness
     "agg_tukey_fences",
     "text_burstiness",
+    # round-13 wave 71: Rocchio pseudo-relevance feedback
+    "sim_rocchio_expansion",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -1609,3 +1609,119 @@ def int8_rescore_topk(
     return rescored.filter(F.col("rank") <= k).select(
         "q_id", "n_id", "dot_int", "cos6", "rank"
     )
+
+
+def rocchio_expand_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k0: int = 10,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971, the
+    PRF recipe every classic IR stack ships, public): retrieve top-k0
+    by the exact cosine, move the query toward the centroid of those
+    pseudo-relevant results (alpha=1, beta=0.5), retrieve again with
+    the expanded query.
+
+    EXACT second round: the feedback centroid freezes per dimension to
+    integer micro-units (the emb_centroid_outliers discipline) and the
+    expanded query is held integer as q2 = 2*q_micro + centroid_micro
+    (the x2 absorbs beta=1/2; scaling never moves a cosine), so the
+    round-2 scores are single IEEE expressions over identical integers
+    in both engines.  Round-1 relevance is the standard 6dp brute
+    cosine with id tiebreaks.
+
+    Scale shape: round 1 is the brute operator (queries broadcast,
+    corpus never shuffles); the centroid/expansion relations are
+    (queries x dims)-sized and BROADCAST back; round 2 is one more
+    broadcast pass over the corpus.  Returns (q_id, n_id, cos6, rank,
+    was_in_round1)."""
+    from pyspark.sql import Window
+
+    r1 = brute_force_topk_vectorized(
+        corpus, queries, k=k0, id_col=id_col, vec_col=vec_col
+    ).select("q_id", "n_id").localCheckpoint(eager=True)
+    cvec = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv")
+    )
+    # feedback centroid per (q_id, dim), frozen to micro ints
+    fb = (
+        r1.join(cvec, "n_id")
+        .select("q_id", F.posexplode("__cv").alias("dim", "val"))
+        .groupBy("q_id", "dim")
+        .agg(
+            F.expr(
+                "cast(round(avg(cast(val as double)) * 1000000) as bigint)"
+            ).alias("cmic")
+        )
+    )
+    qm = queries.select(
+        F.col(id_col).alias("q_id"), F.posexplode(vec_col).alias("dim", "qv")
+    ).select(
+        "q_id",
+        "dim",
+        F.expr("cast(round(cast(qv as double) * 1000000) as bigint)").alias(
+            "qmic"
+        ),
+    )
+    q2 = (
+        qm.join(fb, ["q_id", "dim"])
+        .select("q_id", "dim", F.expr("2 * qmic + cmic").alias("x"))
+        .groupBy("q_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, x))),"
+                " s -> s.x)"
+            ).alias("__qx")
+        )
+    )
+    cm = cvec.select(
+        "n_id",
+        F.expr(
+            "transform(__cv, v -> cast(round(cast(v as double) * 1000000)"
+            " as bigint))"
+        ).alias("__cx"),
+    )
+    dot = (
+        "aggregate(zip_with(__cx, __qx, (a, b) ->"
+        " cast(a as double) * cast(b as double)), 0D, (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({c}, x -> cast(x as double) *"
+        " cast(x as double)), 0D, (acc, v) -> acc + v))"
+    )
+    scored = (
+        cm.join(F.broadcast(q2), F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.expr(
+                f"round({dot} / ({nrm.format(c='__cx')} *"
+                f" {nrm.format(c='__qx')}), 6)"
+            ).alias("cos6"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("cos6").desc(), "n_id"
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return scored.join(
+        r1.withColumn("was_in_round1", F.lit(1)), ["q_id", "n_id"], "left"
+    ).select(
+        "q_id",
+        "n_id",
+        "cos6",
+        "rank",
+        F.coalesce("was_in_round1", F.lit(0)).cast("long").alias(
+            "was_in_round1"
+        ),
+    )

@@ -11116,3 +11116,81 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("vmr_micro").desc(), "tok")
         .limit(30)
     )
+
+
+def _rocchio_oracle(k0: int = 10, k: int = 10) -> str:
+    cos1 = _COS.format(a="c.v", b="q.qv")
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    qs AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5),
+    r1 AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.q_id, c.vec_id AS n_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY round({cos1}, 6) DESC, c.vec_id)
+                 AS rk
+        FROM v c, qs q WHERE c.vec_id <> q.q_id)
+      WHERE rk <= {k0}),
+    fb AS (
+      SELECT q_id, dim,
+             CAST(round(avg(val) * 1000000) AS BIGINT) AS cmic
+      FROM (SELECT r.q_id, s.dim AS dim, s.val AS val
+            FROM r1 r JOIN (
+              SELECT vec_id,
+                     unnest([{{'dim': i, 'val': v[i]}}
+                             FOR i IN generate_series(1, len(v))]) AS s
+              FROM v) t ON t.vec_id = r.n_id)
+      GROUP BY q_id, dim),
+    qm AS (
+      SELECT q_id, s.dim AS dim,
+             CAST(round(s.val * 1000000) AS BIGINT) AS qmic
+      FROM (SELECT q_id,
+                   unnest([{{'dim': i, 'val': qv[i]}}
+                           FOR i IN generate_series(1, len(qv))]) AS s
+            FROM qs)),
+    q2 AS (
+      SELECT q_id, list(CAST(2 * qmic + cmic AS DOUBLE) ORDER BY qm.dim)
+               AS qx
+      FROM qm JOIN fb USING (q_id, dim) GROUP BY q_id),
+    cm AS (
+      SELECT vec_id AS n_id,
+             [CAST(round(x * 1000000) AS DOUBLE) FOR x IN v] AS cx
+      FROM v),
+    scored AS (
+      SELECT q2.q_id, cm.n_id,
+             round(list_dot_product(cm.cx, q2.qx)
+                   / (sqrt(list_dot_product(cm.cx, cm.cx))
+                      * sqrt(list_dot_product(q2.qx, q2.qx))), 6) AS cos6
+      FROM cm, q2 WHERE cm.n_id <> q2.q_id),
+    ranked AS (
+      SELECT q_id, n_id, cos6,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos6 DESC, n_id) AS BIGINT)
+               AS rank
+      FROM scored)
+    SELECT r.q_id, r.n_id, r.cos6, r.rank,
+           CAST(CASE WHEN r1.n_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS was_in_round1
+    FROM ranked r
+    LEFT JOIN r1 ON r1.q_id = r.q_id AND r1.n_id = r.n_id
+    WHERE r.rank <= {k}
+    """
+
+
+@query("sim_rocchio_expansion", _rocchio_oracle())
+def sim_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pseudo-relevance-feedback expansion (wave 71; Rocchio 1971): top-10
+    # by exact cosine, query moved toward the pseudo-relevant centroid
+    # (alpha=1, beta=0.5 held integer as q2 = 2q + c), re-retrieve --
+    # the classic recall-widening second pass, with the round-2 scores
+    # exact over identical integers in both engines.  was_in_round1
+    # surfaces the expansion effect (new entrants = what PRF bought).
+    # Corpus never shuffles; both rounds are broadcast passes.
+    from kcl_akka_stream_spark.operators.similarity import (
+        rocchio_expand_topk,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return rocchio_expand_topk(emb, queries, k0=10, k=10)

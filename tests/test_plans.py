@@ -320,6 +320,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "scalar_calendar_funcs": 1,  # map-only calendar scalars + one combinable agg
         "agg_tukey_fences": 2,  # cents relation checkpointed once; rank windows + quartile broadcast + counting agg
         "text_burstiness": 4,  # spread + tf agg + term agg + TakeOrdered; N broadcast
+        "sim_rocchio_expansion": 3,  # round-1 behind an eager checkpoint; centroid/expansion aggs broadcast back; round 2 = one broadcast pass + rank window
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

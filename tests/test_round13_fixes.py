@@ -645,3 +645,20 @@ def test_burstiness_separates_clumped_from_uniform(spark):
         assert got["burst"].df == 1 and got["even"].df == 20
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rocchio_expansion_moves_the_ranking(spark, sf_dir):
+    # PRF must produce a full ranked list per query with the round-1
+    # flag populated both ways somewhere in the fleet (expansion
+    # admits new entrants), and ranks dense 1..10 per query.
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["sim_rocchio_expansion"](spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert len(by_q) == 5
+    for q, rs in by_q.items():
+        assert sorted(x.rank for x in rs) == list(range(1, 11))
+    flags = {r.was_in_round1 for r in rows}
+    assert flags <= {0, 1} and 1 in flags  # carryovers always exist

@@ -66,6 +66,8 @@ SPREAD_AUDIT_ALLOW = {
     "text_vocab_stats": "spread 1.50x ((lang, term) agg combines map-side)",
     "text_rake_keywords": "spread 1.37x (two cheap regexp passes)",
     "udtf_token_runs": "spread 1.56x (run-length UDTF cheap at fixture doc counts)",
+    # round 13:
+    "sim_rocchio_expansion": "spread ~1.0x measured at sf0.1 (medians 2.08s no-spread vs 1.94s spread, overlapping runs): both flagged explodes are bounded feedback relations -- (queries x dims) for the query micro-expansion and (k0*queries x dims) for the pseudo-relevant centroid -- never corpus-sized; the corpus legs are broadcast passes",
     # round 11:
     "dedup_bloom_fpr_report": "spread 1.07x measured at sf0.1 (1.17s -> 1.25s): the k-position explode reads the 5k-doc incoming slice; exchange overhead ~= the serialized explode at this cardinality (history bits broadcast either way)",
     "text_zipf_slope": "spread 1.24x measured at sf0.1 (0.55s -> 0.69s): same token-explode seam as text_vocab_stats (allowlisted 1.5x) -- the (lang, term) agg combines map-side",
