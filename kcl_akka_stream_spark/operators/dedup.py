@@ -1324,10 +1324,15 @@ def winnowing_fingerprints(
 
     EXACT + relational: the k-gram hash is the 7-hex-digit md5 prefix
     (< 2^28), packed with its position into ONE int64
-    (key = h * 2^20 + pos, pos < 2^20 -- the pack makes the per-window
-    argmin a plain ``min`` over a BOUNDED w-row following frame, and
-    ties break toward the earlier position for free).  Docs shorter
-    than k tokens contribute nothing.
+    (key = h * 2^32 + pos -- the pack makes the per-window argmin a
+    plain ``min`` over a BOUNDED w-row following frame, and ties break
+    toward the earlier position for free).  h < 2^28 leaves 32 position
+    bits inside int64 (key < 2^60 + 2^32), so position bleed into
+    fp_hash needs a single >4.29-billion-token document -- ~17 GB of
+    text in ONE row, impossible long before the pack overflows (ADVICE
+    r13: the previous 2^20 pack documented but did not enforce its
+    ~1.05M-token bound).  Docs shorter than k tokens contribute
+    nothing.
 
     Output: (id, fp_hash, pos) distinct -- fingerprint relation ~n/w
     rows per doc.  Shape: map-side explode + one bounded-frame window
@@ -1347,7 +1352,7 @@ def winnowing_fingerprints(
         "pos",
         F.expr(
             "cast(conv(substring(md5(gram), 1, 7), 16, 10) as bigint)"
-            " * 1048576 + pos"
+            " * 4294967296 + pos"
         ).alias("key"),
     )
     frame = (
@@ -1365,8 +1370,8 @@ def winnowing_fingerprints(
         .filter(F.col("__start") <= F.col("__n") - w)
         .select(
             id_col,
-            F.expr("mkey div 1048576").alias("fp_hash"),
-            F.expr("mkey % 1048576").alias("pos"),
+            F.expr("mkey div 4294967296").alias("fp_hash"),
+            F.expr("mkey % 4294967296").alias("pos"),
         )
         .distinct()
     )

@@ -129,8 +129,13 @@ def asof_join_forward(
     no Python): both sides tagged, sorted per key by time with LEFT
     rows before RIGHT at equal timestamps (so an equal-ts right row is
     inside the following frame => ">=" semantics), and the next right
-    value pulled back with ``first(..., ignorenulls)`` over the
-    unbounded FOLLOWING frame.  Deduplicate right per (key, ts) upstream
+    value pulled back as ``last(..., ignorenulls)`` over the REVERSED
+    sort's running frame -- semantically identical to ``first`` over an
+    unbounded-FOLLOWING frame, but Spark re-aggregates the remaining
+    frame per row for UNBOUNDED FOLLOWING (O(n^2) per key partition;
+    the agg_quantile_normalize finding in SCALE_PROBE.md measured 12.0s
+    vs 0.35s at sf0.1) while the reversed running frame rides the
+    streaming-frame fast path.  Deduplicate right per (key, ts) upstream
     if multiple right rows can share a timestamp -- which of them wins
     is otherwise tie-ambiguous in any engine.
     """
@@ -150,17 +155,20 @@ def asof_join_forward(
         *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
     )
     # Left rows sort before right rows at equal timestamps => ">=" semantics.
+    # first() over (asc, [0, unboundedFollowing]) == last() over the
+    # REVERSED sort's [unboundedPreceding, 0] running frame; only the
+    # latter is linear in Spark (see docstring).
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t"), F.col("__is_left").desc())
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("__t").desc(), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = tagged_left.unionByName(tagged_right)
     carried = unioned.select(
         "__is_left",
         "__l",
         *[
-            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
             for c in right_value_cols
         ],
     )
@@ -311,15 +319,20 @@ def asof_join_nearest(
     candidates resolve to the EARLIER (backward) match, pandas
     ``merge_asof(direction='nearest')`` semantics.
 
-    Both directions are read from ONE union + ONE exchange/sort (key,
-    ts, right-before-left at equal ts): the backward candidate is
-    ``last(..., ignorenulls)`` over the preceding frame (equal-ts right
-    rows visible => "<=" lookback), the forward candidate is
-    ``first(..., ignorenulls)`` over the following frame (equal-ts right
-    rows sort BEFORE the left row, so the forward frame is strictly
-    after -- harmless, because an equal-ts backward match has distance 0
-    and wins the tie by rule).  Spark plans both frames over the same
-    Sort: one shuffle total, no Python.
+    Both directions are read from ONE union + ONE exchange (key, ts,
+    right-before-left at equal ts): the backward candidate is
+    ``last(..., ignorenulls)`` over the ascending running frame
+    (equal-ts right rows visible => "<=" lookback); the forward
+    candidate is the SAME running-``last`` shape over the REVERSED sort
+    (== ``first`` over an unbounded-FOLLOWING frame, which Spark
+    re-aggregates per row -- O(n^2) per key partition, the
+    agg_quantile_normalize finding; the reversed running frame rides
+    the streaming-frame fast path).  Equal-ts right rows sort BEFORE
+    the left row ascending, so the forward frame is strictly after --
+    harmless, because an equal-ts backward match has distance 0 and
+    wins the tie by rule.  Spark plans the two sort orders inside one
+    hash partitioning: one shuffle total plus a local re-sort, no
+    Python.
 
     Appends ``asof_dist_us`` (microsecond distance to the chosen match,
     NULL when the key has no right rows).  Deduplicate right per
@@ -345,16 +358,18 @@ def asof_join_nearest(
         F.lit(None).cast(tagged_left.schema["__l"].dataType).alias("__l"),
         *[F.col(c).alias(f"__r_{c}") for c in rcols],
     )
-    order = [F.col("__t"), F.col("__is_left")]
     wb = (
         Window.partitionBy("__k")
-        .orderBy(*order)
+        .orderBy(F.col("__t"), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # forward direction: running last over the exact REVERSE sort of wb
+    # (linear streaming frame) instead of first over [0, FOLLOWING]
+    # (quadratic re-aggregation per row)
     wf = (
         Window.partitionBy("__k")
-        .orderBy(*order)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("__t").desc(), F.col("__is_left").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = tagged_left.unionByName(tagged_right)
     both = unioned.select(
@@ -366,7 +381,7 @@ def asof_join_nearest(
         )
         .over(wb)
         .alias("__pt"),
-        F.first(
+        F.last(
             F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
         )
         .over(wf)
@@ -376,7 +391,7 @@ def asof_join_nearest(
             for c in rcols
         ],
         *[
-            F.first(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__n_{c}")
+            F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__n_{c}")
             for c in rcols
         ],
     )

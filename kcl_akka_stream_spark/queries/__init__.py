@@ -22,67 +22,67 @@ from kcl_akka_stream_spark.queries import streaming_q  # noqa: E402,F401
 #: Samplers that take the first N registry entries (the driver's
 #: correctness gate records 50) must see a REPRESENTATIVE slice, not just
 #: whichever module imported first.  The sample ROTATES each round
-#: (VERDICT r5 #2 .. r12 #1).  Round-13 rebuild: flagship + ALL 18
-#: round-12 names never driver-sampled (waves 43-56, promised by this
-#: file's own r12 comment and VERDICT r12 "Next round" #1) + 31 fill
+#: (VERDICT r5 #2 .. r13 #1).  Round-14 rebuild: flagship + ALL 23
+#: round-13 names never driver-sampled (waves 57-71, promised by this
+#: file's own r13 comment and VERDICT r13 "Next round" #1) + 26 fill
 #: ordered by longest-unsampled (last driver round ascending, then
 #: alphabetical; computed from CORRECTNESS_r*.json) = exactly 50.  New
-#: round-13 queries append AFTER this block and rotate into the r14
+#: round-14 queries append AFTER this block and rotate into the r15
 #: sample; each is judge-gated via tools/check_correctness.py the session
 #: it lands.
 _PRIORITY = [
     "q1_pricing_summary",
-    # -- the 18 round-12 names never driver-sampled (waves 43-56) --
-    "scd2_consistency_report",
-    "multimodal_wav_header",
-    "multimodal_mp4_header",
-    "multimodal_png_dims",
-    "pipeline_decontaminate_fuzzy",
-    "pipeline_decontaminate_spans",
-    "sample_dsir",
-    "dedup_chain_audit",
-    "dedup_span_coverage",
-    "stream_minhash_merge",
-    "text_min_k_prob",
-    "privacy_k_anonymity_report",
-    "sim_ivf_delta_serving",
-    "w_trending_decay",
-    "text_backoff_lm_score",
-    "agg_cohens_kappa",
-    "sim_mmr_rerank",
-    "scalar_math_funcs",
-    # -- rotation fill: 31 longest-unsampled (last sampled r5/r6) --
-    "sim_topk_lsh",
-    "sim_topk_vectorized",
-    "sink_bucketed_join_roundtrip",
-    "stream_dedup",
-    "stream_stream_join",
-    "stream_tumbling_agg",
-    "text_langid",
-    "text_quality",
-    "text_quality_flags",
-    "text_redact_pii",
-    "u_intersect",
-    "u_union_merge",
-    "w_sessionize",
-    "agg_cms_merged",
-    "agg_hist_median",
-    "agg_kmv_error_report",
-    "cluster_kmeans_assign",
-    "corpus_vocab_topk",
-    "dedup_boilerplate_segments",
-    "dedup_containment_pairs",
-    "dedup_ngram_jaccard_capped",
-    "dedup_savings_report",
-    "dedup_simhash_pairs",
-    "diag_key_skew",
-    "emb_lang_centroids",
-    "emb_near_dup",
-    "emb_near_dup_block_report",
-    "emb_near_dup_lsh",
-    "j_anti",
-    "j_null_safe",
-    "j_null_skew_bypass",
+    # -- the 23 round-13 names never driver-sampled (waves 57-71) --
+    "agg_spearman_corr",
+    "agg_kendall_tau",
+    "agg_theil_sen",
+    "agg_cramers_v",
+    "agg_hodges_lehmann",
+    "scalar_calendar_funcs",
+    "agg_tukey_fences",
+    "multimodal_jpeg_dims",
+    "multimodal_mp3_header",
+    "text_quality_model_scores",
+    "text_quality_model_report",
+    "sample_kcenter_diverse",
+    "text_good_turing",
+    "pipeline_doremi_weights",
+    "dedup_winnowing",
+    "sim_topk_int8_rescore",
+    "sim_int8_recall_report",
+    "emb_centroid_outliers",
+    "text_textrank_keywords",
+    "sample_kcenter_weights",
+    "text_burstiness",
+    "sim_rocchio_expansion",
+    "stream_bloom_merge",
+    # -- rotation fill: 26 longest-unsampled (last sampled r6) --
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pipeline_adaptive_length_filter",
+    "pipeline_compact_shards",
+    "pipeline_export_manifest",
+    "pipeline_incremental_dedup",
+    "pipeline_rebalance_langs",
+    "q12_priority_shipping",
+    "q4_order_priority",
+    "sample_stratified",
+    "sample_weighted",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf_nprobe",
+    "sim_topk_ivf_prebuilt",
+    "sink_keyed_ordered",
+    "sink_partitioned_roundtrip",
+    "stream_checkpoint_frontier",
+    "stream_cms_merge",
+    "stream_committed_sink",
+    "stream_kmv_merge",
+    "stream_quality_filter",
+    "stream_session_window",
+    "stream_sliding_agg",
+    "stream_static_enrich",
+    "text_fingerprint",
+    "text_langid_confusion",
 ]
 
 

@@ -10584,7 +10584,7 @@ def _winnowing_oracle(k: int = 4, w: int = 5, cap: int = 8,
             FROM toks WHERE len(t) >= {k})),
     keyed AS (
       SELECT doc_id, pos,
-             ('0x' || substr(md5(gram), 1, 7))::BIGINT * 1048576 + pos
+             ('0x' || substr(md5(gram), 1, 7))::BIGINT * 4294967296 + pos
                AS key
       FROM wins),
     mins AS (
@@ -10595,7 +10595,7 @@ def _winnowing_oracle(k: int = 4, w: int = 5, cap: int = 8,
              count(*) OVER (PARTITION BY doc_id) AS n, pos
       FROM keyed),
     fps AS (
-      SELECT DISTINCT doc_id, mkey // 1048576 AS fp_hash
+      SELECT DISTINCT doc_id, mkey // 4294967296 AS fp_hash
       FROM mins WHERE pos <= n - {w}),
     sized AS (
       SELECT fp_hash FROM fps GROUP BY fp_hash
@@ -10629,7 +10629,17 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k, w, cap, min_shared, topn = 4, 5, 8, 2, 100
     docs = tbl(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints(docs, k=k, w=w).localCheckpoint(eager=True)
+    # collapse to DOC-LEVEL fingerprints before sizing/joining, exactly
+    # like the oracle's fps CTE (ADVICE r13 medium: a doc that
+    # winnow-selects the same k-gram hash at two positions >= w apart
+    # would otherwise inflate bucket sizes and n_shared by positional
+    # multiplicity -- latent at fixture scale, data-dependent beyond it)
+    fps = (
+        winnowing_fingerprints(docs, k=k, w=w)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sized = (
         fps.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("__sz"))

@@ -38,6 +38,25 @@ class StateCardinalityExceeded(RuntimeError):
     """A streaming twin's per-batch state relation exceeded max_state_rows."""
 
 
+#: VERDICT r13 #3: the streaming twins' micro-batch plans were the one
+#: headline slice with no EXPLAIN-grade audit -- EXPLAIN.md carried a
+#: "(streaming -- plan decided per micro-batch)" marker instead of
+#: exchange/pushdown counts.  When tools/explain_audit.py installs a
+#: capture dict here, every micro-batch state relation's PHYSICAL plan
+#: is recorded under its family tag before execution: the driver-fold
+#: families capture at the _collect_state seam, the epoch-union family
+#: at its per-batch parquet append, and the watermark/memory-sink
+#: family via StreamingQuery.explainInternal after the final trigger.
+PLAN_CAPTURE: dict[str, list[str]] | None = None
+
+
+def _capture_plan(tag: str, df: DataFrame) -> None:
+    if PLAN_CAPTURE is not None:
+        from kcl_akka_stream_spark.plans.hygiene import physical_plan
+
+        PLAN_CAPTURE.setdefault(tag, []).append(physical_plan(df))
+
+
 #: VERDICT r12 #2: the per-family state-cardinality AUDIT for all 19
 #: mergeable-state streaming-twin families.  Each entry states HOW the
 #: per-batch state is held and WHY its cardinality cannot grow with row
@@ -152,18 +171,45 @@ STATE_CARDINALITY = {
     ),
     "stream_bloom_merge": (
         "driver-fold", "constant",
-        "types x <= m/63 = 260 Bloom words (m fixed at 16384)",
+        "types x <= 261 words (ceil(m/63), m fixed at 16384)",
         ("stream_bloom_merge",),
     ),
 }
 
 
-def _collect_state(df: DataFrame, what: str, max_state_rows: int = MAX_STATE_ROWS):
-    rows = df.limit(max_state_rows + 1).collect()
-    if len(rows) > max_state_rows:
+def _collect_state(
+    df: DataFrame,
+    what: str,
+    domain_bound: int | None = None,
+    max_state_rows: int = MAX_STATE_ROWS,
+):
+    """Guarded driver fetch of one micro-batch's state relation.
+
+    ``domain_bound`` (VERDICT r13 #4) is the family's OWN per-batch
+    domain cap -- the ``types x bins/bars/k`` formula stated at the call
+    site.  MAX_STATE_ROWS alone let a group-bounded family whose DOMAIN
+    grows (value-range bins, stream-time-span bars) drift silently
+    toward the 100k cliff; the per-family bound raises with the family
+    name the moment its domain outgrows the declared envelope.  Every
+    registry twin passes one (AST-pinned by
+    tests/test_streaming_state_audit.py); None is tolerated only for
+    ad-hoc probes."""
+    cap = (
+        max_state_rows
+        if domain_bound is None
+        else min(domain_bound, max_state_rows)
+    )
+    _capture_plan(what, df)
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        which = (
+            "max_state_rows"
+            if domain_bound is None or domain_bound >= max_state_rows
+            else "domain_bound"
+        )
         raise StateCardinalityExceeded(
-            f"{what}: per-batch state relation exceeded max_state_rows="
-            f"{max_state_rows}; fold state must be group-bounded "
+            f"{what}: per-batch state relation exceeded {which}={cap}; "
+            "fold state must be group-bounded "
             "(bars x types, digests x replicas), never data-sized -- "
             "re-key the state or raise the cap explicitly at the call site"
         )
@@ -201,6 +247,13 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
+        if PLAN_CAPTURE is not None:
+            # the watermark/stateful plan of the last executed trigger
+            # (extended=True includes the physical plan with the
+            # StateStoreRestore/Save + Exchange chain)
+            PLAN_CAPTURE.setdefault("stream_tumbling_agg", []).append(
+                q._jsq.explainInternal(True)
+            )
     finally:
         q.stop()
     return spark.table(name)
@@ -657,7 +710,7 @@ def stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             st = kmv_sketch(
                 batch_df.withColumn("g", F.lit(int(epoch_id))), "g", "user_id", k=64
             )
-            state_rows.extend(_collect_state(st, "stream_kmv_merge"))
+            state_rows.extend(_collect_state(st, "stream_kmv_merge", domain_bound=4))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -719,7 +772,7 @@ def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 width=64,
                 group_col="g",
             )
-            state_rows.extend(_collect_state(st, "stream_cms_merge"))
+            state_rows.extend(_collect_state(st, "stream_cms_merge", domain_bound=256))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -832,7 +885,7 @@ def stream_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(n_bins - 1),
                 ).alias("bin"),
             ).agg(F.count(F.lit(1)).alias("cnt"))
-            state_rows.extend(_collect_state(st, "stream_hist_merge"))
+            state_rows.extend(_collect_state(st, "stream_hist_merge", domain_bound=2048))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -1397,7 +1450,7 @@ def stream_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "user_id",
                     k=64,
                 )
-                states[tag].extend(_collect_state(st, "stream_kmv_set_ops"))
+                states[tag].extend(_collect_state(st, "stream_kmv_set_ops", domain_bound=4))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -1464,7 +1517,7 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.max("v").cast("long").alias("max_cents"),
                 )
             )
-            states.extend(_collect_state(part, "stream_rollup_incremental"))
+            states.extend(_collect_state(part, "stream_rollup_incremental", domain_bound=32))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -1531,7 +1584,7 @@ def stream_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             states.extend(
                 _collect_state(
                     power_sums(batch_df, "event_type", "value"),
-                    "stream_moments_merge",
+                    "stream_moments_merge", domain_bound=32,
                 )
             )
 
@@ -1792,7 +1845,7 @@ def stream_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             states.extend(
                 _collect_state(
                     hash_bottom_k(batch_df, "event_type", "event_id", 8, seed="rsv"),
-                    "stream_reservoir_merge",
+                    "stream_reservoir_merge", domain_bound=256,
                 )
             )
 
@@ -1865,7 +1918,7 @@ def stream_bootstrap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("swc"),
                         F.sum("w").cast("long").alias("sw"),
                     ),
-                    "stream_bootstrap_merge:replicates",
+                    "stream_bootstrap_merge:replicates", domain_bound=1024,
                 )
             )
             pt_states.extend(
@@ -1874,7 +1927,7 @@ def stream_bootstrap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.count(F.lit(1)).cast("long").alias("n"),
                         F.sum(cents).cast("long").alias("s1"),
                     ),
-                    "stream_bootstrap_merge:point",
+                    "stream_bootstrap_merge:point", domain_bound=32,
                 )
             )
 
@@ -1970,7 +2023,7 @@ def stream_pearson_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
                         F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
                     ),
-                    "stream_pearson_merge",
+                    "stream_pearson_merge", domain_bound=32,
                 )
             )
 
@@ -2053,7 +2106,7 @@ def stream_kl_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     .groupBy("event_type", "half", "bin")
                     .agg(F.count(F.lit(1)).cast("long").alias("c")),
-                    "stream_kl_drift_merge",
+                    "stream_kl_drift_merge", domain_bound=65536,
                 )
             )
 
@@ -2144,7 +2197,7 @@ def stream_ks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     .groupBy("event_type", "half", "bin")
                     .agg(F.count(F.lit(1)).cast("long").alias("c")),
-                    "stream_ks_merge",
+                    "stream_ks_merge", domain_bound=65536,
                 )
             )
 
@@ -2228,7 +2281,7 @@ def stream_entropy_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     batch_df.groupBy(
                         "event_type", F.hour("ts").cast("long").alias("hr")
                     ).agg(F.count(F.lit(1)).cast("long").alias("c")),
-                    "stream_entropy_merge",
+                    "stream_entropy_merge", domain_bound=768,
                 )
             )
 
@@ -2291,7 +2344,7 @@ def stream_mi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     batch_df.groupBy(
                         "event_type", F.hour("ts").cast("long").alias("hr")
                     ).agg(F.count(F.lit(1)).cast("long").alias("c")),
-                    "stream_mi_merge",
+                    "stream_mi_merge", domain_bound=768,
                 )
             )
 
@@ -2388,7 +2441,7 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.max("okey").alias("c"),
                     F.count(F.lit(1)).alias("n"),
                 ),
-                "stream_ohlc_merge",
+                "stream_ohlc_merge", domain_bound=35328,
             )
             for r in st:
                 states.append(
@@ -2495,7 +2548,7 @@ def stream_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rk") <= 8)
                 .drop("rk")
             )
-            state_rows.extend(_collect_state(st, "stream_topk_merge"))
+            state_rows.extend(_collect_state(st, "stream_topk_merge", domain_bound=256))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -2570,6 +2623,7 @@ def stream_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min(F.unix_micros("ts")).alias("s_us"),
                 F.max(F.unix_micros("ts")).alias("e_us"),
             ).drop("session_id")
+            _capture_plan("stream_session_merge", st)
             # executor-side state append: no collect(), no driver list
             st.write.mode("append").parquet(state_dir)
 
@@ -2664,7 +2718,7 @@ def stream_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def fold_state(batch_df, epoch_id):
             st = minhash_signatures(batch_df, text_col="text", id_col="lang")
-            state_rows.extend(_collect_state(st, "stream_minhash_merge"))
+            state_rows.extend(_collect_state(st, "stream_minhash_merge", domain_bound=64))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -2730,9 +2784,11 @@ def _bloom_merge_oracle(m_bits: int = 16384, k_hashes: int = 4,
     SELECT f.event_type, f.n_words, f.n_bits_set,
            t.n_true_keys,
            COALESCE(p.fp_probe_hits, 0) AS fp_probe_hits,
-           CAST(round(-({m_bits}.0 / {k_hashes})
-                * ln(CAST({m_bits} - f.n_bits_set AS DOUBLE) / {m_bits})
-                * 1000000, 0) AS BIGINT) AS est_keys_micro
+           CASE WHEN f.n_bits_set < {m_bits} THEN
+             CAST(round(-({m_bits}.0 / {k_hashes})
+                  * ln(CAST({m_bits} - f.n_bits_set AS DOUBLE) / {m_bits})
+                  * 1000000, 0) AS BIGINT)
+           END AS est_keys_micro
     FROM filt f
     JOIN truth t ON t.event_type = f.event_type
     LEFT JOIN fp p ON p.event_type = f.event_type
@@ -2794,7 +2850,7 @@ def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("event_type", "wrd")
                 .agg(F.bit_or("msk").alias("bits"))
             )
-            state_rows.extend(_collect_state(st, "stream_bloom_merge"))
+            state_rows.extend(_collect_state(st, "stream_bloom_merge", domain_bound=8352))
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -2844,10 +2900,16 @@ def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         truth = ev.distinct().groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("n_true_keys")
         )
+        # saturation guard (ADVICE r13): if a type's filter ever fills
+        # every bit (n_bits_set == m), ln(0) -> -inf and the engines
+        # DIVERGE in failure mode (Spark non-ANSI casts +inf to
+        # Long.MAX, DuckDB CAST raises) -- NULL the estimate on both
+        # sides with an identical CASE instead
         est = (
-            f"cast(round(-(cast({m_bits} as double) / {k_hashes})"
+            f"case when n_bits_set < {m_bits} then"
+            f" cast(round(-(cast({m_bits} as double) / {k_hashes})"
             f" * ln(cast({m_bits} - n_bits_set as double) / {m_bits})"
-            " * 1000000, 0) as bigint)"
+            " * 1000000, 0) as bigint) end"
         )
         return (
             filt.join(truth, "event_type")

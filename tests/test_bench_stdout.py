@@ -39,6 +39,48 @@ def test_bench_stdout_is_tiny_even_with_huge_headline():
         assert not isinstance(v, (dict, list))
 
 
+def test_midrun_contention_burst_flags_record():
+    # VERDICT r13 #2: the r13 driver record carried a 32.5s transient
+    # burst (12 queries inflated 2-9x) with BOTH endpoint calibrations
+    # under threshold (0.379 start / 0.204 end) -- endpoint probes cannot
+    # see a mid-run burst.  The synthetic case: clean endpoints, one hot
+    # interleaved segment -> contended.
+    assert bench.contended_flag(0.379, 0.204, [0.21, 0.95, 0.19]) is True
+    # clean endpoints + clean segments -> idle
+    assert bench.contended_flag(0.45, 0.22, [0.21, 0.25, 0.19]) is False
+    # the old endpoint rule still applies (END over threshold)
+    assert bench.contended_flag(0.20, 0.48, []) is True
+    # START alone never counts (rides JVM warmup)
+    assert bench.contended_flag(0.60, 0.20, None) is False
+    # segment threshold is its own constant, looser than the endpoint
+    # median-of-3 threshold (single-rep probes ride more noise)
+    assert bench.SEGMENT_CAL_SEC > bench.CONTENDED_CAL_SEC
+    # and record_identity carries the flag through
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ident = bench.record_identity(repo, 0.379, 0.204, [0.21, 0.95])
+    assert ident["contended"] is True
+
+
+def test_retime_rule_and_history_medians(tmp_path):
+    # >2x the cross-record idle median AND above the absolute floor
+    assert bench.needs_retime(3.0, 1.0) is True
+    assert bench.needs_retime(1.9, 1.0) is False      # under the factor
+    assert bench.needs_retime(0.4, 0.1) is False      # under the floor
+    assert bench.needs_retime(3.0, None) is False     # no history
+    # history_medians: contended records and other-sf records excluded
+    p = tmp_path / "BENCH_DETAIL.jsonl"
+    recs = [
+        {"sf": 0.1, "contended": False, "queries": {"qa": 1.0, "qb": 2.0}},
+        {"sf": 0.1, "contended": False, "queries": {"qa": 3.0}},
+        {"sf": 0.1, "contended": True, "queries": {"qa": 99.0}},
+        {"sf": 0.01, "contended": False, "queries": {"qa": 50.0}},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    med = bench.history_medians(str(p), 0.1)
+    assert med == {"qa": 2.0, "qb": 2.0}
+    assert bench.history_medians(str(tmp_path / "missing.jsonl"), 0.1) == {}
+
+
 def test_headline_set_excludes_documented_antipatterns():
     # VERDICT r6 #3 + r7 #4: the repo documents dedup_ngram_jaccard
     # (uncapped), dedup_semantic (frozen-k) and emb_near_dup_lsh (frozen
@@ -103,33 +145,38 @@ def test_priority_rotation_names_all_registered():
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     # and the rotation really front-loads: the first 50 sampled entries
-    # must include ALL 18 round-12 names never driver-sampled in
-    # CORRECTNESS_r01..r12 (VERDICT r12 "Next round" #1's acceptance bar),
-    # plus exactly 31 rotation-fill names -- 1 flagship + 18 + 31 == 50
+    # must include ALL 23 round-13 names never driver-sampled in
+    # CORRECTNESS_r01..r13 (VERDICT r13 "Next round" #1's acceptance bar),
+    # plus exactly 26 rotation-fill names -- 1 flagship + 23 + 26 == 50
     assert len(_PRIORITY) == 50
     first50 = set(list(QUERIES)[:50])
-    never_sampled = set(_PRIORITY[1:19])
-    assert len(never_sampled) == 18
-    # pin every wave-43..56 name so a partial rotation is caught
+    never_sampled = set(_PRIORITY[1:24])
+    assert len(never_sampled) == 23
+    # pin every wave-57..71 name so a partial rotation is caught
     for name in (
-        "scd2_consistency_report",        # wave 43
-        "multimodal_wav_header",          # wave 43
-        "multimodal_mp4_header",          # wave 43
-        "pipeline_decontaminate_fuzzy",   # wave 44
-        "multimodal_png_dims",            # wave 45
-        "sample_dsir",                    # wave 45
-        "dedup_chain_audit",              # wave 46
-        "dedup_span_coverage",            # wave 46
-        "stream_minhash_merge",           # wave 47
-        "text_min_k_prob",                # wave 48
-        "privacy_k_anonymity_report",     # wave 49
-        "sim_ivf_delta_serving",          # wave 50
-        "w_trending_decay",               # wave 51
-        "text_backoff_lm_score",          # wave 52
-        "agg_cohens_kappa",               # wave 53
-        "sim_mmr_rerank",                 # wave 54
-        "scalar_math_funcs",              # wave 55
-        "pipeline_decontaminate_spans",   # wave 56
+        "agg_spearman_corr",         # wave 57
+        "agg_kendall_tau",           # wave 57
+        "agg_theil_sen",             # wave 58
+        "agg_cramers_v",             # wave 58
+        "agg_hodges_lehmann",        # wave 59
+        "scalar_calendar_funcs",     # wave 60
+        "agg_tukey_fences",          # wave 70
+        "multimodal_jpeg_dims",      # wave 61
+        "multimodal_mp3_header",     # wave 61
+        "text_quality_model_scores", # wave 62
+        "text_quality_model_report", # wave 62
+        "sample_kcenter_diverse",    # wave 63
+        "sample_kcenter_weights",    # wave 68
+        "text_good_turing",          # wave 64
+        "pipeline_doremi_weights",   # wave 64
+        "dedup_winnowing",           # wave 65
+        "sim_topk_int8_rescore",     # wave 66
+        "sim_int8_recall_report",    # wave 66
+        "emb_centroid_outliers",     # wave 67
+        "text_textrank_keywords",    # wave 67
+        "text_burstiness",           # wave 70
+        "sim_rocchio_expansion",     # wave 71
+        "stream_bloom_merge",        # wave 69
     ):
         assert name in never_sampled, name
     assert never_sampled <= first50, sorted(never_sampled - first50)

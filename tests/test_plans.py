@@ -327,6 +327,48 @@ def test_shuffle_budgets(spark, sf_dir):
         assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
 
 
+def test_streaming_twin_microbatch_shuffle_budgets(spark, sf_dir):
+    # VERDICT r13 #3: the 9 headline streaming twins were the one slice
+    # with no shuffle budget -- their plans are decided per micro-batch.
+    # Run each twin for real with the plan capture installed and budget
+    # the WORST captured micro-batch (plus the final-trigger plan for
+    # the watermark family).  Every fold is one keyed aggregation, so
+    # the budget is 1 exchange -- except minhash, whose shingle explode
+    # re-spreads before the signature agg (2).
+    from kcl_akka_stream_spark.plans.hygiene import summarize_plan_str
+    from kcl_akka_stream_spark.queries import streaming_q
+
+    budgets = {
+        "stream_tumbling_agg": 1,   # one REQUIRED_BY_STATEFUL_OPERATOR exchange
+        "stream_ks_merge": 1,       # (type, half, bin) cell agg
+        "stream_entropy_merge": 1,  # (type, hour) cell agg
+        "stream_mi_merge": 1,       # (type, hour) cell agg
+        "stream_ohlc_merge": 1,     # (type, bar) lattice agg
+        "stream_topk_merge": 1,     # per-type rank window
+        "stream_session_merge": 1,  # per-user sessionize window
+        "stream_minhash_merge": 2,  # shingle spread + per-lang signature agg
+        "stream_bloom_merge": 1,    # (type, word) bit_or agg
+    }
+    for name, budget in budgets.items():
+        streaming_q.PLAN_CAPTURE = {}
+        try:
+            QUERIES[name](spark, sf_dir)
+            plans = [
+                p
+                for tag, ps in streaming_q.PLAN_CAPTURE.items()
+                if tag == name or tag.startswith(name + ":")
+                for p in ps
+            ]
+        finally:
+            streaming_q.PLAN_CAPTURE = None
+        assert plans, f"{name}: no micro-batch plan captured"
+        worst = max(summarize_plan_str(p)["exchanges"] for p in plans)
+        assert worst <= budget, (
+            f"{name}: worst micro-batch has {worst} exchanges > "
+            f"budget {budget}"
+        )
+
+
 def test_explain_audit_covers_headline():
     # VERDICT r8 #3: EXPLAIN.md went stale twice (19 unaudited entries in
     # r8).  Pin SET EQUALITY between the audited names and bench.py's
@@ -340,7 +382,12 @@ def test_explain_audit_covers_headline():
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "EXPLAIN.md")
     audited = set()
     for line in open(path):
-        m = re.match(r"^([a-z0-9_]+)\s+(exchanges=|\(streaming)", line)
+        # VERDICT r13 #3: every entry must carry REAL exchange counts --
+        # the "(streaming -- plan decided per micro-batch)" marker is no
+        # longer an accepted audit row (micro-batch plans are captured
+        # via streaming_q.PLAN_CAPTURE and audited like batch plans)
+        assert "(streaming" not in line, f"unaudited marker row: {line!r}"
+        m = re.match(r"^([a-z0-9_]+)\s+exchanges=", line)
         if m:
             audited.add(m.group(1))
     assert audited == set(HEADLINE), (

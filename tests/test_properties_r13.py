@@ -16,8 +16,10 @@ from hypothesis import strategies as st
 # Any two documents sharing a token run of length >= w + k - 1 share at
 # least one selected fingerprint.  Replica mirrors
 # operators/dedup.py::winnowing_fingerprints exactly: 7-hex-digit md5
-# prefix of the space-joined k-gram, packed key = h * 2^20 + pos, min per
-# w-window of consecutive positions.
+# prefix of the space-joined k-gram, packed key = h * 2^32 + pos, min per
+# w-window of consecutive positions (pack widened 2^20 -> 2^32 per
+# ADVICE r13 so position bits cannot bleed into fp_hash below a
+# physically impossible 4.29-billion-token single document).
 
 K, W = 4, 5
 
@@ -29,10 +31,10 @@ def _winnow(tokens: list[str]) -> set[int]:
     for pos in range(len(tokens) - K + 1):
         gram = " ".join(tokens[pos : pos + K])
         h = int(hashlib.md5(gram.encode()).hexdigest()[:7], 16)
-        keys.append(h * 1048576 + pos)
+        keys.append(h * 4294967296 + pos)
     fps = set()
     for start in range(len(keys) - W + 1):
-        fps.add(min(keys[start : start + W]) // 1048576)
+        fps.add(min(keys[start : start + W]) // 4294967296)
     return fps
 
 

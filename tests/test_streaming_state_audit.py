@@ -8,13 +8,14 @@ import ast
 import inspect
 
 
-def _collect_state_tags():
-    """Every what-tag passed to _collect_state in streaming_q.py,
-    extracted from the AST (not regex) so multi-line calls count."""
+def _collect_state_calls():
+    """Every _collect_state call in streaming_q.py as (what-tag,
+    domain_bound-or-None), extracted from the AST (not regex) so
+    multi-line calls count."""
     from kcl_akka_stream_spark.queries import streaming_q
 
     tree = ast.parse(inspect.getsource(streaming_q))
-    tags = []
+    calls = []
     for node in ast.walk(tree):
         if not isinstance(node, ast.Call):
             continue
@@ -27,8 +28,18 @@ def _collect_state_tags():
         ):
             continue  # the def itself never parses as a Call; belt+braces
         if len(node.args) >= 2 and isinstance(node.args[1], ast.Constant):
-            tags.append(node.args[1].value)
-    return tags
+            bound = None
+            for kw in node.keywords:
+                if kw.arg == "domain_bound" and isinstance(
+                    kw.value, ast.Constant
+                ):
+                    bound = kw.value.value
+            calls.append((node.args[1].value, bound))
+    return calls
+
+
+def _collect_state_tags():
+    return [tag for tag, _b in _collect_state_calls()]
 
 
 def test_audit_table_matches_call_sites_exactly():
@@ -43,6 +54,42 @@ def test_audit_table_matches_call_sites_exactly():
         f"sites: declared-not-actual={sorted(set(declared) - set(actual))} "
         f"actual-not-declared={sorted(set(actual) - set(declared))}"
     )
+
+
+def test_every_driver_fold_declares_a_domain_bound():
+    # VERDICT r13 #4: MAX_STATE_ROWS alone let a group-bounded family
+    # whose DOMAIN grows (value-range bins, time-span bars) drift toward
+    # the 100k cliff.  Every registry call site must pass an explicit
+    # per-family domain_bound, a literal int well under MAX_STATE_ROWS.
+    from kcl_akka_stream_spark.queries.streaming_q import MAX_STATE_ROWS
+
+    calls = _collect_state_calls()
+    assert calls, "no _collect_state call sites found"
+    for tag, bound in calls:
+        assert isinstance(bound, int), (
+            f"{tag}: _collect_state call missing a literal domain_bound"
+        )
+        assert 0 < bound < MAX_STATE_ROWS, (tag, bound)
+
+
+def test_domain_bound_violation_raises_with_family_name(spark):
+    # engineered red: a state relation that outgrows its declared domain
+    # (here 10 rows vs domain_bound=5) raises loudly, naming the family
+    # and the bound that tripped -- BEFORE the generic max_state_rows cap
+    import pytest
+
+    from kcl_akka_stream_spark.queries.streaming_q import (
+        StateCardinalityExceeded,
+        _collect_state,
+    )
+
+    df = spark.range(10)
+    with pytest.raises(
+        StateCardinalityExceeded, match="fam-x.*domain_bound=5"
+    ):
+        _collect_state(df, "fam-x", domain_bound=5)
+    # and within-bound passes untouched
+    assert len(_collect_state(df, "fam-ok", domain_bound=10)) == 10
 
 
 def test_no_data_dependent_driver_fold():

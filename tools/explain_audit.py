@@ -89,7 +89,45 @@ def main() -> None:
     n_flagged = 0
     for name in names or HEADLINE:
         if name.startswith("stream_"):
-            print(f"{name:28s} (streaming -- plan decided per micro-batch)")
+            # VERDICT r13 #3: run the streaming twin for real with the
+            # micro-batch plan capture installed (driver-fold families
+            # capture at the _collect_state seam, epoch-union at its
+            # parquet append, watermark families via explainInternal)
+            # and audit the captured physical plans -- the worst batch
+            # wins, so a single skewed trigger cannot hide.
+            from kcl_akka_stream_spark.plans.hygiene import (
+                summarize_plan_str,
+            )
+            from kcl_akka_stream_spark.queries import streaming_q
+
+            streaming_q.PLAN_CAPTURE = {}
+            try:
+                QUERIES[name](spark, sf_dir)
+                plans = [
+                    p
+                    for tag, ps in streaming_q.PLAN_CAPTURE.items()
+                    if tag == name or tag.startswith(name + ":")
+                    for p in ps
+                ]
+            finally:
+                streaming_q.PLAN_CAPTURE = None
+            if not plans:
+                print(
+                    f"{name:28s} (streaming -- no micro-batch plan "
+                    "captured; family has no audited state seam)"
+                )
+                continue
+            sums = [summarize_plan_str(p) for p in plans]
+            worst = {
+                k: max(s[k] for s in sums)
+                for k in ("exchanges", "bhj", "smj", "shj", "pushed")
+            }
+            print(
+                f"{name:28s} exchanges={worst['exchanges']} "
+                f"bhj={worst['bhj']} smj={worst['smj']} "
+                f"shj={worst['shj']} pushed={worst['pushed']} "
+                f"spread=n/a (micro-batch worst-of-{len(plans)})"
+            )
             continue
         df = QUERIES[name](spark, sf_dir)
         parts = [
