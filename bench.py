@@ -417,6 +417,8 @@ HEADLINE = [
     "text_burstiness",
     # round-13 wave 71: Rocchio pseudo-relevance feedback
     "sim_rocchio_expansion",
+    # round-14 wave 72: mergeable quantile summary (21st state family)
+    "stream_quantile_merge",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -174,6 +174,11 @@ STATE_CARDINALITY = {
         "types x <= 261 words (ceil(m/63), m fixed at 16384)",
         ("stream_bloom_merge",),
     ),
+    "stream_quantile_merge": (
+        "driver-fold", "constant",
+        "types x k=256 bottom-hash (id, cents) sample rows",
+        ("stream_quantile_merge",),
+    ),
 }
 
 
@@ -2925,5 +2930,208 @@ def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(est).alias("est_keys_micro"),
             )
         )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def _quantile_merge_oracle(k: int = 256, n_dec: int = 9) -> str:
+    # The oracle REBUILDS the merged sketch bit-for-bit: same seeded md5
+    # hash order, same bottom-k selection, same rank-pick decile rule,
+    # same integer ppm arithmetic -- merged == direct is the hash match.
+    return f"""
+    WITH ev AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    hr AS (
+      SELECT event_type, event_id, cents,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5('qsk|' || CAST(event_id AS VARCHAR)), event_id
+             ) AS hrk
+      FROM ev),
+    s AS (SELECT event_type, event_id, cents FROM hr WHERE hrk <= {k}),
+    sr AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS k_s
+      FROM s),
+    dec AS (SELECT unnest(generate_series(1, {n_dec})) AS decile),
+    est AS (
+      SELECT sr.event_type, d.decile,
+             CAST(min(CASE WHEN 10 * sr.rn >= d.decile * sr.k_s
+                           THEN sr.cents END) AS BIGINT) AS est_cents,
+             CAST(max(sr.k_s) AS BIGINT) AS k_s
+      FROM sr, dec d GROUP BY 1, 2),
+    sle AS (
+      SELECT e.event_type, e.decile,
+             CAST(count(*) FILTER (s.cents <= e.est_cents) AS BIGINT) AS s_le
+      FROM est e JOIN s ON s.event_type = e.event_type
+      GROUP BY 1, 2),
+    exl AS (
+      SELECT e.event_type, e.decile,
+             CAST(count(*) FILTER (v.cents <= e.est_cents) AS BIGINT)
+               AS cnt_le,
+             CAST(count(*) AS BIGINT) AS n
+      FROM est e JOIN ev v ON v.event_type = e.event_type
+      GROUP BY 1, 2)
+    SELECT e.event_type, CAST(e.decile AS INT) AS decile, e.est_cents,
+           e.k_s, x.n,
+           1000000 * s.s_le // e.k_s AS sample_rank_ppm,
+           1000000 * x.cnt_le // x.n AS exact_rank_ppm,
+           abs(1000000 * x.cnt_le // x.n - 1000000 * s.s_le // e.k_s)
+             AS err_ppm,
+           CASE WHEN abs(1000000 * x.cnt_le // x.n
+                         - 1000000 * s.s_le // e.k_s)
+                     * abs(1000000 * x.cnt_le // x.n
+                           - 1000000 * s.s_le // e.k_s)
+                     * 2 * e.k_s <= 5298317000000
+                THEN 1 ELSE 0 END AS within_dkw
+    FROM est e
+    JOIN sle s ON s.event_type = e.event_type AND s.decile = e.decile
+    JOIN exl x ON x.event_type = e.event_type AND x.decile = e.decile
+    ORDER BY e.event_type, e.decile
+    """
+
+
+@query("stream_quantile_merge", _quantile_merge_oracle())
+def stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The TWENTY-FIRST mergeable-state streaming family (VERDICT r13 #6)
+    # and the fourth IDEMPOTENT one: a MERGEABLE QUANTILE SUMMARY.  GK is
+    # provably not fully mergeable and KLL's compactions are randomized /
+    # merge-order-sensitive (Agarwal et al., "Mergeable Summaries", PODS
+    # 2012 -- the paper that frames this whole family catalog); the
+    # deterministic mergeable quantile summary that keeps a bit-for-bit
+    # cross-engine oracle is the same paper's UNIFORM-SAMPLE summary,
+    # made deterministic by a fixed hash order: per type keep the k=256
+    # (id, cents) rows with the lowest seeded md5(id) -- a min-union
+    # semilattice (bottom-k of a union of bottom-ks == bottom-k of the
+    # union), so per-batch states merge exactly and an at-least-once
+    # replay re-offers rows already in (or above) the sample: absorbed.
+    # State is CONSTANT: types x k rows, domain-independent -- the
+    # complement of stream_hist_merge, whose value-range bins grow with
+    # the DOMAIN.  FINALIZE: rank-pick decile estimates from the merged
+    # sample, then the ACCEPTANCE REPORT every sketch family carries --
+    # the exact rank of each estimate (one broadcast 9-rows-per-type
+    # pass over the raw relation, map-side combine) vs the sample rank,
+    # gated by the DKW inequality at delta=0.01: err^2 * 2k <= ln(200)
+    # held as the frozen integer micro-nat literal 5298317 so the gate
+    # is pure int64 on both engines (no runtime transcendental).
+    from kcl_akka_stream_spark.operators.sampling import hash_bottom_k
+
+    k, n_dec = 256, 9
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    src = tempfile.mkdtemp(prefix="kcl_qsk_src_")
+    states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            states.extend(
+                _collect_state(
+                    hash_bottom_k(
+                        batch_df, "event_type", "event_id", k, seed="qsk"
+                    ),
+                    "stream_quantile_merge",
+                    domain_bound=8192,  # types<=32 x k=256 sample rows
+                )
+            )
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        from pyspark.sql import Window
+
+        st = spark.createDataFrame(
+            states, "event_type string, event_id long, cents long"
+        )
+        # merge = the same bottom-k selection over the unioned states
+        # (min-union semilattice; replayed ids dedup inside the operator)
+        merged = hash_bottom_k(st, "event_type", "event_id", k, seed="qsk")
+        wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+        wt = Window.partitionBy("event_type")
+        sr = merged.select(
+            "event_type",
+            "cents",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("k_s"),
+        )
+        dec = spark.range(1, n_dec + 1).select(
+            F.col("id").cast("int").alias("decile")
+        )
+        est = (
+            sr.crossJoin(F.broadcast(dec))
+            .groupBy("event_type", "decile")
+            .agg(
+                F.min(
+                    F.when(
+                        10 * F.col("rn") >= F.col("decile") * F.col("k_s"),
+                        F.col("cents"),
+                    )
+                )
+                .cast("long")
+                .alias("est_cents"),
+                F.max("k_s").cast("long").alias("k_s"),
+            )
+            .localCheckpoint(eager=True)  # 45 rows; feeds BOTH rank passes
+        )
+        s_le = (
+            merged.join(F.broadcast(est), "event_type")
+            .groupBy("event_type", "decile")
+            .agg(
+                F.sum(
+                    (F.col("cents") <= F.col("est_cents")).cast("long")
+                ).alias("s_le")
+            )
+        )
+        exact = (
+            ev.join(F.broadcast(est), "event_type")
+            .groupBy("event_type", "decile")
+            .agg(
+                F.sum(
+                    (F.col("cents") <= F.col("est_cents")).cast("long")
+                ).alias("cnt_le"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+        out = (
+            est.join(s_le, ["event_type", "decile"])
+            .join(exact, ["event_type", "decile"])
+            .select(
+                "event_type",
+                "decile",
+                "est_cents",
+                "k_s",
+                "n",
+                F.expr("1000000 * s_le div k_s").alias("sample_rank_ppm"),
+                F.expr("1000000 * cnt_le div n").alias("exact_rank_ppm"),
+                F.expr(
+                    "abs(1000000 * cnt_le div n - 1000000 * s_le div k_s)"
+                ).alias("err_ppm"),
+                F.expr(
+                    "case when abs(1000000 * cnt_le div n"
+                    "              - 1000000 * s_le div k_s)"
+                    "          * abs(1000000 * cnt_le div n"
+                    "                - 1000000 * s_le div k_s)"
+                    "          * 2 * k_s <= 5298317000000"
+                    " then 1 else 0 end"
+                ).alias("within_dkw"),
+            )
+            .orderBy("event_type", "decile")
+        )
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)

@@ -348,6 +348,7 @@ def test_streaming_twin_microbatch_shuffle_budgets(spark, sf_dir):
         "stream_session_merge": 1,  # per-user sessionize window
         "stream_minhash_merge": 2,  # shingle spread + per-lang signature agg
         "stream_bloom_merge": 1,    # (type, word) bit_or agg
+        "stream_quantile_merge": 1,  # per-type bottom-k hash window
     }
     for name, budget in budgets.items():
         streaming_q.PLAN_CAPTURE = {}

@@ -1,0 +1,85 @@
+"""Round-14 pins: the mergeable quantile summary (21st state family)
+and its DKW acceptance gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_quantile_merge_sample_is_min_union_semilattice(spark):
+    # The family's merge soundness: bottom-k of a union of per-batch
+    # bottom-ks == bottom-k of the whole relation, and a replayed
+    # (duplicated) batch changes nothing -- the property that lets
+    # micro-batch states merge exactly under at-least-once delivery.
+    from kcl_akka_stream_spark.operators.sampling import hash_bottom_k
+
+    rows = [("a", i, i * 10) for i in range(50)] + [
+        ("b", i, i * 7) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, cents long"
+    )
+    direct = {
+        (r.event_type, r.event_id)
+        for r in hash_bottom_k(
+            df, "event_type", "event_id", 8, seed="qsk"
+        ).collect()
+    }
+    # split into 3 "batches", fold each, merge the folds (+ replay batch 1)
+    b1 = df.filter("event_id % 3 = 0")
+    b2 = df.filter("event_id % 3 = 1")
+    b3 = df.filter("event_id % 3 = 2")
+    folds = [
+        hash_bottom_k(b, "event_type", "event_id", 8, seed="qsk")
+        for b in (b1, b2, b3, b1)  # b1 twice = at-least-once replay
+    ]
+    st = folds[0]
+    for f in folds[1:]:
+        st = st.unionByName(f)
+    merged = {
+        (r.event_type, r.event_id)
+        for r in hash_bottom_k(
+            st, "event_type", "event_id", 8, seed="qsk"
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_quantile_merge_dkw_gate_arithmetic():
+    # The acceptance gate is pure int64 on both engines:
+    # err_ppm^2 * 2 * k_s <= ln(200) in micro-nats * 1e6 (= 5298317e6).
+    # Boundary pins: eps(k=256) = sqrt(ln200/(2*256)) ~ 0.101726 ->
+    # 101726 ppm passes, 101727 ppm fails -- an engineered red proving
+    # the gate can reject a biased sketch, not just rubber-stamp.
+    def within(err_ppm: int, k_s: int) -> bool:
+        return err_ppm * err_ppm * 2 * k_s <= 5298317000000
+
+    assert within(101726, 256)
+    assert not within(101727, 256)
+    # a grossly biased sample (20% rank error) is rejected at any k
+    assert not within(200000, 256)
+    # smaller samples get a looser bound (DKW scales 1/sqrt(k))
+    assert within(140000, 128)
+    assert not within(150000, 128)
+
+
+def test_quantile_merge_acceptance_report_green(spark, sf_dir):
+    # End-to-end at sf0.001: every (type, decile) estimate sits within
+    # the DKW envelope, ranks are ppm-exact integers, and the report is
+    # non-vacuous (5 types x 9 deciles).
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    out = QUERIES["stream_quantile_merge"](spark, sf_dir).collect()
+    assert len(out) == 45
+    for r in out:
+        assert r.within_dkw == 1, (r.event_type, r.decile, r.err_ppm)
+        assert 0 <= r.sample_rank_ppm <= 1000000
+        assert 0 <= r.exact_rank_ppm <= 1000000
+        assert r.k_s <= 256
+        # decile estimates are real sample members: monotone in decile
+    by_type: dict = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append((r.decile, r.est_cents))
+    for t, pairs in by_type.items():
+        cents = [c for _, c in sorted(pairs)]
+        assert cents == sorted(cents), (t, cents)
