@@ -419,6 +419,9 @@ HEADLINE = [
     "sim_rocchio_expansion",
     # round-14 wave 72: mergeable quantile summary (21st state family)
     "stream_quantile_merge",
+    # round-14 wave 73: HyperLogLog (batch + 22nd state family)
+    "agg_hll_estimate",
+    "stream_hll_merge",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -402,3 +402,109 @@ def bitmap_set_ops(a_state: DataFrame, b_state: DataFrame) -> DataFrame:
         .cast("long")
         .alias("jaccard_ppm"),
     )
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, id_col: str, p: int = 6, seed: str = "hll"
+) -> DataFrame:
+    """HyperLogLog register relation (Flajolet et al. 2007, public): m=2^p
+    registers per group, each holding the MAX leading-zero rank seen in
+    its hash bucket.  Deterministic + cross-engine exact: the hash is the
+    15-hex (60-bit) seeded md5 prefix; bucket j = the top p bits, payload
+    w = the low (60-p) bits, and rho(w) = leading zeros of w within its
+    (60-p)-bit field + 1 -- computed WITHOUT log2 (whose libm rounding
+    differs at powers of two) as ``(60-p+1) - length(bin(w))``, since
+    both engines' ``bin()`` prints the minimal binary string.  Register
+    max is a JOIN-SEMILATTICE: per-partition / per-micro-batch registers
+    merge by MAX into exactly the whole-data registers, and a replayed
+    row is absorbed (idempotent) -- the classic mergeable cardinality
+    summary, constant state (groups x m rows) regardless of id universe.
+
+    Scale shape: one map-side hash + ONE (group, j) aggregation;
+    downstream sees <= m rows per group, never the data."""
+    m_low = 1 << (60 - p)
+    rho_full = 60 - p + 1
+    h = F.expr(
+        f"cast(conv(substring(md5(concat('{seed}|', cast({id_col} as"
+        f" string))), 1, 15), 16, 10) as bigint)"
+    )
+    return (
+        df.select(
+            F.col(group_col),
+            (h % F.lit(m_low)).alias("__w"),
+            (h / F.lit(m_low)).cast("long").alias("j"),
+        )
+        .select(
+            group_col,
+            "j",
+            F.expr(
+                f"case when __w = 0 then {rho_full}"
+                f" else {rho_full} - length(bin(__w)) end"
+            ).alias("rho"),
+        )
+        .groupBy(group_col, "j")
+        .agg(F.max("rho").cast("long").alias("m_r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_col: str, p: int = 6) -> DataFrame:
+    """HLL cardinality estimate from a (group, j, m_r) register relation.
+
+    Integer-held harmonic mean: the indicator sum 2^(-M_j) is rescaled by
+    the FIXED payload field width 2^55 (rho <= 55 always), so
+    S2 = sum(2^(55 - M_j)) + V * 2^55 stays exact int64 (< 2^62)
+    WITHOUT a per-group rmax window -- the whole estimate is ONE
+    aggregation.  The only floating step is the final
+    alpha*m^2*2^55 / S2 division, written in the identical operation
+    order on both engines, with alpha_64 * m^2 frozen to the single
+    literal 2905.460551022604.  The standard small-range LINEAR
+    COUNTING correction applies when raw <= 2.5m and empty registers
+    remain: m * ln(m/V), micro-nat frozen (the one transcendental,
+    per-group, flip risk ~1e-10)."""
+    assert p == 6, "constants below are frozen for m=64"
+    agg = registers.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers_set"),
+        (F.lit(64) - F.count(F.lit(1))).cast("long").alias("v_zeros"),
+        F.max("m_r").cast("long").alias("rmax"),
+        F.sum(F.expr("shiftleft(1L, cast(55 - m_r as int))"))
+        .cast("long")
+        .alias("s2_set"),
+    )
+    return agg.select(
+        group_col,
+        "n_registers_set",
+        "v_zeros",
+        "rmax",
+        F.expr("s2_set + v_zeros * shiftleft(1L, 55)").alias("s2"),
+    ).select(
+        group_col,
+        "n_registers_set",
+        "v_zeros",
+        "rmax",
+        "s2",
+        F.expr(
+            "cast(round(2905.460551022604"
+            " * cast(shiftleft(1L, 55) as double)"
+            " / cast(s2 as double) * 1000000.0, 0) as bigint)"
+        ).alias("raw_micro"),
+        F.expr(
+            "case when v_zeros > 0 then cast(round(64.0"
+            " * ln(64.0 / cast(v_zeros as double)) * 1000000.0, 0)"
+            " as bigint) end"
+        ).alias("lc_micro"),
+    ).select(
+        group_col,
+        "n_registers_set",
+        "v_zeros",
+        "rmax",
+        "s2",
+        "raw_micro",
+        F.expr(
+            "case when raw_micro <= 160000000 and v_zeros > 0"
+            " then 'lc' else 'raw' end"
+        ).alias("method"),
+        F.expr(
+            "case when raw_micro <= 160000000 and v_zeros > 0"
+            " then lc_micro else raw_micro end"
+        ).alias("est_micro"),
+    )

@@ -11204,3 +11204,107 @@ def sim_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return rocchio_expand_topk(emb, queries, k0=10, k=10)
+
+
+def _hll_oracle() -> str:
+    # Rebuilds the m=64 register relation bit-for-bit (same 60-bit seeded
+    # md5, same bin()-based rho) and applies the identical estimator
+    # expression -- merged == direct is the hash match for the streaming
+    # twin, which shares this oracle.
+    return """
+    WITH ev AS (SELECT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM ev),
+    reg AS (
+      SELECT event_type, hv // 18014398509481984 AS j,
+             max(CASE WHEN hv % 18014398509481984 = 0 THEN 55
+                      ELSE 55 - length(bin(hv % 18014398509481984)) END) AS m_r
+      FROM h GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_registers_set,
+             CAST(64 - count(*) AS BIGINT) AS v_zeros,
+             CAST(max(m_r) AS BIGINT) AS rmax,
+             CAST(sum(1::BIGINT << CAST(55 - m_r AS INT)) AS BIGINT) AS s2_set
+      FROM reg GROUP BY event_type),
+    s AS (
+      SELECT event_type, n_registers_set, v_zeros, rmax,
+             s2_set + v_zeros * (1::BIGINT << 55) AS s2
+      FROM agg),
+    e AS (
+      SELECT *,
+             CAST(round(2905.460551022604
+                  * CAST(1::BIGINT << 55 AS DOUBLE)
+                  / CAST(s2 AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS raw_micro,
+             CASE WHEN v_zeros > 0 THEN CAST(round(64.0
+                  * ln(64.0 / CAST(v_zeros AS DOUBLE)) * 1000000.0, 0)
+                  AS BIGINT) END AS lc_micro
+      FROM s),
+    est AS (
+      SELECT event_type, n_registers_set, v_zeros, rmax, s2, raw_micro,
+             CASE WHEN raw_micro <= 160000000 AND v_zeros > 0
+                  THEN 'lc' ELSE 'raw' END AS method,
+             CASE WHEN raw_micro <= 160000000 AND v_zeros > 0
+                  THEN lc_micro ELSE raw_micro END AS est_micro
+      FROM e),
+    truth AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+      FROM ev GROUP BY event_type)
+    SELECT e.event_type, e.n_registers_set, e.v_zeros, e.rmax, e.s2,
+           e.method, e.est_micro, t.n_true,
+           abs(e.est_micro // t.n_true - 1000000) AS rel_err_ppm,
+           CASE WHEN abs(e.est_micro // t.n_true - 1000000) <= 390000
+                THEN 1 ELSE 0 END AS within_3sigma
+    FROM est e JOIN truth t ON t.event_type = e.event_type
+    ORDER BY e.event_type
+    """
+
+
+@query("agg_hll_estimate", _hll_oracle())
+def agg_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog (Flajolet-Furet-Gandouet-Meunier 2007, public): THE
+    # classic constant-memory cardinality sketch the family catalog
+    # still lacked beside KMV (bottom-k), bitmap (exact dense), CMS
+    # (frequency) and Bloom (membership) -- 64 registers per type,
+    # register max over leading-zero ranks, harmonic-mean estimator
+    # with the standard small-range linear-counting correction.  All
+    # register math is exact int64 (operators/sketches.py::hll_registers
+    # avoids log2 entirely via length(bin(w)) -- libm log2 rounds
+    # differently at powers of two); the estimator division is one
+    # IEEE expression written identically on both engines.  ACCEPTANCE:
+    # relative error vs the exact distinct count per type, gated at 3x
+    # the m=64 standard error (3 * 1.04/sqrt(64) = 39%).
+    from kcl_akka_stream_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "user_id")
+    reg = hll_registers(ev, "event_type", "user_id")
+    est = hll_estimate(reg, "event_type")
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_true")
+    )
+    return (
+        est.join(truth, "event_type")
+        .select(
+            "event_type",
+            "n_registers_set",
+            "v_zeros",
+            "rmax",
+            "s2",
+            "method",
+            "est_micro",
+            "n_true",
+            F.expr("abs(est_micro div n_true - 1000000)").alias(
+                "rel_err_ppm"
+            ),
+            F.expr(
+                "case when abs(est_micro div n_true - 1000000) <= 390000"
+                " then 1 else 0 end"
+            ).alias("within_3sigma"),
+        )
+        .orderBy("event_type")
+    )

@@ -179,6 +179,11 @@ STATE_CARDINALITY = {
         "types x k=256 bottom-hash (id, cents) sample rows",
         ("stream_quantile_merge",),
     ),
+    "stream_hll_merge": (
+        "driver-fold", "constant",
+        "types x m=64 HLL registers (max-semilattice)",
+        ("stream_hll_merge",),
+    ),
 }
 
 
@@ -3131,6 +3136,92 @@ def stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("within_dkw"),
             )
             .orderBy("event_type", "decile")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def _hll_merge_oracle() -> str:
+    from kcl_akka_stream_spark.queries.registry import ORACLES
+
+    return ORACLES["agg_hll_estimate"]
+
+
+@query("stream_hll_merge", _hll_merge_oracle())
+def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The TWENTY-SECOND mergeable-state streaming family and the fifth
+    # IDEMPOTENT one, SAME oracle as agg_hll_estimate: HyperLogLog
+    # registers form a JOIN-SEMILATTICE under per-register MAX, so each
+    # micro-batch's 64-register relation merges into exactly the
+    # whole-stream registers and an at-least-once replay is absorbed
+    # (a replayed row can only re-offer a rank already <= the register).
+    # The canonical streaming cardinality sketch: CONSTANT state
+    # (types x 64 registers) against the bitmap twin's data-dependent
+    # words and KMV's per-epoch keying -- merged == direct batch build
+    # is the hash match.
+    from kcl_akka_stream_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "user_id")
+    src = tempfile.mkdtemp(prefix="kcl_hll_src_")
+    states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            states.extend(
+                _collect_state(
+                    hll_registers(batch_df, "event_type", "user_id"),
+                    "stream_hll_merge",
+                    domain_bound=2048,  # types<=32 x m=64 registers
+                )
+            )
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        st = spark.createDataFrame(
+            states, "event_type string, j long, m_r long"
+        )
+        # merge = per-register MAX over the unioned batch states
+        merged = st.groupBy("event_type", "j").agg(
+            F.max("m_r").cast("long").alias("m_r")
+        )
+        est = hll_estimate(merged, "event_type")
+        truth = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").cast("long").alias("n_true")
+        )
+        out = (
+            est.join(truth, "event_type")
+            .select(
+                "event_type",
+                "n_registers_set",
+                "v_zeros",
+                "rmax",
+                "s2",
+                "method",
+                "est_micro",
+                "n_true",
+                F.expr("abs(est_micro div n_true - 1000000)").alias(
+                    "rel_err_ppm"
+                ),
+                F.expr(
+                    "case when abs(est_micro div n_true - 1000000)"
+                    " <= 390000 then 1 else 0 end"
+                ).alias("within_3sigma"),
+            )
+            .orderBy("event_type")
         )
         return out.localCheckpoint(eager=True)
     finally:

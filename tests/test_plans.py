@@ -321,6 +321,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_tukey_fences": 2,  # cents relation checkpointed once; rank windows + quartile broadcast + counting agg
         "text_burstiness": 4,  # spread + tf agg + term agg + TakeOrdered; N broadcast
         "sim_rocchio_expansion": 3,  # round-1 behind an eager checkpoint; centroid/expansion aggs broadcast back; round 2 = one broadcast pass + rank window
+        # round 14:
+        "agg_hll_estimate": 5,  # (type,j) register agg + type agg + exact-distinct truth (2) + 5-row sort; join broadcast
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
@@ -349,6 +351,7 @@ def test_streaming_twin_microbatch_shuffle_budgets(spark, sf_dir):
         "stream_minhash_merge": 2,  # shingle spread + per-lang signature agg
         "stream_bloom_merge": 1,    # (type, word) bit_or agg
         "stream_quantile_merge": 1,  # per-type bottom-k hash window
+        "stream_hll_merge": 1,       # (type, register) max agg
     }
     for name, budget in budgets.items():
         streaming_q.PLAN_CAPTURE = {}

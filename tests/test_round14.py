@@ -83,3 +83,78 @@ def test_quantile_merge_acceptance_report_green(spark, sf_dir):
     for t, pairs in by_type.items():
         cents = [c for _, c in sorted(pairs)]
         assert cents == sorted(cents), (t, cents)
+
+
+def test_hll_registers_match_python_replica(spark):
+    # bit-for-bit pin of the register construction: 60-bit seeded md5,
+    # j = top 6 bits, rho = 55 - bitlen(low 54 bits) (55 when zero)
+    import hashlib
+
+    ids = list(range(1, 401))
+    df = spark.createDataFrame(
+        [("t", i) for i in ids], "event_type string, user_id long"
+    )
+    from kcl_akka_stream_spark.operators.sketches import hll_registers
+
+    got = {
+        r.j: r.m_r
+        for r in hll_registers(df, "event_type", "user_id").collect()
+    }
+    exp: dict[int, int] = {}
+    for i in ids:
+        h = int(hashlib.md5(f"hll|{i}".encode()).hexdigest()[:15], 16)
+        j, w = h >> 54, h % (1 << 54)
+        rho = 55 if w == 0 else 55 - w.bit_length()
+        exp[j] = max(exp.get(j, 0), rho)
+    assert got == exp
+
+
+def test_hll_register_merge_is_max_semilattice(spark):
+    # per-batch registers merged by MAX == whole-data registers, and a
+    # replayed batch changes nothing (idempotent)
+    from pyspark.sql import functions as F2
+
+    from kcl_akka_stream_spark.operators.sketches import hll_registers
+
+    rows = [("t", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    direct = {
+        (r.j, r.m_r)
+        for r in hll_registers(df, "event_type", "user_id").collect()
+    }
+    parts = [df.filter(f"user_id % 3 = {k}") for k in range(3)]
+    st = None
+    for b in parts + [parts[0]]:  # replay batch 0
+        reg = hll_registers(b, "event_type", "user_id")
+        st = reg if st is None else st.unionByName(reg)
+    merged = {
+        (r.j, r.m_r)
+        for r in st.groupBy("event_type", "j")
+        .agg(F2.max("m_r").alias("m_r"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_hll_linear_counting_small_range(spark):
+    # engineered small-cardinality input: most registers empty -> the
+    # linear-counting path must be chosen and land within 3 sigma; and
+    # the acceptance gate goes RED when truth is decoupled (the same
+    # estimate judged against a 10x-wrong truth fails within_3sigma)
+    from kcl_akka_stream_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("t", i) for i in range(12)], "event_type string, user_id long"
+    )
+    est = hll_estimate(
+        hll_registers(df, "event_type", "user_id"), "event_type"
+    ).collect()[0]
+    assert est.method == "lc"
+    assert est.v_zeros > 0
+    # within 3*1.04/8 of the true 12
+    assert abs(est.est_micro / 1e6 - 12) <= 0.39 * 12
+    # decoupled truth -> red
+    assert abs(est.est_micro // 120 - 1000000) > 390000
