@@ -422,6 +422,9 @@ HEADLINE = [
     # round-14 wave 73: HyperLogLog (batch + 22nd state family)
     "agg_hll_estimate",
     "stream_hll_merge",
+    # round-14 wave 74: AMS F2 self-join-size sketch (batch + 23rd family)
+    "agg_f2_sketch",
+    "stream_f2_merge",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -508,3 +508,46 @@ def hll_estimate(registers: DataFrame, group_col: str, p: int = 6) -> DataFrame:
             " then lc_micro else raw_micro end"
         ).alias("est_micro"),
     )
+
+
+def f2_sketch_state(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    b: int = 64,
+    seed: str = "f2",
+) -> DataFrame:
+    """AMS F2 (second frequency moment / self-join size) sketch state
+    (Alon-Matias-Szegedy 1996, public): ``b`` independent signed sums
+    per group, X_r = sum over rows of s_r(id) where the sign
+    s_r in {-1,+1} comes from the parity of the first hex digit of the
+    seeded md5 -- E[X_r^2] = F2 = sum_v f_v^2 exactly.  All-integer and
+    ADDITIVE: per-partition / per-micro-batch states merge by plain sum
+    (abelian group, the counts/moments algebra), so the sketch streams.
+
+    Shape: the b replicas are b aggregate EXPRESSIONS over one pass --
+    b md5 calls per row inside whole-stage codegen, ONE group
+    aggregation with map-side combine, never a b-fold explode.  Output:
+    one row per group with columns x_0..x_{b-1}."""
+    sums = []
+    for r in range(b):
+        sign = (
+            f"1 - 2 * (cast(conv(substring(md5(concat('{seed}|{r}|',"
+            f" cast({id_col} as string))), 1, 1), 16, 10) as int) % 2)"
+        )
+        sums.append(
+            F.sum(F.expr(sign)).cast("long").alias(f"x_{r}")
+        )
+    return df.groupBy(group_col).agg(*sums)
+
+
+def f2_estimate(state: DataFrame, group_col: str, b: int = 64) -> DataFrame:
+    """AMS F2 estimate from a merged state row: the mean of the b
+    replica squares, held entirely in int64 (sum of squares div b).
+    Standard error of the mean is sqrt(2/b) * F2, so the acceptance
+    gate in the query layer uses 3 sigma = 530,330 ppm at b=64."""
+    sq = " + ".join(f"x_{r} * x_{r}" for r in range(b))
+    return state.select(
+        group_col,
+        F.expr(f"({sq}) div {b}").alias("est_f2"),
+    )

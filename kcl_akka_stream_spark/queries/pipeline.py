@@ -11308,3 +11308,87 @@ def agg_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _f2_oracle(b: int = 64) -> str:
+    # Rebuilds all b signed sums digit-for-digit (same seeded md5 parity
+    # signs), applies the identical integer mean-of-squares estimator,
+    # and compares against the exact second moment.  Shared by the
+    # streaming twin (additive state: merged sums == direct sums).
+    xs = ",\n             ".join(
+        f"CAST(sum(1 - 2 * ((('0x' || substr(md5('f2|{r}|' ||"
+        f" CAST(user_id AS VARCHAR)), 1, 1))::BIGINT) % 2)) AS BIGINT)"
+        f" AS x_{r}"
+        for r in range(b)
+    )
+    sq = " + ".join(f"x_{r} * x_{r}" for r in range(b))
+    return f"""
+    WITH st AS (
+      SELECT event_type,
+             {xs}
+      FROM events GROUP BY event_type),
+    est AS (
+      SELECT event_type, ({sq}) // {b} AS est_f2 FROM st),
+    ex AS (
+      SELECT event_type, CAST(sum(c * c) AS BIGINT) AS f2_exact,
+             CAST(sum(c) AS BIGINT) AS n_rows
+      FROM (SELECT event_type, user_id, count(*) AS c
+            FROM events GROUP BY 1, 2)
+      GROUP BY event_type)
+    SELECT e.event_type, x.n_rows, x.f2_exact, e.est_f2,
+           abs(1000000 * e.est_f2 // x.f2_exact - 1000000) AS rel_err_ppm,
+           CASE WHEN abs(1000000 * e.est_f2 // x.f2_exact - 1000000)
+                     <= 530330 THEN 1 ELSE 0 END AS within_3sigma
+    FROM est e JOIN ex x ON x.event_type = e.event_type
+    ORDER BY e.event_type
+    """
+
+
+@query("agg_f2_sketch", _f2_oracle())
+def agg_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996, the
+    # Godel-prize streaming-sketch original): F2 = sum_v f_v^2 -- the
+    # SELF-JOIN SIZE of the (type, user) relation, the statistic a
+    # planner needs to size a join output or a dedup pass to detect a
+    # skewed key blowup BEFORE running it.  b=64 signed sums per type
+    # (parity-of-md5 signs, +-1), E[X_r^2] = F2 exactly; the estimator
+    # is the all-integer mean of squares.  The b replicas are b agg
+    # EXPRESSIONS over one pass (64 md5/row in whole-stage codegen,
+    # map-side combine) -- never a b-fold explode.  ACCEPTANCE: exact
+    # F2 from the per-key counts, relative error gated at 3 sigma
+    # (sigma_rel = sqrt(2/64) -> 530,330 ppm).
+    from kcl_akka_stream_spark.operators.sketches import (
+        f2_estimate,
+        f2_sketch_state,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "user_id")
+    est = f2_estimate(
+        f2_sketch_state(ev, "event_type", "user_id"), "event_type"
+    )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("c * c")).cast("long").alias("f2_exact"),
+            F.sum("c").cast("long").alias("n_rows"),
+        )
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "f2_exact",
+            "est_f2",
+            F.expr(
+                "abs(1000000 * est_f2 div f2_exact - 1000000)"
+            ).alias("rel_err_ppm"),
+            F.expr(
+                "case when abs(1000000 * est_f2 div f2_exact - 1000000)"
+                " <= 530330 then 1 else 0 end"
+            ).alias("within_3sigma"),
+        )
+        .orderBy("event_type")
+    )

@@ -184,6 +184,11 @@ STATE_CARDINALITY = {
         "types x m=64 HLL registers (max-semilattice)",
         ("stream_hll_merge",),
     ),
+    "stream_f2_merge": (
+        "driver-fold", "constant",
+        "types x one row of b=64 AMS signed sums (additive)",
+        ("stream_f2_merge",),
+    ),
 }
 
 
@@ -3219,6 +3224,94 @@ def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     "case when abs(est_micro div n_true - 1000000)"
                     " <= 390000 then 1 else 0 end"
+                ).alias("within_3sigma"),
+            )
+            .orderBy("event_type")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def _f2_merge_oracle() -> str:
+    from kcl_akka_stream_spark.queries.registry import ORACLES
+
+    return ORACLES["agg_f2_sketch"]
+
+
+@query("stream_f2_merge", _f2_merge_oracle())
+def stream_f2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The TWENTY-THIRD mergeable-state streaming family, SAME oracle as
+    # agg_f2_sketch: the AMS signed sums are ADDITIVE (an abelian group,
+    # the counts/moments algebra), so per-batch states merge by plain
+    # column-wise sum into exactly the whole-stream sketch -- the
+    # streaming self-join-size monitor that flags a skewed-key blowup
+    # while the stream runs, at types x b=64 int64s of state.  Additive
+    # (not idempotent): exactly-once batch semantics, like every other
+    # sum-based family.
+    from kcl_akka_stream_spark.operators.sketches import (
+        f2_estimate,
+        f2_sketch_state,
+    )
+
+    b = 64
+    ev = tbl(spark, sf_dir, "events").select("event_type", "user_id")
+    src = tempfile.mkdtemp(prefix="kcl_f2_src_")
+    states: list = []
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def fold_state(batch_df, epoch_id):
+            states.extend(
+                _collect_state(
+                    f2_sketch_state(batch_df, "event_type", "user_id"),
+                    "stream_f2_merge",
+                    domain_bound=32,  # types<=32, ONE b-column row each
+                )
+            )
+
+        q = stream.writeStream.foreachBatch(fold_state).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        schema = "event_type string, " + ", ".join(
+            f"x_{r} long" for r in range(b)
+        )
+        st = spark.createDataFrame(states, schema)
+        # merge = column-wise sum (abelian group addition)
+        merged = st.groupBy("event_type").agg(
+            *[F.sum(f"x_{r}").cast("long").alias(f"x_{r}") for r in range(b)]
+        )
+        est = f2_estimate(merged, "event_type")
+        exact = (
+            ev.groupBy("event_type", "user_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.expr("c * c")).cast("long").alias("f2_exact"),
+                F.sum("c").cast("long").alias("n_rows"),
+            )
+        )
+        out = (
+            est.join(exact, "event_type")
+            .select(
+                "event_type",
+                "n_rows",
+                "f2_exact",
+                "est_f2",
+                F.expr(
+                    "abs(1000000 * est_f2 div f2_exact - 1000000)"
+                ).alias("rel_err_ppm"),
+                F.expr(
+                    "case when abs(1000000 * est_f2 div f2_exact"
+                    " - 1000000) <= 530330 then 1 else 0 end"
                 ).alias("within_3sigma"),
             )
             .orderBy("event_type")

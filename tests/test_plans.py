@@ -323,6 +323,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "sim_rocchio_expansion": 3,  # round-1 behind an eager checkpoint; centroid/expansion aggs broadcast back; round 2 = one broadcast pass + rank window
         # round 14:
         "agg_hll_estimate": 5,  # (type,j) register agg + type agg + exact-distinct truth (2) + 5-row sort; join broadcast
+        "agg_f2_sketch": 4,  # one 64-expression sketch agg + exact-F2 two-level agg + 5-row sort; join broadcast
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
@@ -352,6 +353,7 @@ def test_streaming_twin_microbatch_shuffle_budgets(spark, sf_dir):
         "stream_bloom_merge": 1,    # (type, word) bit_or agg
         "stream_quantile_merge": 1,  # per-type bottom-k hash window
         "stream_hll_merge": 1,       # (type, register) max agg
+        "stream_f2_merge": 1,        # one 64-expression per-type agg
     }
     for name, budget in budgets.items():
         streaming_q.PLAN_CAPTURE = {}

@@ -158,3 +158,54 @@ def test_hll_linear_counting_small_range(spark):
     assert abs(est.est_micro / 1e6 - 12) <= 0.39 * 12
     # decoupled truth -> red
     assert abs(est.est_micro // 120 - 1000000) > 390000
+
+
+def test_f2_sketch_state_additive_and_unbiased_construction(spark):
+    # signed sums match a python replica digit-for-digit, per-batch
+    # states merge by plain addition, and the estimate of a known
+    # frequency vector is the exact mean of replica squares
+    import hashlib
+
+    from pyspark.sql import functions as F2
+
+    from kcl_akka_stream_spark.operators.sketches import (
+        f2_estimate,
+        f2_sketch_state,
+    )
+
+    rows = [("t", i % 7) for i in range(200)]  # f_v = ~29 each, F2 known
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    st = f2_sketch_state(df, "event_type", "user_id").collect()[0]
+
+    def sign(r: int, v: int) -> int:
+        h = int(hashlib.md5(f"f2|{r}|{v}".encode()).hexdigest()[0], 16)
+        return 1 - 2 * (h % 2)
+
+    for r in range(64):
+        exp = sum(sign(r, v) for _, v in rows)
+        assert st[f"x_{r}"] == exp, r
+    # additivity: split + sum == direct
+    a = f2_sketch_state(
+        df.filter("user_id < 4"), "event_type", "user_id"
+    ).collect()[0]
+    b = f2_sketch_state(
+        df.filter("user_id >= 4"), "event_type", "user_id"
+    ).collect()[0]
+    for r in range(64):
+        assert a[f"x_{r}"] + b[f"x_{r}"] == st[f"x_{r}"], r
+    # estimator = integer mean of squares
+    est = f2_estimate(
+        f2_sketch_state(df, "event_type", "user_id"), "event_type"
+    ).collect()[0]
+    assert est.est_f2 == sum(st[f"x_{r}"] ** 2 for r in range(64)) // 64
+    # engineered red: a single-key stream (f = [200]) has F2 = 40000 and
+    # EVERY replica sums to +-200, so est is EXACT -- while judging the
+    # same est against a decoupled 10x truth trips the 3-sigma gate
+    one = spark.createDataFrame(
+        [("t", 1)] * 50, "event_type string, user_id long"
+    )
+    e1 = f2_estimate(
+        f2_sketch_state(one, "event_type", "user_id"), "event_type"
+    ).collect()[0]
+    assert e1.est_f2 == 2500  # (+-50)^2 in every replica
+    assert abs(1000000 * e1.est_f2 // 25000 - 1000000) > 530330

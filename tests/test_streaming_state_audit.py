@@ -95,7 +95,7 @@ def test_domain_bound_violation_raises_with_family_name(spark):
 def test_no_data_dependent_driver_fold():
     from kcl_akka_stream_spark.queries.streaming_q import STATE_CARDINALITY
 
-    assert len(STATE_CARDINALITY) == 22  # all 22 mergeable-state families
+    assert len(STATE_CARDINALITY) == 23  # all 23 mergeable-state families
     for fam, (mech, card, _bound, folds) in STATE_CARDINALITY.items():
         assert mech in ("driver-fold", "epoch-union", "checkpoint-fold"), fam
         assert card in ("constant", "group-bounded", "data-dependent"), fam
