@@ -425,6 +425,12 @@ HEADLINE = [
     # round-14 wave 74: AMS F2 self-join-size sketch (batch + 23rd family)
     "agg_f2_sketch",
     "stream_f2_merge",
+    # round-14 wave 75: threshold-free quality-model acceptance
+    "text_quality_model_auc",
+    # round-14 wave 76: Kneser-Ney smoothed bigram LM
+    "text_kneser_ney",
+    # round-14 wave 77: content-defined chunking dedup (Rabin anchors)
+    "dedup_cdc_chunks",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

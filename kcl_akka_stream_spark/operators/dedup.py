@@ -1376,3 +1376,83 @@ def winnowing_fingerprints(
         .distinct()
     )
     return fps
+
+
+def cdc_chunks(
+    df: DataFrame,
+    k: int = 8,
+    mod: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin-anchor scheme of LBFS /
+    Venti, public -- the storage-dedup classic): split each document at
+    ANCHOR tokens, where a token anchors iff the k-token window starting
+    at it hashes to 0 mod ``mod`` (8-hex md5 prefix).  Because anchors
+    depend only on LOCAL content, an insertion re-chunks only the
+    neighborhood of the edit -- every downstream chunk keeps its
+    identity (the shift-invariance fixed-size chunking lacks, pinned by
+    pytest) -- so identical passages in different documents yield
+    byte-identical chunk hashes.  Expected chunk length = ``mod`` tokens.
+
+    EXACT + relational: one posexplode carrying the token array, the
+    anchor flag computed INLINE from a slice of the carried array (no
+    gram join), chunk index = running count of anchors per doc (one
+    bounded window), chunk content re-assembled order-exactly via
+    array_sort over (pos, token) structs.
+
+    Output: one row per (id, chunk_idx, [keep_cols]) with ``chunk_hash``
+    (md5 of the space-joined chunk) and ``chunk_len`` tokens."""
+    from pyspark.sql import Window as W
+
+    from kcl_akka_stream_spark.operators.text import tokens as _tokens
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    keep = list(keep_cols or [])
+    base = spread(df.select(id_col, text_col, *keep)).select(
+        id_col,
+        *keep,
+        _tokens(F.col(text_col)).alias("__t"),
+    )
+    ex = base.select(
+        id_col,
+        *keep,
+        "__t",
+        F.posexplode("__t").alias("pos", "tok"),
+    )
+    anchor = F.expr(
+        f"case when pos + {k} <= size(__t) and"
+        f" cast(conv(substring(md5(array_join(slice(__t, pos + 1, {k}),"
+        f" ' ')), 1, 8), 16, 10) as bigint) % {mod} = 0"
+        " then 1 else 0 end"
+    )
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    idx = ex.select(
+        id_col,
+        *keep,
+        "pos",
+        "tok",
+        F.sum(anchor).over(w).alias("chunk_idx"),
+    )
+    return (
+        idx.groupBy(id_col, *keep, "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("chunk_len"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )

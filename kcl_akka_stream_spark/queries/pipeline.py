@@ -11392,3 +11392,274 @@ def agg_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _qmodel_auc_oracle() -> str:
+    # Extends the shared scored-holdout CTE chain with the tie-corrected
+    # rank-sum: midranks held x2 so everything stays integer
+    # (2*midrank of a tie group = 2*cum_less + c + 1).
+    return _qmodel_scored_sql() + """
+    , g AS (SELECT score_micro, CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(label) AS BIGINT) AS c_pos
+            FROM fin GROUP BY 1),
+    cum AS (SELECT score_micro, c, c_pos,
+                   COALESCE(sum(c) OVER (ORDER BY score_micro
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_less
+            FROM g),
+    tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS np,
+                   CAST(sum(c - c_pos) AS BIGINT) AS nn FROM g),
+    rr AS (SELECT CAST(sum(c_pos * (2 * cum_less + c + 1)) AS BIGINT)
+                    AS sum_r2_pos FROM cum)
+    SELECT t.np AS n_pos, t.nn AS n_neg, r.sum_r2_pos,
+           1000000 * (r.sum_r2_pos - t.np * (t.np + 1))
+             // (2 * t.np * t.nn) AS auc_ppm,
+           CASE WHEN 1000000 * (r.sum_r2_pos - t.np * (t.np + 1))
+                     // (2 * t.np * t.nn) >= 900000
+                THEN 1 ELSE 0 END AS separable
+    FROM tot t, rr r
+    """
+
+
+@query("text_quality_model_auc", _qmodel_auc_oracle())
+def text_quality_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold-free acceptance for the model-based quality scorer
+    # (completes the wave-58 confusion report, which judges ONE cut at
+    # score>0): exact ROC AUC over the held-out scores via the
+    # tie-corrected Mann-Whitney rank sum -- AUC = (sum of positive
+    # midranks - np(np+1)/2) / (np*nn), with midranks held DOUBLED
+    # (2*midrank of a tie group = 2*cum_less + c + 1) so the whole
+    # statistic is exact int64; ppm division at the end only.  The
+    # engineered fixture separates at ~0.99, gated >= 0.90; pytest pins
+    # the red case (labels decoupled from scores -> AUC ~ 0.5).
+    # Shape: scores fold to the DISTINCT-SCORE relation first (one
+    # docs-keyed agg), so the single global cumulative window reads the
+    # data-reduced tie-group relation, never the corpus.
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.operators.quality import (
+        hashed_logodds_fit_score,
+    )
+
+    fx = _qmodel_fixture(tbl(spark, sf_dir, "documents"))
+    scored = hashed_logodds_fit_score(fx)
+    g = scored.groupBy("score_micro").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("label").cast("long").alias("c_pos"),
+    )
+    w = Window.orderBy("score_micro").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.select(
+        "c",
+        "c_pos",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_less"),
+    )
+    return cum.agg(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum(F.expr("c - c_pos")).cast("long").alias("n_neg"),
+        F.sum(F.expr("c_pos * (2 * cum_less + c + 1)"))
+        .cast("long")
+        .alias("sum_r2_pos"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "sum_r2_pos",
+        F.expr(
+            "1000000 * (sum_r2_pos - n_pos * (n_pos + 1))"
+            " div (2 * n_pos * n_neg)"
+        ).alias("auc_ppm"),
+        F.expr(
+            "case when 1000000 * (sum_r2_pos - n_pos * (n_pos + 1))"
+            " div (2 * n_pos * n_neg) >= 900000 then 1 else 0 end"
+        ).alias("separable"),
+    )
+
+
+def _kneser_ney_oracle(topn: int = 50) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    prs AS (
+      SELECT t[i] AS a, t[i + 1] AS b
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)),
+    pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+           FROM prs GROUP BY 1, 2),
+    c1 AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1w1
+           FROM pc GROUP BY a),
+    cw AS (SELECT b, CAST(count(*) AS BIGINT) AS ncw2 FROM pc GROUP BY b),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS npp FROM pc),
+    top AS (SELECT a, b, n_ab FROM pc ORDER BY n_ab DESC, a, b
+            LIMIT {topn})
+    SELECT t.a AS w1, t.b AS w2, t.n_ab AS c12, c.c1, c.n1w1, w.ncw2,
+           np.npp,
+           (1000000 * (4 * t.n_ab - 3)) // (4 * c.c1)
+             + ((3000000 * c.n1w1) // (4 * c.c1))
+               * ((1000000 * w.ncw2) // np.npp) // 1000000 AS p_kn_ppm,
+           1000000 * t.n_ab // c.c1 AS p_mle_ppm
+    FROM top t
+    JOIN c1 c ON c.a = t.a
+    JOIN cw w ON w.b = t.b, np
+    ORDER BY c12 DESC, w1, w2
+    """
+
+
+@query("text_kneser_ney", _kneser_ney_oracle())
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995;
+    # Chen & Goodman 1998 -- THE n-gram LM standard, the smoothing the
+    # backoff-LM family still lacked):
+    #   P(w2|w1) = (c12 - d)+/c1 + d*N1+(w1.)/c1 * N1+(.w2)/N1+(..)
+    # with the discount d = 0.75 held EXACTLY as the rational 3/4 --
+    # everything multiplies through by 4, so the whole statistic is
+    # int64: term1 = 1e6*(4*c12-3) div (4*c1), lambda and the
+    # continuation probability staged as ppm integers whose product
+    # div 1e6 is the interpolation term (each staged division truncates
+    # <= 1 ppm; both engines stage IDENTICALLY).  Reported for the
+    # top-50 bigrams beside the MLE conditional -- the discount/
+    # continuation contrast that makes KN the fluency-model upgrade.
+    # Shape: ONE data-sized pair agg (map-side combine); c1/n1w1/ncw2/
+    # npp all derive from the checkpointed distinct-pair relation,
+    # never a second corpus pass; TakeOrdered picks the top-50.
+    from kcl_akka_stream_spark.operators.text import tokens
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    topn = 50
+    docs = tbl(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    pair_struct = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    pairs = (
+        spread(docs.select("text"))
+        .select(F.explode(pair_struct).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    pc = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .localCheckpoint(eager=True)  # feeds top/c1/cw/npp
+    )
+    c1 = pc.groupBy("a").agg(
+        F.sum("n_ab").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1w1"),
+    )
+    cw = pc.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("ncw2")
+    )
+    npp = pc.agg(F.count(F.lit(1)).cast("long").alias("npp"))
+    top = pc.orderBy(F.col("n_ab").desc(), "a", "b").limit(topn)
+    return (
+        top.join(c1, "a")
+        .join(cw, "b")
+        .crossJoin(F.broadcast(npp))
+        .select(
+            F.col("a").alias("w1"),
+            F.col("b").alias("w2"),
+            F.col("n_ab").alias("c12"),
+            "c1",
+            "n1w1",
+            "ncw2",
+            "npp",
+            F.expr(
+                "(1000000 * (4 * n_ab - 3)) div (4 * c1)"
+                " + ((3000000 * n1w1) div (4 * c1))"
+                " * ((1000000 * ncw2) div npp) div 1000000"
+            ).alias("p_kn_ppm"),
+            F.expr("1000000 * n_ab div c1").alias("p_mle_ppm"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+    )
+
+
+def _cdc_oracle(k: int = 8, mod: int = 64) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    ex AS (
+      SELECT doc_id, lang, t, i - 1 AS pos, t[i] AS tok
+      FROM (SELECT doc_id, lang, t,
+                   unnest(generate_series(1, len(t))) AS i
+            FROM toks)),
+    fl AS (
+      SELECT doc_id, lang, pos, tok,
+             CASE WHEN pos + {k} <= len(t) AND
+                  ('0x' || substr(md5(array_to_string(
+                     list_slice(t, pos + 1, pos + {k}), ' ')), 1, 8)
+                  )::BIGINT % {mod} = 0
+                  THEN 1 ELSE 0 END AS anc
+      FROM ex),
+    idx AS (
+      SELECT doc_id, lang, pos, tok,
+             sum(anc) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS chunk_idx
+      FROM fl),
+    ch AS (
+      SELECT doc_id, lang, chunk_idx,
+             CAST(count(*) AS BIGINT) AS chunk_len,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      FROM idx GROUP BY 1, 2, 3),
+    per AS (
+      SELECT lang, chunk_hash,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(max(chunk_len) AS BIGINT) AS chunk_len
+      FROM ch GROUP BY 1, 2)
+    SELECT lang,
+           CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(n_copies * chunk_len) AS BIGINT) AS total_tokens,
+           CAST(sum((n_copies - 1) * chunk_len) AS BIGINT)
+             AS dup_savings_tokens,
+           CAST(1000 * sum(n_copies * chunk_len) // sum(n_copies)
+                AS BIGINT) AS avg_chunk_len_milli
+    FROM per GROUP BY lang ORDER BY lang
+    """
+
+
+@query("dedup_cdc_chunks", _cdc_oracle())
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content-defined chunking dedup (the Rabin-anchor scheme of LBFS /
+    # Venti, public -- THE storage-dedup classic, and the sub-document
+    # dedup layer between winnowing's fingerprint SELECTION and span
+    # coverage's k-gram density): split every doc at tokens whose
+    # 8-token window hashes to 0 mod 64 (expected 64-token chunks),
+    # hash each chunk, and report per-lang how many tokens identical
+    # cross-doc chunks would save.  Because anchors are LOCAL content
+    # functions, an insertion re-chunks only the edit neighborhood --
+    # downstream chunks keep their identity (shift-invariance, the
+    # property fixed-size chunking lacks, pinned by pytest).
+    # Shape: one posexplode carrying the token array (anchor flag
+    # computed inline from a slice -- no gram join), one bounded
+    # running-count window per doc, two map-side-combinable aggs.
+    from kcl_akka_stream_spark.operators.dedup import cdc_chunks
+
+    docs = tbl(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, k=8, mod=64, keep_cols=["lang"])
+    per = ch.groupBy("lang", "chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.max("chunk_len").cast("long").alias("chunk_len"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("n_copies").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+            F.sum(F.expr("n_copies * chunk_len"))
+            .cast("long")
+            .alias("total_tokens"),
+            F.sum(F.expr("(n_copies - 1) * chunk_len"))
+            .cast("long")
+            .alias("dup_savings_tokens"),
+            F.expr(
+                "cast(1000 * sum(n_copies * chunk_len)"
+                " div sum(n_copies) as bigint)"
+            ).alias("avg_chunk_len_milli"),
+        )
+        .orderBy("lang")
+    )

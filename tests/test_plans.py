@@ -324,6 +324,9 @@ def test_shuffle_budgets(spark, sf_dir):
         # round 14:
         "agg_hll_estimate": 5,  # (type,j) register agg + type agg + exact-distinct truth (2) + 5-row sort; join broadcast
         "agg_f2_sketch": 4,  # one 64-expression sketch agg + exact-F2 two-level agg + 5-row sort; join broadcast
+        "text_quality_model_auc": 7,  # wave-58 fit/score chain (5, checkpointed feats) + distinct-score agg + single-row rank-sum fold
+        "text_kneser_ney": 4,  # spread + pair agg (checkpointed); c1/cw/npp behind the checkpoint; TakeOrdered
+        "dedup_cdc_chunks": 5,  # spread + per-doc anchor window (chunk agg rides it) + (lang,hash) agg + lang agg + tiny sort
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -209,3 +209,127 @@ def test_f2_sketch_state_additive_and_unbiased_construction(spark):
     ).collect()[0]
     assert e1.est_f2 == 2500  # (+-50)^2 in every replica
     assert abs(1000000 * e1.est_f2 // 25000 - 1000000) > 530330
+
+
+def test_quality_model_auc_gate_and_red(spark, sf_dir):
+    # green: the engineered fixture separates at ~0.99 (gated >= 0.90);
+    # red: labels decoupled from scores (random-ish parity label on the
+    # same scores) collapse AUC to ~0.5 -- the gate measures the model
+    from pyspark.sql import functions as F2
+
+    from kcl_akka_stream_spark.operators.quality import (
+        hashed_logodds_fit_score,
+    )
+    from kcl_akka_stream_spark.queries import QUERIES
+    from kcl_akka_stream_spark.queries.pipeline import _qmodel_fixture
+    from kcl_akka_stream_spark.queries.registry import tbl as _tbl
+
+    row = QUERIES["text_quality_model_auc"](spark, sf_dir).collect()[0]
+    assert row.separable == 1
+    assert row.auc_ppm >= 900000
+    assert row.n_pos > 0 and row.n_neg > 0
+
+    # decoupled labels: score with the REAL model, then relabel by a
+    # hash parity orthogonal to the markers -> AUC falls to ~chance
+    fx = _qmodel_fixture(_tbl(spark, sf_dir, "documents"))
+    scored = hashed_logodds_fit_score(fx).withColumn(
+        "label", F2.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int) % 2")
+    )
+    g = scored.groupBy("score_micro").agg(
+        F2.count(F2.lit(1)).alias("c"), F2.sum("label").alias("c_pos")
+    )
+    from pyspark.sql import Window as W2
+
+    w = W2.orderBy("score_micro").rowsBetween(W2.unboundedPreceding, -1)
+    cum = g.select(
+        "c", "c_pos", F2.coalesce(F2.sum("c").over(w), F2.lit(0)).alias("cl")
+    )
+    r = cum.agg(
+        F2.sum("c_pos").alias("np"),
+        F2.sum(F2.expr("c - c_pos")).alias("nn"),
+        F2.sum(F2.expr("c_pos * (2 * cl + c + 1)")).alias("sr"),
+    ).collect()[0]
+    auc = (r.sr - r.np * (r.np + 1)) / (2 * r.np * r.nn)
+    assert abs(auc - 0.5) < 0.2, auc
+
+
+def test_kneser_ney_discounts_and_interpolates(spark, sf_dir):
+    # KN must discount every seen bigram below its MLE estimate unless
+    # the continuation term makes up the difference -- and the discount
+    # mass must be visibly redistributed: p_kn < p_mle for bigrams whose
+    # right word has few predecessors, and p_kn > 0 everywhere.
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["text_kneser_ney"](spark, sf_dir).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.p_kn_ppm > 0
+        assert r.c12 <= r.c1
+        assert r.n1w1 >= 1 and r.ncw2 >= 1
+        # exact replica of the staged-integer formula
+        term1 = (1000000 * (4 * r.c12 - 3)) // (4 * r.c1)
+        lam = (3000000 * r.n1w1) // (4 * r.c1)
+        pc = (1000000 * r.ncw2) // r.npp
+        assert r.p_kn_ppm == term1 + lam * pc // 1000000
+        assert r.p_mle_ppm == 1000000 * r.c12 // r.c1
+    # discounting: the pure-discount term is strictly below MLE for
+    # every seen bigram (3/4 of a count is withheld)
+    assert all(
+        (1000000 * (4 * r.c12 - 3)) // (4 * r.c1) <= r.p_mle_ppm
+        for r in rows
+    )
+
+
+def test_cdc_chunks_shift_invariance(spark):
+    # THE content-defined-chunking property (why Rabin anchors beat
+    # fixed-size splits): prepending a prefix re-chunks only the edit
+    # neighborhood -- downstream chunk hashes keep their identity.
+    from kcl_akka_stream_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"tok{i % 97}x{i % 13}" for i in range(600))
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted preamble words here " + base)],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunks(df, k=8, mod=16).collect()
+    a = {r.chunk_hash for r in ch if r.doc_id == 1}
+    b = {r.chunk_hash for r in ch if r.doc_id == 2}
+    assert len(a) >= 4, len(a)  # the doc actually chunked
+    # all but the first (edit-adjacent) chunks survive the insertion
+    shared = a & b
+    assert len(shared) >= len(a) - 2, (len(a), len(shared))
+    # and a FIXED-size split of the same pair would share nothing: the
+    # contrast that motivates CDC (engineered red for the property)
+    fixed_a = [base.split()[i : i + 64] for i in range(0, 600, 64)]
+    fixed_b_tokens = ("inserted preamble words here " + base).split()
+    fixed_b = [fixed_b_tokens[i : i + 64] for i in range(0, len(fixed_b_tokens), 64)]
+    shared_fixed = {" ".join(c) for c in fixed_a} & {
+        " ".join(c) for c in fixed_b
+    }
+    assert len(shared_fixed) == 0
+
+
+def test_cdc_chunks_partition_doc_exactly(spark, sf_dir):
+    # chunks tile each doc: per-doc chunk lengths sum to the token count
+    from pyspark.sql import functions as F2
+
+    from kcl_akka_stream_spark.operators.dedup import cdc_chunks
+    from kcl_akka_stream_spark.operators.text import tokens
+    from kcl_akka_stream_spark.queries.registry import tbl as _tbl
+
+    docs = _tbl(spark, sf_dir, "documents").limit(50)
+    ch = cdc_chunks(docs, k=8, mod=64)
+    got = {
+        r.doc_id: r.s
+        for r in ch.groupBy("doc_id")
+        .agg(F2.sum("chunk_len").alias("s"))
+        .collect()
+    }
+    exp = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F2.size(tokens(F2.col("text"))).alias("n")
+        ).collect()
+        if r.n > 0
+    }
+    assert got == exp
