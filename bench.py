@@ -431,6 +431,8 @@ HEADLINE = [
     "text_kneser_ney",
     # round-14 wave 77: content-defined chunking dedup (Rabin anchors)
     "dedup_cdc_chunks",
+    # round-14 wave 78: isotonic (PAV) score calibration
+    "text_quality_model_calibration",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -11663,3 +11663,133 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _qmodel_iso_oracle(n_buckets: int = 16) -> str:
+    # PAV via the minimax identity (Ayer et al. 1955): fitted rate of
+    # bucket i = max over j<=i of min over k>=j of the pooled rate of
+    # the interval [j..k] -- exact on the bucket relation (B<=16, so the
+    # interval join is <=256 rows), pooled rates held as ppm integers.
+    return _qmodel_scored_sql() + f"""
+    , bounds AS (SELECT CAST(min(score_micro) AS BIGINT) AS smin,
+                        CAST(max(score_micro) AS BIGINT) AS smax
+                 FROM fin),
+    bk AS (
+      SELECT least(greatest(({n_buckets} * (score_micro - smin))
+                            // (smax - smin + 1), 0), {n_buckets - 1})
+               AS b,
+             label
+      FROM fin, bounds),
+    g AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(label) AS BIGINT) AS pos
+          FROM bk GROUP BY b),
+    pre AS (
+      SELECT b, n, pos,
+             CAST(sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cp
+      FROM g),
+    iv AS (
+      SELECT j.b AS jb, k.b AS kb,
+             1000000 * (k.cp - j.cp + j.pos)
+               // (k.cn - j.cn + j.n) AS r_ppm
+      FROM pre j JOIN pre k ON k.b >= j.b),
+    mj AS (SELECT jb, CAST(min(r_ppm) AS BIGINT) AS m_ppm
+           FROM iv GROUP BY jb),
+    fit AS (
+      SELECT g.b, g.n, g.pos,
+             1000000 * g.pos // g.n AS raw_rate_ppm,
+             CAST(max(m.m_ppm) OVER (ORDER BY g.b
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS iso_rate_ppm
+      FROM g JOIN mj m ON m.jb = g.b)
+    SELECT CAST(b AS BIGINT) AS bucket, n, pos, raw_rate_ppm,
+           iso_rate_ppm
+    FROM fit ORDER BY bucket
+    """
+
+
+@query("text_quality_model_calibration", _qmodel_iso_oracle())
+def text_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Isotonic calibration of the quality-model scores (PAV -- Ayer et
+    # al. 1955; Zadrozny & Elkan 2002's classifier-calibration
+    # standard): held-out scores bucket into 16 fixed-width bins, and
+    # the per-bin positive rate is replaced by the POOLED-ADJACENT-
+    # VIOLATORS fit, computed exactly through the minimax identity
+    # fitted_i = max_{j<=i} min_{k>=j} rate(j..k) over the B-bounded
+    # bucket relation (interval join <= 256 rows; pooled rates as ppm
+    # integers, identical truncation both engines).  The output is the
+    # monotone score -> P(good) mapping a pipeline thresholds against;
+    # monotonicity + the pooling-of-violations behavior are pinned by a
+    # pure-python PAV replica in pytest.  Shape: one fit/score chain
+    # (checkpointed feats), a 2-value bounds fold, one bucket agg; all
+    # PAV algebra runs on the <=16-row relation.
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.operators.quality import (
+        hashed_logodds_fit_score,
+    )
+
+    nb = 16
+    fx = _qmodel_fixture(tbl(spark, sf_dir, "documents"))
+    scored = hashed_logodds_fit_score(fx).localCheckpoint(eager=True)
+    bounds = scored.agg(
+        F.min("score_micro").cast("long").alias("smin"),
+        F.max("score_micro").cast("long").alias("smax"),
+    )
+    bk = scored.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"least(greatest(({nb} * (score_micro - smin))"
+            f" div (smax - smin + 1), 0), {nb - 1})"
+        ).alias("b"),
+        "label",
+    )
+    g = bk.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pre = g.select(
+        "b",
+        "n",
+        "pos",
+        F.sum("n").over(wc).cast("long").alias("cn"),
+        F.sum("pos").over(wc).cast("long").alias("cp"),
+    )
+    j = pre.select(
+        F.col("b").alias("jb"),
+        F.col("n").alias("jn"),
+        F.col("pos").alias("jpos"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+    )
+    k = pre.select(
+        F.col("b").alias("kb"),
+        F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    iv = j.join(F.broadcast(k), F.col("kb") >= F.col("jb")).select(
+        "jb",
+        F.expr(
+            "1000000 * (kcp - jcp + jpos) div (kcn - jcn + jn)"
+        ).alias("r_ppm"),
+    )
+    mj = iv.groupBy("jb").agg(F.min("r_ppm").cast("long").alias("m_ppm"))
+    wmax = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    fit = (
+        g.join(F.broadcast(mj), g["b"] == mj["jb"])
+        .select(
+            "b",
+            "n",
+            "pos",
+            F.expr("1000000 * pos div n").alias("raw_rate_ppm"),
+            F.max("m_ppm").over(wmax).cast("long").alias("iso_rate_ppm"),
+        )
+    )
+    return fit.select(
+        F.col("b").cast("long").alias("bucket"),
+        "n",
+        "pos",
+        "raw_rate_ppm",
+        "iso_rate_ppm",
+    ).orderBy("bucket")

@@ -333,3 +333,56 @@ def test_cdc_chunks_partition_doc_exactly(spark, sf_dir):
         if r.n > 0
     }
     assert got == exp
+
+
+def _pav_replica(pairs):
+    # classic stack PAV over (n, pos) buckets -> fitted ppm per bucket,
+    # pooled rates as integer ppm like the query
+    blocks = []  # (n, pos)
+    for n, pos in pairs:
+        blocks.append([n, pos])
+        while len(blocks) >= 2:
+            (n2, p2), (n1, p1) = blocks[-1], blocks[-2]
+            if 1000000 * p1 // n1 > 1000000 * p2 // n2:
+                blocks[-2:] = [[n1 + n2, p1 + p2]]
+            else:
+                break
+    out = []
+    for n, pos in blocks:
+        out.extend([1000000 * pos // n] * 0)  # lengths handled below
+    # expand: each block covers its member buckets
+    fitted = []
+    i = 0
+    for n, pos in blocks:
+        # count how many original buckets pooled into this block
+        acc_n = 0
+        cnt = 0
+        while acc_n < n:
+            acc_n += pairs[i][0]
+            i += 1
+            cnt += 1
+        fitted.extend([1000000 * pos // n] * cnt)
+    return fitted
+
+
+def test_isotonic_calibration_monotone_and_pools_violations(spark, sf_dir):
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["text_quality_model_calibration"](spark, sf_dir).collect()
+    assert 2 <= len(rows) <= 16
+    iso = [r.iso_rate_ppm for r in rows]
+    assert iso == sorted(iso)  # monotone by construction
+    # calibration direction: top bucket >= bottom bucket and the model
+    # separates (the fixture's markers drive scores)
+    assert iso[-1] > iso[0]
+    # the minimax form agrees with the classic stack-PAV replica
+    # EXCEPT for ppm-truncation ties; verify on the actual buckets
+    pairs = [(r.n, r.pos) for r in rows]
+    fitted = _pav_replica(pairs)
+    got = [r.iso_rate_ppm for r in rows]
+    # pooled-rate truncation can differ by <= 1 ppm between the stack
+    # and minimax forms when a block rate is not an exact ppm; allow 1
+    assert all(abs(a - b) <= 1 for a, b in zip(got, fitted)), (got, fitted)
+    # engineered violation red: a decreasing raw sequence must pool
+    assert _pav_replica([(10, 9), (10, 1)]) == [500000, 500000]
+    assert _pav_replica([(10, 1), (10, 9)]) == [100000, 900000]
