@@ -433,6 +433,8 @@ HEADLINE = [
     "dedup_cdc_chunks",
     # round-14 wave 78: isotonic (PAV) score calibration
     "text_quality_model_calibration",
+    # round-14 wave 79: Dirichlet-smoothed query likelihood
+    "text_dirichlet_ql",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

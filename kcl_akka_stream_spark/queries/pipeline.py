@@ -11793,3 +11793,93 @@ def text_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         "raw_rate_ppm",
         "iso_rate_ppm",
     ).orderBy("bucket")
+
+
+def _dirichlet_ql_oracle(mu: int = 2000, nq: int = 5, topn: int = 20) -> str:
+    ml = (
+        "CAST(round(ln(CAST(c_td * ctot + {mu} * cf AS DOUBLE)"
+        " / CAST((dlen + {mu}) * ctot AS DOUBLE)) * 1000000, 0)"
+        " AS BIGINT)"
+    ).format(mu=mu)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOK}'))
+               AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c_td
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(c_td) AS BIGINT) AS dlen
+           FROM tf GROUP BY doc_id),
+    cf AS (SELECT tok, CAST(sum(c_td) AS BIGINT) AS cf
+           FROM tf GROUP BY tok),
+    ct AS (SELECT CAST(sum(cf) AS BIGINT) AS ctot FROM cf),
+    q AS (SELECT tok, cf FROM cf ORDER BY cf DESC, tok LIMIT {nq}),
+    sc AS (
+      SELECT d.doc_id, d.dlen, q.tok, q.cf, ct.ctot,
+             COALESCE(t.c_td, 0) AS c_td
+      FROM dl d CROSS JOIN q CROSS JOIN ct
+      LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.tok = q.tok),
+    s AS (
+      SELECT doc_id, CAST(max(dlen) AS BIGINT) AS n_tokens,
+             CAST(sum({ml}) AS BIGINT) AS score_micro
+      FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, score_micro
+    FROM s ORDER BY score_micro DESC, doc_id LIMIT {topn}
+    """
+
+
+@query("text_dirichlet_ql", _dirichlet_ql_oracle())
+def text_dirichlet_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001 -- the
+    # language-model IR scorer standing beside BM25 in every retrieval
+    # stack): score(d) = sum over query terms of
+    # ln((c(t,d) + mu * p(t|C)) / (|d| + mu)), mu = 2000.  The query is
+    # the corpus's own top-5 collection-frequency terms (deterministic,
+    # data-derived); every ln argument is ONE rational of int64s
+    # (c_td*ctot + mu*cf over (dlen+mu)*ctot) frozen to micro-nats
+    # per (doc, term) BEFORE the sum -- the backoff-LM freezing rule.
+    # Docs matching no query term still score via pure smoothing mass
+    # (the property that distinguishes QL from BM25's zero).  Shape:
+    # ONE tf agg feeds doc lengths, collection frequencies, the totals
+    # row AND the scores; the query relation (5 rows) and totals
+    # broadcast; per-doc scoring is a docs x 5 left join + one agg.
+    from kcl_akka_stream_spark.operators.text import tokens
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    mu, nq, topn = 2000, 5, 20
+    docs = tbl(spark, sf_dir, "documents")
+    tf = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_td"))
+        .localCheckpoint(eager=True)  # feeds dl, cf, ct AND the scores
+    )
+    dl = tf.groupBy("doc_id").agg(
+        F.sum("c_td").cast("long").alias("dlen")
+    )
+    cf = tf.groupBy("tok").agg(F.sum("c_td").cast("long").alias("cf"))
+    ct = cf.agg(F.sum("cf").cast("long").alias("ctot"))
+    q = cf.orderBy(F.col("cf").desc(), "tok").limit(nq)
+    sc = (
+        dl.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(ct))
+        .join(tf, ["doc_id", "tok"], "left")
+        .select(
+            "doc_id",
+            "dlen",
+            "cf",
+            "ctot",
+            F.coalesce("c_td", F.lit(0)).alias("c_td"),
+        )
+    )
+    ml = (
+        f"cast(round(ln(cast(c_td * ctot + {mu} * cf as double)"
+        f" / cast((dlen + {mu}) * ctot as double)) * 1000000, 0)"
+        " as bigint)"
+    )
+    s = sc.groupBy("doc_id").agg(
+        F.max("dlen").cast("long").alias("n_tokens"),
+        F.sum(F.expr(ml)).cast("long").alias("score_micro"),
+    )
+    return s.orderBy(F.col("score_micro").desc(), "doc_id").limit(topn)
