@@ -435,6 +435,8 @@ HEADLINE = [
     "text_quality_model_calibration",
     # round-14 wave 79: Dirichlet-smoothed query likelihood
     "text_dirichlet_ql",
+    # round-14 wave 80: PPJoin prefix-filtering similarity join
+    "dedup_prefix_filter_pairs",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -11883,3 +11883,156 @@ def text_dirichlet_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(ml)).cast("long").alias("score_micro"),
     )
     return s.orderBy(F.col("score_micro").desc(), "doc_id").limit(topn)
+
+
+def _prefix_filter_oracle() -> str:
+    # t = 0.8; prefix length = n - ceil(0.8 n) + 1, ceil as (8n+9)//10;
+    # jaccard >= 0.8 compared integrally as 5*common >= 4*(union).
+    return f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    freq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+             FROM sh GROUP BY shingle),
+    rk AS (
+      SELECT s.doc_id, s.shingle, z.n_sh,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY f.df, s.shingle) AS rn
+      FROM sh s
+      JOIN freq f ON f.shingle = s.shingle
+      JOIN sizes z ON z.doc_id = s.doc_id),
+    pref AS (SELECT doc_id, shingle FROM rk
+             WHERE rn <= n_sh - (8 * n_sh + 9) // 10 + 1),
+    pfreq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS dfp
+              FROM pref GROUP BY shingle),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pref a JOIN pref b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b),
+    ver AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_verified
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE 5 * i.n_common >= 4 * (sa.n_sh + sb.n_sh - i.n_common)),
+    s1 AS (SELECT CAST(sum(df * (df - 1) // 2) AS BIGINT) AS slots_full
+           FROM freq),
+    s2 AS (SELECT CAST(COALESCE(sum(dfp * (dfp - 1) // 2), 0) AS BIGINT)
+                    AS slots_prefix
+           FROM pfreq),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sizes),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand)
+    SELECT nd.n_docs, s1.slots_full, s2.slots_prefix,
+           1000000 * s2.slots_prefix // s1.slots_full AS reduction_ppm,
+           nc.n_candidates, ver.n_verified
+    FROM nd, s1, s2, nc, ver
+    """
+
+
+@query("dedup_prefix_filter_pairs", _prefix_filter_oracle())
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PREFIX FILTERING for the set-similarity join (Chaudhuri-Ganti-
+    # Kaushik 2006; Xiao et al.'s PPJoin family -- the candidate-
+    # generation optimization every similarity-join engine ships beside
+    # LSH): order each doc's shingles by GLOBAL ascending frequency and
+    # index only the first n - ceil(t*n) + 1 of them (t = 0.8) -- any
+    # pair with Jaccard >= t MUST share a prefix shingle (pigeonhole on
+    # the >= ceil(t*n) overlapping suffix), so the inverted index
+    # shrinks to the rare tokens while staying COMPLETE (pytest pins
+    # candidates == the full-index answer).  Report: index pair-slot
+    # reduction (ppm), candidate count, and exact-verified pairs
+    # (5*common >= 4*union -- 0.8 held rational).  Shape: one shingle
+    # explode feeds sizes/freq/prefix; the self-join touches only the
+    # rare-prefix index; verification joins only candidate docs.
+    from kcl_akka_stream_spark.operators.dedup import _exploded_shingles
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = _exploded_shingles(docs, "text", "doc_id", 3).localCheckpoint(
+        eager=True
+    )  # feeds sizes/freq/prefix/verify
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    freq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    rk = (
+        sh.join(freq, "shingle")
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "shingle",
+            "n_sh",
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    pref = rk.filter(
+        F.expr("rn <= n_sh - (8 * n_sh + 9) div 10 + 1")
+    ).select("doc_id", "shingle").localCheckpoint(eager=True)
+    pfreq = pref.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("dfp")
+    )
+    a = pref.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = pref.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter("id_a < id_b")
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    ver = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+        .filter("5 * n_common >= 4 * (na + nb - n_common)")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+    )
+    s1 = freq.agg(
+        F.sum(F.expr("df * (df - 1) div 2")).cast("long").alias("slots_full")
+    )
+    s2 = pfreq.agg(
+        F.coalesce(F.sum(F.expr("dfp * (dfp - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("slots_prefix")
+    )
+    nd = sizes.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    return (
+        F.broadcast(nd)
+        .crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(ver))
+        .select(
+            "n_docs",
+            "slots_full",
+            "slots_prefix",
+            F.expr("1000000 * slots_prefix div slots_full").alias(
+                "reduction_ppm"
+            ),
+            "n_candidates",
+            "n_verified",
+        )
+    )

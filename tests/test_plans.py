@@ -329,6 +329,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_cdc_chunks": 5,  # spread + per-doc anchor window (chunk agg rides it) + (lang,hash) agg + lang agg + tiny sort
         "text_quality_model_calibration": 9,  # scored relation checkpointed; bounds fold + bucket agg + PAV algebra on the <=16-row relation (windows/interval join bucket-sized)
         "text_dirichlet_ql": 4,  # tf agg checkpointed; dl/cf aggs + score join behind it; query/totals broadcast; TakeOrdered
+        "dedup_prefix_filter_pairs": 11,  # shingle/prefix/candidate relations checkpointed; self-join only on the rare-prefix index; 1-row folds broadcast
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -414,3 +414,61 @@ def test_dirichlet_ql_smoothing_and_ranking(spark, sf_dir):
     # ln(mu*cf / ((dlen+mu)*ctot)) with mu=2000, cf=3, ctot=10, dlen=5
     v = math.log((0 * 10 + 2000 * 3) / ((5 + 2000) * 10))
     assert round(v * 1e6) == -1206470  # frozen: the replica itself pins
+
+
+def test_prefix_filter_completeness(spark):
+    # the PPJoin guarantee: prefix candidates contain EVERY pair with
+    # Jaccard >= t (t = 0.8) -- verified against the brute-force answer
+    # on an engineered corpus with near-dup, partial, and disjoint pairs
+    from kcl_akka_stream_spark.operators.dedup import (
+        _exploded_shingles,
+        shingles,
+    )
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F2
+
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = [
+        (1, base),
+        (2, base + " extra"),                      # J ~ 38/41 > 0.8
+        (3, base.replace("w5", "q5")),             # J ~ high
+        (4, " ".join(f"z{i}" for i in range(40))),  # disjoint
+        (5, base[: len(base) // 2]),               # partial overlap
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = _exploded_shingles(df, "text", "doc_id", 3)
+    sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F2.count(F2.lit(1)).alias("n")).collect()}
+    rows = sh.collect()
+    sets: dict = {}
+    for r in rows:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    truth = set()
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sets[ids[i]], sets[ids[j]]
+            inter = len(a & b)
+            if 5 * inter >= 4 * (len(a) + len(b) - inter):
+                truth.add((ids[i], ids[j]))
+    assert truth, "fixture must contain at least one >=0.8 pair"
+    # build prefix candidates exactly like the query
+    freq = sh.groupBy("shingle").agg(F2.count(F2.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    szdf = sh.groupBy("doc_id").agg(F2.count(F2.lit(1)).alias("n_sh"))
+    pref = (
+        sh.join(freq, "shingle")
+        .join(szdf, "doc_id")
+        .select("doc_id", "shingle", "n_sh", F2.row_number().over(w).alias("rn"))
+        .filter(F2.expr("rn <= n_sh - (8 * n_sh + 9) div 10 + 1"))
+        .select("doc_id", "shingle")
+    )
+    a = pref.select(F2.col("doc_id").alias("id_a"), "shingle")
+    b = pref.select(F2.col("doc_id").alias("id_b"), "shingle")
+    cand = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, "shingle").filter("id_a < id_b").select("id_a", "id_b").distinct().collect()
+    }
+    assert truth <= cand, truth - cand
+    # and it actually filters: some non-matching pair is absent
+    allp = {(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))}
+    assert cand < allp
