@@ -437,6 +437,8 @@ HEADLINE = [
     "text_dirichlet_ql",
     # round-14 wave 80: PPJoin prefix-filtering similarity join
     "dedup_prefix_filter_pairs",
+    # round-14 wave 81: weight-of-evidence / information value
+    "agg_woe_iv",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

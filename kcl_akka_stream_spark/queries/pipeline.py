@@ -12036,3 +12036,120 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_verified",
         )
     )
+
+
+def _woe_iv_oracle(nb: int = 10) -> str:
+    # WOE_b = ln(((pos_b+1)/(POS+B)) / ((neg_b+1)/(NEG+B))) as ONE
+    # rational of int64s, micro-nat frozen per bucket; IV contribution =
+    # share-difference (ppm) * WOE (micro) // 1e6.
+    woe = (
+        "CAST(round(ln(CAST((pos + 1) * (negt + {nb}) AS DOUBLE)"
+        " / CAST((neg + 1) * (post + {nb}) AS DOUBLE)) * 1000000, 0)"
+        " AS BIGINT)"
+    ).format(nb=nb)
+    return f"""
+    WITH ev AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM ev),
+    bk AS (
+      SELECT least(greatest(({nb} * (cents - lo)) // (hi - lo + 1), 0),
+                   {nb - 1}) AS bucket, y
+      FROM ev, bounds),
+    g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(count(*) - sum(y) AS BIGINT) AS neg
+          FROM bk GROUP BY bucket),
+    t AS (SELECT CAST(sum(pos) AS BIGINT) AS post,
+                 CAST(sum(neg) AS BIGINT) AS negt FROM g),
+    w AS (
+      SELECT bucket, n, pos, neg,
+             1000000 * (pos + 1) // (post + {nb})
+               - 1000000 * (neg + 1) // (negt + {nb}) AS dshare_ppm,
+             {woe} AS woe_micro
+      FROM g, t)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n, pos, neg, woe_micro,
+           dshare_ppm * woe_micro // 1000000 AS iv_contrib_micro,
+           CAST(sum(dshare_ppm * woe_micro // 1000000) OVER ()
+                AS BIGINT) AS iv_total_micro
+    FROM w ORDER BY bucket
+    """
+
+
+@query("agg_woe_iv", _woe_iv_oracle())
+def agg_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weight of Evidence / Information Value (the credit-scoring
+    # feature-screening standard; Kullback 1959's J-divergence in
+    # binned form): value deciles vs the purchase outcome.  WOE per
+    # bucket = ln of ONE rational of Laplace-smoothed int64 counts
+    # ((pos_b+1)(NEG+B) over (neg_b+1)(POS+B)), micro-nat frozen; the
+    # IV contribution is share-difference (ppm) x WOE (micro) // 1e6,
+    # and IV total = the symmetric KL between the bucketed class
+    # distributions -- the one-number ranking a feature-selection pass
+    # sorts by.  Shape: one 2-value bounds fold + ONE bucket agg; all
+    # WOE/IV algebra on the 10-row relation.
+    from pyspark.sql import Window
+
+    nb = 10
+    ev = tbl(spark, sf_dir, "events").select(
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        F.expr(
+            "case when event_type = 'purchase' then 1 else 0 end"
+        ).alias("y"),
+    )
+    bounds = ev.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    bk = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"least(greatest(({nb} * (cents - lo)) div (hi - lo + 1), 0),"
+            f" {nb - 1})"
+        ).alias("bucket"),
+        "y",
+    )
+    g = bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    t = g.agg(
+        F.sum("pos").cast("long").alias("post"),
+        F.sum("neg").cast("long").alias("negt"),
+    )
+    woe = (
+        f"cast(round(ln(cast((pos + 1) * (negt + {nb}) as double)"
+        f" / cast((neg + 1) * (post + {nb}) as double)) * 1000000, 0)"
+        " as bigint)"
+    )
+    w = g.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n",
+        "pos",
+        "neg",
+        F.expr(
+            f"1000000 * (pos + 1) div (post + {nb})"
+            f" - 1000000 * (neg + 1) div (negt + {nb})"
+        ).alias("dshare_ppm"),
+        F.expr(woe).alias("woe_micro"),
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        w.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n",
+            "pos",
+            "neg",
+            "woe_micro",
+            F.expr("dshare_ppm * woe_micro div 1000000").alias(
+                "iv_contrib_micro"
+            ),
+            F.sum(F.expr("dshare_ppm * woe_micro div 1000000"))
+            .over(wtot)
+            .cast("long")
+            .alias("iv_total_micro"),
+        )
+        .orderBy("bucket")
+    )

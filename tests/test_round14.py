@@ -472,3 +472,28 @@ def test_prefix_filter_completeness(spark):
     # and it actually filters: some non-matching pair is absent
     allp = {(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))}
     assert cand < allp
+
+
+def test_woe_iv_signs_and_replica(spark, sf_dir):
+    import math
+
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["agg_woe_iv"](spark, sf_dir).collect()
+    assert 2 <= len(rows) <= 10
+    tot = {r.iv_total_micro for r in rows}
+    assert len(tot) == 1  # total repeated consistently
+    # every contribution is non-negative: dshare and WOE share sign
+    # (both compare the same two shifted shares), so IV >= 0 -- the
+    # J-divergence property
+    assert all(r.iv_contrib_micro >= 0 for r in rows)
+    assert tot.pop() == sum(r.iv_contrib_micro for r in rows)
+    # WOE replica on one bucket
+    post = sum(r.pos for r in rows)
+    negt = sum(r.neg for r in rows)
+    r0 = rows[0]
+    exp = round(
+        math.log(((r0.pos + 1) * (negt + 10)) / ((r0.neg + 1) * (post + 10)))
+        * 1e6
+    )
+    assert abs(r0.woe_micro - exp) <= 1
