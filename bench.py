@@ -439,6 +439,8 @@ HEADLINE = [
     "dedup_prefix_filter_pairs",
     # round-14 wave 81: weight-of-evidence / information value
     "agg_woe_iv",
+    # round-14 wave 82: Hilbert-curve layout sink
+    "sink_hilbert_layout",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

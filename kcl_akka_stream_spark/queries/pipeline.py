@@ -12153,3 +12153,91 @@ def agg_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _hilbert_oracle() -> str:
+    top = (1 << _Z_BITS) - 1
+    return f"""
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dy
+      FROM orders),
+    mm AS (
+      SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
+             min(dy) AS dy_lo, max(dy) AS dy_hi
+      FROM o),
+    scaled AS (
+      SELECT CASE WHEN ck_hi > ck_lo
+                  THEN ((ck - ck_lo) * {top}) // (ck_hi - ck_lo) ELSE 0 END AS sck,
+             CASE WHEN dy_hi > dy_lo
+                  THEN ((dy - dy_lo) * {top}) // (dy_hi - dy_lo) ELSE 0 END AS sdy
+      FROM o CROSS JOIN mm),
+    {LO.sql_hilbert_cte("scaled", "sck", "sdy", _Z_BITS)}
+    SELECT hval >> 12 AS hbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN sck < 64 AND sdy < 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rect
+    FROM hout GROUP BY hval >> 12
+    """
+
+
+@query("sink_hilbert_layout", _hilbert_oracle())
+def sink_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hilbert-curve layout sink (Hilbert 1891 xy2d; the space-filling
+    # curve beside Morton in Iceberg-style sort transforms): same
+    # (custkey x order-day) scaling as sink_zorder_roundtrip, but
+    # indexed along the Hilbert walk -- adjacent curve positions are
+    # ALWAYS adjacent grid cells, so a query rectangle touches fewer
+    # distinct curve ranges than under z-order (pytest pins the
+    # fragmentation contrast on the shared 64x64 rectangle).  The walk
+    # is unrolled into 8 pure-integer projection steps (re-masked each
+    # step so no negative intermediate feeds a shift; quadrant code
+    # spelled as CASE -- no XOR portability assumed), verified
+    # bit-for-bit against the canonical xy2d in pytest.  Roundtrip:
+    # write parquet range-partitioned + sorted on hval, read back,
+    # report per-curve-prefix bucket counts + rectangle concentration.
+    import shutil
+    import tempfile
+
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("dy"),
+    )
+    mm = o.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("dy").alias("dy_lo"),
+        F.max("dy").alias("dy_hi"),
+    )
+    scaled = o.crossJoin(F.broadcast(mm)).select(
+        LO.scale_to_bits(
+            F.col("ck"), F.col("ck_lo"), F.col("ck_hi"), _Z_BITS
+        ).alias("sck"),
+        LO.scale_to_bits(
+            F.col("dy"), F.col("dy_lo"), F.col("dy_hi"), _Z_BITS
+        ).alias("sdy"),
+    )
+    h = LO.hilbert_index(scaled, "sck", "sdy", _Z_BITS)
+    out = tempfile.mkdtemp(prefix="kcl_hilbert_sink_")
+    try:
+        LO.zorder_write(h, out, "hval", n_files=8)
+        back = spark.read.parquet(out)
+        return (
+            back.groupBy(F.shiftright(F.col("hval"), 12).alias("hbucket"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.expr(
+                        "case when sck < 64 and sdy < 64 then 1 else 0 end"
+                    )
+                )
+                .cast("long")
+                .alias("n_rect"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

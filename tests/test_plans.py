@@ -331,6 +331,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "text_dirichlet_ql": 4,  # tf agg checkpointed; dl/cf aggs + score join behind it; query/totals broadcast; TakeOrdered
         "dedup_prefix_filter_pairs": 11,  # shingle/prefix/candidate relations checkpointed; self-join only on the rare-prefix index; 1-row folds broadcast
         "agg_woe_iv": 6,  # bounds fold + bucket agg + totals fold + 10-row window/sort
+        "sink_hilbert_layout": 0,  # final plan reads the checkpointed roundtrip (write side range-partitions like zorder)
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

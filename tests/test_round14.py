@@ -497,3 +497,50 @@ def test_woe_iv_signs_and_replica(spark, sf_dir):
         * 1e6
     )
     assert abs(r0.woe_micro - exp) <= 1
+
+
+def test_hilbert_matches_canonical_xy2d(spark):
+    # bit-for-bit pin against the textbook xy2d walk (full-coordinate
+    # mutation form) -- the unrolled masked rewrite must be identical
+    import random
+
+    from kcl_akka_stream_spark.operators.layout import hilbert_index
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    random.seed(14)
+    pts = [(random.randrange(256), random.randrange(256)) for _ in range(200)]
+    pts += [(0, 0), (255, 255), (0, 255), (255, 0), (128, 127)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.x, r.y): r.hval for r in hilbert_index(df, "x", "y", 8).collect()}
+    for x, y in pts:
+        assert got[(x, y)] == xy2d(256, x, y), (x, y)
+
+
+def test_hilbert_beats_zorder_fragmentation(spark, sf_dir):
+    # the property that motivates Hilbert over Morton: the shared 64x64
+    # query rectangle touches no MORE curve-prefix buckets under Hilbert
+    # than under z-order (adjacent curve positions are always adjacent
+    # cells, so ranges fragment less)
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    h = QUERIES["sink_hilbert_layout"](spark, sf_dir).collect()
+    z = QUERIES["sink_zorder_roundtrip"](spark, sf_dir).collect()
+    h_frag = sum(1 for r in h if r.n_rect > 0)
+    z_frag = sum(1 for r in z if r.n_rect > 0)
+    assert h_frag <= z_frag, (h_frag, z_frag)
+    # same rows land in the rectangle either way (the layouts reorder,
+    # never filter)
+    assert sum(r.n_rect for r in h) == sum(r.n_rect for r in z)
+    assert sum(r.n for r in h) == sum(r.n for r in z)
