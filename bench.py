@@ -441,6 +441,8 @@ HEADLINE = [
     "agg_woe_iv",
     # round-14 wave 82: Hilbert-curve layout sink
     "sink_hilbert_layout",
+    # round-14 wave 83: exact-integer power-iteration PC1
+    "emb_power_iteration_pc1",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

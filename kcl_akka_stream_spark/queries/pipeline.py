@@ -12241,3 +12241,144 @@ def sink_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _pc1_oracle(iters: int = 3) -> str:
+    # 3 unrolled von-Mises iterations over the integer covariance
+    # relation; v renormalized to max-abs 1000 (milli) each step with a
+    # deterministic sign rule (component at the smallest dim index
+    # attaining max |w| is made positive).
+    step = """
+    w{i} AS (
+      SELECT c.d, CAST(sum(c.cn * v.vm) AS BIGINT) AS w
+      FROM cov c JOIN v{j} v ON v.d = c.d2 GROUP BY c.d),
+    m{i} AS (
+      SELECT max(abs(w)) AS mx,
+             CAST(min(CASE WHEN abs(w) = (SELECT max(abs(w)) FROM w{i})
+                           THEN d END) AS BIGINT) AS dstar
+      FROM w{i}),
+    s{i} AS (
+      SELECT CASE WHEN w.w >= 0 THEN 1 ELSE -1 END AS sg
+      FROM w{i} w, m{i} m WHERE w.d = m.dstar),
+    v{i} AS (
+      SELECT w.d,
+             CAST(s.sg * (w.w // greatest(m.mx // 1000, 1)) AS BIGINT)
+               AS vm
+      FROM w{i} w, m{i} m, s{i} s)
+    """
+    steps = ",".join(
+        step.format(i=i, j=i - 1) for i in range(1, iters + 1)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, i - 1 AS d,
+             CAST(round(v[i] * 1000000, 0) AS BIGINT) AS em
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    mu AS (SELECT d, CAST(sum(em) // count(*) AS BIGINT) AS mu,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY d),
+    c AS (SELECT e.vec_id, e.d, e.em - m.mu AS cv
+          FROM e JOIN mu m ON m.d = e.d),
+    cov AS (
+      SELECT a.d AS d, b.d AS d2,
+             CAST(sum(a.cv * b.cv) // max(m.n) AS BIGINT) AS cn
+      FROM c a JOIN c b ON b.vec_id = a.vec_id
+      JOIN mu m ON m.d = a.d
+      GROUP BY a.d, b.d),
+    v0 AS (SELECT d, CAST(1000 AS BIGINT) AS vm FROM mu),
+    {steps}
+    SELECT d AS dim, vm AS pc1_milli FROM v{iters} ORDER BY dim
+    """
+
+
+@query("emb_power_iteration_pc1", _pc1_oracle())
+def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First principal component by POWER ITERATION (von Mises-Pollaczek
+    # 1929; the PCA workhorse) held entirely in int64 -- the TextRank /
+    # kmeans exact-iteration machinery pointed at the embedding
+    # covariance: components freeze to micro ints, the centered
+    # covariance folds to ONE 64x64 integer relation (the single
+    # data-sized pass), and 3 unrolled iterations renormalize v to
+    # max-abs 1000 with a deterministic sign rule (component at the
+    # smallest dim index attaining max |w| made positive) -- bit-exact
+    # in both engines, no sqrt/eigen library anywhere.  The dominant
+    # direction is what embedding-drift monitors and whitening passes
+    # start from.  Shape: one (vec, dim) explode + one (d, d2) agg;
+    # every iteration is a 4096-row join -- model-sized, broadcast.
+    from pyspark.sql import Window
+
+    iters = 3
+    emb = tbl(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d", "x"
+        ),
+    ).select(
+        "vec_id",
+        "d",
+        F.expr("cast(round(x * 1000000, 0) as bigint)").alias("em"),
+    )
+    mu = e.groupBy("d").agg(
+        F.expr("cast(sum(em) div count(*) as bigint)").alias("mu"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    c = e.join(F.broadcast(mu), "d").select(
+        "vec_id", "d", (F.col("em") - F.col("mu")).alias("cv"), "n"
+    )
+    a = c.select("vec_id", F.col("d").alias("d"), F.col("cv").alias("ca"), "n")
+    b = c.select("vec_id", F.col("d").alias("d2"), F.col("cv").alias("cb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("d", "d2")
+        .agg(
+            F.expr("cast(sum(ca * cb) div max(n) as bigint)").alias("cn")
+        )
+        .localCheckpoint(eager=True)  # 4096 rows; feeds all iterations
+    )
+    v = mu.select("d", F.lit(1000).cast("long").alias("vm"))
+    for _ in range(iters):
+        w = (
+            cov.join(
+                F.broadcast(v.select(F.col("d").alias("d2"), "vm")), "d2"
+            )
+            .groupBy("d")
+            .agg(F.sum(F.expr("cn * vm")).cast("long").alias("w"))
+            .localCheckpoint(eager=True)  # 64 rows; feeds m/s/v
+        )
+        m = w.agg(
+            F.max(F.abs(F.col("w"))).alias("mx"),
+        ).crossJoin(
+            F.broadcast(
+                w.select(
+                    F.col("d"), F.abs(F.col("w")).alias("aw"), "w"
+                )
+            )
+        )
+        mstar = (
+            w.crossJoin(
+                F.broadcast(w.agg(F.max(F.abs(F.col("w"))).alias("mx")))
+            )
+            .filter(F.expr("abs(w) = mx"))
+            .orderBy("d")
+            .limit(1)
+            .select(
+                "mx",
+                F.expr("case when w >= 0 then 1 else -1 end").alias("sg"),
+            )
+        )
+        # divide-first staging: |w| <= mx, so w div (mx div 1000) lands
+        # at ~+-1000 without the w*1000 product that overflows int64
+        # when covariance magnitudes are large (inputs outside [-1, 1])
+        v = w.crossJoin(F.broadcast(mstar)).select(
+            "d",
+            F.expr(
+                "cast(sg * (w div greatest(mx div 1000, 1)) as bigint)"
+            ).alias("vm"),
+        )
+    return v.select(
+        F.col("d").cast("long").alias("dim"),
+        F.col("vm").alias("pc1_milli"),
+    ).orderBy("dim")

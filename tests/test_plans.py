@@ -332,6 +332,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_prefix_filter_pairs": 11,  # shingle/prefix/candidate relations checkpointed; self-join only on the rare-prefix index; 1-row folds broadcast
         "agg_woe_iv": 6,  # bounds fold + bucket agg + totals fold + 10-row window/sort
         "sink_hilbert_layout": 0,  # final plan reads the checkpointed roundtrip (write side range-partitions like zorder)
+        "emb_power_iteration_pc1": 2,  # (vec,dim) explode + 64x64 covariance agg (checkpointed); iterations are model-sized broadcast joins
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

@@ -544,3 +544,33 @@ def test_hilbert_beats_zorder_fragmentation(spark, sf_dir):
     # never filter)
     assert sum(r.n_rect for r in h) == sum(r.n_rect for r in z)
     assert sum(r.n for r in h) == sum(r.n for r in z)
+
+
+def test_power_iteration_pc1_finds_planted_direction(spark):
+    # engineered covariance: dim 0 carries 10x the variance of the rest,
+    # so the dominant eigenvector must concentrate on dim 0 (|v0|=1000
+    # after max-abs normalization) with a POSITIVE sign by the rule
+    import random
+
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    random.seed(3)
+    rows = []
+    for i in range(300):
+        main = random.gauss(0, 1.0)
+        vec = [main * 3.0] + [random.gauss(0, 0.3) for _ in range(7)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    import kcl_akka_stream_spark.queries.pipeline as P
+
+    # run the query body against the small frame by monkeypatching the
+    # module-level tbl binding pipeline.py imported by name
+    orig = P.tbl
+    try:
+        P.tbl = lambda s, d, n: df
+        out = {r.dim: r.pc1_milli for r in P.emb_power_iteration_pc1(spark, "x").collect()}
+    finally:
+        P.tbl = orig
+    assert len(out) == 8
+    assert abs(out[0]) == 1000  # dominant component saturates the norm
+    assert all(abs(out[d]) < 500 for d in range(1, 8)), out
