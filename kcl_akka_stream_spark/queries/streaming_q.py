@@ -57,7 +57,7 @@ def _capture_plan(tag: str, df: DataFrame) -> None:
         PLAN_CAPTURE.setdefault(tag, []).append(physical_plan(df))
 
 
-#: VERDICT r12 #2: the per-family state-cardinality AUDIT for all 19
+#: VERDICT r12 #2: the per-family state-cardinality AUDIT for all 23
 #: mergeable-state streaming-twin families.  Each entry states HOW the
 #: per-batch state is held and WHY its cardinality cannot grow with row
 #: volume:
