@@ -519,21 +519,25 @@ def f2_sketch_state(
 ) -> DataFrame:
     """AMS F2 (second frequency moment / self-join size) sketch state
     (Alon-Matias-Szegedy 1996, public): ``b`` independent signed sums
-    per group, X_r = sum over rows of s_r(id) where the sign
-    s_r in {-1,+1} comes from the parity of the first hex digit of the
-    seeded md5 -- E[X_r^2] = F2 = sum_v f_v^2 exactly.  All-integer and
-    ADDITIVE: per-partition / per-micro-batch states merge by plain sum
-    (abelian group, the counts/moments algebra), so the sketch streams.
+    per group, X_r = sum over rows of s_r(id) with signs in {-1,+1} --
+    E[X_r^2] = F2 = sum_v f_v^2 exactly.  All-integer and ADDITIVE:
+    per-partition / per-micro-batch states merge by plain sum (abelian
+    group, the counts/moments algebra), so the sketch streams.
 
-    Shape: the b replicas are b aggregate EXPRESSIONS over one pass --
-    b md5 calls per row inside whole-stage codegen, ONE group
-    aggregation with map-side combine, never a b-fold explode.  Output:
-    one row per group with columns x_0..x_{b-1}."""
+    Signs come from md5 HEX-DIGIT PARITIES: replica r reads digit
+    (r mod 32) of md5(seed|r//32|id), so 64 replicas cost TWO md5
+    calls per row (each digest funds 32 sign bits), not 64 -- Spark's
+    aggregate subexpression elimination computes each digest once and
+    the 32 substring parities are byte reads (measured ~3x on the
+    sketch agg).  Shape: the b replicas are b aggregate EXPRESSIONS
+    over one pass, ONE group aggregation with map-side combine, never
+    a b-fold explode.  Output: one row per group, columns x_0..x_{b-1}."""
     sums = []
     for r in range(b):
+        g, pos = r // 32, r % 32 + 1
         sign = (
-            f"1 - 2 * (cast(conv(substring(md5(concat('{seed}|{r}|',"
-            f" cast({id_col} as string))), 1, 1), 16, 10) as int) % 2)"
+            f"1 - 2 * (cast(conv(substring(md5(concat('{seed}|{g}|',"
+            f" cast({id_col} as string))), {pos}, 1), 16, 10) as int) % 2)"
         )
         sums.append(
             F.sum(F.expr(sign)).cast("long").alias(f"x_{r}")

@@ -11316,9 +11316,9 @@ def _f2_oracle(b: int = 64) -> str:
     # and compares against the exact second moment.  Shared by the
     # streaming twin (additive state: merged sums == direct sums).
     xs = ",\n             ".join(
-        f"CAST(sum(1 - 2 * ((('0x' || substr(md5('f2|{r}|' ||"
-        f" CAST(user_id AS VARCHAR)), 1, 1))::BIGINT) % 2)) AS BIGINT)"
-        f" AS x_{r}"
+        f"CAST(sum(1 - 2 * ((('0x' || substr(md5('f2|{r // 32}|' ||"
+        f" CAST(user_id AS VARCHAR)), {r % 32 + 1}, 1))::BIGINT) % 2))"
+        f" AS BIGINT) AS x_{r}"
         for r in range(b)
     )
     sq = " + ".join(f"x_{r} * x_{r}" for r in range(b))

@@ -178,7 +178,11 @@ def test_f2_sketch_state_additive_and_unbiased_construction(spark):
     st = f2_sketch_state(df, "event_type", "user_id").collect()[0]
 
     def sign(r: int, v: int) -> int:
-        h = int(hashlib.md5(f"f2|{r}|{v}".encode()).hexdigest()[0], 16)
+        # digit (r % 32) of md5(seed|r//32|id): 32 sign bits per digest
+        h = int(
+            hashlib.md5(f"f2|{r // 32}|{v}".encode()).hexdigest()[r % 32],
+            16,
+        )
         return 1 - 2 * (h % 2)
 
     for r in range(64):
