@@ -136,6 +136,76 @@ def main() -> None:
             F.sum("duration_ms").alias("tot_ms"),
         )
 
+    def _kneser_pairs(d):
+        # the data-sized portion of text_kneser_ney: the bigram pair agg
+        # plus the model relations derived from it
+        from kcl_akka_stream_spark.operators.text import tokens as _toks
+        from kcl_akka_stream_spark.plans.hygiene import spread as _spread
+
+        t = _toks(F.col("text"))
+        pair_struct = F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        pairs = (
+            _spread(d.select("text"))
+            .select(F.explode(pair_struct).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        )
+        pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+        return pc.groupBy("a").agg(
+            F.sum("n_ab").alias("c1"), F.count(F.lit(1)).alias("n1w1")
+        )
+
+    def _dirichlet_scores(d):
+        # tf agg + per-doc scoring join against a FIXED 5-term query
+        from kcl_akka_stream_spark.operators.text import tokens as _toks
+        from kcl_akka_stream_spark.plans.hygiene import spread as _spread
+
+        tf = (
+            _spread(d.select("doc_id", "text"))
+            .select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("c_td"))
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("c_td").alias("dlen"))
+        cf = tf.groupBy("tok").agg(F.sum("c_td").alias("cf"))
+        q = cf.orderBy(F.col("cf").desc(), "tok").limit(5)
+        return (
+            dl.crossJoin(F.broadcast(q))
+            .join(tf, ["doc_id", "tok"], "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nq"))
+        )
+
+    def _prefix_candidates(d):
+        # the candidate-generation portion of dedup_prefix_filter_pairs
+        from pyspark.sql import Window as _W
+
+        sh = D._exploded_shingles(d, "text", "doc_id", 3)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        w = _W.partitionBy("doc_id").orderBy("df", "shingle")
+        pref = (
+            sh.join(freq, "shingle")
+            .join(sizes, "doc_id")
+            .select(
+                "doc_id", "shingle", "n_sh",
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.expr("rn <= n_sh - (8 * n_sh + 9) div 10 + 1"))
+            .select("doc_id", "shingle")
+        )
+        a = pref.select(F.col("doc_id").alias("id_a"), "shingle")
+        b = pref.select(F.col("doc_id").alias("id_b"), "shingle")
+        return (
+            a.join(b, "shingle")
+            .filter("id_a < id_b")
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
     def _qmodel_score(d):
         from kcl_akka_stream_spark.operators.quality import (
             hashed_logodds_fit_score,
@@ -188,6 +258,15 @@ def main() -> None:
             )
         ),
         "dedup_span_coverage": lambda d: D.duplicate_span_coverage(d, k=8),
+        # round-14 waves 76/77/79/80: KN bigram model, CDC chunking,
+        # Dirichlet QL scoring, prefix-filter candidate generation --
+        # each probe replicates the query's data-sized portion
+        "dedup_cdc_chunks": lambda d: D.cdc_chunks(d, k=8, mod=64)
+        .groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "text_kneser_ney": lambda d: _kneser_pairs(d),
+        "text_dirichlet_ql": lambda d: _dirichlet_scores(d),
+        "dedup_prefix_filter": lambda d: _prefix_candidates(d),
     }
     for name, op in ops.items():
         t1 = timed(lambda: op(docs1))
