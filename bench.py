@@ -443,6 +443,8 @@ HEADLINE = [
     "sink_hilbert_layout",
     # round-14 wave 83: exact-integer power-iteration PC1
     "emb_power_iteration_pc1",
+    # round-14 wave 84: Heaps'-law 3-gram vocabulary-growth fit
+    "text_heaps_law",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -12382,3 +12382,174 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("dim"),
         F.col("vm").alias("pc1_milli"),
     ).orderBy("dim")
+
+
+def _heaps_oracle() -> str:
+    # ln values frozen to micro-nats per point; beta = the integer
+    # least-squares slope over the 10 (ln T_k, ln V_k) points.
+    ml = "CAST(round(ln(CAST({e} AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    toks AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS tok
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM tk WHERE len(t) >= 3)),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+           FROM toks GROUP BY doc_id),
+    rk AS (
+      SELECT doc_id, n_toks,
+             row_number() OVER (ORDER BY doc_id) AS rn,
+             CAST(sum(n_toks) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks,
+             count(*) OVER () AS nd
+      FROM dl),
+    th AS (
+      SELECT CAST(k AS BIGINT) AS decile, r.rn AS prefix_docs,
+             r.cum_toks AS prefix_tokens, r.doc_id AS cut_doc
+      FROM (SELECT unnest(generate_series(1, 10)) AS k),
+           rk r
+      WHERE r.rn = (k * r.nd) // 10),
+    fst AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok),
+    voc AS (
+      SELECT t.decile, t.prefix_docs, t.prefix_tokens,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM th t JOIN fst f ON f.fd <= t.cut_doc
+      GROUP BY 1, 2, 3),
+    pts AS (
+      SELECT decile, prefix_docs, prefix_tokens, vocab,
+             {ml.format(e='prefix_tokens')} // 1000 AS x,
+             {ml.format(e='vocab')} // 1000 AS y
+      FROM voc),
+    ctr AS (
+      SELECT p.decile, p.prefix_docs, p.prefix_tokens, p.vocab,
+             p.x - m.mx AS xc, p.y - m.my AS yc
+      FROM pts p,
+           (SELECT CAST(sum(x) // count(*) AS BIGINT) AS mx,
+                   CAST(sum(y) // count(*) AS BIGINT) AS my
+            FROM pts) m),
+    fit AS (
+      SELECT CAST(sum(xc * yc) * 1000000 // sum(xc * xc) AS BIGINT)
+               AS beta_micro
+      FROM ctr)
+    SELECT c.decile, c.prefix_docs, c.prefix_tokens, c.vocab,
+           f.beta_micro
+    FROM ctr c, fit f
+    ORDER BY c.decile
+    """
+
+
+@query("text_heaps_law", _heaps_oracle())
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heaps' law vocabulary-growth fit (Heaps 1978 / Herdan; the
+    # companion to the Zipf slope already in the registry): V(T) =
+    # K * T^beta, measured at ten corpus prefixes and fitted by least
+    # squares on (ln T, ln V).  The vocabulary is the 3-GRAM vocabulary
+    # (the n-gram Heaps variant): the fixture's unigram lexicon is a
+    # closed 31-word set (V flat, beta 0 -- vacuous), while 3-gram
+    # types grow combinatorially like a real crawl's wordforms.
+    # RELATIONAL prefix vocab -- no order-dependent scan: each gram's
+    # FIRST document (min doc_id) decides which prefixes contain it, so
+    # prefix vocabularies are one first-seen aggregation + a 10-row
+    # threshold join, and prefix gram counts ride a running sum over
+    # the doc-length relation.
+    # Exactness: both lns freeze to micro-nats per point; the slope is
+    # the integer LS formula (n*Sxy - Sx*Sy)*1e6 div (n*Sxx - Sx^2).
+    # English crawls fit beta ~ 0.4-0.6; beta near 1 = vocabulary
+    # exploding linearly (tokenizer-hostile corpus), the signal a
+    # BPE-budget planner reads.  Shape: one token explode feeds the
+    # doc-length agg AND the first-seen agg; everything downstream is
+    # 10-row algebra.
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.operators.dedup import positional_windows
+    from kcl_akka_stream_spark.plans.hygiene import spread
+
+    docs = tbl(spark, sf_dir, "documents")
+    tk = (
+        spread(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(positional_windows(F.col("text"), 3)).alias("tok"),
+        )
+        .localCheckpoint(eager=True)  # feeds dl AND fst
+    )
+    dl = tk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    wo = Window.orderBy("doc_id")
+    rk = dl.select(
+        "doc_id",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("n_toks")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_toks"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("nd"),
+    )
+    ks = spark.range(1, 11).select(F.col("id").cast("long").alias("decile"))
+    th = (
+        rk.crossJoin(F.broadcast(ks))
+        .filter(F.expr("rn = (decile * nd) div 10"))
+        .select(
+            "decile",
+            F.col("rn").cast("long").alias("prefix_docs"),
+            F.col("cum_toks").alias("prefix_tokens"),
+            F.col("doc_id").alias("cut_doc"),
+        )
+        .localCheckpoint(eager=True)  # 10 rows; feeds the vocab join
+    )
+    fst = tk.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    voc = (
+        fst.crossJoin(F.broadcast(th))
+        .filter(F.col("fd") <= F.col("cut_doc"))
+        .groupBy("decile", "prefix_docs", "prefix_tokens")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    # fit inputs in CENTERED milli-nats: micro-scale products overflow
+    # int64 under ANSI (*1e6 staging); milli deviations keep every
+    # product < 1e14 while the slope keeps ppm-class resolution
+    ml = (
+        "cast(round(ln(cast({e} as double)) * 1000000, 0) as bigint)"
+        " div 1000"
+    )
+    pts = voc.select(
+        "decile",
+        "prefix_docs",
+        "prefix_tokens",
+        "vocab",
+        F.expr(ml.format(e="prefix_tokens")).alias("x"),
+        F.expr(ml.format(e="vocab")).alias("y"),
+    ).localCheckpoint(eager=True)  # 10 rows; feeds the fit AND output
+    means = pts.agg(
+        F.expr("cast(sum(x) div count(*) as bigint)").alias("mx"),
+        F.expr("cast(sum(y) div count(*) as bigint)").alias("my"),
+    )
+    ctr = pts.crossJoin(F.broadcast(means)).select(
+        "decile",
+        "prefix_docs",
+        "prefix_tokens",
+        "vocab",
+        (F.col("x") - F.col("mx")).alias("xc"),
+        (F.col("y") - F.col("my")).alias("yc"),
+    ).localCheckpoint(eager=True)
+    fit = ctr.agg(
+        F.expr(
+            "cast(sum(xc * yc) * 1000000 div sum(xc * xc) as bigint)"
+        ).alias("beta_micro")
+    )
+    return (
+        ctr.crossJoin(F.broadcast(fit))
+        .select(
+            "decile", "prefix_docs", "prefix_tokens", "vocab", "beta_micro"
+        )
+        .orderBy("decile")
+    )

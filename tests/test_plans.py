@@ -333,6 +333,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_woe_iv": 6,  # bounds fold + bucket agg + totals fold + 10-row window/sort
         "sink_hilbert_layout": 0,  # final plan reads the checkpointed roundtrip (write side range-partitions like zorder)
         "emb_power_iteration_pc1": 2,  # (vec,dim) explode + 64x64 covariance agg (checkpointed); iterations are model-sized broadcast joins
+        "text_heaps_law": 3,  # gram explode checkpointed; doc-length + first-seen aggs behind it; thresholds/fit 10-row algebra
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

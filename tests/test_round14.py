@@ -578,3 +578,33 @@ def test_power_iteration_pc1_finds_planted_direction(spark):
     assert len(out) == 8
     assert abs(out[0]) == 1000  # dominant component saturates the norm
     assert all(abs(out[d]) < 500 for d in range(1, 8)), out
+
+
+def test_heaps_law_monotone_and_beta(spark, sf_dir):
+    from kcl_akka_stream_spark.queries import QUERIES
+
+    rows = QUERIES["text_heaps_law"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    toks = [r.prefix_tokens for r in rows]
+    vocab = [r.vocab for r in rows]
+    assert toks == sorted(toks) and toks[0] > 0
+    assert vocab == sorted(vocab)  # first-seen vocab is non-decreasing
+    beta = {r.beta_micro for r in rows}
+    assert len(beta) == 1
+    b = beta.pop()
+    # sub-linear growth: 0 < beta < 1 (the Heaps regime); the closed
+    # 31-word UNIGRAM lexicon would have scored ~0 -- the 3-gram
+    # variant is the non-vacuous fit (sf0.001 measures ~0.82)
+    assert 0 < b < 1000000, b
+    # replica of the centered milli-nat LS slope
+    import math
+
+    xs = [round(math.log(t) * 1e6) // 1000 for t in toks]
+    ys = [round(math.log(v) * 1e6) // 1000 for v in vocab]
+    mx, my = sum(xs) // 10, sum(ys) // 10
+    xc = [x - mx for x in xs]
+    yc = [y - my for y in ys]
+    exp = (sum(a * b2 for a, b2 in zip(xc, yc)) * 1000000) // sum(
+        a * a for a in xc
+    )
+    assert b == exp
