@@ -498,9 +498,10 @@ def _calibrate(spark, sf_dir: str, reps: int = 3) -> float:
 #: r11 record ended at 0.292 s (under the old 0.35) yet carried ~10-15%
 #: uniform drift vs the best idle record -- 0.29 demonstrably coexists
 #: with visible contention, so the threshold tightens to 0.30: records
-#: ending above it are flagged, and when several records exist the one
-#: with the LOWEST end calibration is the round's number, not the most
-#: recent (the record-of-record rule).
+#: ending above it are flagged.  When several records exist, the round's
+#: number is chosen by :func:`elect_record` (VERDICT r14 #1), NOT by the
+#: lowest end calibration alone -- see that function's docstring for the
+#: current rule and why the end-cal proxy was demoted to a tiebreaker.
 CONTENDED_CAL_SEC = 0.30
 
 #: VERDICT r13 #2: the r13 driver record carried a 32.5 s mid-run
@@ -536,6 +537,61 @@ def contended_flag(
     if cal_end > CONTENDED_CAL_SEC:
         return True
     return any(s > SEGMENT_CAL_SEC for s in (segments or []))
+
+
+#: Tie window for :func:`elect_record`: totals within 0.5% of each other
+#: are indistinguishable at this host's run-to-run jitter (six clean r14
+#: records on identical plans bracketed 0.818-0.901 s/q, ~10% spread),
+#: so only then does the end calibration break the tie.
+ELECT_TIE_REL = 0.005
+
+
+def elect_record(records: list[dict]) -> dict | None:
+    """Record-of-record election (VERDICT r14 #1): pick the round's
+    official bench number from the candidate records.
+
+    The r12-r14 rule ("lowest end calibration wins") twice elected the
+    SLOWER of two median-equivalent records (r14: D 256.9 s over C
+    247.6 s with per-query median ratio 1.004; F 252.4 s over E 233.9 s
+    at median 1.068) -- the end calibration measures the host at one
+    instant AFTER the run, not the run itself.  With mid-run segment
+    probes now instrumented, cleanliness is a GATE, not a ranking:
+
+    1. eligible = records that are NOT contended (end calibration <=
+       CONTENDED_CAL_SEC and every segment probe <= SEGMENT_CAL_SEC)
+       and that cover the FULL headline (n_queries == the max over
+       candidates -- a partial re-run cannot beat a full record).
+    2. elect the LOWEST total among eligible records.
+    3. the end calibration breaks ties only: totals within
+       ELECT_TIE_REL of the best are a tie -> lowest cal_end wins.
+
+    Each record dict carries ``total`` (sec), ``cal_start``, ``cal_end``,
+    ``segments`` (list of mid-run probe seconds), ``n_queries``.
+    Returns the elected record, or None when no record is eligible
+    (all contended / empty input) -- re-run on an idle host instead of
+    shipping a flagged number."""
+    if not records:
+        return None
+    full = max(r.get("n_queries", 0) for r in records)
+    eligible = [
+        r
+        for r in records
+        if r.get("n_queries", 0) == full
+        and not contended_flag(
+            r.get("cal_start", 0.0),
+            r.get("cal_end", float("inf")),
+            r.get("segments"),
+        )
+    ]
+    if not eligible:
+        return None
+    best_total = min(r["total"] for r in eligible)
+    tied = [
+        r
+        for r in eligible
+        if r["total"] <= best_total * (1.0 + ELECT_TIE_REL)
+    ]
+    return min(tied, key=lambda r: (r.get("cal_end", float("inf")), r["total"]))
 
 
 def history_medians(detail_path: str, sf: float | None) -> dict[str, float]:

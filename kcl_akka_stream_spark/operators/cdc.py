@@ -1,8 +1,8 @@
 """Change-data-capture shaping operators: SCD2 history compaction.
 
 Reference parity: the reference engine (StreetContxt/kcl-akka-stream)
-exposes per-shard ordered record streams (src/main/scala/com/streetcontxt
-/kcl/RecordSource.scala) whose canonical consumer is exactly this shape --
+exposes per-shard ordered record streams (src/main/scala/com/contxt
+/kinesis/KinesisSource.scala) whose canonical consumer is exactly this shape --
 an ordered change feed folded into current/historical state.  The batch
 relational form here is the warehouse-side twin of the streaming CDC
 upsert (queries/streaming_q.py::stream_cdc_upsert).

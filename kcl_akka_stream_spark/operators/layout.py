@@ -148,9 +148,18 @@ def hilbert_index(df: DataFrame, x_col: str, y_col: str, bits: int = 8, out_col:
     shift/AND (two's-complement shift semantics differ across engines).
     The quadrant code (3*rx XOR ry) is spelled as a CASE so no bitwise
     XOR portability is assumed.  Mirrored expression-for-expression by
-    :func:`sql_hilbert_cte`."""
-    cur = df.withColumn("__hx", F.col(x_col).cast("long")).withColumn(
-        "__hy", F.col(y_col).cast("long")
+    :func:`sql_hilbert_cte`.
+
+    Input contract: coordinates are non-negative ``bits``-bit integers.
+    Both engines MASK the inputs to the low ``bits`` on entry (ADVICE
+    r14): without the mask, a coordinate wider than ``bits`` makes
+    rx >= 2 on the first step, and the quadrant CASE (written for
+    rx,ry in {0,1}) silently misclassifies instead of failing."""
+    mask = 1 << bits
+    cur = df.withColumn(
+        "__hx", F.col(x_col).cast("long") % F.lit(mask)
+    ).withColumn(
+        "__hy", F.col(y_col).cast("long") % F.lit(mask)
     ).withColumn("__hd", F.lit(0).cast("long"))
     for b in range(bits - 1, -1, -1):
         s = 1 << b
@@ -190,8 +199,8 @@ def sql_hilbert_cte(base: str, x: str, y: str, bits: int = 8) -> str:
     """DuckDB CTE chain mirroring :func:`hilbert_index` step-for-step:
     returns ``st0 AS (...), st1 AS (...), ...`` where the final CTE
     ``hout`` holds every column of ``base`` plus ``hval``."""
-    ctes = [f"st{bits} AS (SELECT *, CAST({x} AS BIGINT) AS hx,"
-            f" CAST({y} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd"
+    ctes = [f"st{bits} AS (SELECT *, CAST({x} AS BIGINT) % {1 << bits} AS hx,"
+            f" CAST({y} AS BIGINT) % {1 << bits} AS hy, CAST(0 AS BIGINT) AS hd"
             f" FROM {base})"]
     for b in range(bits - 1, -1, -1):
         s = 1 << b

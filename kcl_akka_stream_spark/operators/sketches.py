@@ -429,10 +429,17 @@ def hll_registers(
         f" string))), 1, 15), 16, 10) as bigint)"
     )
     return (
-        df.select(
+        df.select(F.col(group_col), h.alias("__h"))
+        .select(
             F.col(group_col),
-            (h % F.lit(m_low)).alias("__w"),
-            (h / F.lit(m_low)).cast("long").alias("j"),
+            (F.col("__h") % F.lit(m_low)).alias("__w"),
+            # integer division (`div`), NOT `/`: Spark `/` is IEEE double
+            # division, and a 60-bit h is not exactly representable as a
+            # double -- for h within ~64 of a multiple of 2^54 the
+            # truncated quotient lands in the WRONG bucket (h=37*2^54-32
+            # -> 37 via double divide, 36 via integer divide).  The
+            # DuckDB oracle uses exact `//`; mirror it (ADVICE r14).
+            F.expr(f"__h div {m_low}").cast("long").alias("j"),
         )
         .select(
             group_col,

@@ -213,3 +213,78 @@ def narrow_expensive_maps(df: DataFrame, max_parts: int = 2) -> list[dict]:
                         }
                     )
     return flagged
+
+
+#: Global-window audit (VERDICT r14 #4): every ``Window.orderBy(...)``
+#: spec built WITHOUT a ``partitionBy`` collapses its input onto a single
+#: task -- a global sort/scan that is fine on a bounded relation and a
+#: scale-killer on a data-sized one (the r14 ``text_heaps_law`` finding,
+#: since rewritten to a two-pass range-bucketed rank).  Mirroring the
+#: streaming ``STATE_CARDINALITY`` audit: every unpartitioned global
+#: window site in the package must carry a row here stating WHY its
+#: input relation is bounded; ``tests/test_global_window_audit.py``
+#: AST-scans the package and fails on any site without a row (or any
+#: stale row), so the next data-sized global window cannot land
+#: silently.  Keys are (module path relative to the package root,
+#: enclosing function); values are (site count in that function, bound
+#: class note).
+GLOBAL_WINDOW_AUDIT = {
+    ("operators/sampling.py", "dsir_select"): (
+        1,
+        "k-row relation: ranks the .limit(k) top-k selection output; "
+        "k is the caller's selection budget, never the corpus",
+    ),
+    ("queries/core.py", "agg_gini_concentration"): (
+        1,
+        "supplier-bounded: one row per l_suppkey (dimension-table "
+        "cardinality, ~1e4 per SF unit -- not fact-table-sized)",
+    ),
+    ("queries/core.py", "agg_hill_tail_index"): (
+        1,
+        "supplier-bounded: ranks the per-supplier revenue relation",
+    ),
+    ("queries/core.py", "w_trending_decay"): (
+        1,
+        "event-type-bounded: one row per distinct event_type (single "
+        "digits in the fixture; a closed enum, not data-sized)",
+    ),
+    ("queries/core.py", "sample_neyman_allocation"): (
+        1,
+        "event-type-bounded: largest-remainder rank over the per-type "
+        "allocation relation",
+    ),
+    ("queries/pipeline.py", "pipeline_mixture_weights"): (
+        1,
+        "lang-bounded: largest-remainder rank over the per-language "
+        "quota relation (closed language set)",
+    ),
+    ("queries/pipeline.py", "pipeline_token_apportionment"): (
+        1,
+        "lang-bounded: largest-remainder rank over the per-language "
+        "apportionment relation",
+    ),
+    ("queries/pipeline.py", "text_heaps_law"): (
+        1,
+        "literal <= P+1 = 33 rows: prefix-offset window over per-bucket "
+        "totals of the two-pass range-bucketed rank (the r14 global "
+        "window over the per-doc relation is GONE -- pass 1 is "
+        "partitioned by bucket)",
+    ),
+    ("queries/pipeline.py", "text_quality_model_auc"): (
+        1,
+        "distinct-score-bounded, PRACTICAL not provable: the relation "
+        "is one row per distinct hashed-log-odds score_micro after the "
+        "tie-group pre-fold.  Scores are integer micro-log-odds of "
+        "bounded-resolution count ratios, so distinct values are "
+        "typically orders of magnitude below doc count, but an "
+        "adversarial corpus could approach one score per doc -- if "
+        "this family ever feeds unbounded production scoring, re-rank "
+        "via the text_heaps_law two-pass bucketed pattern (VERDICT r14 "
+        "#4 bound note)",
+    ),
+    ("queries/pipeline.py", "text_quality_model_calibration"): (
+        2,
+        "literal 10-row relation: both windows (cumulative counts and "
+        "PAV prefix max) run over the nb=10 score-bucket aggregate",
+    ),
+}

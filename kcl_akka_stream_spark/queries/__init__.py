@@ -22,67 +22,67 @@ from kcl_akka_stream_spark.queries import streaming_q  # noqa: E402,F401
 #: Samplers that take the first N registry entries (the driver's
 #: correctness gate records 50) must see a REPRESENTATIVE slice, not just
 #: whichever module imported first.  The sample ROTATES each round
-#: (VERDICT r5 #2 .. r13 #1).  Round-14 rebuild: flagship + ALL 23
-#: round-13 names never driver-sampled (waves 57-71, promised by this
-#: file's own r13 comment and VERDICT r13 "Next round" #1) + 26 fill
-#: ordered by longest-unsampled (last driver round ascending, then
-#: alphabetical; computed from CORRECTNESS_r*.json) = exactly 50.  New
-#: round-14 queries append AFTER this block and rotate into the r15
-#: sample; each is judge-gated via tools/check_correctness.py the session
-#: it lands.
+#: (VERDICT r5 #2 .. r14 #1).  Round-15 rebuild: flagship + ALL 15
+#: round-14 names never driver-sampled in CORRECTNESS_r01..r14 (waves
+#: 72-84, promised by this file's own r14 comment and VERDICT r14 "Next
+#: round" #1) + 34 fill ordered by longest-unsampled (last driver round
+#: ascending, then alphabetical; computed from CORRECTNESS_r*.json) =
+#: exactly 50.  New round-15 queries append AFTER this block and rotate
+#: into the r16 sample; each is judge-gated via
+#: tools/check_correctness.py the session it lands.
 _PRIORITY = [
     "q1_pricing_summary",
-    # -- the 23 round-13 names never driver-sampled (waves 57-71) --
-    "agg_spearman_corr",
-    "agg_kendall_tau",
-    "agg_theil_sen",
-    "agg_cramers_v",
-    "agg_hodges_lehmann",
-    "scalar_calendar_funcs",
-    "agg_tukey_fences",
-    "multimodal_jpeg_dims",
-    "multimodal_mp3_header",
-    "text_quality_model_scores",
-    "text_quality_model_report",
-    "sample_kcenter_diverse",
-    "text_good_turing",
-    "pipeline_doremi_weights",
-    "dedup_winnowing",
-    "sim_topk_int8_rescore",
-    "sim_int8_recall_report",
-    "emb_centroid_outliers",
-    "text_textrank_keywords",
-    "sample_kcenter_weights",
-    "text_burstiness",
-    "sim_rocchio_expansion",
-    "stream_bloom_merge",
-    # -- rotation fill: 26 longest-unsampled (last sampled r6) --
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pipeline_adaptive_length_filter",
-    "pipeline_compact_shards",
-    "pipeline_export_manifest",
-    "pipeline_incremental_dedup",
-    "pipeline_rebalance_langs",
-    "q12_priority_shipping",
-    "q4_order_priority",
-    "sample_stratified",
-    "sample_weighted",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf_nprobe",
-    "sim_topk_ivf_prebuilt",
-    "sink_keyed_ordered",
-    "sink_partitioned_roundtrip",
-    "stream_checkpoint_frontier",
-    "stream_cms_merge",
-    "stream_committed_sink",
-    "stream_kmv_merge",
-    "stream_quality_filter",
-    "stream_session_window",
-    "stream_sliding_agg",
-    "stream_static_enrich",
-    "text_fingerprint",
-    "text_langid_confusion",
+    # -- the 15 round-14 names never driver-sampled (waves 72-84) --
+    "agg_hll_estimate",
+    "agg_f2_sketch",
+    "text_quality_model_auc",
+    "text_kneser_ney",
+    "dedup_cdc_chunks",
+    "text_quality_model_calibration",
+    "text_dirichlet_ql",
+    "dedup_prefix_filter_pairs",
+    "agg_woe_iv",
+    "sink_hilbert_layout",
+    "emb_power_iteration_pc1",
+    "text_heaps_law",
+    "stream_quantile_merge",
+    "stream_hll_merge",
+    "stream_f2_merge",
+    # -- rotation fill: 34 longest-unsampled (last-sampled round asc, then name) --
+    "text_rolling_fingerprint",
+    "text_token_bpe",
+    "text_winnow_pairs",
+    "u_except",
+    "udf_pandas_vowel_density",
+    "agg_approx_quantile_report",
+    "agg_conditional_funcs",
+    "agg_corr_exact",
+    "agg_outlier_zscore",
+    "agg_unpivot_brand_metrics",
+    "arrow_doc_stats",
+    "dedup_edit_verified",
+    "dedup_semantic",
+    "dedup_semantic_auto",
+    "emb_random_projection",
+    "graph_pagerank_topk",
+    "j_cogroup_interval_counts",
+    "j_lateral_topk",
+    "pipeline_bpe_top_pairs",
+    "pipeline_chunk_docs",
+    "pipeline_snapshot_diff",
+    "pipeline_source_cap",
+    "pipeline_split_leakage_safe",
+    "pipeline_tfidf_topk",
+    "pipeline_train_val_split",
+    "q11_important_supplier_value",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_discounted_revenue",
+    "q20_excess_inventory_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
 ]
 
 

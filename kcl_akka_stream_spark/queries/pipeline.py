@@ -12348,15 +12348,6 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.expr("cn * vm")).cast("long").alias("w"))
             .localCheckpoint(eager=True)  # 64 rows; feeds m/s/v
         )
-        m = w.agg(
-            F.max(F.abs(F.col("w"))).alias("mx"),
-        ).crossJoin(
-            F.broadcast(
-                w.select(
-                    F.col("d"), F.abs(F.col("w")).alias("aw"), "w"
-                )
-            )
-        )
         mstar = (
             w.crossJoin(
                 F.broadcast(w.agg(F.max(F.abs(F.col("w"))).alias("mx")))
@@ -12479,21 +12470,64 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = tk.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_toks")
     )
-    wo = Window.orderBy("doc_id")
-    rk = dl.select(
+    # Distributed two-pass rank + running token sum (VERDICT r14 #2): the
+    # former Window.orderBy("doc_id") over the per-doc relation was a
+    # single-task global sort at corpus scale.  Pass 1: deterministic
+    # range buckets (divide-first width so (doc_id-lo)*P never overflows)
+    # with a PER-BUCKET window -- parallel across buckets, each bucket
+    # ~nd/P rows.  Pass 2: per-bucket totals (<= P+1 rows) prefix-summed
+    # and broadcast back as offsets.  Same rn/cum_toks as the global
+    # window, no data-sized single partition anywhere.
+    P = 32
+    bounds = dl.agg(
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    bw = dl.crossJoin(F.broadcast(bounds)).select(
         "doc_id",
-        F.row_number().over(wo).alias("rn"),
+        "n_toks",
+        "nd",
+        F.expr(f"(doc_id - lo) div (((hi - lo) div {P}) + 1)").alias(
+            "bkt"
+        ),
+    )
+    wloc = Window.partitionBy("bkt").orderBy("doc_id")
+    loc = bw.select(
+        "doc_id",
+        "nd",
+        "bkt",
+        F.row_number().over(wloc).alias("lrn"),
         F.sum("n_toks")
-        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .over(wloc.rowsBetween(Window.unboundedPreceding, 0))
         .cast("long")
-        .alias("cum_toks"),
-        F.count(F.lit(1))
-        .over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
+        .alias("lcum"),
+    ).localCheckpoint(eager=True)  # feeds bucket totals AND offset join
+    tot = loc.groupBy("bkt").agg(
+        F.max("lrn").cast("long").alias("bn"),
+        F.max("lcum").cast("long").alias("bt"),
+    )
+    wb = Window.orderBy("bkt")  # bounded relation: <= P+1 rows
+    off = tot.select(
+        "bkt",
+        (
+            F.sum("bn").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("bn")
         )
-        .alias("nd"),
+        .cast("long")
+        .alias("rn_off"),
+        (
+            F.sum("bt").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("bt")
+        )
+        .cast("long")
+        .alias("tok_off"),
+    )
+    rk = loc.join(F.broadcast(off), "bkt").select(
+        "doc_id",
+        (F.col("lrn") + F.col("rn_off")).alias("rn"),
+        (F.col("lcum") + F.col("tok_off")).alias("cum_toks"),
+        "nd",
     )
     ks = spark.range(1, 11).select(F.col("id").cast("long").alias("decile"))
     th = (

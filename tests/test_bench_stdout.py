@@ -145,41 +145,79 @@ def test_priority_rotation_names_all_registered():
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     # and the rotation really front-loads: the first 50 sampled entries
-    # must include ALL 23 round-13 names never driver-sampled in
-    # CORRECTNESS_r01..r13 (VERDICT r13 "Next round" #1's acceptance bar),
-    # plus exactly 26 rotation-fill names -- 1 flagship + 23 + 26 == 50
+    # must include ALL 15 round-14 names never driver-sampled in
+    # CORRECTNESS_r01..r14 (VERDICT r14 "Next round" #1's acceptance bar),
+    # plus exactly 34 rotation-fill names -- 1 flagship + 15 + 34 == 50
     assert len(_PRIORITY) == 50
     first50 = set(list(QUERIES)[:50])
-    never_sampled = set(_PRIORITY[1:24])
-    assert len(never_sampled) == 23
-    # pin every wave-57..71 name so a partial rotation is caught
+    never_sampled = set(_PRIORITY[1:16])
+    assert len(never_sampled) == 15
+    # pin every wave-72..84 name so a partial rotation is caught
     for name in (
-        "agg_spearman_corr",         # wave 57
-        "agg_kendall_tau",           # wave 57
-        "agg_theil_sen",             # wave 58
-        "agg_cramers_v",             # wave 58
-        "agg_hodges_lehmann",        # wave 59
-        "scalar_calendar_funcs",     # wave 60
-        "agg_tukey_fences",          # wave 70
-        "multimodal_jpeg_dims",      # wave 61
-        "multimodal_mp3_header",     # wave 61
-        "text_quality_model_scores", # wave 62
-        "text_quality_model_report", # wave 62
-        "sample_kcenter_diverse",    # wave 63
-        "sample_kcenter_weights",    # wave 68
-        "text_good_turing",          # wave 64
-        "pipeline_doremi_weights",   # wave 64
-        "dedup_winnowing",           # wave 65
-        "sim_topk_int8_rescore",     # wave 66
-        "sim_int8_recall_report",    # wave 66
-        "emb_centroid_outliers",     # wave 67
-        "text_textrank_keywords",    # wave 67
-        "text_burstiness",           # wave 70
-        "sim_rocchio_expansion",     # wave 71
-        "stream_bloom_merge",        # wave 69
+        "stream_quantile_merge",           # wave 72
+        "agg_hll_estimate",                # wave 73
+        "stream_hll_merge",                # wave 73
+        "agg_f2_sketch",                   # wave 74
+        "stream_f2_merge",                 # wave 74
+        "text_quality_model_auc",          # wave 75
+        "text_kneser_ney",                 # wave 76
+        "dedup_cdc_chunks",                # wave 77
+        "text_quality_model_calibration",  # wave 78
+        "text_dirichlet_ql",               # wave 79
+        "dedup_prefix_filter_pairs",       # wave 80
+        "agg_woe_iv",                      # wave 81
+        "sink_hilbert_layout",             # wave 82
+        "emb_power_iteration_pc1",         # wave 83
+        "text_heaps_law",                  # wave 84
     ):
         assert name in never_sampled, name
     assert never_sampled <= first50, sorted(never_sampled - first50)
+
+
+def test_elect_record_rule():
+    # VERDICT r14 #1: the old "lowest end calibration wins" proxy twice
+    # elected the SLOWER of two median-equivalent records.  The new rule:
+    # cleanliness (end-cal + every segment + full headline) is a GATE,
+    # lowest TOTAL wins, end-cal breaks ties only.  The two r14 misfires
+    # are the regression fixtures (real values from BENCH_DETAIL.jsonl).
+    import bench
+
+    def rec(total, cal_end, nq=286, segments=None, cal_start=0.45):
+        return {
+            "total": total,
+            "cal_start": cal_start,
+            "cal_end": cal_end,
+            "segments": segments if segments is not None else [0.2] * 11,
+            "n_queries": nq,
+        }
+
+    # r14 D-vs-C: old rule elected D (cal 0.178) over C; new rule: C.
+    c = rec(247.608, 0.201, nq=285)
+    d = rec(256.918, 0.178, nq=285)
+    assert bench.elect_record([c, d]) is c
+    # r14 F-vs-E: old rule elected F (cal 0.204) over E; new rule: E.
+    e = rec(233.928, 0.251)
+    f = rec(252.380, 0.204)
+    assert bench.elect_record([e, f]) is e
+    # cleanliness gates: a contended end-cal OR a dirty segment makes a
+    # faster record ineligible, even at a huge total advantage
+    fast_dirty_cal = rec(200.0, 0.31)
+    assert bench.elect_record([fast_dirty_cal, f]) is f
+    fast_dirty_seg = rec(200.0, 0.20, segments=[0.2] * 10 + [0.46])
+    assert bench.elect_record([fast_dirty_seg, f]) is f
+    # partial headline cannot beat a full record
+    fast_partial = rec(150.0, 0.20, nq=200)
+    assert bench.elect_record([fast_partial, f]) is f
+    # tie (within 0.5%): end calibration breaks it
+    t1 = rec(250.00, 0.25)
+    t2 = rec(250.80, 0.15)  # 0.32% slower -> tie -> lower cal wins
+    assert bench.elect_record([t1, t2]) is t2
+    # beyond the tie window the total decides regardless of cal
+    t3 = rec(253.00, 0.10)
+    assert bench.elect_record([t1, t3]) is t1
+    # all contended -> None (re-run, don't ship a flagged number)
+    assert bench.elect_record([rec(200.0, 0.40)]) is None
+    assert bench.elect_record([]) is None
 
 
 def test_bench_record_identity_fields():
