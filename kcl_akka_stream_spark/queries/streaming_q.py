@@ -136,12 +136,16 @@ STATE_CARDINALITY = {
         ("stream_pearson_merge",),
     ),
     "stream_kl_drift_merge": (
-        "driver-fold", "group-bounded", "types x 2 halves x unit bins",
-        ("stream_kl_drift_merge",),
+        "epoch-union", "group-bounded",
+        "types x 2 halves x unit bins -- grows with the value domain"
+        " (migrated off the driver list, VERDICT r14 #5)",
+        (),
     ),
     "stream_ks_merge": (
-        "driver-fold", "group-bounded", "types x 2 halves x deci-bins",
-        ("stream_ks_merge",),
+        "epoch-union", "group-bounded",
+        "types x 2 halves x deci-bins -- grows with the value domain"
+        " (migrated off the driver list, VERDICT r14 #5)",
+        (),
     ),
     "stream_entropy_merge": (
         "driver-fold", "group-bounded", "types x 24 hour cells",
@@ -152,9 +156,10 @@ STATE_CARDINALITY = {
         ("stream_mi_merge",),
     ),
     "stream_ohlc_merge": (
-        "driver-fold", "group-bounded",
-        "types x hourly bars -- grows with stream time-span, not volume",
-        ("stream_ohlc_merge",),
+        "epoch-union", "group-bounded",
+        "types x hourly bars -- grows with stream time-span, not volume"
+        " (migrated off the driver list, VERDICT r14 #5)",
+        (),
     ),
     "stream_topk_merge": (
         "driver-fold", "constant", "windows x k candidates",
@@ -170,9 +175,10 @@ STATE_CARDINALITY = {
         ("stream_minhash_merge",),
     ),
     "stream_bloom_merge": (
-        "driver-fold", "constant",
-        "types x <= 261 words (ceil(m/63), m fixed at 16384)",
-        ("stream_bloom_merge",),
+        "epoch-union", "constant",
+        "types x <= 261 words (ceil(m/63), m fixed at 16384);"
+        " epoch-union anyway -- no driver list (VERDICT r14 #5)",
+        (),
     ),
     "stream_quantile_merge": (
         "driver-fold", "constant",
@@ -2096,11 +2102,19 @@ def stream_kl_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frozen-ln KL fold are all FINALIZE steps that run only after the
     # merge -- smoothing per batch would double-count the prior and
     # break merge == direct.
+    #
+    # VERDICT r14 #5: formerly the joint-largest driver fold
+    # (domain_bound=65536 = types x 2 halves x value-range bins); bins
+    # grow with the VALUE DOMAIN, so a wide-range production stream
+    # outgrows any driver list.  Migrated to the executor-side parquet
+    # epoch-union pattern: per-batch histograms APPEND to a parquet
+    # store, the count merge is the distributed groupBy it always was,
+    # and the result detaches via eager localCheckpoint.
     from pyspark.sql import Window
 
     ev = tbl(spark, sf_dir, "events").select("event_type", "event_id", "value")
     src = tempfile.mkdtemp(prefix="kcl_kl_src_")
-    states: list = []
+    state_dir = tempfile.mkdtemp(prefix="kcl_kl_state_")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(src)
         stream = (
@@ -2110,20 +2124,20 @@ def stream_kl_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def fold_state(batch_df, epoch_id):
-            states.extend(
-                _collect_state(
-                    batch_df.select(
-                        "event_type",
-                        (F.col("event_id") % 2).cast("int").alias("half"),
-                        F.expr(
-                            "cast(floor(value * 100 + 0.5) as bigint) div 100"
-                        ).alias("bin"),
-                    )
-                    .groupBy("event_type", "half", "bin")
-                    .agg(F.count(F.lit(1)).cast("long").alias("c")),
-                    "stream_kl_drift_merge", domain_bound=65536,
+            st = (
+                batch_df.select(
+                    "event_type",
+                    (F.col("event_id") % 2).cast("int").alias("half"),
+                    F.expr(
+                        "cast(floor(value * 100 + 0.5) as bigint) div 100"
+                    ).alias("bin"),
                 )
+                .groupBy("event_type", "half", "bin")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
             )
+            _capture_plan("stream_kl_drift_merge", st)
+            # executor-side state append: no collect(), no driver list
+            st.write.mode("append").parquet(state_dir)
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -2131,9 +2145,9 @@ def stream_kl_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
 
-        st = spark.createDataFrame(
-            states, "event_type string, half int, bin long, c long"
-        )
+        st = spark.read.schema(
+            "event_type string, half int, bin long, c long"
+        ).parquet(state_dir)
         merged = st.groupBy("event_type", "half", "bin").agg(
             F.sum("c").cast("long").alias("c")
         )
@@ -2161,14 +2175,17 @@ def stream_kl_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1e6,
             0,
         ).cast("long")
-        return t.groupBy("event_type").agg(
+        out = t.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("n_bins"),
             F.max("na").cast("long").alias("n_a_smoothed"),
             F.max("nb").cast("long").alias("n_b_smoothed"),
             F.sum(F.col("a1") * term).cast("long").alias("kl_num_micro"),
         )
+        # detach from state_dir before the finally-rmtree, types-sized
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def _ks_drift_oracle() -> str:
@@ -2187,11 +2204,17 @@ def stream_ks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max-gap fold are all FINALIZE steps that run only after the merge
     # -- a per-batch CDF would be meaningless (cumulative sums do not
     # merge; counts do).
+    #
+    # VERDICT r14 #5: formerly the joint-largest driver fold
+    # (domain_bound=65536, same deci-bin domain argument as the KL
+    # twin); migrated to the executor-side parquet epoch-union pattern
+    # -- per-batch histograms append executor-side, the count merge is
+    # distributed, the result detaches via eager localCheckpoint.
     from pyspark.sql import Window
 
     ev = tbl(spark, sf_dir, "events").select("event_type", "event_id", "value")
     src = tempfile.mkdtemp(prefix="kcl_ks_src_")
-    states: list = []
+    state_dir = tempfile.mkdtemp(prefix="kcl_ks_state_")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(src)
         stream = (
@@ -2201,20 +2224,20 @@ def stream_ks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def fold_state(batch_df, epoch_id):
-            states.extend(
-                _collect_state(
-                    batch_df.select(
-                        "event_type",
-                        (F.col("event_id") % 2).cast("int").alias("half"),
-                        F.expr(
-                            "cast(floor(value * 10 + 0.5) as bigint)"
-                        ).alias("bin"),
-                    )
-                    .groupBy("event_type", "half", "bin")
-                    .agg(F.count(F.lit(1)).cast("long").alias("c")),
-                    "stream_ks_merge", domain_bound=65536,
+            st = (
+                batch_df.select(
+                    "event_type",
+                    (F.col("event_id") % 2).cast("int").alias("half"),
+                    F.expr(
+                        "cast(floor(value * 10 + 0.5) as bigint)"
+                    ).alias("bin"),
                 )
+                .groupBy("event_type", "half", "bin")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
             )
+            _capture_plan("stream_ks_merge", st)
+            # executor-side state append: no collect(), no driver list
+            st.write.mode("append").parquet(state_dir)
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -2222,9 +2245,9 @@ def stream_ks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
 
-        st = spark.createDataFrame(
-            states, "event_type string, half int, bin long, c long"
-        )
+        st = spark.read.schema(
+            "event_type string, half int, bin long, c long"
+        ).parquet(state_dir)
         # merge (plain addition on the state key) and pivot the halves in
         # the SAME agg -- the finalize needs no per-half relation or
         # alignment join
@@ -2249,7 +2272,7 @@ def stream_ks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ca").over(wall).alias("na"),
             F.sum("cb").over(wall).alias("nb"),
         )
-        return cum.groupBy("event_type").agg(
+        out = cum.groupBy("event_type").agg(
             F.max("na").cast("long").alias("na"),
             F.max("nb").cast("long").alias("nb"),
             # ppm scaling is ONE shared IEEE double op (gini_ppm pattern;
@@ -2260,8 +2283,11 @@ def stream_ks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * 1000000.0 / (cast(max(na) as double) * max(nb))) as bigint)"
             ).alias("ks_ppm"),
         )
+        # detach from state_dir before the finally-rmtree, types-sized
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def _entropy_oracle() -> str:
@@ -2428,9 +2454,19 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # addition like every other family; the lattice components are why
     # "mergeable state" means commutative-associative-idempotent-capable
     # combination, not just sums.
+    #
+    # VERDICT r14 #5: this was the largest-bound driver fold
+    # (domain_bound=35328 = types x hourly bars); bars grow with the
+    # stream's TIME-SPAN, so on a years-long production stream the
+    # driver list is the wrong place for the state.  Migrated to the
+    # executor-side parquet epoch-union pattern proven by
+    # stream_bitmap_merge / stream_session_merge: per-batch bar states
+    # APPEND to a parquet store (no collect(), no driver list), the
+    # lattice merge runs as the distributed groupBy it always was, and
+    # the result detaches via eager localCheckpoint.
     ev = tbl(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
     src = tempfile.mkdtemp(prefix="kcl_ohlc_src_")
-    states: list = []
+    state_dir = tempfile.mkdtemp(prefix="kcl_ohlc_state_")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(src)
         stream = (
@@ -2441,7 +2477,7 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def fold_state(batch_df, epoch_id):
             x = F.expr("cast(floor(value * 10 + 0.5) as bigint)")
-            st = _collect_state(
+            st = (
                 batch_df.select(
                     "event_type",
                     F.date_trunc("hour", "ts").alias("bar"),
@@ -2455,19 +2491,22 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.min("x").alias("l"),
                     F.max("okey").alias("c"),
                     F.count(F.lit(1)).alias("n"),
-                ),
-                "stream_ohlc_merge", domain_bound=35328,
-            )
-            for r in st:
-                states.append(
-                    (
-                        r.event_type, r.bar,
-                        r.o.ts, r.o.event_id, r.o.x,
-                        r.h, r.l,
-                        r.c.ts, r.c.event_id, r.c.x,
-                        r.n,
-                    )
                 )
+                .select(
+                    "event_type", "bar",
+                    F.col("o.ts").alias("o_ts"),
+                    F.col("o.event_id").alias("o_id"),
+                    F.col("o.x").alias("o_x"),
+                    "h", "l",
+                    F.col("c.ts").alias("c_ts"),
+                    F.col("c.event_id").alias("c_id"),
+                    F.col("c.x").alias("c_x"),
+                    F.col("n").cast("long").alias("n"),
+                )
+            )
+            _capture_plan("stream_ohlc_merge", st)
+            # executor-side state append: no collect(), no driver list
+            st.write.mode("append").parquet(state_dir)
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -2475,12 +2514,11 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
 
-        st = spark.createDataFrame(
-            states,
+        st = spark.read.schema(
             "event_type string, bar timestamp, o_ts timestamp, o_id long,"
             " o_x long, h long, l long, c_ts timestamp, c_id long, c_x long,"
-            " n long",
-        )
+            " n long"
+        ).parquet(state_dir)
         merged = st.groupBy("event_type", "bar").agg(
             F.min(F.struct("o_ts", "o_id", "o_x")).alias("o"),
             F.max("h").alias("h"),
@@ -2488,7 +2526,7 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.struct("c_ts", "c_id", "c_x")).alias("c"),
             F.sum("n").cast("long").alias("n"),
         )
-        return merged.select(
+        out = merged.select(
             "event_type",
             F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
             "n",
@@ -2497,8 +2535,11 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l").cast("long").alias("low_deci"),
             F.col("c.c_x").cast("long").alias("close_deci"),
         )
+        # detach from state_dir before the finally-rmtree, bar-sized
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 @query(
@@ -2838,9 +2879,15 @@ def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(k_hashes)
         ]
 
+    # VERDICT r14 #5: although the Bloom state is CONSTANT-bounded
+    # (types x ceil(m/63) words), it was the largest remaining driver
+    # fold after the domain-growing families migrated; the epoch-union
+    # pattern costs nothing here and removes the driver list entirely --
+    # per-batch word states append executor-side, the bit_or merge is
+    # distributed, the result detaches via eager localCheckpoint.
     ev = tbl(spark, sf_dir, "events").select("event_type", "user_id")
     src = tempfile.mkdtemp(prefix="kcl_bloom_src_")
-    state_rows: list = []
+    state_dir = tempfile.mkdtemp(prefix="kcl_bloom_state_")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(src)
         stream = (
@@ -2865,7 +2912,9 @@ def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("event_type", "wrd")
                 .agg(F.bit_or("msk").alias("bits"))
             )
-            state_rows.extend(_collect_state(st, "stream_bloom_merge", domain_bound=8352))
+            _capture_plan("stream_bloom_merge", st)
+            # executor-side state append: no collect(), no driver list
+            st.write.mode("append").parquet(state_dir)
 
         q = stream.writeStream.foreachBatch(fold_state).start()
         try:
@@ -2873,9 +2922,9 @@ def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
 
-        st = spark.createDataFrame(
-            state_rows, "event_type string, wrd long, bits long"
-        )
+        st = spark.read.schema(
+            "event_type string, wrd long, bits long"
+        ).parquet(state_dir)
         words = st.groupBy("event_type", "wrd").agg(
             F.bit_or("bits").alias("bits")
         ).localCheckpoint(eager=True)  # feeds the census AND the probe panel
@@ -2926,7 +2975,7 @@ def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * ln(cast({m_bits} - n_bits_set as double) / {m_bits})"
             " * 1000000, 0) as bigint) end"
         )
-        return (
+        out = (
             filt.join(truth, "event_type")
             .join(fp, "event_type", "left")
             .select(
@@ -2940,8 +2989,11 @@ def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(est).alias("est_keys_micro"),
             )
         )
+        # detach from state_dir before the finally-rmtree, types-sized
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def _quantile_merge_oracle(k: int = 256, n_dec: int = 9) -> str:

@@ -111,12 +111,28 @@ def test_no_data_dependent_driver_fold():
 
 
 def test_epoch_union_families_never_touch_collect_state():
-    # The two data-dependent families must not regress to a driver fold:
-    # their function bodies may not reference _collect_state at all and
-    # must detach via eager localCheckpoint.
+    # Epoch-union families must not regress to a driver fold: their
+    # function bodies may not reference _collect_state at all and must
+    # detach via eager localCheckpoint.  The set covers the two
+    # data-dependent families AND the four former largest-bound driver
+    # folds migrated in r15 (VERDICT r14 #5).
     from kcl_akka_stream_spark.queries import streaming_q
+    from kcl_akka_stream_spark.queries.streaming_q import STATE_CARDINALITY
 
-    for fam in ("stream_session_merge", "stream_bitmap_merge"):
+    epoch_union = sorted(
+        fam
+        for fam, (mech, *_rest) in STATE_CARDINALITY.items()
+        if mech == "epoch-union"
+    )
+    assert epoch_union == [
+        "stream_bitmap_merge",
+        "stream_bloom_merge",
+        "stream_kl_drift_merge",
+        "stream_ks_merge",
+        "stream_ohlc_merge",
+        "stream_session_merge",
+    ]
+    for fam in epoch_union:
         src = inspect.getsource(getattr(streaming_q, fam))
         assert "_collect_state(" not in src, fam
         assert "localCheckpoint" in src, fam
