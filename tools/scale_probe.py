@@ -216,6 +216,77 @@ def main() -> None:
             "label", "pred"
         ).agg(F.count(F.lit(1)).alias("n"))
 
+    def _heaps_prefix_vocab(d):
+        # the data-sized portion of text_heaps_law AFTER the r15 rewrite
+        # (VERDICT r14 #2): 3-gram explode -> doc-length agg -> TWO-PASS
+        # bucketed rank (per-bucket windows + broadcast prefix offsets,
+        # no unpartitioned global window) -> first-seen agg -> 10-row
+        # threshold join.  The 10-row LS fit is excluded (constant).
+        from pyspark.sql import Window as _W
+
+        from kcl_akka_stream_spark.operators.dedup import positional_windows
+        from kcl_akka_stream_spark.plans.hygiene import spread as _spread
+
+        tk = (
+            _spread(d.select("doc_id", "text"))
+            .select(
+                "doc_id",
+                F.explode(positional_windows(F.col("text"), 3)).alias("tok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+        P = 32
+        bounds = dl.agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        bw = dl.crossJoin(F.broadcast(bounds)).select(
+            "doc_id", "n_toks", "nd",
+            F.expr(f"(doc_id - lo) div (((hi - lo) div {P}) + 1)").alias("bkt"),
+        )
+        wloc = _W.partitionBy("bkt").orderBy("doc_id")
+        loc = bw.select(
+            "doc_id", "nd", "bkt",
+            F.row_number().over(wloc).alias("lrn"),
+            F.sum("n_toks")
+            .over(wloc.rowsBetween(_W.unboundedPreceding, 0))
+            .alias("lcum"),
+        )
+        tot = loc.groupBy("bkt").agg(
+            F.max("lrn").alias("bn"), F.max("lcum").alias("bt")
+        )
+        wb = _W.orderBy("bkt")  # bounded: <= P+1 rows
+        off = tot.select(
+            "bkt",
+            (F.sum("bn").over(wb.rowsBetween(_W.unboundedPreceding, 0)) - F.col("bn")).alias("rn_off"),
+            (F.sum("bt").over(wb.rowsBetween(_W.unboundedPreceding, 0)) - F.col("bt")).alias("tok_off"),
+        )
+        rk = loc.join(F.broadcast(off), "bkt").select(
+            "doc_id",
+            (F.col("lrn") + F.col("rn_off")).alias("rn"),
+            (F.col("lcum") + F.col("tok_off")).alias("cum_toks"),
+            "nd",
+        )
+        ks = d.sparkSession.range(1, 11).select(F.col("id").alias("decile"))
+        th = (
+            rk.crossJoin(F.broadcast(ks))
+            .filter(F.expr("rn = (decile * nd) div 10"))
+            .select(
+                "decile",
+                F.col("doc_id").alias("cut_doc"),
+                F.col("cum_toks").alias("prefix_tokens"),
+            )
+        )
+        fst = tk.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+        return (
+            fst.crossJoin(F.broadcast(th))
+            .filter(F.col("fd") <= F.col("cut_doc"))
+            .groupBy("decile", "prefix_tokens")
+            .agg(F.count(F.lit(1)).alias("vocab"))
+        )
+
     ops = {
         "dedup_exact": lambda d: D.exact_dedup(d),
         "dedup_simhash": lambda d: D.simhash(d),
@@ -267,7 +338,23 @@ def main() -> None:
         "text_kneser_ney": lambda d: _kneser_pairs(d),
         "text_dirichlet_ql": lambda d: _dirichlet_scores(d),
         "dedup_prefix_filter": lambda d: _prefix_candidates(d),
+        # round-15: Heaps'-law prefix-vocab after the two-pass bucketed
+        # rank rewrite (VERDICT r14 #2)
+        "text_heaps_rank": lambda d: _heaps_prefix_vocab(d),
     }
+    only = os.environ.get("SCALE_PROBE_ONLY")
+    if only:
+        # doc-shaped subset re-measure (new-wave rows): run just the
+        # named ops, then stop before the embeddings/storage sections
+        ops = {k: v for k, v in ops.items() if k in only.split(",")}
+        for name, op in ops.items():
+            t1 = timed(lambda: op(docs1))
+            tn = timed(lambda: op(docs_n))
+            print(
+                f"{name:22s} 1x={t1:6.2f}s  {repl}x={tn:6.2f}s"
+                f"  ratio={tn / t1:5.2f}"
+            )
+        return
     for name, op in ops.items():
         t1 = timed(lambda: op(docs1))
         tn = timed(lambda: op(docs_n))
