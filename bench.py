@@ -445,6 +445,16 @@ HEADLINE = [
     "emb_power_iteration_pc1",
     # round-14 wave 84: Heaps'-law 3-gram vocabulary-growth fit
     "text_heaps_law",
+    # round-15 wave 85: PII census + redaction sizing
+    "text_pii_scan",
+    # round-15 wave 86: within-doc repetition flags (Gopher class)
+    "text_repetition_flags",
+    # round-15 wave 87: Chao1 unseen-vocabulary richness
+    "agg_chao1_richness",
+    # round-15 wave 88: exact tie-corrected average precision
+    "agg_pr_auc",
+    # round-15 wave 89: Murphy decomposition of the Brier score
+    "text_brier_decomposition",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

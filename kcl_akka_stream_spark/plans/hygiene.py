@@ -282,6 +282,13 @@ GLOBAL_WINDOW_AUDIT = {
         "via the text_heaps_law two-pass bucketed pattern (VERDICT r14 "
         "#4 bound note)",
     ),
+    ("queries/pipeline.py", "agg_pr_auc"): (
+        1,
+        "distinct-score-bounded, PRACTICAL not provable: the same "
+        "tie-group pre-fold relation as text_quality_model_auc (see "
+        "that row's bound note); the descending cumulative window "
+        "reads one row per distinct score_micro",
+    ),
     ("queries/pipeline.py", "text_quality_model_calibration"): (
         2,
         "literal 10-row relation: both windows (cumulative counts and "

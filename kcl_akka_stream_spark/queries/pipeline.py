@@ -12587,3 +12587,537 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 waves: PII scan, repetition flags, containment dedup, richness,
+# PR-AUC, Brier decomposition, sequence packing
+# ---------------------------------------------------------------------------
+
+#: PII detector patterns, written WITHOUT backslash classes ([0-9], [.])
+#: so the same literal string is a valid, identically-behaving regex in
+#: BOTH engines: Spark SQL string literals process backslash escapes
+#: (so '\\d' in SQL is '\d' to the regex) while DuckDB's do not -- the
+#: one syntax that needs no per-engine escaping is the char-class form.
+#: Java regex and RE2 agree on char classes, bounded quantifiers and
+#: leftmost non-overlapping regexp_extract_all semantics (probed in
+#: tests/test_round15.py).  Patterns are the classic scanner set: email,
+#: IPv4, NANP 555 phone, SSN-shaped id.
+_PII_PATTERNS = {
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    "phone": "555-[0-9]{4}",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def _pii_fixture_sql() -> str:
+    # Engineered-injection corpus (the acceptance-contract pattern of
+    # _qmodel_fixture_sql): the synthetic documents contain no PII, so
+    # deterministic residue-class injections create a KNOWN census the
+    # scan must recover exactly -- every 3rd doc an email, every 5th an
+    # IPv4, every 7th a 555-phone, every 11th an SSN-shaped id (docs on
+    # multiple residues get multiple kinds).
+    return """
+    pii AS (
+      SELECT doc_id, lang, text
+        || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN ' id 078-05-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        AS text2
+      FROM documents)
+    """
+
+
+def _pii_fixture(docs: DataFrame) -> DataFrame:
+    """Spark side of the PII-injection corpus: (doc_id, lang, text2)."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "text"
+            " || CASE WHEN doc_id % 3 = 0 THEN ' contact user'"
+            " || CAST(doc_id AS STRING) || '@example.com' ELSE '' END"
+            " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'"
+            " || CAST(doc_id % 256 AS STRING) || '.0.'"
+            " || CAST(doc_id % 100 AS STRING) ELSE '' END"
+            " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'"
+            " || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END"
+            " || CASE WHEN doc_id % 11 = 0 THEN ' id 078-05-'"
+            " || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END"
+        ).alias("text2"),
+    )
+
+
+def _pii_oracle() -> str:
+    kinds = list(_PII_PATTERNS)
+    cols = []
+    for k in kinds:
+        p = _PII_PATTERNS[k]
+        cols.append(
+            f"CAST(sum(CASE WHEN len(regexp_extract_all(text2, '{p}')) > 0"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS docs_{k}"
+        )
+        cols.append(
+            f"CAST(sum(len(regexp_extract_all(text2, '{p}'))) AS BIGINT)"
+            f" AS n_{k}"
+        )
+    # DuckDB array_to_string over an EMPTY list yields NULL (Spark
+    # array_join yields '') -- coalesce to 0 for no-match docs
+    redact = " + ".join(
+        "COALESCE(length(array_to_string("
+        f"regexp_extract_all(text2, '{p}'), '')), 0)"
+        for p in _PII_PATTERNS.values()
+    )
+    return f"""
+    WITH {_pii_fixture_sql()}
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           {', '.join(cols)},
+           CAST(sum({redact}) AS BIGINT) AS redact_chars
+    FROM pii GROUP BY lang ORDER BY lang
+    """
+
+
+@query("text_pii_scan", _pii_oracle())
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII census + redaction sizing -- the scrubbing pass every
+    # training-data pipeline runs before release (public pattern: the
+    # C4 / Dolma cleanup stages).  Per language: documents containing /
+    # total occurrences of each PII kind, plus the total matched
+    # characters (the redaction budget: how many bytes a masking pass
+    # rewrites).  The fixture injects a deterministic census
+    # (_pii_fixture_sql) the scan must recover -- residue classes make
+    # the expected counts exactly computable, so a broken regex or a
+    # drifted extract-all semantics fails the oracle, not just a test.
+    #
+    # Scale shape: pure map-side regexp_extract_all projections (one
+    # pass over text, whole-stage codegen, no Python) + ONE combinable
+    # per-lang aggregation -- the same single-exchange census shape as
+    # the multimodal header walks.  At 100 TB the scan cost is the text
+    # read itself; nothing shuffles but lang-sized partial aggregates.
+    d = _pii_fixture(tbl(spark, sf_dir, "documents"))
+    proj = d.select(
+        "lang",
+        *[
+            F.expr(f"regexp_extract_all(text2, '{p}', 0)").alias(k)
+            for k, p in _PII_PATTERNS.items()
+        ],
+    )
+    aggs = []
+    for k in _PII_PATTERNS:
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN size({k}) > 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"docs_{k}")
+        )
+        aggs.append(F.sum(F.expr(f"size({k})")).cast("long").alias(f"n_{k}"))
+    redact = " + ".join(
+        f"length(array_join({k}, ''))" for k in _PII_PATTERNS
+    )
+    return (
+        proj.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *aggs,
+            F.sum(F.expr(redact)).cast("long").alias("redact_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _repetition_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    tri AS (
+      SELECT doc_id, lang, len(t) AS n_tok,
+             CASE WHEN len(t) >= 3
+                  THEN [array_to_string(list_slice(t, i, i + 2), ' ')
+                        FOR i IN generate_series(1, len(t) - 2)]
+                  ELSE [] END AS g3
+      FROM toks),
+    per_doc AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(len(list_distinct(g3)) AS BIGINT) AS d3,
+             CAST(len(g3) AS BIGINT) AS n3
+      FROM tri WHERE len(g3) > 0),
+    flagged AS (
+      SELECT lang, n_tok, n3, d3,
+             1000000 * (n3 - d3) // n3 AS rep3_ppm
+      FROM per_doc)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rep3_ppm > 500000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS flagged_docs,
+           CAST(sum(rep3_ppm) // count(*) AS BIGINT) AS avg_rep3_ppm,
+           CAST(max(rep3_ppm) AS BIGINT) AS max_rep3_ppm,
+           CAST(sum(n3 - d3) AS BIGINT) AS dup_windows
+    FROM flagged GROUP BY lang ORDER BY lang
+    """
+
+
+@query("text_repetition_flags", _repetition_oracle())
+def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Within-document repetition census -- the Gopher/MassiveText
+    # "repetition" filter class (Rae et al. 2021, public): documents
+    # whose 3-gram windows repeat heavily are boilerplate / template /
+    # degenerate-generation suspects a pretraining mix drops.  Per doc:
+    # duplicate-3-gram fraction in ppm (1 - distinct/total, exact
+    # integer); per language: docs over the 50% threshold, mean and max
+    # repetition, total duplicated windows (the token savings a
+    # within-doc dedup pass would reclaim).
+    #
+    # Scale shape: ALL per-doc work (window list, distinct count) is
+    # array expressions inside one codegen projection -- no explode, no
+    # shuffle until the per-lang census agg; at 100 TB this is one pass
+    # over text + one lang-sized exchange.  array_distinct is per-row
+    # memory bounded by the doc's own window count.
+    d = tbl(spark, sf_dir, "documents")
+    from kcl_akka_stream_spark.operators.dedup import positional_windows
+
+    per = d.select(
+        "lang",
+        F.size(positional_windows(F.col("text"), 3)).alias("n3i"),
+        F.size(
+            F.array_distinct(positional_windows(F.col("text"), 3))
+        ).alias("d3i"),
+    ).filter(F.col("n3i") > 0)
+    flagged = per.select(
+        "lang",
+        F.col("n3i").cast("long").alias("n3"),
+        F.col("d3i").cast("long").alias("d3"),
+        F.expr("1000000 * (n3i - d3i) div n3i").cast("long").alias(
+            "rep3_ppm"
+        ),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.expr("CASE WHEN rep3_ppm > 500000 THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("flagged_docs"),
+            F.expr("sum(rep3_ppm) div count(*)")
+            .cast("long")
+            .alias("avg_rep3_ppm"),
+            F.max("rep3_ppm").cast("long").alias("max_rep3_ppm"),
+            F.sum(F.col("n3") - F.col("d3"))
+            .cast("long")
+            .alias("dup_windows"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _chao1_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    grams AS (
+      SELECT lang, unnest(
+        CASE WHEN len(t) >= 3
+             THEN [array_to_string(list_slice(t, i, i + 2), ' ')
+                   FOR i IN generate_series(1, len(t) - 2)]
+             ELSE [] END) AS g
+      FROM toks),
+    gc AS (
+      SELECT lang, g, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY lang, g)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS v_obs,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           1000 * CAST(count(*) AS BIGINT)
+             + (1000 * CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     * (CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) - 1))
+               // (2 * (CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) + 1))
+             AS chao1_milli
+    FROM gc GROUP BY lang ORDER BY lang
+    """
+
+
+@query("agg_chao1_richness", _chao1_oracle())
+def agg_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chao1 species-richness estimate of the UNSEEN vocabulary (Chao
+    # 1984, public; the abundance-based estimator ecology and corpus
+    # linguistics share): from the per-language 3-gram frequency-of-
+    # frequency spectrum, estimate total type count as
+    # V + f1(f1-1)/(2(f2+1)) -- the bias-corrected form, defined even
+    # when no type occurs exactly twice.  The companion to
+    # text_good_turing (mass of unseen events) and text_heaps_law
+    # (growth curve): Chao1 answers "how much vocabulary does the crawl
+    # NOT yet contain", the coverage question a corpus-expansion plan
+    # starts from.  All-integer milli output: exact in both engines
+    # (f1 < ~3e6 keeps 1000*f1^2 inside int64; the fixture spectrum is
+    # orders below that -- a real crawl would divide-first).
+    #
+    # Scale shape: gram explode -> ONE (lang, gram) count agg (map-side
+    # combinable) -> ONE lang-sized rollup; nothing else shuffles.
+    from kcl_akka_stream_spark.operators.dedup import positional_windows
+
+    d = spread(tbl(spark, sf_dir, "documents").select("lang", "text"))
+    gc = (
+        d.select(
+            "lang",
+            F.explode(positional_windows(F.col("text"), 3)).alias("g"),
+        )
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        gc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("v_obs"),
+            F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("f1"),
+            F.sum(F.expr("CASE WHEN c = 2 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("f2"),
+            F.sum("c").cast("long").alias("n_grams"),
+        )
+        .select(
+            "lang",
+            "v_obs",
+            "f1",
+            "f2",
+            "n_grams",
+            F.expr(
+                "1000 * v_obs + (1000 * f1 * (f1 - 1)) div (2 * (f2 + 1))"
+            )
+            .cast("long")
+            .alias("chao1_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _qmodel_ap_oracle() -> str:
+    return f"""
+    {_qmodel_scored_sql()},
+    g AS (
+      SELECT score_micro, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(label) AS BIGINT) AS c_pos
+      FROM fin GROUP BY score_micro),
+    cum AS (
+      SELECT c, c_pos,
+             CAST(sum(c) OVER (ORDER BY score_micro DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_n,
+             CAST(sum(c_pos) OVER (ORDER BY score_micro DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tp
+      FROM g),
+    terms AS (
+      SELECT c_pos, cum_n, cum_tp,
+             (1000000 * c_pos * cum_tp) // cum_n AS t_ppm
+      FROM cum)
+    SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+           CAST(count(*) AS BIGINT) AS n_thresholds,
+           CAST(sum(t_ppm) // sum(c_pos) AS BIGINT) AS ap_ppm,
+           CASE WHEN sum(t_ppm) // sum(c_pos) >= 900000
+                THEN 1 ELSE 0 END AS separable
+    FROM terms
+    """
+
+
+@query("agg_pr_auc", _qmodel_ap_oracle())
+def agg_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact tie-corrected AVERAGE PRECISION (area under the PR curve,
+    # the step form scikit-learn popularized -- no trapezoid
+    # interpolation, which overstates PR area): complements
+    # text_quality_model_auc because ROC AUC is prevalence-blind while
+    # AP degrades with class imbalance -- the metric that matters when
+    # the filter keeps 1-in-100 docs.  Thresholds descend the DISTINCT
+    # held-out scores; each tie group contributes
+    # (tp_g / P) * precision_at_group_end, held exactly:
+    # t_ppm = (1e6 * tp_g * cumTP_g) div cumN_g summed THEN div P --
+    # identical staging on both engines, pure int64 throughout
+    # (tp*cumTP <= n^2 ~ 1e8 at sf0.1; 1e6*that needs the div-first
+    # restage beyond ~3e6 held-out docs).
+    # Shape: scores fold to the distinct-score tie-group relation first
+    # (one docs-keyed agg); the global cumulative window reads that
+    # data-reduced relation (GLOBAL_WINDOW_AUDIT row shared with the
+    # AUC query), then one single-row fold.
+    from pyspark.sql import Window
+
+    from kcl_akka_stream_spark.operators.quality import (
+        hashed_logodds_fit_score,
+    )
+
+    fx = _qmodel_fixture(tbl(spark, sf_dir, "documents"))
+    scored = hashed_logodds_fit_score(fx)
+    g = scored.groupBy("score_micro").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("label").cast("long").alias("c_pos"),
+    )
+    w = Window.orderBy(F.col("score_micro").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.select(
+        "c",
+        "c_pos",
+        F.sum("c").over(w).cast("long").alias("cum_n"),
+        F.sum("c_pos").over(w).cast("long").alias("cum_tp"),
+    )
+    terms = cum.select(
+        "c_pos",
+        F.expr("(1000000 * c_pos * cum_tp) div cum_n").alias("t_ppm"),
+    )
+    return terms.agg(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_thresholds"),
+        F.expr("sum(t_ppm) div sum(c_pos)").cast("long").alias("ap_ppm"),
+        F.expr(
+            "CASE WHEN sum(t_ppm) div sum(c_pos) >= 900000"
+            " THEN 1 ELSE 0 END"
+        )
+        .cast("int")
+        .alias("separable"),
+    )
+
+
+def _brier_oracle() -> str:
+    sig = (
+        "CAST(round(1000000 / (1 + exp(-CAST(score_micro AS DOUBLE)"
+        " / 1000000)), 0) AS BIGINT)"
+    )
+    return f"""
+    {_qmodel_scored_sql()},
+    g AS (
+      SELECT score_micro, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(label) AS BIGINT) AS c_pos
+      FROM fin GROUP BY score_micro),
+    fg AS (
+      SELECT c, c_pos, {sig} AS f_ppm FROM g),
+    bins AS (
+      SELECT least(f_ppm // 100000, 9) AS bin,
+             CAST(sum(c) AS BIGINT) AS nb,
+             CAST(sum(c_pos) AS BIGINT) AS pb,
+             CAST(sum(c * f_ppm) AS BIGINT) AS sf,
+             CAST(sum(c_pos * (f_ppm - 1000000) * (f_ppm - 1000000)
+                  + (c - c_pos) * f_ppm * f_ppm) AS BIGINT) AS bsum
+      FROM fg GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(nb) AS BIGINT) AS n,
+             CAST(sum(pb) AS BIGINT) AS np,
+             CAST(sum(bsum) AS BIGINT) AS bsum,
+             1000000 * CAST(sum(pb) AS BIGINT) // CAST(sum(nb) AS BIGINT)
+               AS ybar
+      FROM bins),
+    comp AS (
+      SELECT CAST(sum(nb * (sf // nb - 1000000 * pb // nb)
+                       * (sf // nb - 1000000 * pb // nb)) AS BIGINT)
+               AS rel_num,
+             CAST(sum(nb * (1000000 * pb // nb - ybar)
+                       * (1000000 * pb // nb - ybar)) AS BIGINT)
+               AS res_num,
+             CAST(count(*) AS BIGINT) AS n_bins
+      FROM bins, tot)
+    SELECT t.n, t.np, c.n_bins,
+           t.bsum // t.n AS brier_ppm2,
+           c.rel_num // t.n AS reliability_ppm2,
+           c.res_num // t.n AS resolution_ppm2,
+           t.ybar * (1000000 - t.ybar) AS uncertainty_ppm2
+    FROM tot t, comp c
+    """
+
+
+@query("text_brier_decomposition", _brier_oracle())
+def text_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Murphy decomposition of the Brier score (Murphy 1973, public) for
+    # the quality model's held-out probabilities: BS splits into
+    # RELIABILITY (calibration error -- how far bin forecasts sit from
+    # bin outcomes), RESOLUTION (how much the forecasts separate the
+    # base rate) and UNCERTAINTY (the base rate's own variance) -- the
+    # standard diagnostic triple behind a reliability diagram, and the
+    # quantitative answer to "is the quality score a probability or
+    # just a ranking" that text_quality_model_calibration's PAV fit
+    # addresses.  Forecast = sigmoid of the log-odds score, frozen to
+    # integer ppm per DISTINCT score (one transcendental per tie group,
+    # the micro-nat convention); everything after is exact int64 in
+    # ppm^2 units with identical div staging on both engines.
+    #
+    # Shape: scores fold to the distinct-score relation (one docs-keyed
+    # agg); sigmoid + 10-bin census on that reduced relation; the
+    # decomposition is <=10-row algebra with broadcast totals.  No
+    # global window anywhere.
+    from kcl_akka_stream_spark.operators.quality import (
+        hashed_logodds_fit_score,
+    )
+
+    fx = _qmodel_fixture(tbl(spark, sf_dir, "documents"))
+    scored = hashed_logodds_fit_score(fx)
+    g = scored.groupBy("score_micro").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("label").cast("long").alias("c_pos"),
+    )
+    fg = g.select(
+        "c",
+        "c_pos",
+        F.expr(
+            "CAST(round(1000000 / (1 + exp(-CAST(score_micro AS DOUBLE)"
+            " / 1000000)), 0) AS BIGINT)"
+        ).alias("f_ppm"),
+    )
+    bins = fg.groupBy(
+        F.expr("least(f_ppm div 100000, 9)").alias("bin")
+    ).agg(
+        F.sum("c").cast("long").alias("nb"),
+        F.sum("c_pos").cast("long").alias("pb"),
+        F.sum(F.expr("c * f_ppm")).cast("long").alias("sf"),
+        F.sum(
+            F.expr(
+                "c_pos * (f_ppm - 1000000) * (f_ppm - 1000000)"
+                " + (c - c_pos) * f_ppm * f_ppm"
+            )
+        )
+        .cast("long")
+        .alias("bsum"),
+    ).localCheckpoint(eager=True)  # <= 10 rows; feeds totals AND components
+    tot = bins.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.sum("pb").cast("long").alias("np"),
+        F.sum("bsum").cast("long").alias("bsum"),
+        F.expr("1000000 * sum(pb) div sum(nb)").cast("long").alias("ybar"),
+    )
+    comp = bins.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "nb * (sf div nb - 1000000 * pb div nb)"
+                " * (sf div nb - 1000000 * pb div nb)"
+            )
+        )
+        .cast("long")
+        .alias("rel_num"),
+        F.sum(
+            F.expr(
+                "nb * (1000000 * pb div nb - ybar)"
+                " * (1000000 * pb div nb - ybar)"
+            )
+        )
+        .cast("long")
+        .alias("res_num"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    return comp.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "np",
+        "n_bins",
+        F.expr("bsum div n").cast("long").alias("brier_ppm2"),
+        F.expr("rel_num div n").cast("long").alias("reliability_ppm2"),
+        F.expr("res_num div n").cast("long").alias("resolution_ppm2"),
+        F.expr("ybar * (1000000 - ybar)")
+        .cast("long")
+        .alias("uncertainty_ppm2"),
+    )

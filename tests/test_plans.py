@@ -334,6 +334,12 @@ def test_shuffle_budgets(spark, sf_dir):
         "sink_hilbert_layout": 0,  # final plan reads the checkpointed roundtrip (write side range-partitions like zorder)
         "emb_power_iteration_pc1": 2,  # (vec,dim) explode + 64x64 covariance agg (checkpointed); iterations are model-sized broadcast joins
         "text_heaps_law": 3,  # gram explode checkpointed; doc-length + first-seen aggs behind it; thresholds/fit 10-row algebra
+        # round 15:
+        "text_pii_scan": 2,  # map-only extract_all + one lang census agg + tiny sort
+        "text_repetition_flags": 2,  # per-doc array algebra in one projection + lang agg + tiny sort
+        "agg_chao1_richness": 4,  # spread + (lang,gram) count agg + lang rollup + tiny sort
+        "agg_pr_auc": 7,  # qmodel fit/score chain + distinct-score agg + desc cumulative window + single-row fold
+        "text_brier_decomposition": 3,  # fit/score chain behind checkpoints; distinct-score agg + 10-bin census; 10-row algebra
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))
