@@ -455,6 +455,14 @@ HEADLINE = [
     "agg_pr_auc",
     # round-15 wave 89: Murphy decomposition of the Brier score
     "text_brier_decomposition",
+    # round-15 wave 90: systematic PPS sampling on distributed_cumsum
+    "sample_pps_systematic",
+    # round-15 wave 91: CUSUM drift via the prefix-min identity
+    "w_cusum_drift",
+    # round-15 wave 92: moving-average type-token ratio
+    "text_mattr",
+    # round-15 wave 93: participation-ratio effective rank
+    "emb_effective_rank",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -129,3 +129,71 @@ def time_weighted_avg(
         .cast("long")
         .alias("twa_cents"),
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    n_buckets: int = 32,
+    rn_col: str = "rn",
+    cum_col: str = "cum",
+) -> DataFrame:
+    """Two-pass distributed global rank + running sum (VERDICT r14 #2,
+    factored out of text_heaps_law for reuse): the linear replacement
+    for ``Window.orderBy(order_col)`` over a data-sized relation, which
+    Spark executes as a single-task global sort.
+
+    Pass 1 buckets rows by deterministic value ranges of ``order_col``
+    (divide-first width so ``(v - lo) * P`` never overflows) and ranks /
+    sums WITHIN each bucket -- parallel, each bucket ~n/P rows.  Pass 2
+    prefix-sums the <= P+1 bucket totals and broadcasts them back as
+    offsets.  Output = input columns plus ``rn_col`` (1-based global
+    rank by ``order_col``) and ``cum_col`` (inclusive running sum of
+    ``value_col``) -- exactly what the unpartitioned window would have
+    produced, with no global sort anywhere.
+
+    ``order_col`` must be a unique integer key (ties would make the
+    global rank nondeterministic in ANY implementation)."""
+    bounds = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    )
+    bw = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bkt",
+        F.expr(
+            f"({order_col} - lo) div (((hi - lo) div {n_buckets}) + 1)"
+        ),
+    ).drop("lo", "hi")
+    wloc = Window.partitionBy("__bkt").orderBy(order_col)
+    loc = bw.withColumn("__lrn", F.row_number().over(wloc)).withColumn(
+        "__lcum",
+        F.sum(value_col)
+        .over(wloc.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    ).localCheckpoint(eager=True)  # feeds bucket totals AND offset join
+    tot = loc.groupBy("__bkt").agg(
+        F.max("__lrn").cast("long").alias("__bn"),
+        F.max("__lcum").cast("long").alias("__bt"),
+    )
+    wb = Window.orderBy("__bkt")  # bounded relation: <= n_buckets + 1 rows
+    off = tot.select(
+        "__bkt",
+        (
+            F.sum("__bn").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("__bn")
+        )
+        .cast("long")
+        .alias("__rn_off"),
+        (
+            F.sum("__bt").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("__bt")
+        )
+        .cast("long")
+        .alias("__tok_off"),
+    )
+    return (
+        loc.join(F.broadcast(off), "__bkt")
+        .withColumn(rn_col, F.col("__lrn") + F.col("__rn_off"))
+        .withColumn(cum_col, F.col("__lcum") + F.col("__tok_off"))
+        .drop("__bkt", "__lrn", "__lcum", "__rn_off", "__tok_off")
+    )

@@ -263,12 +263,12 @@ GLOBAL_WINDOW_AUDIT = {
         "lang-bounded: largest-remainder rank over the per-language "
         "apportionment relation",
     ),
-    ("queries/pipeline.py", "text_heaps_law"): (
+    ("operators/windows.py", "distributed_cumsum"): (
         1,
-        "literal <= P+1 = 33 rows: prefix-offset window over per-bucket "
-        "totals of the two-pass range-bucketed rank (the r14 global "
-        "window over the per-doc relation is GONE -- pass 1 is "
-        "partitioned by bucket)",
+        "literal <= n_buckets + 1 rows: the prefix-offset window over "
+        "per-bucket totals inside the two-pass distributed rank/cumsum "
+        "operator (the linear replacement for data-sized global "
+        "windows; used by text_heaps_law and sample_pps_systematic)",
     ),
     ("queries/pipeline.py", "text_quality_model_auc"): (
         1,

@@ -7366,3 +7366,111 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_high_outliers",
         )
     )
+
+
+def _cusum_oracle() -> str:
+    return """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    base AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+      FROM hourly GROUP BY event_type),
+    p AS (
+      SELECT h.event_type, h.hr, h.n, b.mu,
+             b.mu // 10 AS slack,
+             CAST(sum(h.n - b.mu - b.mu // 10) OVER (
+               PARTITION BY h.event_type ORDER BY h.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pre
+      FROM hourly h JOIN base b USING (event_type)),
+    s AS (
+      SELECT event_type, hr, n, mu,
+             pre - least(CAST(min(pre) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT), 0) AS cusum
+      FROM p)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(max(mu) AS BIGINT) AS mu,
+           CAST(max(cusum) AS BIGINT) AS peak_cusum,
+           CAST(sum(CASE WHEN cusum > mu THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_hours,
+           COALESCE(strftime(min(CASE WHEN cusum > mu THEN hr END),
+                    '%Y-%m-%d %H:%M:%S'), '') AS first_alarm
+    FROM s GROUP BY event_type ORDER BY event_type
+    """
+
+
+@query("w_cusum_drift", _cusum_oracle())
+def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-sided CUSUM change detection (Page 1954, the SPC classic) over
+    # per-type hourly event volumes -- the drift monitor a streaming
+    # ingest runs beside the KL/KS distribution tests: S_i =
+    # max(0, S_{i-1} + x_i - allowance) accumulates only sustained
+    # positive deviation and resets on quiet hours.  The sequential
+    # recurrence is NOT a window aggregate, but the classic prefix
+    # identity linearizes it: S_i = P_i - min(0, min_{j<=i} P_j) where
+    # P is the plain running sum of deviations -- two stacked cumulative
+    # windows on the SAME keyed sort, no recursion, no UDAF.  Allowance
+    # = 10% of the per-type mean (integer), alarm when S exceeds the
+    # mean itself; all arithmetic int64 with identical div staging.
+    #
+    # Scale shape: one (type, hour) agg (map-combinable) -> per-type
+    # windows riding ONE exchange of the group-bounded hourly relation
+    # (types x hours, never rows) -> per-type rollup.
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = hourly.groupBy("event_type").agg(
+        F.expr("CAST(sum(n) AS BIGINT) div CAST(count(*) AS BIGINT)")
+        .cast("long")
+        .alias("mu")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = hourly.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        "mu",
+        F.sum(F.expr("n - mu - mu div 10")).over(w).cast("long").alias("pre"),
+    )
+    s = p.select(
+        "event_type",
+        "hr",
+        "n",
+        "mu",
+        (
+            F.col("pre")
+            - F.least(F.min("pre").over(w).cast("long"), F.lit(0))
+        ).alias("cusum"),
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.max("mu").cast("long").alias("mu"),
+            F.max("cusum").cast("long").alias("peak_cusum"),
+            F.sum(F.expr("CASE WHEN cusum > mu THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_alarm_hours"),
+            F.coalesce(
+                F.date_format(
+                    F.min(F.expr("CASE WHEN cusum > mu THEN hr END")),
+                    "yyyy-MM-dd HH:mm:ss",
+                ),
+                F.lit(""),
+            ).alias("first_alarm"),
+        )
+        .orderBy("event_type")
+    )

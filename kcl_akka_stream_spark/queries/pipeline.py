@@ -12472,63 +12472,15 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Distributed two-pass rank + running token sum (VERDICT r14 #2): the
     # former Window.orderBy("doc_id") over the per-doc relation was a
-    # single-task global sort at corpus scale.  Pass 1: deterministic
-    # range buckets (divide-first width so (doc_id-lo)*P never overflows)
-    # with a PER-BUCKET window -- parallel across buckets, each bucket
-    # ~nd/P rows.  Pass 2: per-bucket totals (<= P+1 rows) prefix-summed
-    # and broadcast back as offsets.  Same rn/cum_toks as the global
-    # window, no data-sized single partition anywhere.
-    P = 32
-    bounds = dl.agg(
-        F.min("doc_id").alias("lo"),
-        F.max("doc_id").alias("hi"),
-        F.count(F.lit(1)).cast("long").alias("nd"),
-    )
-    bw = dl.crossJoin(F.broadcast(bounds)).select(
-        "doc_id",
-        "n_toks",
-        "nd",
-        F.expr(f"(doc_id - lo) div (((hi - lo) div {P}) + 1)").alias(
-            "bkt"
-        ),
-    )
-    wloc = Window.partitionBy("bkt").orderBy("doc_id")
-    loc = bw.select(
-        "doc_id",
-        "nd",
-        "bkt",
-        F.row_number().over(wloc).alias("lrn"),
-        F.sum("n_toks")
-        .over(wloc.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long")
-        .alias("lcum"),
-    ).localCheckpoint(eager=True)  # feeds bucket totals AND offset join
-    tot = loc.groupBy("bkt").agg(
-        F.max("lrn").cast("long").alias("bn"),
-        F.max("lcum").cast("long").alias("bt"),
-    )
-    wb = Window.orderBy("bkt")  # bounded relation: <= P+1 rows
-    off = tot.select(
-        "bkt",
-        (
-            F.sum("bn").over(wb.rowsBetween(Window.unboundedPreceding, 0))
-            - F.col("bn")
-        )
-        .cast("long")
-        .alias("rn_off"),
-        (
-            F.sum("bt").over(wb.rowsBetween(Window.unboundedPreceding, 0))
-            - F.col("bt")
-        )
-        .cast("long")
-        .alias("tok_off"),
-    )
-    rk = loc.join(F.broadcast(off), "bkt").select(
-        "doc_id",
-        (F.col("lrn") + F.col("rn_off")).alias("rn"),
-        (F.col("lcum") + F.col("tok_off")).alias("cum_toks"),
-        "nd",
-    )
+    # single-task global sort at corpus scale; distributed_cumsum is the
+    # linear bucketed replacement (per-bucket windows + <= P+1-row
+    # broadcast prefix offsets -- see its docstring).
+    from kcl_akka_stream_spark.operators.windows import distributed_cumsum
+
+    nd_fold = dl.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    rk = distributed_cumsum(
+        dl, "doc_id", "n_toks", rn_col="rn", cum_col="cum_toks"
+    ).crossJoin(F.broadcast(nd_fold)).select("doc_id", "rn", "cum_toks", "nd")
     ks = spark.range(1, 11).select(F.col("id").cast("long").alias("decile"))
     th = (
         rk.crossJoin(F.broadcast(ks))
@@ -13120,4 +13072,271 @@ def text_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ybar * (1000000 - ybar)")
         .cast("long")
         .alias("uncertainty_ppm2"),
+    )
+
+
+def _pps_oracle(k: int = 100) -> str:
+    return f"""
+    WITH wdoc AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '{TOK}')) AS BIGINT)
+               AS w
+      FROM documents),
+    cum AS (
+      SELECT doc_id, lang, w,
+             CAST(sum(w) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS c_hi
+      FROM wdoc),
+    tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS tw,
+             greatest(CAST(sum(w) AS BIGINT) // {k}, 1) AS step,
+             greatest(CAST(sum(w) AS BIGINT) // {k}, 1) // 2 AS strt
+      FROM wdoc),
+    m AS (
+      SELECT doc_id, lang, w, c_hi,
+             least((c_hi - strt + step - 1) // step, {k})
+               - least((c_hi - w - strt + step - 1) // step, {k}) AS picks
+      FROM cum, tot)
+    SELECT doc_id, lang, w, c_hi, CAST(picks AS BIGINT) AS picks
+    FROM m WHERE picks > 0 ORDER BY doc_id
+    """
+
+
+@query("sample_pps_systematic", _pps_oracle())
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Systematic probability-proportional-to-size sampling (Madow 1949,
+    # the classic survey-sampling design; the token-weighted "epoch
+    # sampling" a data-mix executes): lay a fixed grid of k=100 points
+    # (step = W div k, centered start) over the cumulative token-count
+    # axis and pick every document whose weight interval contains a grid
+    # point -- inclusion probability exactly proportional to token
+    # count, long docs can be picked with multiplicity (their sampling
+    # weight), zero randomness (the deterministic-start variant).
+    # Pick counts are interval-difference algebra on the running sum:
+    # picks_i = f(C_i) - f(C_{i-1}) with f(C) = (C - start + step - 1)
+    # div step capped at k -- exact int64, identical staging in both
+    # engines.
+    #
+    # Scale shape: the running sum is distributed_cumsum (the two-pass
+    # bucketed rank operator, no global sort); everything after is
+    # map-side arithmetic against one broadcast 3-value fold.  At 100 TB
+    # the cost is one pass + one P-row offset exchange -- the shape a
+    # naive Window.orderBy version fundamentally cannot reach.
+    from kcl_akka_stream_spark.operators.windows import distributed_cumsum
+
+    k = 100
+    wdoc = (
+        spread(tbl(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"CAST(size(regexp_extract_all(lower(text), '{TOK}', 0))"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    cum = distributed_cumsum(wdoc, "doc_id", "w", cum_col="c_hi").drop("rn")
+    tot = wdoc.agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.expr(f"greatest(CAST(sum(w) AS BIGINT) div {k}, 1)").alias(
+            "step"
+        ),
+        F.expr(
+            f"greatest(CAST(sum(w) AS BIGINT) div {k}, 1) div 2"
+        ).alias("strt"),
+    )
+    m = cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "lang",
+        "w",
+        "c_hi",
+        F.expr(
+            f"least((c_hi - strt + step - 1) div step, {k})"
+            f" - least((c_hi - w - strt + step - 1) div step, {k})"
+        )
+        .cast("long")
+        .alias("picks"),
+    )
+    return m.filter(F.col("picks") > 0).orderBy("doc_id")
+
+
+def _mattr_oracle(w: int = 20) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '{TOK}') AS t
+      FROM documents),
+    per_doc AS (
+      SELECT doc_id, lang, len(t) AS n_tok,
+             CASE WHEN len(t) >= {w}
+               THEN (SELECT CAST(sum(x) AS BIGINT) FROM unnest(
+                      [1000000 * len(list_distinct(list_slice(t, i, i + {w - 1})))
+                       FOR i IN generate_series(1, len(t) - {w - 1})]) AS u(x))
+                    // (len(t) - {w - 1}) // {w}
+               ELSE 1000000 * len(list_distinct(t)) // len(t) END
+               AS mattr_ppm
+      FROM toks WHERE len(t) > 0)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(mattr_ppm) // count(*) AS BIGINT) AS avg_mattr_ppm,
+           CAST(min(mattr_ppm) AS BIGINT) AS min_mattr_ppm,
+           CAST(sum(CASE WHEN mattr_ppm < 400000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_diversity_docs
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """
+
+
+@query("text_mattr", _mattr_oracle())
+def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Moving-Average Type-Token Ratio (Covington & McFall 2010, the
+    # length-invariant lexical-diversity standard): plain TTR collapses
+    # as documents grow (Heaps' law guarantees it), so diversity is
+    # averaged over every 20-token sliding window instead -- comparable
+    # across short and long docs, the lexical-richness gate beside the
+    # repetition census (which counts REPEATS; MATTR measures VARIETY).
+    # Per doc: mean over positions of 1e6 * distinct(window) div w,
+    # staged sum-div-count-div-w identically on both engines; short
+    # docs fall back to whole-doc TTR.  Per language: mean, min and the
+    # under-40% degenerate count.
+    #
+    # Scale shape: the O(n_tok x w) window-distinct work is ONE array
+    # comprehension per row inside whole-stage codegen -- no explode, no
+    # shuffle before the lang census agg; per-row memory is the doc's
+    # own token array.
+    w = 20
+    d = spread(tbl(spark, sf_dir, "documents"))
+    per = d.select(
+        "lang",
+        F.expr(f"regexp_extract_all(lower(text), '{TOK}', 0)").alias("t"),
+    ).filter(F.expr("size(t) > 0")).select(
+        "lang",
+        F.expr(
+            f"CASE WHEN size(t) >= {w} THEN"
+            f" aggregate(transform(sequence(1, size(t) - {w - 1}),"
+            f"   i -> 1000000 * size(array_distinct(slice(t, i, {w})))),"
+            "   0L, (a, x) -> a + x)"
+            f"   div (size(t) - {w - 1}) div {w}"
+            " ELSE 1000000 * size(array_distinct(t)) div size(t) END"
+        )
+        .cast("long")
+        .alias("mattr_ppm"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(mattr_ppm) div count(*)")
+            .cast("long")
+            .alias("avg_mattr_ppm"),
+            F.min("mattr_ppm").cast("long").alias("min_mattr_ppm"),
+            F.sum(
+                F.expr("CASE WHEN mattr_ppm < 400000 THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("low_diversity_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _effective_rank_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT vec_id, i - 1 AS d,
+             CAST(round(v[i] * 1000000, 0) AS BIGINT) AS em
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    mu AS (SELECT d, CAST(sum(em) // count(*) AS BIGINT) AS mu,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY d),
+    c AS (SELECT e.vec_id, e.d, e.em - m.mu AS cv
+          FROM e JOIN mu m ON m.d = e.d),
+    cov AS (
+      SELECT a.d AS d, b.d AS d2,
+             CAST(sum(a.cv * b.cv) // max(m.n) AS BIGINT) // 1000000 AS ck
+      FROM c a JOIN c b ON b.vec_id = a.vec_id
+      JOIN mu m ON m.d = a.d
+      GROUP BY a.d, b.d)
+    SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_dims,
+           CAST(sum(CASE WHEN d = d2 THEN ck ELSE 0 END) AS BIGINT)
+             AS trace_u,
+           CAST(sum(ck * ck) AS BIGINT) AS fro2_u,
+           1000 * greatest(CAST(sum(CASE WHEN d = d2 THEN ck ELSE 0 END)
+                               AS BIGINT), 1)
+                // greatest(CAST(sum(ck * ck) AS BIGINT)
+                            // greatest(CAST(sum(CASE WHEN d = d2 THEN ck
+                                 ELSE 0 END) AS BIGINT), 1), 1) AS pr_milli
+    FROM cov
+    """
+
+
+@query("emb_effective_rank", _effective_rank_oracle())
+def emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Effective dimensionality of the embedding cloud WITHOUT an
+    # eigensolver: the participation ratio PR = (tr C)^2 / ||C||_F^2 =
+    # (sum lambda)^2 / sum lambda^2 (Gao et al. 2017 and the classic
+    # inverse-participation literature) needs only the covariance trace
+    # and Frobenius norm -- both plain sums over the 64x64 integer
+    # covariance relation emb_power_iteration_pc1 already builds.
+    # PR = n_dims for isotropic clouds, -> 1 when one direction
+    # dominates: the collapse/anisotropy monitor an embedding pipeline
+    # alarms on (representation collapse makes ANN and semantic dedup
+    # silently useless).  Covariance entries rescale div 1e6 BEFORE the
+    # quadratic sums (trace^2 of raw micro^2 units overflows int64);
+    # identical divide-first staging both engines, exact from there.
+    #
+    # Shape: one (vec, dim) explode + one 64x64 covariance agg + a
+    # single-row fold -- the data touches one pass, everything after is
+    # model-sized.
+    emb = spread(tbl(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d", "x"
+        ),
+    ).select(
+        "vec_id",
+        "d",
+        F.expr("cast(round(x * 1000000, 0) as bigint)").alias("em"),
+    ).localCheckpoint(eager=True)  # (vec, dim) relation feeds mu AND c
+    mu = e.groupBy("d").agg(
+        F.expr("cast(sum(em) div count(*) as bigint)").alias("mu"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    c = e.join(F.broadcast(mu), "d").select(
+        "vec_id", "d", (F.col("em") - F.col("mu")).alias("cv"), "n"
+    )
+    a = c.select("vec_id", "d", F.col("cv").alias("ca"), "n")
+    b = c.select("vec_id", F.col("d").alias("d2"), F.col("cv").alias("cb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("d", "d2")
+        .agg(
+            F.expr(
+                "cast(sum(ca * cb) div max(n) as bigint) div 1000000"
+            ).alias("ck")
+        )
+    )
+    return cov.agg(
+        F.count_distinct(F.col("d")).cast("long").alias("n_dims"),
+        F.sum(F.expr("CASE WHEN d = d2 THEN ck ELSE 0 END"))
+        .cast("long")
+        .alias("trace_u"),
+        F.sum(F.expr("ck * ck")).cast("long").alias("fro2_u"),
+    ).select(
+        "n_dims",
+        "trace_u",
+        "fro2_u",
+        # divide-first: 1000*T^2/F as (1000*T) div (F div T) -- the
+        # direct product overflows int64 once trace passes ~3e6 units
+        # (any embedding cloud with larger-than-unit coordinates); the
+        # restaged form is exact enough (both operands huge) and uses
+        # IDENTICAL truncation on both engines
+        F.expr(
+            "1000 * greatest(trace_u, 1)"
+            " div greatest(fro2_u div greatest(trace_u, 1), 1)"
+        )
+        .cast("long")
+        .alias("pr_milli"),
     )

@@ -14,6 +14,17 @@ def query(name: str, oracle: str | None = None):
     records a weaker rows-only check)."""
 
     def deco(fn):
+        # Duplicate registration is ALWAYS a bug: the dict write would
+        # silently keep whichever module imported last, and the driver's
+        # gate would green-light the survivor while the shadowed query
+        # (and its oracle) vanish without a trace -- caught live in r15
+        # when a new agg_benford_deviation collided with the wave-25 one.
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                f"registered by {QUERIES[name].__module__}."
+                f"{QUERIES[name].__qualname__}"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

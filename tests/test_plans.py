@@ -340,6 +340,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "agg_chao1_richness": 4,  # spread + (lang,gram) count agg + lang rollup + tiny sort
         "agg_pr_auc": 7,  # qmodel fit/score chain + distinct-score agg + desc cumulative window + single-row fold
         "text_brier_decomposition": 3,  # fit/score chain behind checkpoints; distinct-score agg + 10-bin census; 10-row algebra
+        "sample_pps_systematic": 5,  # spread + two-pass cumsum (bucket window + offsets) + broadcast grid fold + 100-row sort
+        "w_cusum_drift": 5,  # (type,hour) agg + mean broadcast + stacked windows on ONE type exchange + rollup
+        "text_mattr": 3,  # spread + per-doc comprehension in one projection + lang agg + tiny sort
+        "emb_effective_rank": 5,  # spread + (vec,dim) explode checkpointed + covariance agg + single-row fold
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

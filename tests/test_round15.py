@@ -182,3 +182,130 @@ def test_brier_decomposition_identities(spark, sf_dir):
     # Brier is bounded by its decomposition neighborhood: never above
     # uncertainty + reliability (within-bin variance only subtracts)
     assert r.brier_ppm2 <= r.uncertainty_ppm2 + r.reliability_ppm2
+
+
+def test_pps_systematic_exact_k_and_multiplicity(spark, sf_dir):
+    # green: the grid has exactly k=100 points, so total picks == 100
+    # and every pick multiplicity is >= 1; red: a document carrying
+    # most of the corpus weight MUST be picked with multiplicity ~ its
+    # weight share (the PPS property a uniform sampler fails)
+    from kcl_akka_stream_spark.queries import QUERIES
+    from kcl_akka_stream_spark.queries import pipeline as P
+
+    rows = QUERIES["sample_pps_systematic"](spark, sf_dir).collect()
+    assert sum(r.picks for r in rows) == 100
+    assert all(r.picks >= 1 for r in rows)
+    # cumulative interval containment: c_hi is non-decreasing in doc_id
+    chs = [r.c_hi for r in rows]
+    assert chs == sorted(chs)
+
+    giant = " ".join(f"t{i % 7}" for i in range(450))
+    fake = spark.createDataFrame(
+        [(i, "a b c d e", "aa") for i in range(10)] + [(99, giant, "aa")],
+        "doc_id long, text string, lang string",
+    )
+    orig = P.tbl
+    try:
+        P.tbl = lambda _s, _d, _n: fake
+        out = {r.doc_id: r.picks for r in P.sample_pps_systematic(spark, "x").collect()}
+    finally:
+        P.tbl = orig
+    assert sum(out.values()) == 100
+    assert out[99] >= 80  # 450/500 of the weight -> ~90 of 100 picks
+
+
+def test_cusum_prefix_min_equals_recurrence(spark):
+    # The linearization identity: S_i = P_i - min(0, min_{j<=i} P_j)
+    # must equal the sequential recurrence max(0, S_{i-1} + x_i) -- and
+    # a step change must alarm while a flat series must not.
+    import datetime
+
+    from kcl_akka_stream_spark.queries import core as C
+
+    def series(counts):
+        rows = []
+        t0 = datetime.datetime(2024, 1, 1)
+        eid = 0
+        for h, n in enumerate(counts):
+            for _ in range(n):
+                rows.append(
+                    ("t", eid, t0 + datetime.timedelta(hours=h, minutes=1), 1.0)
+                )
+                eid += 1
+        return rows
+
+    flat = series([10] * 12)
+    step = series([10] * 6 + [25] * 6)
+    fake = (
+        lambda rows: lambda _s, _d, _n: spark.createDataFrame(
+            rows, "event_type string, event_id long, ts timestamp, value double"
+        )
+    )
+    orig = C.tbl
+    try:
+        C.tbl = fake(flat)
+        r_flat = C.w_cusum_drift(spark, "x").collect()[0]
+        C.tbl = fake(step)
+        r_step = C.w_cusum_drift(spark, "x").collect()[0]
+    finally:
+        C.tbl = orig
+    assert r_flat.n_alarm_hours == 0 and r_flat.peak_cusum == 0
+    assert r_step.n_alarm_hours > 0 and r_step.first_alarm != ""
+    # python replica of the recurrence on the step series (mu=17, k=1)
+    mu = (10 * 6 + 25 * 6) // 12
+    slack = mu // 10
+    s = 0
+    peak = 0
+    alarms = 0
+    for n in [10] * 6 + [25] * 6:
+        s = max(0, s + (n - mu - slack))
+        peak = max(peak, s)
+        alarms += 1 if s > mu else 0
+    assert r_step.peak_cusum == peak and r_step.n_alarm_hours == alarms
+
+
+def test_mattr_degenerate_and_uniform(spark):
+    from kcl_akka_stream_spark.queries import pipeline as P
+
+    uni = " ".join("x" for _ in range(40))           # 1 type / 20-window
+    div = " ".join(f"w{i}" for i in range(40))       # all distinct
+    fake = spark.createDataFrame(
+        [(1, uni, "aa"), (2, div, "aa")],
+        "doc_id long, text string, lang string",
+    )
+    orig = P.tbl
+    try:
+        P.tbl = lambda _s, _d, _n: fake
+        r = P.text_mattr(spark, "x").collect()[0]
+    finally:
+        P.tbl = orig
+    # window TTRs: 1/20 = 50000 ppm vs 20/20 = 1000000 ppm
+    assert r.min_mattr_ppm == 50000
+    assert r.avg_mattr_ppm == (50000 + 1000000) // 2
+    assert r.low_diversity_docs == 1
+
+
+def test_effective_rank_collapse_red(spark):
+    # green: orthogonal one-hots spread variance across all dims -> PR
+    # near n_dims; red: collinear cloud -> PR collapses toward 1
+    from kcl_akka_stream_spark.queries import pipeline as P
+
+    ortho = [
+        (i, [1.0 if d == i % 4 else 0.0 for d in range(4)])
+        for i in range(16)
+    ]
+    coll = [(i, [float(i), 2.0 * i, 0.0, 0.0]) for i in range(16)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "vec_id long, embedding array<double>"
+    )
+    orig = P.tbl
+    try:
+        P.tbl = lambda _s, _d, _n: mk(ortho)
+        r_o = P.emb_effective_rank(spark, "x").collect()[0]
+        P.tbl = lambda _s, _d, _n: mk(coll)
+        r_c = P.emb_effective_rank(spark, "x").collect()[0]
+    finally:
+        P.tbl = orig
+    assert r_o.n_dims == 4
+    assert r_o.pr_milli >= 3000  # isotropic-ish: close to 4.000
+    assert r_c.pr_milli <= 1300  # rank-1 cloud: close to 1.000

@@ -287,6 +287,116 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("vocab"))
         )
 
+    def _with_lang(d):
+        # replicas carry (doc_id, text) only; the round-15 census ops
+        # group by lang -- derive a deterministic 5-way lang from doc_id
+        return d.withColumn(
+            "lang", F.expr("CAST(doc_id % 5 AS STRING)")
+        )
+
+    def _pii_census(d):
+        from kcl_akka_stream_spark.queries.pipeline import (
+            _PII_PATTERNS,
+            _pii_fixture,
+        )
+
+        proj = _pii_fixture(_with_lang(d)).select(
+            "lang",
+            *[
+                F.expr(f"regexp_extract_all(text2, '{p}', 0)").alias(k)
+                for k, p in _PII_PATTERNS.items()
+            ],
+        )
+        return proj.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.expr(f"size({k})")).alias(f"n_{k}") for k in _PII_PATTERNS],
+        )
+
+    def _repetition_census(d):
+        from kcl_akka_stream_spark.operators.dedup import positional_windows
+
+        per = _with_lang(d).select(
+            "lang",
+            F.size(positional_windows(F.col("text"), 3)).alias("n3"),
+            F.size(
+                F.array_distinct(positional_windows(F.col("text"), 3))
+            ).alias("d3"),
+        ).filter(F.col("n3") > 0)
+        return per.groupBy("lang").agg(
+            F.sum(F.expr("1000000 * (n3 - d3) div n3")).alias("s")
+        )
+
+    def _chao1_spectrum(d):
+        from kcl_akka_stream_spark.operators.dedup import positional_windows
+
+        gc = (
+            _with_lang(d)
+            .select(
+                "lang",
+                F.explode(positional_windows(F.col("text"), 3)).alias("g"),
+            )
+            .groupBy("lang", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return gc.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("v"),
+            F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END")).alias("f1"),
+            F.sum(F.expr("CASE WHEN c = 2 THEN 1 ELSE 0 END")).alias("f2"),
+        )
+
+    def _mattr_census(d):
+        from kcl_akka_stream_spark.operators.text import TOKEN_PATTERN
+
+        w = 20
+        per = _with_lang(d).select(
+            "lang",
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)").alias("t"),
+        ).filter(F.expr("size(t) > 0")).select(
+            "lang",
+            F.expr(
+                f"CASE WHEN size(t) >= {w} THEN"
+                f" aggregate(transform(sequence(1, size(t) - {w - 1}),"
+                f"   i -> 1000000 * size(array_distinct(slice(t, i, {w})))),"
+                "   0L, (a, x) -> a + x)"
+                f"   div (size(t) - {w - 1}) div {w}"
+                " ELSE 1000000 * size(array_distinct(t)) div size(t) END"
+            ).alias("m"),
+        )
+        return per.groupBy("lang").agg(F.sum("m").alias("s"))
+
+    def _pps_picks(d):
+        from kcl_akka_stream_spark.operators.text import TOKEN_PATTERN
+        from kcl_akka_stream_spark.operators.windows import (
+            distributed_cumsum,
+        )
+
+        k = 100
+        wdoc = d.select(
+            "doc_id",
+            F.expr(
+                f"CAST(size(regexp_extract_all(lower(text),"
+                f" '{TOKEN_PATTERN}', 0)) AS BIGINT)"
+            ).alias("w"),
+        )
+        cum = distributed_cumsum(wdoc, "doc_id", "w", cum_col="c_hi")
+        tot = wdoc.agg(
+            F.expr(f"greatest(CAST(sum(w) AS BIGINT) div {k}, 1)").alias("step"),
+            F.expr(
+                f"greatest(CAST(sum(w) AS BIGINT) div {k}, 1) div 2"
+            ).alias("strt"),
+        )
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .select(
+                "doc_id",
+                F.expr(
+                    f"least((c_hi - strt + step - 1) div step, {k})"
+                    f" - least((c_hi - w - strt + step - 1) div step, {k})"
+                ).alias("picks"),
+            )
+            .filter(F.col("picks") > 0)
+        )
+
     ops = {
         "dedup_exact": lambda d: D.exact_dedup(d),
         "dedup_simhash": lambda d: D.simhash(d),
@@ -341,6 +451,14 @@ def main() -> None:
         # round-15: Heaps'-law prefix-vocab after the two-pass bucketed
         # rank rewrite (VERDICT r14 #2)
         "text_heaps_rank": lambda d: _heaps_prefix_vocab(d),
+        # round-15 waves 85-92: PII census, repetition flags, Chao1
+        # spectrum, MATTR diversity, PPS systematic sampling -- each
+        # replicates the query's data-sized portion over (doc_id, text)
+        "text_pii_scan": lambda d: _pii_census(d),
+        "text_repetition": lambda d: _repetition_census(d),
+        "agg_chao1": lambda d: _chao1_spectrum(d),
+        "text_mattr": lambda d: _mattr_census(d),
+        "sample_pps": lambda d: _pps_picks(d),
     }
     only = os.environ.get("SCALE_PROBE_ONLY")
     if only:
