@@ -463,6 +463,10 @@ HEADLINE = [
     "text_mattr",
     # round-15 wave 93: participation-ratio effective rank
     "emb_effective_rank",
+    # round-15 wave 94: Wilcoxon signed-rank paired test
+    "agg_wilcoxon_signed_rank",
+    # round-15 wave 95: GIF header census (6th container parser)
+    "multimodal_gif_header",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -553,3 +553,63 @@ def parse_mp3_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         )
     )
     return out.drop("__h", "__off", "__b1", "__b2")
+
+
+def parse_gif_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse the GIF header + logical screen descriptor from a binary
+    column (GIF87a/89a spec, public): 6-byte version magic, then width
+    and height as LITTLE-endian uint16 (the twist vs PNG/JPEG's BE --
+    GIF shares WAV's byte order), then the packed byte whose top bit
+    flags a global color table of 2^(N+1) entries (N = low 3 bits).
+    Rows failing the magic get gif_ok=0 and NULL fields.  Same census
+    posture as the other five container parsers: hex-slice reads inside
+    whole-stage codegen, no codec, no Python row path."""
+    ok = (
+        "(substring(__h, 1, 6) = '474946'"  # 'GIF'
+        " AND substring(__h, 7, 6) IN ('383761', '383961'))"  # 87a / 89a
+    )
+    # 2^(exp+1) GCT entries spelled as an 8-way CASE: no reliance on
+    # cross-engine shift operators
+    gct = (
+        "CASE (" + _hex_be(10, 1) + ") % 8 "
+        + " ".join(f"WHEN {e} THEN {1 << (e + 1)}" for e in range(8))
+        + " END"
+    )
+    out = (
+        df.withColumn("__h", F.hex(F.col(payload_col)))
+        .withColumn("gif_ok", F.expr(f"cast({ok} as int)"))
+        .withColumn(
+            "version",
+            F.expr(
+                f"case when {ok} then"
+                " case substring(__h, 7, 6) when '383761' then '87a'"
+                " else '89a' end end"
+            ),
+        )
+        .withColumn(
+            "width", F.expr(f"case when {ok} then {_hex_le(6, 2)} end")
+        )
+        .withColumn(
+            "height", F.expr(f"case when {ok} then {_hex_le(8, 2)} end")
+        )
+        .withColumn(
+            "gct_flag",
+            F.expr(
+                f"case when {ok} then ({_hex_be(10, 1)}) div 128 end"
+            ),
+        )
+        .withColumn(
+            "gct_entries",
+            F.expr(
+                f"case when {ok} and ({_hex_be(10, 1)}) div 128 = 1"
+                f" then {gct} else 0 end"
+            ),
+        )
+        .withColumn(
+            "n_pixels",
+            F.expr(
+                f"case when {ok} then {_hex_le(6, 2)} * {_hex_le(8, 2)} end"
+            ),
+        )
+    )
+    return out.drop("__h")

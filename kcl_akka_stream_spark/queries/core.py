@@ -7474,3 +7474,123 @@ def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _wilcoxon_oracle() -> str:
+    return """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN extract(hour FROM ts) < 12
+                           THEN 1 ELSE 0 END) AS BIGINT) AS am,
+             CAST(sum(CASE WHEN extract(hour FROM ts) >= 12
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pm
+      FROM events GROUP BY 1, 2),
+    diffs AS (
+      SELECT event_type, pm - am AS dv, abs(pm - am) AS ad
+      FROM daily WHERE pm <> am),
+    tie AS (
+      SELECT event_type, ad, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_pos
+      FROM diffs GROUP BY event_type, ad),
+    rk AS (
+      SELECT event_type, ad, c, c_pos,
+             CAST(COALESCE(sum(c) OVER (PARTITION BY event_type
+                  ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS cum_less
+      FROM tie)
+    SELECT event_type,
+           CAST(sum(c) AS BIGINT) AS n_pairs,
+           CAST(sum(c_pos * (2 * cum_less + c + 1)) AS BIGINT)
+             AS w_plus_x2,
+           CAST(sum((c - c_pos) * (2 * cum_less + c + 1)) AS BIGINT)
+             AS w_minus_x2,
+           1000000 * (CAST(sum(c_pos * (2 * cum_less + c + 1)) AS BIGINT)
+                      - CAST(sum((c - c_pos) * (2 * cum_less + c + 1))
+                             AS BIGINT))
+             // (CAST(sum(c) AS BIGINT) * (CAST(sum(c) AS BIGINT) + 1))
+             AS effect_ppm
+    FROM rk GROUP BY event_type ORDER BY event_type
+    """
+
+
+@query("agg_wilcoxon_signed_rank", _wilcoxon_oracle())
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wilcoxon signed-rank test (Wilcoxon 1945) for PAIRED samples --
+    # completes the registry's nonparametric family (Spearman/Kendall =
+    # association, Mann-Whitney/AUC = two independent samples,
+    # Hodges-Lehmann = the location estimate, Theil-Sen = the slope):
+    # per (type, day), is evening volume systematically shifted vs
+    # morning?  Zero diffs drop (the standard treatment), |diff| ranks
+    # use tie-group MIDRANKS held DOUBLED (2*midrank = 2*cum_less + c +
+    # 1, the exact-int64 trick the AUC query proved), W+ and W- are the
+    # signed rank sums, and the effect is their normalized difference
+    # (W+ - W-) / (n(n+1)/2) in exact ppm -- +1e6 = all days shifted
+    # up, 0 = symmetric.  No sqrt/normal approximation anywhere: the
+    # report is the exact statistic a threshold consumer reads.
+    #
+    # Scale shape: one (type, day) agg (map-combinable) -> diffs ->
+    # one (type, |d|) tie agg -> per-type cumulative window riding the
+    # SAME type exchange (group-bounded: days per type) -> rollup.
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.expr("CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("am"),
+        F.sum(F.expr("CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("pm"),
+    )
+    diffs = daily.filter("pm <> am").select(
+        "event_type",
+        (F.col("pm") - F.col("am")).alias("dv"),
+        F.abs(F.col("pm") - F.col("am")).alias("ad"),
+    )
+    tie = diffs.groupBy("event_type", "ad").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.expr("CASE WHEN dv > 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("c_pos"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = tie.select(
+        "event_type",
+        "c",
+        "c_pos",
+        F.coalesce(F.sum("c").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_less"),
+    )
+    return (
+        rk.groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_pairs"),
+            F.sum(F.expr("c_pos * (2 * cum_less + c + 1)"))
+            .cast("long")
+            .alias("w_plus_x2"),
+            F.sum(F.expr("(c - c_pos) * (2 * cum_less + c + 1)"))
+            .cast("long")
+            .alias("w_minus_x2"),
+        )
+        .select(
+            "event_type",
+            "n_pairs",
+            "w_plus_x2",
+            "w_minus_x2",
+            F.expr(
+                "1000000 * (w_plus_x2 - w_minus_x2)"
+                " div (n_pairs * (n_pairs + 1))"
+            )
+            .cast("long")
+            .alias("effect_ppm"),
+        )
+        .orderBy("event_type")
+    )

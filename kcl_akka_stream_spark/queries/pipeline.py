@@ -13340,3 +13340,133 @@ def emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pr_milli"),
     )
+
+
+def _gif_media(docs: DataFrame) -> DataFrame:
+    """Deterministic GIF fixture build: version, LE dims, packed GCT
+    byte all derived from doc_id; every 19th doc corrupted (text
+    bytes) -- the shared corruption convention of the media fixtures."""
+    p = docs.select(
+        "doc_id",
+        "text",
+        F.expr("100 + (doc_id % 17) * 8").alias("w"),
+        F.expr("60 + (doc_id % 11) * 12").alias("hh"),
+        F.expr(
+            "CASE WHEN doc_id % 2 = 0 THEN '383961' ELSE '383761' END"
+        ).alias("ver"),
+        F.expr(
+            "CASE WHEN doc_id % 3 <> 0 THEN 128 + doc_id % 8"
+            " ELSE doc_id % 8 END"
+        ).alias("packed"),
+    )
+    return p.select(
+        F.expr(
+            "CASE WHEN doc_id % 19 = 0 THEN encode(text, 'UTF-8')"
+            " ELSE unhex(concat('474946', ver,"
+            " lpad(hex(w % 256), 2, '0'), lpad(hex(w div 256), 2, '0'),"
+            " lpad(hex(hh % 256), 2, '0'), lpad(hex(hh div 256), 2, '0'),"
+            " lpad(hex(packed), 2, '0'), '0000', '3B')) END"
+        ).alias("payload")
+    )
+
+
+def _gif_oracle() -> str:
+    def rd_be(off: int, w: int) -> str:
+        return (
+            f"TRY_CAST(('0x' || substr(h, 2 * {off} + 1, {2 * w}))"
+            " AS BIGINT)"
+        )
+
+    # little-endian uint16: swap the two hex byte pairs before parsing
+    def rd_le16(off: int) -> str:
+        return (
+            f"TRY_CAST(('0x' || substr(h, 2 * {off} + 3, 2)"
+            f" || substr(h, 2 * {off} + 1, 2)) AS BIGINT)"
+        )
+
+    gct = (
+        "CASE (" + rd_be(10, 1) + ") % 8 "
+        + " ".join(f"WHEN {e} THEN {1 << (e + 1)}" for e in range(8))
+        + " END"
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id, text,
+             100 + (doc_id % 17) * 8 AS w,
+             60 + (doc_id % 11) * 12 AS hh,
+             CASE WHEN doc_id % 2 = 0 THEN '383961' ELSE '383761' END AS ver,
+             CASE WHEN doc_id % 3 <> 0 THEN 128 + doc_id % 8
+                  ELSE doc_id % 8 END AS packed
+      FROM documents),
+    media AS (
+      SELECT CASE WHEN doc_id % 19 = 0 THEN encode(text)
+                  ELSE from_hex('474946' || ver
+                        || lpad(hex(w % 256), 2, '0')
+                        || lpad(hex(w // 256), 2, '0')
+                        || lpad(hex(hh % 256), 2, '0')
+                        || lpad(hex(hh // 256), 2, '0')
+                        || lpad(hex(packed), 2, '0') || '0000' || '3B')
+             END AS payload
+      FROM p),
+    fields AS (
+      SELECT CASE WHEN substr(h, 1, 6) = '474946'
+                   AND substr(h, 7, 6) IN ('383761', '383961')
+                  THEN 1 ELSE 0 END AS ok,
+             CASE substr(h, 7, 6) WHEN '383761' THEN '87a'
+                  WHEN '383961' THEN '89a' END AS version,
+             {rd_le16(6)} AS width,
+             {rd_le16(8)} AS height,
+             ({rd_be(10, 1)}) // 128 AS gf,
+             {gct} AS gct_sz
+      FROM (SELECT hex(payload) AS h FROM media))
+    SELECT CASE WHEN ok = 1 THEN version END AS version,
+           CASE WHEN ok = 1 THEN gf END AS gct_flag,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN ok = 1 THEN width * height END) AS BIGINT)
+             AS total_pixels,
+           CAST(max(CASE WHEN ok = 1 THEN width END) AS BIGINT)
+             AS max_width,
+           CAST(sum(CASE WHEN ok = 1 AND gf = 1 THEN gct_sz ELSE 0 END)
+                AS BIGINT) AS total_gct_entries,
+           CAST(sum(1 - ok) AS BIGINT) AS n_bad
+    FROM fields GROUP BY 1, 2
+    """
+
+
+@query("multimodal_gif_header", _gif_oracle())
+def multimodal_gif_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GIF header census -- the sixth container parser (WAV, MP4, PNG,
+    # JPEG, MP3 carried): version + logical-screen dims + global-color-
+    # table census per (version, GCT flag).  GIF is the LITTLE-endian
+    # image container (PNG/JPEG read BE; GIF shares WAV's byte order),
+    # so the parser exercises the LE16 hex-swap path on an image
+    # payload; the GCT size is 2^(N+1) spelled as an 8-way CASE (no
+    # cross-engine shift reliance).  Same 100 TB posture as the other
+    # censuses: hex-slice reads inside whole-stage codegen over opaque
+    # binary columns, one bounded census agg, corrupt rows (every 19th
+    # doc) isolated under NULL keys rather than poisoning the parse.
+    from kcl_akka_stream_spark.operators.multimodal import parse_gif_header
+
+    media = _gif_media(spread(tbl(spark, sf_dir, "documents")))
+    parsed = parse_gif_header(media)
+    return parsed.groupBy(
+        F.expr("CASE WHEN gif_ok = 1 THEN version END").alias("version"),
+        F.expr("CASE WHEN gif_ok = 1 THEN gct_flag END").alias("gct_flag"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.expr("CASE WHEN gif_ok = 1 THEN n_pixels END"))
+        .cast("long")
+        .alias("total_pixels"),
+        F.max(F.expr("CASE WHEN gif_ok = 1 THEN width END"))
+        .cast("long")
+        .alias("max_width"),
+        F.sum(
+            F.expr(
+                "CASE WHEN gif_ok = 1 AND gct_flag = 1 THEN gct_entries"
+                " ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("total_gct_entries"),
+        F.sum(1 - F.col("gif_ok")).cast("long").alias("n_bad"),
+    )

@@ -344,6 +344,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "w_cusum_drift": 5,  # (type,hour) agg + mean broadcast + stacked windows on ONE type exchange + rollup
         "text_mattr": 3,  # spread + per-doc comprehension in one projection + lang agg + tiny sort
         "emb_effective_rank": 5,  # spread + (vec,dim) explode checkpointed + covariance agg + single-row fold
+        "agg_wilcoxon_signed_rank": 4,  # (type,day) agg + tie agg + per-type midrank window on one type exchange + rollup
+        "multimodal_gif_header": 2,  # spread + map-only LE16 parse + one bounded census agg
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

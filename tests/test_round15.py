@@ -309,3 +309,76 @@ def test_effective_rank_collapse_red(spark):
     assert r_o.n_dims == 4
     assert r_o.pr_milli >= 3000  # isotropic-ish: close to 4.000
     assert r_c.pr_milli <= 1300  # rank-1 cloud: close to 1.000
+
+
+def test_wilcoxon_symmetric_and_shifted(spark):
+    # engineered: symmetric diffs -> W+ == W- and effect 0; a uniform
+    # upward shift -> all rank mass positive (effect = +1e6)
+    import datetime
+
+    from kcl_akka_stream_spark.queries import core as C
+
+    def day(d, am, pm, eid0):
+        t0 = datetime.datetime(2024, 1, 1 + d)
+        rows = []
+        for i in range(am):
+            rows.append(("t", eid0 + i, t0 + datetime.timedelta(hours=9), 1.0))
+        for i in range(pm):
+            rows.append(
+                ("t", eid0 + 1000 + i, t0 + datetime.timedelta(hours=15), 1.0)
+            )
+        return rows
+
+    # diffs: +1, -1, +2, -2 -> symmetric
+    sym = (
+        day(0, 5, 6, 0) + day(1, 6, 5, 2000)
+        + day(2, 5, 7, 4000) + day(3, 7, 5, 6000)
+    )
+    # diffs: +1, +2, +3 -> all positive
+    up = day(0, 5, 6, 0) + day(1, 5, 7, 2000) + day(2, 5, 8, 4000)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    orig = C.tbl
+    try:
+        C.tbl = lambda _s, _d, _n: mk(sym)
+        r_sym = C.agg_wilcoxon_signed_rank(spark, "x").collect()[0]
+        C.tbl = lambda _s, _d, _n: mk(up)
+        r_up = C.agg_wilcoxon_signed_rank(spark, "x").collect()[0]
+    finally:
+        C.tbl = orig
+    assert r_sym.w_plus_x2 == r_sym.w_minus_x2
+    assert r_sym.effect_ppm == 0
+    assert r_up.w_minus_x2 == 0
+    # doubled W+ over n(n+1) == 2 * (n(n+1)/2) / (n(n+1)) = exactly 1e6
+    assert r_up.effect_ppm == 1000000
+    # midrank identity: W+ + W- == n(n+1) (doubled scale)
+    for r in (r_sym, r_up):
+        assert r.w_plus_x2 + r.w_minus_x2 == r.n_pairs * (r.n_pairs + 1)
+
+
+def test_gif_parser_le_and_corruption(spark, sf_dir):
+    # the census must recover the residue-class fixture exactly: LE dims
+    # (a BE read would garble every width > 255), GCT census, corrupt
+    # count == every-19th docs
+    from kcl_akka_stream_spark.operators.multimodal import parse_gif_header
+    from kcl_akka_stream_spark.queries import QUERIES
+    from kcl_akka_stream_spark.queries.pipeline import _gif_media
+    from kcl_akka_stream_spark.queries.registry import tbl as _tbl
+
+    docs = _tbl(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    rows = QUERIES["multimodal_gif_header"](spark, sf_dir).collect()
+    n_bad = sum(r.n_bad for r in rows)
+    assert n_bad == sum(1 for i in range(n_docs) if i % 19 == 0)
+    assert sum(r.n_files for r in rows) == n_docs
+    # direct parse of one known doc: doc_id=1 -> GIF87a, w=108, h=72,
+    # packed=129 -> GCT of 4 entries
+    one = parse_gif_header(
+        _gif_media(docs.filter("doc_id = 1"))
+    ).collect()[0]
+    assert (one.version, one.width, one.height) == ("87a", 108, 72)
+    assert (one.gct_flag, one.gct_entries) == (1, 4)
+    # engineered red: a BE read of width would give 108*256 = 27648 --
+    # assert the LE value is what the parser returns (not the swap)
+    assert one.width != 27648
