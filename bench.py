@@ -467,6 +467,10 @@ HEADLINE = [
     "agg_wilcoxon_signed_rank",
     # round-15 wave 95: GIF header census (6th container parser)
     "multimodal_gif_header",
+    # round-15 wave 96: Wald-Wolfowitz runs test (serial randomness)
+    "agg_runs_test",
+    # round-15 wave 97: record-breaking extremes vs harmonic expectation
+    "w_record_extremes",
 ]
 
 # Labeled anti-pattern baselines (VERDICT r6 #3): kept deliberately as

@@ -7594,3 +7594,204 @@ def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _runs_test_oracle() -> str:
+    return """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    base AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+      FROM hourly GROUP BY event_type),
+    signs AS (
+      SELECT h.event_type, h.hr,
+             CASE WHEN h.n > b.mu THEN 1 ELSE 0 END AS s
+      FROM hourly h JOIN base b USING (event_type)
+      WHERE h.n <> b.mu),
+    lagged AS (
+      SELECT event_type, s,
+             lag(s) OVER (PARTITION BY event_type ORDER BY hr) AS ps
+      FROM signs)
+    SELECT event_type,
+           CAST(sum(s) AS BIGINT) AS n_above,
+           CAST(sum(1 - s) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN ps IS NULL OR s <> ps THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_runs,
+           1000000 + 2000000 * CAST(sum(s) AS BIGINT)
+             * CAST(sum(1 - s) AS BIGINT)
+             // (CAST(sum(s) AS BIGINT) + CAST(sum(1 - s) AS BIGINT))
+             AS expected_runs_micro,
+           1000000 * CAST(sum(CASE WHEN ps IS NULL OR s <> ps
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+             // greatest((1000000 + 2000000 * CAST(sum(s) AS BIGINT)
+                  * CAST(sum(1 - s) AS BIGINT)
+                  // (CAST(sum(s) AS BIGINT) + CAST(sum(1 - s) AS BIGINT)))
+                  // 1000000, 1) AS runs_ratio_ppm
+    FROM lagged GROUP BY event_type ORDER BY event_type
+    """
+
+
+@query("agg_runs_test", _runs_test_oracle())
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wald-Wolfowitz runs test (1940) for serial randomness -- the
+    # sequence-health check beside CUSUM (sustained shift) and the
+    # KL/KS twins (distribution drift): over each type's hourly series,
+    # is the above/below-mean sign sequence random, or does it CLUMP
+    # (positive autocorrelation -> too few runs) or OSCILLATE (negative
+    # -> too many)?  Hours exactly at the mean drop (the standard
+    # treatment); a run starts at the first row or any sign change
+    # (lag-based, exact); the expected run count under H0 is the exact
+    # rational 1 + 2*n1*n2/(n1+n2), micro-frozen, and the report is the
+    # observed/expected ratio in ppm -- no variance/normal
+    # approximation, the exact statistic a threshold consumer reads.
+    #
+    # Scale shape: one (type, hour) agg -> per-type mean broadcast back
+    # -> lag window riding ONE keyed exchange of the group-bounded
+    # hourly relation -> rollup.
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = hourly.groupBy("event_type").agg(
+        F.expr("CAST(sum(n) AS BIGINT) div CAST(count(*) AS BIGINT)")
+        .cast("long")
+        .alias("mu")
+    )
+    signs = (
+        hourly.join(F.broadcast(base), "event_type")
+        .filter("n <> mu")
+        .select(
+            "event_type",
+            "hr",
+            F.expr("CASE WHEN n > mu THEN 1 ELSE 0 END").alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = signs.select(
+        "event_type", "s", F.lag("s").over(w).alias("ps")
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.sum("s").cast("long").alias("n_above"),
+        F.sum(F.expr("1 - s")).cast("long").alias("n_below"),
+        F.sum(
+            F.expr("CASE WHEN ps IS NULL OR s <> ps THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    return agg.select(
+        "event_type",
+        "n_above",
+        "n_below",
+        F.expr(
+            "1000000 + 2000000 * n_above * n_below"
+            " div (n_above + n_below)"
+        )
+        .cast("long")
+        .alias("expected_runs_micro"),
+        F.expr(
+            "1000000 * n_runs div greatest((1000000 + 2000000 * n_above"
+            " * n_below div (n_above + n_below)) div 1000000, 1)"
+        )
+        .cast("long")
+        .alias("runs_ratio_ppm"),
+        "n_runs",
+    ).select(
+        "event_type",
+        "n_above",
+        "n_below",
+        "n_runs",
+        "expected_runs_micro",
+        "runs_ratio_ppm",
+    ).orderBy("event_type")
+
+
+def _record_extremes_oracle() -> str:
+    return """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    rk AS (
+      SELECT event_type, hr, n,
+             CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY hr) AS BIGINT) AS i,
+             CASE WHEN n > COALESCE(CAST(max(n) OVER (
+                    PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), -1)
+                  THEN 1 ELSE 0 END AS rec
+      FROM hourly)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(rec) AS BIGINT) AS n_records,
+           CAST(sum(1000000 // i) AS BIGINT) AS harmonic_micro,
+           1000000 * CAST(sum(rec) AS BIGINT)
+             // greatest(CAST(sum(1000000 // i) AS BIGINT) // 1000000, 1)
+             AS record_ratio_ppm
+    FROM rk GROUP BY event_type ORDER BY event_type
+    """
+
+
+@query("w_record_extremes", _record_extremes_oracle())
+def w_record_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Record-breaking statistics (Renyi 1962; the classic extreme-value
+    # result): in an i.i.d. series the expected number of running-maximum
+    # records after n observations is EXACTLY the harmonic number H_n =
+    # sum 1/i -- distribution-free, no parameters.  A per-type hourly
+    # volume series breaking records much faster than H_n is TRENDING
+    # (each hour beats history more often than chance allows); the
+    # growth alarm beside CUSUM (level shift) and the runs test
+    # (clumping).  H_n is held exactly as sum(1e6 div i) -- integer
+    # micro with no ln approximation -- and the report is the
+    # observed/expected ratio in ppm.
+    #
+    # Scale shape: one (type, hour) agg, then row_number + prior-max
+    # windows riding ONE keyed exchange of the group-bounded hourly
+    # relation, then the per-type rollup.
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    rk = hourly.select(
+        "event_type",
+        "n",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.expr(
+            "CASE WHEN n > COALESCE(CAST(max(n) OVER ("
+            "PARTITION BY event_type ORDER BY hr"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            " AS BIGINT), -1) THEN 1 ELSE 0 END"
+        ).alias("rec"),
+    )
+    return (
+        rk.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("rec").cast("long").alias("n_records"),
+            F.sum(F.expr("1000000 div i")).cast("long").alias(
+                "harmonic_micro"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "n_records",
+            "harmonic_micro",
+            F.expr(
+                "1000000 * n_records"
+                " div greatest(harmonic_micro div 1000000, 1)"
+            )
+            .cast("long")
+            .alias("record_ratio_ppm"),
+        )
+        .orderBy("event_type")
+    )

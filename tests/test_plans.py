@@ -346,6 +346,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "emb_effective_rank": 5,  # spread + (vec,dim) explode checkpointed + covariance agg + single-row fold
         "agg_wilcoxon_signed_rank": 4,  # (type,day) agg + tie agg + per-type midrank window on one type exchange + rollup
         "multimodal_gif_header": 2,  # spread + map-only LE16 parse + one bounded census agg
+        "agg_runs_test": 5,  # (type,hour) agg + mean broadcast + lag window on one type exchange + rollup
+        "w_record_extremes": 3,  # (type,hour) agg + running rank/prior-max windows on one type exchange + rollup
     }
     for name, budget in budgets.items():
         got = count_exchanges(QUERIES[name](spark, sf_dir))

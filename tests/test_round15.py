@@ -382,3 +382,83 @@ def test_gif_parser_le_and_corruption(spark, sf_dir):
     # engineered red: a BE read of width would give 108*256 = 27648 --
     # assert the LE value is what the parser returns (not the swap)
     assert one.width != 27648
+
+
+def test_runs_test_alternating_and_clumped(spark):
+    # engineered: perfectly alternating signs -> runs == n (ratio >>
+    # 1e6); perfectly clumped (all aboves then all belows) -> 2 runs
+    import datetime
+
+    from kcl_akka_stream_spark.queries import core as C
+
+    def series(counts):
+        rows = []
+        t0 = datetime.datetime(2024, 1, 1)
+        eid = 0
+        for h, n in enumerate(counts):
+            for _ in range(n):
+                rows.append(
+                    ("t", eid, t0 + datetime.timedelta(hours=h), 1.0)
+                )
+                eid += 1
+        return rows
+
+    alt = series([5, 15] * 6)           # mean 10: -+-+... 12 runs
+    clump = series([5] * 6 + [15] * 6)  # 2 runs
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    orig = C.tbl
+    try:
+        C.tbl = lambda _s, _d, _n: mk(alt)
+        r_alt = C.agg_runs_test(spark, "x").collect()[0]
+        C.tbl = lambda _s, _d, _n: mk(clump)
+        r_cl = C.agg_runs_test(spark, "x").collect()[0]
+    finally:
+        C.tbl = orig
+    assert (r_alt.n_above, r_alt.n_below) == (6, 6)
+    assert r_alt.n_runs == 12
+    assert r_cl.n_runs == 2
+    # expected runs: 1 + 2*6*6/12 = 7 exactly
+    assert r_alt.expected_runs_micro == 7000000
+    assert r_alt.runs_ratio_ppm > 1500000  # oscillating
+    assert r_cl.runs_ratio_ppm < 500000    # clumped
+
+
+def test_record_extremes_monotone_and_constant(spark):
+    # engineered: strictly increasing series -> every hour is a record
+    # (ratio >> 1e6 once n > e^n...); constant series -> exactly 1
+    # record; harmonic sum is the exact integer micro H_n
+    import datetime
+
+    from kcl_akka_stream_spark.queries import core as C
+
+    def series(counts):
+        rows = []
+        t0 = datetime.datetime(2024, 1, 1)
+        eid = 0
+        for h, n in enumerate(counts):
+            for _ in range(n):
+                rows.append(
+                    ("t", eid, t0 + datetime.timedelta(hours=h), 1.0)
+                )
+                eid += 1
+        return rows
+
+    inc = series(list(range(1, 13)))   # 1..12 strictly increasing
+    const = series([7] * 12)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    orig = C.tbl
+    try:
+        C.tbl = lambda _s, _d, _n: mk(inc)
+        r_inc = C.w_record_extremes(spark, "x").collect()[0]
+        C.tbl = lambda _s, _d, _n: mk(const)
+        r_c = C.w_record_extremes(spark, "x").collect()[0]
+    finally:
+        C.tbl = orig
+    assert r_inc.n_records == 12  # every hour breaks the record
+    assert r_c.n_records == 1     # only the first
+    h12 = sum(1000000 // i for i in range(1, 13))
+    assert r_inc.harmonic_micro == h12 == r_c.harmonic_micro
