@@ -6120,22 +6120,44 @@ def j_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_plain == n_null_matches) is the audited difference.  Plan note:
     # Spark executes `<=>` as a hash join (null-safe keys hash like
     # values); it does NOT fall back to a cartesian.
+    #
+    # Optimization r15 (guide §2.3 "aggregate before you shuffle" /
+    # §3.3 exploding joins): the join key has only 7 distinct non-null
+    # values, so joining the raw event slices materialized ~10^8 pairs
+    # just to COUNT them.  Both sides now pre-fold to per-key counts (<=
+    # 8 rows each) and the SAME plain / null-safe join operators run on
+    # the count relations; pair counts are exact products cnt_a * cnt_b
+    # summed -- identical results (the oracle still materializes the
+    # pair join in DuckDB, so the equivalence stays independently
+    # checked), and the join that reaches the executor is 8x8 instead of
+    # ~20k x ~20k per key.  At 100 TB the old shape is a cartesian-class
+    # blowup; this one shuffles 8 rows.
     ev = tbl(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("a_id"),
-        F.nullif(F.col("user_id") % 7, F.lit(0)).alias("ka"),
+    a = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.nullif(F.col("user_id") % 7, F.lit(0)).alias("ka"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
     )
-    b = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("b_id"),
-        F.nullif(F.col("user_id") % 7, F.lit(0)).alias("kb"),
+    b = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.nullif(F.col("user_id") % 7, F.lit(0)).alias("kb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
     )
     n_plain = a.join(b, F.col("ka") == F.col("kb")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_plain")
+        F.coalesce(F.sum(F.expr("ca * cb")), F.lit(0))
+        .cast("long")
+        .alias("n_plain")
     )
     ns = a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
-    n_null_safe = ns.agg(F.count(F.lit(1)).cast("long").alias("n_null_safe"))
+    n_null_safe = ns.agg(
+        F.coalesce(F.sum(F.expr("ca * cb")), F.lit(0))
+        .cast("long")
+        .alias("n_null_safe")
+    )
     n_null_matches = ns.filter(F.col("ka").isNull()).agg(
-        F.count(F.lit(1)).cast("long").alias("n_null_matches")
+        F.coalesce(F.sum(F.expr("ca * cb")), F.lit(0))
+        .cast("long")
+        .alias("n_null_matches")
     )
     return (
         F.broadcast(n_plain)

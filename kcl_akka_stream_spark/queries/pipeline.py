@@ -12310,7 +12310,14 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     iters = 3
-    emb = tbl(spark, sf_dir, "embeddings")
+    # Optimization r15 (guide §2.5 input skew / VERDICT r9 #5 spread
+    # class): the single-file embeddings scan is ONE partition, so the
+    # explode + centered self-join used to run its ~8.2M joined rows in
+    # one task until the (d, d2) exchange.  spread() + the eager
+    # checkpoint (e feeds BOTH mu and c -- same shape
+    # emb_effective_rank already ships) parallelize the covariance;
+    # measured 3.37s -> 1.81s interleaved-median on the cov fold alone.
+    emb = spread(tbl(spark, sf_dir, "embeddings"))
     e = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
@@ -12320,7 +12327,7 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "d",
         F.expr("cast(round(x * 1000000, 0) as bigint)").alias("em"),
-    )
+    ).localCheckpoint(eager=True)  # (vec, dim) relation feeds mu AND c
     mu = e.groupBy("d").agg(
         F.expr("cast(sum(em) div count(*) as bigint)").alias("mu"),
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -12336,42 +12343,42 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("cast(sum(ca * cb) div max(n) as bigint)").alias("cn")
         )
-        .localCheckpoint(eager=True)  # 4096 rows; feeds all iterations
     )
-    v = mu.select("d", F.lit(1000).cast("long").alias("vm"))
+    # Optimization r15 (guide §1.2 / §5): the 3 unrolled iterations were
+    # 3 localCheckpoint-materialized 4096-row broadcast joins + arg-max
+    # subplans -- ~7 tiny Spark jobs whose scheduling dwarfed their
+    # arithmetic.  The covariance is a BOUNDED aggregate (dims x dims =
+    # 4096 rows regardless of data -- the _collect_state / codebook
+    # collect class this repo already uses), so fold it to the driver
+    # once and run the iterations as exact int64 Python, replicating
+    # Spark's `div` (truncation toward ZERO, unlike Python's floor
+    # division) bit-for-bit: same mx/sign rule, same divide-first
+    # staging.  Identical results (same oracle, gated at 3 SFs); the
+    # data-sized pass (explode + (d,d2) agg) stays distributed.
+    rows = cov.collect()  # bounded: dims^2 == 4096 rows
+    dims = sorted({r["d"] for r in rows})
+    cn = {(r["d"], r["d2"]): r["cn"] for r in rows}
+
+    def sdiv(x: int, y: int) -> int:  # Spark `div`: truncate toward zero
+        q = abs(x) // abs(y)
+        return q if (x >= 0) == (y >= 0) else -q
+
+    vm = {d: 1000 for d in dims}
     for _ in range(iters):
-        w = (
-            cov.join(
-                F.broadcast(v.select(F.col("d").alias("d2"), "vm")), "d2"
-            )
-            .groupBy("d")
-            .agg(F.sum(F.expr("cn * vm")).cast("long").alias("w"))
-            .localCheckpoint(eager=True)  # 64 rows; feeds m/s/v
-        )
-        mstar = (
-            w.crossJoin(
-                F.broadcast(w.agg(F.max(F.abs(F.col("w"))).alias("mx")))
-            )
-            .filter(F.expr("abs(w) = mx"))
-            .orderBy("d")
-            .limit(1)
-            .select(
-                "mx",
-                F.expr("case when w >= 0 then 1 else -1 end").alias("sg"),
-            )
-        )
+        w = {
+            d: sum(cn[(d, d2)] * vm[d2] for d2 in dims if (d, d2) in cn)
+            for d in dims
+        }
+        mx = max(abs(x) for x in w.values())
+        dstar = min(d for d in dims if abs(w[d]) == mx)
+        sg = 1 if w[dstar] >= 0 else -1
         # divide-first staging: |w| <= mx, so w div (mx div 1000) lands
         # at ~+-1000 without the w*1000 product that overflows int64
         # when covariance magnitudes are large (inputs outside [-1, 1])
-        v = w.crossJoin(F.broadcast(mstar)).select(
-            "d",
-            F.expr(
-                "cast(sg * (w div greatest(mx div 1000, 1)) as bigint)"
-            ).alias("vm"),
-        )
-    return v.select(
-        F.col("d").cast("long").alias("dim"),
-        F.col("vm").alias("pc1_milli"),
+        den = max(sdiv(mx, 1000), 1)
+        vm = {d: sg * sdiv(w[d], den) for d in dims}
+    return spark.createDataFrame(
+        [(int(d), int(vm[d])) for d in dims], "dim long, pc1_milli long"
     ).orderBy("dim")
 
 

@@ -32,6 +32,38 @@ SMALL_DIMS = {"region", "nation"}
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Optimization r15 (guide §1/§5 -- driver-side work in the timed path):
+#: ``spark.read.parquet(path)`` runs schema INFERENCE on every call -- a
+#: driver-coordinated footer-read job costing ~50-150 ms idle -- and every
+#: query pays it 1-4x inside bench.py's timed region (297 queries x
+#: warmup+3 runs).  The schema of a fixture file cannot change while the
+#: file is unchanged, so cache the inferred StructType keyed by the
+#: file's identity (absolute path, mtime_ns, size) and hand it to
+#: ``spark.read.schema(...)``, which skips the inference job entirely.
+#: This caches METADATA only -- never rows, plans, or results: every
+#: action still scans the parquet fully.  Regenerated testdata changes
+#: mtime/size and misses the cache, so a stale schema can never be
+#: applied.  The cache is per-process (one bench/gate invocation); a
+#: fresh driver run starts empty.
+_SCHEMA_CACHE: dict[tuple[str, int, int], T.StructType] = {}
+
+
+def _file_key(path: str) -> tuple[str, int, int]:
+    st = os.stat(path)
+    return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    if os.environ.get("SPARK_GRAFT_NO_SCHEMA_CACHE"):  # A/B kill-switch
+        return spark.read.parquet(path)
+    key = _file_key(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
@@ -52,10 +84,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #    "timestamp".  Session TZ is pinned to UTC (session.py), so the
         #    cast is value-exact vs the DuckDB oracle.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_parquet_cached(spark, path)
         df = _normalize_event_ts(df)
         return df
-    return spark.read.parquet(path)
+    return _read_parquet_cached(spark, path)
 
 
 def _normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -88,7 +120,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP; watermarks reject NTZ event-time columns)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    key = _file_key(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
     # The file source needs a directory (or glob) -- a concrete file path
     # fails basePath validation, so glob the exact filename.
     glob_path = os.path.join(sf_dir, "events.[p]arquet")
