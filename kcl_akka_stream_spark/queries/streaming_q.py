@@ -57,6 +57,35 @@ def _capture_plan(tag: str, df: DataFrame) -> None:
         PLAN_CAPTURE.setdefault(tag, []).append(physical_plan(df))
 
 
+#: Optimization r15 (guide §1.2 order-of-operations, §2.4/§2.5): every
+#: mergeable-state twin staged its source fixture as
+#: ``df.repartition(4).write`` -- a ROUND-ROBIN exchange (which pays the
+#: SPARK-23207 sort-before-repartition on every row) into four files,
+#: then FOUR micro-batches at maxFilesPerTrigger=1.  Measured on the
+#: events projection at sf0.1: fixture write 0.56 s round-robin vs
+#: 0.36 s for a 2-way hash split, and each extra trigger costs ~0.22 s
+#: of micro-batch machinery against a no-op fold.  The merge contract
+#: these twins prove (per-batch states fold to exactly the whole-stream
+#: state: abelian sums, min/max/OR semilattices, bottom-k) is
+#: batch-composition- and batch-count-independent BY CONSTRUCTION, and
+#: every family's oracle recomputes from the whole relation -- so any
+#: deterministic multi-file split yields identical results (every twin
+#: re-gated at all 3 SFs after this change).  TWO epochs exercise the
+#: same cross-batch merge (state from batch 0 merged with state from
+#: batch 1; replay/idempotence semantics stay pinned by the pytest
+#: fixtures) at half the trigger overhead.  The split key is a
+#: deterministic full-row hash -- cheaper than the round-robin sort and
+#: reproducible under task retry (guide §2.5: never derive a partitioning
+#: key from rand()).
+N_EPOCHS = 2
+
+
+def _write_epoch_fixture(df: DataFrame, src: str, n: int = N_EPOCHS) -> None:
+    df.repartition(n, F.xxhash64(*df.columns)).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+
 #: VERDICT r12 #2: the per-family state-cardinality AUDIT for all 23
 #: mergeable-state streaming-twin families.  Each entry states HOW the
 #: per-batch state is held and WHY its cardinality cannot grow with row
@@ -702,8 +731,9 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Streaming sketch rollup: the event stream is split into 4 micro-
-    # batches (maxFilesPerTrigger=1 over a 4-file copy); each batch folds
+    # Streaming sketch rollup: the event stream is split into epoch
+    # micro-batches (maxFilesPerTrigger=1 over an N_EPOCHS-file copy,
+    # _write_epoch_fixture); each batch folds
     # into its own KMV state inside foreachBatch; the tiny per-batch
     # states (<= batches x k hashes) are then merged into ONE global
     # estimate.  The KMV closure property guarantees the merge equals the
@@ -720,7 +750,7 @@ def stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_rows = []
     state_schema = None
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -767,7 +797,7 @@ def stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Streaming frequency-sketch rollup, twin of stream_kmv_merge: each
-    # of 4 micro-batches folds into its own Count-Min counter state
+    # of N_EPOCHS micro-batches folds into its own Count-Min counter state
     # inside foreachBatch; the states are summed into the global sketch,
     # which counter additivity guarantees equals the direct batch build
     # -- the oracle checks every counter.  Streaming state per batch is
@@ -778,7 +808,7 @@ def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_cms_src_")
     state_rows = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -891,7 +921,7 @@ def stream_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_hist_src_")
     state_rows = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1454,7 +1484,7 @@ def stream_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_kmvset_src_")
     states = {"a": [], "b": []}
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1515,7 +1545,7 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_rollup_src_")
     states: list = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1594,7 +1624,7 @@ def stream_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_moments_src_")
     states: list = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1774,7 +1804,7 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Streaming EXACT distinct rollup -- the eighth mergeable-state
     # streaming family, and the first exact AND idempotent one: the
-    # event stream splits into 4 micro-batches, each folds to its own
+    # event stream splits into N_EPOCHS micro-batches, each folds to its own
     # (type, word, bits) bitmap state in foreachBatch, and the states
     # OR-merge into the global exact count.  Idempotence is the
     # operational point: an at-least-once replay of a whole batch
@@ -1797,7 +1827,7 @@ def stream_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_bitmap_src_")
     state_dir = tempfile.mkdtemp(prefix="kcl_bitmap_state_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1855,7 +1885,7 @@ def stream_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_rsv_src_")
     states: list = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1919,7 +1949,7 @@ def stream_bootstrap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_states: list = []
     pt_states: list = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2022,7 +2052,7 @@ def stream_pearson_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_pearson_src_")
     states: list = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2116,7 +2146,7 @@ def stream_kl_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_kl_src_")
     state_dir = tempfile.mkdtemp(prefix="kcl_kl_state_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2216,7 +2246,7 @@ def stream_ks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_ks_src_")
     state_dir = tempfile.mkdtemp(prefix="kcl_ks_state_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2309,7 +2339,7 @@ def stream_entropy_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_ent_src_")
     states: list = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2372,7 +2402,7 @@ def stream_mi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_mi_src_")
     states: list = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2468,7 +2498,7 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_ohlc_src_")
     state_dir = tempfile.mkdtemp(prefix="kcl_ohlc_state_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2581,7 +2611,7 @@ def stream_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_topk_src_")
     state_rows = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2666,7 +2696,7 @@ def stream_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_sess_src_")
     state_dir = tempfile.mkdtemp(prefix="kcl_sess_state_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2765,7 +2795,7 @@ def stream_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_mh_src_")
     state_rows = []
     try:
-        docs.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(docs, src)
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2889,7 +2919,7 @@ def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_bloom_src_")
     state_dir = tempfile.mkdtemp(prefix="kcl_bloom_state_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3091,7 +3121,7 @@ def stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_qsk_src_")
     states: list = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3226,7 +3256,7 @@ def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_hll_src_")
     states: list = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3311,7 +3341,7 @@ def stream_f2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="kcl_f2_src_")
     states: list = []
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_epoch_fixture(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
