@@ -303,23 +303,22 @@ def label_propagation(
     (src-partitioned); each round is one rank-attach join (node-sized
     labels -- shuffled by default, ``broadcast_scores=True`` opts into the
     broadcast when the node set provably fits, see ``_maybe_bcast``),
-    one (dst, label)-keyed combinable sum, and
-    one dst-keyed arg-max window over the *per-label vote* relation --
-    bounded by edges, map-side combined to (node x distinct incoming
-    label), never materializing per-edge state across rounds.
+    one (dst, label)-keyed combinable sum, and one dst-keyed arg-max --
+    ``min(struct(-votes, label))``, a COMBINABLE aggregate (partial
+    min map-side, no sort), exactly equivalent to the former
+    row_number-over-(votes DESC, label ASC) window because votes are
+    positive longs: negating flips the order and the struct comparison
+    breaks ties on the smaller label.  Bounded by edges, map-side
+    combined to (node x distinct incoming label), never materializing
+    per-edge state across rounds.
 
     Returns (node, label) for every node after ``iterations`` rounds.
     """
-    from pyspark.sql import Window
-
     e = edges.select(
         "src", "dst", F.col("w").cast("long").alias("w")
     ).localCheckpoint(eager=True)
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
-    )
-    w_pick = Window.partitionBy("dst").orderBy(
-        F.col("votes").desc(), F.col("label").asc()
     )
     for _ in range(iterations):
         votes = (
@@ -328,9 +327,15 @@ def label_propagation(
             .agg(F.sum("w").cast("long").alias("votes"))
         )
         labels = (
-            votes.withColumn("rn", F.row_number().over(w_pick))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), "label")
+            votes.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("votes")).alias("nv"), F.col("label")
+                    )
+                ).alias("__pick")
+            )
+            .select(F.col("dst").alias("node"), F.col("__pick.label").alias("label"))
         )
     return labels.localCheckpoint(eager=True)
 
