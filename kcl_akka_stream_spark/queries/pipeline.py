@@ -8365,13 +8365,20 @@ def dedup_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate threshold (P(cand) = 1-(1-s^r)^b), so the pair counts
     # fall monotonically.  This is the table a dedup team reads next to
     # dedup_threshold_sweep: config picks the RECALL/COST point,
-    # threshold picks the verify cut.  Signatures compute ONCE per
-    # config from the same two md5s (shared scan; the banding is the
-    # only difference); candidate generation stays bucket-bounded.
+    # threshold picks the verify cut.  The signature relation computes
+    # ONCE for all three configs (optimization r15, guide §1.2 step 1:
+    # the data-sized shingle explode + 2 md5/shingle + min-agg ran per
+    # config; the 8 minhash components are config-independent, only the
+    # banding differs).  It is doc-sized (8 short hex chunks per doc) --
+    # the cheap-to-materialize sibling of the minhash_estimate_vs_exact
+    # checkpoint; candidate generation stays bucket-bounded.
     docs = tbl(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, num_hashes=8, k=3).localCheckpoint(
+        eager=True
+    )
     out = None
     for bands in (8, 4, 2):
-        buckets = D.minhash_lsh_buckets(docs, num_hashes=8, bands=bands, k=3)
+        buckets = D._band_buckets(sig, 8, bands, "doc_id")
         cands = D.minhash_candidate_pairs(buckets)
         row = cands.agg(
             F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
