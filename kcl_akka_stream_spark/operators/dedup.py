@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kcl_akka_stream_spark.functions.hashing import md5_seeded
+from kcl_akka_stream_spark.operators.text import bind_once as _bind_once
 from kcl_akka_stream_spark.operators.text import tokens
 
 
@@ -34,18 +35,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings (distinct).
-
-    Built by zipping the token array with its own shifted slices: the
-    arrays are lambda ARGUMENTS, evaluated once per row.  The previous
-    form — ``transform(sequence(...), i -> slice(toks, i + 1, k))`` —
-    referenced ``toks`` inside the lambda body, where Catalyst
-    re-evaluates the underlying regexp_extract_all PER ELEMENT (no CSE
-    across lambda bodies), making shingling quadratic in document
-    length; the zip form cut dedup_ngram_jaccard from ~9 s to ~2 s at
-    sf0.1."""
-    toks = tokens(col)
+def _shingle_body(toks: Column, k: int) -> Column:
     size = F.size(toks)
     g = toks
     for j in range(1, k):
@@ -57,6 +47,21 @@ def shingles(col: Column, k: int = 3) -> Column:
             F.array(F.array_join(toks, " "))
         )
     )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings (distinct).
+
+    Built by zipping the token array with its own shifted slices: the
+    arrays are lambda ARGUMENTS, evaluated once per row.  The previous
+    form — ``transform(sequence(...), i -> slice(toks, i + 1, k))`` —
+    referenced ``toks`` inside the lambda body, where Catalyst
+    re-evaluates the underlying regexp_extract_all PER ELEMENT (no CSE
+    across lambda bodies), making shingling quadratic in document
+    length; the zip form cut dedup_ngram_jaccard from ~9 s to ~2 s at
+    sf0.1.  The token array itself is ``_bind_once``-bound so the
+    regexp runs once per row, not once per reference."""
+    return _bind_once(tokens(col), lambda toks: _shingle_body(toks, k))
 
 
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
@@ -1212,17 +1217,22 @@ def chain_audit(ver_pairs: DataFrame) -> DataFrame:
 def positional_windows(col: Column, k: int) -> Column:
     """ALL k-token windows of a text in order (NOT distinct -- positions
     matter): the zip-with construction of ``shingles`` without the
-    dedup/fallback, empty array for texts shorter than k tokens."""
-    toks = tokens(col)
-    size = F.size(toks)
-    g = toks
-    for j in range(1, k):
-        g = F.zip_with(
-            g, F.slice(toks, j + 1, size), lambda x, y: F.concat_ws(" ", x, y)
+    dedup/fallback, empty array for texts shorter than k tokens.
+    Token array ``_bind_once``-bound like ``shingles`` (one regexp per
+    row)."""
+
+    def body(toks: Column) -> Column:
+        size = F.size(toks)
+        g = toks
+        for j in range(1, k):
+            g = F.zip_with(
+                g, F.slice(toks, j + 1, size), lambda x, y: F.concat_ws(" ", x, y)
+            )
+        return F.when(size >= k, F.slice(g, 1, size - (k - 1))).otherwise(
+            F.array().cast("array<string>")
         )
-    return F.when(size >= k, F.slice(g, 1, size - (k - 1))).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    return _bind_once(tokens(col), body)
 
 
 def duplicate_span_coverage(

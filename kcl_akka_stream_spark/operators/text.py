@@ -33,6 +33,39 @@ def tokens(col: Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
 
 
+def bind_once(col: Column, body) -> Column:
+    """Evaluate ``col`` ONCE per row and hand the value to ``body`` as a
+    bound higher-order-function argument (a let-binding via singleton
+    ``transform``).
+
+    Why it exists (optimization r15, guide §1.2 step 2): higher-order
+    functions (zip_with/transform/filter) are interpreted, not
+    whole-stage-codegen'd, so codegen subexpression elimination never
+    fires across them -- an expression tree that references the same
+    ``tokens(col)`` in several places re-runs the regexp per reference
+    (measured exactly 2x wall for two references).  A lambda ARGUMENT
+    is evaluated once by construction, so wrapping the shared array in
+    a one-element ``transform`` makes every internal reference read the
+    bound value.  Measured: shingles explode 0.762 s -> 0.489 s at
+    sf0.1 (the k+2 token references collapse to 1)."""
+    return F.transform(F.array(col), body)[0]
+
+
+def bigram_structs(toks: Column) -> Column:
+    """Adjacent-token (a, b) structs from a token array, the token array
+    bound once (``bind_once``): the former inline ``zip_with(slice, slice)``
+    form referenced its token expression 4x (two slices + two
+    ``greatest(size-1)`` lengths), paying the regexp per reference."""
+    return bind_once(
+        toks,
+        lambda t: F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + regexp (BPE-ish) token count per document."""
     return df.select(
@@ -343,12 +376,7 @@ def bigram_logprob(
     corpora whose pair table outgrows executor memory).  Two data-sized
     shuffles total (pair agg + per-doc agg), like unigram_logprob.
     """
-    t = tokens(F.col(text_col))
-    pair_struct = F.zip_with(
-        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-    )
+    pair_struct = bigram_structs(tokens(F.col(text_col)))
     pairs = spread(df).select("doc_id", F.explode(pair_struct).alias("p")).select(
         "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
@@ -604,11 +632,7 @@ def backoff_lm_score(
     the map-side bigram explode left-joined against the broadcast
     tables + ONE per-doc agg."""
     t = tokens(F.col(text_col))
-    pair_struct = F.zip_with(
-        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-    )
+    pair_struct = bigram_structs(t)
 
     def pairs_of(d: DataFrame) -> DataFrame:
         return (

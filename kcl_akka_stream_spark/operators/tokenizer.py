@@ -33,11 +33,18 @@ def pair_counts(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
     (zip_with over two slices -- one pass, no posexplode self-join),
     explode, count.  One combinable shuffle + TakeOrdered head.
     """
-    t = tokens(F.col(text_col))
-    pairs = F.zip_with(
-        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
+    # token array bound once (optimization r15: the inline
+    # zip_with(slice, slice) form paid the tokenizer regexp 4x per row
+    # -- see operators/text.py::bind_once)
+    from kcl_akka_stream_spark.operators.text import bind_once
+
+    pairs = bind_once(
+        tokens(F.col(text_col)),
+        lambda t: F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
     )
     # spread(): the pair explode must not serialize onto a 1-partition
     # scan (VERDICT r9 #5 tripwire)

@@ -7281,12 +7281,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcl_akka_stream_spark.operators.text import tokens
 
     docs = tbl(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    pair_struct = F.zip_with(
-        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-    )
+    # bigram_structs binds the token array once (optimization r15: the
+    # inline zip_with(slice, slice) form paid the tokenizer regexp 4x
+    # per row -- see operators/text.py::bind_once)
+    pair_struct = X.bigram_structs(tokens(F.col("text")))
     # the pair relation feeds FOUR consumers (pair counts, both margins,
     # the total); localCheckpoint materializes the tokenize+explode once
     # (8 -> 4 exchanges measured at sf0.001)
@@ -11536,12 +11534,10 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     topn = 50
     docs = tbl(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    pair_struct = F.zip_with(
-        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-    )
+    # bigram_structs binds the token array once (optimization r15: the
+    # inline zip_with(slice, slice) form paid the tokenizer regexp 4x
+    # per row -- see operators/text.py::bind_once)
+    pair_struct = X.bigram_structs(tokens(F.col("text")))
     pairs = (
         spread(docs.select("text"))
         .select(F.explode(pair_struct).alias("p"))
@@ -12744,15 +12740,28 @@ def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle until the per-lang census agg; at 100 TB this is one pass
     # over text + one lang-sized exchange.  array_distinct is per-row
     # memory bounded by the doc's own window count.
+    #
+    # The window array is bound ONCE as a singleton-transform lambda
+    # argument (optimization r15, guide §1.2 step 2): naming the two
+    # sizes as sibling select expressions re-evaluated the whole
+    # tokenize+zip window build per reference -- codegen CSE does not
+    # fire across zip_with lambda trees (the shingles() lesson; measured
+    # exactly 2x: 1.016 s vs 0.509 s for one reference) -- while a
+    # lambda argument is evaluated once by construction.  1.162 s ->
+    # 0.677 s ABBA median, values identical.
     d = tbl(spark, sf_dir, "documents")
     from kcl_akka_stream_spark.operators.dedup import positional_windows
 
-    per = d.select(
+    stats = F.transform(
+        F.array(positional_windows(F.col("text"), 3)),
+        lambda w: F.struct(
+            F.size(w).alias("n"), F.size(F.array_distinct(w)).alias("d")
+        ),
+    )[0]
+    per = d.select("lang", stats.alias("__s")).select(
         "lang",
-        F.size(positional_windows(F.col("text"), 3)).alias("n3i"),
-        F.size(
-            F.array_distinct(positional_windows(F.col("text"), 3))
-        ).alias("d3i"),
+        F.col("__s.n").alias("n3i"),
+        F.col("__s.d").alias("d3i"),
     ).filter(F.col("n3i") > 0)
     flagged = per.select(
         "lang",
