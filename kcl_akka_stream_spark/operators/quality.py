@@ -86,21 +86,33 @@ def _grams(toks: Column, n: int) -> Column:
 
 def structural_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Map-only structural metrics: word count, mean word length,
-    alphabetic-word fraction.  Zero shuffle."""
-    toks = X.tokens(F.col(text_col))
-    n_words = F.size(toks)
-    total_len = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    alphabetic-word fraction.  Zero shuffle.
+
+    Token array ``bind_once``-bound in a child projection (optimization
+    r15): the inline form referenced the tokenize regexp five times
+    (three n_words uses + the aggregate fold + the alpha filter), and
+    interpreted HOFs get no codegen CSE, so the regexp ran per
+    reference."""
+    stats = X.bind_once(
+        X.tokens(F.col(text_col)),
+        lambda toks: F.struct(
+            F.size(toks).alias("n"),
+            F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            ).alias("tl"),
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).alias("na"),
+        ),
     )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    return df.select(
+    pre = df.select("doc_id", stats.alias("__s"))
+    n_words = F.col("__s.n")
+    return pre.select(
         "doc_id",
         n_words.alias("n_words"),
         F.round(
-            total_len.cast("double") / F.greatest(n_words, F.lit(1)), 4
+            F.col("__s.tl").cast("double") / F.greatest(n_words, F.lit(1)), 4
         ).alias("mean_word_len"),
         F.round(
-            n_alpha.cast("double") / F.greatest(n_words, F.lit(1)), 6
+            F.col("__s.na").cast("double") / F.greatest(n_words, F.lit(1)), 6
         ).alias("frac_alpha_words"),
     )
 

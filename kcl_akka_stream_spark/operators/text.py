@@ -79,15 +79,32 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features: length, punctuation ratio, stopword ratio,
     mean word length, all-caps ratio.  Mirrors the classic C4/Gopher-style
-    filters, computed as pure column expressions."""
+    filters, computed as pure column expressions.
+
+    The token-derived counts are ``bind_once``-bound in a CHILD
+    projection (optimization r15): inlined, the tokenize regexp ran once
+    per reference (n_tokens appeared in three output expressions plus
+    the interpreted stopword filter -- no CSE across HOF trees);
+    CollapseProject keeps the multiply-referenced non-cheap alias
+    separate, so it now runs once per row."""
     txt = F.col(text_col)
-    n_chars = F.length(txt)
-    toks = tokens(txt)
-    n_tokens = F.size(toks)
-    n_punct = F.size(F.regexp_extract_all(txt, F.lit("[.,;:!?]"), 0))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
-    n_upper = F.size(F.regexp_extract_all(txt, F.lit("[A-Z]"), 0))
-    return df.select(
+    tok_stats = bind_once(
+        tokens(txt),
+        lambda toks: F.struct(
+            F.size(toks).alias("n"),
+            F.size(
+                F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
+            ).alias("stop"),
+        ),
+    )
+    pre = df.select("doc_id", txt.alias("__txt"), tok_stats.alias("__s"))
+    txt2 = F.col("__txt")
+    n_chars = F.length(txt2)
+    n_tokens = F.col("__s.n")
+    n_stop = F.col("__s.stop")
+    n_punct = F.size(F.regexp_extract_all(txt2, F.lit("[.,;:!?]"), 0))
+    n_upper = F.size(F.regexp_extract_all(txt2, F.lit("[A-Z]"), 0))
+    return pre.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -108,13 +125,28 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Deterministic tie-break by language code; 'und' when nothing matches.
     """
-    toks = tokens(F.col(text_col))
-    scores = [
-        F.size(F.filter(toks, _marker_predicate(markers))).alias(f"score_{lang}")
-        for lang, markers in sorted(LANG_MARKERS.items())
-    ]
-    scored = df.select("doc_id", F.col(text_col), *scores)
+    # token array bound once in a child projection (optimization r15):
+    # the four per-language filters each inlined the tokenize regexp
+    # (interpreted HOFs, no CSE) -- 4 evaluations per row before.
     langs = sorted(LANG_MARKERS)
+    score_struct = bind_once(
+        tokens(F.col(text_col)),
+        lambda toks: F.struct(
+            *[
+                F.size(
+                    F.filter(toks, _marker_predicate(LANG_MARKERS[lang]))
+                ).alias(lang)
+                for lang in langs
+            ]
+        ),
+    )
+    scored = df.select(
+        "doc_id", F.col(text_col), score_struct.alias("__sc")
+    ).select(
+        "doc_id",
+        F.col(text_col),
+        *[F.col(f"__sc.{lang}").alias(f"score_{lang}") for lang in langs],
+    )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     pred = F.when(best <= 0, F.lit("und"))
     for lang in langs:  # first (alphabetical) language achieving the max wins
@@ -127,11 +159,14 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     tokenize, de-duplicate, sort, rejoin, md5.  Identical content modulo
     word order/duplication/punctuation collides -- a cheap canonical-form
     dedup key."""
+    # canonical form computed ONCE in a child projection (optimization
+    # r15): inlining it under both output columns re-ran the
+    # tokenize+distinct+sort chain twice per row.
     canon = F.array_join(F.array_sort(F.array_distinct(tokens(F.col(text_col)))), " ")
-    return df.select(
+    return df.select("doc_id", canon.alias("canonical")).select(
         "doc_id",
-        canon.alias("canonical"),
-        F.md5(canon).alias("fingerprint"),
+        "canonical",
+        F.md5(F.col("canonical")).alias("fingerprint"),
     )
 
 
@@ -150,12 +185,21 @@ def bpe_tokens(col: Column) -> Column:
 
 
 def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.select(
-        "doc_id",
-        F.size(bpe_tokens(F.col(text_col))).alias("n_bpe_tokens"),
-        F.size(F.filter(bpe_tokens(F.col(text_col)), lambda t: t.rlike("^\\s+$") == False)).alias(
-            "n_nonspace_tokens"
+    # BPE token array bound once (optimization r15): the two sizes each
+    # inlined the (expensive, alternation-heavy) pre-tokenizer regexp.
+    stats = bind_once(
+        bpe_tokens(F.col(text_col)),
+        lambda t: F.struct(
+            F.size(t).alias("n"),
+            F.size(
+                F.filter(t, lambda x: x.rlike("^\\s+$") == False)
+            ).alias("nonspace"),
         ),
+    )
+    return df.select("doc_id", stats.alias("__s")).select(
+        "doc_id",
+        F.col("__s.n").alias("n_bpe_tokens"),
+        F.col("__s.nonspace").alias("n_nonspace_tokens"),
     )
 
 
