@@ -528,13 +528,15 @@ def bfs_distance(
         [(int(s), 0) for s in seeds], "node long, dist long"
     )
     for _ in range(rounds):
-        reached = (
-            e.join(_maybe_bcast(dist, broadcast_scores), e.src == dist.node)
-            .select("dst", (F.col("dist") + 1).alias("d"))
-            .groupBy("dst")
-            .agg(F.min("d").alias("dist"))
-            .select(F.col("dst").alias("node"), "dist")
-        )
+        # One combinable min-aggregation per round: the relaxed edge-sized
+        # relation unions with the standing node-sized distances and a
+        # single hash aggregate takes the min (min over the union equals
+        # min over per-key pre-mins, and the partial map-side combine does
+        # the same reduction the old inner groupBy("dst") paid a second
+        # exchange for).
+        reached = e.join(
+            _maybe_bcast(dist, broadcast_scores), e.src == dist.node
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         dist = (
             dist.unionByName(reached)
             .groupBy("node")
@@ -578,12 +580,16 @@ def weighted_distance(
         [(int(s), 0) for s in seeds], "node long, dist long"
     )
     for _ in range(rounds):
-        relaxed = (
-            e.join(_maybe_bcast(dist, broadcast_scores), e.src == dist.node)
-            .select("dst", (F.col("dist") + F.col("cost")).alias("d"))
-            .groupBy("dst")
-            .agg(F.min("d").alias("dist"))
-            .select(F.col("dst").alias("node"), "dist")
+        # Single min-aggregation per round (see bfs_distance): the union
+        # of the standing distances with the un-preaggregated relaxations
+        # feeds ONE combinable hash aggregate -- the old inner
+        # groupBy("dst") min paid a second exchange for the same map-side
+        # reduction.
+        relaxed = e.join(
+            _maybe_bcast(dist, broadcast_scores), e.src == dist.node
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("cost")).alias("dist"),
         )
         dist = (
             dist.unionByName(relaxed)
