@@ -1182,6 +1182,11 @@ def chain_audit(ver_pairs: DataFrame) -> DataFrame:
         .unionByName(ver.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
+    # Pointer-jumping CC on purpose (r15 optimization probe: plain CC is
+    # ~0.5 s cheaper on the shallow fixture graph, but CHAINED clusters
+    # are exactly what this audit measures -- a 60-hop verified chain
+    # must converge, and plain CC's bounded-round guard would raise;
+    # pinned by test_chain_audit_deep_chain_converges).
     lab = connected_components_fast(ver, nodes)
     members = lab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("m"))
     epc = (
