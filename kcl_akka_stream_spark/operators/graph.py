@@ -270,12 +270,28 @@ def personalized_pagerank(
         contrib = _attach_ranks(ew, ranks, broadcast_ranks).select(
             "dst", F.expr("(r * w) div deg").alias("c")
         )
-        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
-        ranks = base.join(inflow, base.node == inflow.dst, "left").select(
+        # One combinable aggregation per iteration: stack the node-sized
+        # base (teleport mass, c=0) under the raw contributions (b=0)
+        # and fold both sums in a single hash aggregate -- the former
+        # inflow groupBy + base left join paid a second exchange for the
+        # same reduction.  sum(b) recovers the base (one base row per
+        # node), sum(c) the inflow (0 for no-inflow nodes, so the
+        # zero-inflow teleport restart is preserved); every dst is also
+        # a src by the edge contract, so the row sets are identical to
+        # the join form (collect-compared on the fixture graph).
+        stacked = base.select(
             "node",
-            (
-                F.col("base") + F.expr("(85 * coalesce(inflow, 0L)) div 100")
-            ).alias("r"),
+            F.col("base").alias("b"),
+            F.lit(0).cast("long").alias("c"),
+        ).unionByName(
+            contrib.select(
+                F.col("dst").alias("node"),
+                F.lit(0).cast("long").alias("b"),
+                "c",
+            )
+        )
+        ranks = stacked.groupBy("node").agg(
+            (F.sum("b") + F.expr("(85 * sum(c)) div 100")).alias("r")
         )
     return ranks.select(
         "node", F.col("r").alias("rank_micro")
