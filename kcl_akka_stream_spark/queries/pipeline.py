@@ -7076,22 +7076,39 @@ def _reciprocity_plan(
     sd = li.groupBy(
         F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")
     ).agg(F.min("l_shipdate").alias("d"))
+    # Edges per order WITHOUT the wedge self-join (r15: the
+    # minhash_candidate_pairs shape): collect each order's (d, s) rows,
+    # sort, and emit ordered pairs map-side -- (s_i -> s_j) for i < j in
+    # (d, s) lexicographic order is exactly the old
+    # "da < db OR (da = db AND sa < sb)" wedge filter.  One k-keyed
+    # aggregation replaces the self-join AND the order-width Window
+    # (the cap is now a size() filter on the collected array; whole-
+    # order drop semantics unchanged).  ABBA at sf0.1: 2.574 -> 2.149 s;
+    # edge sets collect-compared equal.
+    grouped = sd.groupBy("k").agg(
+        F.array_sort(F.collect_list(F.struct("d", "s"))).alias("arr")
+    )
     if max_order_width is not None:
-        wsz = Window.partitionBy("k")
-        sd = (
-            sd.withColumn("__m", F.count(F.lit(1)).over(wsz))
-            .filter(F.col("__m") <= max_order_width)
-            .drop("__m")
-        )
-    a = sd.select(F.col("k"), F.col("s").alias("sa"), F.col("d").alias("da"))
-    b = sd.select(F.col("k"), F.col("s").alias("sb"), F.col("d").alias("db"))
+        grouped = grouped.filter(F.size("arr") <= max_order_width)
+    big = F.lit(1 << 30)
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("arr"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("arr"), i + 2, big),
+                        lambda y: F.struct(
+                            x.getField("s").alias("src"),
+                            y.getField("s").alias("dst"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     e = (
-        a.join(b, "k")
-        .filter(
-            (F.col("da") < F.col("db"))
-            | ((F.col("da") == F.col("db")) & (F.col("sa") < F.col("sb")))
-        )
-        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        pairs.select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
         .localCheckpoint(eager=True)  # feeds 3 consumers (counts + both semi sides)
     )
