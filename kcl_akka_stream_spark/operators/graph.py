@@ -657,17 +657,30 @@ def hits(
     ew = edges.select(
         "src", "dst", F.col("w").cast("long").alias("w")
     ).localCheckpoint(eager=True)
-    hubs = ew.select(F.col("src").alias("node")).distinct().select(
-        "node", F.lit(1).cast("long").alias("hub")
-    )
+    hubs = None
     auths = None
-    for _ in range(iterations):
-        auths = (
-            ew.join(_maybe_bcast(hubs, broadcast_scores), ew.src == hubs.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("w") * F.col("hub")).cast("long").alias("auth"))
-            .select(F.col("dst").alias("node"), "auth")
-        )
+    for it in range(iterations):
+        if it == 0:
+            # First half-round specialized (r15): every hub starts at 1,
+            # so auth(v) = sum_{u->v} w * 1 is a plain edge aggregation
+            # -- the initial distinct-node hub table and the first
+            # score-attach join computed exactly this, two passes more
+            # expensively (ABBA on graph_hits_topk: 2.712 -> 2.352 s;
+            # scores collect-compared identical).
+            auths = (
+                ew.groupBy("dst")
+                .agg(F.sum("w").cast("long").alias("auth"))
+                .select(F.col("dst").alias("node"), "auth")
+            )
+        else:
+            auths = (
+                ew.join(
+                    _maybe_bcast(hubs, broadcast_scores), ew.src == hubs.node
+                )
+                .groupBy("dst")
+                .agg(F.sum(F.col("w") * F.col("hub")).cast("long").alias("auth"))
+                .select(F.col("dst").alias("node"), "auth")
+            )
         hubs = (
             ew.join(_maybe_bcast(auths, broadcast_scores), ew.dst == auths.node)
             .groupBy("src")
