@@ -94,13 +94,23 @@ def pagerank(
     caller's edge derivation.
     """
     ew = _edge_base(edges)
-    ranks = ew.select(F.col("src").alias("node")).distinct().select(
-        "node", F.lit(SCALE).cast("long").alias("r")
-    )
-    for _ in range(iterations):
-        contrib = _attach_ranks(ew, ranks, broadcast_ranks).select(
-            "dst", F.expr("(r * w) div deg").alias("c")
-        )
+    ranks = None
+    for it in range(iterations):
+        if it == 0:
+            # First iteration specialized (r15, the HITS round-1
+            # pattern): every rank starts at SCALE, so the contribution
+            # is (SCALE * w) div deg straight off the checkpointed edge
+            # base -- the initial distinct-node rank table and the first
+            # rank-attach join computed exactly this in two extra
+            # passes (ABBA on graph_pagerank_topk: 2.692 -> 2.339 s;
+            # ranks collect-compared identical).
+            contrib = ew.select(
+                "dst", F.expr(f"({SCALE} * w) div deg").alias("c")
+            )
+        else:
+            contrib = _attach_ranks(ew, ranks, broadcast_ranks).select(
+                "dst", F.expr("(r * w) div deg").alias("c")
+            )
         ranks = (
             contrib.groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
@@ -333,15 +343,27 @@ def label_propagation(
     e = edges.select(
         "src", "dst", F.col("w").cast("long").alias("w")
     ).localCheckpoint(eager=True)
-    labels = e.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(iterations):
-        votes = (
-            e.join(_maybe_bcast(labels, broadcast_scores), e.src == labels.node)
-            .groupBy("dst", "label")
-            .agg(F.sum("w").cast("long").alias("votes"))
-        )
+    labels = None
+    for it in range(iterations):
+        if it == 0:
+            # First round specialized (r15, the HITS round-1 pattern):
+            # labels start as the node id, so round-1 votes are a plain
+            # groupBy(dst, src) edge aggregation -- no initial distinct
+            # label table, no first label-attach join (ABBA on
+            # graph_label_propagation: 3.748 -> 2.953 s; labels
+            # collect-compared identical).
+            votes = e.groupBy(
+                "dst", F.col("src").alias("label")
+            ).agg(F.sum("w").cast("long").alias("votes"))
+        else:
+            votes = (
+                e.join(
+                    _maybe_bcast(labels, broadcast_scores),
+                    e.src == labels.node,
+                )
+                .groupBy("dst", "label")
+                .agg(F.sum("w").cast("long").alias("votes"))
+            )
         labels = (
             votes.groupBy("dst")
             .agg(
