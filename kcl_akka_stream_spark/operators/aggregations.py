@@ -301,19 +301,35 @@ def cooccurrence_pairs(
     (capped == uncapped minus oversized baskets, pytest-pinned).  The
     size count rides the same basket-keyed exchange as the join.
     """
-    items = df.select(
+    # One basket-keyed aggregation (r15, the graph_reciprocity /
+    # minhash_candidate_pairs shape): collect_set dedups within the
+    # basket (absorbing the former .distinct() exchange), array_sort
+    # fixes the item1 < item2 order, the size() filter keeps the
+    # whole-basket-drop cap semantics, and ordered pairs are emitted
+    # map-side -- replacing the distinct + width-Window + self-join
+    # chain (ABBA on agg_itemset_pairs at sf0.1: 1.606 -> 1.514 s;
+    # supports collect-compared equal).
+    grouped = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    ).groupBy("__b").agg(F.array_sort(F.collect_set("__i")).alias("__arr"))
     if max_basket_size is not None:
-        sz = Window.partitionBy("__b")
-        items = (
-            items.withColumn("__m", F.count(F.lit(1)).over(sz))
-            .filter(F.col("__m") <= max_basket_size)
-            .drop("__m")
-        )
-    a = items.select("__b", F.col("__i").alias("item1"))
-    b = items.select("__b", F.col("__i").alias("item2"))
-    pairs = a.join(b, "__b").filter(F.col("item1") < F.col("item2"))
-    return pairs.groupBy("item1", "item2").agg(
-        F.count(F.lit(1)).cast("long").alias("support")
+        grouped = grouped.filter(F.size("__arr") <= max_basket_size)
+    big = F.lit(1 << 30)
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__arr"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__arr"), i + 2, big),
+                        lambda y: F.struct(
+                            x.alias("item1"), y.alias("item2")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
     )
+    return pairs.select("__p.item1", "__p.item2").groupBy(
+        "item1", "item2"
+    ).agg(F.count(F.lit(1)).cast("long").alias("support"))
