@@ -19,70 +19,80 @@ from kcl_akka_stream_spark.queries import reference_ops  # noqa: E402,F401
 from kcl_akka_stream_spark.queries import pipeline  # noqa: E402,F401
 from kcl_akka_stream_spark.queries import streaming_q  # noqa: E402,F401
 
+#: Fixed anchor subset (VERDICT r15 #2): PERF_r15's per-query
+#: round-over-round comparison came back empty (n_common=0) because the
+#: 50-query correctness sample rotates FULLY each round -- two
+#: consecutive samples shared only the flagship.  These anchors are
+#: PERMANENT members of ``_PRIORITY`` (flagship + one per operator
+#: family), pinned by tests/test_bench_stdout.py, so every pair of
+#: consecutive driver correctness records shares at least these keys and
+#: the driver's per-query gate is never empty.  Do NOT rotate them out.
+ANCHORS = [
+    "q1_pricing_summary",        # flagship (relational core)
+    "agg_group_by_key",          # agg family
+    "w_topk_per_group",          # window family
+    "j_asof",                    # join family
+    "dedup_minhash_lsh_capped",  # dedup family (production twin)
+    "sim_topk_ivf_pq",           # sim family (full IVF-PQ serving path)
+    "emb_near_dup",              # embedding family
+    "text_quality",              # text family
+    "graph_pagerank_topk",       # graph family
+    "pipeline_clean_corpus",     # pipeline composition family
+    "stream_tumbling_agg",       # streaming-twin family
+    "multimodal_features",       # multimodal family
+]
+
 #: Samplers that take the first N registry entries (the driver's
 #: correctness gate records 50) must see a REPRESENTATIVE slice, not just
 #: whichever module imported first.  The sample ROTATES each round
-#: (VERDICT r5 #2 .. r14 #1).  Round-15 rebuild: flagship + ALL 15
-#: round-14 names never driver-sampled in CORRECTNESS_r01..r14 (waves
-#: 72-84, promised by this file's own r14 comment and VERDICT r14 "Next
-#: round" #1) + 34 fill ordered by longest-unsampled (last driver round
-#: ascending, then alphabetical; computed from CORRECTNESS_r*.json) =
-#: exactly 50.  New round-15 queries append AFTER this block and rotate
-#: into the r16 sample; each is judge-gated via
-#: tools/check_correctness.py the session it lands.
-_PRIORITY = [
-    "q1_pricing_summary",
-    # -- the 15 round-14 names never driver-sampled (waves 72-84) --
-    "agg_hll_estimate",
-    "agg_f2_sketch",
-    "text_quality_model_auc",
-    "text_kneser_ney",
-    "dedup_cdc_chunks",
-    "text_quality_model_calibration",
-    "text_dirichlet_ql",
-    "dedup_prefix_filter_pairs",
-    "agg_woe_iv",
-    "sink_hilbert_layout",
-    "emb_power_iteration_pc1",
-    "text_heaps_law",
-    "stream_quantile_merge",
-    "stream_hll_merge",
-    "stream_f2_merge",
-    # -- rotation fill: 34 longest-unsampled (last-sampled round asc, then name) --
-    "text_rolling_fingerprint",
-    "text_token_bpe",
-    "text_winnow_pairs",
-    "u_except",
-    "udf_pandas_vowel_density",
-    "agg_approx_quantile_report",
-    "agg_conditional_funcs",
-    "agg_corr_exact",
-    "agg_outlier_zscore",
-    "agg_unpivot_brand_metrics",
-    "arrow_doc_stats",
-    "dedup_edit_verified",
-    "dedup_semantic",
-    "dedup_semantic_auto",
-    "emb_random_projection",
-    "graph_pagerank_topk",
-    "j_cogroup_interval_counts",
-    "j_lateral_topk",
-    "pipeline_bpe_top_pairs",
-    "pipeline_chunk_docs",
-    "pipeline_snapshot_diff",
-    "pipeline_source_cap",
-    "pipeline_split_leakage_safe",
-    "pipeline_tfidf_topk",
-    "pipeline_train_val_split",
-    "q11_important_supplier_value",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_discounted_revenue",
-    "q20_excess_inventory_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
+#: (VERDICT r5 #2 .. r14 #1), EXCEPT the fixed ``ANCHORS`` block above
+#: (VERDICT r15 #2).  Round-16 rebuild: 12 anchors + ALL 13 round-15
+#: names never driver-sampled in CORRECTNESS_r01..r15 (waves 85-97) + 25
+#: fill ordered by longest-unsampled (last driver round ascending, then
+#: alphabetical; computed from CORRECTNESS_r*.json) = exactly 50.  New
+#: queries would append AFTER this block -- r16 is an optimization round,
+#: none land.
+_PRIORITY = ANCHORS + [
+    # -- the 13 round-15 names never driver-sampled (waves 85-97) --
+    "text_pii_scan",
+    "text_repetition_flags",
+    "agg_chao1_richness",
+    "agg_pr_auc",
+    "text_brier_decomposition",
+    "sample_pps_systematic",
+    "w_cusum_drift",
+    "text_mattr",
+    "emb_effective_rank",
+    "agg_wilcoxon_signed_rank",
+    "multimodal_gif_header",
+    "agg_runs_test",
+    "w_record_extremes",
+    # -- rotation fill: 25 longest-unsampled (last-sampled round asc, then name) --
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "scalar_variant_extract",
+    "sink_csv_roundtrip",
+    "sink_jsonl_roundtrip",
+    "sink_zorder_roundtrip",
+    "source_python_datasource",
+    "stream_cdc_upsert",
+    "stream_dedup_watermarked",
+    "stream_hist_merge",
+    "stream_left_outer_join",
+    "text_oov_report",
+    "text_unigram_logprob",
+    "u_except_all",
+    "u_intersect_all",
+    "udtf_token_runs",
+    "w_rolling_range_frame",
+    "agg_approx_distinct_report",
+    "agg_entropy_report",
+    "agg_gini_report",
+    "agg_kmv_set_ops",
+    "agg_mode_exact",
 ]
 
 

@@ -19,7 +19,8 @@ def test_bench_stdout_is_tiny_even_with_huge_headline():
     # grow with it.
     per_query = {f"query_name_{i:04d}": 1.234 for i in range(1000)}
     cold = {f"query_name_{i:04d}": 9.876 for i in range(1000)}
-    line = bench.summary_line(per_query, cold, "0.1", 0.123, 0.456)
+    line = bench.summary_line(per_query, cold, "0.1", 0.123, 0.456,
+                              n_retimed=7)
     assert len(line.encode()) < 1000, (
         f"bench stdout line is {len(line.encode())} bytes; the driver tail "
         "capture truncates past ~2000 and the official record comes back "
@@ -35,6 +36,8 @@ def test_bench_stdout_is_tiny_even_with_huge_headline():
     # the contention tripwire scalars (VERDICT r7 #2) ride the same line
     assert obj["calibration_start_sec"] == 0.123
     assert obj["calibration_end_sec"] == 0.456
+    # VERDICT r15 #6: the retime count rides the official stdout record
+    assert obj["n_retimed"] == 7
     for v in obj.values():
         assert not isinstance(v, (dict, list))
 
@@ -62,9 +65,13 @@ def test_midrun_contention_burst_flags_record():
 
 
 def test_retime_rule_and_history_medians(tmp_path):
-    # >2x the cross-record idle median AND above the absolute floor
+    # >1.5x the cross-record idle median AND above the absolute floor
+    # (VERDICT r15 #6 tightened the factor from 2.0: the r15 record's
+    # position-correlated ~1.9x bursts sat under the old threshold)
+    assert bench.RETIME_FACTOR == 1.5
     assert bench.needs_retime(3.0, 1.0) is True
-    assert bench.needs_retime(1.9, 1.0) is False      # under the factor
+    assert bench.needs_retime(1.6, 1.0) is True       # caught at 1.5x now
+    assert bench.needs_retime(1.4, 1.0) is False      # under the factor
     assert bench.needs_retime(0.4, 0.1) is False      # under the floor
     assert bench.needs_retime(3.0, None) is False     # no history
     # history_medians: contended records and other-sf records excluded
@@ -140,38 +147,54 @@ def test_priority_rotation_names_all_registered():
     # entries after _PRIORITY reordering; a typo in _PRIORITY silently
     # shrinks the front-loaded never-sampled set (the _reorder helper
     # drops unknown names rather than failing).  Pin every name.
-    from kcl_akka_stream_spark.queries import QUERIES, _PRIORITY
+    from kcl_akka_stream_spark.queries import ANCHORS, QUERIES, _PRIORITY
 
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
+    # VERDICT r15 #2: the fixed anchor subset is PERMANENT -- it leads
+    # _PRIORITY every round so consecutive driver correctness samples
+    # always share per-query keys (PERF_r15 had n_common=0).  Membership
+    # pinned exactly: rotating one out silently re-opens the hole.
+    assert _PRIORITY[: len(ANCHORS)] == ANCHORS
+    assert ANCHORS == [
+        "q1_pricing_summary",        # flagship
+        "agg_group_by_key",          # agg
+        "w_topk_per_group",          # window
+        "j_asof",                    # join
+        "dedup_minhash_lsh_capped",  # dedup
+        "sim_topk_ivf_pq",           # sim
+        "emb_near_dup",              # embedding
+        "text_quality",              # text
+        "graph_pagerank_topk",       # graph
+        "pipeline_clean_corpus",     # pipeline
+        "stream_tumbling_agg",       # streaming twin
+        "multimodal_features",       # multimodal
+    ]
     # and the rotation really front-loads: the first 50 sampled entries
-    # must include ALL 15 round-14 names never driver-sampled in
-    # CORRECTNESS_r01..r14 (VERDICT r14 "Next round" #1's acceptance bar),
-    # plus exactly 34 rotation-fill names -- 1 flagship + 15 + 34 == 50
+    # must include ALL 13 round-15 names never driver-sampled in
+    # CORRECTNESS_r01..r15 (waves 85-97) -- 12 anchors + 13 + 25 fill == 50
     assert len(_PRIORITY) == 50
     first50 = set(list(QUERIES)[:50])
-    never_sampled = set(_PRIORITY[1:16])
-    assert len(never_sampled) == 15
-    # pin every wave-72..84 name so a partial rotation is caught
+    never_sampled = set(_PRIORITY[len(ANCHORS): len(ANCHORS) + 13])
+    assert len(never_sampled) == 13
+    # pin every wave-85..97 name so a partial rotation is caught
     for name in (
-        "stream_quantile_merge",           # wave 72
-        "agg_hll_estimate",                # wave 73
-        "stream_hll_merge",                # wave 73
-        "agg_f2_sketch",                   # wave 74
-        "stream_f2_merge",                 # wave 74
-        "text_quality_model_auc",          # wave 75
-        "text_kneser_ney",                 # wave 76
-        "dedup_cdc_chunks",                # wave 77
-        "text_quality_model_calibration",  # wave 78
-        "text_dirichlet_ql",               # wave 79
-        "dedup_prefix_filter_pairs",       # wave 80
-        "agg_woe_iv",                      # wave 81
-        "sink_hilbert_layout",             # wave 82
-        "emb_power_iteration_pc1",         # wave 83
-        "text_heaps_law",                  # wave 84
+        "text_pii_scan",            # wave 85
+        "text_repetition_flags",    # wave 86
+        "agg_chao1_richness",       # wave 87
+        "agg_pr_auc",               # wave 88
+        "text_brier_decomposition", # wave 89
+        "sample_pps_systematic",    # wave 90
+        "w_cusum_drift",            # wave 91
+        "text_mattr",               # wave 92
+        "emb_effective_rank",       # wave 93
+        "agg_wilcoxon_signed_rank", # wave 94
+        "multimodal_gif_header",    # wave 95
+        "agg_runs_test",            # wave 96
+        "w_record_extremes",        # wave 97
     ):
         assert name in never_sampled, name
-    assert never_sampled <= first50, sorted(never_sampled - first50)
+    assert set(_PRIORITY) <= first50, sorted(set(_PRIORITY) - first50)
 
 
 def test_elect_record_rule():
