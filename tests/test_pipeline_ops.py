@@ -177,8 +177,10 @@ def test_connected_components_chain_and_singleton(spark):
 
 def test_connected_components_iteration_guard(spark):
     # A pathological long chain propagates the min label ONE hop per
-    # iteration; with too few iterations the operator must raise loudly
-    # instead of returning half-merged cluster ids.
+    # iteration.  ADVICE r15 #1: exhausting the plain budget is a DATA
+    # property, not a bug -- the operator now continues with pointer
+    # jumping (O(log remaining-diameter)) from the current labels and
+    # returns the SAME min-label fixpoint instead of hard-failing.
     import pytest
 
     from kcl_akka_stream_spark.operators.dedup import connected_components
@@ -188,13 +190,35 @@ def test_connected_components_iteration_guard(spark):
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
-    with pytest.raises(RuntimeError, match="still changing"):
-        connected_components(pairs, nodes, max_iterations=3)
+    # plain budget 3 << diameter 11: the fallback must converge it anyway
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, nodes, max_iterations=3).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
     got = {
         r.doc_id: r.cluster_id
         for r in connected_components(pairs, nodes, max_iterations=n + 2).collect()
     }
     assert got == {i: 0 for i in range(n)}
+    # the loud guard still exists where even pointer jumping cannot
+    # converge within budget (diameter >> 2^max_iterations): _cc_loop
+    # with NO fallback raises rather than returning half-merged labels
+    from kcl_akka_stream_spark.operators.dedup import (
+        _cc_loop,
+        _cc_step_plain,
+        _mirrored_edge_base,
+    )
+
+    edges = _mirrored_edge_base(pairs)
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        _cc_loop(
+            lambda ls: _cc_step_plain(edges, ls), labels, 3,
+            "connected_components",
+        )
 
 
 def test_vectorized_topk_matches_jvm_fold(spark):
@@ -642,8 +666,14 @@ def test_connected_components_fast_log_rounds_and_equivalence(spark):
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
-    with pytest.raises(RuntimeError):
-        connected_components(pairs, nodes, max_iterations=10)
+    # ADVICE r15 #1: the plain operator no longer hard-fails on a
+    # deeper-than-budget chain -- it continues with pointer jumping from
+    # the current labels and converges to the same fixpoint.
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, nodes, max_iterations=10).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
     got = {
         r.doc_id: r.cluster_id
         for r in connected_components_fast(pairs, nodes, max_iterations=10).collect()
