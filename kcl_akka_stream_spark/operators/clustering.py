@@ -39,6 +39,7 @@ def kmeans_assign(
     centroid_id_col: str = "cluster_id",
     centroid_vec_col: str = "centroid",
     keep_distance: bool = False,
+    keep_vector: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2, ties broken on
     the lower cluster id).  Centroids broadcast; one agg keyed by vector.
@@ -46,7 +47,17 @@ def kmeans_assign(
     ``keep_distance`` adds the RAW (unrounded) squared distance as ``d2``
     next to the 6-dp ``dist2`` -- the inertia report freezes it to
     integer micro-units and needs the exact IEEE value, not the decimal
-    rounding (double-rounding can flip the micro-unit on .5 boundaries)."""
+    rounding (double-rounding can flip the micro-unit on .5 boundaries).
+
+    ``keep_vector`` (r16, guide §1.2 remove whole passes) carries the
+    input vector through the arg-min as a ``vec_col`` output column, so
+    consumers that need (id, cluster, vector) -- the IVF index build,
+    ``kmeans_update``, semantic dedup's cluster attach -- read it
+    straight off the assignment instead of re-scanning the corpus and
+    joining the assignment back on id.  The vector rides the existing
+    per-id partial aggregation (every row of an id's group holds the
+    identical array, ``first`` picks it), adding no join and no extra
+    exchange; results of all previous columns are unchanged."""
     from kcl_akka_stream_spark.plans.hygiene import spread
 
     c = centroids.select(
@@ -54,17 +65,20 @@ def kmeans_assign(
     )
     scored = spread(vectors.select(id_col, vec_col)).crossJoin(F.broadcast(c)).select(
         id_col,
+        *([F.col(vec_col)] if keep_vector else []),
         F.col("__cid"),
         _dist2(F.col(vec_col), F.col("__cvec")).alias("__d2"),
     )
-    best = scored.groupBy(id_col).agg(
-        F.min(F.struct(F.col("__d2"), F.col("__cid"))).alias("__best")
-    )
+    aggs = [F.min(F.struct(F.col("__d2"), F.col("__cid"))).alias("__best")]
+    if keep_vector:
+        aggs.append(F.first(F.col(vec_col)).alias(vec_col))
+    best = scored.groupBy(id_col).agg(*aggs)
     out = best.select(
         id_col,
         F.col("__best.__cid").alias("cluster_id"),
         F.round(F.col("__best.__d2"), 6).alias("dist2"),
         F.col("__best.__d2").alias("d2"),
+        *([F.col(vec_col)] if keep_vector else []),
     )
     return out if keep_distance else out.drop("d2")
 
@@ -77,8 +91,17 @@ def kmeans_update(
 ) -> DataFrame:
     """Recompute centroids as the element-wise mean of each cluster's
     vectors.  posexplode → avg keyed by (cluster, dim) combines map-side;
-    the rebuilt centroid arrays are k × d rows total."""
-    joined = vectors.join(assignment.select(id_col, "cluster_id"), id_col)
+    the rebuilt centroid arrays are k × d rows total.
+
+    When ``assignment`` already carries ``vec_col``
+    (``kmeans_assign(keep_vector=True)``), the vectors-assignment join is
+    skipped outright (r16, guide §1.2): the assignment has exactly one
+    row per vector id with the identical array, so the posexplode reads
+    it directly -- same rows in, same means out."""
+    if vec_col in assignment.columns:
+        joined = assignment.select("cluster_id", vec_col)
+    else:
+        joined = vectors.join(assignment.select(id_col, "cluster_id"), id_col)
     # NO spread (r10 measured): 2.4x regression -- the k*d posexplode over
     # the tiny vectors relation is cheaper than an extra shuffle + 32-task
     # stage (sf0.1 minibench); see SPREAD_AUDIT_ALLOW.
@@ -221,6 +244,8 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_codebook_rows: int = 4096,
+    dims: int | None = None,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """MAP-ONLY Arrow product-quantization encode: the production twin
     of ``pq_assign``.  PQ codebooks are tiny BY CONSTRUCTION (m x k x
@@ -241,15 +266,23 @@ def pq_encode(
     stopped being a codebook); empty codebooks and ragged vectors
     raise.  Output: (id, sub_id, code, d2_micro2), same as
     ``pq_assign``.
+
+    ``dims`` (r16, guide §1.2): callers that already probed the vector
+    length pass it in to skip this function's own dims-probe job.
+    ``passthrough`` names extra ``vectors`` columns to carry verbatim
+    onto every output row (e.g. a cluster id), so consumers stop paying
+    a join to re-attach them.
     """
     import numpy as np
     import pandas as pd
 
-    probe = vectors.select(F.size(vec_col).alias("d")).first()
-    dims = probe["d"] if probe is not None else 0
+    if dims is None:
+        probe = vectors.select(F.size(vec_col).alias("d")).first()
+        dims = probe["d"] if probe is not None else 0
     if dims % m != 0:
         raise ValueError(f"pq_encode: vector length {dims} not divisible by m={m}")
     sub = dims // m
+    passthrough = list(passthrough or [])
     rows = (
         codebook_vectors.select(
             F.col(id_col).cast("long").alias("code"), F.col(vec_col).alias("v")
@@ -269,8 +302,12 @@ def pq_encode(
         np.array([r["v"] for r in rows], dtype=np.float64) * 1e6 + 0.5
     ).astype(np.int64)  # (k, dims)
 
+    pt_fields = ""
+    if passthrough:
+        dtypes = dict(vectors.dtypes)
+        pt_fields = "".join(f", {c} {dtypes[c]}" for c in passthrough)
     out_schema = (
-        f"{id_col} long, sub_id long, code long, d2_micro2 long"
+        f"{id_col} long, sub_id long, code long, d2_micro2 long{pt_fields}"
     )
 
     def encode(batches):
@@ -290,15 +327,18 @@ def pq_encode(
                 diff = vs[:, None, :] - cs[None, :, :]  # (n, k, sub)
                 d2 = (diff * diff).sum(axis=2)  # exact int64
                 idx = d2.argmin(axis=1)  # first min = lowest code
-                yield pd.DataFrame(
-                    {
-                        id_col: ids,
-                        "sub_id": np.full(n, s, dtype=np.int64),
-                        "code": code_ids[idx],
-                        "d2_micro2": d2[np.arange(n), idx],
-                    }
-                )
+                out = {
+                    id_col: ids,
+                    "sub_id": np.full(n, s, dtype=np.int64),
+                    "code": code_ids[idx],
+                    "d2_micro2": d2[np.arange(n), idx],
+                }
+                for c in passthrough:
+                    out[c] = pdf[c].to_numpy()
+                yield pd.DataFrame(out)
 
     # NO spread (r10 measured): 1.8x regression on the tiny embeddings
     # input (sf0.1 minibench); see SPREAD_AUDIT_ALLOW.
-    return vectors.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
+    return vectors.select(id_col, vec_col, *passthrough).mapInPandas(
+        encode, schema=out_schema
+    )

