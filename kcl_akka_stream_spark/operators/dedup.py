@@ -659,7 +659,17 @@ def fingerprint_band_pairs(
     payload simhash for binary multimodal columns in
     operators/multimodal.py).  Candidates share a band value; survivors
     verified by exact hamming (bit_count of xor); pair distinct collapses
-    double-banded pairs map-side."""
+    double-banded pairs map-side.
+
+    The fingerprint input is eagerly checkpointed FIRST (r16, guide §1.2
+    remove whole passes): the banded union references it once per band
+    and the self-join once per side, so an un-materialized ``sh`` plan
+    re-ran its fingerprint computation bands x 2 times per action --
+    measured 4 full Arrow simhash passes on multimodal_phash_pairs
+    (2.91 s full query vs 0.67 s for one pass).  (id, fp) is two int64s
+    per doc -- the lightweight-proxy relation, safe to materialize at
+    any scale."""
+    sh = sh.localCheckpoint(eager=True)
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     banded = None
@@ -1308,12 +1318,23 @@ def duplicate_span_coverage(
     from kcl_akka_stream_spark.plans.hygiene import spread
 
     base = spread(df.select(id_col, text_col))
+    # Checkpoint the exploded window relation ONCE (r16, guide §1.2): it
+    # feeds BOTH the gram-frequency aggregate and the hit join's probe
+    # side, and un-materialized each consumer re-ran the tokenize regexp
+    # + k-way zip explode (measured at sf0.1: full query swung 1.8-35 s
+    # run-to-run on the double-explode plan vs a steady 1.4-1.9 s on the
+    # checkpointed one; results collect-compared identical).  Same
+    # discipline as the prefix-filter family's _exploded_shingles
+    # checkpoint.  A count-over-gram-partition window variant measured
+    # equal locally (1.45 vs 1.51 s) but was REJECTED for scale: a hot
+    # boilerplate gram would buffer its whole partition in one window
+    # task, where this groupBy combines map-side (guide §2.5).
     ex = base.select(
         F.col(id_col),
         F.posexplode(positional_windows(F.col(text_col), k)).alias(
             "pos", "gram"
         ),
-    )
+    ).localCheckpoint(eager=True)
     dup = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("__n")).filter(
         F.col("__n") > 1
     )
