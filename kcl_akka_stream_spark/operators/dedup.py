@@ -191,7 +191,17 @@ def verify_candidate_jaccard(
     broadcasts the candidate side when it fits), then the set intersection
     is a map-side ``array_intersect``.  Cost is |candidates| * shingle-set
     size, never corpus x corpus; this is what makes LSH+verify the 100 TB
-    near-dup recipe."""
+    near-dup recipe.
+
+    Deliberately NOT checkpointed (r16 measured rejection): the shingle-
+    array relation feeds both join sides, so one might expect the
+    checkpoint-once win fingerprint_band_pairs got -- but interleaved
+    ABBA on dedup_chain_audit measured the eager checkpoint SLOWER
+    (3.71 s vs 3.27 s median at sf0.1): writing + twice reading the fat
+    array<string> blocks costs more than streaming the whole-stage-
+    codegen'd shingle compute a second time.  The fingerprint case wins
+    because its materialized rows are two int64s; this one's are
+    kilobyte arrays."""
     sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__shs"))
     sh_b = (
         sh

@@ -174,29 +174,57 @@ def payload_simhash(
     MAP-ONLY: one Arrow pass (mapInPandas) emitting (id, simhash);
     feed the result to ``dedup.fingerprint_band_pairs`` for the banded
     candidate join + hamming verify.
+
+    Vectorized (r16, guide §4.2): the previous form looped over every
+    window in interpreted Python and called md5 PER WINDOW (~L/stride
+    hashes per payload).  Byte grams repeat heavily in real media (and
+    overwhelmingly in text-backed fixtures), so the hash is now computed
+    once per DISTINCT gram -- windows extract as one numpy slice per
+    payload, ``np.unique`` maps them to gram ids, a per-task dict caches
+    each gram's 16-bit md5 sign vector across batches, and the per-bit
+    sign-sums fold as one int64 matrix sum per payload.  Identical md5
+    per gram and identical counts, so the fingerprint is bit-for-bit the
+    old one (pinned by test_payload_simhash_vectorized_matches_scalar).
     """
     src = df.select(id_col, payload_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        highs = set(b"89abcdef")
+        import numpy as np
+
+        highs = frozenset(b"89abcdef")
+        gram_bits: dict[bytes, object] = {}  # gram -> (bits,) uint8 vector
+
+        def bits_of(g: bytes):
+            v = gram_bits.get(g)
+            if v is None:
+                h = hashlib.md5(g).hexdigest().encode()
+                v = np.frombuffer(
+                    bytes(1 if h[i] in highs else 0 for i in range(bits)),
+                    dtype=np.uint8,
+                )
+                gram_bits[g] = v
+            return v
+
         for pdf in batches:
             ids, fps = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
-                counts = [0] * bits
-                n = 0
-                for off in range(0, len(data) - gram + 1, stride):
-                    h = hashlib.md5(data[off : off + gram]).hexdigest().encode()
-                    n += 1
-                    for i in range(bits):
-                        if h[i] in highs:
-                            counts[i] += 1
-                if n == 0:
+                if len(data) < gram:
                     continue
-                fp = 0
-                for i in range(bits):
-                    if 2 * counts[i] - n > 0:
-                        fp |= 1 << i
+                arr = np.frombuffer(data, dtype=np.uint8)
+                offs = np.arange(0, len(data) - gram + 1, stride)
+                n = len(offs)
+                wins = arr[offs[:, None] + np.arange(gram)]  # (n, gram)
+                keys = wins.copy().view(f"S{gram}").ravel()
+                uniq, cnt = np.unique(keys, return_counts=True)
+                # counts[i] = sum over windows of bit i -- fold the
+                # distinct-gram bit matrix weighted by multiplicity
+                mat = np.stack([bits_of(g) for g in uniq]).astype(np.int64)
+                counts = (mat * cnt[:, None]).sum(axis=0)  # (bits,)
+                fp = int(
+                    ((2 * counts - n > 0).astype(np.int64)
+                     << np.arange(bits, dtype=np.int64)).sum()
+                )
                 ids.append(mid)
                 fps.append(fp)
             yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),

@@ -102,6 +102,50 @@ def test_pq_encode_passthrough_and_dims(spark):
         assert r.clu == clu[r.vec_id]
 
 
+def test_payload_simhash_vectorized_matches_scalar(spark, sf_dir):
+    # r16 guide-§4.2 rewrite: md5 once per DISTINCT byte gram + numpy
+    # sign-sum folds must reproduce the old per-window scalar loop
+    # bit-for-bit on the real fixture payloads.
+    import hashlib
+
+    from kcl_akka_stream_spark.operators.multimodal import (
+        documents_as_media,
+        payload_simhash,
+    )
+
+    media = documents_as_media(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    got = {
+        r.media_id: r.simhash
+        for r in payload_simhash(media, gram=4, stride=4, bits=16).collect()
+    }
+
+    def scalar(data: bytes, gram=4, stride=4, bits=16):
+        highs = set(b"89abcdef")
+        counts = [0] * bits
+        n = 0
+        for off in range(0, len(data) - gram + 1, stride):
+            h = hashlib.md5(data[off:off + gram]).hexdigest().encode()
+            n += 1
+            for i in range(bits):
+                if h[i] in highs:
+                    counts[i] += 1
+        if n == 0:
+            return None
+        return sum(1 << i for i in range(bits) if 2 * counts[i] - n > 0)
+
+    rows = media.select("media_id", "payload").collect()
+    want = {
+        r.media_id: fp
+        for r in rows
+        if (fp := scalar(bytes(r.payload))) is not None
+    }
+    assert got == want
+    # short payloads (< gram bytes) emit nothing in either form
+    assert set(got) == {r.media_id for r in rows if len(bytes(r.payload)) >= 4}
+
+
 def test_graph_iteration_count_contract(spark):
     # ADVICE r15 #3: the r15 round-1 specialization assigns the score
     # frame inside the loop, so iterations=0 used to surface as an
