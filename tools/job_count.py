@@ -38,6 +38,7 @@ def main() -> int:
     for name in args:
         fn = QUERIES[name]
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         _noop(fn(spark, sf_dir))  # warmup
         j0 = dag.nextJobId()
         times = []
